@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's oracle-checked surface: one entry per
+  * implemented operator from SURVEY §2 (query ids reference the inventory
+  * rows). `oracleSql` carries the DuckDB-equivalent SQL for each; queries
+  * with engine-specific semantics (e.g. HLL sketches) are rows-only checked
+  * and intentionally absent from `oracleSql`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.2 minimum slice over oracle tables: difficulty
+    * classification → exact-count stratified sampling under the reference's
+    * 'hard' curriculum profile → per-stratum counts.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("x2_profile_counts")(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QRelational.queries ++ QWindows.queries ++ QSampling.queries ++
+      QScalars.queries ++ QEvents.queries ++ QText.queries ++ QVectors.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    QRelational.oracle ++ QWindows.oracle ++ QSampling.oracle ++
+      QScalars.oracle ++ QEvents.oracle ++ QText.oracle ++ QVectors.oracle
 }

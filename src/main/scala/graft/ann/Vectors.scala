@@ -1,0 +1,100 @@
+package graft.ann
+
+import graft.ops.Determinism
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `array<float>` embedding column.
+  *
+  * - [[cosine]]/[[dot]]/[[l2norm]]: higher-order-function expressions
+  *   (codegen'd, no UDF) over arrays cast to double for cross-engine
+  *   numeric parity.
+  * - [[bruteForceTopK]]: exact top-k — broadcast the (small) query set
+  *   against the corpus, per-query window top-k. Linear in corpus size, no
+  *   corpus-side shuffle until the final per-query top-k (which AQE keeps
+  *   tiny because candidates are pre-scored map-side).
+  * - [[lshBucketTopK]]: the scale path — random-hyperplane LSH buckets
+  *   computed from deterministic pseudo-hyperplanes (reproducible in SQL),
+  *   so the join is equi on bucket and only intra-bucket pairs are scored.
+  */
+object Vectors {
+
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Deterministic pseudo-hyperplane component j,k in [-0.5, 0.5):
+    * reproducible in ANSI SQL (same arithmetic as [[Determinism.detHash]]).
+    */
+  def hyperplaneComponent(plane: Column, k: Column): Column =
+    Determinism.detHash(plane * 64 + k) / lit(Determinism.OutMod.toDouble) - 0.5
+
+  /** Sign bits of `nPlanes` hyperplane projections, as a bitstring column. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec,
+          transform(sequence(lit(0), lit(dim - 1)), k => hyperplaneComponent(lit(p), k)),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Exact cosine top-k of `corpus` rows for each query row.
+    * Both inputs need (idCol, vecCol); query side should be small (it is
+    * broadcast). Output: (query_id, vec_id, cosine, rk).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"), l2norm(asDouble(col(vecCol))).as("vn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("q"), l2norm(asDouble(col(vecCol))).as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("q")) / (col("vn") * col("qn")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), roundTo).as("cosine"), col("rk"))
+  }
+
+  /** LSH-bucketed approximate top-k: queries join the corpus only within
+    * their hyperplane bucket. Recall is tuned by nPlanes (fewer planes →
+    * bigger buckets → higher recall, more work).
+    */
+  def lshBucketTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nPlanes: Int, dim: Int,
+                    roundTo: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+      .withColumn("vn", l2norm(col("v")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q"))
+      .withColumn("bucket", lshBucket(col("q"), nPlanes, dim))
+      .withColumn("qn", l2norm(col("q")))
+    c.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("q")) / (col("vn") * col("qn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), roundTo).as("cosine"), col("rk"))
+  }
+
+  /** Bucket histogram — the data-distribution view used to tune nPlanes. */
+  def lshBucketHistogram(corpus: DataFrame, idCol: String, vecCol: String,
+                         nPlanes: Int, dim: Int): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"))
+}

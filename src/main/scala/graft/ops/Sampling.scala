@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stratified sampling with the reference's *exact-count* semantics
+  * (reference: train/common/dataset.py:180-227 — target = int(total * weight)
+  * per difficulty stratum), made deterministic and engine-portable via
+  * [[Determinism.detHash]] ordering instead of unseeded `random.sample`.
+  *
+  * Scale notes: the ranking is a single window per stratum — one shuffle on
+  * the stratum key. At 100 TB the window sort is bounded per-stratum;
+  * skewed strata are handled by AQE skew-split since the subsequent filter
+  * is rank-local. For *fraction* (Bernoulli) semantics where exact counts
+  * don't matter, prefer [[bernoulli]] which is shuffle-free.
+  */
+object Sampling {
+
+  /** Exact-count stratified sample: per stratum keep
+    * floor(count * fraction) rows, chosen by deterministic-hash order.
+    */
+  def stratifiedExact(df: DataFrame, stratum: Column, key: Column,
+                      fractions: Map[String, Double]): DataFrame = {
+    val fracMap = typedLit(fractions)
+    val h = Determinism.detHash(key)
+    val w = Window.partitionBy(stratum)
+    df.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(w.orderBy(col("__h"), key)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__frac", coalesce(element_at(fracMap, stratum), lit(0.0)))
+      .filter(col("__rn") <= floor(col("__n") * col("__frac")))
+      .drop("__h", "__rn", "__n", "__frac")
+  }
+
+  /** Shuffle-free Bernoulli sample at `fraction`, deterministic in the key. */
+  def bernoulli(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(Determinism.detRand(key) < fraction)
+
+  /** Sampling *with replacement* to hit an exact per-stratum target even when
+    * target > available (the reference's `random.choices` fallback,
+    * train/common/dataset.py:205-219): each row is replicated
+    * ceil(target/n) times then exact-count trimmed.
+    */
+  def stratifiedWithReplacement(df: DataFrame, stratum: Column, key: Column,
+                                targetPerStratum: Map[String, Long]): DataFrame = {
+    val tgtMap = typedLit(targetPerStratum)
+    val w = Window.partitionBy(stratum)
+    val exploded = df
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__tgt", coalesce(element_at(tgtMap, stratum), lit(0L)))
+      .withColumn("__copies", ceil(col("__tgt") / col("__n")).cast("int"))
+      .withColumn("__rep", explode(sequence(lit(0), greatest(col("__copies") - 1, lit(0)))))
+    exploded
+      .withColumn("__h", Determinism.detHash(key * lit(7919L) + col("__rep")))
+      .withColumn("__rn", row_number().over(w.orderBy(col("__h"), key, col("__rep"))))
+      .filter(col("__rn") <= col("__tgt"))
+      .drop("__n", "__tgt", "__copies", "__rep", "__h", "__rn")
+  }
+
+  /** X3: deterministic global shuffle — a stable permutation position.
+    * Scale path: this is a total sort; prefer `repartition(h)` when only
+    * decorrelation (not a reproducible order) is needed.
+    */
+  def shufflePosition(df: DataFrame, key: Column): DataFrame =
+    df.withColumn("__h", Determinism.detHash(key))
+      .withColumn("pos", row_number().over(Window.orderBy(col("__h"), key)))
+      .drop("__h")
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.Ema
+import graft.ops.AsofJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream queries (SURVEY §2.8 batch analogs + A7 EMA + J7 as-of).
+  * The same transforms run under Structured Streaming (graft.streaming);
+  * these batch forms are the oracle-checkable versions.
+  */
+object QEvents {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T2: count-based interval trigger — every-250-steps buckets
+    // (reference train/train_CATVTON/config.py:18-22).
+    "t2_step_buckets" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(floor(col("event_id") / 250).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))),
+
+    // T2: time-tumbling window (1 hour) — Structured Streaming window shape.
+    "t2_time_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("cnt"), col("sum_value"))),
+
+    // T3: resume state — max step + totals per run
+    // (reference train/train_CATVTON/utils.py:91-134).
+    "t3_resume_state" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("max_step"), count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))),
+
+    // A7/U5: order-sensitive EMA via the custom Aggregator
+    // (reference train/train_DIT/utils.py:19-25), decay 0.9.
+    "a7_ema" -> ((s, d) => {
+      val emaFn = Ema.ema(0.9)
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(round(emaFn(col("event_id"), col("value")), 6).as("ema"))
+    }),
+
+    // J7: as-of join — for each event, the latest purchase value at or
+    // before it for the same user (union + window, no range-join blowup).
+    "j7_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.asof(ev, purchases, "user_id", "ts", "ts", "value")
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+    }),
+
+    // A9: last-write-wins dedup (dict-keying semantics,
+    // reference train/common/dataset.py:138).
+    "a9_lww_dedup" -> ((s, d) =>
+      graft.ops.TopK.latestPerGroup(t(s, d, "events"),
+        Seq(col("user_id"), col("event_type")), col("event_id"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))))
+
+  def oracle: Map[String, String] = Map(
+    "t2_step_buckets" ->
+      """SELECT CAST(floor(event_id / 250) AS BIGINT) AS bucket,
+                count(*) AS cnt, round(sum(value), 4) AS sum_value,
+                round(avg(value), 4) AS avg_value
+         FROM events GROUP BY 1""",
+    "t2_time_window" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_start, count(*) AS cnt,
+                round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1""",
+    "t3_resume_state" ->
+      """SELECT user_id, max(event_id) AS max_step, count(*) AS n_events,
+                round(sum(value), 4) AS total_value
+         FROM events GROUP BY user_id""",
+    "a7_ema" ->
+      """WITH t AS (
+           SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events)
+         SELECT user_id,
+                round(sum(CASE WHEN rn = 1 THEN power(0.9, n - 1) * value
+                               ELSE 0.1 * power(0.9, n - rn) * value END), 6) AS ema
+         FROM t GROUP BY user_id""",
+    "j7_asof" ->
+      """SELECT e.event_id, e.user_id, p.value AS asof_value
+         FROM events e ASOF LEFT JOIN (
+           SELECT user_id, ts::TIMESTAMP AS pts, value FROM events
+           WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts::TIMESTAMP >= p.pts""",
+    "a9_lww_dedup" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY event_id DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""")
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{Determinism, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sampling / shuffle queries (SURVEY §2.6) with the reference's exact-count
+  * stratified semantics (train/common/dataset.py:180-227), made
+  * engine-portable via the deterministic hash (no `rand(seed)`, whose values
+  * depend on partition layout and have no oracle counterpart).
+  */
+object QSampling {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** X2 weight profile (reference "hard" profile,
+    * train/common/dataset.py:363-367: easy .25 / medium .25 / hard .5).
+    */
+  val hardProfile: Map[String, Double] =
+    Map("easy" -> 0.25, "medium" -> 0.25, "hard" -> 0.5)
+
+  /** Per-priority fractions for the plain stratified sample. */
+  val priorityFractions: Map[String, Double] = Map(
+    "1-URGENT" -> 0.5, "2-HIGH" -> 0.3, "3-MEDIUM" -> 0.2,
+    "4-NOT SPECIFIED" -> 0.1, "5-LOW" -> 0.05)
+
+  private def fracCaseSql: String =
+    "CASE o_orderpriority " + priorityFractions.map {
+      case (k, v) => s"WHEN '$k' THEN $v"
+    }.mkString(" ") + " ELSE 0.0 END"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1: exact-count stratified sample, deterministic-hash order.
+    "x1_stratified_exact" -> ((s, d) =>
+      Sampling.stratifiedExact(t(s, d, "orders"), col("o_orderpriority"),
+        col("o_orderkey"), priorityFractions)
+        .select(col("o_orderkey"), col("o_orderpriority"))),
+
+    // X1b: shuffle-free deterministic Bernoulli sample.
+    "x1_bernoulli" -> ((s, d) =>
+      Sampling.bernoulli(t(s, d, "lineitem"), col("l_orderkey") * 8 + col("l_linenumber"), 0.1)
+        .select(col("l_orderkey"), col("l_linenumber"))),
+
+    // X2+P2+A2: difficulty profile end-to-end — classify, sample with the
+    // reference 'hard' curriculum profile, report per-stratum counts
+    // (the §7.2 minimum slice over oracle tables).
+    "x2_profile_counts" -> ((s, d) => {
+      val classified = t(s, d, "orders").withColumn("difficulty",
+        when(col("o_orderpriority").startsWith("1-"), "hard")
+          .when(col("o_orderpriority").startsWith("2-"), "medium")
+          .otherwise("easy"))
+      Sampling.stratifiedExact(classified, col("difficulty"), col("o_orderkey"), hardProfile)
+        .groupBy(col("difficulty")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // X3: deterministic global shuffle position (on a sampled subset — a
+    // global permutation is a driver-visible ordering, keep it bounded).
+    "x3_shuffle_pos" -> ((s, d) =>
+      Sampling.shufflePosition(
+        Sampling.bernoulli(t(s, d, "orders"), col("o_orderkey"), 0.05)
+          .select(col("o_orderkey")),
+        col("o_orderkey"))))
+
+  def oracle: Map[String, String] = {
+    val h = Determinism.detHashSql("o_orderkey")
+    Map(
+      "x1_stratified_exact" ->
+        s"""WITH t AS (
+              SELECT o_orderkey, o_orderpriority,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY $h, o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS n,
+                     $fracCaseSql AS frac
+              FROM orders)
+            SELECT o_orderkey, o_orderpriority FROM t
+            WHERE rn <= CAST(floor(n * frac) AS BIGINT)""",
+      "x1_bernoulli" ->
+        s"""SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE (${Determinism.detHashSql("(l_orderkey * 8 + l_linenumber)")}) / 1000000007.0 < 0.1""",
+      "x2_profile_counts" ->
+        s"""WITH c AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderpriority LIKE '1-%' THEN 'hard'
+                          WHEN o_orderpriority LIKE '2-%' THEN 'medium'
+                          ELSE 'easy' END AS difficulty
+              FROM orders),
+            t AS (
+              SELECT difficulty,
+                     row_number() OVER (PARTITION BY difficulty ORDER BY $h, o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY difficulty) AS n,
+                     CASE difficulty WHEN 'easy' THEN 0.25 WHEN 'medium' THEN 0.25
+                          WHEN 'hard' THEN 0.5 ELSE 0.0 END AS frac
+              FROM c)
+            SELECT difficulty, count(*) AS cnt FROM t
+            WHERE rn <= CAST(floor(n * frac) AS BIGINT) GROUP BY difficulty""",
+      "x3_shuffle_pos" ->
+        s"""WITH s AS (
+              SELECT o_orderkey FROM orders
+              WHERE ($h) / 1000000007.0 < 0.05)
+            SELECT o_orderkey,
+                   CAST(row_number() OVER (ORDER BY $h, o_orderkey) AS INT) AS pos
+            FROM s""")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication queries over the documents table —
+  * the training-data-pipeline surface (language ID, quality scoring, token
+  * stats, fingerprints; exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup).
+  */
+object QText {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // DuckDB fragment for the lowercased, empty-filtered token list.
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+  private val dtoksSql = s"list_distinct($toksSql)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token statistics: count, distinct, type-token ratio.
+    "tx_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(distinctTokens(col("text"))).as("n_distinct"),
+        round(size(distinctTokens(col("text"))).cast("double") /
+          tokenCount(col("text")), 6).as("ttr"))),
+
+    // Quality scoring: length/punctuation/stopword signals.
+    "tx_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(avgTokenLen(col("text")), 4).as("avg_tok_len"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(qualityScore(col("text")), 6).as("quality"))),
+
+    // Language-ID heuristic: marker-stopword argmax.
+    "tx_langid" -> ((s, d) =>
+      t(s, d, "documents").select(
+        (Seq(col("doc_id"), col("lang"), langId(col("text")).as("lang_guess")) ++
+          langMarkers.keys.toSeq.sorted.map(l =>
+            langScore(col("text"), l).as(s"s_$l"))): _*)),
+
+    // Document fingerprint (normalized md5) per doc.
+    "tx_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    // D1: exact duplicate groups.
+    "d1_exact_groups" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    // D2: MinHash signatures (8 seeds, word shingles, hex-min semantics).
+    "d2_minhash" -> ((s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents"), col("doc_id"), col("text"), 8)),
+
+    // D2b: LSH banding buckets (band size 4 → 2 bands).
+    "d2_lsh_buckets" -> ((s, d) =>
+      Dedup.lshBuckets(
+        Dedup.minhashSignatures(t(s, d, "documents"), col("doc_id"), col("text"), 8), 4)),
+
+    // D3: SimHash-32 bits, long format.
+    "d3_simhash" -> ((s, d) =>
+      Dedup.simhashBits(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    // D4: character-3-gram Jaccard similarity on a bounded id range
+    // (LSH-verification stage shape).
+    "d4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 150),
+        col("doc_id"), col("text"), 3, 0.5)))
+
+  def oracle: Map[String, String] = Map(
+    "tx_tokens" ->
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS INT) AS n_tokens,
+                 CAST(len($dtoksSql) AS INT) AS n_distinct,
+                 round(CAST(len($dtoksSql) AS DOUBLE) / len($toksSql), 6) AS ttr
+          FROM documents""",
+    "tx_quality" ->
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS INT) AS n_tokens,
+                 round(CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
+                       / len($toksSql), 4) AS avg_tok_len,
+                 round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                       / length(text), 6) AS punct_ratio,
+                 round(CAST(len(list_filter($toksSql,
+                       t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for'], t))) AS DOUBLE)
+                       / len($toksSql), 6) AS stop_ratio,
+                 round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                       + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                           / length(text) * 5.0, 1.0)) * 0.3
+                       + least(CAST(len(list_filter($toksSql,
+                           t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for'], t))) AS DOUBLE)
+                           / len($toksSql) * 4.0, 1.0) * 0.3, 6) AS quality
+          FROM documents""",
+    "tx_langid" -> {
+      val markers = Map(
+        "de" -> "['der','die','und','das','nicht']",
+        "en" -> "['the','and','of','to','is']",
+        "es" -> "['el','la','de','que','los']",
+        "fr" -> "['le','les','et','des','une']",
+        "zh" -> "['de','shi','le','wo','ni']")
+      val scores = markers.keys.toSeq.sorted.map(l =>
+        s"CAST(len(list_filter(${markers(l)}, m -> list_contains($dtoksSql, m))) AS INT) AS s_$l")
+        .mkString(", ")
+      val best = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
+          SELECT doc_id, lang,
+                 CASE WHEN s_de = $best AND $best > 0 THEN 'de'
+                      WHEN s_en = $best AND $best > 0 THEN 'en'
+                      WHEN s_es = $best AND $best > 0 THEN 'es'
+                      WHEN s_fr = $best AND $best > 0 THEN 'fr'
+                      WHEN s_zh = $best AND $best > 0 THEN 'zh'
+                      ELSE 'und' END AS lang_guess,
+                 s_de, s_en, s_es, s_fr, s_zh
+          FROM sc"""
+    },
+    "tx_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "d1_exact_groups" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                min(doc_id) AS canonical_id, count(*) AS n_docs
+         FROM documents GROUP BY 1""",
+    "d2_minhash" ->
+      s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents)
+          SELECT doc_id, seed,
+                 min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+          FROM w CROSS JOIN generate_series(0, 7) g(seed)
+          GROUP BY doc_id, seed""",
+    "d2_lsh_buckets" ->
+      s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
+               sig AS (
+                 SELECT doc_id, seed,
+                        min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+                 FROM w CROSS JOIN generate_series(0, 7) g(seed)
+                 GROUP BY doc_id, seed),
+               banded AS (
+                 SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+                        md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+                 FROM sig GROUP BY doc_id, band)
+          SELECT band, band_sig, count(*) AS n_docs,
+                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM banded GROUP BY band, band_sig HAVING count(*) > 1""",
+    "d3_simhash" ->
+      s"""WITH w AS (SELECT doc_id, md5(tok) AS h FROM
+                 (SELECT doc_id, unnest($dtoksSql) AS tok FROM documents))
+          SELECT doc_id, CAST(i AS INT) AS bit_idx,
+                 CAST(sum(CASE WHEN substring(h, CAST(i AS INT), 1) >= '8' THEN 1 ELSE -1 END) > 0 AS INT) AS bit
+          FROM w CROSS JOIN generate_series(1, 32) g(i)
+          GROUP BY doc_id, i""",
+    "d4_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+              g AS (SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, CAST(greatest(length(text) - 1, 2) AS BIGINT)),
+                         i -> substring(text, CAST(i AS INT), 3))) AS g
+                FROM d)),
+              sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5""")
+}

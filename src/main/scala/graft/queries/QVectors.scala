@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ann.Vectors
+import graft.ops.Determinism
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the embeddings table: exact brute-force
+  * cosine top-k (baseline) and random-hyperplane LSH bucketing (scale path).
+  */
+object QVectors {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val Dim = 64
+  private val NPlanes = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // V1: exact cosine top-5 for a bounded query set (broadcast NL + window).
+    "v1_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Vectors.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5)
+    }),
+
+    // V2: LSH bucket histogram (deterministic pseudo-hyperplanes).
+    "v2_lsh_histogram" -> ((s, d) =>
+      Vectors.lshBucketHistogram(t(s, d, "embeddings"), "vec_id", "embedding",
+        NPlanes, Dim)),
+
+    // V3: embedding-cosine near-duplicate pairs above a threshold within a
+    // bounded id range (embedding near-dup detection shape).
+    "v3_cosine_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 128)
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+        .withColumn("vn", Vectors.l2norm(col("v")))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", Vectors.dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")))
+        .filter(col("cos") > 0.5)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("cos"), 6).as("cosine"))
+    }))
+
+  /** DuckDB fragment: hyperplane p as a DOUBLE[] literal expression. */
+  private def planeSql(p: Int): String =
+    s"list_transform(range(0, $Dim), k -> " +
+      s"((((($p * $Dim + k) % ${Determinism.PreMod}) * ${Determinism.Mult}) + ${Determinism.Add}) % ${Determinism.OutMod}) / ${Determinism.OutMod}.0 - 0.5)"
+
+  def oracle: Map[String, String] = Map(
+    "v1_cosine_topk" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+              s AS (SELECT query_id, c.vec_id,
+                           list_dot_product(v, qv)
+                             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+                    FROM c, q WHERE c.vec_id != query_id),
+              r AS (SELECT query_id, vec_id, cos,
+                           CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) AS INT) AS rk
+                    FROM s)
+         SELECT query_id, vec_id, round(cos, 6) AS cosine, rk FROM r WHERE rk <= 5""",
+    "v2_lsh_histogram" -> {
+      val bits = (0 until NPlanes).map(p =>
+        s"CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+          SELECT $bits AS bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+          FROM c GROUP BY bucket"""
+    },
+    "v3_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                    FROM embeddings WHERE vec_id < 128)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.vn * b.vn) > 0.5""")
+}

@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data curation, built entirely from
+  * codegen'd Catalyst expressions (no UDFs) so they stay inside whole-stage
+  * codegen and are reproducible in an ANSI-SQL oracle.
+  *
+  * Covers: tokenization, token/char n-gram shingling, language-ID heuristic,
+  * quality scoring, document fingerprinting.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Character n-grams of the raw text (positions 1..len-n+1). */
+  def charNgrams(text: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => substring(text, i, lit(n)))
+
+  /** Word n-grams over the token array, joined with '_'. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j)): _*))
+  }
+
+  /** Whitespace-normalized lowercase form used for fingerprinting. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the normalized text (stable across engines). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Stopword-marker lists for the language-ID heuristic. Tiny on purpose:
+    * the heuristic is a deterministic scoring rule, not a trained model.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+
+  /** Score for one language: number of distinct marker words present. */
+  def langScore(text: Column, lang: String): Column =
+    size(array_intersect(distinctTokens(text),
+      array(langMarkers(lang).map(lit): _*)))
+
+  /** Predicted language: argmax score, ties broken by language code order. */
+  def langId(text: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val scores = langs.map(l => langScore(text, l))
+    val best = greatest(scores: _*)
+    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** English stopword ratio among tokens (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val stop = array(Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it", "that", "for").map(lit): _*)
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(stop, t))).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Punctuation ratio: non-alphanumeric, non-space chars / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(text))
+      .otherwise(0.0)
+
+  /** Mean token length. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation and a natural stopword rate. Deterministic and
+    * oracle-expressible; weights are engine policy, not learned.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3
+  }
+}
