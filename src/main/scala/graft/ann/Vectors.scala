@@ -29,20 +29,20 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Deterministic pseudo-hyperplane component j,k in [-0.5, 0.5):
-    * reproducible in ANSI SQL (same arithmetic as [[Determinism.detHash]]).
+  /** Deterministic pseudo-hyperplane component (plane p, coordinate k) in
+    * [-0.5, 0.5): reproducible in ANSI SQL ([[Determinism.detRand]] of the
+    * flattened index p*dim + k). Hyperplanes are constants, so the engine
+    * evaluates the hash once on the driver ([[Determinism.detRandLocal]])
+    * and embeds the plane as an array literal — zero per-row hash work —
+    * while the oracle recomputes the identical md5 arithmetic in SQL.
     */
-  def hyperplaneComponent(plane: Column, k: Column): Column =
-    Determinism.detHash(plane * 64 + k) / lit(Determinism.OutMod.toDouble) - 0.5
+  def hyperplane(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(k => Determinism.detRandLocal(plane.toLong * dim + k) - 0.5)
 
   /** Sign bits of `nPlanes` hyperplane projections, as a bitstring column. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec,
-          transform(sequence(lit(0), lit(dim - 1)), k => hyperplaneComponent(lit(p), k)),
-          (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(vec, typedLit(hyperplane(p, dim)))
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)

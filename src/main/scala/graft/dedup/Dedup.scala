@@ -28,12 +28,16 @@ object Dedup {
     docs.groupBy(fingerprint(text).as("fp"))
       .agg(min(id).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** Exact-dedup survivors: the canonical (min-id) row per fingerprint. */
+  /** Exact-dedup survivors: the canonical (min-id) row per fingerprint.
+    * One shuffle: `row_number` over the fingerprint partition — no second
+    * scan, no join-back.
+    */
   def exactDedup(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.withColumn("fp", fingerprint(text))
-      .join(exactGroups(docs, id, text).select(col("fp"), col("canonical_id")), Seq("fp"))
-      .filter(id === col("canonical_id"))
-      .drop("fp", "canonical_id")
+    docs.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(fingerprint(text)).orderBy(id)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
 
   /** Long-format MinHash signatures: (id, seed, minhash) for seeds 0..k-1
     * over distinct word shingles.
@@ -89,23 +93,51 @@ object Dedup {
     * nibble set), −1 otherwise; the sign of the per-document vote sum is the
     * bit. 32 hex digits ⇒ a 32-bit SimHash with 4 bits of hash per digit
     * collapsed to 1 — deterministic and oracle-expressible.
+    *
+    * Scale shape: rows stay at (doc, token) granularity — all 32 bit votes
+    * are computed as 32 conditional-sum aggregate columns in ONE hash
+    * aggregate (map-side partial combine collapses each doc's tokens before
+    * the shuffle), then unpivoted with `stack(32, ...)` to the long format.
+    * The naive alternative (explode a 1..32 sequence per token) pushes
+    * 32× the rows through the shuffle and was 48% of the round-1 bench.
     */
-  def simhashBits(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), explode(distinctTokens(text)).as("tok"))
+  def simhashBits(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val votes = (1 to 32).map(i =>
+      sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1)).as(s"v$i"))
+    val perDoc = docs
+      .select(id.as("doc_id"), explode(distinctTokens(text)).as("tok"))
       .withColumn("h", md5(col("tok")))
-      .select(col("doc_id"), explode(sequence(lit(1), lit(32))).as("bit_idx"), col("h"))
-      .withColumn("vote", when(substr(col("h"), col("bit_idx"), lit(1)) >= "8", 1).otherwise(-1))
-      .groupBy("doc_id", "bit_idx")
-      .agg((sum(col("vote")) > 0).cast("int").as("bit"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+    val unpivot = (1 to 32).map(i => s"$i, v$i").mkString(", ")
+    perDoc
+      .select(col("doc_id"), expr(s"stack(32, $unpivot) AS (bit_idx, vote)"))
+      .select(col("doc_id"), col("bit_idx").cast("int").as("bit_idx"),
+        (col("vote") > 0).cast("int").as("bit"))
+  }
 
   /** Exact n-gram Jaccard over character n-gram *sets* for candidate pairs —
     * the verification stage after LSH, or a direct measure on a bounded
-    * subset. `docsA`/`docsB` must have (doc_id, text).
+    * subset. Input must have (id, text).
+    *
+    * `maxDocFreq` caps the document frequency of grams admitted to the
+    * inverted-index self-join: a stop-gram appearing in d documents
+    * contributes d² join rows, so one hot gram ("the") makes the join
+    * quadratic on a real corpus. Grams above the cap are excluded from both
+    * the intersection AND the per-doc set sizes, keeping the Jaccard ratio
+    * consistent over the filtered gram universe (the standard
+    * stop-shingle-removal semantics; the oracle applies the same cap).
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
-                        minJaccard: Double, roundTo: Int = 6): DataFrame = {
-    val grams = docs.select(id.as("doc_id"),
+                        minJaccard: Double, roundTo: Int = 6,
+                        maxDocFreq: Int = 1000): DataFrame = {
+    val allGrams = docs.select(id.as("doc_id"),
         explode(array_distinct(charNgrams(text, n))).as("g"))
+    val rareGrams = allGrams.groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("g")
+    val grams = allGrams.join(rareGrams, Seq("g"), "left_semi")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = grams.as("a").join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -53,20 +53,61 @@ object Ema {
     (step, value) => fn(step, value)
   }
 
-  /** Scale path: one shuffle + in-partition sort + sequential fold.
+  /** Closed-form EMA — the 100-TB path. The recurrence
+    *   ema_n = decay^(n-1) * x_1 + Σ_{t=2..n} (1-decay) * decay^(n-t) * x_t
+    * is a plain weighted sum once each row knows its step rank and the
+    * group size, so one window (rank + count) + one hash-aggregate computes
+    * it entirely inside whole-stage codegen: no UDAF, no buffering, no
+    * mapGroups. Output: group cols + `ema`.
+    */
+  def closedForm(df: DataFrame, group: String, step: String, value: String,
+                 decay: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(group).orderBy(step)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(group)))
+      .groupBy(group)
+      .agg(sum(
+        when(col("__rn") === 1, pow(lit(decay), col("__n") - 1) * col(value))
+          .otherwise(lit(1 - decay) * pow(lit(decay), col("__n") - col("__rn")) * col(value)))
+        .as("ema"))
+  }
+
+  /** Scale path: one shuffle on the group key + Tungsten external sort
+    * within partitions (spills to disk, never materializes a group in
+    * memory) + a single streaming fold over the sorted iterator. Truly
+    * constant-memory per group — the secondary sort happens in the engine,
+    * not in user code.
     * Input columns: (group: Long, step: Long, value: Double).
     * Output columns: (group, ema).
     */
   def sortedFold(df: DataFrame, group: String, step: String, value: String,
                  decay: Double): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(df(group).cast("long"), df(step).cast("long"), df(value).cast("double"))
+    df.select(df(group).cast("long").as("g"), df(step).cast("long").as("s"),
+        df(value).cast("double").as("v"))
+      .repartition(org.apache.spark.sql.functions.col("g"))
+      .sortWithinPartitions("g", "s")
       .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (g, it) =>
-        val s = it.toArray.sortBy(_._2)
-        val e = s.tail.foldLeft(s.head._3) { case (ema, (_, _, x)) => (1 - decay) * x + decay * ema }
-        (g, e)
+      .mapPartitions { it =>
+        // Rows arrive grouped by g and step-sorted within each group;
+        // fold sequentially, emitting on every group boundary.
+        new Iterator[(Long, Double)] {
+          private var pending: Option[(Long, Long, Double)] = None
+          def hasNext: Boolean = pending.isDefined || it.hasNext
+          def next(): (Long, Double) = {
+            var (g, _, ema) = pending.getOrElse(it.next())
+            pending = None
+            var done = false
+            while (!done && it.hasNext) {
+              val row = it.next()
+              if (row._1 == g) ema = (1 - decay) * row._3 + decay * ema
+              else { pending = Some(row); done = true }
+            }
+            (g, ema)
+          }
+        }
       }
       .toDF(group, "ema")
   }

@@ -33,7 +33,11 @@ object AsofJoin {
         .map(col) ++ Seq(col("__t"), col("__side"), col("__p"))): _*)
       .unionByName(r.select(col(key), col("__t"), col("__side"), col("__p")),
         allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+    // Total order: (__t, __side, __p). Without __p, two right rows sharing
+    // (key, time) would make last(__p) depend on shuffle order; with it the
+    // max payload among time-ties deterministically wins. Left rows carry a
+    // null __p which sorts first and never affects the carried value.
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(s"asof_$payload", last(col("__p"), ignoreNulls = true).over(w))

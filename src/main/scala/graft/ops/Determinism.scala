@@ -4,35 +4,57 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Deterministic pseudo-randomness that is (a) stable across engines — the
-  * same arithmetic is expressible in ANSI SQL so a DuckDB oracle reproduces it
-  * bit-for-bit — and (b) shuffle-safe: a pure column function of the row key,
-  * unlike `rand(seed)` whose per-row value depends on partition layout.
+  * same computation is expressible in ANSI SQL so a DuckDB oracle reproduces
+  * it bit-for-bit — and (b) shuffle-safe: a pure column function of the row
+  * key, unlike `rand(seed)` whose per-row value depends on partition layout.
   *
   * The reference pipeline shuffles and samples with *unseeded* Python RNG
   * (reference: train/common/dataset.py:213-222); every graft counterpart pins
   * determinism through this hash instead (SURVEY §7.4 item 4).
   *
-  * h(k) = ((k mod 100003) * 2654435761 + 12345) mod 1000000007
+  * h(k) = int(md5(string(k))[0:15], 16)   — 60 bits of entropy.
   *
-  * 2654435761 is Knuth's multiplicative-hash constant; the pre-mod by the
-  * prime 100003 bounds the product far below 2^63 so the arithmetic is exact
-  * under ANSI overflow checking in both engines.
+  * The first 15 hex digits of the md5 fit a signed 64-bit integer
+  * (16^15 = 2^60), so the parse is exact in both engines: Spark
+  * `conv(substring(md5(...),1,15),16,10)` and DuckDB
+  * `CAST('0x' || substring(md5(...),1,15) AS BIGINT)`. Unlike a modular
+  * congruential hash, every distinct key gets an independent hash — no
+  * residue-class correlation at any scale (at 10^12 keys the expected
+  * collision count under 2^60 is ~0.4; ties are broken by the key itself
+  * wherever the hash orders rows).
   */
 object Determinism {
 
-  val PreMod: Long  = 100003L
-  val Mult: Long    = 2654435761L
-  val Add: Long     = 12345L
-  val OutMod: Long  = 1000000007L
+  /** Size of the hash space: 16^15 = 2^60. */
+  val Space: Long = 1L << 60
 
   /** Column form: key column must be integral (cast to long internally). */
   def detHash(key: Column): Column =
-    (key.cast("long") % PreMod * Mult + Add) % OutMod
+    conv(substring(md5(key.cast("long").cast("string")), 1, 15), 16, 10)
+      .cast("long")
 
-  /** The equivalent ANSI-SQL fragment, for oracle queries. */
+  /** The equivalent DuckDB-SQL fragment, for oracle queries. */
   def detHashSql(keyExpr: String): String =
-    s"(($keyExpr % $PreMod) * $Mult + $Add) % $OutMod"
+    s"CAST('0x' || substring(md5(CAST(CAST($keyExpr AS BIGINT) AS VARCHAR)), 1, 15) AS BIGINT)"
 
   /** Deterministic stand-in for `rand(seed)` in [0, 1). */
-  def detRand(key: Column): Column = detHash(key) / lit(OutMod.toDouble)
+  def detRand(key: Column): Column = detHash(key) / lit(Space.toDouble)
+
+  /** DuckDB-SQL fragment for [[detRand]]. */
+  def detRandSql(keyExpr: String): String =
+    s"(${detHashSql(keyExpr)} / $Space.0)"
+
+  /** Driver-side evaluation of the same hash — used to pre-materialize
+    * constant tables (e.g. ANN hyperplanes) without per-row hashing.
+    * Exactly matches [[detHash]] for non-negative keys.
+    */
+  def detHashLocal(key: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(key.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Driver-side [[detRand]]. */
+  def detRandLocal(key: Long): Double = detHashLocal(key) / Space.toDouble
 }

@@ -38,14 +38,14 @@ object QEvents {
         .agg(max(col("event_id")).as("max_step"), count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("total_value"))),
 
-    // A7/U5: order-sensitive EMA via the custom Aggregator
-    // (reference train/train_DIT/utils.py:19-25), decay 0.9.
-    "a7_ema" -> ((s, d) => {
-      val emaFn = Ema.ema(0.9)
-      t(s, d, "events")
-        .groupBy(col("user_id"))
-        .agg(round(emaFn(col("event_id"), col("value")), 6).as("ema"))
-    }),
+    // A7/U5: order-sensitive EMA (reference train/train_DIT/utils.py:19-25),
+    // decay 0.9, via the closed-form window+aggregate — fully codegen'd.
+    // The custom EmaAggregator and the sortedFold mapPartitions variant
+    // compute the same value (asserted equal in EmaSpec); this is the plan
+    // that survives unbounded groups at 100 TB.
+    "a7_ema" -> ((s, d) =>
+      Ema.closedForm(t(s, d, "events"), "user_id", "event_id", "value", 0.9)
+        .select(col("user_id"), round(col("ema"), 6).as("ema"))),
 
     // J7: as-of join — for each event, the latest purchase value at or
     // before it for the same user (union + window, no range-join blowup).
@@ -58,10 +58,12 @@ object QEvents {
     }),
 
     // A9: last-write-wins dedup (dict-keying semantics,
-    // reference train/common/dataset.py:138).
+    // reference train/common/dataset.py:138). Tie-break on `value` pins a
+    // total order even if (user_id, event_type, event_id) were ever
+    // duplicated — event_id alone would leave `value` shuffle-dependent.
     "a9_lww_dedup" -> ((s, d) =>
       graft.ops.TopK.latestPerGroup(t(s, d, "events"),
-        Seq(col("user_id"), col("event_type")), col("event_id"), col("event_id"))
+        Seq(col("user_id"), col("event_type")), col("event_id"), col("value"))
         .select(col("user_id"), col("event_type"), col("event_id"), col("value"))))
 
   def oracle: Map[String, String] = Map(
@@ -98,6 +100,6 @@ object QEvents {
       """SELECT user_id, event_type, event_id, value FROM (
            SELECT user_id, event_type, event_id, value,
                   row_number() OVER (PARTITION BY user_id, event_type
-                    ORDER BY event_id DESC, event_id DESC) AS rn
+                    ORDER BY event_id DESC, value DESC) AS rn
            FROM events) WHERE rn = 1""")
 }

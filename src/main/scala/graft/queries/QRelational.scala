@@ -127,13 +127,21 @@ object QRelational {
         .select(col("c_custkey"), col("n_name"))),
 
     // J7: range join — lineitems shipped within 90 days of their order date.
-    "j7_range_join" -> ((s, d) =>
-      t(s, d, "orders").join(t(s, d, "lineitem"),
+    // The window end is pre-projected (date_add) so the join condition is a
+    // pure equi-key + residual column comparison: Catalyst plans a hash/SMJ
+    // join on l_orderkey with the date bounds as a cheap post-join filter,
+    // never a range-join or nested-loop plan.
+    "j7_range_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          date_add(col("o_orderdate"), 90).as("o_end"))
+      o.join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
         col("o_orderkey") === col("l_orderkey") &&
           col("l_shipdate") >= col("o_orderdate") &&
-          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          col("l_shipdate") <= col("o_end"))
         .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_in_window"))),
+        .agg(count(lit(1)).as("n_in_window"))
+    }),
 
     // J8: cross join (small × small).
     "j8_cross" -> ((s, d) =>
@@ -148,10 +156,14 @@ object QRelational {
     "a2_group_count" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))),
 
-    // A3: grouped ordered collect (triplet-assembly alternative).
+    // A3: grouped ordered collect (triplet-assembly alternative). The
+    // collected list is serialized to a comma-joined string so the driver
+    // comparator (which sorts/hashes scalar cells) can verify it; sorting
+    // happens on the ints BEFORE stringification to keep numeric order.
     "a3_grouped_collect" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))),
+        .agg(array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+          x => x.cast("string")), ",").as("lines"))),
 
     // A4: mean-IoU shape (train/common/metrics.py:223-248).
     "a4_miou" -> ((s, d) =>
@@ -281,7 +293,7 @@ object QRelational {
     "a2_group_count" ->
       "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority",
     "a3_grouped_collect" ->
-      "SELECT l_orderkey, array_agg(l_linenumber ORDER BY l_linenumber) AS lines FROM lineitem GROUP BY l_orderkey",
+      "SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines FROM lineitem GROUP BY l_orderkey",
     "a4_miou" ->
       """WITH per_class AS (
            SELECT l_linenumber AS class,

@@ -77,7 +77,7 @@ object QSampling {
             WHERE rn <= CAST(floor(n * frac) AS BIGINT)""",
       "x1_bernoulli" ->
         s"""SELECT l_orderkey, l_linenumber FROM lineitem
-            WHERE (${Determinism.detHashSql("(l_orderkey * 8 + l_linenumber)")}) / 1000000007.0 < 0.1""",
+            WHERE ${Determinism.detRandSql("(l_orderkey * 8 + l_linenumber)")} < 0.1""",
       "x2_profile_counts" ->
         s"""WITH c AS (
               SELECT o_orderkey,
@@ -97,7 +97,7 @@ object QSampling {
       "x3_shuffle_pos" ->
         s"""WITH s AS (
               SELECT o_orderkey FROM orders
-              WHERE ($h) / 1000000007.0 < 0.05)
+              WHERE ${Determinism.detRandSql("o_orderkey")} < 0.05)
             SELECT o_orderkey,
                    CAST(row_number() OVER (ORDER BY $h, o_orderkey) AS INT) AS pos
             FROM s""")

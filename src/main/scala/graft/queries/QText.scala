@@ -68,11 +68,13 @@ object QText {
       Dedup.simhashBits(t(s, d, "documents"), col("doc_id"), col("text"))),
 
     // D4: character-3-gram Jaccard similarity on a bounded id range
-    // (LSH-verification stage shape).
+    // (LSH-verification stage shape). maxDocFreq=100 exercises the
+    // stop-gram cap that keeps the inverted-index join from going
+    // quadratic on hot grams.
     "d4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         t(s, d, "documents").filter(col("doc_id") < 150),
-        col("doc_id"), col("text"), 3, 0.5)))
+        col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 100)))
 
   def oracle: Map[String, String] = Map(
     "tx_tokens" ->
@@ -81,23 +83,31 @@ object QText {
                  CAST(len($dtoksSql) AS INT) AS n_distinct,
                  round(CAST(len($dtoksSql) AS DOUBLE) / len($toksSql), 6) AS ttr
           FROM documents""",
-    "tx_quality" ->
+    "tx_quality" -> {
+      // Zero-token / empty-text guards mirror the Spark otherwise(0.0)
+      // branches (TextFunctions punctRatio/stopwordRatio/avgTokenLen) so
+      // the oracle never divides by zero where Spark yields 0.0.
+      val punctSql =
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+          "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)" +
+          " / length(text) END"
+      val stopSql =
+        s"CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE " +
+          s"CAST(len(list_filter($toksSql, " +
+          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for'], t))) AS DOUBLE)" +
+          s" / len($toksSql) END"
       s"""SELECT doc_id,
                  CAST(len($toksSql) AS INT) AS n_tokens,
-                 round(CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
-                       / len($toksSql), 4) AS avg_tok_len,
-                 round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                       / length(text), 6) AS punct_ratio,
-                 round(CAST(len(list_filter($toksSql,
-                       t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for'], t))) AS DOUBLE)
-                       / len($toksSql), 6) AS stop_ratio,
+                 round(CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE
+                       CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
+                       / len($toksSql) END, 4) AS avg_tok_len,
+                 round($punctSql, 6) AS punct_ratio,
+                 round($stopSql, 6) AS stop_ratio,
                  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-                       + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                           / length(text) * 5.0, 1.0)) * 0.3
-                       + least(CAST(len(list_filter($toksSql,
-                           t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for'], t))) AS DOUBLE)
-                           / len($toksSql) * 4.0, 1.0) * 0.3, 6) AS quality
-          FROM documents""",
+                       + (1.0 - least(($punctSql) * 5.0, 1.0)) * 0.3
+                       + least(($stopSql) * 4.0, 1.0) * 0.3, 6) AS quality
+          FROM documents"""
+    },
     "tx_langid" -> {
       val markers = Map(
         "de" -> "['der','die','und','das','nicht']",
@@ -155,11 +165,13 @@ object QText {
           GROUP BY doc_id, i""",
     "d4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
-              g AS (SELECT DISTINCT doc_id, g FROM (
+              g0 AS (SELECT DISTINCT doc_id, g FROM (
                 SELECT doc_id,
                        unnest(list_transform(range(1, CAST(greatest(length(text) - 1, 2) AS BIGINT)),
                          i -> substring(text, CAST(i AS INT), 3))) AS g
                 FROM d)),
+              g AS (SELECT doc_id, g FROM g0 WHERE g IN (
+                SELECT g FROM g0 GROUP BY g HAVING count(*) <= 100)),
               sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
               inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

@@ -42,10 +42,12 @@ object QVectors {
           round(col("cos"), 6).as("cosine"))
     }))
 
-  /** DuckDB fragment: hyperplane p as a DOUBLE[] literal expression. */
+  /** DuckDB fragment: hyperplane p as a DOUBLE[] expression recomputing the
+    * same md5-derived components as [[Vectors.hyperplane]].
+    */
   private def planeSql(p: Int): String =
     s"list_transform(range(0, $Dim), k -> " +
-      s"((((($p * $Dim + k) % ${Determinism.PreMod}) * ${Determinism.Mult}) + ${Determinism.Add}) % ${Determinism.OutMod}) / ${Determinism.OutMod}.0 - 0.5)"
+      s"${Determinism.detRandSql(s"($p * $Dim + k)")} - 0.5)"
 
   def oracle: Map[String, String] = Map(
     "v1_cosine_topk" ->
