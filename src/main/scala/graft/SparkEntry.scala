@@ -25,12 +25,14 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QRelational.queries ++ QWindows.queries ++ QSampling.queries ++
-      QScalars.queries ++ QEvents.queries ++ QText.queries ++ QVectors.queries
+      QScalars.queries ++ QEvents.queries ++ QText.queries ++
+      QVectors.queries ++ QMultimodal.queries ++ QSources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     QRelational.oracle ++ QWindows.oracle ++ QSampling.oracle ++
-      QScalars.oracle ++ QEvents.oracle ++ QText.oracle ++ QVectors.oracle
+      QScalars.oracle ++ QEvents.oracle ++ QText.oracle ++
+      QVectors.oracle ++ QMultimodal.oracle ++ QSources.oracle
 }

@@ -1,0 +1,60 @@
+package graft.cli
+
+import graft.core.GraftSession
+import graft.pipelines.Pipelines
+import graft.queries.QSampling
+import org.apache.spark.sql.functions._
+
+/** Thin CLI over the pipelines, mirroring the reference's arg surface
+  * (train.py --difficulty/--s3_prefixes/--output_dir,
+  * reference train/train_CATVTON/train.py:15-52; evaluate_all_models.py
+  * --test_dir/--models/--output_dir, reference train/evaluate_all_models.py:20-34;
+  * checkpoints/upload.py / download.py).
+  *
+  * Usage:
+  *   runMain graft.cli.Main train    --manifest <parquet> --profile hard --output <dir>
+  *   runMain graft.cli.Main evaluate --test <parquet> --scores <parquet> --output <dir>
+  *   runMain graft.cli.Main sync     --remote <parquet> --local <parquet> --src <dir> --dst <dir>
+  */
+object Main {
+
+  private def opt(args: Array[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(`name`, v) => v }
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse(sys.error("usage: train|evaluate|sync"))
+    val spark = GraftSession.local()
+    try cmd match {
+      case "train" =>
+        val manifest = spark.read.parquet(opt(args, "--manifest").get)
+        val profile = opt(args, "--profile").getOrElse("hard") match {
+          case "easy"   => Map("easy" -> 1.0, "medium" -> 0.0, "hard" -> 0.0)
+          case "medium" => Map("easy" -> 0.3, "medium" -> 0.7, "hard" -> 0.0)
+          case _        => QSampling.hardProfile
+        }
+        val feed = Pipelines.trainingFeed(manifest, profile)
+        opt(args, "--output") match {
+          case Some(out) => feed.write.mode("overwrite").parquet(out)
+          case None      => feed.show(20, truncate = false)
+        }
+      case "evaluate" =>
+        val test = spark.read.parquet(opt(args, "--test").get)
+        val scores = spark.read.parquet(opt(args, "--scores").get)
+        val metrics = opt(args, "--metrics").getOrElse("lpips,ssim,psnr")
+          .split(",").toSeq
+        val summary = Pipelines.evaluate(test, scores, metrics)
+        opt(args, "--output") match {
+          case Some(out) => summary.coalesce(1).write.mode("overwrite").json(out)
+          case None      => summary.show(20, truncate = false)
+        }
+      case "sync" =>
+        val remote = spark.read.parquet(opt(args, "--remote").get)
+        val local = spark.read.parquet(opt(args, "--local").get)
+        val transfer = for (s <- opt(args, "--src"); d <- opt(args, "--dst"))
+          yield (s, d)
+        val pending = Pipelines.sync(remote, local, "key", transfer)
+        println(s"[sync] pending: ${pending.count()} objects")
+      case other => sys.error(s"unknown command: $other")
+    } finally spark.stop()
+  }
+}

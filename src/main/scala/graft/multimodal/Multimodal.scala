@@ -1,0 +1,149 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary-column) support: sources, byte-level operators, and
+  * the decode plumbing for image/audio/video payloads (SURVEY S4/S6/S8/U1).
+  *
+  * Reference behavior: the pipeline's core loop is fetch-bytes → PIL decode
+  * (reference: train/common/dataset.py:271-281,
+  * train/train_OOTDiffusion/dataloader.py:75-83). Spark-first design:
+  *
+  *  - bytes are an opaque `binary` column flowing through the relational
+  *    plan; metadata (path, length, format, dimensions) are derived typed
+  *    columns computed by codegen'd expressions, so filtering/joining on
+  *    metadata NEVER decodes payloads (column pruning keeps `content`
+  *    unread until a consumer asks for it — the 100-TB discipline);
+  *  - header parsing (magic sniff, PNG/BMP/GIF dimensions) is pure
+  *    substring/conv arithmetic on the first bytes — no UDF;
+  *  - full decode (pixels, resample) happens only at the `mapPartitions`
+  *    edge ([[decodeStub]]): the image codec libraries are not in this
+  *    container, so the codec call itself is a deterministic stub, while
+  *    the Spark-side plumbing (schema, batching, partition iteration) is
+  *    real and tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  /** S4/S6: whole-object source — one row per file with
+    * (path, modificationTime, length, content). Metadata-only queries prune
+    * `content` and never read payload bytes (binaryFile reads lazily).
+    */
+  def binarySource(spark: SparkSession, path: String,
+                   globFilter: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter)
+      .load(path)
+
+  /** Byte length of a binary column (no decode). */
+  def contentLength(c: Column): Column = length(c)
+
+  /** md5 fingerprint of a binary column (no decode). */
+  def contentMd5(c: Column): Column = md5(c)
+
+  /** Magic-byte format sniff over the leading bytes — pure expression.
+    * Recognizes the formats the reference pipeline stores (png/jpg/bmp,
+    * .npy pose arrays) plus gif/riff.
+    */
+  def magicFormat(c: Column): Column = {
+    val head = upper(hex(substring(c, 1, 8)))
+    when(head.startsWith("89504E47"), "png")
+      .when(head.startsWith("FFD8FF"), "jpeg")
+      .when(head.startsWith("474946383"), "gif")
+      .when(head.startsWith("424D"), "bmp")
+      .when(head.startsWith("52494646"), "riff")
+      .when(head.startsWith("934E554D5059"), "npy") // \x93NUMPY
+      .otherwise("unknown")
+  }
+
+  /** PNG pixel dimensions from the IHDR chunk (bytes 17-24, big-endian
+    * u32 width then height) — header-only, no decode, codegen'd.
+    */
+  def pngWidth(c: Column): Column =
+    conv(hex(substring(c, 17, 4)), 16, 10).cast("int")
+
+  def pngHeight(c: Column): Column =
+    conv(hex(substring(c, 21, 4)), 16, 10).cast("int")
+
+  /** Serialize (width, height) into a minimal PNG header prefix
+    * (magic + IHDR length/type + dimensions): the inverse of
+    * [[pngWidth]]/[[pngHeight]], used by fixtures and round-trip tests.
+    */
+  def pngHeader(width: Column, height: Column): Column =
+    concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      unhex(lpad(hex(width.cast("long")), 8, "0")),
+      unhex(lpad(hex(height.cast("long")), 8, "0")))
+
+  /** Decoded-image record produced at the mapPartitions edge. */
+  case class DecodedImage(path: String, width: Int, height: Int,
+                          format: String, meanLuma: Double)
+
+  /** U1: the decode edge. Iterates (path, content) rows per partition and
+    * emits typed image records. The codec call is STUBBED (deterministic
+    * pseudo-decode from the md5 of the bytes — image libraries are not in
+    * this container); everything around it — partition iteration, per-
+    * partition codec amortization (the reference's per-worker client reuse,
+    * train/common/dataset.py:73-81), typed output schema — is the real
+    * production shape: swap `stubDecode` for the codec and nothing else
+    * changes.
+    */
+  def decodeImages(files: DataFrame, pathCol: String = "path",
+                   contentCol: String = "content"): Dataset[DecodedImage] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(pathCol), col(contentCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // One digest instance per partition = the per-worker setup cost
+        // the reference amortizes across rows.
+        val dg = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (path, bytes) => stubDecode(dg, path, bytes) }
+      }
+  }
+
+  /** Deterministic stand-in for an image codec: parses real PNG headers
+    * when present, fabricates stable pseudo-pixel stats otherwise.
+    */
+  private def stubDecode(dg: java.security.MessageDigest, path: String,
+                         bytes: Array[Byte]): DecodedImage = {
+    def be32(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    val isPng = bytes.length >= 24 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    val (w, h, fmt) =
+      if (isPng) (be32(16), be32(20), "png") else (0, 0, "unknown")
+    dg.reset()
+    val digest = dg.digest(bytes)
+    val luma = (java.nio.ByteBuffer.wrap(digest.take(8)).getLong.abs % 256) / 255.0
+    DecodedImage(path, w, h, fmt, luma)
+  }
+
+  /** S8: blob sink — writes each row's binary payload to `<dir>/<name>`
+    * via the Hadoop FS API from the executors (foreachPartition; one FS
+    * client per partition — reference train/train_CATVTON/utils.py:37-54).
+    * Parallel, no driver collect.
+    */
+  def blobSink(df: DataFrame, nameCol: String, contentCol: String,
+               dir: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(nameCol).cast("string"), col(contentCol))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(conf.value)
+        rows.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, r.getString(0)), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+  }
+
+  /** S10: console/table sink — fixed-width comparison table
+    * (reference train/evaluate_all_models.py:106-116). Bounded by
+    * `numRows`; never collects more than that to the driver.
+    */
+  def consoleSink(df: DataFrame, numRows: Int = 20): Unit =
+    df.show(numRows, truncate = false)
+}

@@ -1,0 +1,83 @@
+package graft.pipelines
+
+import graft.ops.{ManifestOps, Sampling}
+import graft.ops.Stats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline compositions mirroring the reference's three entry
+  * points (SURVEY §3): the training feed (train.py), the evaluation harness
+  * (evaluate_all_models.py), and the checkpoint sync (upload.py /
+  * download.py). Each is a pure composition of the already-oracle-checked
+  * operators; PipelinesSpec drives them on synthetic manifests.
+  */
+object Pipelines {
+
+  /** §3.1 TrainingFeed: manifest → extension filter → stem/type/difficulty
+    * projection → triplet discovery → exact-count stratified sample →
+    * deterministic shuffle position. Input: a file manifest with
+    * (key, prefix) columns. Output: one row per sampled complete triplet
+    * with a stable feed order.
+    *
+    * The sample runs on the *metadata* manifest before any payload fetch —
+    * the reference's sample-before-download discipline
+    * (train/common/dataset.py:69-71) that makes the plan viable at 100 TB.
+    */
+  def trainingFeed(manifest: DataFrame, profile: Map[String, Double]): DataFrame = {
+    val typed = manifest
+      .filter(ManifestOps.isImageKey(col("key")))
+      .withColumn("filename", ManifestOps.basename(col("key")))
+      .withColumn("stem", ManifestOps.stem(col("filename")))
+      .withColumn("image_type", ManifestOps.imageType(col("filename")))
+      .withColumn("difficulty", ManifestOps.difficulty(col("prefix")))
+      .filter(col("image_type").isNotNull)
+    val triplets = ManifestOps.tripletDiscovery(
+        typed.select("stem", "image_type", "key"))
+      .join(typed.select("stem", "difficulty").dropDuplicates("stem"), "stem")
+    val sampled = Sampling.stratifiedExact(
+      triplets, col("difficulty"), xxhash64(col("stem")), profile)
+    Sampling.shufflePosition(sampled, xxhash64(col("stem")))
+  }
+
+  /** §3.2 Evaluate: test manifest ⋈ predictions on stem (inner = the
+    * reference's skip-missing), per-(model, metric) stats pack, pivoted
+    * model × metric summary. `scores` must have (model, stem, metric,
+    * value) — metric kernels are model-backed and run out-of-engine
+    * (SURVEY §7.5); the engine consumes their outputs.
+    */
+  def evaluate(testManifest: DataFrame, scores: DataFrame,
+               metrics: Seq[String]): DataFrame = {
+    val joined = scores.join(testManifest.select("stem"), Seq("stem"))
+    val packed = Stats.statsPack(joined, Seq("model", "metric"), col("value"))
+    packed.groupBy("model").pivot("metric", metrics).agg(first(col("mean")))
+  }
+
+  /** §3.3 Sync: manifest diff → parallel transfer. Returns the pending
+    * manifest (remote minus local, by key) and, when `execute` is set,
+    * copies each pending file `srcDir/key` → `dstDir/key` from the
+    * executors via the Hadoop FS API (foreachPartition, one FS handle per
+    * partition — the reference's sequential loop parallelized,
+    * checkpoints/download.py:37-66).
+    */
+  def sync(remote: DataFrame, local: DataFrame, keyCol: String = "key",
+           transfer: Option[(String, String)] = None): DataFrame = {
+    val pending = remote.join(local.select(keyCol), Seq(keyCol), "left_anti")
+    transfer.foreach { case (srcDir, dstDir) =>
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        remote.sparkSession.sparkContext.hadoopConfiguration)
+      pending.select(col(keyCol).cast("string"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val src = new org.apache.hadoop.fs.Path(srcDir)
+          val fs = src.getFileSystem(conf.value)
+          rows.foreach { r =>
+            val name = r.getString(0)
+            org.apache.hadoop.fs.FileUtil.copy(
+              fs, new org.apache.hadoop.fs.Path(srcDir, name),
+              fs, new org.apache.hadoop.fs.Path(dstDir, name),
+              false, conf.value)
+          }
+        }
+    }
+    pending
+  }
+}

@@ -68,6 +68,29 @@ object QRelational {
         .filter(col("seg").isNotNull)
         .select(col("c_custkey"), col("seg"))),
 
+    // P4: partition-split filter — keep lines ending " test"
+    // (reference DATASET_STRUCTURES.md:165-183 list_eval_partition shape).
+    "p4_split_filter" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("line", concat(col("o_orderpriority"),
+          when(col("o_orderkey") % 4 === 0, " test").otherwise(" train")))
+        .filter(col("line").endsWith(" test"))
+        .select(col("o_orderkey"), col("line"))),
+
+    // P5: view-routing conditional — front view → person, else cloth
+    // (reference DATASET_STRUCTURES.md:170-183).
+    "p5_view_routing" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        when(lower(col("p_type")).contains("standard"), "person")
+          .otherwise("cloth").as("role"))),
+
+    // P9: constant projection (caption/default-label placeholders,
+    // reference train/train_stage_1/dataloader.py:71).
+    "p9_const" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        lit("a photo of a synthetic object").as("caption"),
+        lit(0).as("label"))),
+
     // P8: path parsing — synthesize s3 keys then parse back.
     "p8_path_parse" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -208,6 +231,38 @@ object QRelational {
           .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey")),
         "n_name", "o_orderstatus", Seq("O", "F", "P"))),
 
+    // F5: map/struct family — struct make + dot access, map literal +
+    // element_at lookup (reference nested stats structs,
+    // train/common/metrics.py:455-462).
+    "f5_map_struct" -> ((s, d) => {
+      val statusNames = map(
+        lit("O"), lit("open"), lit("F"), lit("finished"), lit("P"), lit("partial"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("rec"),
+          statusNames.as("names"))
+        .select(col("o_orderkey"),
+          col("rec.st").as("status"),
+          round(col("rec.tp") * 2, 4).as("double_price"),
+          element_at(col("names"), col("rec.st")).as("status_name"))
+    }),
+
+    // U6: triplet explode — the generator direction of J1: one complete
+    // triplet row fans out to three (role, key) asset rows.
+    "u6_triplet_explode" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def role(r: Int, alias: String) = li
+        .filter(col("l_linenumber") % 3 === r)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_partkey")).as(alias))
+      role(0, "r0").join(role(1, "r1"), "l_orderkey").join(role(2, "r2"), "l_orderkey")
+        .select(col("l_orderkey"), explode(array(
+          struct(lit("r0").as("role"), col("r0").as("partkey")),
+          struct(lit("r1").as("role"), col("r1").as("partkey")),
+          struct(lit("r2").as("role"), col("r2").as("partkey")))).as("x"))
+        .select(col("l_orderkey"), col("x.role").as("role"), col("x.partkey").as("partkey"))
+    }),
+
     // X4: mixture union with category-prefixed ids (train_mixture shape).
     "x4_union_mixture" -> ((s, d) =>
       t(s, d, "documents")
@@ -249,6 +304,34 @@ object QRelational {
       "SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment FROM customer",
     "p7_null_drop" ->
       "SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer WHERE nullif(c_mktsegment, 'BUILDING') IS NOT NULL",
+    "p4_split_filter" ->
+      """SELECT o_orderkey,
+                o_orderpriority || (CASE WHEN o_orderkey % 4 = 0 THEN ' test' ELSE ' train' END) AS line
+         FROM orders WHERE o_orderkey % 4 = 0""",
+    "p5_view_routing" ->
+      """SELECT p_partkey,
+                CASE WHEN contains(lower(p_type), 'standard') THEN 'person'
+                     ELSE 'cloth' END AS role
+         FROM part""",
+    "p9_const" ->
+      """SELECT doc_id, 'a photo of a synthetic object' AS caption,
+                CAST(0 AS INT) AS label
+         FROM documents""",
+    "f5_map_struct" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+                round(o_totalprice * 2, 4) AS double_price,
+                CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                     WHEN 'P' THEN 'partial' END AS status_name
+         FROM orders""",
+    "u6_triplet_explode" ->
+      """WITH r0 AS (SELECT l_orderkey, max(l_partkey) AS k FROM lineitem WHERE l_linenumber % 3 = 0 GROUP BY l_orderkey),
+              r1 AS (SELECT l_orderkey, max(l_partkey) AS k FROM lineitem WHERE l_linenumber % 3 = 1 GROUP BY l_orderkey),
+              r2 AS (SELECT l_orderkey, max(l_partkey) AS k FROM lineitem WHERE l_linenumber % 3 = 2 GROUP BY l_orderkey),
+              j AS (SELECT r0.l_orderkey, r0.k AS r0, r1.k AS r1, r2.k AS r2
+                    FROM r0 JOIN r1 USING (l_orderkey) JOIN r2 USING (l_orderkey))
+         SELECT l_orderkey, 'r0' AS role, r0 AS partkey FROM j
+         UNION ALL SELECT l_orderkey, 'r1', r1 FROM j
+         UNION ALL SELECT l_orderkey, 'r2', r2 FROM j""",
     "p8_path_parse" ->
       """SELECT doc_id,
                 's3://graft/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS uri,

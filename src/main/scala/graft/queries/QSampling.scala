@@ -60,7 +60,21 @@ object QSampling {
       Sampling.shufflePosition(
         Sampling.bernoulli(t(s, d, "orders"), col("o_orderkey"), 0.05)
           .select(col("o_orderkey")),
-        col("o_orderkey"))))
+        col("o_orderkey"))),
+
+    // X6: seeded per-row augmentation flags — the deterministic form of
+    // RandomHorizontalFlip / RandomCrop (reference
+    // train/train_stage_1/dataloader.py:46, train_DIT/dataloader.py:52-58):
+    // every flag is a pure function of (key, salt), reproducible across
+    // runs, engines, and shuffles.
+    "x6_aug_flags" -> ((s, d) => {
+      val key = col("l_orderkey") * 8 + col("l_linenumber")
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (Determinism.detRand(key) < 0.5).as("hflip"),
+        (Determinism.detHash(key * 31 + 1) % 64).cast("int").as("crop_x"),
+        (Determinism.detHash(key * 31 + 2) % 64).cast("int").as("crop_y"))
+    }))
 
   def oracle: Map[String, String] = {
     val h = Determinism.detHashSql("o_orderkey")
@@ -100,6 +114,14 @@ object QSampling {
               WHERE ${Determinism.detRandSql("o_orderkey")} < 0.05)
             SELECT o_orderkey,
                    CAST(row_number() OVER (ORDER BY $h, o_orderkey) AS INT) AS pos
-            FROM s""")
+            FROM s""",
+      "x6_aug_flags" -> {
+        val k = "(l_orderkey * 8 + l_linenumber)"
+        s"""SELECT l_orderkey, l_linenumber,
+                   ${Determinism.detRandSql(k)} < 0.5 AS hflip,
+                   CAST(${Determinism.detHashSql(s"($k * 31 + 1)")} % 64 AS INT) AS crop_x,
+                   CAST(${Determinism.detHashSql(s"($k * 31 + 2)")} % 64 AS INT) AS crop_y
+            FROM lineitem"""
+      })
   }
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.ManifestOps
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink queries beyond plain parquet scans: the CSV pairs file
+  * (SURVEY S5), the pairs fan-out join through ManifestOps.pairsJoin
+  * (J2), and the sync manifest diff (S9).
+  */
+object QSources {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Fixture root: the s5 query materializes a real pairs CSV here (derived
+    * deterministically from the orders table of the same scale factor) and
+    * reads it back, so the oracle can read the identical file with
+    * read_csv. Inside the repo tree; keyed by SF so scales don't collide.
+    */
+  def pairsFixtureDir(sfDir: String): String =
+    s"/root/repo/target/fixtures/${new java.io.File(sfDir).getName}/pairs_csv"
+
+  private def writePairsFixture(s: SparkSession, d: String): String = {
+    val dir = pairsFixtureDir(d)
+    Sources.writePairs(
+      t(s, d, "orders").filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_custkey").as("person_id"),
+          (col("o_orderkey") % 100 + 1).as("garment_id")),
+      dir)
+    dir
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S5: schema'd space-delimited CSV read (train_pairs.txt shape), then a
+    // fan-out join to the person-side dimension.
+    "s5_pairs_csv" -> ((s, d) => {
+      val dir = writePairsFixture(s, d)
+      Sources.readPairs(s, dir)
+        .join(t(s, d, "customer"), col("person_id") === col("c_custkey"))
+        .select(col("person_id"), col("garment_id"), col("c_name"))
+    }),
+
+    // J2 (pairsJoin form): the dead-code-no-more fan-out — pairs rows
+    // left-joined to per-directory asset manifests through
+    // ManifestOps.pairsJoin (person dir + garment dir).
+    "j2b_pairs_fanout" -> ((s, d) => {
+      val pairs = t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_custkey").as("person_id"),
+          (col("o_orderkey") % 100 + 1).as("garment_id"))
+      val assets = t(s, d, "customer")
+        .select(lit("person").as("dir"), col("c_custkey").as("id"), col("c_name").as("key"))
+        .unionByName(t(s, d, "part")
+          .select(lit("garment").as("dir"), col("p_partkey").as("id"), col("p_name").as("key")))
+      ManifestOps.pairsJoin(pairs, assets, Seq("person"), Seq("garment"))
+        .select(col("person_id"), col("garment_id"),
+          col("person_key"), col("garment_key"))
+    }),
+
+    // S9: sync manifest diff — remote manifest minus already-local keys =
+    // the pending-transfer set, with sizes for scheduling
+    // (reference checkpoints/download.py:37-66). The transfer itself is
+    // Pipelines.sync (foreachPartition; exercised in PipelinesSpec).
+    "s9_sync_diff" -> ((s, d) => {
+      val remote = t(s, d, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_acctbal").as("size"))
+      val local = remote.filter(col("key") % 3 === 0)
+      remote.join(local.select("key"), Seq("key"), "left_anti")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "s5_pairs_csv" ->
+      """SELECT person_id, garment_id, c_name
+         FROM read_csv('/root/repo/target/fixtures/sf0.01/pairs_csv/*.csv',
+                       delim=' ', header=false,
+                       columns={'person_id': 'BIGINT', 'garment_id': 'BIGINT'})
+         JOIN customer ON person_id = c_custkey""",
+    "j2b_pairs_fanout" ->
+      """WITH pairs AS (
+           SELECT o_custkey AS person_id, o_orderkey % 100 + 1 AS garment_id
+           FROM orders WHERE o_orderkey % 10 = 0)
+         SELECT person_id, garment_id, c.c_name AS person_key, p.p_name AS garment_key
+         FROM pairs
+         LEFT JOIN customer c ON person_id = c.c_custkey
+         LEFT JOIN part p ON garment_id = p.p_partkey""",
+    "s9_sync_diff" ->
+      """SELECT s_suppkey AS key, s_acctbal AS size FROM supplier
+         WHERE s_suppkey % 3 != 0""")
+}

@@ -29,6 +29,15 @@ object QVectors {
       Vectors.lshBucketHistogram(t(s, d, "embeddings"), "vec_id", "embedding",
         NPlanes, Dim)),
 
+    // V4: the LSH-bucketed approximate top-k — the scale path of V1: the
+    // corpus is joined to queries ONLY within matching hyperplane buckets
+    // (equi-join on the bit signature, never all-pairs).
+    "v4_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Vectors.lshBucketTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5, NPlanes, Dim)
+    }),
+
     // V3: embedding-cosine near-duplicate pairs above a threshold within a
     // bounded id range (embedding near-dup detection shape).
     "v3_cosine_neardup" -> ((s, d) => {
@@ -69,6 +78,24 @@ object QVectors {
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
           SELECT $bits AS bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
           FROM c GROUP BY bucket"""
+    },
+    "v4_lsh_topk" -> {
+      val bits = (0 until NPlanes).map(p =>
+        s"CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              cb AS (SELECT vec_id, v, $bits AS bucket,
+                            sqrt(list_dot_product(v, v)) AS vn FROM c),
+              qb AS (SELECT vec_id AS query_id, v AS q, bucket, vn AS qn
+                     FROM cb WHERE vec_id < 8),
+              s AS (SELECT query_id, cb.vec_id,
+                           list_dot_product(cb.v, qb.q) / (cb.vn * qb.qn) AS cos
+                    FROM cb JOIN qb USING (bucket) WHERE cb.vec_id != query_id),
+              r AS (SELECT query_id, vec_id, cos,
+                           CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) AS INT) AS rk
+                    FROM s)
+         SELECT query_id, vec_id, round(cos, 6) AS cosine, rk FROM r WHERE rk <= 5"""
     },
     "v3_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

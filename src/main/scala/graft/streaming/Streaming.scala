@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming forms of the engine's incremental semantics
+  * (SURVEY §2.8). The reference's training loop is an unbounded stepwise
+  * process with periodic triggers, durable resumable state, and an async
+  * background-thread checkpoint sink (reference:
+  * train/train_CATVTON/config.py:18-22, train/common/s3_utils.py:20-40,
+  * train/train_CATVTON/utils.py:91-134).
+  *
+  * Design rule: every streaming transform here is the SAME DataFrame
+  * expression as its batch twin in graft.queries.QEvents (t2_step_buckets /
+  * t2_time_window / t3_resume_state), so the oracle-checked batch result is
+  * the ground truth for the stream (StreamingSpec asserts equality on an
+  * AvailableNow run). Streams read exactly what batch reads; only the
+  * source (readStream) and sink (writeStream + checkpoint) differ.
+  */
+object Streaming {
+
+  /** Typed event row (events test table schema, TESTDATA.md). */
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+                   ts: java.sql.Timestamp, value: Double)
+
+  /** T3 durable state carried per user/run across triggers. */
+  case class RunState(maxStep: Long, nEvents: Long, totalValue: Double)
+
+  /** File stream over an events parquet directory. Schema is taken from a
+    * batch read of the same directory; the TIMESTAMP(NANOS) column gets the
+    * same nanos→micros normalization as Tables.load so stream and batch see
+    * identical values.
+    */
+  def eventsFileStream(spark: SparkSession, path: String): DataFrame = {
+    // FileStreamSource requires a directory; test fixtures are single
+    // parquet FILES — stage those into a temp dir (tiny, test-only; real
+    // deployments point at directories and skip this branch).
+    val f = new java.io.File(path)
+    val dir =
+      if (f.isFile) {
+        val d = java.nio.file.Files.createTempDirectory("events_stream")
+        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+        d.toString
+      } else path
+    val batch = spark.read.parquet(dir)
+    val raw = spark.readStream.schema(batch.schema).parquet(dir)
+    if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** T1/T2: every-250-steps trigger buckets — identical expression to the
+    * oracle-checked batch query t2_step_buckets. Works on batch or
+    * streaming DataFrames.
+    */
+  def stepBuckets(events: DataFrame): DataFrame =
+    events
+      .groupBy(floor(col("event_id") / 250).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+
+  /** T2: tumbling event-time window with a watermark (batch twin:
+    * t2_time_window; the watermark is a no-op under batch).
+    */
+  def timeWindowed(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("cnt"), col("sum_value"))
+
+  /** T3 (aggregate form): resume state per run — batch twin t3_resume_state. */
+  def resumeState(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("max_step"), count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+
+  /** T3 (explicit-state form): the same resume bookkeeping as a
+    * mapGroupsWithState fold — durable across triggers via the query's
+    * checkpoint, the exact analog of latest_checkpoint.pt resume
+    * (reference train/train_CATVTON/utils.py:91-134). One state record per
+    * user: constant memory per group regardless of stream length.
+    */
+  def statefulResume(events: Dataset[Event]): Dataset[(Long, RunState)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[RunState, (Long, RunState)](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[RunState]) =>
+          val prev = state.getOption.getOrElse(RunState(Long.MinValue, 0L, 0.0))
+          val next = rows.foldLeft(prev) { (s, e) =>
+            RunState(math.max(s.maxStep, e.event_id), s.nEvents + 1,
+              s.totalValue + e.value)
+          }
+          state.update(next)
+          (user, next)
+      }
+  }
+
+  /** T4: async checkpoint sink — each micro-batch is written to
+    * `<outDir>/batch=<id>` by foreachBatch, with exactly-once bookkeeping in
+    * `checkpointDir` (the reference's background-thread S3 upload,
+    * fire-and-forget, made restart-safe). `AvailableNow` drains all
+    * available input then stops — the batch-parity trigger used by tests.
+    */
+  def foreachBatchParquetSink(aggregated: DataFrame, outDir: String,
+                              checkpointDir: String,
+                              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    aggregated.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+
+  /** Run a streaming aggregate to completion over the currently-available
+    * input and return the final snapshot as a batch DataFrame (test/driver
+    * helper; production queries run with a real trigger instead).
+    */
+  def runToSnapshot(spark: SparkSession, aggregated: DataFrame,
+                    outDir: String, checkpointDir: String): DataFrame = {
+    val q = foreachBatchParquetSink(aggregated, outDir, checkpointDir)
+    q.awaitTermination()
+    val last = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName)
+      .maxBy(n => n.stripPrefix("batch=").toLong)
+    spark.read.parquet(s"$outDir/$last")
+  }
+}

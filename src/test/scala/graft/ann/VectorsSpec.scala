@@ -1,0 +1,54 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cosine matches hand-computed values") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 1.0), Array(1.0, 1.0), 1.0),
+      (Array(3.0, 4.0), Array(4.0, 3.0), 24.0 / 25.0))
+      .toDF("a", "b", "want")
+    val got = df.select(Vectors.cosine(col("a"), col("b")).as("c"), col("want"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, w) => assert(math.abs(c - w) < 1e-12) }
+  }
+
+  test("hyperplane components are deterministic, dim-indexed, in [-0.5, 0.5)") {
+    val h0 = Vectors.hyperplane(0, 16)
+    val h1 = Vectors.hyperplane(1, 16)
+    assert(h0 === Vectors.hyperplane(0, 16))
+    assert(h0 !== h1)
+    assert((h0 ++ h1).forall(v => v >= -0.5 && v < 0.5))
+    // plane*dim+k indexing: plane 1 of dim 16 starts at flat index 16,
+    // which equals component 16 of a dim-32 plane 0
+    assert(h1.head === Vectors.hyperplane(0, 32)(16))
+  }
+
+  test("lshBucketTopK returns a subset of brute-force results with identical scores") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val brute = Vectors.bruteForceTopK(vecs, queries, "vec_id", "embedding", 64)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val lsh = Vectors.lshBucketTopK(vecs, queries, "vec_id", "embedding",
+      5, nPlanes = 4, dim = 8)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, v, c) =>
+      assert(brute.contains((q, v)) && math.abs(brute((q, v)) - c) < 1e-9)
+    }
+    // self-bucket guarantee: each query shares its own bucket, so every
+    // query with >0 same-bucket neighbors appears
+    val perQuery = lsh.groupBy(_._1)
+    assert(perQuery.keySet.subsetOf((0L until 4L).toSet))
+  }
+}

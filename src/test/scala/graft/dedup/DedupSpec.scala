@@ -1,0 +1,73 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "the quick brown fox"),       // exact dup of 1
+    (3L, "a completely different text"),
+    (4L, "the quick brown foxes"))     // near dup of 1
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps the min-id row per fingerprint") {
+    val kept = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("simhashBits matches a driver-side brute-force computation") {
+    // Reference computation: same tokens, same md5-digit voting rule.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expect = for {
+      (id, text) <- Seq(1L -> "the quick brown fox", 3L -> "a completely different text")
+      toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+      i <- 1 to 32
+    } yield {
+      val votes = toks.map(t => if (md5hex(t)(i - 1) >= '8') 1 else -1).sum
+      (id, i, if (votes > 0) 1 else 0)
+    }
+    val got = Dedup.simhashBits(docs.filter(col("doc_id").isin(1L, 3L)),
+        col("doc_id"), col("text"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got === expect.toSet)
+  }
+
+  test("minhash signatures are identical for identical documents") {
+    val sig = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 4)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(v => (v._2, v._3)).toSet).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("lshCandidatePairs surfaces the exact-dup pair via band join") {
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 4)
+    val pairs = Dedup.lshCandidatePairs(sigs, bandSize = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram document-frequency cap drops hot grams from the join") {
+    val uncapped = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      3, 0.0, maxDocFreq = 1000)
+    val capped = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      3, 0.0, maxDocFreq = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exact dups are a perfect match uncapped
+    val j12 = uncapped.filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .select("jaccard").as[Double].collect().head
+    assert(j12 === 1.0)
+    // the cap only removes candidates (hot grams out of the index),
+    // never invents pairs
+    assert(pairs(capped).subsetOf(pairs(uncapped)))
+    assert(pairs(capped).size < pairs(uncapped).size)
+  }
+}

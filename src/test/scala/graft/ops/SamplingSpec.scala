@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val df = (1L to 300L)
+    .map(i => (i, if (i % 3 == 0) "easy" else if (i % 3 == 1) "medium" else "hard"))
+    .toDF("k", "stratum").cache()
+
+  test("stratifiedExact keeps exactly floor(n * frac) rows per stratum (ScalaCheck)") {
+    val fracGen = Gen.choose(0.0, 1.0)
+    val prop = Prop.forAll(fracGen, fracGen, fracGen) { (fe, fm, fh) =>
+      val fr = Map("easy" -> fe, "medium" -> fm, "hard" -> fh)
+      val got = Sampling.stratifiedExact(df, col("stratum"), col("k"), fr)
+        .groupBy("stratum").count().as[(String, Long)].collect().toMap
+      fr.forall { case (s, f) =>
+        got.getOrElse(s, 0L) == math.floor(100 * f).toLong
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bernoulli is deterministic and key-pure (same rows on re-run and repartition)") {
+    val a = Sampling.bernoulli(df, col("k"), 0.3).select("k").as[Long].collect().toSet
+    val b = Sampling.bernoulli(df.repartition(7), col("k"), 0.3)
+      .select("k").as[Long].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty && a.size < 300)
+  }
+
+  test("stratifiedWithReplacement hits exact targets even above stratum size") {
+    val tgt = Map("easy" -> 150L, "medium" -> 10L, "hard" -> 0L)
+    val got = Sampling.stratifiedWithReplacement(df, col("stratum"), col("k"), tgt)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(got.getOrElse("easy", 0L) === 150L)   // 100 available, replacement
+    assert(got.getOrElse("medium", 0L) === 10L)
+    assert(got.getOrElse("hard", 0L) === 0L)
+  }
+
+  test("shufflePosition is a stable 1..n permutation") {
+    val sampled = df.filter(col("k") <= 50)
+    val pos = Sampling.shufflePosition(sampled, col("k"))
+      .select("pos").as[Int].collect().sorted.toSeq
+    assert(pos === (1 to 50))
+    val pos2 = Sampling.shufflePosition(sampled.repartition(5), col("k"))
+      .select(col("k"), col("pos")).as[(Long, Int)].collect().toMap
+    val pos1 = Sampling.shufflePosition(sampled, col("k"))
+      .select(col("k"), col("pos")).as[(Long, Int)].collect().toMap
+    assert(pos1 === pos2)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelinesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("trainingFeed: manifest → triplets → stratified sample → stable order") {
+    val rows = for {
+      i <- 1 to 60
+      diff = if (i % 3 == 0) "easy" else if (i % 3 == 1) "medium" else "hard"
+      suffix <- if (i % 10 == 0) Seq("person") // incomplete stems
+                else Seq("person", "cloth_a", "vton")
+    } yield (s"s3://b/$diff/stem$i" + s"_$suffix.jpg", s"s3://b/$diff/")
+    val manifest = rows.toDF("key", "prefix")
+    val feed = Pipelines.trainingFeed(manifest,
+      Map("easy" -> 1.0, "medium" -> 0.5, "hard" -> 0.0)).cache()
+    val counts = feed.groupBy("difficulty").count()
+      .as[(String, Long)].collect().toMap
+    // 60 stems, 6 incomplete (i%10==0); per difficulty 20-ish complete
+    assert(counts.getOrElse("hard", 0L) === 0L)
+    assert(counts("easy") > 0 && counts("medium") > 0)
+    // complete triplets only: all three asset columns non-null
+    assert(feed.filter(col("initial_image").isNull || col("cloth_image").isNull ||
+      col("try_on_image").isNull).count() === 0)
+    // stable feed order: pos is a permutation and reproducible
+    val pos = feed.select("pos").as[Int].collect().sorted.toSeq
+    assert(pos === (1 to pos.length))
+  }
+
+  test("evaluate: scores ⋈ test manifest → model × metric pivot") {
+    val test = Seq("s1", "s2").toDF("stem")
+    val scores = Seq(
+      ("catvton", "s1", "lpips", 0.10), ("catvton", "s2", "lpips", 0.20),
+      ("catvton", "s1", "ssim", 0.90),
+      ("dit", "s1", "lpips", 0.30),
+      ("dit", "s9", "lpips", 9.99)) // s9 not in test set: skipped
+      .toDF("model", "stem", "metric", "value")
+    val got = Pipelines.evaluate(test, scores, Seq("lpips", "ssim"))
+      .orderBy("model").collect()
+    assert(got.length === 2)
+    assert(math.abs(got(0).getAs[Double]("lpips") - 0.15) < 1e-9)
+    assert(math.abs(got(1).getAs[Double]("lpips") - 0.30) < 1e-9)
+  }
+
+  test("sync: manifest diff + executor-side file transfer") {
+    val src = Files.createTempDirectory("syncsrc")
+    val dst = Files.createTempDirectory("syncdst")
+    Seq("f1", "f2", "f3").foreach(n =>
+      Files.write(src.resolve(n), n.getBytes))
+    val remote = Seq("f1", "f2", "f3").toDF("key")
+    val local = Seq("f2").toDF("key")
+    val pending = Pipelines.sync(remote, local, "key",
+      Some((src.toString, dst.toString)))
+    assert(pending.as[String].collect().toSet === Set("f1", "f3"))
+    // Hadoop LocalFileSystem emits .crc sidecars — ignore dotfiles
+    assert(dst.toFile.list().filterNot(_.startsWith(".")).toSet === Set("f1", "f3"))
+  }
+
+  test("pairs CSV round-trip (S5 source)") {
+    val dir = Files.createTempDirectory("pairs").toString + "/pairs_csv"
+    val pairs = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("person_id", "garment_id")
+    Sources.writePairs(pairs, dir)
+    val back = Sources.readPairs(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(back === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Stream-equals-batch: the streaming forms must produce exactly the batch
+  * results that the DuckDB oracle already verified (t2_step_buckets /
+  * t3_resume_state), run over the same sf0.001 events via a file stream
+  * with an AvailableNow trigger and a checkpointed foreachBatch sink.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val batchEvents = Tables.load(spark, sf0001, "events").cache()
+
+  private def snapshot(aggregated: org.apache.spark.sql.DataFrame) =
+    Streaming.runToSnapshot(spark, aggregated, tmp("out"), tmp("ckpt"))
+
+  test("streaming stepBuckets == batch stepBuckets (oracle-checked)") {
+    val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
+    val got = snapshot(Streaming.stepBuckets(stream))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val want = Streaming.stepBuckets(batchEvents)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("streaming resumeState == batch resumeState (oracle-checked)") {
+    val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
+    val got = snapshot(Streaming.resumeState(stream))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Streaming.resumeState(batchEvents)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("streaming timeWindowed (with watermark) == batch") {
+    val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
+    val got = snapshot(Streaming.timeWindowed(stream))
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+    val want = Streaming.timeWindowed(batchEvents)
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("statefulResume (mapGroupsWithState) matches the aggregate form") {
+    val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
+      .as[Streaming.Event]
+    val outDir = tmp("out")
+    val q = Streaming.statefulResume(stream).toDF("user_id", "state")
+      .select(col("user_id"), col("state.maxStep"), col("state.nEvents"),
+        round(col("state.totalValue"), 4).as("totalValue"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    // last state per user across batches = final state
+    val got = spark.read.parquet(outDir)
+      .groupBy("user_id")
+      .agg(max("maxStep").as("max_step"), max("nEvents").as("n_events"),
+        max("totalValue").as("total_value"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Streaming.resumeState(batchEvents)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+}
