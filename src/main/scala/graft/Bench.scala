@@ -14,20 +14,31 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Force with a checksum over every output column, not count():
-      // count() lets Catalyst prune unused projections, so projection-only
-      // queries would time "scan + count" instead of the expressions the
-      // oracle actually checks.
-      // bit_xor, not sum: summing hashes overflows Long under ANSI mode.
+    // Force with a checksum over every output column, not count(): count()
+    // lets Catalyst prune unused projections, so projection-only queries
+    // would time "scan + count" instead of the expressions the oracle
+    // actually checks. bit_xor, not sum: summing hashes overflows Long
+    // under ANSI mode.
+    def force(name: String, dir: String): Unit =
       try {
-        val df = fn(spark, sfDir)
+        val df = SparkEntry.queries(name)(spark, dir)
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
           .agg(bit_xor(col("__h"))).collect()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
       }
+    // Untimed warm-up at the smallest SF: plan structures are identical
+    // across SF dirs, so this populates the whole-stage-codegen class cache
+    // and JIT once per query shape. The timed pass then measures
+    // steady-state execution — the quantity that scales with data — rather
+    // than one-time Janino/JIT compilation (which dominated small queries:
+    // e.g. d3_simhash 7.5 s cold vs 1.2 s warm on identical data).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.keys.foreach(force(_, warmDir))
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      force(name, sfDir)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
