@@ -47,6 +47,13 @@ object Main {
           case Some(out) => summary.coalesce(1).write.mode("overwrite").json(out)
           case None      => summary.show(20, truncate = false)
         }
+      case "curriculum" =>
+        val manifest = spark.read.parquet(opt(args, "--manifest").get)
+        val out = opt(args, "--output").get
+        Pipelines.curriculum(manifest).foreach { case (stage, feed) =>
+          feed.write.mode("overwrite").parquet(s"$out/stage=$stage")
+          println(s"[curriculum] stage $stage written")
+        }
       case "sync" =>
         val remote = spark.read.parquet(opt(args, "--remote").get)
         val local = spark.read.parquet(opt(args, "--local").get)

@@ -52,6 +52,26 @@ object Pipelines {
     packed.groupBy("model").pivot("metric", metrics).agg(first(col("mean")))
   }
 
+  /** T5: the curriculum stage schedule — easy → medium → hard weight
+    * profiles, as in the reference bash drivers
+    * (reference train/bash_scripts/curriculum/README.md:19-41,
+    * train/common/dataset.py:320-374).
+    */
+  val curriculumStages: Seq[(String, Map[String, Double])] = Seq(
+    "easy"   -> Map("easy" -> 1.0, "medium" -> 0.0, "hard" -> 0.0),
+    "medium" -> Map("easy" -> 0.3, "medium" -> 0.7, "hard" -> 0.0),
+    "hard"   -> Map("easy" -> 0.25, "medium" -> 0.25, "hard" -> 0.5))
+
+  /** T5 Curriculum: sequential batch feeds over changing source filters —
+    * one [[trainingFeed]] per stage, mirroring the reference's separate
+    * bash-driven training runs sharing a checkpoint dir (stage boundaries
+    * stay batch jobs, per SURVEY §7.4 item 6). Returns stage → feed.
+    */
+  def curriculum(manifest: DataFrame,
+                 stages: Seq[(String, Map[String, Double])] = curriculumStages)
+      : Seq[(String, DataFrame)] =
+    stages.map { case (name, profile) => name -> trainingFeed(manifest, profile) }
+
   /** §3.3 Sync: manifest diff → parallel transfer. Returns the pending
     * manifest (remote minus local, by key) and, when `execute` is set,
     * copies each pending file `srcDir/key` → `dstDir/key` from the

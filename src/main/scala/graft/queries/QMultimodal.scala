@@ -42,6 +42,24 @@ object QMultimodal {
           pngWidth(col("content")).as("width"),
           pngHeight(col("content")).as("height"))),
 
+    // S4/S8 round-trip through REAL files: blobSink writes each doc's
+    // bytes to a file from the executors, binarySource (binaryFile) reads
+    // them back; the oracle recomputes name/length/md5 from the documents
+    // table. Proves the file source + sink end-to-end, not just the byte
+    // expressions. Bounded to 200 files.
+    "s4b_blob_roundtrip" -> ((s, d) => {
+      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/blobs"
+      blobSink(
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            col("text").cast("binary").as("content")),
+        "name", "content", dir)
+      binarySource(s, dir, "*.txt")
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          col("length").as("n_bytes"),
+          contentMd5(col("content")).as("content_md5"))
+    }),
+
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
     // npy / raw text) synthesized per-language.
     "u1_magic_sniff" -> ((s, d) =>
@@ -65,6 +83,11 @@ object QMultimodal {
                 CAST(n_chars % 4000 + 1 AS INT) AS width,
                 CAST(doc_id % 2000 + 1 AS INT) AS height
          FROM documents""",
+    "s4b_blob_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents WHERE doc_id < 200""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'

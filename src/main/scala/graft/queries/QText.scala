@@ -50,6 +50,20 @@ object QText {
     "tx_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // BPE-ish pre-token count (LLM token-count proxy) next to the
+    // whitespace count.
+    "tx_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    // Winnowing-style rolling-hash signature: 4 smallest hashes over
+    // distinct 5-grams — stable under small edits, joinable for near-dup
+    // candidate generation.
+    "tx_ngram_sig" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        ngramSignature(col("text"), 5, 4).as("sig"))),
+
     // D1: exact duplicate groups.
     "d1_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), col("doc_id"), col("text"))),
@@ -132,6 +146,19 @@ object QText {
     },
     "tx_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "tx_bpe_tokens" ->
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS INT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT) AS n_bpe_tokens
+          FROM documents""",
+    "tx_ngram_sig" ->
+      """SELECT doc_id,
+                array_to_string(list_slice(list_sort(list_transform(
+                  list_distinct(list_transform(
+                    range(1, CAST(greatest(length(text) - 3, 2) AS BIGINT)),
+                    i -> substring(text, CAST(i AS INT), 5))),
+                  g -> md5(g))), 1, 4), '|') AS sig
+         FROM documents""",
     "d1_exact_groups" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
                 min(doc_id) AS canonical_id, count(*) AS n_docs

@@ -32,6 +32,26 @@ object TextFunctions {
       i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j)): _*))
   }
 
+  /** BPE-ish subword segmentation: letter runs, digit runs, and punctuation
+    * runs, each optionally preceded by one space (the GPT-2 pre-tokenizer
+    * shape, restricted to constructs whose regex semantics agree between
+    * Java and RE2-style engines so the oracle reproduces it exactly).
+    */
+  val bpePattern: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** Count of BPE-ish pre-tokens (proxy for LLM token counts). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Rolling-hash document signature: the k smallest hashes over the
+    * document's distinct character n-grams (a winnowing-style fingerprint —
+    * stable under small edits, unlike the exact-text md5). Returned as a
+    * joined string so it is directly comparable/joinable.
+    */
+  def ngramSignature(text: Column, n: Int, k: Int): Column =
+    array_join(slice(array_sort(transform(
+      array_distinct(charNgrams(text, n)), g => md5(g))), 1, k), "|")
+
   /** Whitespace-normalized lowercase form used for fingerprinting. */
   def normalized(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")

@@ -61,6 +61,23 @@ class PipelinesSpec extends SparkSpec {
     assert(dst.toFile.list().filterNot(_.startsWith(".")).toSet === Set("f1", "f3"))
   }
 
+  test("curriculum runs the three stage profiles over one manifest") {
+    val rows = for {
+      i <- 1 to 30
+      diff = Seq("easy", "medium", "hard")(i % 3)
+      suffix <- Seq("person", "cloth_a", "vton")
+    } yield (s"s3://b/$diff/stem$i" + s"_$suffix.jpg", s"s3://b/$diff/")
+    val manifest = rows.toDF("key", "prefix")
+    val stages = Pipelines.curriculum(manifest).toMap
+    assert(stages.keySet === Set("easy", "medium", "hard"))
+    val easyCounts = stages("easy").groupBy("difficulty").count()
+      .as[(String, Long)].collect().toMap
+    assert(easyCounts.keySet === Set("easy"))       // stage 1: easy only
+    val hardCounts = stages("hard").groupBy("difficulty").count()
+      .as[(String, Long)].collect().toMap
+    assert(hardCounts.getOrElse("hard", 0L) === 5L) // floor(10 * 0.5)
+  }
+
   test("pairs CSV round-trip (S5 source)") {
     val dir = Files.createTempDirectory("pairs").toString + "/pairs_csv"
     val pairs = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("person_id", "garment_id")
