@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that make these queries viable at
+  * 100 TB, asserted on the optimized plans so a regression fails the suite
+  * instead of surfacing as a cluster incident. (`.explain` discipline from
+  * the build brief, made executable.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("s1_scan: filter and projection reach the parquet source") {
+    val p = plan("s1_scan")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThan(l_quantity"), p)
+    // pruned read schema: only the 3 selected columns are read
+    assert(!p.contains("l_shipdate"), p)
+  }
+
+  test("j6_broadcast: small dimension is broadcast, not shuffled") {
+    assert(plan("j6_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("j7_range_join: equi-join with residual, never a nested-loop plan") {
+    val p = plan("j7_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("a2_group_count: partial (map-side) aggregation before the shuffle") {
+    // two HashAggregate operators: partial_count then final count
+    val p = plan("a2_group_count")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("d2_lsh_buckets / d4_ngram_jaccard: banding and inverted index are equi-joins, no products") {
+    Seq("d2_lsh_buckets", "d4_ngram_jaccard", "v4_lsh_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("tx_fingerprint: scalar text expressions stay inside codegen stages") {
+    // regexp_replace/trim/lower/md5 are codegen'd ('*(n)' stage markers).
+    // Note: higher-order array functions (filter/transform lambdas, e.g. in
+    // tx_tokens) are CodegenFallback in Spark and evaluate interpreted —
+    // a known engine limitation, not a plan regression.
+    val p = plan("tx_fingerprint")
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("d3_simhash: single aggregate over (doc,token) rows, no 32x generator") {
+    val p = plan("d3_simhash")
+    // exactly one explode (the token explode); the old plan had a second
+    // generator for sequence(1,32)
+    assert("Generate explode".r.findAllIn(p).length === 1, p)
+  }
+}
