@@ -1,0 +1,39 @@
+package graft.extensions
+
+import graft.functions.TokenCountExpr
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers graft's native Catalyst expressions as
+  * SQL functions. Two entry paths:
+  *
+  *  - config: `spark.sql.extensions=graft.extensions.GraftExtensions`
+  *    (cluster deployments — applied at session build);
+  *  - programmatic: `GraftExtensions.register(spark)` (idempotent; used by
+  *    queries/tests running on an already-built session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCountExpr].getName, "graft_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_token_count takes one argument")
+        TokenCountExpr(args.head)
+      }))
+
+  /** Idempotent programmatic registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -50,6 +50,16 @@ object QText {
     "tx_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // Token count via the native codegen'd Expression (graft_token_count,
+    // registered through SparkSessionExtensions) — same semantics as the
+    // HOF form in tx_tokens, but allocation-free and inside whole-stage
+    // codegen (HOF lambdas are CodegenFallback).
+    "tx_tokens_native" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      t(s, d, "documents").select(col("doc_id"),
+        call_function("graft_token_count", col("text")).as("n_tokens"))
+    }),
+
     // BPE-ish pre-token count (LLM token-count proxy) next to the
     // whitespace count.
     "tx_bpe_tokens" -> ((s, d) =>
@@ -146,6 +156,8 @@ object QText {
     },
     "tx_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "tx_tokens_native" ->
+      s"SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens FROM documents",
     "tx_bpe_tokens" ->
       s"""SELECT doc_id,
                  CAST(len($toksSql) AS INT) AS n_ws_tokens,
