@@ -19,18 +19,25 @@ object Sampling {
 
   /** Exact-count stratified sample: per stratum keep
     * floor(count * fraction) rows, chosen by deterministic-hash order.
+    *
+    * Plan shape: ONE ordered window per stratum (the rank) plus a
+    * broadcast join of the per-stratum counts — the counts relation has
+    * one row per stratum, so the second full-data window pass an
+    * `count(*) over (partition by stratum)` would cost is replaced by a
+    * near-free hash aggregate + broadcast.
     */
   def stratifiedExact(df: DataFrame, stratum: Column, key: Column,
                       fractions: Map[String, Double]): DataFrame = {
     val fracMap = typedLit(fractions)
-    val h = Determinism.detHash(key)
-    val w = Window.partitionBy(stratum)
-    df.withColumn("__h", h)
-      .withColumn("__rn", row_number().over(w.orderBy(col("__h"), key)))
-      .withColumn("__n", count(lit(1)).over(w))
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    df.withColumn("__h", Determinism.detHash(key))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__h"), key)))
+      .join(broadcast(counts), stratum === col("__stratum"))
       .withColumn("__frac", coalesce(element_at(fracMap, stratum), lit(0.0)))
       .filter(col("__rn") <= floor(col("__n") * col("__frac")))
-      .drop("__h", "__rn", "__n", "__frac")
+      .drop("__h", "__rn", "__stratum", "__n", "__frac")
   }
 
   /** Shuffle-free Bernoulli sample at `fraction`, deterministic in the key. */

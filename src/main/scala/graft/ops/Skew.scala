@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys — the manual fallbacks for when AQE's
+  * runtime skew-join splitting (on by default, GraftSession) isn't enough:
+  * a power-law manifest (one S3 prefix holding half the corpus) or a
+  * degenerate group key turns one shuffle partition into the straggler
+  * that dominates the stage at 100 TB.
+  *
+  * Both helpers preserve exact semantics; salt only changes the shuffle
+  * layout.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: aggregate on (key, salt) first — the hot
+    * key's rows spread over `buckets` reducers — then merge the partials on
+    * the key alone (a tiny second shuffle: `buckets` rows per key).
+    * `partials` maps each value column to its (partial, merge) aggregates;
+    * for algebraic aggregates like count/sum they are (sum, sum) after the
+    * first phase.
+    *
+    * Salt derives from [[Determinism.detHash]] of a row id — deterministic,
+    * shuffle-safe, oracle-reproducible, unlike `rand()`-based salting.
+    */
+  def saltedSum(df: DataFrame, key: Column, rowId: Column, value: Column,
+                buckets: Int): DataFrame =
+    df.withColumn("__salt", Determinism.detHash(rowId) % buckets)
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy("key")
+      .agg(sum("__psum").as("sum"), sum("__pcnt").as("cnt"))
+
+  /** Salted join of a skewed fact side against a dimension: the fact side
+    * gets a deterministic salt in [0, buckets); the dimension is replicated
+    * `buckets` times (explode of a literal range — fine for dimension
+    * tables, which are small by definition) so every (key, salt) pair finds
+    * its match. Equi-join on (key, salt) spreads each hot key over
+    * `buckets` tasks. Exact same rows as the unsalted join.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, rowId: Column,
+                 buckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      (Determinism.detHash(rowId) % buckets).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}
