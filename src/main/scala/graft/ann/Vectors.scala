@@ -90,6 +90,42 @@ object Vectors {
       .select(col("query_id"), col("vec_id"), round(col("cos"), roundTo).as("cosine"), col("rk"))
   }
 
+  /** IVF-style approximate top-k — the coarse-quantizer alternative to
+    * hyperplane LSH. Deterministic coarse quantizer: every `step`-th vector
+    * id is a centroid (reproducible without training — an engine-policy
+    * stand-in for k-means that keeps the oracle expressible). Every vector
+    * is assigned to its max-cosine centroid cell via a broadcast of the
+    * (tiny) centroid set; queries probe only their own cell, so the scoring
+    * join is equi on cell — the corpus is never cross-joined to queries.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, step: Int, roundTo: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val cents = c.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cvn"))
+    def assign(df: DataFrame, id: String): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("__cc", dot(col("v"), col("cv")) / (col("vn") * col("cvn")))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(id).orderBy(col("__cc").desc, col("cent_id"))))
+        .filter(col("__rk") === 1)
+        .withColumnRenamed("cent_id", "cell")
+        .drop("cv", "cvn", "__cc", "__rk")
+    val ca = assign(c, "vec_id")
+    val qa = assign(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("vn", l2norm(col("v"))), "query_id")
+      .withColumnRenamed("v", "q").withColumnRenamed("vn", "qn")
+    ca.join(broadcast(qa), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("q")) / (col("vn") * col("qn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), roundTo).as("cosine"), col("rk"))
+  }
+
   /** Bucket histogram — the data-distribution view used to tune nPlanes. */
   def lshBucketHistogram(corpus: DataFrame, idCol: String, vecCol: String,
                          nPlanes: Int, dim: Int): DataFrame =

@@ -119,6 +119,45 @@ object Multimodal {
     DecodedImage(path, w, h, fmt, luma)
   }
 
+  /** S6: NumPy `.npy` array source — parses the npy v1/v2 header and the
+    * little-endian float32/float64 payload into `Array[Float]`, no external
+    * libraries (the format is magic + version + header-dict + raw data;
+    * reference pose maps, train/train_OOTDiffusion/dataloader.py:75-83).
+    * Runs at the mapPartitions edge like [[decodeImages]]. Rows whose bytes
+    * are not parseable npy yield an empty array (the null-drop P7 filter
+    * composes downstream).
+    */
+  def decodeNpy(files: DataFrame, pathCol: String = "path",
+                contentCol: String = "content"): Dataset[(String, Array[Float])] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(pathCol), col(contentCol)).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (path, bytes) => (path, parseNpy(bytes)) })
+  }
+
+  /** npy layout: \x93NUMPY | major | minor | headerLen (u16 LE for v1,
+    * u32 LE for v2) | python-dict header | raw data.
+    */
+  private[multimodal] def parseNpy(bytes: Array[Byte]): Array[Float] = {
+    val magic = Array(0x93, 'N', 'U', 'M', 'P', 'Y').map(_.toByte)
+    if (bytes.length < 10 || !bytes.take(6).sameElements(magic)) return Array.empty
+    val major = bytes(6)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val (headerLen, dataStart) =
+      if (major == 1) (bb.getShort(8) & 0xffff, 10)
+      else (bb.getInt(8), 12)
+    val header = new String(bytes, dataStart, headerLen, "ASCII")
+    val off = dataStart + headerLen
+    if (header.contains("'<f4'")) {
+      val n = (bytes.length - off) / 4
+      Array.tabulate(n)(i => bb.getFloat(off + i * 4))
+    } else if (header.contains("'<f8'")) {
+      val n = (bytes.length - off) / 8
+      Array.tabulate(n)(i => bb.getDouble(off + i * 8).toFloat)
+    } else Array.empty
+  }
+
   /** S8: blob sink — writes each row's binary payload to `<dir>/<name>`
     * via the Hadoop FS API from the executors (foreachPartition; one FS
     * client per partition — reference train/train_CATVTON/utils.py:37-54).

@@ -75,6 +75,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got("a.png").meanLuma === again("a.png").meanLuma)
   }
 
+  test("decodeNpy parses real npy v1 float32/float64 files (S6)") {
+    def npyBytes(values: Seq[Float], dtype: String): Array[Byte] = {
+      val headerDict =
+        s"{'descr': '$dtype', 'fortran_order': False, 'shape': (${values.length},), }"
+      val pad = 64 - ((10 + headerDict.length + 1) % 64)
+      val header = headerDict + " " * pad + "\n"
+      val bb = java.nio.ByteBuffer
+        .allocate(10 + header.length + values.length * (if (dtype == "<f4") 4 else 8))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(Array(0x93, 'N', 'U', 'M', 'P', 'Y').map(_.toByte))
+        .put(1.toByte).put(0.toByte)
+        .putShort(header.length.toShort)
+        .put(header.getBytes("ASCII"))
+      if (dtype == "<f4") values.foreach(bb.putFloat)
+      else values.foreach(v => bb.putDouble(v.toDouble))
+      bb.array()
+    }
+    val d = Files.createTempDirectory("npy")
+    Files.write(d.resolve("pose32.npy"), npyBytes(Seq(1.5f, -2.25f, 3f), "<f4"))
+    Files.write(d.resolve("pose64.npy"), npyBytes(Seq(0.5f, 4f), "<f8"))
+    Files.write(d.resolve("bad.npy"), "not numpy".getBytes)
+    val got = Multimodal.decodeNpy(
+        Multimodal.binarySource(spark, d.toString, "*.npy"))
+      .collect().map { case (p, a) => p.split("/").last -> a.toSeq }.toMap
+    assert(got("pose32.npy") === Seq(1.5f, -2.25f, 3f))
+    assert(got("pose64.npy") === Seq(0.5f, 4f))
+    assert(got("bad.npy") === Seq.empty)
+  }
+
   test("blobSink writes payloads from executors (S8)") {
     val out = Files.createTempDirectory("mmout").toString
     val df = Seq(("x.bin", Array[Byte](1, 2, 3)), ("y.bin", Array[Byte](9)))
