@@ -25,11 +25,15 @@ object GraftSession {
       // (see Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Local session used by tests and ad-hoc runs. */
+  /** Local session used by tests and ad-hoc runs. Warehouse (for bucketed
+    * managed tables) goes to a temp dir, not the working directory.
+    */
   def local(cores: String = "*", shufflePartitions: Int = 32): SparkSession = {
     val spark = builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -116,6 +116,38 @@ object Dedup {
         (col("vote") > 0).cast("int").as("bit"))
   }
 
+  /** Verification stage of the two-phase dedup pipeline: exact n-gram
+    * Jaccard computed ONLY for LSH candidate pairs. The gram inverted
+    * index is first restricted (left-semi) to documents that appear in a
+    * candidate pair, and the scored pairs are inner-joined back to the
+    * candidate set — so the quadratic gram self-join runs over the
+    * candidate neighborhood, not the corpus. This is the shape that holds
+    * at 100 TB: LSH bounds the candidate count; verification cost scales
+    * with candidates, not documents².
+    */
+  def verifyCandidates(docs: DataFrame, candidates: DataFrame, id: Column,
+                       text: Column, n: Int, minJaccard: Double,
+                       roundTo: Int = 6): DataFrame = {
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val grams = docs.select(id.as("doc_id"),
+        explode(array_distinct(charNgrams(text, n))).as("g"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", round(col("inter") /
+        (col("sz_a") + col("sz_b") - col("inter")), roundTo))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard over character n-gram *sets* for candidate pairs —
     * the verification stage after LSH, or a direct measure on a bounded
     * subset. Input must have (id, text).

@@ -91,6 +91,29 @@ object QText {
     "d3_simhash" -> ((s, d) =>
       Dedup.simhashBits(t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    // D5: the composed two-stage dedup pipeline — MinHash-LSH banding
+    // proposes candidate pairs (equi-join on band signatures, per-bucket
+    // cap), exact n-gram Jaccard verifies ONLY those candidates.
+    "d5_lsh_verify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+    }),
+
+    // Repetition quality signals (gopher-style): top-token dominance and
+    // duplicate-token fraction per document.
+    "tx_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(
+          round(max(col("cnt")).cast("double") / sum(col("cnt")), 6).as("top_tok_frac"),
+          round((sum(col("cnt")) - count(lit(1))).cast("double") / sum(col("cnt")), 6)
+            .as("dup_tok_frac"))
+    }),
+
     // D4: character-3-gram Jaccard similarity on a bounded id range
     // (LSH-verification stage shape). maxDocFreq=100 exercises the
     // stop-gram cap that keeps the inverted-index join from going
@@ -202,6 +225,52 @@ object QText {
                  CAST(sum(CASE WHEN substring(h, CAST(i AS INT), 1) >= '8' THEN 1 ELSE -1 END) > 0 AS INT) AS bit
           FROM w CROSS JOIN generate_series(1, 32) g(i)
           GROUP BY doc_id, i""",
+    "d5_lsh_verify" ->
+      s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
+               sig AS (
+                 SELECT doc_id, seed,
+                        min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+                 FROM w CROSS JOIN generate_series(0, 7) g(seed)
+                 GROUP BY doc_id, seed),
+               banded AS (
+                 SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+                        md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+                 FROM sig GROUP BY doc_id, band),
+               small AS (SELECT * FROM (
+                 SELECT doc_id, band, band_sig,
+                        count(*) OVER (PARTITION BY band, band_sig) AS bn
+                 FROM banded) WHERE bn <= 64),
+               cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                        FROM small a JOIN small b
+                        ON a.band = b.band AND a.band_sig = b.band_sig
+                           AND a.doc_id < b.doc_id),
+               cd AS (SELECT DISTINCT doc_id FROM (
+                 SELECT doc_a AS doc_id FROM cand
+                 UNION ALL SELECT doc_b FROM cand)),
+               g0 AS (SELECT DISTINCT doc_id, g FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, CAST(greatest(length(text) - 1, 2) AS BIGINT)),
+                          i -> substring(text, CAST(i AS INT), 3))) AS g
+                 FROM documents WHERE doc_id IN (SELECT doc_id FROM cd))),
+               sz AS (SELECT doc_id, count(*) AS sz FROM g0 GROUP BY doc_id),
+               inter AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM g0 a JOIN g0 b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               iv AS (SELECT i.* FROM inter i
+                      JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+          SELECT doc_a, doc_b,
+                 round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+          FROM iv JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3""",
+    "tx_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+               c AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2)
+          SELECT doc_id,
+                 round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_tok_frac,
+                 round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6) AS dup_tok_frac
+          FROM c GROUP BY doc_id""",
     "d4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
               g0 AS (SELECT DISTINCT doc_id, g FROM (
