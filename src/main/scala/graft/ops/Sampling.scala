@@ -66,11 +66,44 @@ object Sampling {
   }
 
   /** X3: deterministic global shuffle — a stable permutation position.
-    * Scale path: this is a total sort; prefer `repartition(h)` when only
-    * decorrelation (not a reproducible order) is needed.
+    * Simple form: a global window = every row through ONE task. Use only
+    * for driver-bounded inputs; [[shufflePositionDistributed]] computes the
+    * identical permutation at scale.
     */
   def shufflePosition(df: DataFrame, key: Column): DataFrame =
     df.withColumn("__h", Determinism.detHash(key))
       .withColumn("pos", row_number().over(Window.orderBy(col("__h"), key)))
       .drop("__h")
+
+  /** X3 scale path: the same global rank with NO single-task stage.
+    * Range-repartition on (hash, key) gives a total order ACROSS partitions
+    * (partition i's rows all sort before partition i+1's); within each
+    * partition `monotonically_increasing_id` encodes (partitionId << 33 |
+    * localIndex) after the in-partition sort, so the global position is
+    * localIndex + the cumulative size of earlier partitions — a tiny
+    * (numPartitions-row) offset relation broadcast back. Positions are
+    * identical to [[shufflePosition]] regardless of where the range bounds
+    * fall because (hash, key) is a total order (`key` must be unique).
+    * Requires < 2^33 rows per partition (monotonic-id local-index width).
+    */
+  def shufflePositionDistributed(df: DataFrame, key: Column,
+                                 partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("__h", Determinism.detHash(key))
+      .repartitionByRange(p, col("__h"), key)
+      .sortWithinPartitions(col("__h"), key)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__li", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .cache()
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn("pos", (col("__off") + col("__li") + 1).cast("int"))
+      .drop("__h", "__mid", "__pid", "__li", "__off")
+  }
 }

@@ -54,10 +54,11 @@ object QSampling {
         .groupBy(col("difficulty")).agg(count(lit(1)).as("cnt"))
     }),
 
-    // X3: deterministic global shuffle position (on a sampled subset — a
-    // global permutation is a driver-visible ordering, keep it bounded).
+    // X3: deterministic global shuffle position via the distributed rank
+    // (range-repartition + partition-offset join — no single-task stage;
+    // produces the identical permutation to the window form).
     "x3_shuffle_pos" -> ((s, d) =>
-      Sampling.shufflePosition(
+      Sampling.shufflePositionDistributed(
         Sampling.bernoulli(t(s, d, "orders"), col("o_orderkey"), 0.05)
           .select(col("o_orderkey")),
         col("o_orderkey"))),

@@ -43,6 +43,17 @@ class SamplingSpec extends SparkSpec {
     assert(got.getOrElse("hard", 0L) === 0L)
   }
 
+  test("shufflePositionDistributed equals the single-window rank exactly") {
+    val input = df.filter(col("k") <= 237).select("k")
+    val window = Sampling.shufflePosition(input, col("k"))
+      .as[(Long, Int)].collect().toMap
+    Seq(1, 3, 8).foreach { p =>
+      val dist = Sampling.shufflePositionDistributed(input.repartition(5), col("k"), p)
+        .as[(Long, Int)].collect().toMap
+      assert(dist === window, s"partitions=$p")
+    }
+  }
+
   test("shufflePosition is a stable 1..n permutation") {
     val sampled = df.filter(col("k") <= 50)
     val pos = Sampling.shufflePosition(sampled, col("k"))
