@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~170 codegen'd query shapes (83 queries × warm-up + timed) overflow
+  // the default 240 MB JIT code cache mid-bench; flushing then discards
+  // hot compiled methods and later queries run partly interpreted (10x
+  // slowdowns on expression-heavy queries).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -26,7 +26,11 @@ object Bench {
           .agg(bit_xor(col("__h"))).collect()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
-      }
+      } finally
+        // Isolate queries: cached intermediates (d5, x3) otherwise
+        // accumulate across 83×2 executions, storage steals execution
+        // memory, and unrelated queries inherit the slowdown.
+        spark.catalog.clearCache()
     // Untimed warm-up at the smallest SF: plan structures are identical
     // across SF dirs, so this populates the whole-stage-codegen class cache
     // and JIT once per query shape. The timed pass then measures
@@ -36,10 +40,15 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.keys.foreach(force(_, warmDir))
+    // Best-of-2 timed runs: single-shot numbers on a shared host carry
+    // 3-5x noise; the minimum is the standard steady-state estimator.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      force(name, sfDir)
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        force(name, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

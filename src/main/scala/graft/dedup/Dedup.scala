@@ -117,28 +117,37 @@ object Dedup {
   }
 
   /** Verification stage of the two-phase dedup pipeline: exact n-gram
-    * Jaccard computed ONLY for LSH candidate pairs. The gram inverted
-    * index is first restricted (left-semi) to documents that appear in a
-    * candidate pair, and the scored pairs are inner-joined back to the
-    * candidate set — so the quadratic gram self-join runs over the
-    * candidate neighborhood, not the corpus. This is the shape that holds
-    * at 100 TB: LSH bounds the candidate count; verification cost scales
-    * with candidates, not documents².
+    * Jaccard computed ONLY for LSH candidate pairs, with work proportional
+    * to |candidates| × grams-per-doc. Shape matters: an inverted-index
+    * self-join over the candidate docs' grams degenerates when candidates
+    * are dense — ONE hot n-gram shared by d candidate docs emits d²/2 join
+    * rows regardless of which pairs were proposed (observed: 30 s for 22k
+    * pairs at sf0.1). Instead the candidate PAIRS drive the join: pair ⋈
+    * doc_a's grams (broadcast of the pair list), then an equi-join on
+    * (doc_b, gram) picks out the shared grams — never more rows than
+    * pairs × grams(doc_a). This is the shape that holds at 100 TB: LSH
+    * bounds the candidates; verification scales with candidates, not with
+    * gram document frequency.
     */
   def verifyCandidates(docs: DataFrame, candidates: DataFrame, id: Column,
                        text: Column, n: Int, minJaccard: Double,
                        roundTo: Int = 6): DataFrame = {
-    val candDocs = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    // Both intermediates feed multiple plan branches (candidates: doc set
+    // + pair join; grams: sizes + two join sides) — cache them or the
+    // LSH chain / gram explode is recomputed per branch.
+    val cands = candidates.cache()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val grams = docs.select(id.as("doc_id"),
         explode(array_distinct(charNgrams(text, n))).as("g"))
       .join(candDocs, Seq("doc_id"), "left_semi")
+      .cache()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = broadcast(cands)
+      .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")

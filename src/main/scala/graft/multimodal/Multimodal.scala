@@ -119,6 +119,43 @@ object Multimodal {
     DecodedImage(path, w, h, fmt, luma)
   }
 
+  /** Sampled frame record produced by [[sampleFrames]]. */
+  case class Frame(path: String, frameIdx: Int, frameMd5: String)
+
+  /** U1 (video): frame sampling — the 1→N generator edge: each (path,
+    * content) row fans out to every `stride`-th frame. The container
+    * demuxer is STUBBED (fixed-size pseudo-frames sliced from the byte
+    * stream, fingerprinted; video codecs are not in this container); the
+    * production-relevant parts — generator shape, per-partition demuxer
+    * reuse, bounded frames-per-row — are real. Frame bytes are NOT
+    * retained in the output row (only the fingerprint): at 100 TB the
+    * exploded frame relation must stay metadata-sized unless a consumer
+    * explicitly asks for pixels.
+    */
+  def sampleFrames(files: DataFrame, stride: Int, maxFrames: Int,
+                   frameBytes: Int = 4096, pathCol: String = "path",
+                   contentCol: String = "content"): Dataset[Frame] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(pathCol), col(contentCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val dg = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (path, bytes) =>
+          val nFrames = math.min(
+            math.max(bytes.length / frameBytes, 1), maxFrames * stride)
+          (0 until nFrames by stride).map { i =>
+            dg.reset()
+            val start = i * frameBytes
+            val end = math.min(start + frameBytes, bytes.length)
+            val hex = dg.digest(java.util.Arrays.copyOfRange(
+                bytes, math.min(start, bytes.length), end))
+              .map(b => f"$b%02x").mkString
+            Frame(path, i, hex)
+          }
+        }
+      }
+  }
+
   /** S6: NumPy `.npy` array source — parses the npy v1/v2 header and the
     * little-endian float32/float64 payload into `Array[Float]`, no external
     * libraries (the format is magic + version + header-dict + raw data;

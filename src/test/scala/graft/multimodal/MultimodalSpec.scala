@@ -104,6 +104,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got("bad.npy") === Seq.empty)
   }
 
+  test("sampleFrames fans each file out to strided frame rows (U1 video edge)") {
+    val d = Files.createTempDirectory("vid")
+    Files.write(d.resolve("clip.bin"), Array.fill(10 * 4096)(7.toByte))
+    Files.write(d.resolve("tiny.bin"), Array[Byte](1, 2, 3))
+    val frames = Multimodal.sampleFrames(
+        Multimodal.binarySource(spark, d.toString, "*.bin"),
+        stride = 3, maxFrames = 100)
+      .collect().groupBy(_.path.split("/").last)
+    // 10 frames, every 3rd: indices 0,3,6,9
+    assert(frames("clip.bin").map(_.frameIdx).sorted.toSeq === Seq(0, 3, 6, 9))
+    assert(frames("tiny.bin").map(_.frameIdx).toSeq === Seq(0))
+    // identical bytes → identical frame fingerprints
+    assert(frames("clip.bin").map(_.frameMd5).distinct.length === 1)
+  }
+
   test("blobSink writes payloads from executors (S8)") {
     val out = Files.createTempDirectory("mmout").toString
     val df = Seq(("x.bin", Array[Byte](1, 2, 3)), ("y.bin", Array[Byte](9)))
