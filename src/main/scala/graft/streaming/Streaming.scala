@@ -99,6 +99,19 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` — the incremental
+    * form of the batch fingerprint dedup (first-seen wins per key; state
+    * for keys older than the watermark is evicted, bounding state size on
+    * an unbounded stream). Batch twin: `dropDuplicates(keys)` (where any
+    * representative is acceptable — set-equality asserted in
+    * StreamingSpec).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  eventTimeCol: String = "ts",
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keys :+ eventTimeCol)
+
   /** T4: async checkpoint sink — each micro-batch is written to
     * `<outDir>/batch=<id>` by foreachBatch, with exactly-once bookkeeping in
     * `checkpointDir` (the reference's background-thread S3 upload,

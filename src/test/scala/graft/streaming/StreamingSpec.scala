@@ -49,6 +49,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming watermarked dedup == batch dropDuplicates (same key set)") {
+    val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
+    val outDir = tmp("out")
+    val q = Streaming.dedupStream(stream, Seq("user_id", "event_type"))
+      .select("user_id", "event_type", "ts")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    val want = batchEvents.dropDuplicates(Seq("user_id", "event_type", "ts"))
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    assert(got === want)
+  }
+
   test("statefulResume (mapGroupsWithState) matches the aggregate form") {
     val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
       .as[Streaming.Event]

@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class TextFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("quality score and ratios are bounded for arbitrary strings (ScalaCheck)") {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(Gen.listOfN(15, Gen.asciiPrintableStr)) { ss =>
+        val rows = (ss :+ "" :+ "   ").toDF("t").select(
+            TextFunctions.qualityScore(col("t")).as("q"),
+            TextFunctions.punctRatio(col("t")).as("p"),
+            TextFunctions.stopwordRatio(col("t")).as("s"))
+          .as[(Double, Double, Double)].collect()
+        rows.forall { case (q, p, s) =>
+          q >= 0.0 && q <= 1.0 && p >= 0.0 && p <= 1.0 && s >= 0.0 && s <= 1.0
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("langId picks the language whose markers appear") {
+    val got = Seq(
+      "the cat and the dog of the house is big",
+      "el perro de la casa que los gatos",
+      "le chat et les chiens des maisons une fois",
+      "der hund und die katze das ist nicht gut",
+      "xyzzy plugh 12345")
+      .toDF("t").select(TextFunctions.langId(col("t"))).as[String]
+      .collect().toSeq
+    assert(got === Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    // note: trim strips spaces only (Spark and DuckDB agree); inner \s+
+    // runs collapse to one space
+    val fps = Seq("Hello   World", "hello world", "  HELLO \t WORLD  ", "hello worlds")
+      .toDF("t").select(TextFunctions.fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) === fps(1) && fps(1) === fps(2))
+    assert(fps(3) !== fps(0))
+  }
+
+  test("ngramSignature is stable under a small edit's unrelated region") {
+    // signature = 4 smallest gram hashes; appending text can only change
+    // the signature if a new gram hashes below the current top-4
+    val Seq(a, b) = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog!!")
+      .toDF("t").select(TextFunctions.ngramSignature(col("t"), 5, 4))
+      .as[String].collect().toSeq
+    // both share the same 4-smallest unless '!!' grams hash lower — either
+    // way both are pipe-joined 4-hash strings
+    assert(a.split('|').length === 4 && b.split('|').length === 4)
+  }
+}
