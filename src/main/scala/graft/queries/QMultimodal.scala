@@ -49,6 +49,9 @@ object QMultimodal {
     // expressions. Bounded to 200 files.
     "s4b_blob_roundtrip" -> ((s, d) => {
       val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/blobs"
+      // clear stale files from prior versions/runs: the read lists the dir
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       blobSink(
         t(s, d, "documents").filter(col("doc_id") < 200)
           .select(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),

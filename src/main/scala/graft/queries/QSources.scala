@@ -15,12 +15,15 @@ object QSources {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** Fixture root: the s5 query materializes a real pairs CSV here (derived
-    * deterministically from the orders table of the same scale factor) and
-    * reads it back, so the oracle can read the identical file with
-    * read_csv. Inside the repo tree; keyed by SF so scales don't collide.
+    * deterministically from the orders table of the current scale factor)
+    * and reads it back, so the oracle can read the identical file with
+    * read_csv. One FIXED path: the query writes before reading, and the
+    * driver's DuckDB compare runs immediately after Verify, so the file
+    * always reflects the scale factor being verified (an SF-keyed path
+    * would pin the oracle to one hardcoded SF instead).
     */
   def pairsFixtureDir(sfDir: String): String =
-    s"/root/repo/target/fixtures/${new java.io.File(sfDir).getName}/pairs_csv"
+    "/root/repo/target/fixtures/pairs_csv"
 
   private def writePairsFixture(s: SparkSession, d: String): String = {
     val dir = pairsFixtureDir(d)
@@ -72,7 +75,7 @@ object QSources {
   def oracle: Map[String, String] = Map(
     "s5_pairs_csv" ->
       """SELECT person_id, garment_id, c_name
-         FROM read_csv('/root/repo/target/fixtures/sf0.01/pairs_csv/*.csv',
+         FROM read_csv('/root/repo/target/fixtures/pairs_csv/*.csv',
                        delim=' ', header=false,
                        columns={'person_id': 'BIGINT', 'garment_id': 'BIGINT'})
          JOIN customer ON person_id = c_custkey""",
