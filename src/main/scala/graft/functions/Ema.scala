@@ -24,12 +24,23 @@ class EmaAggregator(decay: Double)
 
   override def zero: ArrayBuffer[(Long, Double)] = ArrayBuffer.empty
 
+  import EmaAggregator.MaxBufferedRows
+
+  private def guard(b: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
+    if (b.length > MaxBufferedRows) throw new IllegalStateException(
+      s"EmaAggregator buffered > $MaxBufferedRows rows in one group; " +
+        "this aggregator is for bounded groups (per-run training metrics). " +
+        "Use Ema.closedForm (window) or Ema.sortedFold (streaming fold) " +
+        "for unbounded groups.")
+    b
+  }
+
   override def reduce(b: ArrayBuffer[(Long, Double)], a: (Long, Double)): ArrayBuffer[(Long, Double)] = {
-    b += a; b
+    b += a; guard(b)
   }
 
   override def merge(b1: ArrayBuffer[(Long, Double)], b2: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
-    b1 ++= b2; b1
+    b1 ++= b2; guard(b1)
   }
 
   override def finish(b: ArrayBuffer[(Long, Double)]): Double =
@@ -43,6 +54,14 @@ class EmaAggregator(decay: Double)
     Encoders.kryo[ArrayBuffer[(Long, Double)]]
 
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+object EmaAggregator {
+  /** Hard per-group buffer cap (~64 MB of pairs): fail loudly instead of
+    * OOMing an executor when someone points the buffering Aggregator at an
+    * unbounded group.
+    */
+  val MaxBufferedRows: Int = 1 << 22
 }
 
 object Ema {

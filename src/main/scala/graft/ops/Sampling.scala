@@ -52,17 +52,21 @@ object Sampling {
   def stratifiedWithReplacement(df: DataFrame, stratum: Column, key: Column,
                                 targetPerStratum: Map[String, Long]): DataFrame = {
     val tgtMap = typedLit(targetPerStratum)
-    val w = Window.partitionBy(stratum)
+    // per-stratum sizes via broadcast (one row per stratum), same as
+    // stratifiedExact — not a full-data count window
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
     val exploded = df
-      .withColumn("__n", count(lit(1)).over(w))
+      .join(broadcast(counts), stratum === col("__stratum"))
       .withColumn("__tgt", coalesce(element_at(tgtMap, stratum), lit(0L)))
       .withColumn("__copies", ceil(col("__tgt") / col("__n")).cast("int"))
       .withColumn("__rep", explode(sequence(lit(0), greatest(col("__copies") - 1, lit(0)))))
     exploded
       .withColumn("__h", Determinism.detHash(key * lit(7919L) + col("__rep")))
-      .withColumn("__rn", row_number().over(w.orderBy(col("__h"), key, col("__rep"))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__h"), key, col("__rep"))))
       .filter(col("__rn") <= col("__tgt"))
-      .drop("__n", "__tgt", "__copies", "__rep", "__h", "__rn")
+      .drop("__stratum", "__n", "__tgt", "__copies", "__rep", "__h", "__rn")
   }
 
   /** X3: deterministic global shuffle — a stable permutation position.
