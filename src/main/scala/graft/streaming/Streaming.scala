@@ -99,6 +99,35 @@ object Streaming {
       }
   }
 
+  /** EMA state: last processed step + running EMA value. */
+  case class EmaState(lastStep: Long, ema: Double)
+
+  /** A7 streaming form: per-group EMA carried across micro-batches in
+    * mapGroupsWithState — the training loop's loss smoothing as a stream.
+    * Rows within a batch are step-sorted before folding; across batches
+    * steps must be non-decreasing (true of training-step logs; late rows
+    * below the carried step are dropped rather than silently misfolded).
+    * Single-batch runs match Ema.closedForm exactly (StreamingSpec).
+    */
+  def emaStream(events: Dataset[Event], decay: Double): Dataset[(Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EmaState, (Long, Double)](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[EmaState]) =>
+          val sorted = rows.map(e => (e.event_id, e.value)).toArray.sortBy(_._1)
+          val prev = state.getOption
+          val fresh = sorted.filter(r => prev.forall(p => r._1 > p.lastStep))
+          val next = fresh.foldLeft(prev.getOrElse(
+              EmaState(Long.MinValue, Double.NaN))) { case (st, (step, x)) =>
+            val e = if (st.ema.isNaN) x else (1 - decay) * x + decay * st.ema
+            EmaState(step, e)
+          }
+          state.update(next)
+          (user, next.ema)
+      }
+  }
+
   /** Streaming exact dedup: watermarked `dropDuplicates` — the incremental
     * form of the batch fingerprint dedup (first-seen wins per key; state
     * for keys older than the watermark is evicted, bounding state size on

@@ -54,6 +54,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1)"), p)
   }
 
+  test("sweep: no unintentional product joins anywhere in the query surface") {
+    // Queries where a product is BY DESIGN (bounded side, deliberate):
+    //  - j8_cross: the cross-join operator itself
+    //  - v1/v3: brute-force ANN baselines (broadcast NL against a bounded
+    //    query/id set is the point)
+    //  - d2_*/d5: the 8-row seed fan-out is a broadcast NL join
+    //  - v5: centroid assignment cross-joins the tiny centroid set
+    val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
+      "d2_minhash", "d2_lsh_buckets", "d5_lsh_verify", "v5_ivf_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
+      val bad = (p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin")) && !intentional(q)
+      if (bad || p.startsWith("PLAN_FAIL")) Some(q) else None
+    }
+    assert(offenders.isEmpty, s"unexpected product/failed plans: $offenders")
+  }
+
   test("d3_simhash: single aggregate over (doc,token) rows, no 32x generator") {
     val p = plan("d3_simhash")
     // exactly one explode (the token explode); the old plan had a second

@@ -72,6 +72,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming EMA (mapGroupsWithState) matches the closed-form batch EMA") {
+    val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
+      .as[Streaming.Event]
+    val outDir = tmp("out")
+    val q = Streaming.emaStream(stream, 0.9).toDF("user_id", "ema")
+      .select(col("user_id"), round(col("ema"), 6).as("ema"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Double)].collect().toMap // last update per user wins; single batch
+    val want = graft.functions.Ema
+      .closedForm(batchEvents.toDF(), "user_id", "event_id", "value", 0.9)
+      .select(col("user_id"), round(col("ema"), 6).as("ema"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (u, e) => assert(math.abs(e - want(u)) < 1e-6, s"user $u") }
+  }
+
   test("statefulResume (mapGroupsWithState) matches the aggregate form") {
     val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
       .as[Streaming.Event]
