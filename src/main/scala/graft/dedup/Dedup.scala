@@ -77,10 +77,14 @@ object Dedup {
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
         x => x.getField("minhash")), "|")).as("band_sig"))
+    // cache: `small` feeds BOTH sides of the self-join — uncached, the
+    // entire upstream MinHash chain (explode × seeds × md5) is recomputed
+    // per branch (observed 3× cost at a 500k-doc probe)
     val small = banded
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
       .filter(col("bn") <= maxBucket)
+      .cache()
     small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import graft.ops.Sampling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale probe: replicates the sf0.1 tables ~10× (ids shifted so
+  * keys stay unique; text/content left identical, which is the WORST case
+  * for dedup — every doc gains 9 exact copies) and times the
+  * scale-sensitive operators. Not part of the correctness gate; used to
+  * find scale cliffs the 0.1-SF bench can't see.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [copies] [sfDir]
+  */
+object ScaleProbe {
+
+  private def time[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def amplify(df: DataFrame, idCol: String, shift: Long): DataFrame = {
+      val k = spark.range(0, copies).toDF("__copy")
+      df.crossJoin(broadcast(k))
+        .withColumn(idCol, col(idCol) + col("__copy") * shift)
+        .drop("__copy")
+    }
+
+    val docs = time("amplify documents") {
+      val d = amplify(spark.read.parquet(s"$sfDir/documents.parquet"),
+        "doc_id", 1000000L).cache()
+      println(s"[probe] documents rows: ${d.count()}")
+      d
+    }
+    val orders = time("amplify orders") {
+      val o = amplify(spark.read.parquet(s"$sfDir/orders.parquet"),
+        "o_orderkey", 100000000L).cache()
+      println(s"[probe] orders rows: ${o.count()}")
+      o
+    }
+
+    time("d1 exactGroups") {
+      Dedup.exactGroups(docs, col("doc_id"), col("text")).count()
+    }
+    time("d3 simhashBits") {
+      Dedup.simhashBits(docs, col("doc_id"), col("text")).count()
+    }
+    val sigs = time("d2 minhash") {
+      val s = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
+      s.count(); s
+    }
+    time("d2 lshBuckets") {
+      Dedup.lshBuckets(sigs, 4).count()
+    }
+    val cands = time("d2 lshCandidatePairs") {
+      val c = Dedup.lshCandidatePairs(sigs, 4)
+      println(s"[probe] candidate pairs: ${c.count()}")
+      c
+    }
+    time("d5 verifyCandidates") {
+      Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+        .count()
+    }
+    time("x1 stratifiedExact") {
+      Sampling.stratifiedExact(orders, col("o_orderpriority"), col("o_orderkey"),
+        Map("1-URGENT" -> 0.5, "2-HIGH" -> 0.3, "3-MEDIUM" -> 0.2,
+          "4-NOT SPECIFIED" -> 0.1, "5-LOW" -> 0.05)).count()
+    }
+    time("x3 shufflePositionDistributed") {
+      Sampling.shufflePositionDistributed(
+        Sampling.bernoulli(orders, col("o_orderkey"), 0.05)
+          .select("o_orderkey"), col("o_orderkey")).count()
+    }
+    spark.stop()
+  }
+}
