@@ -40,16 +40,19 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.keys.foreach(force(_, warmDir))
-    // Best-of-2 timed runs: single-shot numbers on a shared host carry
-    // 3-5x noise; the minimum is the standard steady-state estimator.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // Best-of-3 timed passes, round-robin: single-shot numbers on a shared
+    // host carry 3-5x noise, and back-to-back repeats of one query share
+    // any transient host stall — full passes decorrelate the stall from
+    // the query; min is the steady-state estimator.
+    val names = SparkEntry.queries.keys.toSeq
+    val passes = (1 to 3).map { _ =>
+      names.map { name =>
         val t0 = System.nanoTime()
         force(name, sfDir)
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    val results = names.map(n => n -> passes.map(_(n)).min).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

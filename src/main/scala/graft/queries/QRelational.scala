@@ -205,6 +205,14 @@ object QRelational {
         .agg(round(avg(pow(col("l_extendedprice") / 1000.0 - col("l_quantity"), 2)), 4).as("mse"),
           round(avg(abs(col("l_extendedprice") / 1000.0 - col("l_quantity"))), 4).as("mae"))),
 
+    // A8: dataset count/size report (len(dataset) / len(dataloader) shape,
+    // reference train/common/dataset.py:161, common/examples.py:108).
+    "a8_counts" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        (ceil(count(lit(1)) / 32.0)).cast("long").as("n_batches_32"))),
+
     // A9: distinct + exact distinct count.
     "a9_distinct" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
@@ -392,6 +400,11 @@ object QRelational {
                 round(avg(power(l_extendedprice / 1000.0 - l_quantity, 2)), 4) AS mse,
                 round(avg(abs(l_extendedprice / 1000.0 - l_quantity)), 4) AS mae
          FROM lineitem GROUP BY l_linestatus""",
+    "a8_counts" ->
+      """SELECT count(*) AS n_rows,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_batches_32
+         FROM lineitem""",
     "a9_distinct" ->
       "SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts FROM lineitem GROUP BY l_returnflag",
     "a10_rollup" ->
