@@ -86,4 +86,13 @@ class PipelinesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(back === Set((1L, 10L), (2L, 20L), (3L, 30L)))
   }
+
+  test("labels CSV reads the {split}_labels.txt shape (S5 source)") {
+    val dir = Files.createTempDirectory("labels")
+    Files.write(dir.resolve("train_labels.txt"),
+      "images/a.jpg 3\nimages/b.jpg 0\nimages/c.jpg 12\n".getBytes)
+    val got = Sources.readLabels(spark, dir.toString + "/train_labels.txt")
+      .as[(String, Int)].collect().toSet
+    assert(got === Set(("images/a.jpg", 3), ("images/b.jpg", 0), ("images/c.jpg", 12)))
+  }
 }
