@@ -19,13 +19,15 @@ object Bench {
     // would time "scan + count" instead of the expressions the oracle
     // actually checks. bit_xor, not sum: summing hashes overflows Long
     // under ANSI mode.
-    def force(name: String, dir: String): Unit =
+    def force(name: String, dir: String): Boolean =
       try {
         val df = SparkEntry.queries(name)(spark, dir)
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
           .agg(bit_xor(col("__h"))).collect()
+        true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
+        false
       } finally
         // Isolate queries: cached intermediates (d5, x3) otherwise
         // accumulate across 83×2 executions, storage steals execution
@@ -48,11 +50,15 @@ object Bench {
     val passes = (1 to 3).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
-        force(name, sfDir)
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = force(name, sfDir)
+        // a failed query must read as FAILURE (-1), never as a fast time
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     }
-    val results = names.map(n => n -> passes.map(_(n)).min).toMap
+    val results = names.map { n =>
+      val ts = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.nonEmpty) ts.min else -1.0)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

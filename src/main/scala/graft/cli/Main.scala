@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * checkpoints/upload.py / download.py).
   *
   * Usage:
-  *   runMain graft.cli.Main train    --manifest <parquet> --profile hard --output <dir>
-  *   runMain graft.cli.Main evaluate --test <parquet> --scores <parquet> --output <dir>
-  *   runMain graft.cli.Main sync     --remote <parquet> --local <parquet> --src <dir> --dst <dir>
+  *   runMain graft.cli.Main train      --manifest <parquet> --profile hard --output <dir>
+  *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
+  *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
+  *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
   */
 object Main {
 
@@ -22,7 +23,8 @@ object Main {
     args.sliding(2).collectFirst { case Array(`name`, v) => v }
 
   def main(args: Array[String]): Unit = {
-    val cmd = args.headOption.getOrElse(sys.error("usage: train|evaluate|sync"))
+    val cmd = args.headOption.getOrElse(
+      sys.error("usage: train|curriculum|evaluate|sync"))
     val spark = GraftSession.local()
     try cmd match {
       case "train" =>

@@ -175,15 +175,18 @@ object Multimodal {
   /** npy layout: \x93NUMPY | major | minor | headerLen (u16 LE for v1,
     * u32 LE for v2) | python-dict header | raw data.
     */
-  private[multimodal] def parseNpy(bytes: Array[Byte]): Array[Float] = {
+  private[multimodal] def parseNpy(bytes: Array[Byte]): Array[Float] = try {
     val magic = Array(0x93, 'N', 'U', 'M', 'P', 'Y').map(_.toByte)
-    if (bytes.length < 10 || !bytes.take(6).sameElements(magic)) return Array.empty
+    if (bytes.length < 12 || !bytes.take(6).sameElements(magic)) return Array.empty
     val major = bytes(6)
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val (headerLen, dataStart) =
       if (major == 1) (bb.getShort(8) & 0xffff, 10)
       else (bb.getInt(8), 12)
+    // truncated/corrupt headers yield empty, never throw: executors must
+    // not die on one malformed object
+    if (headerLen < 0 || dataStart + headerLen > bytes.length) return Array.empty
     val header = new String(bytes, dataStart, headerLen, "ASCII")
     val off = dataStart + headerLen
     if (header.contains("'<f4'")) {
@@ -193,7 +196,7 @@ object Multimodal {
       val n = (bytes.length - off) / 8
       Array.tabulate(n)(i => bb.getDouble(off + i * 8).toFloat)
     } else Array.empty
-  }
+  } catch { case _: RuntimeException => Array.empty }
 
   /** S8: blob sink — writes each row's binary payload to `<dir>/<name>`
     * via the Hadoop FS API from the executors (foreachPartition; one FS

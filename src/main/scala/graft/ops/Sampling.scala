@@ -76,7 +76,8 @@ object Sampling {
     */
   def shufflePosition(df: DataFrame, key: Column): DataFrame =
     df.withColumn("__h", Determinism.detHash(key))
-      .withColumn("pos", row_number().over(Window.orderBy(col("__h"), key)))
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("__h"), key)).cast("long"))
       .drop("__h")
 
   /** X3 scale path: the same global rank with NO single-task stage.
@@ -106,8 +107,10 @@ object Sampling {
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("__pid", "__off")
+    // pos stays LONG: this is the >2^31-row path; an int cast would wrap
+    // positions negative exactly in the regime the function exists for
     ranged.join(broadcast(offsets), "__pid")
-      .withColumn("pos", (col("__off") + col("__li") + 1).cast("int"))
+      .withColumn("pos", col("__off") + col("__li") + 1)
       .drop("__h", "__mid", "__pid", "__li", "__off")
   }
 }

@@ -87,13 +87,15 @@ object Pipelines {
         remote.sparkSession.sparkContext.hadoopConfiguration)
       pending.select(col(keyCol).cast("string"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          val src = new org.apache.hadoop.fs.Path(srcDir)
-          val fs = src.getFileSystem(conf.value)
+          // resolve each side against its OWN filesystem: src may be local
+          // and dst an object store (the reference's upload direction)
+          val srcFs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf.value)
+          val dstFs = new org.apache.hadoop.fs.Path(dstDir).getFileSystem(conf.value)
           rows.foreach { r =>
             val name = r.getString(0)
             org.apache.hadoop.fs.FileUtil.copy(
-              fs, new org.apache.hadoop.fs.Path(srcDir, name),
-              fs, new org.apache.hadoop.fs.Path(dstDir, name),
+              srcFs, new org.apache.hadoop.fs.Path(srcDir, name),
+              dstFs, new org.apache.hadoop.fs.Path(dstDir, name),
               false, conf.value)
           }
         }

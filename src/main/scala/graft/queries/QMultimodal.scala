@@ -64,14 +64,17 @@ object QMultimodal {
     }),
 
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
-    // npy / raw text) synthesized per-language.
+    // npy / opaque bytes) synthesized per-language. The fallthrough branch
+    // is NUL-prefixed so natural text starting with an ASCII magic ("BM",
+    // "GIF8", "RIFF") cannot make the engine-side sniff diverge from the
+    // oracle's per-language CASE.
     "u1_magic_sniff" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("content",
           when(col("lang") === "en", pngHeader(lit(128), lit(64)))
             .when(col("lang") === "fr", unhex(lit("FFD8FFE000104A46494600")))
             .when(col("lang") === "de", unhex(lit("934E554D505901006600")))
-            .otherwise(col("text").cast("binary")))
+            .otherwise(concat(unhex(lit("00")), col("text").cast("binary"))))
         .select(col("doc_id"), col("lang"),
           magicFormat(col("content")).as("fmt"),
           contentLength(col("content")).as("n_bytes"))))
@@ -96,6 +99,6 @@ object QMultimodal {
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'
                           WHEN 'de' THEN 'npy' ELSE 'unknown' END AS fmt,
                 CASE lang WHEN 'en' THEN 24 WHEN 'fr' THEN 11 WHEN 'de' THEN 10
-                          ELSE CAST(octet_length(encode(text)) AS INT) END AS n_bytes
+                          ELSE CAST(octet_length(encode(text)) + 1 AS INT) END AS n_bytes
          FROM documents""")
 }

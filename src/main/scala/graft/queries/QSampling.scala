@@ -114,7 +114,7 @@ object QSampling {
               SELECT o_orderkey FROM orders
               WHERE ${Determinism.detRandSql("o_orderkey")} < 0.05)
             SELECT o_orderkey,
-                   CAST(row_number() OVER (ORDER BY $h, o_orderkey) AS INT) AS pos
+                   CAST(row_number() OVER (ORDER BY $h, o_orderkey) AS BIGINT) AS pos
             FROM s""",
       "x6_aug_flags" -> {
         val k = "(l_orderkey * 8 + l_linenumber)"

@@ -33,6 +33,9 @@ object Sources {
     * (space-delimited, no header). Used by fixtures and the Sync pipeline.
     */
   def writePairs(pairs: DataFrame, path: String): Unit =
-    pairs.coalesce(1).orderBy(pairs.columns.map(col): _*)
+    // repartition(1) + sortWithinPartitions: one sorted file. (orderBy
+    // after coalesce(1) would re-shuffle and fan back out; coalesce after
+    // orderBy would collapse the sort itself to one task.)
+    pairs.repartition(1).sortWithinPartitions(pairs.columns.map(col): _*)
       .write.mode("overwrite").option("delimiter", " ").csv(path)
 }

@@ -46,10 +46,10 @@ class SamplingSpec extends SparkSpec {
   test("shufflePositionDistributed equals the single-window rank exactly") {
     val input = df.filter(col("k") <= 237).select("k")
     val window = Sampling.shufflePosition(input, col("k"))
-      .as[(Long, Int)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     Seq(1, 3, 8).foreach { p =>
       val dist = Sampling.shufflePositionDistributed(input.repartition(5), col("k"), p)
-        .as[(Long, Int)].collect().toMap
+        .as[(Long, Long)].collect().toMap
       assert(dist === window, s"partitions=$p")
     }
   }
@@ -57,12 +57,12 @@ class SamplingSpec extends SparkSpec {
   test("shufflePosition is a stable 1..n permutation") {
     val sampled = df.filter(col("k") <= 50)
     val pos = Sampling.shufflePosition(sampled, col("k"))
-      .select("pos").as[Int].collect().sorted.toSeq
-    assert(pos === (1 to 50))
+      .select("pos").as[Long].collect().sorted.toSeq
+    assert(pos === (1L to 50L))
     val pos2 = Sampling.shufflePosition(sampled.repartition(5), col("k"))
-      .select(col("k"), col("pos")).as[(Long, Int)].collect().toMap
+      .select(col("k"), col("pos")).as[(Long, Long)].collect().toMap
     val pos1 = Sampling.shufflePosition(sampled, col("k"))
-      .select(col("k"), col("pos")).as[(Long, Int)].collect().toMap
+      .select(col("k"), col("pos")).as[(Long, Long)].collect().toMap
     assert(pos1 === pos2)
   }
 }

@@ -28,8 +28,8 @@ class PipelinesSpec extends SparkSpec {
     assert(feed.filter(col("initial_image").isNull || col("cloth_image").isNull ||
       col("try_on_image").isNull).count() === 0)
     // stable feed order: pos is a permutation and reproducible
-    val pos = feed.select("pos").as[Int].collect().sorted.toSeq
-    assert(pos === (1 to pos.length))
+    val pos = feed.select("pos").as[Long].collect().sorted.toSeq
+    assert(pos === (1L to pos.length))
   }
 
   test("evaluate: scores ⋈ test manifest → model × metric pivot") {
