@@ -22,8 +22,18 @@ object Vectors {
 
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd expression
+    * ([[graft.functions.DotProductExpr]]) — the HOF form
+    * (aggregate∘zip_with) is CodegenFallback and interpreted per element,
+    * which dominates ANN assignment/bucketing at corpus × centroids scale.
+    * Same sequential summation order, so all oracle results are unchanged.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.DotProductExpr(
+      ColumnShim.expression(asDouble(a)),
+      ColumnShim.expression(asDouble(b))))
+  }
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -104,14 +114,19 @@ object Vectors {
       .withColumn("vn", l2norm(col("v")))
     val cents = c.filter(col("vec_id") % step === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cvn"))
+    // max-cosine cell via max_by hash aggregate, NOT a row_number window:
+    // the assignment relation is corpus × centroids rows, and a window
+    // means a full shuffle+sort of all of them, while the aggregate
+    // collapses map-side (partial max per partition). Tie-break
+    // struct(__cc, -cent_id): max cosine, then MIN centroid id — the same
+    // total order as the oracle's ORDER BY cos DESC, cent_id.
     def assign(df: DataFrame, id: String): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("__cc", dot(col("v"), col("cv")) / (col("vn") * col("cvn")))
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(id).orderBy(col("__cc").desc, col("cent_id"))))
-        .filter(col("__rk") === 1)
-        .withColumnRenamed("cent_id", "cell")
-        .drop("cv", "cvn", "__cc", "__rk")
+        .groupBy(col(id))
+        .agg(first(col("v")).as("v"), first(col("vn")).as("vn"),
+          max_by(col("cent_id"),
+            struct(col("__cc"), (-col("cent_id")).as("__tb"))).as("cell"))
     val ca = assign(c, "vec_id")
     val qa = assign(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))

@@ -16,6 +16,10 @@ object GraftSession {
     SparkSession
       .builder()
       .appName(appName)
+      // native graft SQL functions (graft_token_count, ...) available in
+      // every graft session; config-based deployments can equivalently set
+      // spark.sql.extensions=graft.extensions.GraftExtensions
+      .withExtensions(new graft.extensions.GraftExtensions())
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

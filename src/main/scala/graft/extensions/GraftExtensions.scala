@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.TokenCountExpr
+import graft.functions.{DotProductExpr, TokenCountExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,6 +29,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_token_count takes one argument")
         TokenCountExpr(args.head)
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes two arguments")
+        DotProductExpr(args.head, args(1))
       }))
 
   /** Idempotent programmatic registration on a live session. */

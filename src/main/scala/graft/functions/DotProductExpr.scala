@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Tight-loop kernel shared by interpreted eval and generated code
+  * (top-level object ⇒ static forwarder for Janino).
+  */
+object DotKernel {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}
+
+/** Native codegen'd dot product over two `array<double>` columns.
+  *
+  * The HOF form `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is correct but
+  * CodegenFallback: Spark interprets the lambdas per element AND
+  * materializes the zipped intermediate array per row. On ANN workloads
+  * the dot product runs corpus × centroids (IVF assignment) or corpus ×
+  * planes (LSH bucketing) times — a 20k-vector × 400-centroid probe spent
+  * 67s in interpreted lambdas. This expression is one fused loop over the
+  * unsafe array data, no allocation, inside whole-stage codegen.
+  *
+  * Summation order is the same ascending sequential fold as the HOF form
+  * and DuckDB's list_dot_product, so oracle results are bit-identical.
+  * Arrays are expected element-non-null and equal-length (embedding
+  * columns); extra elements on the longer side are ignored.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two array<double> arguments, got $l and $r")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotKernel.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -43,17 +43,14 @@ object ScaleProbe {
         .drop("__copy")
     }
 
+    // Sections isolate their caches (clearCache at each boundary): probe
+    // timings must reflect the operator, not storage-memory pressure from
+    // a previous section's cached relations.
     val docs = time("amplify documents") {
       val d = amplify(spark.read.parquet(s"$sfDir/documents.parquet"),
         "doc_id", 1000000L).cache()
       println(s"[probe] documents rows: ${d.count()}")
       d
-    }
-    val orders = time("amplify orders") {
-      val o = amplify(spark.read.parquet(s"$sfDir/orders.parquet"),
-        "o_orderkey", 100000000L).cache()
-      println(s"[probe] orders rows: ${o.count()}")
-      o
     }
 
     time("d1 exactGroups") {
@@ -77,6 +74,32 @@ object ScaleProbe {
     time("d5 verifyCandidates") {
       Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
         .count()
+    }
+    spark.catalog.clearCache()
+    val emb = time("amplify embeddings") {
+      val e = amplify(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", 1000000L).cache()
+      println(s"[probe] embeddings rows: ${e.count()}")
+      e
+    }
+    time("v2 lshBucketHistogram") {
+      graft.ann.Vectors.lshBucketHistogram(emb, "vec_id", "embedding", 8, 64)
+        .count()
+    }
+    time("v4 lshBucketTopK (8 queries)") {
+      graft.ann.Vectors.lshBucketTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5, 8, 64).count()
+    }
+    time("v5 ivfTopK (8 queries)") {
+      graft.ann.Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5, 50).count()
+    }
+    spark.catalog.clearCache()
+    val orders = time("amplify orders") {
+      val o = amplify(spark.read.parquet(s"$sfDir/orders.parquet"),
+        "o_orderkey", 100000000L).cache()
+      println(s"[probe] orders rows: ${o.count()}")
+      o
     }
     time("x1 stratifiedExact") {
       Sampling.stratifiedExact(orders, col("o_orderpriority"), col("o_orderkey"),

@@ -17,6 +17,19 @@ class VectorsSpec extends SparkSpec {
     got.foreach { case (c, w) => assert(math.abs(c - w) < 1e-12) }
   }
 
+  test("native graft_dot is bit-identical to the HOF fold on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 200).map(i =>
+      (i, Array.fill(17)(rnd.nextGaussian()), Array.fill(17)(rnd.nextGaussian())))
+      .toDF("i", "a", "b")
+    val rows = df.select(
+        Vectors.dot(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, h) => assert(n === h) } // exact, not approximate
+  }
+
   test("hyperplane components are deterministic, dim-indexed, in [-0.5, 0.5)") {
     val h0 = Vectors.hyperplane(0, 16)
     val h1 = Vectors.hyperplane(1, 16)
