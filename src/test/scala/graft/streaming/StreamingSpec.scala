@@ -97,6 +97,45 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (u, e) => assert(math.abs(e - want(u)) < 1e-6, s"user $u") }
   }
 
+  test("dedup stream RESUMES from its checkpoint: restarted run re-emits nothing for known keys") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = Files.createTempDirectory("dedup_src")
+    val ckpt = tmp("ckpt")
+    val outDir = tmp("out")
+    // stage the events file as batch 1
+    val src = new java.io.File(sf0001, "events.parquet").toPath
+    Files.copy(src, srcDir.resolve("batch1.parquet"))
+    def runOnce(): Long = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir.toString).schema)
+        .parquet(srcDir.toString)
+      val normalized =
+        if (spark.read.parquet(srcDir.toString).schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else stream
+      val q = Streaming.dedupStream(normalized, Seq("user_id", "event_type"))
+        .select("user_id", "event_type", "ts")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).count()
+    }
+    val afterFirst = runOnce()
+    assert(afterFirst > 0)
+    // restart: an identical second file is pure duplicates — the resumed
+    // state (from the checkpoint, not memory) must suppress all of it
+    Files.copy(src, srcDir.resolve("batch2.parquet"))
+    val afterSecond = runOnce()
+    assert(afterSecond === afterFirst,
+      s"duplicate batch re-emitted rows: $afterFirst -> $afterSecond")
+  }
+
   test("statefulResume (mapGroupsWithState) matches the aggregate form") {
     val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
       .as[Streaming.Event]
