@@ -61,7 +61,12 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total sums SUCCESSFUL queries only — a failed query's -1 sentinel
+    // must never lower (improve) the headline metric
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (reported -1): ${failed.mkString(", ")}")
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -120,9 +120,14 @@ object Vectors {
     // collapses map-side (partial max per partition). Tie-break
     // struct(__cc, -cent_id): max cosine, then MIN centroid id — the same
     // total order as the oracle's ORDER BY cos DESC, cent_id.
+    // `+ 0.0` normalizes -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0) so the
+    // struct ordering matches the SQL sort the oracle uses, where
+    // -0.0 = 0.0 — max_by's total ordering would otherwise rank
+    // +0.0 > -0.0 and could pick a different centroid on zero-cosine ties.
     def assign(df: DataFrame, id: String): DataFrame =
       df.crossJoin(broadcast(cents))
-        .withColumn("__cc", dot(col("v"), col("cv")) / (col("vn") * col("cvn")))
+        .withColumn("__cc",
+          dot(col("v"), col("cv")) / (col("vn") * col("cvn")) + 0.0)
         .groupBy(col(id))
         .agg(first(col("v")).as("v"), first(col("vn")).as("vn"),
           max_by(col("cent_id"),

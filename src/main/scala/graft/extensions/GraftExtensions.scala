@@ -34,7 +34,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot takes two arguments")
-        DotProductExpr(args.head, args(1))
+        // cast float (or other numeric-element) arrays up front so
+        // graft_dot(embedding, embedding) works directly on the stored
+        // array<float> columns
+        def toDoubleArray(e: Expression): Expression =
+          org.apache.spark.sql.catalyst.expressions.Cast(e,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))
+        DotProductExpr(toDoubleArray(args.head), toDoubleArray(args(1)))
       }))
 
   /** Idempotent programmatic registration on a live session. */

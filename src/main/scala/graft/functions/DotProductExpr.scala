@@ -10,12 +10,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (top-level object ⇒ static forwarder for Janino).
   */
 object DotKernel {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Null result ⇔ the HOF form `aggregate(zip_with(a,b,_*_), 0.0, _+_)`
+    * would be null: unequal lengths (zip_with pads with null) or any null
+    * element (null propagates through * and +).
+    */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 }
 
@@ -30,9 +39,9 @@ object DotKernel {
   * unsafe array data, no allocation, inside whole-stage codegen.
   *
   * Summation order is the same ascending sequential fold as the HOF form
-  * and DuckDB's list_dot_product, so oracle results are bit-identical.
-  * Arrays are expected element-non-null and equal-length (embedding
-  * columns); extra elements on the longer side are ignored.
+  * and DuckDB's list_dot_product, so oracle results are bit-identical —
+  * including the null cases: unequal lengths or a null element yield NULL,
+  * exactly like the HOF fold it replaces.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,13 +54,24 @@ case class DotProductExpr(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotKernel.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotKernel.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotR")
+      s"""
+         |java.lang.Double $r = graft.functions.DotKernel.dotOrNull($a, $b);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProductExpr =

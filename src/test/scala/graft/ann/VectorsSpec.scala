@@ -30,6 +30,32 @@ class VectorsSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n === h) } // exact, not approximate
   }
 
+  test("native dot propagates NULL exactly like the HOF form") {
+    val df = Seq(
+      (1, Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (2, Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (3, Seq[Option[Double]](Some(1.0)), Seq[Option[Double]](Some(3.0), Some(4.0))))
+      .toDF("i", "a", "b")
+    val got = df.select(col("i"),
+        Vectors.dot(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .as[(Int, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1) === ((Some(11.0), Some(11.0))))
+    assert(got(2) === ((None, None)))  // null element → null, both forms
+    assert(got(3) === ((None, None)))  // length mismatch → null, both forms
+  }
+
+  test("graft_dot SQL function accepts the stored array<float> embeddings directly") {
+    graft.extensions.GraftExtensions.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("float_vecs")
+    val got = spark.sql("SELECT graft_dot(a, b) FROM float_vecs")
+      .as[Double].collect().head
+    assert(got === 11.0)
+  }
+
   test("hyperplane components are deterministic, dim-indexed, in [-0.5, 0.5)") {
     val h0 = Vectors.hyperplane(0, 16)
     val h1 = Vectors.hyperplane(1, 16)
