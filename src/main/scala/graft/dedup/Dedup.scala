@@ -77,14 +77,19 @@ object Dedup {
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
         x => x.getField("minhash")), "|")).as("band_sig"))
-    // cache: `small` feeds BOTH sides of the self-join — uncached, the
-    // entire upstream MinHash chain (explode × seeds × md5) is recomputed
-    // per branch (observed 3× cost at a 500k-doc probe)
+    // `small` feeds BOTH sides of the self-join — unshared, the entire
+    // upstream MinHash chain (explode × seeds × md5) is recomputed per
+    // branch (observed 3× cost at a 500k-doc probe). localCheckpoint, not
+    // cache(): it materializes eagerly for the same sharing win, but the
+    // blocks are RDD-level persists that the ContextCleaner releases when
+    // the result goes out of scope — cache() pins the relation in the
+    // CacheManager for the session lifetime with no handle for library
+    // callers to unpersist (round-2 ADVICE).
     val small = banded
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
       .filter(col("bn") <= maxBucket)
-      .cache()
+      .localCheckpoint()
     small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -137,15 +142,20 @@ object Dedup {
                        text: Column, n: Int, minJaccard: Double,
                        roundTo: Int = 6): DataFrame = {
     // Both intermediates feed multiple plan branches (candidates: doc set
-    // + pair join; grams: sizes + two join sides) — cache them or the
-    // LSH chain / gram explode is recomputed per branch.
-    val cands = candidates.cache()
+    // + pair join; grams: sizes + two join sides) — share them or the
+    // LSH chain / gram explode is recomputed per branch. localCheckpoint
+    // instead of cache(): eager one-time materialization whose blocks the
+    // ContextCleaner releases on GC, instead of a CacheManager pin that
+    // outlives the call (round-2 ADVICE). dropDuplicates first: Jaccard is
+    // computed per (doc_a, doc_b), so a caller-supplied duplicate pair
+    // would double-count every shared gram and inflate the intersection.
+    val cands = candidates.dropDuplicates("doc_a", "doc_b").localCheckpoint()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val grams = docs.select(id.as("doc_id"),
         explode(array_distinct(charNgrams(text, n))).as("g"))
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .cache()
+      .localCheckpoint()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = broadcast(cands)
       .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")

@@ -84,7 +84,11 @@ object Ema {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(group).orderBy(step)
-    df.withColumn("__rn", row_number().over(w))
+    // Project down to the three input columns first: the working names
+    // __rn/__n must not collide with caller columns, and the output is
+    // (group, ema) anyway so nothing else is needed.
+    df.select(col(group), col(step), col(value))
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(group)))
       .groupBy(group)
       .agg(sum(

@@ -95,13 +95,20 @@ object Sampling {
                                  partitions: Int = 0): DataFrame = {
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // No cache: caching the ENTIRE ranged input inside the 100-TB path
+    // would pin the full dataset in storage memory (round-2 ADVICE). Both
+    // consumers (the offsets aggregate and the final join) sit in ONE
+    // query plan over the identical range-exchange subtree, so Spark's
+    // ReuseExchange reads the shuffle files once; everything above the
+    // exchange (in-partition sort, monotonic id) is deterministic given
+    // those shuffle outputs — (__h, key) is a total order — so a
+    // recomputed branch assigns identical positions.
     val ranged = df.withColumn("__h", Determinism.detHash(key))
       .repartitionByRange(p, col("__h"), key)
       .sortWithinPartitions(col("__h"), key)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
       .withColumn("__li", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-      .cache()
     val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum("__cnt").over(
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),

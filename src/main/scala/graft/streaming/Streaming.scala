@@ -128,18 +128,34 @@ object Streaming {
       }
   }
 
-  /** Streaming exact dedup: watermarked `dropDuplicates` — the incremental
-    * form of the batch fingerprint dedup (first-seen wins per key; state
-    * for keys older than the watermark is evicted, bounding state size on
-    * an unbounded stream). Batch twin: `dropDuplicates(keys)` (where any
-    * representative is acceptable — set-equality asserted in
-    * StreamingSpec).
+  /** Streaming exact dedup per (key, event-time): watermarked
+    * `dropDuplicates(keys :+ eventTimeCol)` — duplicate keys at DIFFERENT
+    * timestamps all survive; only true replays (same key, same event time,
+    * e.g. a re-delivered file) are suppressed. State for event times older
+    * than the watermark is evicted, bounding state on an unbounded stream.
+    * Batch twin: `dropDuplicates(keys :+ eventTimeCol)` (asserted in
+    * StreamingSpec). For per-KEY dedup regardless of timestamp, use
+    * [[dedupStreamPerKey]].
     */
   def dedupStream(events: DataFrame, keys: Seq[String],
                   eventTimeCol: String = "ts",
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark(eventTimeCol, watermark)
       .dropDuplicates(keys :+ eventTimeCol)
+
+  /** Streaming per-KEY dedup, first-seen wins: `dropDuplicatesWithinWatermark`
+    * keeps one row per key among all arrivals whose event times fall within
+    * the watermark horizon of the first occurrence — the streaming analog of
+    * batch `dropDuplicates(keys)` with state still bounded by the watermark
+    * (a plain streaming `dropDuplicates(keys)` would keep every key forever).
+    * A key recurring later than the watermark horizon re-emits — the
+    * documented trade for bounded state on an unbounded stream.
+    */
+  def dedupStreamPerKey(events: DataFrame, keys: Seq[String],
+                        eventTimeCol: String = "ts",
+                        watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** T4: async checkpoint sink — each micro-batch is written to
     * `<outDir>/batch=<id>` by foreachBatch, with exactly-once bookkeeping in

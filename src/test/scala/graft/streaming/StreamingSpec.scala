@@ -72,6 +72,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("dedupStreamPerKey: one survivor per key, key set == batch dropDuplicates(keys)") {
+    val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
+    val outDir = tmp("out")
+    val q = Streaming.dedupStreamPerKey(stream, Seq("user_id", "event_type"),
+        watermark = "365 days") // horizon spans the whole fixture: true per-key dedup
+      .select("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+      .as[(Long, String)].collect()
+    val want = batchEvents.dropDuplicates(Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .as[(Long, String)].collect().toSet
+    assert(got.length === got.toSet.size, "emitted a duplicate key")
+    assert(got.toSet === want)
+  }
+
   test("streaming EMA (mapGroupsWithState) matches the closed-form batch EMA") {
     val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
       .as[Streaming.Event]
