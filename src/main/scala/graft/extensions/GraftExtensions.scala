@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.{DotProductExpr, TokenCountExpr}
+import graft.functions.{DotProductExpr, NgramSignatureExpr, TokenCountExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,6 +42,17 @@ object GraftExtensions {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType))
         DotProductExpr(toDoubleArray(args.head), toDoubleArray(args(1)))
+      }),
+    (FunctionIdentifier("graft_ngram_sig"),
+      new ExpressionInfo(classOf[NgramSignatureExpr].getName, "graft_ngram_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_ngram_sig takes (text, n, k)")
+        def litInt(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ngram_sig $what must be an integer literal, got $other")
+        }
+        NgramSignatureExpr(args.head, litInt(args(1), "n"), litInt(args(2), "k"))
       }))
 
   /** Idempotent programmatic registration on a live session. */

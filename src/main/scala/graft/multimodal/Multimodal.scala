@@ -75,6 +75,57 @@ object Multimodal {
       unhex(lpad(hex(width.cast("long")), 8, "0")),
       unhex(lpad(hex(height.cast("long")), 8, "0")))
 
+  /** Little-endian integer serialized to `nBytes` bytes — pure expression
+    * (byte i of the value, hex-dumped, concatenated low-byte-first).
+    */
+  private def le(c: Column, nBytes: Int): Column =
+    unhex(concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(c.cast("long"), 8 * i) % 256), 2, "0")): _*))
+
+  /** Little-endian unsigned integer parsed from `nBytes` bytes at 1-based
+    * offset `off` — the inverse of [[le]], still pure substring/conv
+    * arithmetic (no decode, codegen'd).
+    */
+  private def leInt(c: Column, off: Int, nBytes: Int): Column =
+    conv(concat(((nBytes - 1) to 0 by -1).map(i =>
+      hex(substring(c, off + i, 1))): _*), 16, 10).cast("long")
+
+  /** U1 (audio): serialize a canonical 44-byte RIFF/WAVE header — the
+    * inverse of the `wav*` parsers, used by fixtures and round-trips.
+    */
+  def wavHeader(sampleRate: Column, channels: Column, bitsPerSample: Column,
+                dataBytes: Column): Column = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val blockAlign = channels * bitsPerSample / 8
+    concat(
+      unhex(lit("52494646")),            // "RIFF"
+      le(dataBytes + 36, 4),             // riff chunk size
+      unhex(lit("57415645666D7420")),    // "WAVE" + "fmt "
+      le(lit(16), 4),                    // fmt subchunk size
+      le(lit(1), 2),                     // PCM
+      le(channels, 2),
+      le(sampleRate, 4),
+      le(byteRate, 4),
+      le(blockAlign, 2),
+      le(bitsPerSample, 2),
+      unhex(lit("64617461")),            // "data"
+      le(dataBytes, 4))
+  }
+
+  /** WAV header fields — header-only metadata, no decode (the audio analog
+    * of [[pngWidth]]; sample payload decode would sit at the
+    * [[decodeImages]]-style mapPartitions edge).
+    */
+  def wavChannels(c: Column): Column = leInt(c, 23, 2).cast("int")
+  def wavSampleRate(c: Column): Column = leInt(c, 25, 4).cast("int")
+  def wavBitsPerSample(c: Column): Column = leInt(c, 35, 2).cast("int")
+  def wavDataBytes(c: Column): Column = leInt(c, 41, 4)
+
+  /** Clip duration in milliseconds derived from header fields alone. */
+  def wavDurationMs(c: Column): Column =
+    round(wavDataBytes(c) * lit(8000.0) /
+      (wavSampleRate(c) * wavChannels(c) * wavBitsPerSample(c)), 3)
+
   /** Decoded-image record produced at the mapPartitions edge. */
   case class DecodedImage(path: String, width: Int, height: Int,
                           format: String, meanLuma: Double)

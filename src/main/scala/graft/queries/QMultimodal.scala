@@ -63,6 +63,44 @@ object QMultimodal {
           contentMd5(col("content")).as("content_md5"))
     }),
 
+    // U1c (audio): WAV/RIFF header round-trip — serialize per-doc audio
+    // parameters into a real 44-byte canonical WAVE header, then parse
+    // sample rate / channels / bits / duration back with the header-only
+    // expressions (no decode — the audio analog of u1_png_dims).
+    "u2_wav_meta" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("content", wavHeader(
+          element_at(array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+            (col("doc_id") % 5 + 1).cast("int")),
+          (col("doc_id") % 2 + 1).cast("int"),
+          lit(16),
+          col("n_chars").cast("long") * 2))
+        .select(col("doc_id"),
+          magicFormat(col("content")).as("fmt"),
+          wavSampleRate(col("content")).as("sample_rate"),
+          wavChannels(col("content")).as("channels"),
+          wavBitsPerSample(col("content")).as("bits"),
+          wavDataBytes(col("content")).as("data_bytes"),
+          wavDurationMs(col("content")).as("duration_ms"))),
+
+    // U1d (video): relational twin of the frame-sampling plan — per clip,
+    // how many fixed-size pseudo-frames exist and which indices a
+    // stride-4 sampler takes (same arithmetic as Multimodal.sampleFrames;
+    // the byte-slicing mapPartitions edge is covered in MultimodalSpec).
+    // The plan stays metadata-sized: no frame bytes in the output.
+    "u3_frame_plan" -> ((s, d) => {
+      val frameBytes = 64
+      val stride = 4
+      val maxFrames = 8
+      val nBytes = length(col("text").cast("binary"))
+      val nFrames = least(greatest(floor(nBytes / frameBytes), lit(1)),
+        lit(maxFrames * stride)).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"), nFrames.as("n_frames"),
+          size(sequence(lit(0L), nFrames - 1, lit(stride.toLong))).as("n_sampled"),
+          (floor((nFrames - 1) / stride) * stride).cast("long").as("last_frame_idx"))
+    }),
+
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
     // npy / opaque bytes) synthesized per-language. The fallthrough branch
     // is NUL-prefixed so natural text starting with an ASCII magic ("BM",
@@ -94,6 +132,26 @@ object QMultimodal {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_md5
          FROM documents WHERE doc_id < 200""",
+    "u2_wav_meta" ->
+      """WITH p AS (SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                     WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+                CAST(doc_id % 2 + 1 AS INT) AS channels,
+                CAST(16 AS INT) AS bits,
+                CAST(n_chars * 2 AS BIGINT) AS data_bytes
+              FROM documents)
+         SELECT doc_id, 'riff' AS fmt, sample_rate, channels, bits, data_bytes,
+                round(data_bytes * 8000.0 / (sample_rate * channels * bits), 3) AS duration_ms
+         FROM p""",
+    "u3_frame_plan" ->
+      """WITH p AS (SELECT doc_id,
+                CAST(least(greatest(floor(octet_length(encode(text)) / 64), 1), 32) AS BIGINT) AS n_frames
+              FROM documents)
+         SELECT doc_id, n_frames,
+                CAST((n_frames - 1) // 4 + 1 AS INT) AS n_sampled,
+                CAST(((n_frames - 1) // 4) * 4 AS BIGINT) AS last_frame_idx
+         FROM p""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'

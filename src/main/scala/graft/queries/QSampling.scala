@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.{Determinism, Sampling}
+import graft.ops.{Determinism, Sampling, Skew}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,33 @@ object QSampling {
           .select(col("o_orderkey")),
         col("o_orderkey"))),
 
+    // X7 (skew): two-phase salted aggregation over a 3-value group key —
+    // the degenerate-key shape where one reducer would otherwise absorb
+    // a third of 100 TB. Salting spreads each key over 16 buckets, the
+    // second (tiny) shuffle merges partials; results are EXACTLY the
+    // plain groupBy (l_quantity is integer-valued, so re-association is
+    // exact), which is what the oracle checks.
+    "x7_salted_agg" -> ((s, d) =>
+      Skew.saltedSum(t(s, d, "lineitem"), col("l_returnflag"),
+          col("l_orderkey") * 8 + col("l_linenumber"), col("l_quantity"), 16)
+        .select(col("key"), round(col("sum"), 2).as("sum_qty"), col("cnt"))),
+
+    // X8 (skew): salted fact⋈dim join — the fact side is salted with a
+    // deterministic hash, the small dimension replicated per salt, so a
+    // hot supplier key spreads over 16 tasks while producing exactly the
+    // unsalted join's rows (verified by aggregating them per supplier).
+    "x8_salted_join" -> ((s, d) => {
+      val fact = t(s, d, "lineitem").select(
+        col("l_suppkey").as("suppkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      val dim = t(s, d, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_name"))
+      Skew.saltedJoin(fact, dim, "suppkey",
+          col("l_orderkey") * 8 + col("l_linenumber"), 16)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // X6: seeded per-row augmentation flags — the deterministic form of
     // RandomHorizontalFlip / RandomCrop (reference
     // train/train_stage_1/dataloader.py:46, train_DIT/dataloader.py:52-58):
@@ -116,6 +143,15 @@ object QSampling {
             SELECT o_orderkey,
                    CAST(row_number() OVER (ORDER BY $h, o_orderkey) AS BIGINT) AS pos
             FROM s""",
+      "x7_salted_agg" ->
+        """SELECT l_returnflag AS key, round(sum(l_quantity), 2) AS sum_qty,
+                  count(*) AS cnt
+           FROM lineitem GROUP BY 1""",
+      "x8_salted_join" ->
+        """SELECT s_name, count(*) AS n_items,
+                  round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1""",
       "x6_aug_flags" -> {
         val k = "(l_orderkey * 8 + l_linenumber)"
         s"""SELECT l_orderkey, l_linenumber,

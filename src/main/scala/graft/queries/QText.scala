@@ -19,6 +19,23 @@ object QText {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
   private val dtoksSql = s"list_distinct($toksSql)"
 
+  // DuckDB fragments mirroring TextFunctions punctRatio / stopwordRatio /
+  // qualityScore (zero-token and empty-text guards match the Spark
+  // otherwise(0.0) branches so the oracle never divides by zero).
+  private val punctSql =
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+      "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)" +
+      " / length(text) END"
+  private val stopSql =
+    s"CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE " +
+      s"CAST(len(list_filter($toksSql, " +
+      "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for'], t))) AS DOUBLE)" +
+      s" / len($toksSql) END"
+  private val qualitySql =
+    s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        + (1.0 - least(($punctSql) * 5.0, 1.0)) * 0.3
+        + least(($stopSql) * 4.0, 1.0) * 0.3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token statistics: count, distinct, type-token ratio.
     "tx_tokens" -> ((s, d) =>
@@ -69,10 +86,15 @@ object QText {
 
     // Winnowing-style rolling-hash signature: 4 smallest hashes over
     // distinct 5-grams — stable under small edits, joinable for near-dup
-    // candidate generation.
-    "tx_ngram_sig" -> ((s, d) =>
+    // candidate generation. Uses the native single-pass kernel
+    // (graft_ngram_sig); the HOF form (TextFunctions.ngramSignature) is
+    // bit-identical but materializes 5 interpreted arrays per row
+    // (TextFunctionsSpec asserts parity).
+    "tx_ngram_sig" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
       t(s, d, "documents").select(col("doc_id"),
-        ngramSignature(col("text"), 5, 4).as("sig"))),
+        call_function("graft_ngram_sig", col("text"), lit(5), lit(4)).as("sig"))
+    }),
 
     // D1: exact duplicate groups.
     "d1_exact_groups" -> ((s, d) =>
@@ -99,6 +121,17 @@ object QText {
       val cands = Dedup.lshCandidatePairs(
         Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
       Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+    }),
+
+    // D6: the composed corpus-cleaning pipeline — quality gate first
+    // (cheap per-row score drops low-quality docs BEFORE any dedup
+    // shuffle: at 100 TB the filter runs map-side against the scan and
+    // shrinks everything downstream), then exact-dedup groups over the
+    // survivors. One scan, one shuffle.
+    "d6_clean_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(round(qualityScore(col("text")), 6) >= 0.5)
+      Dedup.exactGroups(docs, col("doc_id"), col("text"))
     }),
 
     // Repetition quality signals (gopher-style): top-token dominance and
@@ -130,19 +163,7 @@ object QText {
                  CAST(len($dtoksSql) AS INT) AS n_distinct,
                  round(CAST(len($dtoksSql) AS DOUBLE) / len($toksSql), 6) AS ttr
           FROM documents""",
-    "tx_quality" -> {
-      // Zero-token / empty-text guards mirror the Spark otherwise(0.0)
-      // branches (TextFunctions punctRatio/stopwordRatio/avgTokenLen) so
-      // the oracle never divides by zero where Spark yields 0.0.
-      val punctSql =
-        "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
-          "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)" +
-          " / length(text) END"
-      val stopSql =
-        s"CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE " +
-          s"CAST(len(list_filter($toksSql, " +
-          "t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for'], t))) AS DOUBLE)" +
-          s" / len($toksSql) END"
+    "tx_quality" ->
       s"""SELECT doc_id,
                  CAST(len($toksSql) AS INT) AS n_tokens,
                  round(CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE
@@ -150,11 +171,8 @@ object QText {
                        / len($toksSql) END, 4) AS avg_tok_len,
                  round($punctSql, 6) AS punct_ratio,
                  round($stopSql, 6) AS stop_ratio,
-                 round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-                       + (1.0 - least(($punctSql) * 5.0, 1.0)) * 0.3
-                       + least(($stopSql) * 4.0, 1.0) * 0.3, 6) AS quality
-          FROM documents"""
-    },
+                 round($qualitySql, 6) AS quality
+          FROM documents""",
     "tx_langid" -> {
       val markers = Map(
         "de" -> "['der','die','und','das','nicht']",
@@ -264,6 +282,12 @@ object QText {
           FROM iv JOIN sz sa ON sa.doc_id = doc_a
           JOIN sz sb ON sb.doc_id = doc_b
           WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3""",
+    "d6_clean_pipeline" ->
+      s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                 min(doc_id) AS canonical_id, count(*) AS n_docs
+          FROM documents
+          WHERE round($qualitySql, 6) >= 0.5
+          GROUP BY 1""",
     "tx_repetition" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
                c AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2)

@@ -45,6 +45,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(3) !== fps(0))
   }
 
+  test("native graft_ngram_sig is bit-identical to the HOF ngramSignature (ScalaCheck)") {
+    graft.extensions.GraftExtensions.register(spark)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(Gen.listOfN(10,
+          Gen.oneOf(Gen.asciiPrintableStr, Gen.alphaNumStr,
+            Gen.listOfN(6, Gen.oneOf("日本語", "é", "ü", "ab", " ")).map(_.mkString)))) { ss =>
+        val rows = (ss :+ "" :+ "ab" :+ "aaaaaaaa").toDF("t").select(
+            TextFunctions.ngramSignature(col("t"), 5, 4).as("hof"),
+            call_function("graft_ngram_sig", col("t"), lit(5), lit(4)).as("native"))
+          .as[(String, String)].collect()
+        rows.forall { case (h, n) => h == n }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("ngramSignature is stable under a small edit's unrelated region") {
     // signature = 4 smallest gram hashes; appending text can only change
     // the signature if a new gram hashes below the current top-4
