@@ -14,6 +14,10 @@ run / fork := true
 // The bench/verify drivers parse the LAST stdout line as the result JSON;
 // sbt's "[success] Total time: ..." epilogue otherwise lands after it.
 Global / showSuccess := false
+// Let the forked run inherit stdout directly instead of echoing through
+// sbt's logger, which prefixes every line with "[info] " and breaks
+// last-line JSON parsing of the bench result.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,16 +41,25 @@ object Dedup {
 
   /** Long-format MinHash signatures: (id, seed, minhash) for seeds 0..k-1
     * over distinct word shingles.
+    *
+    * Scale shape (same trick as [[simhashBits]]): rows stay at
+    * (doc, shingle) granularity — all k per-seed minima are k `min`
+    * aggregate columns of ONE hash aggregate (map-side partial combine
+    * collapses each doc's shingles before the shuffle), then a `stack(k)`
+    * unpivot restores the long format. The k seeded md5s must be computed
+    * either way; what this avoids is replicating every shingle row k×
+    * through a generator and probing the aggregate hash table k× per
+    * shingle (the shape of the previous crossJoin-with-seeds form).
     */
-  def minhashSignatures(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
+    val unpivot = (0 until k).map(i => s"${i}L, m$i").mkString(", ")
     docs.select(id.as("doc_id"), explode(distinctTokens(text)).as("shingle"))
-      .crossJoin(spark_seeds(docs, k))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))))
-        .as("minhash"))
-
-  private def spark_seeds(docs: DataFrame, k: Int): DataFrame =
-    docs.sparkSession.range(0, k).toDF("seed")
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), expr(s"stack($k, $unpivot) AS (seed, minhash)"))
+  }
 
   /** LSH buckets: band the signature (bandSize seeds per band), hash each
     * band, and report multi-document buckets — the candidate groups.

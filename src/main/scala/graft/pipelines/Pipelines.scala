@@ -72,6 +72,21 @@ object Pipelines {
       : Seq[(String, DataFrame)] =
     stages.map { case (name, profile) => name -> trainingFeed(manifest, profile) }
 
+  /** Feed sink: write the shuffled training feed as `shards` parquet
+    * shards that preserve the global feed order — shard i holds a
+    * contiguous `posCol` range (range repartition) and is internally
+    * sorted, so a dataloader reading shards in file order replays the
+    * exact permutation with no global sort at read time. At 100 TB this
+    * is the only viable layout: one writer task per shard, no
+    * single-task order stage, and consumers can start on shard 0 while
+    * later shards are still being written.
+    */
+  def shardedFeedSink(feed: DataFrame, outDir: String, shards: Int,
+                      posCol: String = "pos"): Unit =
+    feed.repartitionByRange(shards, col(posCol))
+      .sortWithinPartitions(posCol)
+      .write.mode("overwrite").parquet(outDir)
+
   /** §3.3 Sync: manifest diff → parallel transfer. Returns the pending
     * manifest (remote minus local, by key) and, when `execute` is set,
     * copies each pending file `srcDir/key` → `dstDir/key` from the

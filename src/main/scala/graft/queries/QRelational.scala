@@ -231,6 +231,16 @@ object QRelational {
         .rollup(col("n_name"), col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // A10b: full cube — all four grouping sets of the summary matrix
+    // (model×benchmark grid with both margins, evaluate_all_models.py
+    // shape) in one pass.
+    "a10b_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // A12: pivoted wide table (evaluate_all_models.py:106-116).
     "a12_pivot" -> ((s, d) =>
       Stats.pivotCount(
@@ -412,6 +422,11 @@ object QRelational {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP (n_name, o_orderstatus)""",
+    "a10b_cube" ->
+      """SELECT n_name, o_orderstatus, count(*) AS cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE (n_name, o_orderstatus)""",
     "a12_pivot" ->
       """SELECT n_name,
                 count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",

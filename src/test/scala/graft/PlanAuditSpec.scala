@@ -59,10 +59,11 @@ class PlanAuditSpec extends SparkSpec {
     //  - j8_cross: the cross-join operator itself
     //  - v1/v3: brute-force ANN baselines (broadcast NL against a bounded
     //    query/id set is the point)
-    //  - d2_*/d5: the 8-row seed fan-out is a broadcast NL join
     //  - v5: centroid assignment cross-joins the tiny centroid set
+    // (d2_*/d5 used to fan out 8 seeds via a broadcast NL join; the
+    // k-column aggregate form has no product at all.)
     val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
-      "d2_minhash", "d2_lsh_buckets", "d5_lsh_verify", "v5_ivf_topk")
+      "v5_ivf_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||

@@ -78,6 +78,29 @@ class PipelinesSpec extends SparkSpec {
     assert(hardCounts.getOrElse("hard", 0L) === 5L) // floor(10 * 0.5)
   }
 
+  test("shardedFeedSink: shards hold contiguous sorted pos ranges replaying the global order") {
+    val out = Files.createTempDirectory("feed").toString + "/shards"
+    val feed = (1L to 1000L).map(i => (i, s"item$i")).toDF("pos", "payload")
+      .orderBy(rand(7)) // scrambled input: the sink must restore order
+    Pipelines.shardedFeedSink(feed, out, shards = 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length === 4)
+    // per-file ranges are sorted, contiguous, and non-overlapping in file
+    // name order — reading shards sequentially replays pos 1..1000
+    val perFile = files.map(f =>
+      spark.read.parquet(f.getPath).select("pos").as[Long].collect().toSeq)
+    perFile.foreach(p => assert(p === p.sorted))
+    val all = perFile.flatten.toSeq
+    assert(all.sorted === (1L to 1000L))
+    val ranges = perFile.map(p => (p.min, p.max)).toSeq
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping shard ranges: $ranges")
+      case _ =>
+    }
+  }
+
   test("pairs CSV round-trip (S5 source)") {
     val dir = Files.createTempDirectory("pairs").toString + "/pairs_csv"
     val pairs = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("person_id", "garment_id")
