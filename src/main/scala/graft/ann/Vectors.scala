@@ -124,18 +124,25 @@ object Vectors {
     // struct ordering matches the SQL sort the oracle uses, where
     // -0.0 = 0.0 — max_by's total ordering would otherwise rank
     // +0.0 > -0.0 and could pick a different centroid on zero-cosine ties.
-    def assign(df: DataFrame, id: String): DataFrame =
+    //
+    // The aggregate carries ONLY (id, cell): at corpus × centroids rows,
+    // dragging the embedding array through the agg buffers (the old
+    // `first(v)` form) multiplies shuffle/buffer traffic by the vector
+    // width — the 10× scale probe showed 65 s for what is sub-second of
+    // dot-product compute. Vectors are re-attached afterwards by an
+    // equi-join on the id, which shuffles the corpus once at its natural
+    // (id, vector) width.
+    def assignCells(df: DataFrame, id: String): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("__cc",
           dot(col("v"), col("cv")) / (col("vn") * col("cvn")) + 0.0)
         .groupBy(col(id))
-        .agg(first(col("v")).as("v"), first(col("vn")).as("vn"),
-          max_by(col("cent_id"),
-            struct(col("__cc"), (-col("cent_id")).as("__tb"))).as("cell"))
-    val ca = assign(c, "vec_id")
-    val qa = assign(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
-        .withColumn("vn", l2norm(col("v"))), "query_id")
+        .agg(max_by(col("cent_id"),
+          struct(col("__cc"), (-col("cent_id")).as("__tb"))).as("cell"))
+    val ca = c.join(assignCells(c, "vec_id"), "vec_id")
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val qa = q0.join(assignCells(q0, "query_id"), "query_id")
       .withColumnRenamed("v", "q").withColumnRenamed("vn", "qn")
     ca.join(broadcast(qa), "cell")
       .filter(col("vec_id") =!= col("query_id"))

@@ -40,6 +40,55 @@ object Sampling {
       .drop("__h", "__rn", "__stratum", "__n", "__frac")
   }
 
+  /** X1 scale path: the same exact-count stratified sample with NO
+    * per-stratum serialization. [[stratifiedExact]]'s single window
+    * partitioned by the stratum caps parallelism at the number of strata —
+    * 3-5 tasks sorting the entire dataset at 100 TB. Here the global
+    * per-stratum rank is assembled from fully-parallel pieces:
+    *
+    *  1. range-repartition on (hash, key): a total order ACROSS partitions,
+    *     so within any stratum, partition i's rows all rank before
+    *     partition i+1's;
+    *  2. local rank within (stratum, partition) — a window whose partition
+    *     count is strata × partitions, full parallelism;
+    *  3. rank offset per (stratum, partition) = cumulative counts over
+    *     earlier partitions — a strata × partitions row relation, broadcast;
+    *  4. global stratum rank = offset + local rank; filter against
+    *     floor(stratum_count * fraction) exactly as the window form.
+    *
+    * Selects the IDENTICAL rows to [[stratifiedExact]] (same (hash, key)
+    * total order per stratum — equivalence asserted in SamplingSpec).
+    * The ranged relation feeds three consumers (ranks, offsets, totals);
+    * localCheckpoint shares the one materialization and the
+    * ContextCleaner releases it when the result is dropped.
+    */
+  def stratifiedExactDistributed(df: DataFrame, stratum: Column, key: Column,
+                                 fractions: Map[String, Double],
+                                 partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val fracMap = typedLit(fractions)
+    val ranged = df.withColumn("__s", stratum)
+      .withColumn("__h", Determinism.detHash(key))
+      .repartitionByRange(p, col("__h"), key)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("__s").agg(count(lit(1)).as("__n"))
+    val offsets = ranged.groupBy("__s", "__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(
+        Window.partitionBy("__s").orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__s", "__pid", "__off")
+    ranged
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__s"), col("__pid")).orderBy(col("__h"), key)))
+      .join(broadcast(offsets), Seq("__s", "__pid"))
+      .join(broadcast(totals), Seq("__s"))
+      .withColumn("__frac", coalesce(element_at(fracMap, col("__s")), lit(0.0)))
+      .filter(col("__off") + col("__lrn") <= floor(col("__n") * col("__frac")))
+      .drop("__s", "__h", "__pid", "__lrn", "__off", "__n", "__frac")
+  }
+
   /** Shuffle-free Bernoulli sample at `fraction`, deterministic in the key. */
   def bernoulli(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(Determinism.detRand(key) < fraction)
@@ -95,20 +144,21 @@ object Sampling {
                                  partitions: Int = 0): DataFrame = {
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // No cache: caching the ENTIRE ranged input inside the 100-TB path
-    // would pin the full dataset in storage memory (round-2 ADVICE). Both
-    // consumers (the offsets aggregate and the final join) sit in ONE
-    // query plan over the identical range-exchange subtree, so Spark's
-    // ReuseExchange reads the shuffle files once; everything above the
-    // exchange (in-partition sort, monotonic id) is deterministic given
-    // those shuffle outputs — (__h, key) is a total order — so a
-    // recomputed branch assigns identical positions.
+    // Both consumers (the offsets aggregate and the final join) need the
+    // ranged+sorted relation. ReuseExchange does NOT unify the two range
+    // exchanges (verified on the physical plan: rangepartitioning samples
+    // its bounds per instance, so the branches never canonicalize equal),
+    // so share it via localCheckpoint: materialized once, eagerly; blocks
+    // are RDD-level persists the ContextCleaner releases when the result
+    // goes out of scope — not a CacheManager pin (round-2 ADVICE). The
+    // positions are deterministic regardless: (__h, key) is a total order.
     val ranged = df.withColumn("__h", Determinism.detHash(key))
       .repartitionByRange(p, col("__h"), key)
       .sortWithinPartitions(col("__h"), key)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
       .withColumn("__li", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint()
     val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum("__cnt").over(
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),

@@ -31,9 +31,11 @@ object QSampling {
     }.mkString(" ") + " ELSE 0.0 END"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // X1: exact-count stratified sample, deterministic-hash order.
+    // X1: exact-count stratified sample, deterministic-hash order — the
+    // distributed-rank form (parallelism independent of the stratum
+    // count; x2 exercises the single-window form, same oracle shape).
     "x1_stratified_exact" -> ((s, d) =>
-      Sampling.stratifiedExact(t(s, d, "orders"), col("o_orderpriority"),
+      Sampling.stratifiedExactDistributed(t(s, d, "orders"), col("o_orderpriority"),
         col("o_orderkey"), priorityFractions)
         .select(col("o_orderkey"), col("o_orderpriority"))),
 

@@ -43,6 +43,18 @@ class SamplingSpec extends SparkSpec {
     assert(got.getOrElse("hard", 0L) === 0L)
   }
 
+  test("stratifiedExactDistributed selects the identical rows to the window form") {
+    val fr = Map("easy" -> 0.37, "medium" -> 0.74, "hard" -> 0.11)
+    val window = Sampling.stratifiedExact(df, col("stratum"), col("k"), fr)
+      .select("k").as[Long].collect().toSet
+    Seq(1, 3, 8).foreach { p =>
+      val dist = Sampling.stratifiedExactDistributed(
+          df.repartition(5), col("stratum"), col("k"), fr, p)
+        .select("k").as[Long].collect().toSet
+      assert(dist === window, s"partitions=$p")
+    }
+  }
+
   test("shufflePositionDistributed equals the single-window rank exactly") {
     val input = df.filter(col("k") <= 237).select("k")
     val window = Sampling.shufflePosition(input, col("k"))
