@@ -101,10 +101,15 @@ object ScaleProbe {
       println(s"[probe] orders rows: ${o.count()}")
       o
     }
-    time("x1 stratifiedExact") {
+    val fracs = Map("1-URGENT" -> 0.5, "2-HIGH" -> 0.3, "3-MEDIUM" -> 0.2,
+      "4-NOT SPECIFIED" -> 0.1, "5-LOW" -> 0.05)
+    time("x1 stratifiedExact (window form)") {
       Sampling.stratifiedExact(orders, col("o_orderpriority"), col("o_orderkey"),
-        Map("1-URGENT" -> 0.5, "2-HIGH" -> 0.3, "3-MEDIUM" -> 0.2,
-          "4-NOT SPECIFIED" -> 0.1, "5-LOW" -> 0.05)).count()
+        fracs).count()
+    }
+    time("x1 stratifiedExactDistributed") {
+      Sampling.stratifiedExactDistributed(orders, col("o_orderpriority"),
+        col("o_orderkey"), fracs).count()
     }
     time("x3 shufflePositionDistributed") {
       Sampling.shufflePositionDistributed(
