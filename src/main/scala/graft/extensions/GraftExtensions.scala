@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.{DotProductExpr, NgramSignatureExpr, TokenCountExpr}
+import graft.functions.{AvgTokenLenExpr, DotProductExpr, NgramSignatureExpr, PunctRatioExpr, StopRatioExpr, TokenCountExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -53,7 +53,19 @@ object GraftExtensions {
             s"graft_ngram_sig $what must be an integer literal, got $other")
         }
         NgramSignatureExpr(args.head, litInt(args(1), "n"), litInt(args(2), "k"))
-      }))
+      }),
+    unary("graft_punct_ratio", classOf[PunctRatioExpr], PunctRatioExpr(_)),
+    unary("graft_avg_token_len", classOf[AvgTokenLenExpr], AvgTokenLenExpr(_)),
+    unary("graft_stop_ratio", classOf[StopRatioExpr], StopRatioExpr(_)))
+
+  private def unary(name: String, cls: Class[_], build: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name takes one argument")
+        build(args.head)
+      })
 
   /** Idempotent programmatic registration on a live session. */
   def register(spark: SparkSession): Unit =

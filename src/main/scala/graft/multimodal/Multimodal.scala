@@ -90,6 +90,27 @@ object Multimodal {
     conv(concat(((nBytes - 1) to 0 by -1).map(i =>
       hex(substring(c, off + i, 1))): _*), 16, 10).cast("long")
 
+  /** BMP pixel dimensions (BITMAPINFOHEADER: signed LE 32-bit at byte
+    * offsets 19/23) — header-only, no decode.
+    */
+  def bmpWidth(c: Column): Column = leInt(c, 19, 4).cast("int")
+  def bmpHeight(c: Column): Column = leInt(c, 23, 4).cast("int")
+
+  /** GIF logical-screen dimensions (LE u16 at offsets 7/9). */
+  def gifWidth(c: Column): Column = leInt(c, 7, 2).cast("int")
+  def gifHeight(c: Column): Column = leInt(c, 9, 2).cast("int")
+
+  /** Minimal BMP header prefix (magic + sizes + dims) — [[bmpWidth]]'s
+    * inverse for fixtures/round-trips.
+    */
+  def bmpHeader(width: Column, height: Column): Column =
+    concat(unhex(lit("424D")), le(lit(0), 8), le(lit(54), 4), le(lit(40), 4),
+      le(width, 4), le(height, 4))
+
+  /** Minimal GIF89a header prefix — [[gifWidth]]'s inverse. */
+  def gifHeader(width: Column, height: Column): Column =
+    concat(unhex(lit("474946383961")), le(width, 2), le(height, 2))
+
   /** U1 (audio): serialize a canonical 44-byte RIFF/WAVE header — the
     * inverse of the `wav*` parsers, used by fixtures and round-trips.
     */

@@ -63,6 +63,25 @@ object QMultimodal {
           contentMd5(col("content")).as("content_md5"))
     }),
 
+    // U1e: BMP/GIF header round-trip over a MIXED-format binary column —
+    // the format-dispatch shape (sniff, then per-format parser) a real
+    // manifest of heterogeneous images needs. Little-endian parsers,
+    // complementing the big-endian PNG pair.
+    "u1c_bmp_gif_dims" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("content",
+          when(col("doc_id") % 2 === 0,
+            bmpHeader((col("n_chars") % 3000 + 1).cast("int"),
+              (col("doc_id") % 1500 + 1).cast("int")))
+          .otherwise(gifHeader((col("n_chars") % 600 + 1).cast("int"),
+            (col("doc_id") % 400 + 1).cast("int"))))
+        .select(col("doc_id"),
+          magicFormat(col("content")).as("fmt"),
+          when(col("doc_id") % 2 === 0, bmpWidth(col("content")))
+            .otherwise(gifWidth(col("content"))).as("width"),
+          when(col("doc_id") % 2 === 0, bmpHeight(col("content")))
+            .otherwise(gifHeight(col("content"))).as("height"))),
+
     // U1c (audio): WAV/RIFF header round-trip — serialize per-doc audio
     // parameters into a real 44-byte canonical WAVE header, then parse
     // sample rate / channels / bits / duration back with the header-only
@@ -132,6 +151,14 @@ object QMultimodal {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_md5
          FROM documents WHERE doc_id < 200""",
+    "u1c_bmp_gif_dims" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'gif' END AS fmt,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars % 3000 + 1
+                          ELSE n_chars % 600 + 1 END AS INT) AS width,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1500 + 1
+                          ELSE doc_id % 400 + 1 END AS INT) AS height
+         FROM documents""",
     "u2_wav_meta" ->
       """WITH p AS (SELECT doc_id,
                 CASE CAST(doc_id % 5 AS INT)

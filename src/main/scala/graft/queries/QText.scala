@@ -46,15 +46,19 @@ object QText {
         round(size(distinctTokens(col("text"))).cast("double") /
           tokenCount(col("text")), 6).as("ttr"))),
 
-    // Quality scoring: length/punctuation/stopword signals.
-    "tx_quality" -> ((s, d) =>
+    // Quality scoring: length/punctuation/stopword signals — all through
+    // the native byte-walk kernels (the HOF twins produce identical
+    // doubles; parity in TextFunctionsSpec).
+    "tx_quality" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
       t(s, d, "documents").select(
         col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        round(avgTokenLen(col("text")), 4).as("avg_tok_len"),
-        round(punctRatio(col("text")), 6).as("punct_ratio"),
-        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
-        round(qualityScore(col("text")), 6).as("quality"))),
+        tokenCountNative(col("text")).as("n_tokens"),
+        round(avgTokenLenNative(col("text")), 4).as("avg_tok_len"),
+        round(punctRatioNative(col("text")), 6).as("punct_ratio"),
+        round(stopwordRatioNative(col("text")), 6).as("stop_ratio"),
+        round(qualityScoreNative(col("text")), 6).as("quality"))
+    }),
 
     // Language-ID heuristic: marker-stopword argmax.
     "tx_langid" -> ((s, d) =>
@@ -129,8 +133,9 @@ object QText {
     // shrinks everything downstream), then exact-dedup groups over the
     // survivors. One scan, one shuffle.
     "d6_clean_pipeline" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
       val docs = t(s, d, "documents")
-        .filter(round(qualityScore(col("text")), 6) >= 0.5)
+        .filter(round(qualityScoreNative(col("text")), 6) >= 0.5)
       Dedup.exactGroups(docs, col("doc_id"), col("text"))
     }),
 

@@ -113,10 +113,38 @@ object TextFunctions {
     * punctuation and a natural stopword rate. Deterministic and
     * oracle-expressible; weights are engine policy, not learned.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityFrom(text, punctRatio(text), stopwordRatio(text))
+
+  private def qualityFrom(text: Column, punct: Column, stop: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punct * 5.0, lit(1.0))
+    val stopScore = least(stop * 4.0, lit(1.0))
     lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3
   }
+
+  // ---- native single-pass forms --------------------------------------
+  // Same results as the HOF/regexp forms above (parity asserted in
+  // TextFunctionsSpec), but computed by allocation-free byte-walk kernels
+  // inside whole-stage codegen (graft.functions.TextStatsKernel). The
+  // session must have graft's functions registered
+  // (GraftExtensions.register or spark.sql.extensions).
+
+  def punctRatioNative(text: Column): Column =
+    call_function("graft_punct_ratio", text)
+
+  def stopwordRatioNative(text: Column): Column =
+    call_function("graft_stop_ratio", text)
+
+  def avgTokenLenNative(text: Column): Column =
+    call_function("graft_avg_token_len", text)
+
+  def tokenCountNative(text: Column): Column =
+    call_function("graft_token_count", text)
+
+  /** [[qualityScore]] over the native kernels — identical doubles (same
+    * integer counts, same division, same combination order).
+    */
+  def qualityScoreNative(text: Column): Column =
+    qualityFrom(text, punctRatioNative(text), stopwordRatioNative(text))
 }

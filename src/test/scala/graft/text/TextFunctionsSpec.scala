@@ -45,6 +45,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(3) !== fps(0))
   }
 
+  test("native text-stat kernels are bit-identical to the HOF/regexp forms (ScalaCheck)") {
+    graft.extensions.GraftExtensions.register(spark)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(Gen.listOfN(10,
+          Gen.oneOf(Gen.asciiPrintableStr, Gen.alphaNumStr,
+            Gen.listOfN(8, Gen.oneOf("the", "a9", "und", "日本語", "é!", " ", ".", "that"))
+              .map(_.mkString(" "))))) { ss =>
+        val rows = (ss :+ "" :+ "   " :+ "the and that of").toDF("t").select(
+            TextFunctions.punctRatio(col("t")).as("p1"),
+            TextFunctions.punctRatioNative(col("t")).as("p2"),
+            TextFunctions.stopwordRatio(col("t")).as("s1"),
+            TextFunctions.stopwordRatioNative(col("t")).as("s2"),
+            TextFunctions.avgTokenLen(col("t")).as("a1"),
+            TextFunctions.avgTokenLenNative(col("t")).as("a2"),
+            TextFunctions.qualityScore(col("t")).as("q1"),
+            TextFunctions.qualityScoreNative(col("t")).as("q2"))
+          .as[(Double, Double, Double, Double, Double, Double, Double, Double)]
+          .collect()
+        rows.forall { case (p1, p2, s1, s2, a1, a2, q1, q2) =>
+          p1 == p2 && s1 == s2 && a1 == a2 && q1 == q2
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("native graft_ngram_sig is bit-identical to the HOF ngramSignature (ScalaCheck)") {
     graft.extensions.GraftExtensions.register(spark)
     val res = SCTest.check(
