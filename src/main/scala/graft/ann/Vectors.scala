@@ -109,41 +109,69 @@ object Vectors {
     * join is equi on cell — the corpus is never cross-joined to queries.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, step: Int, roundTo: Int = 6): DataFrame = {
+              vecCol: String, k: Int, step: Int, roundTo: Int = 6): DataFrame =
+    ivfTopKProbes(corpus, queries, idCol, vecCol, k, step, nprobe = 1, roundTo)
+
+  /** Normalized (vec_id, v, vn) corpus and its every-`step`-th centroids. */
+  private def corpusAndCents(corpus: DataFrame, idCol: String, vecCol: String,
+                             step: Int): (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("vn", l2norm(col("v")))
     val cents = c.filter(col("vec_id") % step === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cvn"))
-    // max-cosine cell via max_by hash aggregate, NOT a row_number window:
-    // the assignment relation is corpus × centroids rows, and a window
-    // means a full shuffle+sort of all of them, while the aggregate
-    // collapses map-side (partial max per partition). Tie-break
-    // struct(__cc, -cent_id): max cosine, then MIN centroid id — the same
-    // total order as the oracle's ORDER BY cos DESC, cent_id.
-    // `+ 0.0` normalizes -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0) so the
-    // struct ordering matches the SQL sort the oracle uses, where
-    // -0.0 = 0.0 — max_by's total ordering would otherwise rank
-    // +0.0 > -0.0 and could pick a different centroid on zero-cosine ties.
-    //
-    // The aggregate carries ONLY (id, cell): at corpus × centroids rows,
-    // dragging the embedding array through the agg buffers (the old
-    // `first(v)` form) multiplies shuffle/buffer traffic by the vector
-    // width — the 10× scale probe showed 65 s for what is sub-second of
-    // dot-product compute. Vectors are re-attached afterwards by an
-    // equi-join on the id, which shuffles the corpus once at its natural
-    // (id, vector) width.
-    def assignCells(df: DataFrame, id: String): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("__cc",
-          dot(col("v"), col("cv")) / (col("vn") * col("cvn")) + 0.0)
-        .groupBy(col(id))
-        .agg(max_by(col("cent_id"),
-          struct(col("__cc"), (-col("cent_id")).as("__tb"))).as("cell"))
-    val ca = c.join(assignCells(c, "vec_id"), "vec_id")
+    (c, cents)
+  }
+
+  /** Max-cosine cell per row via a max_by hash aggregate, NOT a row_number
+    * window: the assignment relation is corpus × centroids rows, and a
+    * window means a full shuffle+sort of all of them, while the aggregate
+    * collapses map-side (partial max per partition). Tie-break
+    * struct(__cc, -cent_id): max cosine, then MIN centroid id — the same
+    * total order as the oracle's ORDER BY cos DESC, cent_id.
+    * `+ 0.0` normalizes -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0) so the
+    * struct ordering matches the SQL sort the oracle uses, where
+    * -0.0 = 0.0 — max_by's total ordering would otherwise rank
+    * +0.0 > -0.0 and could pick a different centroid on zero-cosine ties.
+    *
+    * The aggregate carries ONLY (id, cell): at corpus × centroids rows,
+    * dragging the embedding array through the agg buffers (the old
+    * `first(v)` form) multiplies shuffle/buffer traffic by the vector
+    * width — the 10× scale probe showed 65 s for what is sub-second of
+    * dot-product compute. Vectors are re-attached afterwards by an
+    * equi-join on the id, which shuffles the corpus once at its natural
+    * (id, vector) width.
+    */
+  private def assignCells(df: DataFrame, id: String, cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("__cc",
+        dot(col("v"), col("cv")) / (col("vn") * col("cvn")) + 0.0)
+      .groupBy(col(id))
+      .agg(max_by(col("cent_id"),
+        struct(col("__cc"), (-col("cent_id")).as("__tb"))).as("cell"))
+
+  /** IVF with multi-probe: each query scores the corpus rows of its
+    * `nprobe` highest-cosine cells (nprobe=1 ≡ [[ivfTopK]]). Corpus
+    * assignment stays argmax (one cell per vector), so each (query, vec)
+    * pair appears at most once and the scoring join stays equi on cell —
+    * probing widens recall at a cost linear in nprobe, never all-pairs.
+    * The probe ranking is a window over queries × centroids only (the
+    * query side is small by contract — it is broadcast).
+    */
+  def ivfTopKProbes(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, step: Int, nprobe: Int,
+                    roundTo: Int = 6): DataFrame = {
+    val (c, cents) = corpusAndCents(corpus, idCol, vecCol, step)
+    val ca = c.join(assignCells(c, "vec_id", cents), "vec_id")
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("vn", l2norm(col("v")))
-    val qa = q0.join(assignCells(q0, "query_id"), "query_id")
-      .withColumnRenamed("v", "q").withColumnRenamed("vn", "qn")
+    val qa = q0.crossJoin(broadcast(cents))
+      .withColumn("__cc",
+        dot(col("v"), col("cv")) / (col("vn") * col("cvn")) + 0.0)
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cc").desc, col("cent_id"))))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("v").as("q"), col("vn").as("qn"),
+        col("cent_id").as("cell"))
     ca.join(broadcast(qa), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("q")) / (col("vn") * col("qn")))

@@ -46,6 +46,15 @@ object QVectors {
         "vec_id", "embedding", 5, 50)
     }),
 
+    // V6: IVF with multi-probe — each query scores its 2 highest-cosine
+    // cells (recall lever over v5's single-cell probe; cost linear in
+    // nprobe, the scoring join stays equi on cell).
+    "v6_ivf_nprobe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Vectors.ivfTopKProbes(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5, 50, nprobe = 2)
+    }),
+
     // V3: embedding-cosine near-duplicate pairs above a threshold within a
     // bounded id range (embedding near-dup detection shape).
     "v3_cosine_neardup" -> ((s, d) => {
@@ -119,6 +128,32 @@ object QVectors {
                 FROM c, cents) WHERE rk = 1),
               qa AS (SELECT vec_id AS query_id, v AS q, vn AS qn, cell
                      FROM ca WHERE vec_id < 8),
+              s AS (SELECT query_id, ca.vec_id,
+                           list_dot_product(ca.v, qa.q) / (ca.vn * qa.qn) AS cos
+                    FROM ca JOIN qa USING (cell) WHERE ca.vec_id != qa.query_id),
+              r AS (SELECT query_id, vec_id, cos,
+                           CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) AS INT) AS rk
+                    FROM s)
+         SELECT query_id, vec_id, round(cos, 6) AS cosine, rk FROM r WHERE rk <= 5""",
+    "v6_ivf_nprobe" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                    FROM embeddings),
+              cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
+                        FROM c WHERE vec_id % 50 = 0),
+              ca AS (SELECT vec_id, v, vn, cell FROM (
+                SELECT c.vec_id, c.v, c.vn, cent_id AS cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                  cent_id) AS rk
+                FROM c, cents) WHERE rk = 1),
+              qa AS (SELECT query_id, q, qn, cell FROM (
+                SELECT c.vec_id AS query_id, c.v AS q, c.vn AS qn, cent_id AS cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                  cent_id) AS pr
+                FROM c, cents WHERE c.vec_id < 8) WHERE pr <= 2),
               s AS (SELECT query_id, ca.vec_id,
                            list_dot_product(ca.v, qa.q) / (ca.vn * qa.qn) AS cos
                     FROM ca JOIN qa USING (cell) WHERE ca.vec_id != qa.query_id),

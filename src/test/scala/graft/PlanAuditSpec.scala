@@ -59,11 +59,12 @@ class PlanAuditSpec extends SparkSpec {
     //  - j8_cross: the cross-join operator itself
     //  - v1/v3: brute-force ANN baselines (broadcast NL against a bounded
     //    query/id set is the point)
-    //  - v5: centroid assignment cross-joins the tiny centroid set
+    //  - v5/v6: centroid assignment/probing cross-joins the tiny
+    //    centroid set
     // (d2_*/d5 used to fan out 8 seeds via a broadcast NL join; the
     // k-column aggregate form has no product at all.)
     val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
-      "v5_ivf_topk")
+      "v5_ivf_topk", "v6_ivf_nprobe")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||

@@ -67,6 +67,30 @@ class VectorsSpec extends SparkSpec {
     assert(h1.head === Vectors.hyperplane(0, 32)(16))
   }
 
+  test("ivfTopKProbes with all cells probed equals brute-force top-k exactly") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    // step=10 → 6 centroids; nprobe=6 probes every cell → the scoring set
+    // is the whole corpus and the result must be EXACTLY brute force
+    val all = Vectors.ivfTopKProbes(vecs, queries, "vec_id", "embedding",
+        5, step = 10, nprobe = 6)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Vectors.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(all === brute)
+    // nprobe=1 (≡ ivfTopK) scores a subset of candidates: its per-query
+    // hit sets are subsets of some brute-force prefix, never new pairs
+    val one = Vectors.ivfTopKProbes(vecs, queries, "vec_id", "embedding",
+        5, step = 10, nprobe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bruteAll = Vectors.bruteForceTopK(vecs, queries, "vec_id", "embedding", 60)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(one.subsetOf(bruteAll))
+  }
+
   test("lshBucketTopK returns a subset of brute-force results with identical scores") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 64L).map(i =>
