@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.{AvgTokenLenExpr, DotProductExpr, NgramSignatureExpr, PunctRatioExpr, StopRatioExpr, TokenCountExpr}
+import graft.functions.{AvgTokenLenExpr, DetHashExpr, DotProductExpr, NgramSignatureExpr, PunctRatioExpr, StopRatioExpr, TokenCountExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -54,6 +54,9 @@ object GraftExtensions {
         }
         NgramSignatureExpr(args.head, litInt(args(1), "n"), litInt(args(2), "k"))
       }),
+    unary("graft_det_hash", classOf[DetHashExpr], e =>
+      DetHashExpr(org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.LongType))),
     unary("graft_punct_ratio", classOf[PunctRatioExpr], PunctRatioExpr(_)),
     unary("graft_avg_token_len", classOf[AvgTokenLenExpr], AvgTokenLenExpr(_)),
     unary("graft_stop_ratio", classOf[StopRatioExpr], StopRatioExpr(_)))

@@ -28,10 +28,19 @@ object Determinism {
   /** Size of the hash space: 16^15 = 2^60. */
   val Space: Long = 1L << 60
 
-  /** Column form: key column must be integral (cast to long internally). */
-  def detHash(key: Column): Column =
-    conv(substring(md5(key.cast("long").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+  /** Column form: key column must be integral (cast to long internally).
+    * Built directly on the native codegen'd kernel
+    * ([[graft.functions.DetHashExpr]]) — bit-identical to the composed
+    * `conv(substring(md5(...), 1, 15), 16, 10)` documented above (parity
+    * asserted in DeterminismSpec), without the hex-string materialization
+    * or a per-row MessageDigest. Constructed as an Expression, not via the
+    * function registry, so library callers need no extension registration.
+    */
+  def detHash(key: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.DetHashExpr(
+      ColumnShim.expression(key.cast("long"))))
+  }
 
   /** The equivalent DuckDB-SQL fragment, for oracle queries. */
   def detHashSql(keyExpr: String): String =

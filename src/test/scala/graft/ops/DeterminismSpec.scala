@@ -19,6 +19,21 @@ class DeterminismSpec extends SparkSpec {
     assert(got === keys.map(Determinism.detHashLocal))
   }
 
+  test("native detHash kernel is bit-identical to the composed md5/conv form") {
+    import spark.implicits._
+    // the SQL contract the oracle uses, spelled out as Catalyst built-ins
+    def composed(k: org.apache.spark.sql.Column) =
+      conv(substring(md5(k.cast("long").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    val keys = (-500L to 500L) ++ Seq(Long.MaxValue, Long.MinValue,
+      1234567890123456789L, -987654321098765432L)
+    val rows = keys.toDF("k")
+      .select(Determinism.detHash(col("k")).as("native"),
+        composed(col("k")).as("sql"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, s) => assert(n === s) }
+  }
+
   test("detRand is in [0, 1) and deterministic across evaluations") {
     import spark.implicits._
     val df = spark.range(0, 1000).toDF("k")
