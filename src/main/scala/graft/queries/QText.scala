@@ -152,6 +152,18 @@ object QText {
             .as("dup_tok_frac"))
     }),
 
+    // Token-entropy quality signal (gopher-style): Shannon entropy of the
+    // token distribution per doc via the closed form
+    // H = ln(N) − Σ cnt·ln(cnt) / N — one aggregate over (doc, token)
+    // counts, no per-token probability column.
+    "tx_entropy" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(round(log(sum(col("cnt"))) -
+          sum(col("cnt") * log(col("cnt"))) / sum(col("cnt")), 6).as("entropy"))),
+
     // D4: character-3-gram Jaccard similarity on a bounded id range
     // (LSH-verification stage shape). maxDocFreq=100 exercises the
     // stop-gram cap that keeps the inverted-index join from going
@@ -299,6 +311,12 @@ object QText {
           SELECT doc_id,
                  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_tok_frac,
                  round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6) AS dup_tok_frac
+          FROM c GROUP BY doc_id""",
+    "tx_entropy" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+               c AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2)
+          SELECT doc_id,
+                 round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS entropy
           FROM c GROUP BY doc_id""",
     "d4_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),

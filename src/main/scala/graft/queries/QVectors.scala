@@ -55,6 +55,22 @@ object QVectors {
         "vec_id", "embedding", 5, 50, nprobe = 2)
     }),
 
+    // V7: recall@5 of the LSH scale path against the exact baseline —
+    // the evaluation loop an ANN deployment runs before trusting its
+    // approximate index. Per query: |lsh top-5 ∩ brute top-5| / 5.
+    "v7_lsh_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val brute = Vectors.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id"))
+      val lsh = Vectors.lshBucketTopK(emb, q, "vec_id", "embedding", 5, NPlanes, Dim)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      brute.join(lsh, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1)), 6).as("recall"))
+    }),
+
     // V3: embedding-cosine near-duplicate pairs above a threshold within a
     // bounded id range (embedding near-dup detection shape).
     "v3_cosine_neardup" -> ((s, d) => {
@@ -136,6 +152,34 @@ object QVectors {
                              ORDER BY cos DESC, vec_id) AS INT) AS rk
                     FROM s)
          SELECT query_id, vec_id, round(cos, 6) AS cosine, rk FROM r WHERE rk <= 5""",
+    "v7_lsh_recall" -> {
+      val bits = (0 until NPlanes).map(p =>
+        s"CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                     FROM embeddings),
+               q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM c WHERE vec_id < 8),
+               bs AS (SELECT query_id, c.vec_id,
+                             list_dot_product(v, qv) / (vn * qn) AS cos
+                      FROM c, q WHERE c.vec_id != query_id),
+               br AS (SELECT query_id, vec_id FROM (
+                        SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id) AS rk FROM bs) WHERE rk <= 5),
+               cb AS (SELECT vec_id, v, vn, $bits AS bucket FROM c),
+               qb AS (SELECT vec_id AS query_id, v AS q2, vn AS qn2, bucket
+                      FROM cb WHERE vec_id < 8),
+               ls AS (SELECT query_id, cb.vec_id,
+                             list_dot_product(cb.v, q2) / (cb.vn * qn2) AS cos
+                      FROM cb JOIN qb USING (bucket) WHERE cb.vec_id != query_id),
+               lr AS (SELECT query_id, vec_id FROM (
+                        SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id) AS rk FROM ls) WHERE rk <= 5)
+          SELECT br.query_id AS query_id,
+                 round(CAST(count(lr.vec_id) AS DOUBLE) / count(*), 6) AS recall
+          FROM br LEFT JOIN lr ON br.query_id = lr.query_id AND br.vec_id = lr.vec_id
+          GROUP BY br.query_id"""
+    },
     "v6_ivf_nprobe" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
