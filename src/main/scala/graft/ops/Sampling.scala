@@ -61,6 +61,13 @@ object Sampling {
     * The ranged relation feeds three consumers (ranks, offsets, totals);
     * localCheckpoint shares the one materialization and the
     * ContextCleaner releases it when the result is dropped.
+    *
+    * Cost shape: a constant-factor overhead (~2× at a 1.5M-row probe,
+    * where 5 window tasks of 300k rows are still trivial) traded for
+    * per-stratum work that never exceeds one task — the window form's
+    * per-stratum sort is a straggler/spill cliff once a stratum outgrows
+    * one executor's sort budget, which is the 100-TB regime this exists
+    * for. Below that regime, [[stratifiedExact]] is the cheaper choice.
     */
   def stratifiedExactDistributed(df: DataFrame, stratum: Column, key: Column,
                                  fractions: Map[String, Double],
