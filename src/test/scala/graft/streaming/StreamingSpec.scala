@@ -160,6 +160,51 @@ class StreamingSpec extends SparkSpec {
       s"duplicate batch re-emitted rows: $afterFirst -> $afterSecond")
   }
 
+  test("EMA stream RESUMES from its checkpoint: two-batch run equals the one-shot closed form") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = Files.createTempDirectory("ema_src")
+    val ckpt = tmp("ckpt")
+    val outDir = tmp("out")
+    // split the fixture at the global median step: per user, every batch-2
+    // step exceeds every batch-1 step, so the resumed fold is the true
+    // continuation (emaStream's documented non-decreasing-steps contract)
+    val median = batchEvents.stat.approxQuantile("event_id", Array(0.5), 0.0).head
+    batchEvents.filter(col("event_id") <= median)
+      .coalesce(1).write.parquet(s"$srcDir/b1")
+    val schema = spark.read.parquet(s"$srcDir/b1").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+        .parquet(srcDir.toString).as[Streaming.Event]
+      val q = Streaming.emaStream(stream, 0.9).toDF("user_id", "ema")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.withColumn("__batch", lit(id)).write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    batchEvents.filter(col("event_id") > median)
+      .coalesce(1).write.parquet(s"$srcDir/b2")
+    runOnce()
+    // latest emitted state per user (highest batch wins) == closed form
+    // over the FULL event set — only true if the second run restored the
+    // first run's fold state from the checkpoint
+    val got = spark.read.parquet(outDir)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("__batch").desc)))
+      .filter(col("__rn") === 1)
+      .select("user_id", "ema").as[(Long, Double)].collect().toMap
+    val want = graft.functions.Ema
+      .closedForm(batchEvents.toDF(), "user_id", "event_id", "value", 0.9)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (u, e) => assert(math.abs(e - want(u)) < 1e-9, s"user $u") }
+  }
+
   test("statefulResume (mapGroupsWithState) matches the aggregate form") {
     val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
       .as[Streaming.Event]
