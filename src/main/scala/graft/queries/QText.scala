@@ -152,6 +152,17 @@ object QText {
             .as("dup_tok_frac"))
     }),
 
+    // Word-bigram profile: distinct-bigram count + lexicographic-min
+    // bigram per doc (phrase-level shingling, the word-gram complement of
+    // the char-gram signature). Docs need ≥2 tokens to have a bigram.
+    "tx_word_bigrams" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(tokenCount(col("text")) >= 2)
+        .select(col("doc_id"),
+          array_distinct(wordNgrams(col("text"), 2)).as("bg"))
+        .select(col("doc_id"), size(col("bg")).as("n_bigrams"),
+          array_min(col("bg")).as("top_bigram"))),
+
     // Token-entropy quality signal (gopher-style): Shannon entropy of the
     // token distribution per doc via the closed form
     // H = ln(N) − Σ cnt·ln(cnt) / N — one aggregate over (doc, token)
@@ -312,6 +323,15 @@ object QText {
                  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_tok_frac,
                  round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6) AS dup_tok_frac
           FROM c GROUP BY doc_id""",
+    "tx_word_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+               b AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, len(toks)),
+                              i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1])) AS bg
+                     FROM t WHERE len(toks) >= 2)
+          SELECT doc_id, CAST(len(bg) AS INT) AS n_bigrams,
+                 list_sort(bg)[1] AS top_bigram
+          FROM b""",
     "tx_entropy" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
                c AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2)
