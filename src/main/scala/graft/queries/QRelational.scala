@@ -175,6 +175,26 @@ object QRelational {
     "a1_stats_pack" -> ((s, d) =>
       Stats.statsPack(t(s, d, "lineitem"), Seq("l_returnflag"), col("l_extendedprice"))),
 
+    // A1b: bivariate stats — correlation and covariance between price
+    // columns per group (the metric-vs-metric relationship pass an
+    // evaluation harness runs over per-sample scores).
+    "a1b_corr" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_pop"))),
+
+    // A13: exact interpolated percentiles (p50/p90/p99) per group — the
+    // latency/score distribution summary; exact, not the HLL-style sketch
+    // (a11 covers approximate).
+    "a13_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))),
+
     // A2: group-count by stratum (train/common/dataset.py:161-164).
     "a2_group_count" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))),
@@ -390,6 +410,16 @@ object QRelational {
       """SELECT l_returnflag, round(avg(l_extendedprice), 4) AS mean,
                 round(stddev_pop(l_extendedprice), 4) AS std,
                 min(l_extendedprice) AS min, max(l_extendedprice) AS max
+         FROM lineitem GROUP BY l_returnflag""",
+    "a1b_corr" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop
+         FROM lineitem GROUP BY l_returnflag""",
+    "a13_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem GROUP BY l_returnflag""",
     "a2_group_count" ->
       "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority",

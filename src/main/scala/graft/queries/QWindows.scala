@@ -38,6 +38,20 @@ object QWindows {
         col("o_totalprice"), col("o_orderkey"), 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))),
 
+    // W9: cross-validation fold assignment — exact equal-size folds per
+    // stratum via ntile over the deterministic-hash order (the ML-side
+    // train/val split as a relational op; hash order makes folds
+    // reproducible across runs/engines). Window parallelism = #strata;
+    // for stratum-outgrows-one-task scale, derive the fold from the
+    // distributed rank (Sampling.stratifiedExactDistributed's layout)
+    // as floor(rank * k / n).
+    "w9_ntile_folds" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(5).over(Window.partitionBy(col("o_orderpriority"))
+          .orderBy(graft.ops.Determinism.detHash(col("o_orderkey")), col("o_orderkey")))
+          .as("fold"))),
+
     // W8: frame specs — running sum, lag, rank.
     "w8_frames" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -74,6 +88,13 @@ object QWindows {
                   CAST(row_number() OVER (PARTITION BY o_custkey
                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
            FROM orders) WHERE rk <= 3""",
+    "w9_ntile_folds" -> {
+      val h = graft.ops.Determinism.detHashSql("o_orderkey")
+      s"""SELECT o_orderkey, o_orderpriority,
+                 CAST(ntile(5) OVER (PARTITION BY o_orderpriority
+                   ORDER BY $h, o_orderkey) AS INT) AS fold
+          FROM orders"""
+    },
     "w8_frames" ->
       """SELECT o_custkey, o_orderkey,
                 round(sum(o_totalprice) OVER (PARTITION BY o_custkey
