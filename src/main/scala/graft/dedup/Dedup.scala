@@ -215,4 +215,49 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Connected components over an undirected pair relation — the final
+    * stage of at-scale dedup: verified near-dup PAIRS become duplicate
+    * CLUSTERS (cluster id = min member id), so "keep one representative per
+    * cluster" is `filter(doc_id === cluster)`.
+    *
+    * Iterative min-label propagation: each round every vertex takes the min
+    * of its own label and its neighbors' labels (one shuffle join + one
+    * hash aggregate per round), until a round changes nothing. Rounds ≤
+    * graph diameter; near-dup clusters are dense (diameter a handful), so
+    * this settles in 3-6 rounds in practice — `maxIter` bounds adversarial
+    * chains. Each round's labels are localCheckpoint'ed: truncates the
+    * O(iterations)-deep lineage AND lets the ContextCleaner release the
+    * previous round's blocks (a cache() pin would hold every round's RDD
+    * for the session). The edge list is checkpointed once and reused by
+    * every round's join.
+    *
+    * Input pairs need columns (aCol, bCol); self-pairs are ignored. Output:
+    * (doc_id, cluster) for every vertex that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("v"))
+        .groupBy(edges("src").as("nv")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          // labels only ever decrease, so "changed" is exactly nlbl < lbl
+          when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("chg"))
+        .localCheckpoint()
+      val row = next.agg(sum(col("chg"))).head()
+      changed = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no vertices
+      labels = next.select("v", "lbl")
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
+  }
 }

@@ -53,4 +53,43 @@ object Stats {
   def pivotCount(df: DataFrame, rowKey: String, pivotCol: String,
                  values: Seq[String]): DataFrame =
     df.groupBy(rowKey).pivot(pivotCol, values).count().na.fill(0L, values)
+
+  /** A13: exact linear-interpolated percentiles per group (the semantics of
+    * Spark's `percentile` and DuckDB's `quantile_cont`: 0-based position
+    * pos = p·(n−1), result = v[⌊pos⌋]·(1−frac) + v[⌊pos⌋+1]·frac).
+    *
+    * Computed as one window SORT + one hash aggregate instead of the
+    * built-in `percentile` aggregate: that aggregate buffers a value→count
+    * OpenHashMap per group on the reduce task with no spill path, so a
+    * group with high value cardinality (the 100-TB case — think billions of
+    * distinct prices under one flag) is an executor OOM. A window sort runs
+    * through Spark's external sorter and spills; memory stays bounded
+    * regardless of group size. All requested percentiles share the single
+    * sort. Nulls are excluded (matching both engines' aggregates).
+    *
+    * `ps` maps output column name → percentile in [0,1].
+    */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String], value: Column,
+                       ps: Seq[(String, Double)], roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    // project first: working names __v/__rn/__n must not collide with input
+    val base = df
+      .select(gs :+ value.cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(Window.partitionBy(gs: _*).orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gs: _*)))
+    val aggs = ps.map { case (name, p) =>
+      val pos  = (col("__n") - 1) * lit(p) // 0-based fractional rank
+      val flo  = floor(pos)
+      val frac = pos - flo
+      // each row contributes only if it sits at ⌊pos⌋ or ⌊pos⌋+1 (1-based
+      // rn = ⌊pos⌋+1 / ⌊pos⌋+2); everything else is null and sum skips it
+      round(sum(
+        when(col("__rn") === flo + 1, col("__v") * (lit(1.0) - frac))
+          .when(col("__rn") === flo + 2 && frac > 0, col("__v") * frac)),
+        roundTo).as(name)
+    }
+    base.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -186,14 +186,13 @@ object QRelational {
 
     // A13: exact interpolated percentiles (p50/p90/p99) per group — the
     // latency/score distribution summary; exact, not the HLL-style sketch
-    // (a11 covers approximate).
+    // (a11 covers approximate). Window-sort form, not the built-in
+    // `percentile` aggregate: that one holds an unspillable per-group
+    // value->count map (OOM at high cardinality); see Stats.exactPercentiles.
     "a13_percentiles" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))),
+      Stats.exactPercentiles(t(s, d, "lineitem"), Seq("l_returnflag"),
+        col("l_extendedprice"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))),
 
     // A2: group-count by stratum (train/common/dataset.py:161-164).
     "a2_group_count" -> ((s, d) =>

@@ -36,6 +36,49 @@ object QText {
         + (1.0 - least(($punctSql) * 5.0, 1.0)) * 0.3
         + least(($stopSql) * 4.0, 1.0) * 0.3"""
 
+  // The full d5 pipeline (minhash -> banding -> candidates -> exact-Jaccard
+  // verify) as one SQL string: the d5 oracle itself, and a CTE inside the
+  // d7 connected-components oracle.
+  private val d5Sql =
+    s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
+             sig AS (
+               SELECT doc_id, seed,
+                      min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+               FROM w CROSS JOIN generate_series(0, 7) g(seed)
+               GROUP BY doc_id, seed),
+             banded AS (
+               SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+                      md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+               FROM sig GROUP BY doc_id, band),
+             small AS (SELECT * FROM (
+               SELECT doc_id, band, band_sig,
+                      count(*) OVER (PARTITION BY band, band_sig) AS bn
+               FROM banded) WHERE bn <= 64),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM small a JOIN small b
+                      ON a.band = b.band AND a.band_sig = b.band_sig
+                         AND a.doc_id < b.doc_id),
+             cd AS (SELECT DISTINCT doc_id FROM (
+               SELECT doc_a AS doc_id FROM cand
+               UNION ALL SELECT doc_b FROM cand)),
+             g0 AS (SELECT DISTINCT doc_id, g FROM (
+               SELECT doc_id,
+                      unnest(list_transform(range(1, CAST(greatest(length(text) - 1, 2) AS BIGINT)),
+                        i -> substring(text, CAST(i AS INT), 3))) AS g
+               FROM documents WHERE doc_id IN (SELECT doc_id FROM cd))),
+             sz AS (SELECT doc_id, count(*) AS sz FROM g0 GROUP BY doc_id),
+             inter AS (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM g0 a JOIN g0 b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             iv AS (SELECT i.* FROM inter i
+                    JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+        SELECT doc_a, doc_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM iv JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token statistics: count, distinct, type-token ratio.
     "tx_tokens" -> ((s, d) =>
@@ -127,6 +170,20 @@ object QText {
       Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
     }),
 
+    // D7: duplicate CLUSTERS from the verified pairs — connected components
+    // (iterative min-label propagation), cluster id = min member doc_id.
+    // The at-scale dedup decision is then `doc_id === cluster` (keep the
+    // representative). Oracle: recursive-CTE transitive closure over the
+    // same d5 pair set.
+    "d7_dup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val verified =
+        Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+      Dedup.connectedComponents(verified, "doc_a", "doc_b")
+    }),
+
     // D6: the composed corpus-cleaning pipeline — quality gate first
     // (cheap per-row score drops low-quality docs BEFORE any dedup
     // shuffle: at 100 TB the filter runs map-side against the scan and
@@ -157,9 +214,13 @@ object QText {
     // the char-gram signature). Docs need ≥2 tokens to have a bigram.
     "tx_word_bigrams" -> ((s, d) =>
       t(s, d, "documents")
-        .filter(tokenCount(col("text")) >= 2)
+        // tokenize ONCE into a bound attribute; building bigrams straight
+        // from text re-runs the interpreted split per gram position (HOF
+        // lambdas are CodegenFallback) — measured 8.9 s vs 0.9 s at sf0.1
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
         .select(col("doc_id"),
-          array_distinct(wordNgrams(col("text"), 2)).as("bg"))
+          array_distinct(wordNgramsFromTokens(col("toks"), 2)).as("bg"))
         .select(col("doc_id"), size(col("bg")).as("n_bigrams"),
           array_min(col("bg")).as("top_bigram"))),
 
@@ -271,45 +332,19 @@ object QText {
                  CAST(sum(CASE WHEN substring(h, CAST(i AS INT), 1) >= '8' THEN 1 ELSE -1 END) > 0 AS INT) AS bit
           FROM w CROSS JOIN generate_series(1, 32) g(i)
           GROUP BY doc_id, i""",
-    "d5_lsh_verify" ->
-      s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
-               sig AS (
-                 SELECT doc_id, seed,
-                        min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
-                 FROM w CROSS JOIN generate_series(0, 7) g(seed)
-                 GROUP BY doc_id, seed),
-               banded AS (
-                 SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
-                        md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
-                 FROM sig GROUP BY doc_id, band),
-               small AS (SELECT * FROM (
-                 SELECT doc_id, band, band_sig,
-                        count(*) OVER (PARTITION BY band, band_sig) AS bn
-                 FROM banded) WHERE bn <= 64),
-               cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                        FROM small a JOIN small b
-                        ON a.band = b.band AND a.band_sig = b.band_sig
-                           AND a.doc_id < b.doc_id),
-               cd AS (SELECT DISTINCT doc_id FROM (
-                 SELECT doc_a AS doc_id FROM cand
-                 UNION ALL SELECT doc_b FROM cand)),
-               g0 AS (SELECT DISTINCT doc_id, g FROM (
-                 SELECT doc_id,
-                        unnest(list_transform(range(1, CAST(greatest(length(text) - 1, 2) AS BIGINT)),
-                          i -> substring(text, CAST(i AS INT), 3))) AS g
-                 FROM documents WHERE doc_id IN (SELECT doc_id FROM cd))),
-               sz AS (SELECT doc_id, count(*) AS sz FROM g0 GROUP BY doc_id),
-               inter AS (
-                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                 FROM g0 a JOIN g0 b ON a.g = b.g AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-               iv AS (SELECT i.* FROM inter i
-                      JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
-          SELECT doc_a, doc_b,
-                 round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-          FROM iv JOIN sz sa ON sa.doc_id = doc_a
-          JOIN sz sb ON sb.doc_id = doc_b
-          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3""",
+    "d5_lsh_verify" -> d5Sql,
+    // transitive closure of the verified-pair graph, min reachable id per
+    // vertex = cluster. WITH RECURSIVE; the d5 pipeline rides along as a
+    // plain CTE.
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE verified AS ($d5Sql),
+               e AS (SELECT doc_a AS a, doc_b AS b FROM verified
+                     UNION SELECT doc_b, doc_a FROM verified),
+               reach(v, r) AS (
+                 SELECT a, a FROM e
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v)
+          SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""",
     "d6_clean_pipeline" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
                  min(doc_id) AS canonical_id, count(*) AS n_docs

@@ -25,12 +25,24 @@ object TextFunctions {
     transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => substring(text, i, lit(n)))
 
-  /** Word n-grams over the token array, joined with '_'. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-grams over an already-materialized token array, joined with '_'.
+    *
+    * Takes the token ARRAY column, not the raw text: higher-order lambdas run
+    * as CodegenFallback, so an inlined `tokens(text)` expression would be
+    * re-evaluated (split + filter, interpreted) for every `element_at` at
+    * every gram position — O(tokens²) regex work per document. Callers
+    * project `tokens(text)` once and pass the bound attribute.
+    */
+  def wordNgramsFromTokens(toks: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j)): _*))
-  }
+
+  /** Word n-grams from raw text — convenience form for one-shot use; prefer
+    * projecting [[tokens]] first and calling [[wordNgramsFromTokens]] in
+    * anything performance-sensitive (see that method's scaladoc).
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromTokens(tokens(text), n)
 
   /** BPE-ish subword segmentation: letter runs, digit runs, and punctuation
     * runs, each optionally preceded by one space (the GPT-2 pre-tokenizer

@@ -70,4 +70,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs(capped).subsetOf(pairs(uncapped)))
     assert(pairs(capped).size < pairs(uncapped).size)
   }
+
+  test("connectedComponents labels each vertex with its component's min id") {
+    // two components: a 4-chain {1,2,3,4} (diameter 3, needs >1 round)
+    // and a pair {10,11}; 20-20 self-pair ignored; vertex order in a pair
+    // must not matter
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents on an empty pair set returns no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() === 0L)
+  }
 }

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("exactPercentiles matches the built-in percentile aggregate") {
+    // deterministic values with duplicates, negative numbers, and group
+    // sizes that hit both the exact-position (frac=0) and interpolated
+    // branches
+    val df = (1 to 101).map(i => (s"g${i % 3}", (i * 37 % 50) - 10.0))
+      .toDF("grp", "v")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val got = Stats.exactPercentiles(df, Seq("grp"), col("v"), ps, roundTo = 6)
+      .orderBy("grp")
+      .as[(String, Double, Double, Double, Double)].collect()
+    val want = df.groupBy("grp").agg(
+        round(expr("percentile(v, 0.25)"), 6).as("p25"),
+        round(expr("percentile(v, 0.5)"), 6).as("p50"),
+        round(expr("percentile(v, 0.9)"), 6).as("p90"),
+        round(expr("percentile(v, 0.99)"), 6).as("p99"))
+      .orderBy("grp")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(got === want)
+  }
+
+  test("exactPercentiles ignores nulls and handles single-row groups") {
+    val df = Seq(("a", Some(5.0)), ("a", None), ("b", Some(7.0)))
+      .toDF("grp", "v")
+    val got = Stats.exactPercentiles(df, Seq("grp"), col("v"),
+        Seq("p50" -> 0.5), roundTo = 6)
+      .orderBy("grp").as[(String, Double)].collect()
+    assert(got === Array(("a", 5.0), ("b", 7.0)))
+  }
+}
