@@ -237,12 +237,19 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    // checkpoint the input FIRST: both union branches below read it, and
+    // without the checkpoint the caller's whole upstream pipeline (e.g. the
+    // d5 minhash->band->verify chain) would execute once per branch.
+    // lazy checkpoints throughout: the first job that touches them
+    // materializes them, so each round costs ONE job (the convergence
+    // aggregate), not two
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
+      .localCheckpoint(false)
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -252,7 +259,7 @@ object Dedup {
         .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           // labels only ever decrease, so "changed" is exactly nlbl < lbl
           when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val row = next.agg(sum(col("chg"))).head()
       changed = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no vertices
       labels = next.select("v", "lbl")

@@ -64,7 +64,16 @@ object QEvents {
     "a9_lww_dedup" -> ((s, d) =>
       graft.ops.TopK.latestPerGroup(t(s, d, "events"),
         Seq(col("user_id"), col("event_type")), col("event_id"), col("value"))
-        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))),
+
+    // T7: gap-based sessionization — events more than 8 h apart start a new
+    // session per user (batch twin of Structured Streaming session_window;
+    // the 8 h gap splits this table's ~7 h median inter-event spacing into
+    // multi-session users). Deterministic: boundaries depend only on sorted
+    // timestamp values.
+    "t7_sessionize" -> ((s, d) =>
+      graft.ops.Sessionize.sessions(t(s, d, "events"),
+        "user_id", "ts", "event_id", 8 * 3600L, col("value"))))
 
   def oracle: Map[String, String] = Map(
     "t2_step_buckets" ->
@@ -101,5 +110,19 @@ object QEvents {
            SELECT user_id, event_type, event_id, value,
                   row_number() OVER (PARTITION BY user_id, event_type
                     ORDER BY event_id DESC, value DESC) AS rn
-           FROM events) WHERE rn = 1""")
+           FROM events) WHERE rn = 1""",
+    "t7_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, value, ts::TIMESTAMP AS ts
+                    FROM events),
+              f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+                      THEN 1 ELSE 0 END AS ns
+                    FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+                    FROM f)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                count(*) AS n_events, min(ts) AS session_start,
+                max(ts) AS session_end, round(sum(value), 4) AS sum_value
+         FROM s GROUP BY user_id, session_idx""")
 }

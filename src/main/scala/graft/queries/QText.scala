@@ -224,6 +224,32 @@ object QText {
         .select(col("doc_id"), size(col("bg")).as("n_bigrams"),
           array_min(col("bg")).as("top_bigram"))),
 
+    // TF-IDF top term per document: tf = cnt/doc_len, idf = ln(N/df),
+    // winner by (rounded score desc, token asc) — ordering on the ROUNDED
+    // score, since an unrounded f.p. tie at 1e-17 could rank differently
+    // across engines. The (doc,token) count relation feeds three branches
+    // (tf, doc length, document frequency), so it is checkpointed once.
+    "tx_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val len = tf.groupBy("doc_id").agg(sum("cnt").as("len"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(len, "doc_id").join(dfreq, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round((col("cnt") / col("len")) *
+          log(col("n_docs") / col("df")), 6))
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("tfidf").desc, col("tok"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
+    }),
+
     // Token-entropy quality signal (gopher-style): Shannon entropy of the
     // token distribution per doc via the closed form
     // H = ln(N) − Σ cnt·ln(cnt) / N — one aggregate over (doc, token)
@@ -367,6 +393,21 @@ object QText {
           SELECT doc_id, CAST(len(bg) AS INT) AS n_bigrams,
                  list_sort(bg)[1] AS top_bigram
           FROM b""",
+    "tx_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+               tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY doc_id),
+               df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+               n AS (SELECT count(*) AS n_docs FROM documents),
+               sc AS (SELECT tf.doc_id, tf.tok,
+                             round((CAST(cnt AS DOUBLE) / len) *
+                               ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+                      FROM tf JOIN dl USING (doc_id) JOIN df USING (tok)
+                      CROSS JOIN n)
+          SELECT doc_id, tok AS top_term, tfidf FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, tok) AS rk FROM sc)
+          WHERE rk = 1""",
     "tx_entropy" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
                c AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2)
