@@ -188,4 +188,38 @@ object Vectors {
       .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"))
+
+  /** SemDeDup-style semantic near-duplicate pairs: assign every vector to
+    * its max-cosine IVF cell (same coarse quantizer as [[ivfTopK]]), then
+    * compute exact cosine ONLY within cells — an equi-join on cell, never
+    * the all-pairs corpus square. Pairs at or above `minCosine` are the
+    * semantic dups; feed them to [[graft.dedup.Dedup.connectedComponents]]
+    * for cluster-and-keep-representative semantics.
+    *
+    * Cost model at scale: cells ≈ corpus/step, within-cell work is
+    * Σ|cell|² — bounded by the quantizer granularity (`step`), exactly how
+    * SemDeDup bounds k-means cluster size. The corpus is scanned once
+    * (checkpointed) and shuffles once on cell.
+    */
+  def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                           step: Int, minCosine: Double,
+                           roundTo: Int = 6): DataFrame = {
+    val (c0, _) = corpusAndCents(corpus, idCol, vecCol, step)
+    // four consumers (centroid derivation, assignment, both join sides) —
+    // materialize the normalized corpus once and derive everything from it
+    val c = c0.localCheckpoint(false)
+    val cents = c.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cvn"))
+    val av = assignCells(c, "vec_id", cents).join(c, "vec_id")
+    val a = av.select(col("vec_id").as("vec_a"), col("cell"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = av.select(col("vec_id").as("vec_b"), col("cell"),
+      col("v").as("vb"), col("vn").as("nb"))
+    a.join(b, "cell")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+  }
 }

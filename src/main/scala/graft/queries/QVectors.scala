@@ -82,7 +82,14 @@ object QVectors {
         .filter(col("cos") > 0.5)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("cos"), 6).as("cosine"))
-    }))
+    }),
+
+    // V8: SemDeDup-style semantic near-dup pairs — IVF-cell assignment
+    // bounds the pair search to within-cell (equi-join on cell, never the
+    // corpus square); exact cosine >= 0.4 inside each cell.
+    "v8_semantic_dedup" -> ((s, d) =>
+      Vectors.semanticNearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", 50, 0.4)))
 
   /** DuckDB fragment: hyperplane p as a DOUBLE[] expression recomputing the
     * same md5-derived components as [[Vectors.hyperplane]].
@@ -130,6 +137,22 @@ object QVectors {
                     FROM s)
          SELECT query_id, vec_id, round(cos, 6) AS cosine, rk FROM r WHERE rk <= 5"""
     },
+    "v8_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                    FROM embeddings),
+              cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
+                        FROM c WHERE vec_id % 50 = 0),
+              ca AS (SELECT vec_id, v, vn, cell FROM (
+                SELECT c.vec_id, c.v, c.vn, cent_id AS cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) DESC,
+                                  cent_id) AS rk
+                FROM c, cents) WHERE rk = 1)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
+         FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.4""",
     "v5_ivf_topk" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn

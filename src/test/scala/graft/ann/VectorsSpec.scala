@@ -114,4 +114,30 @@ class VectorsSpec extends SparkSpec {
     val perQuery = lsh.groupBy(_._1)
     assert(perQuery.keySet.subsetOf((0L until 4L).toSet))
   }
+
+  test("semanticNearDupPairs never invents pairs and keeps exact scores") {
+    val rnd = new scala.util.Random(11)
+    // 60 vectors in 3 cells (step=20); make 41 a scaled copy of 40 so at
+    // least one true near-dup pair (cosine 1.0) exists
+    val base = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val vecs = base.map { case (i, v) =>
+      if (i == 41L) (i, base(40)._2.map(x => x * 2.0f)) else (i, v)
+    }.toDF("vec_id", "embedding")
+    val sem = Vectors.semanticNearDupPairs(vecs, "vec_id", "embedding",
+        step = 20, minCosine = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // scaled copy lands in the same argmax cell -> the pair must surface
+    assert(sem.exists { case (a, b, c) => a == 40L && b == 41L && c == 1.0 })
+    // subset of brute-force all-pairs at the same threshold, same scores
+    val e = vecs.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("vn", Vectors.l2norm(col("v")))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Vectors.dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    sem.foreach { case (a, b, c) =>
+      assert(brute((a, b)) === c && c >= 0.5)
+    }
+  }
 }
