@@ -157,6 +157,29 @@ object Streaming {
     events.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Gap-based session aggregation via `session_window`: sessions close
+    * when no event arrives for `gap`, state is evicted once the watermark
+    * passes a session's end. Batch twin: graft.ops.Sessionize.sessions
+    * (same gap semantics; asserted equal in StreamingSpec — the session
+    * ORDINAL is a window-order construct, so the streaming form identifies
+    * sessions by their start time instead).
+    *
+    * Boundary note: `session_window` is half-open — an event at EXACTLY
+    * start+gap opens a new session, where the batch form's `diff > gap`
+    * keeps it. Sub-second event times make an exact-gap tie measure-zero;
+    * callers who need closed-boundary parity subtract 1 µs from the batch
+    * gap.
+    */
+  def sessionizeStream(events: DataFrame, key: String, gap: String,
+                       eventTimeCol: String = "ts",
+                       watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(eventTimeCol, watermark)
+      .groupBy(col(key), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col(key), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** T4: async checkpoint sink — each micro-batch is written to
     * `<outDir>/batch=<id>` by foreachBatch, with exactly-once bookkeeping in
     * `checkpointDir` (the reference's background-thread S3 upload,

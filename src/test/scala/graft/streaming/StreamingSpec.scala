@@ -231,4 +231,18 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(got === want)
   }
+
+  test("streaming session_window == batch Sessionize (8h gap)") {
+    val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
+    val got = snapshot(
+        Streaming.sessionizeStream(stream, "user_id", "8 hours"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    // batch twin keyed the same way: sessions identified by start time
+    val want = graft.ops.Sessionize.sessions(batchEvents,
+        "user_id", "ts", "event_id", 8 * 3600L, col("value"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("sum_value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(got === want)
+  }
 }
