@@ -44,6 +44,16 @@ object QSampling {
       Sampling.bernoulli(t(s, d, "lineitem"), col("l_orderkey") * 8 + col("l_linenumber"), 0.1)
         .select(col("l_orderkey"), col("l_linenumber"))),
 
+    // X1c: exact-count sampling WITH replacement — target 4000 from the
+    // ~3000-row 1-URGENT stratum forces the replicate-then-trim path (the
+    // reference's random.choices fallback when target > available); 5-LOW
+    // stays below its size (copies=1 degenerates to without-replacement).
+    "x1b_with_replacement" -> ((s, d) =>
+      Sampling.stratifiedWithReplacement(t(s, d, "orders"),
+        col("o_orderpriority"), col("o_orderkey"),
+        Map("1-URGENT" -> 4000L, "5-LOW" -> 500L))
+        .select(col("o_orderkey"), col("o_orderpriority"))),
+
     // X2+P2+A2: difficulty profile end-to-end — classify, sample with the
     // reference 'hard' curriculum profile, report per-stratum counts
     // (the §7.2 minimum slice over oracle tables).
@@ -122,6 +132,22 @@ object QSampling {
       "x1_bernoulli" ->
         s"""SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE ${Determinism.detRandSql("(l_orderkey * 8 + l_linenumber)")} < 0.1""",
+      "x1b_with_replacement" -> {
+        val hr = Determinism.detHashSql("o_orderkey * 7919 + rep")
+        s"""WITH n AS (SELECT o_orderpriority AS p, count(*) AS n
+                       FROM orders GROUP BY 1),
+                t(p, tgt) AS (VALUES ('1-URGENT', 4000), ('5-LOW', 500)),
+                e AS (SELECT o.o_orderkey, o.o_orderpriority, tgt,
+                             CAST(ceil(CAST(tgt AS DOUBLE) / n.n) AS INT) AS copies
+                      FROM orders o JOIN n ON o.o_orderpriority = n.p
+                      JOIN t ON n.p = t.p),
+                x AS (SELECT *, unnest(range(0, greatest(copies, 1))) AS rep
+                      FROM e),
+                r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY $hr, o_orderkey, rep) AS rn
+                      FROM x)
+            SELECT o_orderkey, o_orderpriority FROM r WHERE rn <= tgt"""
+      },
       "x2_profile_counts" ->
         s"""WITH c AS (
               SELECT o_orderkey,

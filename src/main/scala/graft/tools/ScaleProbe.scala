@@ -71,9 +71,33 @@ object ScaleProbe {
       println(s"[probe] candidate pairs: ${c.count()}")
       c
     }
-    time("d5 verifyCandidates") {
-      Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
-        .count()
+    val verified = time("d5 verifyCandidates") {
+      val v = Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"),
+        3, 0.3)
+      println(s"[probe] verified pairs: ${v.count()}")
+      v
+    }
+    time("d7 connectedComponents") {
+      // amplification makes every doc a member of a >=10-clique (each
+      // original + 9 exact copies all pair with each other) — dense
+      // components, the propagation-round worst case
+      Dedup.connectedComponents(verified, "doc_a", "doc_b").count()
+    }
+    time("tx tfidf (grouped tf/df + top-term window)") {
+      import graft.text.TextFunctions.tokens
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val len = tf.groupBy("doc_id").agg(sum("cnt").as("len"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(len, "doc_id").join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("tfidf", round((col("cnt") / col("len")) *
+          log(col("n_docs") / col("df")), 6))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("tfidf").desc, col("tok"))))
+        .filter(col("rk") === 1).count()
     }
     spark.catalog.clearCache()
     val emb = time("amplify embeddings") {
@@ -93,6 +117,28 @@ object ScaleProbe {
     time("v5 ivfTopK (8 queries)") {
       graft.ann.Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 5, 50).count()
+    }
+    time("v8 semanticNearDupPairs") {
+      // identical copies collapse into the same argmax cell, so within-cell
+      // pair counts grow ~copies^2 — the quantizer-granularity worst case
+      graft.ann.Vectors.semanticNearDupPairs(emb, "vec_id", "embedding",
+        50, 0.4).count()
+    }
+    spark.catalog.clearCache()
+    val events = time("amplify events (same 150 users, 10x rows each)") {
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val norm = // same nanos->micros normalization as Tables.load
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val e = amplify(norm, "event_id", 100000000L).cache()
+      println(s"[probe] events rows: ${e.count()}")
+      e
+    }
+    time("t7 sessionize (hot-user axis)") {
+      graft.ops.Sessionize.sessions(
+        events, "user_id", "ts", "event_id", 8 * 3600L, col("value"))
+        .count()
     }
     spark.catalog.clearCache()
     val orders = time("amplify orders") {
