@@ -260,6 +260,18 @@ object QRelational {
         .cube(col("n_name"), col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"))),
 
+    // A10c: explicit GROUPING SETS — an asymmetric set list neither rollup
+    // nor cube expresses ((priority,status), (status), ()); grouping_id
+    // disambiguates a real NULL group value from a rolled-up margin.
+    "a10c_grouping_sets" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          grouping_id().cast("long").as("gid"))),
+
     // A12: pivoted wide table (evaluate_all_models.py:106-116).
     "a12_pivot" -> ((s, d) =>
       Stats.pivotCount(
@@ -456,6 +468,12 @@ object QRelational {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY CUBE (n_name, o_orderstatus)""",
+    "a10c_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+                CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                 (o_orderstatus), ())""",
     "a12_pivot" ->
       """SELECT n_name,
                 count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",

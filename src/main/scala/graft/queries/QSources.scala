@@ -70,6 +70,29 @@ object QSources {
         .select(col("s_suppkey").as("key"), col("s_acctbal").as("size"))
       val local = remote.filter(col("key") % 3 === 0)
       remote.join(local.select("key"), Seq("key"), "left_anti")
+    }),
+
+    // S11: keyed upsert / merge — the incremental-manifest-refresh shape
+    // (MERGE INTO semantics as one full-outer join + coalesce: updates
+    // win on matched keys, unmatched base rows persist, brand-new keys
+    // insert). Base = orders outside the % 3 slice; updates = the % 2
+    // slice with a recomputed price. One shuffle on the key; both margins
+    // survive.
+    "s11_upsert" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val updates = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderpriority"))
+      base.as("b").join(updates.as("u"), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("u.o_totalprice"), col("b.o_totalprice")).as("price"),
+          coalesce(col("u.o_orderpriority"), col("b.o_orderpriority")).as("priority"),
+          when(col("u.o_totalprice").isNotNull && col("b.o_totalprice").isNotNull, "updated")
+            .when(col("u.o_totalprice").isNotNull, "inserted")
+            .otherwise("kept").as("action"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -89,5 +112,19 @@ object QSources {
          LEFT JOIN part p ON garment_id = p.p_partkey""",
     "s9_sync_diff" ->
       """SELECT s_suppkey AS key, s_acctbal AS size FROM supplier
-         WHERE s_suppkey % 3 != 0""")
+         WHERE s_suppkey % 3 != 0""",
+    "s11_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+                       FROM orders WHERE o_orderkey % 3 != 0),
+              upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                             o_orderpriority
+                      FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+                coalesce(u.o_totalprice, b.o_totalprice) AS price,
+                coalesce(u.o_orderpriority, b.o_orderpriority) AS priority,
+                CASE WHEN u.o_totalprice IS NOT NULL AND b.o_totalprice IS NOT NULL
+                       THEN 'updated'
+                     WHEN u.o_totalprice IS NOT NULL THEN 'inserted'
+                     ELSE 'kept' END AS action
+         FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey""")
 }
