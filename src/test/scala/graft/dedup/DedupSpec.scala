@@ -87,4 +87,37 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() === 0L)
   }
+
+  test("connectedComponents matches driver-side union-find on random graphs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random sparse graphs over <=40 vertices: chains, stars, cliques, and
+    // isolated pairs all appear across draws
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)))
+    val prop = Prop.forAll(edgeGen) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      val want: Map[Long, Long] = {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        real.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // min-id canonical label, matching the engine's cluster id
+        val vs = real.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val byRoot = vs.groupBy(find)
+        vs.map(v => v -> byRoot(find(v)).min).toMap
+      }
+      val got =
+        if (real.isEmpty) Map.empty[Long, Long]
+        else Dedup.connectedComponents(real.toDF("doc_a", "doc_b"),
+          "doc_a", "doc_b").as[(Long, Long)].collect().toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
