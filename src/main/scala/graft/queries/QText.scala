@@ -250,6 +250,46 @@ object QText {
         .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
     }),
 
+    // PMI collocations: top-20 adjacent word pairs by pointwise mutual
+    // information, min support 5 — the corpus-statistics pass behind
+    // phrase mining / tokenizer-merge candidates. ln((B/N2)/((Ua/N1)^2
+    // shape)); ranks on the ROUNDED score (engine f.p. parity) with the
+    // bigram text as tie-break. Tokens never contain '_', so the joined
+    // bigram splits back losslessly.
+    "tx_pmi" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pmi").desc, col("bigram"))
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .localCheckpoint(false)
+      val uni = toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("u"))
+        .localCheckpoint(false)
+      val n1 = uni.agg(sum(col("u")).as("n1"))
+      val bi = toks
+        .select(explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("b"))
+        .filter(col("b") >= 5)
+      val n2 = toks.select((size(col("toks")) - 1).as("nb"))
+        .agg(sum(col("nb")).as("n2"))
+      bi
+        .withColumn("ta", split(col("bigram"), "_")(0))
+        .withColumn("tb", split(col("bigram"), "_")(1))
+        .join(uni.select(col("tok").as("ta"), col("u").as("ua")), "ta")
+        .join(uni.select(col("tok").as("tb"), col("u").as("ub")), "tb")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .withColumn("pmi", round(
+          log((col("b") / col("n2")) /
+            ((col("ua") / col("n1")) * (col("ub") / col("n1")))), 6))
+        // distributed top-k (TakeOrdered), then rank only the 20 survivors —
+        // a global row_number window over the full bigram table would drag
+        // every row through one task
+        .orderBy(col("pmi").desc, col("bigram")).limit(20)
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .select(col("bigram"), col("b").as("cnt"), col("pmi"), col("rk"))
+    }),
+
     // Token-entropy quality signal (gopher-style): Shannon entropy of the
     // token distribution per doc via the closed form
     // H = ln(N) − Σ cnt·ln(cnt) / N — one aggregate over (doc, token)
@@ -393,6 +433,29 @@ object QText {
           SELECT doc_id, CAST(len(bg) AS INT) AS n_bigrams,
                  list_sort(bg)[1] AS top_bigram
           FROM b""",
+    "tx_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+                     WHERE len($toksSql) >= 2),
+               uni AS (SELECT unnest(toks) AS tok FROM t),
+               u AS (SELECT tok, count(*) AS u FROM uni GROUP BY tok),
+               n1 AS (SELECT sum(u) AS n1 FROM u),
+               bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[CAST(i AS INT)] || '_' ||
+                             toks[CAST(i AS INT) + 1])) AS bigram FROM t),
+               b AS (SELECT bigram, count(*) AS b FROM bg
+                     GROUP BY bigram HAVING count(*) >= 5),
+               n2 AS (SELECT sum(len(toks) - 1) AS n2 FROM t),
+               sc AS (SELECT bigram, b,
+                             round(ln((CAST(b AS DOUBLE) / n2) /
+                               ((CAST(ua.u AS DOUBLE) / n1) *
+                                (CAST(ub.u AS DOUBLE) / n1))), 6) AS pmi
+                      FROM b
+                      JOIN u ua ON string_split(bigram, '_')[1] = ua.tok
+                      JOIN u ub ON string_split(bigram, '_')[2] = ub.tok
+                      CROSS JOIN n1 CROSS JOIN n2)
+          SELECT bigram, b AS cnt, pmi,
+                 CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rk
+          FROM sc ORDER BY pmi DESC, bigram LIMIT 20""",
     "tx_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
                tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
