@@ -112,14 +112,23 @@ object Vectors {
               vecCol: String, k: Int, step: Int, roundTo: Int = 6): DataFrame =
     ivfTopKProbes(corpus, queries, idCol, vecCol, k, step, nprobe = 1, roundTo)
 
+  /** Normalized (vec_id, v, vn) projection of a corpus. */
+  private def normalized(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", l2norm(col("v")))
+
+  /** Every-`step`-th vector of a [[normalized]] corpus as the coarse-
+    * quantizer centroid set — the ONE place the centroid rule lives.
+    */
+  private def centroidsOf(c: DataFrame, step: Int): DataFrame =
+    c.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cvn"))
+
   /** Normalized (vec_id, v, vn) corpus and its every-`step`-th centroids. */
   private def corpusAndCents(corpus: DataFrame, idCol: String, vecCol: String,
                              step: Int): (DataFrame, DataFrame) = {
-    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("vn", l2norm(col("v")))
-    val cents = c.filter(col("vec_id") % step === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cvn"))
-    (c, cents)
+    val c = normalized(corpus, idCol, vecCol)
+    (c, centroidsOf(c, step))
   }
 
   /** Max-cosine cell per row via a max_by hash aggregate, NOT a row_number
@@ -204,12 +213,10 @@ object Vectors {
   def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                            step: Int, minCosine: Double,
                            roundTo: Int = 6): DataFrame = {
-    val (c0, _) = corpusAndCents(corpus, idCol, vecCol, step)
     // four consumers (centroid derivation, assignment, both join sides) —
     // materialize the normalized corpus once and derive everything from it
-    val c = c0.localCheckpoint(false)
-    val cents = c.filter(col("vec_id") % step === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cvn"))
+    val c = normalized(corpus, idCol, vecCol).localCheckpoint(false)
+    val cents = centroidsOf(c, step)
     val av = assignCells(c, "vec_id", cents).join(c, "vec_id")
     val a = av.select(col("vec_id").as("vec_a"), col("cell"),
       col("v").as("va"), col("vn").as("na"))

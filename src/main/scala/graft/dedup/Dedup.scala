@@ -265,6 +265,14 @@ object Dedup {
       labels = next.select("v", "lbl")
       iter += 1
     }
+    // fail loudly, never return silently-split components: a chain with
+    // diameter > maxIter would otherwise leave intermediate labels in the
+    // output and downstream keep-representative filters would under-dedup
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter (component " +
+          "diameter exceeds it)")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
   }
 }

@@ -65,7 +65,8 @@ object Stats {
     * distinct prices under one flag) is an executor OOM. A window sort runs
     * through Spark's external sorter and spills; memory stays bounded
     * regardless of group size. All requested percentiles share the single
-    * sort. Nulls are excluded (matching both engines' aggregates).
+    * sort. Null VALUES are excluded but their groups are kept (NULL
+    * percentiles for an all-null group) — exactly the built-ins' contract.
     *
     * `ps` maps output column name → percentile in [0,1].
     */
@@ -74,8 +75,8 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     val gs = groupCols.map(col)
     // project first: working names __v/__rn/__n must not collide with input
-    val base = df
-      .select(gs :+ value.cast("double").as("__v"): _*)
+    val projected = df.select(gs :+ value.cast("double").as("__v"): _*)
+    val base = projected
       .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(Window.partitionBy(gs: _*).orderBy(col("__v"))))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(gs: _*)))
@@ -90,6 +91,11 @@ object Stats {
           .when(col("__rn") === flo + 2 && frac > 0, col("__v") * frac)),
         roundTo).as(name)
     }
-    base.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+    val computed = base.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+    // an all-null group has no surviving rows above — re-attach such groups
+    // with NULL percentiles so the output keeps one row per input group,
+    // like percentile()/quantile_cont do
+    projected.select(gs: _*).distinct()
+      .join(computed, groupCols, "left")
   }
 }

@@ -224,31 +224,10 @@ object QText {
         .select(col("doc_id"), size(col("bg")).as("n_bigrams"),
           array_min(col("bg")).as("top_bigram"))),
 
-    // TF-IDF top term per document: tf = cnt/doc_len, idf = ln(N/df),
-    // winner by (rounded score desc, token asc) — ordering on the ROUNDED
-    // score, since an unrounded f.p. tie at 1e-17 could rank differently
-    // across engines. The (doc,token) count relation feeds three branches
-    // (tf, doc length, document frequency), so it is checkpointed once.
-    "tx_tfidf" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false)
-      val len = tf.groupBy("doc_id").agg(sum("cnt").as("len"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(len, "doc_id").join(dfreq, "tok")
-        .crossJoin(broadcast(n))
-        .withColumn("tfidf", round((col("cnt") / col("len")) *
-          log(col("n_docs") / col("df")), 6))
-      scored
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-            .orderBy(col("tfidf").desc, col("tok"))))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
-    }),
+    // TF-IDF top term per document — see TextFunctions.tfidfTopTerm for the
+    // ranking/parity and checkpoint rationale.
+    "tx_tfidf" -> ((s, d) =>
+      tfidfTopTerm(t(s, d, "documents"), col("doc_id"), col("text"))),
 
     // PMI collocations: top-20 adjacent word pairs by pointwise mutual
     // information, min support 5 — the corpus-statistics pass behind

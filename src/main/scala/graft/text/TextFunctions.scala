@@ -159,4 +159,31 @@ object TextFunctions {
     */
   def qualityScoreNative(text: Column): Column =
     qualityFrom(text, punctRatioNative(text), stopwordRatioNative(text))
+
+  /** TF-IDF top term per document: tf = cnt/doc_len, idf = ln(N/df), winner
+    * by (ROUNDED score desc, token asc) — ordering on the rounded score so
+    * a 1e-17 float tie cannot rank differently across engines. The
+    * (doc, token) count relation feeds three branches (tf, doc length,
+    * document frequency), so it is checkpointed once. Output:
+    * (doc_id, top_term, tfidf). Shared by the tx_tfidf query and the scale
+    * probe — one implementation to keep benched and probed code identical.
+    */
+  def tfidfTopTerm(docs: org.apache.spark.sql.DataFrame, id: Column,
+                   text: Column, roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val len = tf.groupBy("doc_id").agg(sum("cnt").as("len"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(len, "doc_id").join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round((col("cnt") / col("len")) *
+        log(col("n_docs") / col("df")), roundTo))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
+  }
 }

@@ -84,20 +84,8 @@ object ScaleProbe {
       Dedup.connectedComponents(verified, "doc_a", "doc_b").count()
     }
     time("tx tfidf (grouped tf/df + top-term window)") {
-      import graft.text.TextFunctions.tokens
-      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false)
-      val len = tf.groupBy("doc_id").agg(sum("cnt").as("len"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(len, "doc_id").join(dfreq, "tok").crossJoin(broadcast(n))
-        .withColumn("tfidf", round((col("cnt") / col("len")) *
-          log(col("n_docs") / col("df")), 6))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-            .orderBy(col("tfidf").desc, col("tok"))))
-        .filter(col("rk") === 1).count()
+      graft.text.TextFunctions
+        .tfidfTopTerm(docs, col("doc_id"), col("text")).count()
     }
     spark.catalog.clearCache()
     val emb = time("amplify embeddings") {
@@ -126,12 +114,9 @@ object ScaleProbe {
     }
     spark.catalog.clearCache()
     val events = time("amplify events (same 150 users, 10x rows each)") {
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      val norm = // same nanos->micros normalization as Tables.load
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
-      val e = amplify(norm, "event_id", 100000000L).cache()
+      // Tables.load owns the nanos->micros ts normalization
+      val e = amplify(graft.core.Tables.load(spark, sfDir, "events"),
+        "event_id", 100000000L).cache()
       println(s"[probe] events rows: ${e.count()}")
       e
     }

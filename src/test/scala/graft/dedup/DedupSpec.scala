@@ -83,6 +83,15 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents throws instead of returning split components at maxIter") {
+    // 6-chain has diameter 5; 2 propagation rounds cannot finish it
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 2).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents on an empty pair set returns no rows") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() === 0L)

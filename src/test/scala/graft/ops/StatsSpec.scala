@@ -27,12 +27,13 @@ class StatsSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("exactPercentiles ignores nulls and handles single-row groups") {
-    val df = Seq(("a", Some(5.0)), ("a", None), ("b", Some(7.0)))
+  test("exactPercentiles ignores null values but keeps all-null groups") {
+    val df = Seq(("a", Some(5.0)), ("a", None), ("b", Some(7.0)), ("c", None))
       .toDF("grp", "v")
     val got = Stats.exactPercentiles(df, Seq("grp"), col("v"),
         Seq("p50" -> 0.5), roundTo = 6)
-      .orderBy("grp").as[(String, Double)].collect()
-    assert(got === Array(("a", 5.0), ("b", 7.0)))
+      .orderBy("grp").as[(String, Option[Double])].collect()
+    // like percentile()/quantile_cont: group c survives with a NULL p50
+    assert(got === Array(("a", Some(5.0)), ("b", Some(7.0)), ("c", None)))
   }
 }
