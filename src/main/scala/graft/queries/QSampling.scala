@@ -44,6 +44,15 @@ object QSampling {
       Sampling.bernoulli(t(s, d, "lineitem"), col("l_orderkey") * 8 + col("l_linenumber"), 0.1)
         .select(col("l_orderkey"), col("l_linenumber"))),
 
+    // X9: Z-order layout key — the Morton interleave that clusterByZ sorts
+    // on before writing (multi-column min/max pruning layout). Top-100 by
+    // (z, key) keeps the oracle small while checking every bit lane.
+    "x9_zorder" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.ops.Layout.zValue(col("o_custkey"), col("o_orderkey")).as("z"))
+        .orderBy(col("z"), col("o_orderkey")).limit(100)),
+
     // X1c: exact-count sampling WITH replacement — target 4000 from the
     // ~3000-row 1-URGENT stratum forces the replicate-then-trim path (the
     // reference's random.choices fallback when target > available); 5-LOW
@@ -132,6 +141,10 @@ object QSampling {
       "x1_bernoulli" ->
         s"""SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE ${Determinism.detRandSql("(l_orderkey * 8 + l_linenumber)")} < 0.1""",
+      "x9_zorder" ->
+        s"""SELECT o_orderkey, o_custkey,
+                   ${graft.ops.Layout.zValueSql("o_custkey", "o_orderkey")} AS z
+            FROM orders ORDER BY z, o_orderkey LIMIT 100""",
       "x1b_with_replacement" -> {
         val hr = Determinism.detHashSql("o_orderkey * 7919 + rep")
         s"""WITH n AS (SELECT o_orderpriority AS p, count(*) AS n
