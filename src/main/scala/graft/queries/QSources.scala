@@ -72,6 +72,28 @@ object QSources {
       remote.join(local.select("key"), Seq("key"), "left_anti")
     }),
 
+    // S12: compaction plan — the small-files maintenance pass: within each
+    // table partition (nation ≙ partition dir), walk the file manifest in
+    // key order accumulating sizes and cut a new compaction group whenever
+    // the running total crosses the target. Windows are PER PARTITION
+    // (parallelism = #partitions, never a global cumsum), and the greedy
+    // first-fit is deterministic in the manifest order. Output: one row
+    // per planned output file with its input count and bytes.
+    "s12_compaction_plan" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey")).orderBy(col("s_suppkey"))
+      t(s, d, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"),
+          col("s_acctbal").cast("double").as("size"))
+        // group = how many FULL targets fit strictly before this file's
+        // interval starts -> first-fit bins of ~target bytes
+        .withColumn("grp", floor((sum(col("size")).over(w) - col("size")) /
+          lit(50000.0)).cast("long"))
+        .groupBy(col("s_nationkey"), col("grp"))
+        .agg(count(lit(1)).as("n_files"),
+          round(sum(col("size")), 2).as("group_bytes"))
+    }),
+
     // S11: keyed upsert / merge — the incremental-manifest-refresh shape
     // (MERGE INTO semantics as one full-outer join + coalesce: updates
     // win on matched keys, unmatched base rows persist, brand-new keys
@@ -113,6 +135,16 @@ object QSources {
     "s9_sync_diff" ->
       """SELECT s_suppkey AS key, s_acctbal AS size FROM supplier
          WHERE s_suppkey % 3 != 0""",
+    "s12_compaction_plan" ->
+      """WITH f AS (SELECT s_nationkey, s_suppkey, CAST(s_acctbal AS DOUBLE) AS size
+                    FROM supplier),
+              c AS (SELECT *, CAST(floor((sum(size) OVER (PARTITION BY s_nationkey
+                      ORDER BY s_suppkey ROWS UNBOUNDED PRECEDING) - size)
+                      / 50000.0) AS BIGINT) AS grp
+                    FROM f)
+         SELECT s_nationkey, grp, count(*) AS n_files,
+                round(sum(size), 2) AS group_bytes
+         FROM c GROUP BY s_nationkey, grp""",
     "s11_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority
                        FROM orders WHERE o_orderkey % 3 != 0),
