@@ -42,16 +42,31 @@ object Dedup {
   /** Long-format MinHash signatures: (id, seed, minhash) for seeds 0..k-1
     * over distinct word shingles.
     *
-    * Scale shape (same trick as [[simhashBits]]): rows stay at
-    * (doc, shingle) granularity — all k per-seed minima are k `min`
-    * aggregate columns of ONE hash aggregate (map-side partial combine
-    * collapses each doc's shingles before the shuffle), then a `stack(k)`
-    * unpivot restores the long format. The k seeded md5s must be computed
-    * either way; what this avoids is replicating every shingle row k×
-    * through a generator and probing the aggregate hash table k× per
-    * shingle (the shape of the previous crossJoin-with-seeds form).
+    * Shuffle-FREE: the native [[graft.functions.MinhashExpr]] kernel
+    * computes all k minima per document inside the scan's projection, so
+    * the signature stage is scan → project → posexplode (k rows per doc) —
+    * no (doc, shingle) rows ever shuffle. Bit-parity with the relational
+    * [[minhashSignaturesExploded]] form is asserted in DedupSpec; the
+    * DuckDB oracle still checks the end numbers.
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val sig = ColumnShim.column(
+      graft.functions.MinhashExpr(ColumnShim.expression(text), k))
+    docs.select(id.as("doc_id"), posexplode(sig))
+      .select(col("doc_id"), col("pos").cast("long").as("seed"),
+        col("col").as("minhash"))
+  }
+
+  /** The relational form of [[minhashSignatures]] (kept as the kernel's
+    * executable specification): rows stay at (doc, shingle) granularity —
+    * all k per-seed minima are k `min` aggregate columns of ONE hash
+    * aggregate (map-side partial combine collapses each doc's shingles
+    * before the shuffle), then a `stack(k)` unpivot restores the long
+    * format.
+    */
+  def minhashSignaturesExploded(docs: DataFrame, id: Column, text: Column,
+                                k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"m$i"))
     val unpivot = (0 until k).map(i => s"${i}L, m$i").mkString(", ")

@@ -43,6 +43,17 @@ object GraftExtensions {
               org.apache.spark.sql.types.DoubleType))
         DotProductExpr(toDoubleArray(args.head), toDoubleArray(args(1)))
       }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinhashExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash takes (text, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash k must be an integer literal, got $other")
+        }
+        graft.functions.MinhashExpr(args.head, k)
+      }),
     (FunctionIdentifier("graft_ngram_sig"),
       new ExpressionInfo(classOf[NgramSignatureExpr].getName, "graft_ngram_sig"),
       (args: Seq[Expression]) => {

@@ -83,6 +83,25 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("native minhash kernel is row-identical to the exploded relational form") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // mixed-case, punctuation, digits, repeated tokens, and empty/token-less
+    // docs (those must vanish from BOTH forms)
+    val wordGen = Gen.oneOf("The", "fox", "Fox", "jumps!", "42", "a-b", "", "  ")
+    val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 4)
+        .as[(Long, Long, String)].collect().toSet
+      val exploded = Dedup.minhashSignaturesExploded(docs, col("doc_id"), col("text"), 4)
+        .as[(Long, Long, String)].collect().toSet
+      native == exploded
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("connectedComponents throws instead of returning split components at maxIter") {
     // 6-chain has diameter 5; 2 propagation rounds cannot finish it
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
