@@ -127,14 +127,29 @@ object Dedup {
     * bit. 32 hex digits ⇒ a 32-bit SimHash with 4 bits of hash per digit
     * collapsed to 1 — deterministic and oracle-expressible.
     *
-    * Scale shape: rows stay at (doc, token) granularity — all 32 bit votes
-    * are computed as 32 conditional-sum aggregate columns in ONE hash
-    * aggregate (map-side partial combine collapses each doc's tokens before
-    * the shuffle), then unpivoted with `stack(32, ...)` to the long format.
-    * The naive alternative (explode a 1..32 sequence per token) pushes
-    * 32× the rows through the shuffle and was 48% of the round-1 bench.
+    * Shuffle-FREE like [[minhashSignatures]]: the native
+    * [[graft.functions.SimhashExpr]] kernel md5s each distinct token once
+    * and votes all 32 bits inside the scan's projection; row-identity with
+    * the aggregate form ([[simhashBitsExploded]]) is ScalaCheck-asserted.
     */
   def simhashBits(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val bits = ColumnShim.column(
+      graft.functions.SimhashExpr(ColumnShim.expression(text)))
+    docs.select(id.as("doc_id"), posexplode(bits))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("bit_idx"),
+        col("col").as("bit"))
+  }
+
+  /** The relational form of [[simhashBits]] (the kernel's executable
+    * specification): rows stay at (doc, token) granularity — all 32 bit
+    * votes are computed as 32 conditional-sum aggregate columns in ONE
+    * hash aggregate (map-side partial combine collapses each doc's tokens
+    * before the shuffle), then unpivoted with `stack(32, ...)`. The naive
+    * alternative (explode a 1..32 sequence per token) pushes 32× the rows
+    * through the shuffle and was 48% of the round-1 bench.
+    */
+  def simhashBitsExploded(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val votes = (1 to 32).map(i =>
       sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1)).as(s"v$i"))
     val perDoc = docs

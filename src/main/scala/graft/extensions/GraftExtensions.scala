@@ -43,6 +43,8 @@ object GraftExtensions {
               org.apache.spark.sql.types.DoubleType))
         DotProductExpr(toDoubleArray(args.head), toDoubleArray(args(1)))
       }),
+    unary("graft_simhash", classOf[graft.functions.SimhashExpr],
+      graft.functions.SimhashExpr(_)),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[graft.functions.MinhashExpr].getName, "graft_minhash"),
       (args: Seq[Expression]) => {

@@ -53,13 +53,12 @@ object MinhashKernel {
     a.length < b.length
   }
 
-  /** Array of k hex minima (seed order 0..k-1), or null when the document
-    * has no tokens — matching the exploded form, where a token-less doc
-    * contributes no signature rows at all.
+  /** Distinct lowercased tokens (byte runs of [A-Za-z0-9], case-folded) —
+    * the byte-level twin of `array_distinct(filter(split(lower(s),
+    * "[^a-z0-9]+"), _ != ""))`, shared by the minhash and simhash kernels.
     */
-  def signatures(s: UTF8String, k: Int): ArrayData = {
+  def distinctTokens(s: UTF8String): java.util.ArrayList[Array[Byte]] = {
     val bytes = s.getBytes
-    // distinct lowercased tokens (byte runs of [A-Za-z0-9], case-folded)
     val seen = new java.util.HashSet[String]()
     val toks = new java.util.ArrayList[Array[Byte]]()
     val buf = new java.io.ByteArrayOutputStream(32)
@@ -78,6 +77,15 @@ object MinhashKernel {
       }
       i += 1
     }
+    toks
+  }
+
+  /** Array of k hex minima (seed order 0..k-1), or null when the document
+    * has no tokens — matching the exploded form, where a token-less doc
+    * contributes no signature rows at all.
+    */
+  def signatures(s: UTF8String, k: Int): ArrayData = {
+    val toks = distinctTokens(s)
     if (toks.isEmpty) return null
     val md = java.security.MessageDigest.getInstance("MD5")
     val prefixes = new Array[Array[Byte]](k)
@@ -110,6 +118,73 @@ object MinhashKernel {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Whole-document SimHash kernel: md5 each distinct token once, vote all
+  * 32 bits, return the 32 bit values (index order 1..32) — or null for a
+  * token-less document. Bit i votes +1 when hex digit i of md5(token) is
+  * >= '8' (top bit of the nibble), −1 otherwise; the sign of the vote sum
+  * is the bit. Identical numbers to the 32-conditional-sum aggregate form
+  * in [[graft.dedup.Dedup.simhashBitsExploded]], computed without
+  * shuffling (doc, token) rows.
+  */
+object SimhashKernel {
+
+  def bits(s: UTF8String): ArrayData = {
+    val toks = MinhashKernel.distinctTokens(s)
+    if (toks.isEmpty) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](32)
+    var t = 0
+    while (t < toks.size()) {
+      md.reset()
+      val d = md.digest(toks.get(t))
+      // hex digit i (1-based) >= '8' ⇔ the nibble's top bit is set
+      var i = 0
+      while (i < 16) {
+        val b = d(i) & 0xff
+        votes(2 * i) += (if ((b & 0x80) != 0) 1 else -1)
+        votes(2 * i + 1) += (if ((b & 0x08) != 0) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    val out = new Array[Any](32)
+    var o = 0
+    while (o < 32) {
+      out(o) = if (votes(o) > 0) 1 else 0
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression for [[SimhashKernel]]; registered as the SQL
+  * function `graft_simhash`.
+  */
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimhashKernel.bits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SimhashKernel.bits($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression wrapping [[MinhashKernel]]; registered as the

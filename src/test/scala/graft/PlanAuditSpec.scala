@@ -78,10 +78,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected product/failed plans: $offenders")
   }
 
-  test("d3_simhash: single aggregate over (doc,token) rows, no 32x generator") {
-    val p = plan("d3_simhash")
-    // exactly one explode (the token explode); the old plan had a second
-    // generator for sequence(1,32)
-    assert("Generate explode".r.findAllIn(p).length === 1, p)
+  test("d3_simhash / d2_minhash: shuffle-free signature stage (kernel + posexplode)") {
+    Seq("d3_simhash", "d2_minhash").foreach { q =>
+      val p = plan(q)
+      // scan -> kernel projection -> posexplode; NO exchange: the native
+      // kernels compute per-document signatures inside the projection
+      // (the old plans shuffled (doc, token) rows into a hash aggregate;
+      // the round-1 plan even exploded a 1..32 sequence per token)
+      assert(p.contains("Generate posexplode"), s"$q:\n$p")
+      assert(!p.contains("Exchange"), s"$q should have no shuffle:\n$p")
+    }
   }
 }

@@ -96,7 +96,11 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long, String)].collect().toSet
       val exploded = Dedup.minhashSignaturesExploded(docs, col("doc_id"), col("text"), 4)
         .as[(Long, Long, String)].collect().toSet
-      native == exploded
+      val nativeSim = Dedup.simhashBits(docs, col("doc_id"), col("text"))
+        .as[(Long, Int, Int)].collect().toSet
+      val explodedSim = Dedup.simhashBitsExploded(docs, col("doc_id"), col("text"))
+        .as[(Long, Int, Int)].collect().toSet
+      native == exploded && nativeSim == explodedSim
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
