@@ -2,7 +2,7 @@ package graft.pipelines
 
 import graft.ops.{ManifestOps, Sampling}
 import graft.ops.Stats
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end pipeline compositions mirroring the reference's three entry
@@ -86,6 +86,43 @@ object Pipelines {
     feed.repartitionByRange(shards, col(posCol))
       .sortWithinPartitions(posCol)
       .write.mode("overwrite").parquet(outDir)
+
+  /** Corpus curation end-to-end — the flagship LLM-training-data pipeline
+    * composed from the engine's own stages, in the order that minimizes
+    * work at scale:
+    *
+    *  1. quality gate FIRST (cheap per-row score, runs map-side against
+    *     the scan — everything downstream shrinks);
+    *  2. exact dedup (one shuffle on the content fingerprint, min-id
+    *     representative);
+    *  3. MinHash-LSH candidate pairs (shuffle-free signatures via the
+    *     native kernel, banded equi-join, per-bucket cap);
+    *  4. exact n-gram Jaccard verification of ONLY the candidates;
+    *  5. connected components over verified pairs → duplicate clusters;
+    *  6. keep one representative per cluster (the min doc id).
+    *
+    * Returns the kept documents with their original columns. All stages
+    * are the same oracle-checked operators as d1/d2/d5/d6/d7.
+    */
+  def dedupCorpus(docs: DataFrame, id: Column, text: Column,
+                  minQuality: Double = 0.5, minhashK: Int = 8,
+                  bandSize: Int = 4, ngram: Int = 3,
+                  minJaccard: Double = 0.3): DataFrame = {
+    import graft.dedup.Dedup
+    graft.extensions.GraftExtensions.register(docs.sparkSession)
+    val quality = docs.filter(
+      round(graft.text.TextFunctions.qualityScoreNative(text), 6) >= minQuality)
+    val exact = Dedup.exactDedup(quality, id, text).localCheckpoint(false)
+    val cands = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(exact, id, text, minhashK), bandSize)
+    val verified = Dedup.verifyCandidates(exact, cands, id, text, ngram, minJaccard)
+    val clusters = Dedup.connectedComponents(verified, "doc_a", "doc_b")
+    // drop every clustered doc that is not its cluster's representative
+    // (distinct working name so the join condition resolves unambiguously)
+    val dropIds = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("__drop_id"))
+    exact.join(dropIds, id.cast("long") === col("__drop_id"), "left_anti")
+  }
 
   /** §3.3 Sync: manifest diff → parallel transfer. Returns the pending
     * manifest (remote minus local, by key) and, when `execute` is set,

@@ -118,4 +118,24 @@ class PipelinesSpec extends SparkSpec {
       .as[(String, Int)].collect().toSet
     assert(got === Set(("images/a.jpg", 3), ("images/b.jpg", 0), ("images/c.jpg", 12)))
   }
+
+  test("dedupCorpus end-to-end: quality gate, exact dups, near-dup clusters") {
+    import org.apache.spark.sql.functions.col
+    // long sentences score above the 0.5 quality gate; "xx" does not.
+    val base = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the quiet green forest to rest for a while longer"
+    val docs = Seq(
+      1L -> base,                                // representative
+      2L -> base,                                // exact dup of 1 -> dropped
+      3L -> (base + " tonight"),                 // near dup of 1 -> clustered, dropped
+      4L -> ("completely different content about spark shuffles and " +
+        "partitions and aggregate hash maps spilling to local disk under " +
+        "memory pressure during wide transformations at large scale"),
+      5L -> "xx")                                // below quality gate -> dropped
+      .map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+    val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minhashK = 8, bandSize = 4, ngram = 3, minJaccard = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
 }
