@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
+  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3]
   */
 object Main {
 
@@ -24,7 +25,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse(
-      sys.error("usage: train|curriculum|evaluate|sync"))
+      sys.error("usage: train|curriculum|evaluate|sync|dedup"))
     val spark = GraftSession.local()
     try cmd match {
       case "train" =>
@@ -63,6 +64,15 @@ object Main {
           yield (s, d)
         val pending = Pipelines.sync(remote, local, "key", transfer)
         println(s"[sync] pending: ${pending.count()} objects")
+      case "dedup" =>
+        val docs = spark.read.parquet(opt(args, "--docs").get)
+        val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+          minQuality = opt(args, "--min-quality").map(_.toDouble).getOrElse(0.5),
+          minJaccard = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3))
+        opt(args, "--output") match {
+          case Some(out) => kept.write.mode("overwrite").parquet(out)
+          case None      => println(s"[dedup] kept ${kept.count()} documents")
+        }
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()
   }
