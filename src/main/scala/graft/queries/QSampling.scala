@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.ops.{Determinism, Sampling, Skew}
+import graft.text.TextFunctions.tokenCountNative
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,6 +44,29 @@ object QSampling {
     "x1_bernoulli" -> ((s, d) =>
       Sampling.bernoulli(t(s, d, "lineitem"), col("l_orderkey") * 8 + col("l_linenumber"), 0.1)
         .select(col("l_orderkey"), col("l_linenumber"))),
+
+    // X10: token-budget mixture planner — the data-mixing pass that turns
+    // per-source token counts + target mixture weights into per-source
+    // sampling fractions (capped at 1: a source smaller than its target
+    // share is taken whole — the remaining deficit is a reweighting
+    // decision, not silently shifted). Weights here derive from the source
+    // index (src7 -> 8) so the plan is deterministic and oracle-checkable.
+    "x10_mixture_plan" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      val per = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(tokenCountNative(col("text")).cast("long")).as("src_tokens"))
+        .withColumn("w",
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("int") + 1)
+      val tot = per.agg(sum(col("src_tokens")).as("total_tokens"),
+        sum(col("w")).as("total_w"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("target_share", round(col("w") / col("total_w"), 6))
+        .withColumn("fraction", round(least(lit(1.0),
+          (col("w") / col("total_w")) * col("total_tokens") / col("src_tokens")), 6))
+        .select(col("source"), col("src_tokens"), col("target_share"),
+          col("fraction"))
+    }),
 
     // X9: Z-order layout key — the Morton interleave that clusterByZ sorts
     // on before writing (multi-column min/max pruning layout). Top-100 by
@@ -141,6 +165,20 @@ object QSampling {
       "x1_bernoulli" ->
         s"""SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE ${Determinism.detRandSql("(l_orderkey * 8 + l_linenumber)")} < 0.1""",
+      "x10_mixture_plan" ->
+        """WITH per AS (
+             SELECT source,
+                    sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x != ''))) AS src_tokens,
+                    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) + 1 AS w
+             FROM documents GROUP BY source),
+               tot AS (SELECT sum(src_tokens) AS total_tokens, sum(w) AS total_w
+                       FROM per)
+           SELECT source, src_tokens,
+                  round(CAST(w AS DOUBLE) / total_w, 6) AS target_share,
+                  round(least(1.0, (CAST(w AS DOUBLE) / total_w) * total_tokens
+                    / src_tokens), 6) AS fraction
+           FROM per CROSS JOIN tot""",
       "x9_zorder" ->
         s"""SELECT o_orderkey, o_custkey,
                    ${graft.ops.Layout.zValueSql("o_custkey", "o_orderkey")} AS z

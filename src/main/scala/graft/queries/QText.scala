@@ -170,6 +170,27 @@ object QText {
       Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
     }),
 
+    // D8: benchmark decontamination — flag training documents sharing any
+    // word 5-gram with the held-out set (doc_id < 50 stands in for the
+    // benchmark split). Inverted-index equi-join on the gram (distinct
+    // grams per doc; the eval side is small and broadcasts), counting
+    // shared grams per (train, eval) pair — the n-gram-overlap
+    // decontamination pass run before training on scraped corpora.
+    "d8_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(wordNgramsFromTokens(col("toks"), 5))).as("g"))
+      val evalG = grams.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("eval_doc"), col("g"))
+      val trainG = grams.filter(col("doc_id") >= 50)
+        .select(col("doc_id").as("train_doc"), col("g"))
+      trainG.join(broadcast(evalG), "g")
+        .groupBy(col("train_doc"), col("eval_doc"))
+        .agg(count(lit(1)).as("shared_5grams"))
+    }),
+
     // D7: duplicate CLUSTERS from the verified pairs — connected components
     // (iterative min-label propagation), cluster id = min member doc_id.
     // The at-scale dedup decision is then `doc_id === cluster` (keep the
@@ -378,6 +399,21 @@ object QText {
           FROM w CROSS JOIN generate_series(1, 32) g(i)
           GROUP BY doc_id, i""",
     "d5_lsh_verify" -> d5Sql,
+    "d8_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+               f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+               g AS (SELECT DISTINCT doc_id, g FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(toks) - 3),
+                          i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1] || '_' ||
+                               toks[CAST(i AS INT) + 2] || '_' || toks[CAST(i AS INT) + 3] || '_' ||
+                               toks[CAST(i AS INT) + 4])) AS g
+                 FROM f))
+          SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+                 count(*) AS shared_5grams
+          FROM (SELECT * FROM g WHERE doc_id >= 50) tr
+          JOIN (SELECT * FROM g WHERE doc_id < 50) ev USING (g)
+          GROUP BY 1, 2""",
     // transitive closure of the verified-pair graph, min reachable id per
     // vertex = cluster. WITH RECURSIVE; the d5 pipeline rides along as a
     // plain CTE.

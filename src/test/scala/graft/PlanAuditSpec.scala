@@ -65,10 +65,10 @@ class PlanAuditSpec extends SparkSpec {
     // k-column aggregate form has no product at all.)
     //  - v7: recall evaluation embeds the brute-force baseline by design
     //  - v8: same tiny-centroid assignment cross-join as v5/v6
-    //  - tx_tfidf / tx_pmi: broadcast of one-row corpus-total aggregates
+    //  - tx_tfidf / tx_pmi / x10: broadcast of one-row corpus-total aggregates
     val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
       "v5_ivf_topk", "v6_ivf_nprobe", "v7_lsh_recall", "v8_semantic_dedup",
-      "tx_tfidf", "tx_pmi")
+      "tx_tfidf", "tx_pmi", "x10_mixture_plan")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||
