@@ -166,20 +166,62 @@ object Dedup {
 
   /** Verification stage of the two-phase dedup pipeline: exact n-gram
     * Jaccard computed ONLY for LSH candidate pairs, with work proportional
-    * to |candidates| × grams-per-doc. Shape matters: an inverted-index
-    * self-join over the candidate docs' grams degenerates when candidates
-    * are dense — ONE hot n-gram shared by d candidate docs emits d²/2 join
-    * rows regardless of which pairs were proposed (observed: 30 s for 22k
-    * pairs at sf0.1). Instead the candidate PAIRS drive the join: pair ⋈
-    * doc_a's grams (broadcast of the pair list), then an equi-join on
-    * (doc_b, gram) picks out the shared grams — never more rows than
-    * pairs × grams(doc_a). This is the shape that holds at 100 TB: LSH
-    * bounds the candidates; verification scales with candidates, not with
-    * gram document frequency.
+    * to |candidates| × grams-per-doc.
+    *
+    * Array-kernel shape: each candidate doc's distinct gram SET is one
+    * array column computed in the scan projection (no explode, no
+    * per-gram rows), the pair list picks up both arrays via two equi-joins
+    * on doc id, and `array_intersect` — a codegen'd hash-set intersection —
+    * computes |A∩B| per pair in one expression. Join traffic is one row
+    * per candidate doc (array payload bounded by doc length) instead of
+    * one row per (pair, gram); the per-gram hash-aggregate disappears
+    * entirely. Never more rows than |pairs| anywhere downstream of the
+    * gram projection — the shape that holds at 100 TB: LSH bounds the
+    * candidates; verification scales with candidates, not with gram
+    * document frequency. Row-parity with the per-gram relational form
+    * ([[verifyCandidatesExploded]]) is asserted in DedupSpec.
     */
   def verifyCandidates(docs: DataFrame, candidates: DataFrame, id: Column,
                        text: Column, n: Int, minJaccard: Double,
                        roundTo: Int = 6): DataFrame = {
+    // dropDuplicates first: Jaccard is per (doc_a, doc_b); a caller-supplied
+    // duplicate pair would just duplicate output rows here, but the contract
+    // (distinct pairs out) matches the exploded form. localCheckpoint: the
+    // pair list feeds the doc-set semi-join AND both payload joins — shared,
+    // eagerly materialized, released by the ContextCleaner (not a
+    // CacheManager pin).
+    val cands = candidates.dropDuplicates("doc_a", "doc_b").localCheckpoint()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val gramSets = docs.select(id.as("doc_id"),
+        array_distinct(charNgrams(text, n)).as("gs"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val joined = broadcast(cands)
+      .join(gramSets.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
+      .join(gramSets.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
+    joined
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        size(col("ga")).as("sz_a"), size(col("gb")).as("sz_b"))
+      .withColumn("jaccard", round(col("inter") /
+        (col("sz_a") + col("sz_b") - col("inter")), roundTo))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The per-gram relational form of [[verifyCandidates]] (kept as the
+    * array kernel's executable specification). The candidate PAIRS drive
+    * the join: pair ⋈ doc_a's grams (broadcast of the pair list), then an
+    * equi-join on (doc_b, gram) picks out the shared grams — never more
+    * rows than pairs × grams(doc_a). An inverted-index self-join over the
+    * candidate docs' grams would instead degenerate when candidates are
+    * dense — ONE hot n-gram shared by d candidate docs emits d²/2 join
+    * rows regardless of which pairs were proposed (observed: 30 s for 22k
+    * pairs at sf0.1).
+    */
+  def verifyCandidatesExploded(docs: DataFrame, candidates: DataFrame, id: Column,
+                               text: Column, n: Int, minJaccard: Double,
+                               roundTo: Int = 6): DataFrame = {
     // Both intermediates feed multiple plan branches (candidates: doc set
     // + pair join; grams: sizes + two join sides) — share them or the
     // LSH chain / gram explode is recomputed per branch. localCheckpoint

@@ -54,6 +54,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("array-kernel verifyCandidates is row-identical to the exploded form") {
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
+    val cands = Dedup.lshCandidatePairs(sigs, bandSize = 4)
+      // an intentional duplicate pair: both forms must dedupe it away
+      .union(Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val arrayForm = rows(Dedup.verifyCandidates(
+      docs, cands, col("doc_id"), col("text"), 3, 0.0))
+    val explodedForm = rows(Dedup.verifyCandidatesExploded(
+      docs, cands, col("doc_id"), col("text"), 3, 0.0))
+    assert(arrayForm === explodedForm)
+    assert(arrayForm.nonEmpty)
+    // exact dups verify at jaccard 1.0
+    assert(arrayForm.contains((1L, 2L, 1.0)))
+  }
+
   test("ngram document-frequency cap drops hot grams from the join") {
     val uncapped = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       3, 0.0, maxDocFreq = 1000)
