@@ -164,29 +164,28 @@ object Dedup {
         (col("vote") > 0).cast("int").as("bit"))
   }
 
-  /** Verification stage of the two-phase dedup pipeline: exact n-gram
-    * Jaccard computed ONLY for LSH candidate pairs, with work proportional
-    * to |candidates| × grams-per-doc.
+  /** Array-kernel variant of [[verifyCandidates]]: each candidate doc's
+    * distinct gram SET is one array column computed in the scan projection
+    * (no explode, no per-gram rows), the pair list picks up both arrays
+    * via two equi-joins on doc id, and `array_intersect` computes |A∩B|
+    * per pair in one expression.
     *
-    * Array-kernel shape: each candidate doc's distinct gram SET is one
-    * array column computed in the scan projection (no explode, no
-    * per-gram rows), the pair list picks up both arrays via two equi-joins
-    * on doc id, and `array_intersect` — a codegen'd hash-set intersection —
-    * computes |A∩B| per pair in one expression. Join traffic is one row
-    * per candidate doc (array payload bounded by doc length) instead of
-    * one row per (pair, gram); the per-gram hash-aggregate disappears
-    * entirely. Never more rows than |pairs| anywhere downstream of the
-    * gram projection — the shape that holds at 100 TB: LSH bounds the
-    * candidates; verification scales with candidates, not with gram
-    * document frequency. Row-parity with the per-gram relational form
-    * ([[verifyCandidatesExploded]]) is asserted in DedupSpec.
+    * Measured SLOWER than the per-gram default at the d5 pair density
+    * (4.1 s vs 2.7 s warm at sf0.1): the second join carries every pair's
+    * ~20 KB gram array through a sort-merge shuffle, and each pair
+    * re-hashes doc_a's gram set that the exploded form's join hash table
+    * shares across that doc's pairs. It wins only in the opposite regime —
+    * few pairs over very long documents, where per-gram row explosion
+    * (|candidate docs| × grams/doc rows) dominates and one array row per
+    * doc is cheap. Kept as a documented alternative; row-parity with
+    * [[verifyCandidates]] is asserted in DedupSpec.
     */
-  def verifyCandidates(docs: DataFrame, candidates: DataFrame, id: Column,
-                       text: Column, n: Int, minJaccard: Double,
-                       roundTo: Int = 6): DataFrame = {
+  def verifyCandidatesArray(docs: DataFrame, candidates: DataFrame, id: Column,
+                            text: Column, n: Int, minJaccard: Double,
+                            roundTo: Int = 6): DataFrame = {
     // dropDuplicates first: Jaccard is per (doc_a, doc_b); a caller-supplied
     // duplicate pair would just duplicate output rows here, but the contract
-    // (distinct pairs out) matches the exploded form. localCheckpoint: the
+    // (distinct pairs out) matches the default form. localCheckpoint: the
     // pair list feeds the doc-set semi-join AND both payload joins — shared,
     // eagerly materialized, released by the ContextCleaner (not a
     // CacheManager pin).
@@ -209,19 +208,24 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** The per-gram relational form of [[verifyCandidates]] (kept as the
-    * array kernel's executable specification). The candidate PAIRS drive
-    * the join: pair ⋈ doc_a's grams (broadcast of the pair list), then an
-    * equi-join on (doc_b, gram) picks out the shared grams — never more
-    * rows than pairs × grams(doc_a). An inverted-index self-join over the
+  /** Verification stage of the two-phase dedup pipeline: exact n-gram
+    * Jaccard computed ONLY for LSH candidate pairs, with work proportional
+    * to |candidates| × grams-per-doc. The candidate PAIRS drive the join:
+    * pair ⋈ doc_a's grams (broadcast of the pair list), then an equi-join
+    * on (doc_b, gram) picks out the shared grams — never more rows than
+    * pairs × grams(doc_a), and the join hash table shares each doc's gram
+    * rows across all its pairs. An inverted-index self-join over the
     * candidate docs' grams would instead degenerate when candidates are
     * dense — ONE hot n-gram shared by d candidate docs emits d²/2 join
     * rows regardless of which pairs were proposed (observed: 30 s for 22k
-    * pairs at sf0.1).
+    * pairs at sf0.1). This is the shape that holds at 100 TB: LSH bounds
+    * the candidates; verification scales with candidates, not with gram
+    * document frequency. See [[verifyCandidatesArray]] for the measured
+    * array-kernel alternative and the regime where it wins.
     */
-  def verifyCandidatesExploded(docs: DataFrame, candidates: DataFrame, id: Column,
-                               text: Column, n: Int, minJaccard: Double,
-                               roundTo: Int = 6): DataFrame = {
+  def verifyCandidates(docs: DataFrame, candidates: DataFrame, id: Column,
+                       text: Column, n: Int, minJaccard: Double,
+                       roundTo: Int = 6): DataFrame = {
     // Both intermediates feed multiple plan branches (candidates: doc set
     // + pair join; grams: sizes + two join sides) — share them or the
     // LSH chain / gram explode is recomputed per branch. localCheckpoint

@@ -54,18 +54,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
-  test("array-kernel verifyCandidates is row-identical to the exploded form") {
+  test("array-kernel verifyCandidatesArray is row-identical to the default") {
     val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
     val cands = Dedup.lshCandidatePairs(sigs, bandSize = 4)
       // an intentional duplicate pair: both forms must dedupe it away
       .union(Seq((1L, 2L)).toDF("doc_a", "doc_b"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Double)].collect().toSet
-    val arrayForm = rows(Dedup.verifyCandidates(
+    val arrayForm = rows(Dedup.verifyCandidatesArray(
       docs, cands, col("doc_id"), col("text"), 3, 0.0))
-    val explodedForm = rows(Dedup.verifyCandidatesExploded(
+    val defaultForm = rows(Dedup.verifyCandidates(
       docs, cands, col("doc_id"), col("text"), 3, 0.0))
-    assert(arrayForm === explodedForm)
+    assert(arrayForm === defaultForm)
     assert(arrayForm.nonEmpty)
     // exact dups verify at jaccard 1.0
     assert(arrayForm.contains((1L, 2L, 1.0)))
