@@ -43,4 +43,17 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `partCol` (`dir/partCol=value/part-*.parquet`). A query filtering on
+    * the partition column prunes whole directories at PLANNING time
+    * (`PartitionFilters` in the scan) — files of non-matching partitions
+    * are never listed into the scan, the coarse-grained complement of
+    * [[clusterByZ]]'s intra-file row-group pruning. At 100 TB this is the
+    * difference between touching one date's worth of data and listing the
+    * entire lake; keep partition cardinality bounded (dates, categories —
+    * not keys) so directory count stays manageable.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
 }

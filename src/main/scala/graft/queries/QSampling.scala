@@ -68,6 +68,22 @@ object QSampling {
           col("fraction"))
     }),
 
+    // X11: temperature-scaled mixture weights — the multilingual sampling
+    // pass (p_l ∝ n_l^alpha, alpha = 1/T = 0.5) that upweights
+    // low-resource languages relative to natural frequency before drawing
+    // a training mixture. Two tiny aggregates (per-language counts + a
+    // broadcast one-row normalizer); allocation = floor(budget · p_l).
+    "x11_temperature_mix" -> ((s, d) => {
+      val per = t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val z = per.agg(sum(sqrt(col("n_docs"))).as("z"))
+      per.crossJoin(broadcast(z))
+        .withColumn("p_temp", round(sqrt(col("n_docs")) / col("z"), 6))
+        .withColumn("alloc",
+          floor(lit(10000) * sqrt(col("n_docs")) / col("z")).cast("long"))
+        .select(col("lang"), col("n_docs"), col("p_temp"), col("alloc"))
+    }),
+
     // X9: Z-order layout key — the Morton interleave that clusterByZ sorts
     // on before writing (multi-column min/max pruning layout). Top-100 by
     // (z, key) keeps the oracle small while checking every bit lane.
@@ -178,6 +194,13 @@ object QSampling {
                   round(CAST(w AS DOUBLE) / total_w, 6) AS target_share,
                   round(least(1.0, (CAST(w AS DOUBLE) / total_w) * total_tokens
                     / src_tokens), 6) AS fraction
+           FROM per CROSS JOIN tot""",
+      "x11_temperature_mix" ->
+        """WITH per AS (SELECT lang, count(*) AS n_docs
+                        FROM documents GROUP BY lang),
+                tot AS (SELECT sum(sqrt(n_docs)) AS z FROM per)
+           SELECT lang, n_docs, round(sqrt(n_docs) / z, 6) AS p_temp,
+                  CAST(floor(10000 * sqrt(n_docs) / z) AS BIGINT) AS alloc
            FROM per CROSS JOIN tot""",
       "x9_zorder" ->
         s"""SELECT o_orderkey, o_custkey,

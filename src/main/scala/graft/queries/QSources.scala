@@ -94,6 +94,25 @@ object QSources {
           round(sum(col("size")), 2).as("group_bytes"))
     }),
 
+    // S13: hive-partitioned layout + directory pruning — orders written
+    // once per scale factor as dir/o_orderpriority=…/part-*.parquet, read
+    // back with a partition-column filter: the non-matching directories
+    // are pruned at planning time (PartitionFilters — asserted in
+    // PlanAuditSpec), so the scan lists one partition's files out of five.
+    // The oracle recomputes the same aggregate from the orders table.
+    "s13_partition_prune" -> ((s, d) => {
+      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/orders_part"
+      graft.ops.Layout.writePartitioned(
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+        dir, "o_orderpriority")
+      s.read.parquet(dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     // S11: keyed upsert / merge — the incremental-manifest-refresh shape
     // (MERGE INTO semantics as one full-outer join + coalesce: updates
     // win on matched keys, unmatched base rows persist, brand-new keys
@@ -135,6 +154,11 @@ object QSources {
     "s9_sync_diff" ->
       """SELECT s_suppkey AS key, s_acctbal AS size FROM supplier
          WHERE s_suppkey % 3 != 0""",
+    "s13_partition_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderpriority""",
     "s12_compaction_plan" ->
       """WITH f AS (SELECT s_nationkey, s_suppkey, CAST(s_acctbal AS DOUBLE) AS size
                     FROM supplier),

@@ -52,6 +52,22 @@ object QWindows {
           .orderBy(graft.ops.Determinism.detHash(col("o_orderkey")), col("o_orderkey")))
           .as("fold"))),
 
+    // W10: percentile-based quality pruning — "drop the bottom 80% per
+    // language by quality score" (n_chars as the deterministic score
+    // proxy) via percent_rank over a pinned total order. The rank is
+    // rounded BEFORE the threshold filter in both engines, so the 0.8
+    // boundary decision is identical. partitionBy(lang) caps parallelism
+    // at the language count — for a global/per-stratum rank at 100 TB use
+    // Sampling.stratifiedExactDistributed's range-repartition rank shape.
+    "w10_quality_prune" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .filter(col("pr") >= 0.8)
+        .select(col("doc_id"), col("lang"), col("pr"))
+    }),
+
     // W8: frame specs — running sum, lag, rank.
     "w8_frames" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -95,6 +111,13 @@ object QWindows {
                    ORDER BY $h, o_orderkey) AS INT) AS fold
           FROM orders"""
     },
+    "w10_quality_prune" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  round(percent_rank() OVER (PARTITION BY lang
+                    ORDER BY n_chars, doc_id), 6) AS pr
+           FROM documents)
+         SELECT doc_id, lang, pr FROM r WHERE pr >= 0.8""",
     "w8_frames" ->
       """SELECT o_custkey, o_orderkey,
                 round(sum(o_totalprice) OVER (PARTITION BY o_custkey

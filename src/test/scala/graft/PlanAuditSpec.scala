@@ -65,10 +65,11 @@ class PlanAuditSpec extends SparkSpec {
     // k-column aggregate form has no product at all.)
     //  - v7: recall evaluation embeds the brute-force baseline by design
     //  - v8: same tiny-centroid assignment cross-join as v5/v6
-    //  - tx_tfidf / tx_pmi / x10: broadcast of one-row corpus-total aggregates
+    //  - tx_tfidf / tx_pmi / x10 / x11: broadcast of one-row corpus-total
+    //    aggregates
     val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
       "v5_ivf_topk", "v6_ivf_nprobe", "v7_lsh_recall", "v8_semantic_dedup",
-      "tx_tfidf", "tx_pmi", "x10_mixture_plan")
+      "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||
@@ -76,6 +77,15 @@ class PlanAuditSpec extends SparkSpec {
       if (bad || p.startsWith("PLAN_FAIL")) Some(q) else None
     }
     assert(offenders.isEmpty, s"unexpected product/failed plans: $offenders")
+  }
+
+  test("s13_partition_prune: the partition filter prunes directories at planning time") {
+    val p = plan("s13_partition_prune")
+    // the filter must land in PartitionFilters (directory pruning), not in
+    // PushedFilters/post-scan Filter (row-level evaluation after listing)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderpriority"), p)
+    assert(pf.contains("1-URGENT"), p)
   }
 
   test("d3_simhash / d2_minhash: shuffle-free signature stage (kernel + posexplode)") {
