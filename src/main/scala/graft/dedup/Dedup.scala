@@ -322,10 +322,21 @@ object Dedup {
     val half = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
       .localCheckpoint(false)
+    // Right-size the iteration's parallelism to the working set: the dedup
+    // graph after LSH + verify is orders of magnitude smaller than the
+    // corpus, and a min-label round over a few thousand edges spread
+    // across the session's full shuffle width is scheduling-bound, not
+    // compute-bound. ~500k edges per task, capped at the session default;
+    // the sizing count costs one job over the already-checkpointed half.
+    val nEdges = 2L * half.count()
+    val parts = math.max(1, math.min(
+      half.sparkSession.sparkContext.defaultParallelism,
+      (nEdges / 500000L + 1).toInt))
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct().repartition(parts, col("dst")).localCheckpoint(false)
     var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl")).localCheckpoint(false)
+      .select(col("v"), col("v").as("lbl"))
+      .repartition(parts, col("v")).localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
