@@ -114,6 +114,34 @@ object QText {
     "tx_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // PII scrub — the redaction pass run before training on scraped text.
+    // Deterministic synthetic PII (an email + a phone derived from doc_id)
+    // is appended so the redaction provably fires on every row; output is
+    // the span count plus the md5 of the redacted text, which the oracle
+    // recomputes with the identical regex chain. Pure codegen'd
+    // projection — scales as a map-side pass, no shuffle.
+    "tx_pii_redact" -> ((s, d) => {
+      val withPii = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      withPii.select(col("doc_id"),
+        piiCount(col("text")).as("n_pii"),
+        md5(redactPii(col("text"))).as("redacted_md5"))
+    }),
+
+    // Markup stripping — boilerplate removal for scraped HTML. Tags are
+    // injected deterministically, stripped, whitespace-collapsed; output
+    // is the tag count + md5 of the cleaned text. Map-side only.
+    "tx_strip_html" -> ((s, d) => {
+      val tagged = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("<div id=\"doc-"), col("doc_id").cast("string"),
+          lit("\"><p>"), col("text"), lit("</p><br/></div>")).as("html"))
+      tagged.select(col("doc_id"),
+        regexp_count(col("html"), lit("<[^>]+>")).cast("int").as("n_tags"),
+        md5(stripMarkup(col("html"))).as("clean_md5"))
+    }),
+
     // Token count via the native codegen'd Expression (graft_token_count,
     // registered through SparkSessionExtensions) — same semantics as the
     // HOF form in tx_tokens, but allocation-free and inside whole-stage
@@ -352,6 +380,32 @@ object QText {
     },
     "tx_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "tx_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or call +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+             FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+                     len(regexp_extract_all(text, '\+?\d[\d-]{6,}\d'))
+                  AS INT) AS n_pii,
+                md5(regexp_replace(regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                    '\+?\d[\d-]{6,}\d', '<PHONE>', 'g')) AS redacted_md5
+         FROM p""",
+    "tx_strip_html" ->
+      """WITH h AS (SELECT doc_id,
+               '<div id="doc-' || CAST(doc_id AS VARCHAR) || '"><p>' ||
+               text || '</p><br/></div>' AS html
+             FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INT) AS n_tags,
+                md5(trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                      '\s+', ' ', 'g'))) AS clean_md5
+         FROM h""",
     "tx_tokens_native" ->
       s"SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens FROM documents",
     "tx_bpe_tokens" ->

@@ -68,6 +68,40 @@ object TextFunctions {
   def normalized(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  /** Email pattern shared by redaction + counting (RE2- and Java-regex
+    * compatible: no lookaround, ASCII classes only, so Spark and the
+    * DuckDB oracle match byte-for-byte).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-number-ish pattern: international prefix optional, ≥8 chars of
+    * digits/dashes. Same cross-engine compatibility constraints.
+    */
+  val phoneRe = "\\+?\\d[\\d-]{6,}\\d"
+
+  /** PII redaction — the pre-training scrub pass: emails first (so their
+    * digit runs can't half-match as phones), then phone numbers. Plain
+    * codegen'd regexp_replace chain; replacement order is part of the
+    * contract (the oracle applies the same order).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  /** Count of PII spans that [[redactPii]] would replace. */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(emailRe)) + regexp_count(text, lit(phoneRe)))
+      .cast("int")
+
+  /** Markup stripping — boilerplate removal for scraped HTML: drop tags,
+    * collapse the whitespace they leave behind, trim. Not an HTML parser
+    * (no entity decoding, no script-content awareness) — the cheap
+    * first-pass scrub before quality scoring; a real DOM extraction is a
+    * decode-stage concern (U1 territory), not a relational one.
+    */
+  def stripMarkup(html: Column): Column =
+    trim(regexp_replace(regexp_replace(html, "<[^>]+>", " "), "\\s+", " "))
+
   /** Document fingerprint: md5 of the normalized text (stable across engines). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
