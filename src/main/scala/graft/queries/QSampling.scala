@@ -84,6 +84,27 @@ object QSampling {
         .select(col("lang"), col("n_docs"), col("p_temp"), col("alloc"))
     }),
 
+    // X12: sequence-packing plan — greedy packing of documents into
+    // fixed-budget (4096-token) training sequences, per language, in a
+    // deterministic document order: a doc starts a new sequence when the
+    // running total before it has filled the current budget (same
+    // first-fit running-sum shape as the s12 compaction planner). Output:
+    // one row per planned sequence with its doc count and token total.
+    // Windows are per-language; for a single giant stratum use the
+    // distributed-rank shape (see Sampling.stratifiedExactDistributed).
+    "x12_pack_plan" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokenCountNative(col("text")).cast("long").as("n_tok"))
+        .withColumn("seq",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(4096.0)).cast("long"))
+        .groupBy(col("lang"), col("seq"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
+    }),
+
     // X9: Z-order layout key — the Morton interleave that clusterByZ sorts
     // on before writing (multi-column min/max pruning layout). Top-100 by
     // (z, key) keeps the oracle small while checking every bit lane.
@@ -202,6 +223,20 @@ object QSampling {
            SELECT lang, n_docs, round(sqrt(n_docs) / z, 6) AS p_temp,
                   CAST(floor(10000 * sqrt(n_docs) / z) AS BIGINT) AS alloc
            FROM per CROSS JOIN tot""",
+      "x12_pack_plan" ->
+        """WITH tk AS (
+             SELECT doc_id, lang,
+                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x != '')) AS BIGINT) AS n_tok
+             FROM documents),
+               p AS (
+             SELECT doc_id, lang, n_tok,
+                    CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                      / 4096.0) AS BIGINT) AS seq
+             FROM tk)
+           SELECT lang, seq, count(*) AS n_docs, sum(n_tok) AS seq_tokens
+           FROM p GROUP BY lang, seq""",
       "x9_zorder" ->
         s"""SELECT o_orderkey, o_custkey,
                    ${graft.ops.Layout.zValueSql("o_custkey", "o_orderkey")} AS z

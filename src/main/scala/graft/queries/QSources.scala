@@ -113,6 +113,30 @@ object QSources {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // S14: schema evolution across write epochs — v1 files lack a column
+    // that v2 files added; `mergeSchema` unifies the footers at read time
+    // and back-fills nulls for the missing column, so an aggregate over
+    // the evolved column groups v1 rows under NULL. The long-lived-lake
+    // reality: readers must tolerate additive schema drift without
+    // rewriting 100 TB of history. Explicit subdir paths (not key=value
+    // names) so no partition column is inferred.
+    "s14_schema_evolution" -> ((s, d) => {
+      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/evolved"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = t(s, d, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(dir + "/v1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(dir + "/v2")
+      s.read.option("mergeSchema", "true").parquet(dir + "/v1", dir + "/v2")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     // S11: keyed upsert / merge — the incremental-manifest-refresh shape
     // (MERGE INTO semantics as one full-outer join + coalesce: updates
     // win on matched keys, unmatched base rows persist, brand-new keys
@@ -154,6 +178,10 @@ object QSources {
     "s9_sync_diff" ->
       """SELECT s_suppkey AS key, s_acctbal AS size FROM supplier
          WHERE s_suppkey % 3 != 0""",
+    "s14_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority,
+                count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1""",
     "s13_partition_prune" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS sum_price
