@@ -87,6 +87,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("redactPii replaces emails and phones, leaves clean text alone") {
+    val rows = Seq(
+      "mail me at jane.doe+spam@sub.example.co.uk today",
+      "call +1-555-0042-99 or 0123456789",
+      "two mails: a@b.io c_d%e@f-g.com",
+      "clean text with short 12-34 digits",
+      "").toDF("t")
+      .select(TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.piiCount(col("t")).as("n"))
+      .as[(String, Int)].collect().toSeq
+    assert(rows(0) === ("mail me at <EMAIL> today", 1))
+    assert(rows(1) === ("call <PHONE> or <PHONE>", 2))
+    assert(rows(2) === ("two mails: <EMAIL> <EMAIL>", 2))
+    // "12-34" is 5 chars of digits/dashes — below the ≥8 phone threshold
+    assert(rows(3) === ("clean text with short 12-34 digits", 0))
+    assert(rows(4) === ("", 0))
+    // redaction is idempotent: a redacted row has no remaining spans
+    val again = Seq(rows(0)._1, rows(1)._1).toDF("t")
+      .select(TextFunctions.piiCount(col("t"))).as[Int].collect()
+    assert(again.forall(_ === 0))
+  }
+
+  test("stripMarkup removes tags and collapses the whitespace they leave") {
+    val rows = Seq(
+      "<div id=\"x\"><p>hello   <b>world</b></p><br/></div>",
+      "no markup here",
+      "<p></p>",
+      "a < b and b > c").toDF("t")
+      .select(TextFunctions.stripMarkup(col("t"))).as[String].collect().toSeq
+    assert(rows(0) === "hello world")
+    assert(rows(1) === "no markup here")
+    assert(rows(2) === "")
+    // a lone '<' with no closing '>' before the next '<' is consumed up to
+    // the '>' that follows — the documented not-a-parser trade-off
+    assert(rows(3) === "a c")
+  }
+
   test("ngramSignature is stable under a small edit's unrelated region") {
     // signature = 4 smallest gram hashes; appending text can only change
     // the signature if a new gram hashes below the current top-4
