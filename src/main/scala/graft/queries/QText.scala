@@ -19,6 +19,30 @@ object QText {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
   private val dtoksSql = s"list_distinct($toksSql)"
 
+  // Shared DuckDB fragments for the marker-stopword language-ID heuristic
+  // (used by the tx_langid projection and the tx_langid_eval accuracy
+  // aggregate — one definition so the two oracles cannot drift).
+  private val langScoresSql: String = {
+    val markers = Map(
+      "de" -> "['der','die','und','das','nicht']",
+      "en" -> "['the','and','of','to','is']",
+      "es" -> "['el','la','de','que','los']",
+      "fr" -> "['le','les','et','des','une']",
+      "zh" -> "['de','shi','le','wo','ni']")
+    markers.keys.toSeq.sorted.map(l =>
+      s"CAST(len(list_filter(${markers(l)}, m -> list_contains($dtoksSql, m))) AS INT) AS s_$l")
+      .mkString(", ")
+  }
+  private val langGuessSql: String = {
+    val best = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+    s"""CASE WHEN s_de = $best AND $best > 0 THEN 'de'
+             WHEN s_en = $best AND $best > 0 THEN 'en'
+             WHEN s_es = $best AND $best > 0 THEN 'es'
+             WHEN s_fr = $best AND $best > 0 THEN 'fr'
+             WHEN s_zh = $best AND $best > 0 THEN 'zh'
+             ELSE 'und' END"""
+  }
+
   // DuckDB fragments mirroring TextFunctions punctRatio / stopwordRatio /
   // qualityScore (zero-token and empty-text guards match the Spark
   // otherwise(0.0) branches so the oracle never divides by zero).
@@ -109,6 +133,19 @@ object QText {
         (Seq(col("doc_id"), col("lang"), langId(col("text")).as("lang_guess")) ++
           langMarkers.keys.toSeq.sorted.map(l =>
             langScore(col("text"), l).as(s"s_$l"))): _*)),
+
+    // Language-ID evaluation: per-label accuracy of the heuristic against
+    // the dataset's lang column — the QA step that validates a classifier
+    // before its output gates a corpus at scale. One map-side projection +
+    // one tiny aggregate.
+    "tx_langid_eval" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), langId(col("text")).as("guess"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("guess") === col("lang"), 1L).otherwise(0L)).as("n_correct"),
+          round(avg(when(col("guess") === col("lang"), 1.0).otherwise(0.0)), 6)
+            .as("accuracy"))),
 
     // Document fingerprint (normalized md5) per doc.
     "tx_fingerprint" -> ((s, d) =>
@@ -356,28 +393,20 @@ object QText {
                  round($stopSql, 6) AS stop_ratio,
                  round($qualitySql, 6) AS quality
           FROM documents""",
-    "tx_langid" -> {
-      val markers = Map(
-        "de" -> "['der','die','und','das','nicht']",
-        "en" -> "['the','and','of','to','is']",
-        "es" -> "['el','la','de','que','los']",
-        "fr" -> "['le','les','et','des','une']",
-        "zh" -> "['de','shi','le','wo','ni']")
-      val scores = markers.keys.toSeq.sorted.map(l =>
-        s"CAST(len(list_filter(${markers(l)}, m -> list_contains($dtoksSql, m))) AS INT) AS s_$l")
-        .mkString(", ")
-      val best = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
-      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
-          SELECT doc_id, lang,
-                 CASE WHEN s_de = $best AND $best > 0 THEN 'de'
-                      WHEN s_en = $best AND $best > 0 THEN 'en'
-                      WHEN s_es = $best AND $best > 0 THEN 'es'
-                      WHEN s_fr = $best AND $best > 0 THEN 'fr'
-                      WHEN s_zh = $best AND $best > 0 THEN 'zh'
-                      ELSE 'und' END AS lang_guess,
+    "tx_langid" ->
+      s"""WITH sc AS (SELECT doc_id, lang, $langScoresSql FROM documents)
+          SELECT doc_id, lang, $langGuessSql AS lang_guess,
                  s_de, s_en, s_es, s_fr, s_zh
-          FROM sc"""
-    },
+          FROM sc""",
+    "tx_langid_eval" ->
+      s"""WITH sc AS (SELECT doc_id, lang, $langScoresSql FROM documents),
+               g AS (SELECT lang, $langGuessSql AS guess FROM sc)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_correct,
+                 round(avg(CASE WHEN guess = lang THEN 1.0 ELSE 0.0 END), 6)
+                   AS accuracy
+          FROM g GROUP BY lang""",
     "tx_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
     "tx_pii_redact" ->
