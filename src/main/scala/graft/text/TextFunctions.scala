@@ -88,9 +88,14 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
       phoneRe, "<PHONE>")
 
-  /** Count of PII spans that [[redactPii]] would replace. */
+  /** Count of PII spans that [[redactPii]] would replace: emails on the
+    * raw text, phones on the email-redacted text — the same pass order as
+    * the redaction, so a digit-bearing email local part is one span, not
+    * two.
+    */
   def piiCount(text: Column): Column =
-    (regexp_count(text, lit(emailRe)) + regexp_count(text, lit(phoneRe)))
+    (regexp_count(text, lit(emailRe)) +
+      regexp_count(regexp_replace(text, emailRe, "<EMAIL>"), lit(phoneRe)))
       .cast("int")
 
   /** Markup stripping — boilerplate removal for scraped HTML: drop tags,

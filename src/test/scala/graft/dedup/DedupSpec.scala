@@ -57,18 +57,27 @@ class DedupSpec extends SparkSpec {
   test("array-kernel verifyCandidatesArray is row-identical to the default") {
     val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
     val cands = Dedup.lshCandidatePairs(sigs, bandSize = 4)
-      // an intentional duplicate pair: both forms must dedupe it away
+      // an intentional duplicate pair (both forms must dedupe it away) and
+      // a disjoint-gram pair (neither form may emit a jaccard-0 row for it,
+      // even at minJaccard = 0)
       .union(Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+      .union(Seq((96L, 97L)).toDF("doc_a", "doc_b"))
+    val disjointDocs = docs.union(
+      Seq((96L, "aaaaaaaaaa"), (97L, "zzzzzzzzzz")).toDF("doc_id", "text"))
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.as[(Long, Long, Double)].collect().toSet
+      df.as[(Long, Long, Double)].collect().toSeq.sorted
     val arrayForm = rows(Dedup.verifyCandidatesArray(
-      docs, cands, col("doc_id"), col("text"), 3, 0.0))
+      disjointDocs, cands, col("doc_id"), col("text"), 3, 0.0))
     val defaultForm = rows(Dedup.verifyCandidates(
-      docs, cands, col("doc_id"), col("text"), 3, 0.0))
+      disjointDocs, cands, col("doc_id"), col("text"), 3, 0.0))
+    // Seq comparison, not Set: a failure to dedupe the duplicate pair
+    // would duplicate an output row, which a Set would collapse
     assert(arrayForm === defaultForm)
     assert(arrayForm.nonEmpty)
-    // exact dups verify at jaccard 1.0
+    assert(arrayForm.distinct === arrayForm)
+    // exact dups verify at jaccard 1.0; the disjoint pair emits nothing
     assert(arrayForm.contains((1L, 2L, 1.0)))
+    assert(!arrayForm.exists(r => r._1 == 96L || r._2 == 97L))
   }
 
   test("ngram document-frequency cap drops hot grams from the join") {

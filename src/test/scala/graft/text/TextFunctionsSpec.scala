@@ -93,6 +93,7 @@ class TextFunctionsSpec extends SparkSpec {
       "call +1-555-0042-99 or 0123456789",
       "two mails: a@b.io c_d%e@f-g.com",
       "clean text with short 12-34 digits",
+      "reach me at 12345678@example.com",
       "").toDF("t")
       .select(TextFunctions.redactPii(col("t")).as("r"),
         TextFunctions.piiCount(col("t")).as("n"))
@@ -102,7 +103,10 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(2) === ("two mails: <EMAIL> <EMAIL>", 2))
     // "12-34" is 5 chars of digits/dashes — below the ≥8 phone threshold
     assert(rows(3) === ("clean text with short 12-34 digits", 0))
-    assert(rows(4) === ("", 0))
+    // a digit-bearing email local part is ONE span (the count applies the
+    // same email-first pass order as the redaction), not email + phone
+    assert(rows(4) === ("reach me at <EMAIL>", 1))
+    assert(rows(5) === ("", 0))
     // redaction is idempotent: a redacted row has no remaining spans
     val again = Seq(rows(0)._1, rows(1)._1).toDF("t")
       .select(TextFunctions.piiCount(col("t"))).as[Int].collect()
