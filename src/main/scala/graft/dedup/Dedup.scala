@@ -350,10 +350,11 @@ object Dedup {
         .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           // labels only ever decrease, so "changed" is exactly nlbl < lbl
           when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("chg"))
-        // re-pin the right-sized partitioning: without this the join/agg
-        // output reverts to the session shuffle width and every later
-        // round pays the full-width scheduling cost again
-        .repartition(parts, col("v"))
+        // deliberately NO repartition(parts) here: re-pinning the sizing on
+        // every round was A/B-measured ~1 s SLOWER at sf0.1 (the extra
+        // exchange per round outweighs full-width scheduling, which AQE's
+        // partition coalescing already tames); only the round-0 inputs are
+        // right-sized
         .localCheckpoint(false)
       val row = next.agg(sum(col("chg"))).head()
       changed = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no vertices
