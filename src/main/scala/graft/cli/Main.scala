@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
   *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3]
+  *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
+  *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   */
 object Main {
 
@@ -25,7 +27,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse(
-      sys.error("usage: train|curriculum|evaluate|sync|dedup"))
+      sys.error("usage: train|curriculum|evaluate|sync|dedup|mixture|pack"))
     val spark = GraftSession.local()
     try cmd match {
       case "train" =>
@@ -72,6 +74,31 @@ object Main {
         opt(args, "--output") match {
           case Some(out) => kept.write.mode("overwrite").parquet(out)
           case None      => println(s"[dedup] kept ${kept.count()} documents")
+        }
+      case "mixture" =>
+        val docs = spark.read.parquet(opt(args, "--docs").get)
+        val group = opt(args, "--group").getOrElse("lang")
+        val per = docs.groupBy(col(group)).agg(count(lit(1)).as("n_docs"))
+        val plan = graft.ops.Planners.temperatureMixture(per, group, "n_docs",
+          alpha = opt(args, "--alpha").map(_.toDouble).getOrElse(0.5),
+          budget = opt(args, "--budget").map(_.toLong).getOrElse(10000L))
+        opt(args, "--output") match {
+          case Some(out) => plan.coalesce(1).write.mode("overwrite").json(out)
+          case None      => plan.show(50, truncate = false)
+        }
+      case "pack" =>
+        graft.extensions.GraftExtensions.register(spark)
+        val docs = spark.read.parquet(opt(args, "--docs").get)
+        val group = opt(args, "--group").getOrElse("lang")
+        val plan = graft.ops.Planners.packPlan(
+          docs.select(col("doc_id"), col(group),
+            graft.text.TextFunctions.tokenCountNative(col("text"))
+              .cast("long").as("n_tok")),
+          group, "doc_id", "n_tok",
+          budget = opt(args, "--budget").map(_.toLong).getOrElse(4096L))
+        opt(args, "--output") match {
+          case Some(out) => plan.write.mode("overwrite").parquet(out)
+          case None      => plan.show(50, truncate = false)
         }
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()

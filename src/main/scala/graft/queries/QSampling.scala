@@ -58,14 +58,7 @@ object QSampling {
         .agg(sum(tokenCountNative(col("text")).cast("long")).as("src_tokens"))
         .withColumn("w",
           regexp_extract(col("source"), "([0-9]+)", 1).cast("int") + 1)
-      val tot = per.agg(sum(col("src_tokens")).as("total_tokens"),
-        sum(col("w")).as("total_w"))
-      per.crossJoin(broadcast(tot))
-        .withColumn("target_share", round(col("w") / col("total_w"), 6))
-        .withColumn("fraction", round(least(lit(1.0),
-          (col("w") / col("total_w")) * col("total_tokens") / col("src_tokens")), 6))
-        .select(col("source"), col("src_tokens"), col("target_share"),
-          col("fraction"))
+      graft.ops.Planners.tokenBudgetMixture(per)
     }),
 
     // X11: temperature-scaled mixture weights — the multilingual sampling
@@ -73,20 +66,10 @@ object QSampling {
     // low-resource languages relative to natural frequency before drawing
     // a training mixture. Two tiny aggregates (per-language counts + a
     // broadcast one-row normalizer); allocation = floor(budget · p_l).
-    "x11_temperature_mix" -> ((s, d) => {
-      val per = t(s, d, "documents").groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"))
-      val z = per.agg(sum(sqrt(col("n_docs"))).as("z"))
-      per.crossJoin(broadcast(z))
-        .withColumn("p_temp", round(sqrt(col("n_docs")) / col("z"), 6))
-        // floor over the ROUNDED quotient: the engines may disagree by an
-        // ulp in the z accumulation order, and an unrounded floor at an
-        // integer boundary would flip the allocation (same
-        // round-before-boundary-decision rule as w10's threshold)
-        .withColumn("alloc",
-          floor(round(lit(10000) * sqrt(col("n_docs")) / col("z"), 6)).cast("long"))
-        .select(col("lang"), col("n_docs"), col("p_temp"), col("alloc"))
-    }),
+    "x11_temperature_mix" -> ((s, d) =>
+      graft.ops.Planners.temperatureMixture(
+        t(s, d, "documents").groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
+        "lang", "n_docs", alpha = 0.5, budget = 10000)),
 
     // X12: sequence-packing plan — concatenate-then-chunk assignment of
     // documents to 4096-token training windows, per language, in a
@@ -101,15 +84,11 @@ object QSampling {
     // distributed-rank shape (see Sampling.stratifiedExactDistributed).
     "x12_pack_plan" -> ((s, d) => {
       graft.extensions.GraftExtensions.register(s)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-      t(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          tokenCountNative(col("text")).cast("long").as("n_tok"))
-        .withColumn("seq",
-          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(4096.0)).cast("long"))
-        .groupBy(col("lang"), col("seq"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
+      graft.ops.Planners.packPlan(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            tokenCountNative(col("text")).cast("long").as("n_tok")),
+        "lang", "doc_id", "n_tok", budget = 4096)
     }),
 
     // X9: Z-order layout key — the Morton interleave that clusterByZ sorts
