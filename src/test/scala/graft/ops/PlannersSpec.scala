@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class PlannersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("temperatureMixture: probabilities sum to ~1, alloc bounded by budget, alpha<1 compresses") {
+    val per = Seq(("en", 8100L), ("de", 900L), ("fr", 100L)).toDF("lang", "n")
+    val plan = Planners.temperatureMixture(per, "lang", "n", 0.5, 10000L)
+      .as[(String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val pSum = plan.values.map(_._3).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p sums to $pSum")
+    // floor loss only: total allocation within one unit per group of budget
+    val allocSum = plan.values.map(_._4).sum
+    assert(allocSum <= 10000L && allocSum >= 10000L - 3)
+    // sqrt weights: 8100/900/100 -> 90/30/10 -> p = 9/13, 3/13, 1/13
+    assert(math.abs(plan("en")._3 - 9.0 / 13) < 1e-4)
+    assert(math.abs(plan("fr")._3 - 1.0 / 13) < 1e-4)
+    // natural share of fr is 100/9100 ≈ 1.1%; temperature lifts it to 7.7%
+    assert(plan("fr")._3 > 100.0 / 9100.0)
+  }
+
+  test("tokenBudgetMixture: fractions capped at 1, exact shares otherwise") {
+    val per = Seq(("src0", 1000L, 1), ("src1", 100L, 9)).toDF(
+      "source", "src_tokens", "w")
+    val plan = Planners.tokenBudgetMixture(per)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // src1 wants 9/10 of 1100 = 990 tokens but only has 100 -> whole (1.0)
+    assert(plan("src1")._4 === 1.0)
+    // src0 wants 1/10 of 1100 = 110 of its 1000 -> fraction 0.11
+    assert(math.abs(plan("src0")._4 - 0.11) < 1e-9)
+  }
+
+  test("packPlan conserves tokens and numbers windows contiguously (ScalaCheck)") {
+    val gen = Gen.listOfN(40, Gen.choose(1L, 3000L))
+    val prop = Prop.forAll(gen) { toks =>
+      val docs = toks.zipWithIndex
+        .map { case (n, i) => (i.toLong, "g", n) }.toDF("id", "g", "n_tok")
+      val plan = Planners.packPlan(docs, "g", "id", "n_tok", 4096L)
+        .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+      val totalOk = plan.map(_._4).sum == toks.sum
+      // windows are numbered 0..max without gaps (every boundary crossed
+      // in order produces the next id)
+      val contiguous = plan.map(_._2).toSeq == plan.indices.map(_.toLong)
+      // concatenate-then-chunk: all but the last window hold >= budget
+      // worth of STARTING docs only if no doc straddles — in general a
+      // window's doc count is >= 1
+      val nonEmpty = plan.forall(_._3 >= 1)
+      totalOk && contiguous && nonEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
