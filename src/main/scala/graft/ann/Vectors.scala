@@ -170,6 +170,16 @@ object Vectors {
                     vecCol: String, k: Int, step: Int, nprobe: Int,
                     roundTo: Int = 6): DataFrame = {
     val (c, cents) = corpusAndCents(corpus, idCol, vecCol, step)
+    ivfTopKProbesWith(c, queries, idCol, vecCol, k, cents, nprobe, roundTo)
+  }
+
+  /** [[ivfTopKProbes]] with a caller-supplied coarse quantizer — `cents`
+    * must be a small (cent_id, cv, cvn) relation (it is broadcast), e.g.
+    * the output of [[kmeansCentroids]]. `c` is the [[normalized]] corpus.
+    */
+  private def ivfTopKProbesWith(c: DataFrame, queries: DataFrame, idCol: String,
+                                vecCol: String, k: Int, cents: DataFrame,
+                                nprobe: Int, roundTo: Int): DataFrame = {
     val ca = c.join(assignCells(c, "vec_id", cents), "vec_id")
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("vn", l2norm(col("v")))
@@ -190,6 +200,84 @@ object Vectors {
       .select(col("query_id"), col("vec_id"), round(col("cos"), roundTo).as("cosine"), col("rk"))
   }
 
+  /** Seeded, fixed-iteration Lloyd's k-means coarse quantizer — the
+    * *trained* alternative to [[centroidsOf]]'s every-step-th rule. The
+    * step rule is oracle-expressible but its recall at real scale depends
+    * on luck; k-means places centroids where the density is.
+    *
+    * Deterministic by construction:
+    *  - init = the `k` sample vectors with the smallest deterministic hash
+    *    of (vec_id, seed) — no RNG state, reproducible across runs/engines;
+    *  - assignment = max-cosine with min-cent_id tie-break (same total
+    *    order as [[assignCells]]);
+    *  - each iteration's new coordinates are rounded to `roundTo` decimals,
+    *    so the result does not depend on float summation order (partition
+    *    layout) beyond that precision.
+    *
+    * Scale shape: one [[assignCells]] pass (corpus × k broadcast cross,
+    * map-side max aggregate) plus one (cell, coordinate) mean aggregate per
+    * iteration; the only driver-resident state is the k × dim centroid
+    * matrix — the same driver-bounded contract as the centroid broadcast
+    * itself. `sampleFrac` trains on a deterministic Bernoulli sample
+    * (detRand of the id), the usual 100-TB move: centroid quality needs
+    * density, not the full corpus.
+    *
+    * Output: (cent_id ∈ 0..k-1, cv, cvn) — [[centroidsOf]]'s schema, so it
+    * drops into any IVF path ([[ivfTopKKmeans]]).
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 3, sampleFrac: Double = 1.0,
+                      seed: Long = 42, roundTo: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = normalized(corpus, idCol, vecCol)
+    val sampled = if (sampleFrac >= 1.0) c0
+      else c0.filter(
+        Determinism.detRand(col("vec_id") * lit(31L) + lit(seed)) < sampleFrac)
+    // every iteration re-reads the sample; materialize it once
+    val c = sampled.localCheckpoint(false)
+    def centsDf(cents: Seq[(Long, Seq[Double])]): DataFrame =
+      broadcast(cents.toDF("cent_id", "cv")
+        .withColumn("cvn", l2norm(col("cv"))))
+    var cents: Seq[(Long, Seq[Double])] = c
+      .withColumn("__h", Determinism.detHash(col("vec_id") + lit(seed)))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(k)
+      .select(col("v")).collect()
+      .toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(c, "vec_id", centsDf(cents)).join(c, "vec_id")
+      // (cell, coordinate) means — k × dim result rows, driver-bounded
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("cell", "p")
+        .agg(round(avg(col("x")), roundTo).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      // empty cells keep their previous centroid (standard Lloyd's)
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    centsDf(cents)
+  }
+
+  /** [[ivfTopKProbes]] with a k-means coarse quantizer ([[kmeansCentroids]])
+    * instead of the every-step-th rule — the recall-lifting production
+    * variant (measured against the step quantizer in VectorsSpec via the
+    * v7-style recall harness).
+    */
+  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, numCents: Int, nprobe: Int = 1,
+                    iters: Int = 3, seed: Long = 42, sampleFrac: Double = 1.0,
+                    roundTo: Int = 6): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+    val cents = kmeansCentroids(corpus, idCol, vecCol, numCents, iters,
+      sampleFrac, seed, roundTo)
+    ivfTopKProbesWith(c, queries, idCol, vecCol, k, cents, nprobe, roundTo)
+  }
+
   /** Bucket histogram — the data-distribution view used to tune nPlanes. */
   def lshBucketHistogram(corpus: DataFrame, idCol: String, vecCol: String,
                          nPlanes: Int, dim: Int): DataFrame =
@@ -206,18 +294,29 @@ object Vectors {
     * for cluster-and-keep-representative semantics.
     *
     * Cost model at scale: cells ≈ corpus/step, within-cell work is
-    * Σ|cell|² — bounded by the quantizer granularity (`step`), exactly how
-    * SemDeDup bounds k-means cluster size. The corpus is scanned once
-    * (checkpointed) and shuffles once on cell.
+    * Σ|cell|² — the quantizer granularity (`step`) bounds the AVERAGE cell,
+    * but one hot cell (embedding-space boilerplate, the common case in web
+    * corpora) is unbounded quadratic. `maxCell` caps it the same way
+    * [[graft.dedup.Dedup.lshCandidatePairs]]'s `maxBucket` does: cells
+    * larger than the cap are excluded from pair generation entirely (their
+    * members produce no pairs), which bounds worst-case work at
+    * cells × maxCell² and turns a degenerate cell into a loud, tunable
+    * skip instead of a runaway stage. The corpus is scanned once
+    * (checkpointed) and shuffles once on cell (the cell-count window rides
+    * the same shuffle the pair join needs).
     */
   def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                            step: Int, minCosine: Double,
+                           maxCell: Int = 512,
                            roundTo: Int = 6): DataFrame = {
     // four consumers (centroid derivation, assignment, both join sides) —
     // materialize the normalized corpus once and derive everything from it
     val c = normalized(corpus, idCol, vecCol).localCheckpoint(false)
     val cents = centroidsOf(c, step)
     val av = assignCells(c, "vec_id", cents).join(c, "vec_id")
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("__cn") <= maxCell)
+      .drop("__cn")
     val a = av.select(col("vec_id").as("vec_a"), col("cell"),
       col("v").as("va"), col("vn").as("na"))
     val b = av.select(col("vec_id").as("vec_b"), col("cell"),

@@ -22,8 +22,20 @@ object Pipelines {
     * The sample runs on the *metadata* manifest before any payload fetch —
     * the reference's sample-before-download discipline
     * (train/common/dataset.py:69-71) that makes the plan viable at 100 TB.
+    *
+    * `distributed = true` (the default) composes the scale forms —
+    * [[Sampling.stratifiedExactDistributed]] and
+    * [[Sampling.shufflePositionDistributed]] — so the feed plan has NO
+    * single-task stage: the window forms serialize the whole feed through
+    * one task per stratum (sample) and ONE task total (shuffle), which is
+    * the 100-TB straggler cliff their own docs warn about. Both forms are
+    * oracle-proven row-identical to the window forms (x1 / x3), and
+    * PipelinesSpec asserts the two feeds are equal including positions.
+    * Pass `distributed = false` only for driver-bounded manifests where
+    * the two extra broadcast joins cost more than they save.
     */
-  def trainingFeed(manifest: DataFrame, profile: Map[String, Double]): DataFrame = {
+  def trainingFeed(manifest: DataFrame, profile: Map[String, Double],
+                   distributed: Boolean = true): DataFrame = {
     val typed = manifest
       .filter(ManifestOps.isImageKey(col("key")))
       .withColumn("filename", ManifestOps.basename(col("key")))
@@ -34,9 +46,19 @@ object Pipelines {
     val triplets = ManifestOps.tripletDiscovery(
         typed.select("stem", "image_type", "key"))
       .join(typed.select("stem", "difficulty").dropDuplicates("stem"), "stem")
-    val sampled = Sampling.stratifiedExact(
-      triplets, col("difficulty"), xxhash64(col("stem")), profile)
-    Sampling.shufflePosition(sampled, xxhash64(col("stem")))
+    // xxhash64(stem) is unique per triplet row (tripletDiscovery emits one
+    // row per stem), satisfying shufflePositionDistributed's unique-key
+    // contract.
+    val sampleKey = xxhash64(col("stem"))
+    if (distributed) {
+      val sampled = Sampling.stratifiedExactDistributed(
+        triplets, col("difficulty"), sampleKey, profile)
+      Sampling.shufflePositionDistributed(sampled, xxhash64(col("stem")))
+    } else {
+      val sampled = Sampling.stratifiedExact(
+        triplets, col("difficulty"), sampleKey, profile)
+      Sampling.shufflePosition(sampled, xxhash64(col("stem")))
+    }
   }
 
   /** §3.2 Evaluate: test manifest ⋈ predictions on stem (inner = the

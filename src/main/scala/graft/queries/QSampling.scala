@@ -191,8 +191,8 @@ object QSampling {
       "x10_mixture_plan" ->
         """WITH per AS (
              SELECT source,
-                    sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                      x -> x != ''))) AS src_tokens,
+                    CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x != ''))) AS BIGINT) AS src_tokens,
                     CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) + 1 AS w
              FROM documents GROUP BY source),
                tot AS (SELECT sum(src_tokens) AS total_tokens, sum(w) AS total_w
@@ -221,7 +221,8 @@ object QSampling {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
                       / 4096.0) AS BIGINT) AS seq
              FROM tk)
-           SELECT lang, seq, count(*) AS n_docs, sum(n_tok) AS seq_tokens
+           SELECT lang, seq, count(*) AS n_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS seq_tokens
            FROM p GROUP BY lang, seq""",
       "x9_zorder" ->
         s"""SELECT o_orderkey, o_custkey,

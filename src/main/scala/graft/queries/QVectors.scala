@@ -71,6 +71,26 @@ object QVectors {
           count(lit(1)), 6).as("recall"))
     }),
 
+    // V9: recall@5 of the k-means-quantized IVF path (trained coarse
+    // quantizer, Vectors.kmeansCentroids) against the exact baseline —
+    // the v7 harness pointed at the production quantizer. Rows-only
+    // (documented like a11): Lloyd's means are not oracle-expressible in
+    // closed-form SQL; VectorsSpec asserts the recall ordering
+    // (k-means >= the every-step-th rule at equal cell count) instead.
+    "v9_kmeans_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val brute = Vectors.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id"))
+      val km = Vectors.ivfTopKKmeans(emb, q, "vec_id", "embedding", 5,
+          numCents = 16, nprobe = 2)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      brute.join(km, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1)), 6).as("recall"))
+    }),
+
     // V3: embedding-cosine near-duplicate pairs above a threshold within a
     // bounded id range (embedding near-dup detection shape).
     "v3_cosine_neardup" -> ((s, d) => {
@@ -86,10 +106,13 @@ object QVectors {
 
     // V8: SemDeDup-style semantic near-dup pairs — IVF-cell assignment
     // bounds the pair search to within-cell (equi-join on cell, never the
-    // corpus square); exact cosine >= 0.4 inside each cell.
+    // corpus square); exact cosine >= 0.4 inside each cell. maxCell=512
+    // drops degenerate hot cells (mirrored by the oracle's QUALIFY-style
+    // cell-count filter); VectorsSpec exercises the cap with an actually
+    // oversized cell.
     "v8_semantic_dedup" -> ((s, d) =>
       Vectors.semanticNearDupPairs(t(s, d, "embeddings"),
-        "vec_id", "embedding", 50, 0.4)))
+        "vec_id", "embedding", 50, 0.4, maxCell = 512)))
 
   /** DuckDB fragment: hyperplane p as a DOUBLE[] expression recomputing the
     * same md5-derived components as [[Vectors.hyperplane]].
@@ -143,12 +166,15 @@ object QVectors {
                     FROM embeddings),
               cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
                         FROM c WHERE vec_id % 50 = 0),
-              ca AS (SELECT vec_id, v, vn, cell FROM (
+              ca0 AS (SELECT vec_id, v, vn, cell FROM (
                 SELECT c.vec_id, c.v, c.vn, cent_id AS cell,
                        row_number() OVER (PARTITION BY c.vec_id
-                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) DESC,
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
                                   cent_id) AS rk
-                FROM c, cents) WHERE rk = 1)
+                FROM c, cents) WHERE rk = 1),
+              ca AS (SELECT vec_id, v, vn, cell FROM (
+                SELECT *, count(*) OVER (PARTITION BY cell) AS cn FROM ca0)
+                WHERE cn <= 512)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                 round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
          FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -162,7 +188,7 @@ object QVectors {
               ca AS (SELECT vec_id, v, vn, cell FROM (
                 SELECT c.vec_id, c.v, c.vn, cent_id AS cell,
                        row_number() OVER (PARTITION BY c.vec_id
-                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) DESC,
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
                                   cent_id) AS rk
                 FROM c, cents) WHERE rk = 1),
               qa AS (SELECT vec_id AS query_id, v AS q, vn AS qn, cell

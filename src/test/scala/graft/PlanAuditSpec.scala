@@ -67,8 +67,11 @@ class PlanAuditSpec extends SparkSpec {
     //  - v8: same tiny-centroid assignment cross-join as v5/v6
     //  - tx_tfidf / tx_pmi / x10 / x11: broadcast of one-row corpus-total
     //    aggregates
+    //  - v9: k-means recall harness — brute baseline + tiny-centroid
+    //    assignment crosses, both by design
     val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
       "v5_ivf_topk", "v6_ivf_nprobe", "v7_lsh_recall", "v8_semantic_dedup",
+      "v9_kmeans_recall",
       "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
@@ -77,6 +80,47 @@ class PlanAuditSpec extends SparkSpec {
       if (bad || p.startsWith("PLAN_FAIL")) Some(q) else None
     }
     assert(offenders.isEmpty, s"unexpected product/failed plans: $offenders")
+  }
+
+  test("trainingFeed (distributed): every global window runs over a bounded aggregate, never the feed") {
+    // audited on the OPTIMIZED LOGICAL plan: AQE wraps the physical plan in
+    // AdaptiveSparkPlanExec (a leaf to collect()), and the logical Window /
+    // Aggregate shape is what determines the single-task funnel anyway
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    import spark.implicits._
+    val rows = for {
+      i <- 1 to 30
+      diff = Seq("easy", "medium", "hard")(i % 3)
+      suffix <- Seq("person", "cloth_a", "vton")
+    } yield (s"s3://b/$diff/stem$i" + s"_$suffix.jpg", s"s3://b/$diff/")
+    val manifest = rows.toDF("key", "prefix")
+    val profile = Map("easy" -> 0.5, "medium" -> 0.5, "hard" -> 0.5)
+    // a global (empty-partition-spec) window is bounded iff its input is an
+    // aggregate BEFORE any join or raw scan — e.g. the numPartitions-row
+    // offsets relation of shufflePositionDistributed, never the feed itself
+    def boundedInput(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate                 => true
+      case j if j.children.length > 1   => false // join below the window: full data
+      case l if l.children.isEmpty      => false // raw scan below the window
+      case other                        => other.children.forall(boundedInput)
+    }
+    val feed = graft.pipelines.Pipelines.trainingFeed(manifest, profile)
+    val globals = feed.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    globals.foreach { w =>
+      assert(boundedInput(w.child),
+        s"single-task window over unbounded input:\n$w")
+    }
+    // discriminating power: the window form DOES funnel the feed through
+    // one task (this is exactly what the assert above rejects)
+    val winForm = graft.pipelines.Pipelines
+      .trainingFeed(manifest, profile, distributed = false)
+    val offending = winForm.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && !boundedInput(w.child) => w
+    }
+    assert(offending.nonEmpty,
+      "expected the non-distributed form to contain a full-feed global window")
   }
 
   test("s13_partition_prune: the partition filter prunes directories at planning time") {

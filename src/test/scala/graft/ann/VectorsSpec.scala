@@ -115,6 +115,72 @@ class VectorsSpec extends SparkSpec {
     assert(perQuery.keySet.subsetOf((0L until 4L).toSet))
   }
 
+  test("semanticNearDupPairs maxCell drops the degenerate hot cell, keeps small cells") {
+    val rnd = new scala.util.Random(5)
+    val dirA = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val dirB = Array.fill(8)(rnd.nextGaussian().toFloat)
+    // ids 0..39: EXACT copies of dirA — identical vectors tie on cosine to
+    // every centroid, min-cent_id tie-break sends all 40 to cell 0 (one hot
+    // cell, the boilerplate-cluster shape the cap exists for). ids 40, 41:
+    // dirB and a scaled copy — a small 2-member cell with one true pair.
+    val vecs = ((0L until 40L).map(i => (i, dirA)) ++
+      Seq((40L, dirB), (41L, dirB.map(_ * 2.0f))))
+      .toDF("vec_id", "embedding")
+    def pairs(cap: Int) =
+      Vectors.semanticNearDupPairs(vecs, "vec_id", "embedding",
+          step = 20, minCosine = 0.5, maxCell = cap)
+        .as[(Long, Long, Double)].collect().toSet
+    val uncapped = pairs(Int.MaxValue)
+    // uncapped: the hot cell contributes 40*39/2 pairs + the (40,41) pair
+    assert(uncapped.size === 40 * 39 / 2 + 1)
+    val capped = pairs(10)
+    // capped: every hot-cell pair gone, the small cell survives untouched
+    assert(capped === Set((40L, 41L, 1.0)))
+  }
+
+  test("kmeansCentroids is deterministic and lifts IVF recall over the step quantizer") {
+    val rnd = new scala.util.Random(17)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    // three well-separated direction clusters with SKEWED sizes: ids 0..47
+    // cluster A, 48..53 cluster B, 54..59 cluster C. The every-16th rule
+    // picks centroid ids 0/16/32/48 — three redundant A centroids, one B,
+    // NONE in C — so C queries probe a foreign cell; k-means relocates
+    // centroids to the actual density.
+    val a = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val cdir = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 60L).map { i =>
+      val base = if (i < 48) a else if (i < 54) b else cdir
+      (i, jitter(base))
+    }.toDF("vec_id", "embedding").cache()
+    val cents = Vectors.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 3)
+    assert(cents.count() === 4)
+    // deterministic: a second run yields bit-identical centroids
+    val c1 = cents.orderBy("cent_id").collect().map(_.getSeq[Double](1)).toSeq
+    val c2 = Vectors.kmeansCentroids(vecs, "vec_id", "embedding", k = 4, iters = 3)
+      .orderBy("cent_id").collect().map(_.getSeq[Double](1)).toSeq
+    assert(c1 === c2)
+    // recall@5 against brute force, same cell count (4) and nprobe (1)
+    val queries = vecs.filter(col("vec_id").isin(0L, 50L, 55L, 58L))
+    val brute = Vectors.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(approx: Set[(Long, Long)]): Double =
+      brute.count(approx.contains).toDouble / brute.size
+    val stepRecall = recall(Vectors.ivfTopKProbes(vecs, queries, "vec_id",
+        "embedding", 5, step = 16, nprobe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet)
+    val kmRecall = recall(Vectors.ivfTopKKmeans(vecs, queries, "vec_id",
+        "embedding", 5, numCents = 4, nprobe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet)
+    assert(kmRecall >= stepRecall,
+      s"kmeans recall $kmRecall < step recall $stepRecall")
+    // and on this skewed fixture the lift is strict (C has a centroid now)
+    assert(kmRecall > stepRecall,
+      s"expected strict lift on the skewed fixture: km=$kmRecall step=$stepRecall")
+  }
+
   test("semanticNearDupPairs never invents pairs and keeps exact scores") {
     val rnd = new scala.util.Random(11)
     // 60 vectors in 3 cells (step=20); make 41 a scaled copy of 40 so at

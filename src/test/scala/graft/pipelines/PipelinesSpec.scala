@@ -32,6 +32,25 @@ class PipelinesSpec extends SparkSpec {
     assert(pos === (1L to pos.length))
   }
 
+  test("trainingFeed: distributed form equals the window form, positions included") {
+    val rows = for {
+      i <- 1 to 90
+      diff = Seq("easy", "medium", "hard")(i % 3)
+      suffix <- if (i % 10 == 0) Seq("person")
+                else Seq("person", "cloth_a", "vton")
+    } yield (s"s3://b/$diff/stem$i" + s"_$suffix.jpg", s"s3://b/$diff/")
+    val manifest = rows.toDF("key", "prefix")
+    val profile = Map("easy" -> 0.8, "medium" -> 0.5, "hard" -> 0.25)
+    def rowsOf(distributed: Boolean) =
+      Pipelines.trainingFeed(manifest, profile, distributed)
+        .select("stem", "difficulty", "pos")
+        .as[(String, String, Long)].collect().toSet
+    // identical rows AND identical permutation positions: the scale forms
+    // are drop-in, not approximately-equal
+    assert(rowsOf(distributed = true) === rowsOf(distributed = false))
+    assert(rowsOf(distributed = true).nonEmpty)
+  }
+
   test("evaluate: scores ⋈ test manifest → model × metric pivot") {
     val test = Seq("s1", "s2").toDF("stem")
     val scores = Seq(
