@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   *    unread until a consumer asks for it — the 100-TB discipline);
   *  - header parsing (magic sniff, PNG/BMP/GIF dimensions) is pure
   *    substring/conv arithmetic on the first bytes — no UDF;
-  *  - full decode (pixels, resample) happens only at the `mapPartitions`
-  *    edge ([[decodeStub]]): the image codec libraries are not in this
-  *    container, so the codec call itself is a deterministic stub, while
-  *    the Spark-side plumbing (schema, batching, partition iteration) is
-  *    real and tested (MultimodalSpec).
+  *  - full pixel decode happens only at the `mapPartitions` edge
+  *    ([[decodeImages]]): a REAL codec (`javax.imageio`, stock JDK —
+  *    PNG/JPEG/BMP/GIF with zero new dependencies) behind the same
+  *    partition-iteration shape; only the video demuxer remains a
+  *    documented stub ([[sampleFrames]] — container codecs are not in
+  *    the JDK).
   */
 object Multimodal {
 
@@ -111,6 +112,45 @@ object Multimodal {
   def gifHeader(width: Column, height: Column): Column =
     concat(unhex(lit("474946383961")), le(width, 2), le(height, 2))
 
+  /** A COMPLETE, decodable 24-bpp uncompressed BMP of constant gray level
+    * `gray` (0-255) — header + padded pixel rows, built entirely from pure
+    * hex-string expressions (codegen'd, no UDF). Unlike the header-prefix
+    * helpers this is a real image any codec can open: it lets an
+    * oracle-checked query drive the [[decodeImages]] ImageIO edge end-to-end
+    * from table columns alone (the oracle recomputes width/height/mean-luma
+    * arithmetically, u1d_decoded_dims). BMP is the one mainstream format
+    * whose pixel section is raw bytes — no compressor needed in SQL.
+    */
+  def bmpImage(width: Column, height: Column, gray: Column): Column = {
+    val w = width.cast("long")
+    val rowBytes = floor((w * 3 + lit(3)) / 4).cast("long") * 4
+    val pad = (rowBytes - w * 3).cast("int")
+    val dataSize = (rowBytes * height.cast("long")).cast("long")
+    val byteHex = lpad(hex(gray.cast("long") % 256), 2, "0")
+    // 24-bpp pixel = 3 bytes (B,G,R — equal for gray); rows are identical
+    // (constant color): repeat(pixel, w) + row padding, then the whole row
+    // repeated h times — column-valued repeat counts via the SQL repeat
+    // function
+    val pixHex = concat(byteHex, byteHex, byteHex)
+    val rowHex = concat(
+      call_function("repeat", pixHex, width.cast("int")),
+      call_function("repeat", lit("00"), pad))
+    concat(
+      unhex(lit("424D")),            // "BM"
+      le(dataSize + 54, 4),          // file size
+      le(lit(0), 4),                 // reserved
+      le(lit(54), 4),                // pixel-data offset
+      le(lit(40), 4),                // BITMAPINFOHEADER size
+      le(width, 4),
+      le(height, 4),
+      le(lit(1), 2),                 // planes
+      le(lit(24), 2),                // bits per pixel
+      le(lit(0), 4),                 // BI_RGB (uncompressed)
+      le(dataSize, 4),
+      le(lit(0), 16),                // ppm + palette fields
+      unhex(call_function("repeat", rowHex, height.cast("int"))))
+  }
+
   /** U1 (audio): serialize a canonical 44-byte RIFF/WAVE header — the
     * inverse of the `wav*` parsers, used by fixtures and round-trips.
     */
@@ -151,14 +191,15 @@ object Multimodal {
   case class DecodedImage(path: String, width: Int, height: Int,
                           format: String, meanLuma: Double)
 
-  /** U1: the decode edge. Iterates (path, content) rows per partition and
-    * emits typed image records. The codec call is STUBBED (deterministic
-    * pseudo-decode from the md5 of the bytes — image libraries are not in
-    * this container); everything around it — partition iteration, per-
-    * partition codec amortization (the reference's per-worker client reuse,
-    * train/common/dataset.py:73-81), typed output schema — is the real
-    * production shape: swap `stubDecode` for the codec and nothing else
-    * changes.
+  /** U1: the decode edge — a REAL image codec (`javax.imageio`, part of
+    * the stock JDK's java.desktop module: PNG/JPEG/BMP/GIF, zero new
+    * dependencies; reference fetch→decode loop,
+    * train/common/dataset.py:271-281). Iterates (path, content) rows per
+    * partition and emits typed records with the true pixel dimensions and
+    * mean Rec.601 luma in [0,1] (rounded to 6 decimals for cross-engine
+    * comparisons). Undecodable payloads yield (0, 0, sniffed-format, 0.0)
+    * rather than throwing — executors must not die on one corrupt object;
+    * the P7 null/zero-drop filter composes downstream.
     */
   def decodeImages(files: DataFrame, pathCol: String = "path",
                    contentCol: String = "content"): Dataset[DecodedImage] = {
@@ -166,29 +207,56 @@ object Multimodal {
     import spark.implicits._
     files.select(col(pathCol), col(contentCol)).as[(String, Array[Byte])]
       .mapPartitions { it =>
-        // One digest instance per partition = the per-worker setup cost
-        // the reference amortizes across rows.
-        val dg = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (path, bytes) => stubDecode(dg, path, bytes) }
+        // headless before any AWT class loads; ImageIO's plugin registry is
+        // then warmed once per executor JVM (the per-worker setup cost the
+        // reference amortizes across rows, train/common/dataset.py:73-81)
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (path, bytes) => imageioDecode(path, bytes) }
       }
   }
 
-  /** Deterministic stand-in for an image codec: parses real PNG headers
-    * when present, fabricates stable pseudo-pixel stats otherwise.
+  /** JVM-side magic sniff (the executor twin of [[magicFormat]]). */
+  private def sniffFormat(bytes: Array[Byte]): String = {
+    def at(i: Int, v: Int) = bytes.length > i && (bytes(i) & 0xff) == v
+    if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "png"
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) "jpeg"
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) "gif"
+    else if (at(0, 'B') && at(1, 'M')) "bmp"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "riff"
+    else if (at(0, 0x93) && at(1, 'N') && at(2, 'U') && at(3, 'M')) "npy"
+    else "unknown"
+  }
+
+  /** Decode one payload with ImageIO; never throws (corrupt bytes → a
+    * zero-dimension record carrying the sniffed format).
     */
-  private def stubDecode(dg: java.security.MessageDigest, path: String,
-                         bytes: Array[Byte]): DecodedImage = {
-    def be32(off: Int): Int =
-      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
-        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-    val isPng = bytes.length >= 24 &&
-      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
-    val (w, h, fmt) =
-      if (isPng) (be32(16), be32(20), "png") else (0, 0, "unknown")
-    dg.reset()
-    val digest = dg.digest(bytes)
-    val luma = (java.nio.ByteBuffer.wrap(digest.take(8)).getLong.abs % 256) / 255.0
-    DecodedImage(path, w, h, fmt, luma)
+  private[multimodal] def imageioDecode(path: String,
+                                        bytes: Array[Byte]): DecodedImage = {
+    val fmt = sniffFormat(bytes)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) DecodedImage(path, 0, 0, fmt, 0.0)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sum = 0.0
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)
+          i += 1
+        }
+        val luma = sum / (w.toDouble * h) / 255.0
+        // HALF_UP to match SQL round() (Spark and DuckDB both round half
+        // away from zero for positive values)
+        DecodedImage(path, w, h, fmt, java.math.BigDecimal.valueOf(luma)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+    } catch {
+      case _: Exception => DecodedImage(path, 0, 0, fmt, 0.0)
+    }
   }
 
   /** Sampled frame record produced by [[sampleFrames]]. */

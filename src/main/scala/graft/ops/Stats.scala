@@ -47,6 +47,58 @@ object Stats {
       .agg(round(avg(when(measure < threshold, 1.0).otherwise(0.0)), roundTo)
         .as("frac_under"))
 
+  /** Native sequential-sum dot product ([[graft.functions.DotProductExpr]])
+    * — the same kernel the ANN path uses; summation order matches DuckDB's
+    * list_dot_product bit-for-bit (VectorsSpec), which keeps the metric
+    * kernels below oracle-checkable.
+    */
+  private def dotp(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.DotProductExpr(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** A14a: mean squared error between two equal-length double arrays via
+    * the dot decomposition sum((a−b)²) = a·a − 2·a·b + b·b — three codegen'd
+    * sequential-sum kernels instead of a zip_with fold (HOF lambdas are
+    * CodegenFallback; the kernels stay in codegen AND match the oracle's
+    * list_dot_product exactly).
+    */
+  def arrayMse(a: Column, b: Column): Column =
+    (dotp(a, a) - lit(2.0) * dotp(a, b) + dotp(b, b)) / size(a).cast("double")
+
+  /** A14: peak signal-to-noise ratio, 10·log10(MAX²/MSE) (reference
+    * common/metrics.py:123-140 — the pure-math metric; the model-backed
+    * ones stay out-of-engine per SURVEY §7.5). A perfect reconstruction
+    * (MSE = 0) is +Infinity, stated explicitly because ANSI mode makes the
+    * bare division throw instead of yielding inf.
+    */
+  def psnr(a: Column, b: Column, maxVal: Double = 1.0): Column = {
+    val mse = arrayMse(a, b)
+    when(mse === 0.0, lit(Double.PositiveInfinity))
+      .otherwise(lit(10.0) * log10(lit(maxVal * maxVal) / mse))
+  }
+
+  /** A15: windowless ("global") SSIM over an array pair — the single-window
+    * degenerate case of SSIM (reference common/metrics.py:142-221): means,
+    * population variances and covariance over the WHOLE array, Wang et al.
+    * stabilizers C1=(0.01·L)², C2=(0.03·L)². The sliding-window variant is
+    * this expression mapped over patch arrays; the statistics are sums and
+    * dot products, so it stays a pure column expression (no UDF).
+    */
+  def ssimLite(a: Column, b: Column, maxVal: Double = 1.0): Column = {
+    val c1 = lit(0.0001 * maxVal * maxVal)
+    val c2 = lit(0.0009 * maxVal * maxVal)
+    val n = size(a).cast("double")
+    val ma = aggregate(a, lit(0.0), _ + _) / n
+    val mb = aggregate(b, lit(0.0), _ + _) / n
+    val va = dotp(a, a) / n - ma * ma
+    val vb = dotp(b, b) / n - mb * mb
+    val cov = dotp(a, b) / n - ma * mb
+    ((lit(2.0) * ma * mb + c1) * (lit(2.0) * cov + c2)) /
+      ((ma * ma + mb * mb + c1) * (va + vb + c2))
+  }
+
   /** A12: wide pivot with explicit values (no driver-side distinct scan) and
     * zero-filled counts so absent combinations are 0, not null.
     */

@@ -74,6 +74,25 @@ object Pipelines {
     packed.groupBy("model").pivot("metric", metrics).agg(first(col("mean")))
   }
 
+  /** §3.2b: pure-math image-pair metrics computed IN-engine — the
+    * PSNR / SSIM-lite / MSE subset of the reference's metric suite
+    * (common/metrics.py:123-221) that needs no model forward pass, as
+    * column expressions over (prediction, ground-truth) array pairs.
+    * Output is long-format (model, stem, metric, value) rows, directly
+    * consumable by [[evaluate]] alongside the out-of-engine model-backed
+    * scores (LPIPS/FID stay external per SURVEY §7.5).
+    */
+  def imagePairScores(pairs: DataFrame, model: Column, stem: Column,
+                      pred: Column, truth: Column,
+                      maxVal: Double = 1.0): DataFrame =
+    pairs.select(model.as("model"), stem.as("stem"),
+        round(Stats.arrayMse(pred, truth), 6).as("mse"),
+        round(Stats.psnr(pred, truth, maxVal), 6).as("psnr"),
+        round(Stats.ssimLite(pred, truth, maxVal), 6).as("ssim"))
+      .select(col("model"), col("stem"),
+        explode(map(lit("mse"), col("mse"), lit("psnr"), col("psnr"),
+          lit("ssim"), col("ssim"))).as(Seq("metric", "value")))
+
   /** T5: the curriculum stage schedule — easy → medium → hard weight
     * profiles, as in the reference bash drivers
     * (reference train/bash_scripts/curriculum/README.md:19-41,

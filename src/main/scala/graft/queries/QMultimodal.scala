@@ -120,6 +120,26 @@ object QMultimodal {
           (floor((nFrames - 1) / stride) * stride).cast("long").as("last_frame_idx"))
     }),
 
+    // U1f: REAL pixel decode end-to-end — synthesize a complete decodable
+    // BMP per document (constant gray level, dimensions from table
+    // columns), run it through the ImageIO mapPartitions edge
+    // (Multimodal.decodeImages), and emit the decoded width/height/format/
+    // mean-luma. The oracle recomputes all four arithmetically: a constant-
+    // gray image's Rec.601 mean luma is exactly gray/255. This is the one
+    // query where actual pixels are decoded by an actual codec under
+    // oracle check. Bounded to 500 docs; payloads are KB-sized.
+    "u1d_decoded_dims" -> ((s, d) => {
+      val files = t(s, d, "documents")
+        .select(col("doc_id").cast("string").as("path"),
+          bmpImage((col("doc_id") % 48 + 4).cast("int"),
+            (col("doc_id") % 23 + 2).cast("int"),
+            (col("doc_id") % 256).cast("int")).as("content"))
+      decodeImages(files).toDF()
+        .select(col("path").cast("long").as("doc_id"),
+          col("format").as("fmt"), col("width"), col("height"),
+          col("meanLuma").as("mean_luma"))
+    }),
+
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
     // npy / opaque bytes) synthesized per-language. The fallthrough branch
     // is NUL-prefixed so natural text starting with an ASCII magic ("BM",
@@ -179,6 +199,12 @@ object QMultimodal {
                 CAST((n_frames - 1) // 4 + 1 AS INT) AS n_sampled,
                 CAST(((n_frames - 1) // 4) * 4 AS BIGINT) AS last_frame_idx
          FROM p""",
+    "u1d_decoded_dims" ->
+      """SELECT doc_id, 'bmp' AS fmt,
+                CAST(doc_id % 48 + 4 AS INT) AS width,
+                CAST(doc_id % 23 + 2 AS INT) AS height,
+                round((doc_id % 256) / 255.0, 6) AS mean_luma
+         FROM documents""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'

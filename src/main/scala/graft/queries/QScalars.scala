@@ -65,6 +65,28 @@ object QScalars {
         round(array_min(v), 6).as("vmin"))
     }),
 
+    // A14: PSNR over array pairs (each embedding vs its successor — the
+    // generated-vs-ground-truth pair shape). MSE via the dot decomposition
+    // keeps both engines' summation order identical (see Stats.arrayMse).
+    "a14_psnr" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          round(graft.ops.Stats.arrayMse(col("a.v"), col("b.v")), 6).as("mse"),
+          round(graft.ops.Stats.psnr(col("a.v"), col("b.v")), 6).as("psnr"))
+    }),
+
+    // A15: windowless SSIM over the same successor pairs — means/variances/
+    // covariance from list sums and dot products, Wang-et-al stabilizers.
+    "a15_ssim" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          round(graft.ops.Stats.ssimLite(col("a.v"), col("b.v")), 6).as("ssim"))
+    }),
+
     // F6: JSON extraction from the events props column.
     "f6_json" -> ((s, d) =>
       t(s, d, "events").select(
@@ -114,6 +136,30 @@ object QScalars {
                 round(list_max(embedding::DOUBLE[]), 6) AS vmax,
                 round(list_min(embedding::DOUBLE[]), 6) AS vmin
          FROM embeddings""",
+    "a14_psnr" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS vec_id,
+                round((list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, b.v)
+                       + list_dot_product(b.v, b.v)) / len(a.v), 6) AS mse,
+                round(10.0 * log10(1.0 / ((list_dot_product(a.v, a.v)
+                       - 2.0 * list_dot_product(a.v, b.v)
+                       + list_dot_product(b.v, b.v)) / len(a.v))), 6) AS psnr
+         FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id""",
+    "a15_ssim" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              p AS (SELECT a.vec_id AS vec_id, a.v AS av, b.v AS bv, len(a.v) AS n
+                    FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id),
+              m AS (SELECT vec_id,
+                           list_sum(av) / n AS ma, list_sum(bv) / n AS mb,
+                           list_dot_product(av, av) / n AS saa,
+                           list_dot_product(bv, bv) / n AS sbb,
+                           list_dot_product(av, bv) / n AS sab
+                    FROM p)
+         SELECT vec_id,
+                round(((2.0 * ma * mb + 0.0001) * (2.0 * (sab - ma * mb) + 0.0009))
+                      / ((ma * ma + mb * mb + 0.0001)
+                         * ((saa - ma * ma) + (sbb - mb * mb) + 0.0009)), 6) AS ssim
+         FROM m""",
     "f6_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events""")
 }

@@ -64,15 +64,59 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Seq((1, 33), (4095, 2000), (65535, 1)))
   }
 
-  test("decodeImages (mapPartitions edge) parses headers and is deterministic") {
-    val files = Multimodal.binarySource(spark, dir, "*.png")
-    val got = Multimodal.decodeImages(files).collect()
-      .map(d => d.path.split("/").last -> d).toMap
-    assert(got("a.png").width === 640 && got("a.png").height === 480)
-    assert(got("b.png").width === 1024 && got("b.png").height === 768)
-    val again = Multimodal.decodeImages(files).collect()
-      .map(d => d.path.split("/").last -> d).toMap
-    assert(got("a.png").meanLuma === again("a.png").meanLuma)
+  /** A REAL (fully decodable) PNG with known pixel values, written by the
+    * JDK encoder itself.
+    */
+  private def realPng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages decodes real pixels: exact dims and Rec.601 mean luma") {
+    val d = Files.createTempDirectory("realpng")
+    // all-white 6x4 → luma 1.0; constant (100,100,100) gray 3x5 → 100/255
+    Files.write(d.resolve("white.png"), realPng(6, 4)((_, _) => 0xffffff))
+    Files.write(d.resolve("gray.png"), realPng(3, 5)((_, _) => 0x646464))
+    // half black / half white columns 8x2 → mean luma 0.5
+    Files.write(d.resolve("half.png"),
+      realPng(8, 2)((x, _) => if (x < 4) 0x000000 else 0xffffff))
+    Files.write(d.resolve("junk.png"), "not an image at all".getBytes)
+    val got = Multimodal.decodeImages(
+        Multimodal.binarySource(spark, d.toString, "*.png"))
+      .collect().map(r => r.path.split("/").last -> r).toMap
+    assert(got("white.png").width === 6 && got("white.png").height === 4)
+    assert(got("white.png").format === "png")
+    assert(got("white.png").meanLuma === 1.0)
+    assert(math.abs(got("gray.png").meanLuma - 100.0 / 255.0) < 1e-6)
+    assert(got("half.png").meanLuma === 0.5)
+    // corrupt payload: no throw, zero dims, sniffed format
+    assert(got("junk.png") ===
+      Multimodal.DecodedImage(got("junk.png").path, 0, 0, "unknown", 0.0))
+  }
+
+  test("bmpImage builds a complete BMP the real codec decodes (u1d fixture)") {
+    val df = Seq((11, 3, 0), (4, 7, 255), (5, 2, 77)).toDF("w", "h", "g")
+      .select(col("w"), col("h"), col("g"),
+        Multimodal.bmpImage(col("w"), col("h"), col("g")).as("content"))
+    // header parsers agree with the generator
+    val hdr = df.select(
+        Multimodal.magicFormat(col("content")),
+        Multimodal.bmpWidth(col("content")),
+        Multimodal.bmpHeight(col("content")))
+      .as[(String, Int, Int)].collect().toSet
+    assert(hdr === Set(("bmp", 11, 3), ("bmp", 4, 7), ("bmp", 5, 2)))
+    // the REAL codec decodes it and sees the constant gray level exactly
+    val dec = Multimodal.decodeImages(
+        df.select(col("g").cast("string").as("path"), col("content")))
+      .collect().map(r => r.path.toInt -> r).toMap
+    assert(dec(0).width === 11 && dec(0).height === 3 && dec(0).meanLuma === 0.0)
+    assert(dec(255).width === 4 && dec(255).height === 7 && dec(255).meanLuma === 1.0)
+    assert(dec(77).width === 5 && dec(77).height === 2 &&
+      math.abs(dec(77).meanLuma - 77.0 / 255.0) < 1e-6)
   }
 
   test("decodeNpy parses real npy v1 float32/float64 files (S6)") {

@@ -7,6 +7,26 @@ class StatsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("arrayMse/psnr/ssimLite match hand-computed values") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array(0.0, 0.0), Array(1.0, 1.0)),            // mse 1 → psnr 0 dB
+      (2, Array(0.25, 0.75, 0.5), Array(0.25, 0.75, 0.5))) // identical
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        Stats.arrayMse(col("a"), col("b")).as("mse"),
+        Stats.psnr(col("a"), col("b")).as("psnr"),
+        Stats.ssimLite(col("a"), col("b")).as("ssim"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(1).getDouble(1) === 1.0)
+    assert(got(1).getDouble(2) === 0.0)
+    // identical arrays: exact zero error (the dot decomposition cancels
+    // exactly), infinite PSNR, SSIM exactly 1
+    assert(got(2).getDouble(1) === 0.0)
+    assert(got(2).getDouble(2).isPosInfinity)
+    assert(got(2).getDouble(3) === 1.0)
+  }
+
   test("exactPercentiles matches the built-in percentile aggregate") {
     // deterministic values with duplicates, negative numbers, and group
     // sizes that hit both the exact-position (frac=0) and interpolated

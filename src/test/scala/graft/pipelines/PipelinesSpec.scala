@@ -66,6 +66,21 @@ class PipelinesSpec extends SparkSpec {
     assert(math.abs(got(1).getAs[Double]("lpips") - 0.30) < 1e-9)
   }
 
+  test("imagePairScores: in-engine PSNR/SSIM/MSE rows feed evaluate") {
+    val pairs = Seq(
+      ("m1", "s1", Array(0.0, 0.0), Array(1.0, 1.0)),
+      ("m1", "s2", Array(0.5, 0.5), Array(0.5, 0.5)))
+      .toDF("model", "stem", "pred", "truth")
+    val scores = Pipelines.imagePairScores(pairs, col("model"), col("stem"),
+      col("pred"), col("truth"))
+    assert(scores.count() === 6) // 2 pairs × 3 metrics, long format
+    val out = Pipelines.evaluate(Seq("s1", "s2").toDF("stem"), scores,
+      Seq("mse", "ssim")).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Double]("mse") === 0.5)  // mean of 1.0 and 0.0
+    assert(out(0).getAs[Double]("ssim") < 1.0)   // s1 pair differs
+  }
+
   test("sync: manifest diff + executor-side file transfer") {
     val src = Files.createTempDirectory("syncsrc")
     val dst = Files.createTempDirectory("syncdst")
