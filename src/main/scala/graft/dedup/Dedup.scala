@@ -108,7 +108,11 @@ object Dedup {
     // blocks are RDD-level persists that the ContextCleaner releases when
     // the result goes out of scope — cache() pins the relation in the
     // CacheManager for the session lifetime with no handle for library
-    // callers to unpersist (round-2 ADVICE).
+    // callers to unpersist (round-2 ADVICE). Trade-off: localCheckpoint
+    // truncates lineage with unreplicated blocks, so an executor loss
+    // mid-job fails the job instead of recomputing (acceptable here: the
+    // checkpoint lives for one job; long multi-round jobs get a reliable-
+    // checkpoint knob, see connectedComponents.checkpointDir).
     val small = banded
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
@@ -312,20 +316,34 @@ object Dedup {
     * for the session). The edge list is checkpointed once and reused by
     * every round's join.
     *
+    * CAVEAT — localCheckpoint is NOT fault-tolerant: lineage is truncated
+    * and the blocks live unreplicated on their executors, so losing an
+    * executor mid-run (dynamic allocation, spot/preemptible nodes — the
+    * 100-TB regime) fails the job unrecoverably instead of recomputing.
+    * For long multi-round runs on such clusters pass `checkpointDir`: the
+    * per-round state then goes through RELIABLE checkpoints (HDFS/object
+    * store) and survives executor loss, at the cost of a write per round.
+    *
     * Input pairs need columns (aCol, bCol); self-pairs are ignored. Output:
     * (doc_id, cluster) for every vertex that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // lazy in both modes: the round's single convergence job materializes it
+    def persistRound(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
     // checkpoint the input FIRST: both union branches below read it, and
     // without the checkpoint the caller's whole upstream pipeline (e.g. the
     // d5 minhash->band->verify chain) would execute once per branch.
     // lazy checkpoints throughout: the first job that touches them
     // materializes them, so each round costs ONE job (the convergence
     // aggregate), not two
-    val half = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
-      .localCheckpoint(false)
+    val half = persistRound(
+      pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst")))
     // Right-size the iteration's parallelism to the working set: the dedup
     // graph after LSH + verify is orders of magnitude smaller than the
     // corpus, and a min-label round over a few thousand edges spread
@@ -336,26 +354,28 @@ object Dedup {
     val parts = math.max(1, math.min(
       half.sparkSession.sparkContext.defaultParallelism,
       (nEdges / 500000L + 1).toInt))
-    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(parts, col("dst")).localCheckpoint(false)
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
-      .repartition(parts, col("v")).localCheckpoint(false)
+    val edges = persistRound(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(parts, col("dst")))
+    var labels = persistRound(
+      edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+        .repartition(parts, col("v")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("v"))
         .groupBy(edges("src").as("nv")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          // labels only ever decrease, so "changed" is exactly nlbl < lbl
-          when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("chg"))
-        // deliberately NO repartition(parts) here: re-pinning the sizing on
-        // every round was A/B-measured ~1 s SLOWER at sf0.1 (the extra
-        // exchange per round outweighs full-width scheduling, which AQE's
-        // partition coalescing already tames); only the round-0 inputs are
-        // right-sized
-        .localCheckpoint(false)
+      // deliberately NO repartition(parts) on the round result: re-pinning
+      // the sizing on every round was A/B-measured ~1 s SLOWER at sf0.1
+      // (the extra exchange per round outweighs full-width scheduling,
+      // which AQE's partition coalescing already tames); only the round-0
+      // inputs are right-sized
+      val next = persistRound(
+        labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            // labels only ever decrease, so "changed" is exactly nlbl < lbl
+            when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("chg")))
       val row = next.agg(sum(col("chg"))).head()
       changed = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no vertices
       labels = next.select("v", "lbl")

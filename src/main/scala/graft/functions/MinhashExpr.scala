@@ -16,10 +16,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * `explode(distinctTokens(text))` — because: tokens are the same
   * lowercased ASCII-alphanumeric byte runs the other text kernels use
   * (every non-alphanumeric byte, including UTF-8 continuation bytes, is a
-  * separator — the [^a-z0-9]+ split on this corpus); the digest input is
-  * the same "<seed>|<token>" bytes; and digests compare as raw unsigned
-  * bytes, which is exactly the hex-string ordering `min` uses (byte→hex is
+  * separator — the [^a-z0-9]+ split); the digest input is the same
+  * "<seed>|<token>" bytes; and digests compare as raw unsigned bytes,
+  * which is exactly the hex-string ordering `min` uses (byte→hex is
   * monotone).
+  *
+  * EQUIVALENCE CONTRACT — ASCII-ONLY CASE FOLDING. The byte walk folds
+  * only A-Z; the relational twin uses Unicode `lower()`. They agree on any
+  * text whose lowercase mapping stays within ASCII identity (all of ASCII,
+  * and all non-ASCII codepoints since both sides treat their bytes as
+  * separators) — but a codepoint whose UNICODE lowercase maps INTO ASCII
+  * (U+212A KELVIN SIGN → 'k', U+0130 İ → 'i̇') tokenizes differently:
+  * `lower()` turns it into a token byte, the kernel splits on it. This
+  * applies to every byte-walk kernel sharing [[distinctTokens]] /
+  * TextStatsKernel (graft_minhash, graft_simhash, graft_stop_ratio,
+  * graft_avg_token_len): the bit-identity guarantee is for ASCII-foldable
+  * corpora; TextFunctionsSpec documents the divergence on U+212A
+  * explicitly.
   *
   * Why a kernel: the relational form explodes (doc × distinct-token) rows
   * through a shuffle into a k-column hash aggregate. This computes the

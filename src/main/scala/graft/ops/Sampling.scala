@@ -159,6 +159,10 @@ object Sampling {
     // are RDD-level persists the ContextCleaner releases when the result
     // goes out of scope — not a CacheManager pin (round-2 ADVICE). The
     // positions are deterministic regardless: (__h, key) is a total order.
+    // Caveat: localCheckpoint blocks are unreplicated, so an executor loss
+    // during THIS job fails it (no lineage to recompute) — fine for a
+    // single-job sample; see connectedComponents.checkpointDir for the
+    // reliable-checkpoint pattern on long multi-round jobs.
     val ranged = df.withColumn("__h", Determinism.detHash(key))
       .repartitionByRange(p, col("__h"), key)
       .sortWithinPartitions(col("__h"), key)

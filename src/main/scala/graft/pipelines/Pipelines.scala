@@ -43,9 +43,13 @@ object Pipelines {
       .withColumn("image_type", ManifestOps.imageType(col("filename")))
       .withColumn("difficulty", ManifestOps.difficulty(col("prefix")))
       .filter(col("image_type").isNotNull)
-    val triplets = ManifestOps.tripletDiscovery(
-        typed.select("stem", "image_type", "key"))
-      .join(typed.select("stem", "difficulty").dropDuplicates("stem"), "stem")
+    // ONE pass, ONE shuffle: difficulty rides the triplet aggregate itself
+    // (max per stem — deterministic) instead of a second projection pass +
+    // dropDuplicates + stem join, which re-executed the manifest scan and
+    // dominated the feed at a 13.5M-row probe (SURVEY §6.1)
+    val triplets = ManifestOps.tripletDiscoveryWith(
+      typed.select("stem", "image_type", "key", "difficulty"),
+      Seq("difficulty"))
     // xxhash64(stem) is unique per triplet row (tripletDiscovery emits one
     // row per stem), satisfying shufflePositionDistributed's unique-key
     // contract.

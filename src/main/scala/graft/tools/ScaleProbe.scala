@@ -87,6 +87,14 @@ object ScaleProbe {
       graft.text.TextFunctions
         .tfidfTopTerm(docs, col("doc_id"), col("text")).count()
     }
+    time("x12 packPlan (per-lang token windows)") {
+      graft.extensions.GraftExtensions.register(spark)
+      graft.ops.Planners.packPlan(
+        docs.select(col("doc_id"), col("lang"),
+          graft.text.TextFunctions.tokenCountNative(col("text"))
+            .cast("long").as("n_tok")),
+        "lang", "doc_id", "n_tok", budget = 4096).count()
+    }
     spark.catalog.clearCache()
     val emb = time("amplify embeddings") {
       val e = amplify(spark.read.parquet(s"$sfDir/embeddings.parquet"),
@@ -106,11 +114,22 @@ object ScaleProbe {
       graft.ann.Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 5, 50).count()
     }
-    time("v8 semanticNearDupPairs") {
+    time("v8 semanticNearDupPairs (maxCell=512)") {
       // identical copies collapse into the same argmax cell, so within-cell
       // pair counts grow ~copies^2 — the quantizer-granularity worst case
+      // the maxCell cap bounds (cells over the cap drop out of the join)
       graft.ann.Vectors.semanticNearDupPairs(emb, "vec_id", "embedding",
         50, 0.4).count()
+    }
+    time("v8 semanticNearDupPairs (uncapped)") {
+      // the same call with the cap lifted — the delta vs the capped run is
+      // the quadratic work a degenerate cell re-introduces
+      graft.ann.Vectors.semanticNearDupPairs(emb, "vec_id", "embedding",
+        50, 0.4, maxCell = Int.MaxValue).count()
+    }
+    time("v9 kmeansCentroids (k=64, 3 iters, 10% sample)") {
+      graft.ann.Vectors.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 64, iters = 3, sampleFrac = 0.1).count()
     }
     spark.catalog.clearCache()
     val events = time("amplify events (same 150 users, 10x rows each)") {
@@ -146,6 +165,46 @@ object ScaleProbe {
       Sampling.shufflePositionDistributed(
         Sampling.bernoulli(orders, col("o_orderkey"), 0.05)
           .select("o_orderkey"), col("o_orderkey")).count()
+    }
+    time("x9 clusterByZ write (z-order layout, 64 files)") {
+      val dir = "/root/repo/target/probe/zorder"
+      graft.ops.Layout.clusterByZ(
+          orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+          col("o_custkey"), col("o_orderkey"), numFiles = 64)
+        .write.mode("overwrite").parquet(dir)
+    }
+    time("s12 compaction plan (cumulative bin-pack per partition)") {
+      // the s12 shape at 10×: per-priority running-size window assigns each
+      // "file" to a target output group; the window partitions by the
+      // (bounded-cardinality) table partition key, which is the honest
+      // at-scale cost of a compaction planner
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy("o_orderkey")
+      orders
+        .withColumn("grp", floor(
+          (sum(col("o_totalprice")).over(w) - col("o_totalprice")) / 1e7))
+        .groupBy("o_orderpriority", "grp")
+        .agg(count(lit(1)).as("n_files"), sum("o_totalprice").as("group_bytes"))
+        .count()
+    }
+    time("trainingFeed end-to-end (distributed, 3-asset manifest)") {
+      // synthesize the reference manifest shape from the amplified orders:
+      // 3 asset keys per stem → manifest rows = 3 × orders; the feed then
+      // runs filter → stem/type/difficulty → triplet join → distributed
+      // stratified sample → distributed shuffle position
+      val diff = when(col("o_orderpriority").startsWith("1-"), "hard")
+        .when(col("o_orderpriority").startsWith("2-"), "medium")
+        .otherwise("easy")
+      val manifest = orders
+        .select(col("o_orderkey"), diff.as("diff"))
+        .withColumn("suffix",
+          explode(array(lit("person"), lit("cloth_a"), lit("vton"))))
+        .select(
+          concat(lit("s3://b/"), col("diff"), lit("/stem"), col("o_orderkey"),
+            lit("_"), col("suffix"), lit(".jpg")).as("key"),
+          concat(lit("s3://b/"), col("diff"), lit("/")).as("prefix"))
+      graft.pipelines.Pipelines.trainingFeed(manifest,
+        Map("easy" -> 0.25, "medium" -> 0.25, "hard" -> 0.5)).count()
     }
     spark.stop()
   }

@@ -132,6 +132,42 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("ASCII-only folding contract: kernels diverge from lower() on U+212A (documented)") {
+    // The byte-walk kernels fold only A-Z; the relational twins use Unicode
+    // lower(). U+212A KELVIN SIGN lowercases INTO ASCII 'k', so the twin
+    // fuses "xKy" into one token "xky" while the kernel splits on the
+    // non-ASCII bytes → tokens "x","y". This test DOCUMENTS the divergence
+    // the MinhashExpr scaladoc states; the equivalence contract is
+    // ASCII-foldable corpora only.
+    val docs = Seq((1L, "xKy")).toDF("doc_id", "text")
+    val native = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 4)
+      .as[(Long, Long, String)].collect().toSet
+    val exploded = Dedup.minhashSignaturesExploded(docs, col("doc_id"), col("text"), 4)
+      .as[(Long, Long, String)].collect().toSet
+    assert(native !== exploded)
+    // and on the pre-folded ASCII equivalent the forms agree again
+    val folded = Seq((1L, "xky")).toDF("doc_id", "text")
+    val nf = Dedup.minhashSignatures(folded, col("doc_id"), col("text"), 4)
+      .as[(Long, Long, String)].collect().toSet
+    val ef = Dedup.minhashSignaturesExploded(folded, col("doc_id"), col("text"), 4)
+      .as[(Long, Long, String)].collect().toSet
+    assert(nf === ef)
+    // the Unicode twin sees exactly the fused token for the Kelvin input
+    assert(exploded === ef)
+  }
+
+  test("connectedComponents with a reliable checkpointDir matches the default mode") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val reliable = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toSet
+    val default = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(reliable === default)
+    assert(reliable === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("connectedComponents throws instead of returning split components at maxIter") {
     // 6-chain has diameter 5; 2 propagation rounds cannot finish it
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
