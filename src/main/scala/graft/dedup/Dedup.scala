@@ -76,16 +76,25 @@ object Dedup {
       .select(col("doc_id"), expr(s"stack($k, $unpivot) AS (seed, minhash)"))
   }
 
-  /** LSH buckets: band the signature (bandSize seeds per band), hash each
-    * band, and report multi-document buckets — the candidate groups.
-    * Output: (band, band_sig, n_docs, min_doc, max_doc).
+  /** (doc_id, band, band_sig) banded signatures — the LSH index ARTIFACT.
+    * This is the relation a production pipeline persists (bucketed by
+    * band_sig) so that tomorrow's ingest joins against it without touching
+    * yesterday's corpus; [[lshBuckets]], [[lshCandidatePairs]] and
+    * [[incrementalCandidatePairs]] all derive from it.
     */
-  def lshBuckets(signatures: DataFrame, bandSize: Int): DataFrame =
+  def bandedSignatures(signatures: DataFrame, bandSize: Int): DataFrame =
     signatures
       .withColumn("band", (col("seed") / bandSize).cast("long"))
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
         x => x.getField("minhash")), "|")).as("band_sig"))
+
+  /** LSH buckets: band the signature (bandSize seeds per band), hash each
+    * band, and report multi-document buckets — the candidate groups.
+    * Output: (band, band_sig, n_docs, min_doc, max_doc).
+    */
+  def lshBuckets(signatures: DataFrame, bandSize: Int): DataFrame =
+    bandedSignatures(signatures, bandSize)
       .groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .filter(col("n_docs") > 1)
@@ -96,11 +105,7 @@ object Dedup {
     */
   def lshCandidatePairs(signatures: DataFrame, bandSize: Int,
                         maxBucket: Int = 64): DataFrame = {
-    val banded = signatures
-      .withColumn("band", (col("seed") / bandSize).cast("long"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-        x => x.getField("minhash")), "|")).as("band_sig"))
+    val banded = bandedSignatures(signatures, bandSize)
     // `small` feeds BOTH sides of the self-join — unshared, the entire
     // upstream MinHash chain (explode × seeds × md5) is recomputed per
     // branch (observed 3× cost at a 500k-doc probe). localCheckpoint, not
@@ -123,6 +128,43 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** D9: INCREMENTAL candidate pairs — a new ingest shard against the
+    * persisted [[bandedSignatures]] index of the existing corpus, plus
+    * new×new, but never old×old. At 100 TB this is the only dedup query
+    * that actually runs day-to-day: you dedup the corpus ONCE, persist the
+    * band index (tiny next to the corpus — k/bandSize hex rows per doc),
+    * and every subsequent shard pays work proportional to ITS size: the
+    * band equi-join touches only index buckets the shard's signatures
+    * land in.
+    *
+    * The per-bucket cap is applied PER SIDE (shard buckets and index
+    * buckets separately), so a boilerplate band-signature that is hot in
+    * the historical index cannot explode a small shard's join: worst-case
+    * pair count per bucket is maxBucket² regardless of corpus size.
+    * Output: distinct (doc_a < doc_b) with at least one side new.
+    */
+  def incrementalCandidatePairs(newBanded: DataFrame, indexBanded: DataFrame,
+                                maxBucket: Int = 64): DataFrame = {
+    def capped(df: DataFrame): DataFrame = df
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    // the shard side feeds both joins; the index side is read once
+    val nw = capped(newBanded).localCheckpoint(false)
+    val old = capped(indexBanded)
+    val newNew = nw.as("a").join(nw.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val newOld = nw.as("a").join(old.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    newNew.union(newOld).distinct()
   }
 
   /** Long-format SimHash bits: (id, bit_idx ∈ 1..32, bit ∈ {0,1}).

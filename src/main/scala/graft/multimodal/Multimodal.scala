@@ -259,6 +259,49 @@ object Multimodal {
     }
   }
 
+  /** Resized-image record: re-encoded as PNG (lossless, stock JDK). */
+  case class ResizedImage(path: String, width: Int, height: Int,
+                          png: Array[Byte])
+
+  /** U1 (resize): decode → bilinear rescale to (width, height) → lossless
+    * PNG re-encode, at the same mapPartitions edge as [[decodeImages]] —
+    * the reference's per-sample Resize transform
+    * (train_CATVTON/dataloader.py:53-64) moved into the data plane so the
+    * trainer reads pre-sized tensors. Undecodable payloads are DROPPED
+    * (flatMap; the manifest-side P7 null-drop already logged them).
+    * Output rows carry the resized payload: size the downstream
+    * partitioning for payload-weight rows (this is the one edge where the
+    * relation is image-sized by design).
+    */
+  def resizeImages(files: DataFrame, width: Int, height: Int,
+                   pathCol: String = "path",
+                   contentCol: String = "content"): Dataset[ResizedImage] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(pathCol), col(contentCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.flatMap { case (path, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val out = new java.awt.image.BufferedImage(
+                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, width, height, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Some(ResizedImage(path, width, height, bos.toByteArray))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
   /** Sampled frame record produced by [[sampleFrames]]. */
   case class Frame(path: String, frameIdx: Int, frameMd5: String)
 

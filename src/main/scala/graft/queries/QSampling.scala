@@ -91,6 +91,26 @@ object QSampling {
         "lang", "doc_id", "n_tok", budget = 4096)
     }),
 
+    // X13: sequence-length bucketing — group documents into padded-length
+    // bins (next multiple of 64 tokens, capped at 2048) and report the
+    // per-bin doc count, token total, and PADDING WASTE (bin length minus
+    // actual tokens). This is the batching-efficiency pass a training
+    // pipeline runs before forming fixed-length batches: bucketing by
+    // length instead of random batching turns pad_waste from ~50% of
+    // compute into a rounding cost. One map-side projection + one tiny
+    // aggregate; bins × langs output rows.
+    "x13_length_buckets" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      t(s, d, "documents")
+        .select(col("lang"), tokenCountNative(col("text")).cast("long").as("n_tok"))
+        .withColumn("bucket_len",
+          least(ceil(col("n_tok") / lit(64.0)) * 64, lit(2048L)).cast("long"))
+        .groupBy(col("lang"), col("bucket_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_sum"),
+          sum(greatest(col("bucket_len") - col("n_tok"), lit(0L))).as("pad_waste"))
+    }),
+
     // X9: Z-order layout key — the Morton interleave that clusterByZ sorts
     // on before writing (multi-column min/max pruning layout). Top-100 by
     // (z, key) keeps the oracle small while checking every bit lane.
@@ -224,6 +244,20 @@ object QSampling {
            SELECT lang, seq, count(*) AS n_docs,
                   CAST(sum(n_tok) AS BIGINT) AS seq_tokens
            FROM p GROUP BY lang, seq""",
+      "x13_length_buckets" ->
+        """WITH t AS (
+             SELECT lang,
+                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x != '')) AS BIGINT) AS n_tok
+             FROM documents),
+              b AS (
+             SELECT lang, n_tok,
+                    least(CAST(ceil(n_tok / 64.0) AS BIGINT) * 64, 2048) AS bucket_len
+             FROM t)
+           SELECT lang, bucket_len, count(*) AS n_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+                  CAST(sum(greatest(bucket_len - n_tok, 0)) AS BIGINT) AS pad_waste
+           FROM b GROUP BY lang, bucket_len""",
       "x9_zorder" ->
         s"""SELECT o_orderkey, o_custkey,
                    ${graft.ops.Layout.zValueSql("o_custkey", "o_orderkey")} AS z

@@ -256,6 +256,19 @@ object QText {
         .agg(count(lit(1)).as("shared_5grams"))
     }),
 
+    // D9: INCREMENTAL dedup — a new ingest shard (doc_id >= 400) against
+    // the banded-signature index of the existing corpus (doc_id < 400),
+    // plus new×new, never old×old. The day-to-day production dedup query:
+    // work ∝ shard size, the index is a persisted artifact. Per-SIDE
+    // bucket caps bound hot index signatures.
+    "d9_incremental_dedup" -> ((s, d) => {
+      val banded = Dedup.bandedSignatures(
+        Dedup.minhashSignatures(t(s, d, "documents"), col("doc_id"), col("text"), 8), 4)
+      Dedup.incrementalCandidatePairs(
+        banded.filter(col("doc_id") >= 400),
+        banded.filter(col("doc_id") < 400))
+    }),
+
     // D7: duplicate CLUSTERS from the verified pairs — connected components
     // (iterative min-label propagation), cluster id = min member doc_id.
     // The at-scale dedup decision is then `doc_id === cluster` (keep the
@@ -484,6 +497,33 @@ object QText {
           FROM w CROSS JOIN generate_series(1, 32) g(i)
           GROUP BY doc_id, i""",
     "d5_lsh_verify" -> d5Sql,
+    "d9_incremental_dedup" ->
+      s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
+               sig AS (
+                 SELECT doc_id, seed,
+                        min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+                 FROM w CROSS JOIN generate_series(0, 7) g(seed)
+                 GROUP BY doc_id, seed),
+               banded AS (
+                 SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+                        md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+                 FROM sig GROUP BY doc_id, band),
+               capped AS (
+                 SELECT doc_id, band, band_sig FROM (
+                   SELECT *, count(*) OVER (PARTITION BY band, band_sig,
+                     doc_id >= 400) AS bn
+                   FROM banded) WHERE bn <= 64),
+               nw AS (SELECT * FROM capped WHERE doc_id >= 400),
+               old AS (SELECT * FROM capped WHERE doc_id < 400),
+               nn AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM nw a JOIN nw b ON a.band = b.band
+                        AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+               no AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                             greatest(a.doc_id, b.doc_id) AS doc_b
+                      FROM nw a JOIN old b ON a.band = b.band
+                        AND a.band_sig = b.band_sig AND a.doc_id != b.doc_id)
+          SELECT DISTINCT doc_a, doc_b
+          FROM (SELECT * FROM nn UNION ALL SELECT * FROM no)""",
     "d8_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
                f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),

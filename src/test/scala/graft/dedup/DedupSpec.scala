@@ -132,6 +132,27 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("incrementalCandidatePairs: new×index and new×new, never old×old") {
+    // docs 1,2 are exact dups (old corpus); 10 dups 1 (new vs index);
+    // 11,12 are new exact dups of each other; 20 is unique
+    val txt = "the quick brown fox jumps over the lazy dog tonight again"
+    val other = "completely different content about spark partitions and shuffles"
+    val docs = Seq(1L -> txt, 2L -> txt, 3L -> other,
+      10L -> txt, 11L -> (other + " extra"), 12L -> (other + " extra"), 20L -> "zebra unique words here")
+      .toDF("doc_id", "text")
+    val banded = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+    val pairs = Dedup.incrementalCandidatePairs(
+        banded.filter(col("doc_id") >= 10), banded.filter(col("doc_id") < 10))
+      .as[(Long, Long)].collect().toSet
+    // new-vs-index dups surface for BOTH index copies; new×new surfaces;
+    // the old×old pair (1,2) must NOT — it was handled when the index was built
+    assert(pairs.contains((1L, 10L)) && pairs.contains((2L, 10L)))
+    assert(pairs.contains((11L, 12L)))
+    assert(!pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => b >= 10L }) // every pair touches the shard
+  }
+
   test("ASCII-only folding contract: kernels diverge from lower() on U+212A (documented)") {
     // The byte-walk kernels fold only A-Z; the relational twins use Unicode
     // lower(). U+212A KELVIN SIGN lowercases INTO ASCII 'k', so the twin

@@ -119,6 +119,23 @@ class MultimodalSpec extends SparkSpec {
       math.abs(dec(77).meanLuma - 77.0 / 255.0) < 1e-6)
   }
 
+  test("resizeImages rescales through the real codec and re-encodes losslessly") {
+    // constant-gray source: bilinear rescale of a constant image is the
+    // same constant, so the resized PNG must decode to the exact gray luma
+    val src = Seq((11, 3, 77)).toDF("w", "h", "g")
+      .select(lit("img77").as("path"),
+        Multimodal.bmpImage(col("w"), col("h"), col("g")).as("content"))
+    val resized = Multimodal.resizeImages(src, 5, 4).toDF()
+    val back = Multimodal.decodeImages(resized, "path", "png").collect()
+    assert(back.length === 1)
+    assert(back.head.width === 5 && back.head.height === 4)
+    assert(back.head.format === "png")
+    assert(math.abs(back.head.meanLuma - 77.0 / 255.0) < 1e-6)
+    // undecodable payloads are dropped, not failed
+    val junk = Seq(("bad", "not an image".getBytes)).toDF("path", "content")
+    assert(Multimodal.resizeImages(junk, 5, 4).count() === 0)
+  }
+
   test("decodeNpy parses real npy v1 float32/float64 files (S6)") {
     def npyBytes(values: Seq[Float], dtype: String): Array[Byte] = {
       val headerDict =
