@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
+  *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
+  *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
   */
 object Main {
 
@@ -99,6 +101,33 @@ object Main {
         opt(args, "--output") match {
           case Some(out) => plan.write.mode("overwrite").parquet(out)
           case None      => plan.show(50, truncate = false)
+        }
+      case "ingest" =>
+        // incremental dedup: new shard vs a persisted banded-signature
+        // index (write the index once with Dedup.bandedSignatures; every
+        // later shard joins against it — work ∝ shard size)
+        import graft.dedup.Dedup
+        val docs = spark.read.parquet(opt(args, "--docs").get)
+        val index = spark.read.parquet(opt(args, "--index").get)
+        val shard = Dedup.bandedSignatures(
+          Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+        val pairs = Dedup.incrementalCandidatePairs(shard, index)
+        opt(args, "--output") match {
+          case Some(out) => pairs.write.mode("overwrite").parquet(out)
+          case None      => println(s"[ingest] candidate pairs: ${pairs.count()}")
+        }
+      case "decode" =>
+        import graft.multimodal.Multimodal
+        val files = Multimodal.binarySource(spark, opt(args, "--files").get)
+        val result = opt(args, "--resize") match {
+          case Some(wh) =>
+            val Array(w, h) = wh.split("x").map(_.toInt)
+            Multimodal.resizeImages(files, w, h).toDF()
+          case None => Multimodal.decodeImages(files).toDF()
+        }
+        opt(args, "--output") match {
+          case Some(out) => result.write.mode("overwrite").parquet(out)
+          case None      => result.show(20, truncate = false)
         }
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()
