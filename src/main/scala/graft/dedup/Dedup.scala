@@ -130,6 +130,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Persist the [[bandedSignatures]] index as a BUCKETED, in-bucket-sorted
+    * table on band_sig — the at-scale layout for [[incrementalCandidatePairs]]:
+    * the corpus-sized index side of every future ingest join reads
+    * pre-partitioned (its cap window AND the band join both ride the bucket
+    * partitioning, zero exchanges on that branch — asserted in
+    * BucketingSpec), while only the shard side shuffles into alignment.
+    * Pay the index shuffle once at build time, not per ingest.
+    */
+  def writeBandIndex(banded: DataFrame, table: String, buckets: Int = 64): Unit =
+    graft.core.Bucketing.writeBucketed(banded, table, "band_sig", buckets)
+
+  /** Reopen a [[writeBandIndex]] table (bucket metadata from the catalog). */
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession,
+                    table: String): DataFrame = spark.table(table)
+
   /** D9: INCREMENTAL candidate pairs — a new ingest shard against the
     * persisted [[bandedSignatures]] index of the existing corpus, plus
     * new×new, but never old×old. At 100 TB this is the only dedup query

@@ -308,6 +308,23 @@ object QText {
             .as("dup_tok_frac"))
     }),
 
+    // Repetition REMOVAL (the scrub counterpart of tx_repetition's
+    // detection): drop repeated sentences within each document, keeping the
+    // FIRST occurrence in order — the Gopher-style intra-doc dedup pass
+    // that strips boilerplate refrains before training. Pure array HOFs
+    // (split → index-aware filter → rejoin); per-doc work is sentences²
+    // on the first-occurrence test, bounded by document length.
+    "tx_scrub_repeats" -> ((s, d) => {
+      val sents = split(col("text"), "\\. ")
+      // keep sentence i iff its first occurrence index is i (1-based)
+      val kept = filter(sents, (x, i) =>
+        array_position(sents, x) === (i + 1).cast("long"))
+      t(s, d, "documents").select(col("doc_id"),
+        size(sents).as("n_sents"),
+        size(kept).as("n_kept"),
+        md5(array_join(kept, ". ")).as("scrubbed_md5"))
+    }),
+
     // Word-bigram profile: distinct-bigram count + lexicographic-min
     // bigram per doc (phrase-level shingling, the word-gram complement of
     // the char-gram signature). Docs need ≥2 tokens to have a bigram.
@@ -564,6 +581,16 @@ object QText {
                  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_tok_frac,
                  round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6) AS dup_tok_frac
           FROM c GROUP BY doc_id""",
+    "tx_scrub_repeats" ->
+      """WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents FROM documents),
+              k AS (SELECT doc_id, sents,
+                           list_filter(sents, (x, i) -> list_position(sents, x) = i) AS kept
+                    FROM s)
+         SELECT doc_id,
+                CAST(len(sents) AS INT) AS n_sents,
+                CAST(len(kept) AS INT) AS n_kept,
+                md5(array_to_string(kept, '. ')) AS scrubbed_md5
+         FROM k""",
     "tx_word_bigrams" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
                b AS (SELECT doc_id,
