@@ -312,7 +312,26 @@ object Vectors {
     // four consumers (centroid derivation, assignment, both join sides) —
     // materialize the normalized corpus once and derive everything from it
     val c = normalized(corpus, idCol, vecCol).localCheckpoint(false)
-    val cents = centroidsOf(c, step)
+    semanticNearDupPairsImpl(c, centroidsOf(c, step), minCosine, maxCell, roundTo)
+  }
+
+  /** [[semanticNearDupPairs]] with a caller-supplied quantizer — the
+    * production form: SemDeDup proper clusters with k-means, so pass
+    * [[kmeansCentroids]] output (or any small (cent_id, cv, cvn) relation)
+    * and the cell partition follows the data's density instead of the id
+    * sequence. Same cap, same within-cell exact cosine.
+    */
+  def semanticNearDupPairsWith(corpus: DataFrame, idCol: String, vecCol: String,
+                               cents: DataFrame, minCosine: Double,
+                               maxCell: Int = 512,
+                               roundTo: Int = 6): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol).localCheckpoint(false)
+    semanticNearDupPairsImpl(c, cents, minCosine, maxCell, roundTo)
+  }
+
+  private def semanticNearDupPairsImpl(c: DataFrame, cents: DataFrame,
+                                       minCosine: Double, maxCell: Int,
+                                       roundTo: Int): DataFrame = {
     val av = assignCells(c, "vec_id", cents).join(c, "vec_id")
       .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cell")))
       .filter(col("__cn") <= maxCell)

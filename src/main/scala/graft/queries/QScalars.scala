@@ -87,11 +87,43 @@ object QScalars {
           round(graft.ops.Stats.ssimLite(col("a.v"), col("b.v")), 6).as("ssim"))
     }),
 
+    // A15b: sliding-window SSIM — the real SSIM shape: ssimLite mapped over
+    // disjoint patches (4 windows of 16 elements across the 64-dim
+    // vectors), averaged. Static unroll keeps every patch statistic inside
+    // codegen'd column expressions; at image scale the same pattern maps
+    // over patch arrays produced upstream.
+    "a15b_ssim_windows" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      val wins = (0 until 4).map { w =>
+        graft.ops.Stats.ssimLite(
+          slice(col("a.v"), w * 16 + 1, 16), slice(col("b.v"), w * 16 + 1, 16))
+      }
+      e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          round(wins.reduce(_ + _) / 4, 6).as("ssim_w"))
+    }),
+
     // F6: JSON extraction from the events props column.
     "f6_json" -> ((s, d) =>
       t(s, d, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))))
+
+  /** DuckDB fragment mirroring [[graft.ops.Stats.ssimLite]] over `n`-element
+    * list expressions `a`/`b` — identical association order, so the values
+    * are bit-equal before the round.
+    */
+  private def ssimSql(a: String, b: String, n: Int): String = {
+    val ma = s"(list_sum($a) / $n)"
+    val mb = s"(list_sum($b) / $n)"
+    val saa = s"(list_dot_product($a, $a) / $n)"
+    val sbb = s"(list_dot_product($b, $b) / $n)"
+    val sab = s"(list_dot_product($a, $b) / $n)"
+    s"(((2.0 * $ma * $mb + 0.0001) * (2.0 * ($sab - $ma * $mb) + 0.0009)) / " +
+      s"(($ma * $ma + $mb * $mb + 0.0001) * " +
+      s"(($saa - $ma * $ma) + ($sbb - $mb * $mb) + 0.0009)))"
+  }
 
   def oracle: Map[String, String] = Map(
     "f1_string" ->
@@ -160,6 +192,18 @@ object QScalars {
                       / ((ma * ma + mb * mb + 0.0001)
                          * ((saa - ma * ma) + (sbb - mb * mb) + 0.0009)), 6) AS ssim
          FROM m""",
+    "a15b_ssim_windows" -> {
+      // DuckDB list_slice bounds are INCLUSIVE (begin, end), both 1-based
+      val wins = (0 until 4).map { w =>
+        ssimSql(s"list_slice(av, ${w * 16 + 1}, ${w * 16 + 16})",
+          s"list_slice(bv, ${w * 16 + 1}, ${w * 16 + 16})", 16)
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               p AS (SELECT a.vec_id AS vec_id, a.v AS av, b.v AS bv
+                     FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id)
+          SELECT vec_id, round(($wins) / 4, 6) AS ssim_w
+          FROM p"""
+    },
     "f6_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events""")
 }

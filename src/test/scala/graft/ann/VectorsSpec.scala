@@ -181,6 +181,44 @@ class VectorsSpec extends SparkSpec {
       s"expected strict lift on the skewed fixture: km=$kmRecall step=$stepRecall")
   }
 
+  test("semanticNearDupPairsWith k-means cells recovers cross-cluster-id dups the step rule splits") {
+    val rnd = new scala.util.Random(23)
+    def jitter(base: Array[Float], s: Float = 0.02f): Array[Float] =
+      base.map(x => x + rnd.nextGaussian().toFloat * s)
+    val a = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(8)(rnd.nextGaussian().toFloat)
+    // two direction clusters INTERLEAVED by id (even→A, odd→B): the
+    // every-step-th quantizer picks id-sequence centroids with no relation
+    // to the geometry; k-means places one centroid per true cluster, so
+    // every true near-dup pair lands within a cell
+    val vecs = (0L until 40L).map { i =>
+      (i, jitter(if (i % 2 == 0) a else b))
+    }.toDF("vec_id", "embedding").cache()
+    val cents = Vectors.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    val km = Vectors.semanticNearDupPairsWith(vecs, "vec_id", "embedding",
+        cents, minCosine = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // with one cell per true cluster, ALL same-cluster pairs are scored:
+    // same-parity pairs at tight jitter are near-dups and must surface
+    val sameParity = km.count { case (x, y, _) => x % 2 == y % 2 }
+    assert(km.nonEmpty && sameParity === km.length,
+      s"cross-cluster pair leaked: ${km.filter { case (x, y, _) => x % 2 != y % 2 }.toSeq}")
+    // every pair is a genuine cosine>=0.9 pair (exact scores, no invention)
+    val e = vecs.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("vn", Vectors.l2norm(col("v")))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Vectors.dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn")), 6))
+      .as[(Long, Long, Double)].collect()
+      .filter(_._3 >= 0.9).map { case (x, y, cos) => (x, y) -> cos }.toMap
+    km.foreach { case (x, y, cos) => assert(brute((x, y)) === cos) }
+    // and the k-means cells recover at least as many true pairs as the
+    // id-sequence quantizer at the same cell count (step=20 → 2 cells)
+    val step = Vectors.semanticNearDupPairs(vecs, "vec_id", "embedding",
+        step = 20, minCosine = 0.9).count()
+    assert(km.length >= step)
+  }
+
   test("semanticNearDupPairs never invents pairs and keeps exact scores") {
     val rnd = new scala.util.Random(11)
     // 60 vectors in 3 cells (step=20); make 41 a scaled copy of 40 so at
