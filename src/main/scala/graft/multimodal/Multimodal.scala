@@ -259,6 +259,52 @@ object Multimodal {
     }
   }
 
+  /** Image feature record: luma histogram over real decoded pixels. */
+  case class ImageFeatures(path: String, width: Int, height: Int,
+                           lumaHist: Array[Long])
+
+  /** U1 (feature-extract): per-image `bins`-bin luma histogram from REAL
+    * decoded pixels — the cheap, model-free image feature (exposure /
+    * blank-image / near-dup prefilter) a curation pipeline computes at
+    * ingest. Same ImageIO mapPartitions edge as [[decodeImages]]; output is
+    * metadata-sized (bins longs per image, payload dropped), so the feature
+    * relation joins/aggregates freely downstream. Undecodable payloads are
+    * dropped.
+    */
+  def imageFeatures(files: DataFrame, bins: Int = 8,
+                    pathCol: String = "path",
+                    contentCol: String = "content"): Dataset[ImageFeatures] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(pathCol), col(contentCol)).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.flatMap { case (path, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val hist = new Array[Long](bins)
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                val luma = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+                  0.114 * (p & 0xff)
+                // luma ∈ [0, 255]; map to [0, bins-1]
+                val b = math.min((luma * bins / 256.0).toInt, bins - 1)
+                hist(b) += 1L
+                i += 1
+              }
+              Some(ImageFeatures(path, w, h, hist))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
   /** Resized-image record: re-encoded as PNG (lossless, stock JDK). */
   case class ResizedImage(path: String, width: Int, height: Int,
                           png: Array[Byte])

@@ -140,6 +140,23 @@ object QMultimodal {
           col("meanLuma").as("mean_luma"))
     }),
 
+    // U1g: feature extraction from REAL pixels — 8-bin luma histogram of
+    // each synthesized BMP through the ImageIO edge. For a constant-gray
+    // image every pixel lands in one bin, so the oracle reconstructs the
+    // whole histogram arithmetically (same float luma formula, same
+    // truncation) — decode plumbing, pixel loop, and binning all under
+    // oracle check.
+    "u1e_luma_hist" -> ((s, d) => {
+      val files = t(s, d, "documents")
+        .select(col("doc_id").cast("string").as("path"),
+          bmpImage((col("doc_id") % 16 + 2).cast("int"),
+            (col("doc_id") % 7 + 1).cast("int"),
+            (col("doc_id") % 256).cast("int")).as("content"))
+      imageFeatures(files, 8).toDF()
+        .select(col("path").cast("long").as("doc_id"),
+          col("width"), col("height"), col("lumaHist").as("luma_hist"))
+    }),
+
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
     // npy / opaque bytes) synthesized per-language. The fallthrough branch
     // is NUL-prefixed so natural text starting with an ASCII magic ("BM",
@@ -205,6 +222,26 @@ object QMultimodal {
                 CAST(doc_id % 23 + 2 AS INT) AS height,
                 round((doc_id % 256) / 255.0, 6) AS mean_luma
          FROM documents""",
+    "u1e_luma_hist" ->
+      """WITH p AS (SELECT doc_id,
+                CAST(doc_id % 16 + 2 AS INT) AS width,
+                CAST(doc_id % 7 + 1 AS INT) AS height,
+                doc_id % 256 AS g
+              FROM documents),
+              b AS (SELECT doc_id, width, height,
+                -- CAST the coefficients to DOUBLE: DuckDB types the bare
+                -- literals as exact DECIMALs, and decimal×BIGINT arithmetic
+                -- is exact where the JVM's binary doubles are not — the bin
+                -- boundary at g=32k then disagrees by 1 ulp
+                least(CAST(floor(((CAST(0.299 AS DOUBLE) * g
+                  + CAST(0.587 AS DOUBLE) * g) + CAST(0.114 AS DOUBLE) * g)
+                  * 8 / 256.0) AS INT), 7) AS bin
+              FROM p)
+         SELECT doc_id, width, height,
+                list_transform(range(0, 8), i -> CASE WHEN i = bin
+                  THEN CAST(width * height AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END) AS luma_hist
+         FROM b""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'

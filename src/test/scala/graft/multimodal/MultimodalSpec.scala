@@ -136,6 +136,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeImages(junk, 5, 4).count() === 0)
   }
 
+  test("imageFeatures: luma histogram from real pixels, exact bin counts") {
+    val d = Files.createTempDirectory("feat")
+    // 8x2 half black / half white: 8 px in bin 0, 8 px in bin 7
+    Files.write(d.resolve("half.png"),
+      realPng(8, 2)((x, _) => if (x < 4) 0x000000 else 0xffffff))
+    Files.write(d.resolve("junk.png"), "nope".getBytes)
+    val got = Multimodal.imageFeatures(
+        Multimodal.binarySource(spark, d.toString, "*.png"), bins = 8)
+      .collect().map(r => r.path.split("/").last -> r).toMap
+    assert(got.size === 1) // junk dropped
+    val h = got("half.png")
+    assert(h.width === 8 && h.height === 2)
+    assert(h.lumaHist.toSeq === Seq(8L, 0L, 0L, 0L, 0L, 0L, 0L, 8L))
+  }
+
   test("decodeNpy parses real npy v1 float32/float64 files (S6)") {
     def npyBytes(values: Seq[Float], dtype: String): Array[Byte] = {
       val headerDict =
