@@ -448,4 +448,81 @@ object Dedup {
           "diameter exceeds it)")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
   }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the O(log²)-round alternative to [[connectedComponents]]'s
+    * min-label propagation, whose round count is the component DIAMETER.
+    * Near-dup clusters are dense (diameter ~2-3) so min-label wins there;
+    * this form is for graphs with long chains (entity-resolution links,
+    * reference chains), where diameter-many rounds is the scale killer.
+    *
+    * Each round: large-star connects every node's larger neighbors to its
+    * minimum neighbor; small-star (on the max→min orientation) connects
+    * each node and its smaller neighbors to the minimum. Both are one
+    * groupBy + one join over the edge list; the edge set only contracts
+    * toward stars centered at component minima. Convergence = edge-set
+    * fixpoint (count + order-insensitive bit_xor hash — bit_xor, not sum:
+    * ANSI mode overflows on summed hashes). Same output contract and
+    * `checkpointDir` semantics as [[connectedComponents]]; equivalence is
+    * property-tested against it in DedupSpec.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 20,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def persistRound(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
+    val base = persistRound(
+      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .filter(col("a") =!= col("b")))
+    // canonical orientation: hi > lo
+    var edges = persistRound(
+      base.select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo")).distinct())
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
+    var iter = 0
+    var converged = sig._1 == 0L
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the bidirectional view: x's min neighbor m (incl.
+      // itself); every strictly-larger neighbor y re-attaches to m
+      val bi = edges.select(col("hi").as("x"), col("lo").as("y"))
+        .union(edges.select(col("lo").as("x"), col("hi").as("y")))
+      val minsL = bi.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val ls = bi.join(minsL, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // SMALL-STAR on the hi→lo orientation: hi's minimum smaller neighbor
+      // m; hi and every other smaller neighbor re-attach to m
+      val minsS = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val joined = ls.join(minsS, "hi")
+      val ss = joined.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(joined.select(col("hi"), col("m").as("lo")))
+        .distinct()
+      edges = persistRound(ss)
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter alternations " +
+          "— raise maxIter")
+    // at the fixpoint the edges are stars (node → component min): nodes
+    // appearing as hi point at their center, centers label themselves
+    val vertices = base.select(col("a").as("doc_id"))
+      .union(base.select(col("b").as("doc_id"))).distinct()
+    vertices.join(edges.select(col("hi").as("doc_id"), col("lo")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lo"), col("doc_id")).as("cluster"))
+  }
 }

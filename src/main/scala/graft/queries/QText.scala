@@ -103,6 +103,16 @@ object QText {
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3"""
 
+  private val d7Sql =
+    s"""WITH RECURSIVE verified AS ($d5Sql),
+             e AS (SELECT doc_a AS a, doc_b AS b FROM verified
+                   UNION SELECT doc_b, doc_a FROM verified),
+             reach(v, r) AS (
+               SELECT a, a FROM e
+               UNION
+               SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v)
+        SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token statistics: count, distinct, type-token ratio.
     "tx_tokens" -> ((s, d) =>
@@ -281,6 +291,19 @@ object QText {
       val verified =
         Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
       Dedup.connectedComponents(verified, "doc_a", "doc_b")
+    }),
+
+    // D7b: the same clusters via alternating large-star/small-star edge
+    // rewriting — the O(log²)-round algorithm for long-chain graphs, under
+    // the SAME recursive-CTE oracle as d7 (both engine algorithms must
+    // reproduce the identical transitive closure).
+    "d7b_dup_clusters_star" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val verified =
+        Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+      Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")
     }),
 
     // D6: the composed corpus-cleaning pipeline — quality gate first
@@ -558,16 +581,11 @@ object QText {
           GROUP BY 1, 2""",
     // transitive closure of the verified-pair graph, min reachable id per
     // vertex = cluster. WITH RECURSIVE; the d5 pipeline rides along as a
-    // plain CTE.
-    "d7_dup_clusters" ->
-      s"""WITH RECURSIVE verified AS ($d5Sql),
-               e AS (SELECT doc_a AS a, doc_b AS b FROM verified
-                     UNION SELECT doc_b, doc_a FROM verified),
-               reach(v, r) AS (
-                 SELECT a, a FROM e
-                 UNION
-                 SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v)
-          SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""",
+    // plain CTE. Shared by d7 (min-label propagation) and d7b (alternating
+    // large-star/small-star) — the two engine algorithms must agree with
+    // the same closure.
+    "d7_dup_clusters" -> d7Sql,
+    "d7b_dup_clusters_star" -> d7Sql,
     "d6_clean_pipeline" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
                  min(doc_id) AS canonical_id, count(*) AS n_docs

@@ -235,4 +235,36 @@ class DedupSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("connectedComponentsStar matches min-label propagation on random graphs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)))
+    val prop = Prop.forAll(edgeGen) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      if (real.isEmpty) true
+      else {
+        val df = real.toDF("doc_a", "doc_b")
+        val star = Dedup.connectedComponentsStar(df, "doc_a", "doc_b")
+          .as[(Long, Long)].collect().toMap
+        val label = Dedup.connectedComponents(df, "doc_a", "doc_b")
+          .as[(Long, Long)].collect().toMap
+        star == label
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("connectedComponentsStar converges on a long chain where min-label cannot") {
+    // 51-node chain: diameter 50. Min-label needs 50 rounds (throws at 8);
+    // star alternation contracts exponentially and finishes well inside 8.
+    val chain = (1L to 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 8).count()
+    }
+    val got = Dedup.connectedComponentsStar(chain, "doc_a", "doc_b", maxIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 51L).map(_ -> 1L).toMap)
+  }
 }
