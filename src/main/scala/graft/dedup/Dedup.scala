@@ -89,6 +89,32 @@ object Dedup {
       .agg(md5(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
         x => x.getField("minhash")), "|")).as("band_sig"))
 
+  /** [[bandedSignatures]] as a STATELESS projection straight from documents:
+    * the native kernel yields all k minima per document inside the scan, so
+    * each band signature is an md5 over an array slice — no aggregation, no
+    * shuffle, no state. Row-identical to composing [[minhashSignatures]] +
+    * [[bandedSignatures]] (asserted in DedupSpec), and because it is pure
+    * projection it runs on a STREAMING DataFrame unchanged — the form
+    * [[graft.streaming.Streaming.ingestCandidates]] uses. Token-less
+    * documents produce no rows, matching the aggregate form.
+    */
+  def bandedSignaturesProjected(docs: DataFrame, id: Column, text: Column,
+                                k: Int, bandSize: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val sig = ColumnShim.column(
+      graft.functions.MinhashExpr(ColumnShim.expression(text), k))
+    val nBands = k / bandSize
+    val bands = array((0 until nBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(array_join(slice(col("__sig"), b * bandSize + 1, bandSize), "|"))
+          .as("band_sig"))
+    }: _*)
+    docs.select(id.as("doc_id"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id"), explode(bands).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
+
   /** LSH buckets: band the signature (bandSize seeds per band), hash each
     * band, and report multi-document buckets — the candidate groups.
     * Output: (band, band_sig, n_docs, min_doc, max_doc).

@@ -180,6 +180,35 @@ object Streaming {
       .select(col(key), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** D9 streaming twin: ingest-time dedup candidates. New documents are
+    * banded STATELESSLY ([[graft.dedup.Dedup.bandedSignaturesProjected]] —
+    * the kernel computes signatures inside the projection, so there is no
+    * streaming aggregation and no state store) and stream-static joined to
+    * the persisted band index: every micro-batch emits its candidate pairs
+    * in append mode. Cost bound: the static side is bucket-capped, so one
+    * stream document joins at most bands × maxBucket index rows.
+    *
+    * Semantics notes: intra-batch (new×new) pairs are NOT produced — they
+    * belong to the next index refresh or a foreachBatch-local pass; a
+    * document matching an index document through several bands emits the
+    * pair once per band (deduplicating in-stream would need a state store —
+    * distinct at the sink instead, as StreamingSpec does).
+    */
+  def ingestCandidates(docsStream: DataFrame, index: DataFrame,
+                       k: Int = 8, bandSize: Int = 4,
+                       maxBucket: Int = 64): DataFrame = {
+    val banded = graft.dedup.Dedup.bandedSignaturesProjected(
+      docsStream, col("doc_id"), col("text"), k, bandSize)
+    val capped = index
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("doc_id").as("matched_doc"), col("band"), col("band_sig"))
+    banded.join(capped, Seq("band", "band_sig"))
+      .filter(col("doc_id") =!= col("matched_doc"))
+      .select(col("doc_id").as("new_doc"), col("matched_doc"))
+  }
+
   /** T4: async checkpoint sink — each micro-batch is written to
     * `<outDir>/batch=<id>` by foreachBatch, with exactly-once bookkeeping in
     * `checkpointDir` (the reference's background-thread S3 upload,

@@ -83,6 +83,15 @@ object ScaleProbe {
       // components, the propagation-round worst case
       Dedup.connectedComponents(verified, "doc_a", "doc_b").count()
     }
+    time("d7b connectedComponentsStar (dense cliques — min-label's home turf)") {
+      Dedup.connectedComponentsStar(verified, "doc_a", "doc_b").count()
+    }
+    time("d9 incrementalCandidatePairs (10% shard vs 90% index)") {
+      val banded = Dedup.bandedSignatures(sigs, 4)
+      Dedup.incrementalCandidatePairs(
+        banded.filter(col("doc_id") % 10 === 0),
+        banded.filter(col("doc_id") % 10 =!= 0)).count()
+    }
     time("tx tfidf (grouped tf/df + top-term window)") {
       graft.text.TextFunctions
         .tfidfTopTerm(docs, col("doc_id"), col("text")).count()

@@ -132,6 +132,23 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("bandedSignaturesProjected is row-identical to the aggregate band form") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "",            // token-less: no rows in either form
+      5L -> "!!! ???")     // token-less after split
+      .toDF("doc_id", "text")
+    val agg = Dedup.bandedSignatures(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      .as[(Long, Long, String)].collect().toSet
+    val proj = Dedup.bandedSignaturesProjected(docs, col("doc_id"), col("text"), 8, 4)
+      .as[(Long, Long, String)].collect().toSet
+    assert(proj === agg)
+    assert(proj.map(_._1) === Set(1L, 2L, 3L)) // token-less docs absent
+  }
+
   test("incrementalCandidatePairs: new×index and new×new, never old×old") {
     // docs 1,2 are exact dups (old corpus); 10 dups 1 (new vs index);
     // 11,12 are new exact dups of each other; 20 is unique

@@ -49,6 +49,47 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming ingestCandidates == batch incremental dedup (new×index pairs)") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    val txt = "the quick brown fox jumps over the lazy dog tonight"
+    val other = "completely different content about spark partitions and shuffles"
+    val corpus = Seq(1L -> txt, 2L -> other, 3L -> (txt + " again and again"))
+    val shard = Seq(100L -> txt, 101L -> "nothing like anything else zebra", 102L -> other)
+    // static band index from the existing corpus
+    val index = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 8), 4)
+    // new shard arrives as a parquet file stream
+    val dir = tmp("ingest")
+    shard.toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+    val out = s"$dir/out"
+    val q = Streaming.ingestCandidates(stream, index)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }.start()
+    q.awaitTermination()
+    // distinct at the sink (per-band repeats are documented)
+    val got = spark.read.parquet(out)
+      .select(least(col("new_doc"), col("matched_doc")).as("a"),
+        greatest(col("new_doc"), col("matched_doc")).as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    // batch ground truth: the new×index subset of incrementalCandidatePairs
+    val shardBanded = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(shard.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 8), 4)
+    val want = Dedup.incrementalCandidatePairs(shardBanded, index)
+      .as[(Long, Long)].collect().toSet
+      .filter(p => (p._1 < 100L) != (p._2 < 100L)) // one side new
+    assert(got === want)
+    assert(got.contains((1L, 100L)) && got.contains((2L, 102L)))
+  }
+
   test("streaming watermarked dedup == batch dropDuplicates (same key set)") {
     val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
     val outDir = tmp("out")
