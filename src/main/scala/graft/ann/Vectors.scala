@@ -278,6 +278,25 @@ object Vectors {
     ivfTopKProbesWith(c, queries, idCol, vecCol, k, cents, nprobe, roundTo)
   }
 
+  /** Per-vector scalar int8 quantization: q_i = round((x_i − min) / scale),
+    * scale = (max − min)/255 — the 4×-smaller storage representation for an
+    * embedding table (at 100 TB of float32 embeddings, the quantized copy
+    * is what the ANN index actually scans; the float originals stay cold).
+    * Constant vectors (max = min) quantize to all-zeros with scale 0 — the
+    * ANSI division guard. Pure HOF expressions; [[dequantizeInt8]] inverts
+    * within scale/2 per element.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val mn = array_min(v)
+    val scale = (array_max(v) - mn) / lit(255.0)
+    when(array_max(v) === mn, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round((x - mn) / scale).cast("int")))
+  }
+
+  /** Reconstruction of a [[quantizeInt8]] vector from (q, min, scale). */
+  def dequantizeInt8(q: Column, mn: Column, scale: Column): Column =
+    transform(q, i => mn + i * scale)
+
   /** Bucket histogram — the data-distribution view used to tune nPlanes. */
   def lshBucketHistogram(corpus: DataFrame, idCol: String, vecCol: String,
                          nPlanes: Int, dim: Int): DataFrame =

@@ -91,6 +91,24 @@ object QVectors {
           count(lit(1)), 6).as("recall"))
     }),
 
+    // V10: int8 scalar quantization round-trip error — quantize every
+    // embedding to int8 (the 4×-smaller storage path an ANN index scans at
+    // 100 TB), dequantize, and report per-vector max/mean absolute
+    // reconstruction error. Bounds the recall loss of quantized search.
+    "v10_quantize_error" -> ((s, d) => {
+      val v = Vectors.asDouble(col("embedding"))
+      val e = t(s, d, "embeddings").select(col("vec_id"), v.as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("sc", (array_max(col("v")) - col("mn")) / lit(255.0))
+        .withColumn("q", Vectors.quantizeInt8(col("v")))
+        .withColumn("dq", Vectors.dequantizeInt8(col("q"), col("mn"), col("sc")))
+        .withColumn("err", zip_with(col("v"), col("dq"), (a, b) => abs(a - b)))
+      e.select(col("vec_id"),
+        round(array_max(col("err")), 6).as("max_abs_err"),
+        round(aggregate(col("err"), lit(0.0), (acc, x) => acc + x) /
+          size(col("err")), 6).as("mean_abs_err"))
+    }),
+
     // V3: embedding-cosine near-duplicate pairs above a threshold within a
     // bounded id range (embedding near-dup detection shape).
     "v3_cosine_neardup" -> ((s, d) => {
@@ -122,6 +140,26 @@ object QVectors {
       s"${Determinism.detRandSql(s"($p * $Dim + k)")} - 0.5)"
 
   def oracle: Map[String, String] = Map(
+    "v10_quantize_error" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+                           (list_max(v) - list_min(v)) / 255.0 AS sc
+                    FROM e),
+              q AS (SELECT vec_id, v, mn, sc,
+                           CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                                ELSE list_transform(v,
+                                  x -> CAST(round((x - mn) / sc) AS INT)) END AS qv
+                    FROM s),
+              d AS (SELECT vec_id, v,
+                           list_transform(qv, i -> mn + i * sc) AS dq
+                    FROM q),
+              er AS (SELECT vec_id,
+                            list_transform(range(1, len(v) + 1),
+                              j -> abs(v[CAST(j AS INT)] - dq[CAST(j AS INT)])) AS err
+                     FROM d)
+         SELECT vec_id, round(list_max(err), 6) AS max_abs_err,
+                round(list_sum(err) / len(err), 6) AS mean_abs_err
+         FROM er""",
     "v1_cosine_topk" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),

@@ -219,6 +219,25 @@ class VectorsSpec extends SparkSpec {
     assert(km.length >= step)
   }
 
+  test("quantizeInt8 round-trips within scale/2 per element; constant vectors exact") {
+    val rnd = new scala.util.Random(31)
+    val vecs = ((0 until 50).map(i => (i, Array.fill(16)(rnd.nextGaussian()))) :+
+      ((50, Array.fill(16)(1.5)))) // constant vector: scale-0 guard path
+      .toDF("id", "v")
+    val got = vecs
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("sc", (array_max(col("v")) - col("mn")) / lit(255.0))
+      .withColumn("dq", Vectors.dequantizeInt8(
+        Vectors.quantizeInt8(col("v")), col("mn"), col("sc")))
+      .select(col("id"), col("sc"),
+        array_max(zip_with(col("v"), col("dq"), (a, b) => abs(a - b))).as("maxErr"))
+      .as[(Int, Double, Double)].collect()
+    got.foreach { case (id, sc, maxErr) =>
+      if (id == 50) assert(maxErr === 0.0) // constant → exact
+      else assert(maxErr <= sc / 2 + 1e-12, s"id=$id err=$maxErr scale=$sc")
+    }
+  }
+
   test("semanticNearDupPairs never invents pairs and keeps exact scores") {
     val rnd = new scala.util.Random(11)
     // 60 vectors in 3 cells (step=20); make 41 a scaled copy of 40 so at
