@@ -59,7 +59,13 @@ object Bench {
       val ts = passes.map(_(n)).filter(_ >= 0)
       n -> (if (ts.nonEmpty) ts.min else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision: full nanosecond doubles made the result line
+    // ~5 KB, overflowing the driver's 4 KB stdout-tail capture, so the JSON
+    // arrived front-truncated and never parsed (rounds 1-4). 3 decimals is
+    // far below the ±25% host-noise band and keeps ~134 queries under 4 KB.
+    def f3(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — a failed query's -1 sentinel
     // must never lower (improve) the headline metric
@@ -67,7 +73,9 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (reported -1): ${failed.mkString(", ")}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // the result object must be the FINAL stdout line, alone, AFTER
+    // spark.stop(): the driver parses the captured tail as JSON
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -246,6 +246,13 @@ object Vectors {
       .select(col("v")).collect()
       .toSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    // fail loudly instead of silently training fewer centroids: callers
+    // assume cent_id ∈ 0..k-1, and a shrunken quantizer would quietly
+    // change IVF cell geometry (round-4 ADVICE)
+    require(cents.length == k,
+      s"kmeansCentroids: requested k=$k centroids but the " +
+        s"${if (sampleFrac < 1.0) f"sampleFrac=$sampleFrac%.3f sample" else "corpus"} " +
+        s"has only ${cents.length} vectors — lower k or raise sampleFrac")
     for (_ <- 0 until iters) {
       val assigned = assignCells(c, "vec_id", centsDf(cents)).join(c, "vec_id")
       // (cell, coordinate) means — k × dim result rows, driver-bounded
@@ -278,24 +285,32 @@ object Vectors {
     ivfTopKProbesWith(c, queries, idCol, vecCol, k, cents, nprobe, roundTo)
   }
 
-  /** Per-vector scalar int8 quantization: q_i = round((x_i − min) / scale),
-    * scale = (max − min)/255 — the 4×-smaller storage representation for an
-    * embedding table (at 100 TB of float32 embeddings, the quantized copy
-    * is what the ANN index actually scans; the float originals stay cold).
-    * Constant vectors (max = min) quantize to all-zeros with scale 0 — the
-    * ANSI division guard. Pure HOF expressions; [[dequantizeInt8]] inverts
+  /** Per-vector scalar int8 quantization:
+    * q_i = round((x_i − min) / scale) − 128 ∈ [−128, 127],
+    * scale = (max − min)/255 — the genuinely-4×-smaller storage
+    * representation for an embedding table (at 100 TB of float32
+    * embeddings, the quantized copy is what the ANN index actually scans;
+    * the float originals stay cold). Codes are BIASED into the SIGNED
+    * int8 range and emitted as TINYINT, so persisting the column really
+    * stores one byte per element — the unbiased 0..255 form would
+    * overflow a tinyint cast for codes > 127 (round-4 ADVICE). Constant
+    * vectors (max = min) quantize to all −128 with scale 0 — the ANSI
+    * division guard. Pure HOF expressions; [[dequantizeInt8]] inverts
     * within scale/2 per element.
     */
   def quantizeInt8(v: Column): Column = {
     val mn = array_min(v)
     val scale = (array_max(v) - mn) / lit(255.0)
-    when(array_max(v) === mn, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x => round((x - mn) / scale).cast("int")))
+    when(array_max(v) === mn, transform(v, _ => lit(-128).cast("tinyint")))
+      .otherwise(transform(v,
+        x => (round((x - mn) / scale) - 128).cast("tinyint")))
   }
 
-  /** Reconstruction of a [[quantizeInt8]] vector from (q, min, scale). */
+  /** Reconstruction of a [[quantizeInt8]] vector from (q, min, scale):
+    * x̂_i = min + (q_i + 128) · scale (un-biases the signed code first).
+    */
   def dequantizeInt8(q: Column, mn: Column, scale: Column): Column =
-    transform(q, i => mn + i * scale)
+    transform(q, i => mn + (i + 128) * scale)
 
   /** Bucket histogram — the data-distribution view used to tune nPlanes. */
   def lshBucketHistogram(corpus: DataFrame, idCol: String, vecCol: String,

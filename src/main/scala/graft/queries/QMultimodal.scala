@@ -145,7 +145,10 @@ object QMultimodal {
     // image every pixel lands in one bin, so the oracle reconstructs the
     // whole histogram arithmetically (same float luma formula, same
     // truncation) — decode plumbing, pixel loop, and binning all under
-    // oracle check.
+    // oracle check. The histogram is emitted as a comma-joined STRING, not
+    // ARRAY<BIGINT>: the driver's oracle compare sorts column values and
+    // cannot hash raw array cells (round-4 verdict); library callers get
+    // the array form from Multimodal.imageFeatures directly.
     "u1e_luma_hist" -> ((s, d) => {
       val files = t(s, d, "documents")
         .select(col("doc_id").cast("string").as("path"),
@@ -154,7 +157,8 @@ object QMultimodal {
             (col("doc_id") % 256).cast("int")).as("content"))
       imageFeatures(files, 8).toDF()
         .select(col("path").cast("long").as("doc_id"),
-          col("width"), col("height"), col("lumaHist").as("luma_hist"))
+          col("width"), col("height"),
+          array_join(col("lumaHist").cast("array<string>"), ",").as("luma_hist"))
     }),
 
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
@@ -238,9 +242,10 @@ object QMultimodal {
                   * 8 / 256.0) AS INT), 7) AS bin
               FROM p)
          SELECT doc_id, width, height,
-                list_transform(range(0, 8), i -> CASE WHEN i = bin
-                  THEN CAST(width * height AS BIGINT)
-                  ELSE CAST(0 AS BIGINT) END) AS luma_hist
+                array_to_string(list_transform(range(0, 8),
+                  i -> CAST(CASE WHEN i = bin
+                    THEN CAST(width * height AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS VARCHAR)), ',') AS luma_hist
          FROM b""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,

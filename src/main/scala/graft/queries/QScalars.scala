@@ -169,14 +169,19 @@ object QScalars {
                 round(list_min(embedding::DOUBLE[]), 6) AS vmin
          FROM embeddings""",
     "a14_psnr" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         SELECT a.vec_id AS vec_id,
-                round((list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, b.v)
-                       + list_dot_product(b.v, b.v)) / len(a.v), 6) AS mse,
-                round(10.0 * log10(1.0 / ((list_dot_product(a.v, a.v)
-                       - 2.0 * list_dot_product(a.v, b.v)
-                       + list_dot_product(b.v, b.v)) / len(a.v))), 6) AS psnr
-         FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id""",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              m AS (SELECT a.vec_id AS vec_id,
+                           (list_dot_product(a.v, a.v)
+                            - 2.0 * list_dot_product(a.v, b.v)
+                            + list_dot_product(b.v, b.v)) / len(a.v) AS mse
+                    FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id)
+         -- mse = 0 guard mirrors the engine's explicit +Infinity (identical
+         -- vectors): without it the result rides DuckDB's division-by-zero
+         -- semantics, a latent cross-engine divergence (round-4 ADVICE)
+         SELECT vec_id, round(mse, 6) AS mse,
+                CASE WHEN mse = 0 THEN 'infinity'::DOUBLE
+                     ELSE round(10.0 * log10(1.0 / mse), 6) END AS psnr
+         FROM m""",
     "a15_ssim" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               p AS (SELECT a.vec_id AS vec_id, a.v AS av, b.v AS bv, len(a.v) AS n

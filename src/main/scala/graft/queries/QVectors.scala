@@ -146,12 +146,12 @@ object QVectors {
                            (list_max(v) - list_min(v)) / 255.0 AS sc
                     FROM e),
               q AS (SELECT vec_id, v, mn, sc,
-                           CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                           CASE WHEN mx = mn THEN list_transform(v, x -> -128)
                                 ELSE list_transform(v,
-                                  x -> CAST(round((x - mn) / sc) AS INT)) END AS qv
+                                  x -> CAST(round((x - mn) / sc) AS INT) - 128) END AS qv
                     FROM s),
               d AS (SELECT vec_id, v,
-                           list_transform(qv, i -> mn + i * sc) AS dq
+                           list_transform(qv, i -> mn + (i + 128) * sc) AS dq
                     FROM q),
               er AS (SELECT vec_id,
                             list_transform(range(1, len(v) + 1),

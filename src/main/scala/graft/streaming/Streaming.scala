@@ -193,16 +193,33 @@ object Streaming {
     * document matching an index document through several bands emits the
     * pair once per band (deduplicating in-stream would need a state store —
     * distinct at the sink instead, as StreamingSpec does).
+    *
+    * PRECONDITION: `bandSize` must divide `k` (the stateless banding
+    * projection rejects partial bands — see
+    * [[graft.dedup.Dedup.bandedSignaturesProjected]]).
+    *
+    * COST NOTE — the static side is re-evaluated EVERY micro-batch,
+    * including its maxBucket cap window. Pass the index as a
+    * [[graft.dedup.Dedup.writeBandIndex]] BUCKETED table (the window and
+    * the join both ride the bucket partitioning — no per-batch index
+    * shuffle, only the bucket files the shard's signatures touch are
+    * read), or pre-cap the relation at index-build time and pass
+    * `indexPreCapped = true` to skip the per-batch window entirely. A
+    * plain unbucketed parquet index costs a full index scan + shuffle-
+    * backed window per batch, defeating the work-∝-shard-size framing
+    * (round-4 ADVICE).
     */
   def ingestCandidates(docsStream: DataFrame, index: DataFrame,
                        k: Int = 8, bandSize: Int = 4,
-                       maxBucket: Int = 64): DataFrame = {
+                       maxBucket: Int = 64,
+                       indexPreCapped: Boolean = false): DataFrame = {
     val banded = graft.dedup.Dedup.bandedSignaturesProjected(
       docsStream, col("doc_id"), col("text"), k, bandSize)
-    val capped = index
-      .withColumn("__bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
-      .filter(col("__bn") <= maxBucket)
+    val capped = (if (indexPreCapped) index
+      else index
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
+        .filter(col("__bn") <= maxBucket))
       .select(col("doc_id").as("matched_doc"), col("band"), col("band_sig"))
     banded.join(capped, Seq("band", "band_sig"))
       .filter(col("doc_id") =!= col("matched_doc"))

@@ -236,6 +236,11 @@ class VectorsSpec extends SparkSpec {
       if (id == 50) assert(maxErr === 0.0) // constant → exact
       else assert(maxErr <= sc / 2 + 1e-12, s"id=$id err=$maxErr scale=$sc")
     }
+    // codes are genuinely signed int8: element type TINYINT, so persisting
+    // the column stores one byte per element (round-4 ADVICE)
+    val qt = vecs.select(Vectors.quantizeInt8(col("v")).as("q"))
+      .schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(qt.elementType === org.apache.spark.sql.types.ByteType)
   }
 
   test("semanticNearDupPairs never invents pairs and keeps exact scores") {
