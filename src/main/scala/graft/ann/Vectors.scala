@@ -312,6 +312,195 @@ object Vectors {
   def dequantizeInt8(q: Column, mn: Column, scale: Column): Column =
     transform(q, i => mn + (i + 128) * scale)
 
+  /** (id, sub ∈ 0..m−1, sv) sub-vector decomposition for product
+    * quantization: the vector is split into `m` equal contiguous slices.
+    * Input must be (idOut, v) with v already array<double>; dimension must
+    * be divisible by m (slice arithmetic is positional).
+    */
+  private def subVectors(df: DataFrame, idOut: String, m: Int): DataFrame =
+    df.select(col(idOut), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col(idOut), col("sub"),
+        slice(col("v"), col("sub") * (size(col("v")) / lit(m)) + 1,
+          size(col("v")) / lit(m)).as("sv"))
+
+  /** Squared L2 distance via the dot-product decomposition
+    * ‖a−b‖² = a·a − 2 a·b + b·b — the sequential-summation form both
+    * engines reproduce bit-identically (same association as the oracle's
+    * `list_dot_product` expansion; see [[graft.ops.Stats.arrayMse]]).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Product-quantization codebooks from the every-`step`-th rule: the
+    * codebook of subspace s is the s-th sub-vector of every `step`-th
+    * corpus vector (cent_id = vec_id) — the deterministic, oracle-
+    * expressible stand-in for trained codebooks, exactly [[centroidsOf]]'s
+    * trick lifted to sub-spaces. Output: (sub, cent_id, cv) — m × ⌈N/step⌉
+    * rows, broadcastable. [[pqTrain]] is the trained production variant.
+    */
+  def pqCodebooksStep(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, step: Int): DataFrame =
+    subVectors(
+      corpus.filter(col(idCol) % step === 0)
+        .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("v")),
+      "cent_id", m)
+      .select(col("sub"), col("cent_id"), col("sv").as("cv"))
+
+  /** PQ encoding: each (vector, subspace) is assigned its min-L2-distance
+    * codebook entry. One broadcast equi-join on `sub` (corpus×m rows join
+    * k candidates each) and a map-side-combining min_by aggregate — the
+    * narrow (id, sub, cell) shape; sub-vectors are re-attached by joins
+    * downstream, mirroring [[assignCells]]'s width discipline. `+ 0.0`
+    * normalizes −0.0 on zero-distance ties (same rationale as
+    * [[assignCells]]); ties break to the smallest cent_id, matching the
+    * oracle's ORDER BY dist, cent_id. Output: (vec_id, sub, cell).
+    */
+  def pqAssign(corpus: DataFrame, idCol: String, vecCol: String,
+               books: DataFrame, m: Int): DataFrame =
+    subVectors(
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v")),
+      "vec_id", m)
+      .join(broadcast(books), "sub")
+      .withColumn("__d", l2sq(col("sv"), col("cv")) + 0.0)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cent_id"), struct(col("__d"), col("cent_id"))).as("cell"))
+
+  /** PQ codes in storage form: (vec_id, codes array<int> ordered by sub) —
+    * with 256-entry codebooks each code is one byte, so m bytes per vector
+    * versus 4·dim for float32 (dim/m × 32 compression; m=8 over 64 dims =
+    * 32×). The long (vec_id, sub, cell) form from [[pqAssign]] is what the
+    * ADC scorer joins on; this array form is what an index persists.
+    */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              books: DataFrame, m: Int): DataFrame =
+    pqAssign(corpus, idCol, vecCol, books, m)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        x => x.getField("cell").cast("int")).as("codes"))
+
+  /** Per-vector PQ reconstruction MSE: Σ_s ‖sv_s − cv_cell(s)‖² / dim —
+    * the compression-quality measure to set m against (compare with the
+    * scalar-quantization error of [[quantizeInt8]]: PQ at m=8 stores 4×
+    * less than int8 for graceful extra error). Output: (vec_id, pq_mse).
+    * The per-sub squared errors are summed in sub order via an ordered
+    * fold so the float result is engine-reproducible.
+    */
+  def pqReconstructionMse(corpus: DataFrame, idCol: String, vecCol: String,
+                          books: DataFrame, m: Int,
+                          roundTo: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val sv = subVectors(c, "vec_id", m)
+    val errs = pqAssign(corpus, idCol, vecCol, books, m)
+      .join(sv, Seq("vec_id", "sub"))
+      .join(broadcast(books.withColumnRenamed("cent_id", "cell")), Seq("sub", "cell"))
+      .withColumn("__e", l2sq(col("sv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("__e")))),
+          x => x.getField("__e")),
+        lit(0.0), (acc, x) => acc + x).as("__sum"))
+    errs.join(c.select(col("vec_id"), size(col("v")).as("__n")), "vec_id")
+      .select(col("vec_id"), round(col("__sum") / col("__n"), roundTo).as("pq_mse"))
+  }
+
+  /** ADC (asymmetric distance computation) approximate top-k over PQ
+    * codes: the query stays un-quantized; per query a (sub, cell) →
+    * partial-distance table is computed against the (small, broadcast)
+    * codebooks, and every corpus vector's approximate distance is the sum
+    * of m table lookups — an equi-join of the code relation on
+    * (sub, cell) followed by a map-side-combining aggregate. The corpus
+    * is never re-scanned at float width: only codes move. Ranking is on
+    * the ROUNDED distance with vec_id tie-break (cross-engine float
+    * parity, the tx_pmi convention); the per-sub partials are summed in
+    * sub order (ordered fold) for the same reason.
+    * Output: (query_id, vec_id, adist, rk), ascending distance.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, books: DataFrame, m: Int, k: Int,
+                roundTo: Int = 6): DataFrame = {
+    val codes = pqAssign(corpus, idCol, vecCol, books, m)
+    val qsub = subVectors(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v")),
+      "query_id", m)
+    val table = qsub.join(broadcast(books), "sub")
+      .select(col("query_id"), col("sub"), col("cent_id").as("cell"),
+        l2sq(col("sv"), col("cv")).as("part"))
+    codes.join(broadcast(table), Seq("sub", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("part")))),
+          x => x.getField("part")),
+        lit(0.0), (acc, x) => acc + x).as("__adist"))
+      .withColumn("adist", round(col("__adist"), roundTo))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adist"), col("rk"))
+  }
+
+  /** Trained PQ codebooks: per-subspace k-means under L2 (the textbook PQ
+    * trainer — Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search"), deterministic by the same construction as
+    * [[kmeansCentroids]]: hash-ranked init, min-distance/min-id
+    * assignment, per-iteration coordinate rounding. ALL m subspaces train
+    * in the same jobs — the sub-vector relation carries (id, sub, sv) and
+    * each iteration is ONE broadcast join + min_by aggregate + ONE
+    * (sub, cell, coord) mean aggregate, regardless of m. Driver state is
+    * the m × k × (dim/m) codebook matrix = k × dim doubles, same bound as
+    * [[kmeansCentroids]]. Empty cells keep their previous centroid.
+    * Output: (sub, cent_id ∈ 0..k−1, cv) — [[pqCodebooksStep]]'s schema,
+    * so it drops into [[pqAssign]]/[[pqAdcTopK]] unchanged. Not oracle-
+    * expressible (iterative); property-tested in VectorsSpec against the
+    * step rule it must beat.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int = 3, sampleFrac: Double = 1.0,
+              seed: Long = 42, roundTo: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val sampled = if (sampleFrac >= 1.0) c0
+      else c0.filter(
+        Determinism.detRand(col("vec_id") * lit(31L) + lit(seed)) < sampleFrac)
+    val sv = subVectors(sampled, "vec_id", m).localCheckpoint(false)
+    def booksDf(b: Seq[(Int, Long, Seq[Double])]): DataFrame =
+      broadcast(b.toDF("sub", "cent_id", "cv"))
+    // init: the k hash-smallest sample vectors seed EVERY subspace (their
+    // s-th slice seeds subspace s) — one driver collect of k×dim doubles
+    val initIds = sampled
+      .withColumn("__h", Determinism.detHash(col("vec_id") + lit(seed)))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      .select(col("vec_id")).as[Long].collect()
+    require(initIds.length == k,
+      s"pqTrain: requested k=$k codewords per subspace but the sample has " +
+        s"only ${initIds.length} vectors — lower k or raise sampleFrac")
+    val idRank = initIds.zipWithIndex.toMap
+    var books: Seq[(Int, Long, Seq[Double])] = sv
+      .filter(col("vec_id").isin(initIds: _*))
+      .select(col("vec_id"), col("sub"), col("sv")).collect()
+      .map(r => (r.getInt(1), idRank(r.getLong(0)).toLong, r.getSeq[Double](2)))
+      .toSeq
+    for (_ <- 0 until iters) {
+      val assigned = sv.join(booksDf(books), "sub")
+        .withColumn("__d", l2sq(col("sv"), col("cv")) + 0.0)
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cent_id"), struct(col("__d"), col("cent_id"))).as("cell"))
+        .join(sv, Seq("vec_id", "sub"))
+      val means = assigned
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("p", "x")))
+        .groupBy("sub", "cell", "p")
+        .agg(round(avg(col("x")), roundTo).as("mval"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      books = books.map { case (s, cid, old) =>
+        (s, cid, means.getOrElse((s, cid), old)) }
+    }
+    booksDf(books)
+  }
+
   /** Bucket histogram — the data-distribution view used to tune nPlanes. */
   def lshBucketHistogram(corpus: DataFrame, idCol: String, vecCol: String,
                          nPlanes: Int, dim: Int): DataFrame =

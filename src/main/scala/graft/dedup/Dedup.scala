@@ -97,9 +97,19 @@ object Dedup {
     * projection it runs on a STREAMING DataFrame unchanged — the form
     * [[graft.streaming.Streaming.ingestCandidates]] uses. Token-less
     * documents produce no rows, matching the aggregate form.
+    *
+    * PRECONDITION: `bandSize` must divide `k`. The aggregate form emits a
+    * trailing partial band for the remainder seeds (band = seed/bandSize
+    * groups whatever is left), while this projection would silently drop
+    * them — so a non-divisible bandSize is rejected loudly instead of
+    * breaking the row-identity contract (round-4 ADVICE).
     */
   def bandedSignaturesProjected(docs: DataFrame, id: Column, text: Column,
                                 k: Int, bandSize: Int): DataFrame = {
+    require(k % bandSize == 0,
+      s"bandSize=$bandSize must divide k=$k: the trailing ${k % bandSize} " +
+        "seeds would form a partial band in the aggregate form but be " +
+        "dropped by the projected form, breaking row-identity")
     import org.apache.spark.sql.graftshim.ColumnShim
     val sig = ColumnShim.column(
       graft.functions.MinhashExpr(ColumnShim.expression(text), k))
@@ -550,5 +560,118 @@ object Dedup {
       .union(base.select(col("b").as("doc_id"))).distinct()
     vertices.join(edges.select(col("hi").as("doc_id"), col("lo")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lo"), col("doc_id")).as("cluster"))
+  }
+
+  /** D10 stage 1: token positions whose word `n`-gram also appears in at
+    * least one OTHER document — the marked set behind cross-document exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"; the suffix-array construction there finds
+    * duplicated spans ≥ n tokens, which is exactly the set of positions
+    * whose length-n gram is shared, merged into runs). Output:
+    * (doc_id, pos) with pos the 1-based token index of the gram START.
+    *
+    * Scale shape: the gram relation is corpus-tokens-sized and shuffles
+    * ONCE on the gram key for both the document-frequency aggregate and
+    * the semi-join back (the "is this gram shared" test is min(doc) ≠
+    * max(doc) — a map-side-combining aggregate, no count-distinct state).
+    * At 100 TB the gram string would be replaced by a 64-bit hash to
+    * shrink the shuffle (collisions only over-mark, cost ε extra scrub);
+    * kept as the string here so the DuckDB oracle reproduces the decision
+    * exactly.
+    */
+  def duplicateNgramPositions(docs: DataFrame, id: Column, text: Column,
+                              n: Int): DataFrame = {
+    val grams = docs
+      .select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(wordNgramsFromTokens(col("toks"), n)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"), col("g"))
+      // feeds the doc-frequency aggregate AND the semi-join probe —
+      // materialize once instead of re-tokenizing the corpus per branch
+      .localCheckpoint(false)
+    val shared = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("g"))
+    grams.join(shared, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+  }
+
+  /** D10 stage 2: merge marked gram-start positions into MAXIMAL duplicated
+    * token spans — consecutive starts s..e cover tokens s..e+n−1 (the
+    * gaps-and-islands pattern: pos − row_number is constant within a run).
+    * Output: (doc_id, start_tok, end_tok, n_gram_starts), 1-based inclusive
+    * token indices. The window is per document — partitions are doc-sized,
+    * never corpus-sized.
+    */
+  def duplicateNgramRuns(docs: DataFrame, id: Column, text: Column,
+                         n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    duplicateNgramPositions(docs, id, text, n)
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(n - 1)).cast("int").as("end_tok"),
+        count(lit(1)).as("n_gram_starts"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"), col("n_gram_starts"))
+  }
+
+  /** D10 stage 3: REMOVE every cross-document duplicated span from each
+    * document — the scrub pass of exact substring dedup. Tokens inside any
+    * [[duplicateNgramRuns]] span are dropped; the cleaned document is the
+    * remaining tokens rejoined with single spaces (the scrub operates on
+    * the normalized token stream, the same convention as every tx_*
+    * operator — raw-byte-offset surgery is a formatting concern the
+    * tokenizer already erased). Documents shorter than `n` tokens pass
+    * through untouched. Output per input doc:
+    * (doc_id, n_toks, n_dup_spans, n_dup_toks, clean_md5).
+    *
+    * Span membership is evaluated with array HOFs over each doc's own
+    * (few) spans — per-row work, no extra shuffle beyond the runs
+    * aggregation itself.
+    */
+  def scrubDuplicateRuns(docs: DataFrame, id: Column, text: Column,
+                         n: Int): DataFrame = {
+    val spans = duplicateNgramRuns(docs, id, text, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok").as("s"), col("end_tok").as("e")))
+        .as("__spans"),
+        count(lit(1)).as("n_dup_spans"))
+    docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("__spans").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, i) =>
+            !exists(col("__spans"), sp =>
+              (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e")))))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (size(col("toks")) - size(col("kept"))).cast("int").as("n_dup_toks"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+  }
+
+  /** [[scrubDuplicateRuns]] variant that RETURNS the cleaned text (tokens
+    * rejoined with spaces) instead of the audit summary — the form
+    * [[graft.pipelines.Pipelines.dedupCorpus]] appends after near-dup
+    * cluster removal. Passes every input row through; only `textOutCol`
+    * changes.
+    */
+  def scrubbedText(docs: DataFrame, id: Column, text: Column, n: Int,
+                   textOutCol: String = "clean_text"): DataFrame = {
+    val spans = duplicateNgramRuns(docs, id, text, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok").as("s"), col("end_tok").as("e")))
+        .as("__spans"))
+    docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          when(col("__spans").isNull, col("toks"))
+            .otherwise(filter(col("toks"), (_, i) =>
+              !exists(col("__spans"), sp =>
+                (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e")))),
+          " ").as(textOutCol))
   }
 }

@@ -144,15 +144,26 @@ object Pipelines {
     *     native kernel, banded equi-join, per-bucket cap);
     *  4. exact n-gram Jaccard verification of ONLY the candidates;
     *  5. connected components over verified pairs → duplicate clusters;
-    *  6. keep one representative per cluster (the min doc id).
+    *  6. keep one representative per cluster (the min doc id);
+    *  7. (optional, `substrN`) cross-document EXACT substring scrub over
+    *     the survivors — shared word-n-gram runs are removed from each
+    *     kept document (Lee et al. 2022; the d10 operator). Runs AFTER
+    *     cluster removal so shared passages between a duplicate and its
+    *     representative don't trigger double work; the scrubbed text is
+    *     the normalized token stream (see
+    *     [[graft.dedup.Dedup.scrubDuplicateRuns]]) written back to
+    *     `textColName`.
     *
-    * Returns the kept documents with their original columns. All stages
-    * are the same oracle-checked operators as d1/d2/d5/d6/d7.
+    * Returns the kept documents with their original columns (the text
+    * column rewritten when `substrN` is set). All stages are the same
+    * oracle-checked operators as d1/d2/d5/d6/d7/d10.
     */
   def dedupCorpus(docs: DataFrame, id: Column, text: Column,
                   minQuality: Double = 0.5, minhashK: Int = 8,
                   bandSize: Int = 4, ngram: Int = 3,
-                  minJaccard: Double = 0.3): DataFrame = {
+                  minJaccard: Double = 0.3,
+                  substrN: Option[Int] = None,
+                  textColName: String = "text"): DataFrame = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     val quality = docs.filter(
@@ -166,7 +177,16 @@ object Pipelines {
     // (distinct working name so the join condition resolves unambiguously)
     val dropIds = clusters.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as("__drop_id"))
-    exact.join(dropIds, id.cast("long") === col("__drop_id"), "left_anti")
+    val kept = exact.join(dropIds, id.cast("long") === col("__drop_id"), "left_anti")
+    substrN match {
+      case None => kept
+      case Some(n) =>
+        val cleaned = Dedup.scrubbedText(kept, id, text, n)
+          .withColumnRenamed("doc_id", "__scrub_id")
+        kept.join(cleaned, id.cast("long") === col("__scrub_id"))
+          .drop(textColName, "__scrub_id")
+          .withColumnRenamed("clean_text", textColName)
+    }
   }
 
   /** §3.3 Sync: manifest diff → parallel transfer. Returns the pending

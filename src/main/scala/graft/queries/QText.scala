@@ -19,6 +19,15 @@ object QText {
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
   private val dtoksSql = s"list_distinct($toksSql)"
 
+  // DuckDB fragment: the {'pos', 'g'} struct for the word 5-gram starting
+  // at 1-based token position i — shared by the two d10 oracles so the
+  // gram definition cannot drift between spans and scrub.
+  private val d10GramStruct =
+    "'pos': CAST(i AS INT), " +
+      "'g': toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT)+1] || '_' || " +
+      "toks[CAST(i AS INT)+2] || '_' || toks[CAST(i AS INT)+3] || '_' || " +
+      "toks[CAST(i AS INT)+4]"
+
   // Shared DuckDB fragments for the marker-stopword language-ID heuristic
   // (used by the tx_langid projection and the tx_langid_eval accuracy
   // aggregate — one definition so the two oracles cannot drift).
@@ -278,6 +287,20 @@ object QText {
         banded.filter(col("doc_id") >= 400),
         banded.filter(col("doc_id") < 400))
     }),
+
+    // D10: cross-document EXACT substring dedup (Lee et al. 2022) — the
+    // shared-passage complement of MinHash near-dup: any word 5-gram run
+    // appearing in ≥2 documents is located (gaps-and-islands over marked
+    // gram starts) and REMOVED; per doc the audit reports token counts,
+    // span count, and the md5 of the scrubbed token stream. One gram-key
+    // shuffle for the shared test, per-doc windows for run merging.
+    "d10_substring_dedup" -> ((s, d) =>
+      Dedup.scrubDuplicateRuns(t(s, d, "documents"), col("doc_id"), col("text"), 5)),
+
+    // D10b: the located duplicate spans themselves (1-based inclusive token
+    // ranges) — the audit/inspection view of the same runs.
+    "d10b_dup_spans" -> ((s, d) =>
+      Dedup.duplicateNgramRuns(t(s, d, "documents"), col("doc_id"), col("text"), 5)),
 
     // D7: duplicate CLUSTERS from the verified pairs — connected components
     // (iterative min-label propagation), cluster id = min member doc_id.
@@ -564,6 +587,55 @@ object QText {
                         AND a.band_sig = b.band_sig AND a.doc_id != b.doc_id)
           SELECT DISTINCT doc_a, doc_b
           FROM (SELECT * FROM nn UNION ALL SELECT * FROM no)""",
+    "d10_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+               f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+               gl AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+                        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+                          i -> {$d10GramStruct})) AS u
+                        FROM f)),
+               dup AS (SELECT g FROM gl GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+               m AS (SELECT gl.doc_id, gl.pos FROM gl SEMI JOIN dup USING (g)),
+               r AS (SELECT doc_id, pos,
+                            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                     FROM m),
+               sp AS (SELECT doc_id, CAST(min(pos) AS INT) AS s,
+                             CAST(max(pos) + 4 AS INT) AS e
+                      FROM r GROUP BY doc_id, grp),
+               ag AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans,
+                             count(*) AS n_dup_spans
+                      FROM sp GROUP BY doc_id),
+               j AS (SELECT t.doc_id, t.toks, ag.spans, ag.n_dup_spans
+                     FROM t LEFT JOIN ag USING (doc_id)),
+               k AS (SELECT doc_id, toks, n_dup_spans,
+                            CASE WHEN spans IS NULL THEN toks
+                                 ELSE list_filter(toks, (x, i) ->
+                                   len(list_filter(spans, sp -> i >= sp.s AND i <= sp.e)) = 0)
+                            END AS kept
+                     FROM j)
+          SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+                 CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                 CAST(len(toks) - len(kept) AS INT) AS n_dup_toks,
+                 -- coalesce: DuckDB array_to_string([]) is NULL where
+                 -- Spark array_join(empty) is '' (fully-duplicated docs)
+                 md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+          FROM k""",
+    "d10b_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+               f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+               gl AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+                        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+                          i -> {$d10GramStruct})) AS u
+                        FROM f)),
+               dup AS (SELECT g FROM gl GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+               m AS (SELECT gl.doc_id, gl.pos FROM gl SEMI JOIN dup USING (g)),
+               r AS (SELECT doc_id, pos,
+                            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                     FROM m)
+          SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+                 CAST(max(pos) + 4 AS INT) AS end_tok,
+                 count(*) AS n_gram_starts
+          FROM r GROUP BY doc_id, grp""",
     "d8_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
                f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),

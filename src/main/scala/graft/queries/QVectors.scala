@@ -15,6 +15,10 @@ object QVectors {
 
   private val Dim = 64
   private val NPlanes = 8
+  // PQ geometry: 8 subspaces of 8 dims over the 64-dim embeddings;
+  // codebooks from every 25th vector (pqCodebooksStep's oracle rule)
+  private val PqM = 8
+  private val PqStep = 25
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // V1: exact cosine top-5 for a bounded query set (broadcast NL + window).
@@ -130,7 +134,47 @@ object QVectors {
     // oversized cell.
     "v8_semantic_dedup" -> ((s, d) =>
       Vectors.semanticNearDupPairs(t(s, d, "embeddings"),
-        "vec_id", "embedding", 50, 0.4, maxCell = 512)))
+        "vec_id", "embedding", 50, 0.4, maxCell = 512)),
+
+    // V11: product-quantization reconstruction error vs the int8 scalar
+    // path — PQ at m=8 over 64 dims stores 8 bytes/vector (32× smaller
+    // than float32, 4× smaller than v10's int8) for a measured MSE cost.
+    // Codebooks from the oracle-expressible every-25th rule
+    // (pqCodebooksStep); the trained pqTrain variant is property-tested
+    // in VectorsSpec against this same error metric.
+    "v11_pq_error" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val books = Vectors.pqCodebooksStep(emb, "vec_id", "embedding", PqM, PqStep)
+      val pq = Vectors.pqReconstructionMse(emb, "vec_id", "embedding", books, PqM)
+      val v = Vectors.asDouble(col("embedding"))
+      val sq = emb
+        .select(col("vec_id"), v.as("v"),
+          array_min(v).as("mn"),
+          ((array_max(v) - array_min(v)) / lit(255.0)).as("sc"))
+        .withColumn("dq", Vectors.dequantizeInt8(
+          Vectors.quantizeInt8(col("v")), col("mn"), col("sc")))
+        .select(col("vec_id"),
+          round(graft.ops.Stats.arrayMse(col("v"), col("dq")), 6).as("sq_mse"))
+      pq.join(sq, "vec_id")
+    }),
+
+    // V12: recall@5 of ADC-scored PQ top-k against the exact cosine
+    // baseline — the v7 harness pointed at the PQ index: queries stay
+    // un-quantized, corpus vectors are scored by m table lookups over
+    // their codes (equi-join on (sub, cell), never a float re-scan).
+    "v12_pq_adc_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val books = Vectors.pqCodebooksStep(emb, "vec_id", "embedding", PqM, PqStep)
+      val brute = Vectors.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id"))
+      val adc = Vectors.pqAdcTopK(emb, q, "vec_id", "embedding", books, PqM, 5)
+        .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+      brute.join(adc, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1)), 6).as("recall"))
+    }))
 
   /** DuckDB fragment: hyperplane p as a DOUBLE[] expression recomputing the
     * same md5-derived components as [[Vectors.hyperplane]].
@@ -139,7 +183,99 @@ object QVectors {
     s"list_transform(range(0, $Dim), k -> " +
       s"${Determinism.detRandSql(s"($p * $Dim + k)")} - 0.5)"
 
+  /** DuckDB CTE chain shared by the v11/v12 PQ oracles (one definition so
+    * they cannot drift): `e` (vectors), `sub` (m contiguous sub-vectors),
+    * `cb` (every-PqStep-th codebooks), `asg` (min-L2 assignment with the
+    * engine's exact dot-product decomposition, −0.0 normalization, and
+    * cent_id tie-break).
+    */
+  private val pqSql: String = {
+    val subDim = Dim / PqM
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              psub AS (SELECT vec_id, u.sub AS sub, u.sv AS sv FROM (
+                        SELECT vec_id, unnest(list_transform(range(0, $PqM),
+                          j -> {'sub': CAST(j AS INT),
+                                'sv': v[CAST(j * $subDim + 1 AS INT):CAST(j * $subDim + $subDim AS INT)]})) AS u
+                        FROM e)),
+              cb AS (SELECT sub, vec_id AS cent_id, sv AS cv
+                     FROM psub WHERE vec_id % $PqStep = 0),
+              pdist AS (SELECT s.vec_id, s.sub, c.cent_id,
+                               list_dot_product(s.sv, s.sv)
+                                 - 2.0 * list_dot_product(s.sv, c.cv)
+                                 + list_dot_product(c.cv, c.cv) AS d
+                        FROM psub s JOIN cb c USING (sub)),
+              asg AS (SELECT vec_id, sub, cent_id, d FROM (
+                        SELECT vec_id, sub, cent_id, d,
+                               row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d + 0.0, cent_id) AS rn
+                        FROM pdist) WHERE rn = 1)"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "v11_pq_error" ->
+      s"""WITH $pqSql,
+              pl AS (SELECT vec_id, list(d ORDER BY sub) AS dl
+                     FROM asg GROUP BY vec_id),
+              pqm AS (SELECT vec_id,
+                             round(list_dot_product(dl, list_transform(dl, x -> 1.0))
+                               / $Dim, 6) AS pq_mse
+                      FROM pl),
+              sq0 AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+                             (list_max(v) - list_min(v)) / 255.0 AS sc
+                      FROM e),
+              sq1 AS (SELECT vec_id, v, mn, sc,
+                             CASE WHEN mx = mn THEN list_transform(v, x -> -128)
+                                  ELSE list_transform(v,
+                                    x -> CAST(round((x - mn) / sc) AS INT) - 128) END AS qv
+                      FROM sq0),
+              sq2 AS (SELECT vec_id, v,
+                             list_transform(qv, i -> mn + (i + 128) * sc) AS dq
+                      FROM sq1),
+              sqm AS (SELECT vec_id,
+                             round((list_dot_product(v, v) - 2.0 * list_dot_product(v, dq)
+                               + list_dot_product(dq, dq)) / len(v), 6) AS sq_mse
+                      FROM sq2)
+          SELECT p.vec_id, p.pq_mse, s.sq_mse
+          FROM pqm p JOIN sqm s ON p.vec_id = s.vec_id""",
+    "v12_pq_adc_recall" ->
+      s"""WITH $pqSql,
+              codes AS (SELECT vec_id, sub, cent_id AS cell FROM asg),
+              qs AS (SELECT vec_id AS query_id, sub, sv FROM psub WHERE vec_id < 8),
+              tbl AS (SELECT q.query_id, q.sub, c.cent_id AS cell,
+                             list_dot_product(q.sv, q.sv)
+                               - 2.0 * list_dot_product(q.sv, c.cv)
+                               + list_dot_product(c.cv, c.cv) AS part
+                      FROM qs q JOIN cb c USING (sub)),
+              ad AS (SELECT t.query_id, k.vec_id, list(t.part ORDER BY t.sub) AS plist
+                     FROM codes k JOIN tbl t ON k.sub = t.sub AND k.cell = t.cell
+                     WHERE k.vec_id != t.query_id
+                     GROUP BY 1, 2),
+              ads AS (SELECT query_id, vec_id,
+                             round(list_dot_product(plist,
+                               list_transform(plist, x -> 1.0)), 6) AS adist
+                      FROM ad),
+              adc5 AS (SELECT query_id, vec_id FROM (
+                         SELECT query_id, vec_id,
+                                row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, vec_id) AS rk
+                         FROM ads) WHERE rk <= 5),
+              cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+              qn AS (SELECT vec_id AS query_id, v AS qv, vn AS qvn
+                     FROM cn WHERE vec_id < 8),
+              sc AS (SELECT query_id, cn.vec_id,
+                            list_dot_product(cn.v, qv) / (cn.vn * qvn) AS cos
+                     FROM cn, qn WHERE cn.vec_id != query_id),
+              br AS (SELECT query_id, vec_id FROM (
+                       SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rk
+                       FROM sc) WHERE rk <= 5)
+          SELECT b.query_id,
+                 round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 6) AS recall
+          FROM br b LEFT JOIN adc5 a
+            ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+          GROUP BY b.query_id""",
     "v10_quantize_error" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,

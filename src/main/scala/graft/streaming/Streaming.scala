@@ -244,6 +244,43 @@ object Streaming {
       }
       .start()
 
+  /** T5 streaming twin: incremental training-feed maintenance. Each
+    * micro-batch appends its new manifest rows to a persisted manifest
+    * table (`manifestDir/batch=<id>` — the batch-id layout makes a
+    * replayed batch overwrite its own subdir instead of double-appending,
+    * the same idempotence device as [[foreachBatchParquetSink]]) and then
+    * regenerates the feed SNAPSHOT over the ACCUMULATED manifest with the
+    * SAME batch operator ([[graft.pipelines.Pipelines.trainingFeed]]) —
+    * the stream-static discipline of [[ingestCandidates]]: the stream
+    * carries only what is new; the heavy artifact is a persisted table.
+    *
+    * The feed is overwritten, not appended, because exact-count
+    * stratified sampling and the dense shuffle permutation are GLOBAL
+    * properties of the manifest — a per-batch incremental feed would
+    * break both (x1's exact counts and x3's gap-free positions). Per
+    * trigger the regeneration costs one batch-feed run over everything
+    * seen so far; at 100 TB you time triggers accordingly (feed refresh
+    * is a scheduled recompute, not per-record work — mirroring the
+    * reference's per-stage batch feeds). StreamingSpec asserts the
+    * drained stream's snapshot equals the batch feed on the same rows.
+    */
+  def trainingFeedStream(manifestStream: DataFrame,
+                         profile: Map[String, Double],
+                         manifestDir: String, feedDir: String,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    manifestStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$manifestDir/batch=$id")
+        val all = batch.sparkSession.read.parquet(manifestDir)
+        graft.pipelines.Pipelines.trainingFeed(all, profile)
+          .write.mode("overwrite").parquet(feedDir)
+      }
+      .start()
+
   /** Run a streaming aggregate to completion over the currently-available
     * input and return the final snapshot as a batch DataFrame (test/driver
     * helper; production queries run with a real trigger instead).

@@ -86,11 +86,31 @@ object ScaleProbe {
     time("d7b connectedComponentsStar (dense cliques — min-label's home turf)") {
       Dedup.connectedComponentsStar(verified, "doc_a", "doc_b").count()
     }
+    time("d7b star CC on long-chain(100k) + dense-clique mix") {
+      // the adversarial graph for label propagation: the verified dense
+      // cliques PLUS a 100k-node chain (diameter 100k — min-label would
+      // need 100k rounds); star alternation must converge in O(log²)
+      val chain = spark.range(0, 100000)
+        .select((col("id") + 10000000L).as("doc_a"),
+          (col("id") + 10000001L).as("doc_b"))
+      val mixed = verified.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .union(chain)
+      Dedup.connectedComponentsStar(mixed, "doc_a", "doc_b", maxIter = 40).count()
+    }
     time("d9 incrementalCandidatePairs (10% shard vs 90% index)") {
       val banded = Dedup.bandedSignatures(sigs, 4)
       Dedup.incrementalCandidatePairs(
         banded.filter(col("doc_id") % 10 === 0),
         banded.filter(col("doc_id") % 10 =!= 0)).count()
+    }
+    time("d9 incrementalCandidatePairs (1% shard vs 99% index)") {
+      // the production steady state: a small daily shard against a big
+      // persisted index — work must track the SHARD, so this should run
+      // markedly faster than the 10% probe above, not the same
+      val banded = Dedup.bandedSignatures(sigs, 4)
+      Dedup.incrementalCandidatePairs(
+        banded.filter(col("doc_id") % 100 === 0),
+        banded.filter(col("doc_id") % 100 =!= 0)).count()
     }
     time("tx tfidf (grouped tf/df + top-term window)") {
       graft.text.TextFunctions
@@ -139,6 +159,47 @@ object ScaleProbe {
     time("v9 kmeansCentroids (k=64, 3 iters, 10% sample)") {
       graft.ann.Vectors.kmeansCentroids(emb, "vec_id", "embedding",
         k = 64, iters = 3, sampleFrac = 0.1).count()
+    }
+    time("v10 int8 vs float: stored bytes + brute top-5 scan") {
+      import graft.ann.Vectors
+      val fdir = "/root/repo/target/probe/emb_float"
+      val qdir = "/root/repo/target/probe/emb_int8"
+      emb.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(fdir)
+      val v = Vectors.asDouble(col("embedding"))
+      emb.select(col("vec_id"), Vectors.quantizeInt8(v).as("q"),
+          array_min(v).as("mn"),
+          ((array_max(v) - array_min(v)) / lit(255.0)).as("sc"))
+        .write.mode("overwrite").parquet(qdir)
+      def bytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      println(s"[probe] float parquet ${bytes(fdir) / 1024} KiB, " +
+        s"int8 parquet ${bytes(qdir) / 1024} KiB")
+      val qf = spark.read.parquet(fdir)
+      time("  float brute top-5 (8 queries)") {
+        Vectors.bruteForceTopK(qf, qf.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5).count()
+      }
+      val qq = spark.read.parquet(qdir).select(col("vec_id"),
+        Vectors.dequantizeInt8(col("q"), col("mn"), col("sc")).as("embedding"))
+      time("  int8 dequantizing brute top-5 (8 queries)") {
+        Vectors.bruteForceTopK(qq, qq.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5).count()
+      }
+    }
+    time("v12 PQ assign + ADC top-5 (step books, ~250 cents/sub)") {
+      val books = graft.ann.Vectors.pqCodebooksStep(
+        emb, "vec_id", "embedding", 8, 200)
+      graft.ann.Vectors.pqAdcTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", books, 8, 5).count()
+    }
+    time("v11 pqTrain (m=8, k=64, 3 iters, 10% sample)") {
+      graft.ann.Vectors.pqTrain(emb, "vec_id", "embedding",
+        m = 8, k = 64, iters = 3, sampleFrac = 0.1).count()
     }
     spark.catalog.clearCache()
     val events = time("amplify events (same 150 users, 10x rows each)") {

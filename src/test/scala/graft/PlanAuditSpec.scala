@@ -69,9 +69,11 @@ class PlanAuditSpec extends SparkSpec {
     //    aggregates
     //  - v9: k-means recall harness — brute baseline + tiny-centroid
     //    assignment crosses, both by design
+    //  - v12: recall evaluation embeds the v1 brute-force baseline by
+    //    design (the ADC side itself is equi-join only)
     val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
       "v5_ivf_topk", "v6_ivf_nprobe", "v7_lsh_recall", "v8_semantic_dedup",
-      "v9_kmeans_recall",
+      "v9_kmeans_recall", "v12_pq_adc_recall",
       "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }

@@ -243,6 +243,71 @@ class VectorsSpec extends SparkSpec {
     assert(qt.elementType === org.apache.spark.sql.types.ByteType)
   }
 
+  test("pqAdcTopK matches a driver-side ADC reference on step codebooks") {
+    // 30 vectors, dim 8, m=2 (subDim 4), step=10 -> codebook = subvectors
+    // of ids {0, 10, 20}; queries = ids < 2, k=3. The reference recomputes
+    // assignment, table, and the ordered partial-sum fold with the same
+    // sequential double arithmetic the engine kernels use.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+    val vecs = base.toDF("vec_id", "embedding")
+    val m = 2; val subDim = 4; val step = 10; val k = 3
+    def ddot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double =
+      ddot(a, a) - 2.0 * ddot(a, b) + ddot(b, b)
+    def sub(v: Array[Double], s: Int): Seq[Double] =
+      v.slice(s * subDim, (s + 1) * subDim).toSeq
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = base.filter(_._1 % step == 0) // (cent_id, full vector)
+    def bestCell(sv: Seq[Double], s: Int): Long =
+      cents.map { case (cid, cv) => (l2sq(sv, sub(cv, s)) + 0.0, cid) }.min._2
+    val expect = (for {
+      (qid, qv) <- base.filter(_._1 < 2)
+      (vid, vv) <- base if vid != qid
+    } yield {
+      val adist = (0 until m).foldLeft(0.0) { (acc, s) =>
+        acc + l2sq(sub(qv, s), sub(cents.find(_._1 == bestCell(sub(vv, s), s)).get._2, s))
+      }
+      (qid, vid, r6(adist))
+    }).groupBy(_._1).flatMap { case (qid, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(k).zipWithIndex
+        .map { case ((_, vid, d), i) => (qid, vid, d, i + 1) }
+    }.toSet
+    val books = Vectors.pqCodebooksStep(vecs, "vec_id", "embedding", m, step)
+    val got = Vectors.pqAdcTopK(vecs, vecs.filter(col("vec_id") < 2),
+        "vec_id", "embedding", books, m, k)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === expect)
+    // and the storage-form codes agree with the assignment, in sub order
+    val codes = Vectors.pqCodes(vecs, "vec_id", "embedding", books, m)
+      .as[(Long, Seq[Int])].collect().toMap
+    base.foreach { case (vid, vv) =>
+      assert(codes(vid) === (0 until m).map(s => bestCell(sub(vv, s), s).toInt))
+    }
+  }
+
+  test("pqTrain codebooks reconstruct at most as badly as the step rule") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val m = 4
+    // same codebook budget: step=10 over 60 ids -> 6 entries; k=6 trained
+    val stepBooks = Vectors.pqCodebooksStep(vecs, "vec_id", "embedding", m, 10)
+    val trained = Vectors.pqTrain(vecs, "vec_id", "embedding", m, k = 6)
+    def meanMse(books: org.apache.spark.sql.DataFrame): Double =
+      Vectors.pqReconstructionMse(vecs, "vec_id", "embedding", books, m)
+        .agg(avg(col("pq_mse"))).head().getDouble(0)
+    val (tr, st) = (meanMse(trained), meanMse(stepBooks))
+    assert(tr <= st, s"trained PQ mse $tr should not exceed step-rule mse $st")
+    // trained books must still be k entries per subspace
+    assert(trained.groupBy(col("sub")).count()
+      .as[(Int, Long)].collect().forall(_._2 == 6L))
+  }
+
   test("semanticNearDupPairs never invents pairs and keeps exact scores") {
     val rnd = new scala.util.Random(11)
     // 60 vectors in 3 cells (step=20); make 41 a scaled copy of 40 so at

@@ -284,4 +284,38 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === (1L to 51L).map(_ -> 1L).toMap)
   }
+
+  test("bandedSignaturesProjected rejects a bandSize that does not divide k") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bandedSignaturesProjected(docs, col("doc_id"), col("text"),
+        k = 8, bandSize = 3)
+    }
+    assert(e.getMessage.contains("must divide"))
+  }
+
+  test("substring dedup removes a planted shared passage and nothing else") {
+    // Two docs share an 8-token passage embedded in otherwise-unique prose;
+    // a third doc is untouched. n=5 marks gram starts
+    // passage; the island merge must yield ONE maximal span per doc
+    // covering exactly the passage tokens.
+    val passage = "pack my box with five dozen liquor jugs"      // 8 tokens
+    val d = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),          // toks 4..11 of 13
+      (2L, s"one two three four five6 $passage"),                // toks 6..13 of 13
+      (3L, "totally unrelated prose with no shared five gram runs here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateNgramRuns(d, col("doc_id"), col("text"), 5)
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1)
+    assert(spans.toSeq === Seq((1L, 4, 11, 4L), (2L, 6, 13, 4L)))
+    val scrub = Dedup.scrubDuplicateRuns(d, col("doc_id"), col("text"), 5)
+      .select("doc_id", "n_toks", "n_dup_spans", "n_dup_toks")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    assert(scrub.toSeq === Seq((1L, 13, 1L, 8), (2L, 13, 1L, 8), (3L, 10, 0L, 0)))
+    // the cleaned text is exactly the original minus the passage tokens
+    val clean = Dedup.scrubbedText(d, col("doc_id"), col("text"), 5)
+      .as[(Long, String)].collect().toMap
+    assert(clean(1L) === "alpha beta gamma delta epsilon")
+    assert(clean(2L) === "one two three four five6")
+    assert(clean(3L) === "totally unrelated prose with no shared five gram runs here")
+  }
 }

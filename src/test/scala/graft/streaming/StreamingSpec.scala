@@ -49,6 +49,40 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming trainingFeedStream snapshot == batch trainingFeed, across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val rows = for {
+      i <- 1 to 60
+      diff = Seq("easy", "medium", "hard")(i % 3)
+      suffix <- if (i % 10 == 0) Seq("person") // incomplete stems
+                else Seq("person", "cloth_a", "vton")
+    } yield (s"s3://b/$diff/stem$i" + s"_$suffix.jpg", s"s3://b/$diff/")
+    val manifest = rows.toDF("key", "prefix")
+    val profile = Map("easy" -> 0.8, "medium" -> 0.5, "hard" -> 0.25)
+    val dir = tmp("feedstream")
+    // two disjoint manifest files + maxFilesPerTrigger=1 → two micro-
+    // batches: the final snapshot must cover the ACCUMULATED manifest
+    // (a triplet split across batches only completes in the second)
+    manifest.filter(xxhash64(col("key")) % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    manifest.filter(xxhash64(col("key")) % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Streaming.trainingFeedStream(stream, profile,
+      s"$dir/manifest", s"$dir/feed", s"$dir/ckpt", Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/feed")
+      .select("stem", "difficulty", "pos")
+      .as[(String, String, Long)].collect().toSet
+    val want = graft.pipelines.Pipelines.trainingFeed(manifest, profile)
+      .select("stem", "difficulty", "pos")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming ingestCandidates == batch incremental dedup (new×index pairs)") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.streaming.Trigger
