@@ -417,8 +417,18 @@ object Vectors {
     */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, books: DataFrame, m: Int, k: Int,
-                roundTo: Int = 6): DataFrame = {
-    val codes = pqAssign(corpus, idCol, vecCol, books, m)
+                roundTo: Int = 6): DataFrame =
+    pqAdcTopKFromCodes(pqAssign(corpus, idCol, vecCol, books, m),
+      queries, idCol, vecCol, books, m, k, roundTo)
+
+  /** [[pqAdcTopK]] over an ALREADY-ENCODED code relation — the production
+    * form: codes are built once at index time ([[pqAssign]]/[[pqCodes]])
+    * and persisted; queries pay only the table build + code join. `codes`
+    * must be (vec_id, sub, cell).
+    */
+  def pqAdcTopKFromCodes(codes: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, books: DataFrame, m: Int, k: Int,
+                         roundTo: Int = 6): DataFrame = {
     val qsub = subVectors(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v")),
       "query_id", m)

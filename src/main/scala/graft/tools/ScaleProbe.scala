@@ -112,6 +112,22 @@ object ScaleProbe {
         banded.filter(col("doc_id") % 100 === 0),
         banded.filter(col("doc_id") % 100 =!= 0)).count()
     }
+    // the same 1% ingest against the PERSISTED BUCKETED index — the real
+    // production layout: the one-time index build pays the shuffle; the
+    // per-ingest query rides the bucket partitioning (cap window + join,
+    // no index-side exchange — BucketingSpec)
+    locally {
+      val banded = Dedup.bandedSignatures(sigs, 4).localCheckpoint()
+      time("d9 bucketed band-index build (one-time)") {
+        Dedup.writeBandIndex(banded.filter(col("doc_id") % 100 =!= 0),
+          "probe_band_idx")
+      }
+      time("d9 1% shard vs bucketed index (per-ingest query only)") {
+        Dedup.incrementalCandidatePairs(
+          banded.filter(col("doc_id") % 100 === 0),
+          Dedup.readBandIndex(spark, "probe_band_idx")).count()
+      }
+    }
     time("tx tfidf (grouped tf/df + top-term window)") {
       graft.text.TextFunctions
         .tfidfTopTerm(docs, col("doc_id"), col("text")).count()
@@ -191,11 +207,25 @@ object ScaleProbe {
           "vec_id", "embedding", 5).count()
       }
     }
-    time("v12 PQ assign + ADC top-5 (step books, ~250 cents/sub)") {
+    time("v12 PQ: encode (index build) + ADC query, timed separately") {
+      // encoding is the ONE-TIME index-build cost; the per-query number is
+      // the ADC scan over persisted codes — conflating them overstates the
+      // query cost (an index is encoded once, queried forever)
       val books = graft.ann.Vectors.pqCodebooksStep(
-        emb, "vec_id", "embedding", 8, 200)
-      graft.ann.Vectors.pqAdcTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", books, 8, 5).count()
+        emb, "vec_id", "embedding", 8, 200).localCheckpoint()
+      val codesDir = "/root/repo/target/probe/pq_codes"
+      time("  encode: assign 8 sub-codes per vector + write") {
+        graft.ann.Vectors.pqCodes(emb, "vec_id", "embedding", books, 8)
+          .write.mode("overwrite").parquet(codesDir)
+      }
+      time("  ADC top-5 over stored codes (8 queries)") {
+        val stored = spark.read.parquet(codesDir)
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cell")))
+          .select(col("vec_id"), col("sub"), col("cell").cast("long").as("cell"))
+        graft.ann.Vectors.pqAdcTopKFromCodes(stored,
+          emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", books, 8, 5).count()
+      }
     }
     time("v11 pqTrain (m=8, k=64, 3 iters, 10% sample)") {
       graft.ann.Vectors.pqTrain(emb, "vec_id", "embedding",
