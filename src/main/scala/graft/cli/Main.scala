@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3]
+  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3] [--substr-n 5]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
+  *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
+  *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
   */
 object Main {
 
@@ -72,7 +74,8 @@ object Main {
         val docs = spark.read.parquet(opt(args, "--docs").get)
         val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
           minQuality = opt(args, "--min-quality").map(_.toDouble).getOrElse(0.5),
-          minJaccard = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3))
+          minJaccard = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3),
+          substrN = opt(args, "--substr-n").map(_.toInt))
         opt(args, "--output") match {
           case Some(out) => kept.write.mode("overwrite").parquet(out)
           case None      => println(s"[dedup] kept ${kept.count()} documents")
@@ -128,6 +131,37 @@ object Main {
         opt(args, "--output") match {
           case Some(out) => result.write.mode("overwrite").parquet(out)
           case None      => result.show(20, truncate = false)
+        }
+      case "scrub" =>
+        // cross-document exact substring dedup (d10): --output writes the
+        // cleaned documents; without it, show the audit of affected docs
+        import graft.dedup.Dedup
+        val docs = spark.read.parquet(opt(args, "--docs").get)
+        val n = opt(args, "--ngram").map(_.toInt).getOrElse(5)
+        opt(args, "--output") match {
+          case Some(out) =>
+            Dedup.scrubbedText(docs, col("doc_id"), col("text"), n)
+              .write.mode("overwrite").parquet(out)
+          case None =>
+            Dedup.scrubDuplicateRuns(docs, col("doc_id"), col("text"), n)
+              .filter(col("n_dup_spans") > 0).show(20, truncate = false)
+        }
+      case "pq" =>
+        // product-quantization index build: trained codebooks + per-vector
+        // codes (books are k×dim doubles; codes are m small ints per vector)
+        import graft.ann.Vectors
+        val vecs = spark.read.parquet(opt(args, "--vectors").get)
+        val m = opt(args, "--m").map(_.toInt).getOrElse(8)
+        val k = opt(args, "--k").map(_.toInt).getOrElse(256)
+        val books = Vectors.pqTrain(vecs, "vec_id", "embedding", m, k,
+          sampleFrac = opt(args, "--sample").map(_.toDouble).getOrElse(1.0))
+        val codes = Vectors.pqCodes(vecs, "vec_id", "embedding", books, m)
+        opt(args, "--output") match {
+          case Some(out) =>
+            books.write.mode("overwrite").parquet(s"$out/books")
+            codes.write.mode("overwrite").parquet(s"$out/codes")
+            println(s"[pq] books + codes written to $out")
+          case None => codes.show(10, truncate = false)
         }
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()

@@ -148,7 +148,30 @@ object Sampling {
     * Requires < 2^33 rows per partition (monotonic-id local-index width).
     */
   def shufflePositionDistributed(df: DataFrame, key: Column,
-                                 partitions: Int = 0): DataFrame = {
+                                 partitions: Int = 0): DataFrame =
+    shufflePositionDistributedBy(df, Determinism.detHash(key), key, partitions)
+
+  /** X14: per-EPOCH deterministic reshuffle — epoch e ranks by the
+    * re-seeded hash h_e(k) = detHash(detHash(k) + e), so every epoch is an
+    * independent, reproducible permutation of the SAME feed with no data
+    * rewrite (the training-loop need: epoch 2 must not replay epoch 1's
+    * order, yet any worker recomputing the feed must see the same order).
+    * Same no-single-task machinery and unique-key contract as
+    * [[shufflePositionDistributed]] (which is exactly epoch-less ranking
+    * by detHash(k)); the md5 re-hash decorrelates epochs completely —
+    * a +e offset WITHOUT the outer hash would shift ties, not permute.
+    */
+  def epochShufflePosition(df: DataFrame, key: Column, epoch: Long,
+                           partitions: Int = 0): DataFrame =
+    shufflePositionDistributedBy(df,
+      Determinism.detHash(Determinism.detHash(key) + lit(epoch)), key, partitions)
+
+  /** Shared rank machinery: positions by the caller-supplied total order
+    * (`hash`, then `key` as tie-break; `key` must be unique).
+    */
+  private def shufflePositionDistributedBy(df: DataFrame, hash: Column,
+                                           key: Column,
+                                           partitions: Int): DataFrame = {
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     // Both consumers (the offsets aggregate and the final join) need the
@@ -163,7 +186,7 @@ object Sampling {
     // during THIS job fails it (no lineage to recompute) — fine for a
     // single-job sample; see connectedComponents.checkpointDir for the
     // reliable-checkpoint pattern on long multi-round jobs.
-    val ranged = df.withColumn("__h", Determinism.detHash(key))
+    val ranged = df.withColumn("__h", hash)
       .repartitionByRange(p, col("__h"), key)
       .sortWithinPartitions(col("__h"), key)
       .withColumn("__mid", monotonically_increasing_id())

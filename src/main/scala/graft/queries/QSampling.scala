@@ -151,6 +151,21 @@ object QSampling {
           .select(col("o_orderkey")),
         col("o_orderkey"))),
 
+    // X14: per-epoch reshuffle — the SAME sampled feed ranked under two
+    // different epoch seeds side by side: independent permutations of
+    // identical rows, each reproducible, no data rewrite between epochs
+    // (the training-loop contract: epoch 2 must not replay epoch 1's
+    // order, but any worker recomputing the feed sees the same order).
+    "x14_epoch_shuffle" -> ((s, d) => {
+      val base = Sampling.bernoulli(t(s, d, "orders"), col("o_orderkey"), 0.05)
+        .select(col("o_orderkey"))
+      val e1 = Sampling.epochShufflePosition(base, col("o_orderkey"), 1)
+        .withColumnRenamed("pos", "pos_e1")
+      val e2 = Sampling.epochShufflePosition(base, col("o_orderkey"), 2)
+        .withColumnRenamed("pos", "pos_e2")
+      e1.join(e2, "o_orderkey")
+    }),
+
     // X7 (skew): two-phase salted aggregation over a 3-value group key —
     // the degenerate-key shape where one reducer would otherwise absorb
     // a third of 100 TB. Salting spreads each key over 16 buckets, the
@@ -301,6 +316,18 @@ object QSampling {
             SELECT o_orderkey,
                    CAST(row_number() OVER (ORDER BY $h, o_orderkey) AS BIGINT) AS pos
             FROM s""",
+      "x14_epoch_shuffle" -> {
+        // epoch hash: detHash(detHash(key) + e) — the md5 re-hash is what
+        // decorrelates epochs; mirror the engine's nesting exactly
+        def he(e: Int) = Determinism.detHashSql(s"(${Determinism.detHashSql("o_orderkey")} + $e)")
+        s"""WITH s AS (
+              SELECT o_orderkey FROM orders
+              WHERE ${Determinism.detRandSql("o_orderkey")} < 0.05)
+            SELECT o_orderkey,
+                   CAST(row_number() OVER (ORDER BY ${he(1)}, o_orderkey) AS BIGINT) AS pos_e1,
+                   CAST(row_number() OVER (ORDER BY ${he(2)}, o_orderkey) AS BIGINT) AS pos_e2
+            FROM s"""
+      },
       "x7_salted_agg" ->
         """SELECT l_returnflag AS key, round(sum(l_quantity), 2) AS sum_qty,
                   count(*) AS cnt

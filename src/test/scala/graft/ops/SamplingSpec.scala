@@ -77,4 +77,20 @@ class SamplingSpec extends SparkSpec {
       .select(col("k"), col("pos")).as[(Long, Long)].collect().toMap
     assert(pos1 === pos2)
   }
+
+  test("epochShufflePosition: full permutation per epoch, epochs independent, reruns stable") {
+    val feed = df.filter(col("k") <= 300)
+    def run(e: Long): Map[Long, Long] =
+      Sampling.epochShufflePosition(feed, col("k"), e)
+        .select(col("k"), col("pos")).as[(Long, Long)].collect().toMap
+    val e1 = run(1)
+    val e2 = run(2)
+    // each epoch is a complete 1..n permutation of the same rows
+    assert(e1.values.toSeq.sorted === (1L to 300L))
+    assert(e2.values.toSeq.sorted === (1L to 300L))
+    // epochs genuinely reshuffle (identical orders would mean the epoch
+    // seed is dead) and each epoch is reproducible on recompute
+    assert(e1 !== e2)
+    assert(run(1) === e1)
+  }
 }
