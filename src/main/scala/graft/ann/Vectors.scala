@@ -449,6 +449,58 @@ object Vectors {
       .select(col("query_id"), col("vec_id"), col("adist"), col("rk"))
   }
 
+  /** IVF-PQ approximate top-k — the FAISS-style composition and the form
+    * an ANN index actually takes at 100 TB: a coarse quantizer (the same
+    * every-`step`-th rule as [[ivfTopK]]) partitions the corpus into
+    * cells; each corpus vector is stored ONLY as its m PQ codes + cell id;
+    * a query probes its `nprobe` highest-cosine cells and ADC-scores just
+    * the codes inside them. Work per query = nprobe × avg-cell-size × m
+    * table lookups — never the whole code relation, never a float
+    * re-scan. All joins are equi (cell; then (query_id, sub, cell));
+    * ranking and partial-sum conventions are [[pqAdcTopK]]'s. With
+    * `nprobe` ≥ the cell count this is exactly [[pqAdcTopK]]
+    * (property-tested); the oracle reproduces the full composition.
+    * Output: (query_id, vec_id, adist, rk), ascending distance.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, step: Int, books: DataFrame, m: Int, k: Int,
+                nprobe: Int, roundTo: Int = 6): DataFrame = {
+    val (c, cents) = corpusAndCents(corpus, idCol, vecCol, step)
+    // the stored index: (vec_id, sub, cell=pq code, ivf_cell) — code rows
+    // plus the coarse-cell tag; floats never leave the build stage
+    val codes = pqAssign(corpus, idCol, vecCol, books, m)
+      .join(assignCells(c, "vec_id", cents).withColumnRenamed("cell", "ivf_cell"),
+        "vec_id")
+    // query side: probe ranking over queries × centroids (small, broadcast)
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val probed = q0.crossJoin(broadcast(cents))
+      .withColumn("__cc",
+        dot(col("v"), col("cv")) / (col("vn") * col("cvn")) + 0.0)
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cc").desc, col("cent_id"))))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("ivf_cell"))
+    // per-query (sub, code) → partial-distance table against the codebooks
+    val table = subVectors(q0.select(col("query_id"), col("v")), "query_id", m)
+      .join(broadcast(books), "sub")
+      .select(col("query_id"), col("sub"), col("cent_id").as("cell"),
+        l2sq(col("sv"), col("cv")).as("part"))
+    codes.join(broadcast(probed), "ivf_cell")
+      .join(broadcast(table), Seq("query_id", "sub", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("part")))),
+          x => x.getField("part")),
+        lit(0.0), (acc, x) => acc + x).as("__adist"))
+      .withColumn("adist", round(col("__adist"), roundTo))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adist"), col("rk"))
+  }
+
   /** Trained PQ codebooks: per-subspace k-means under L2 (the textbook PQ
     * trainer — Jégou et al. 2011, "Product Quantization for Nearest
     * Neighbor Search"), deterministic by the same construction as

@@ -174,6 +174,17 @@ object QVectors {
         .groupBy("query_id")
         .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
           count(lit(1)), 6).as("recall"))
+    }),
+
+    // V13: IVF-PQ — the FAISS-style production index: coarse cells (v5's
+    // every-50th quantizer) bound WHERE to look, PQ codes bound WHAT is
+    // stored, ADC scores only the probed cells' codes. Work per query =
+    // nprobe × cell × m lookups; floats never rescanned.
+    "v13_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val books = Vectors.pqCodebooksStep(emb, "vec_id", "embedding", PqM, PqStep)
+      Vectors.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        step = 50, books, PqM, 5, nprobe = 2)
     }))
 
   /** DuckDB fragment: hyperplane p as a DOUBLE[] expression recomputing the
@@ -276,6 +287,47 @@ object QVectors {
           FROM br b LEFT JOIN adc5 a
             ON b.query_id = a.query_id AND b.vec_id = a.vec_id
           GROUP BY b.query_id""",
+    "v13_ivfpq_topk" ->
+      s"""WITH $pqSql,
+              codes AS (SELECT vec_id, sub, cent_id AS cell FROM asg),
+              cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+              icents AS (SELECT vec_id AS icent, v AS cv, vn AS cvn
+                         FROM cn WHERE vec_id % 50 = 0),
+              ica AS (SELECT vec_id, ivf_cell FROM (
+                        SELECT cn.vec_id, icent AS ivf_cell,
+                               row_number() OVER (PARTITION BY cn.vec_id
+                                 ORDER BY list_dot_product(cn.v, cv) / (cn.vn * cvn) + 0.0 DESC,
+                                          icent) AS rk
+                        FROM cn, icents) WHERE rk = 1),
+              qp AS (SELECT query_id, ivf_cell FROM (
+                       SELECT cn.vec_id AS query_id, icent AS ivf_cell,
+                              row_number() OVER (PARTITION BY cn.vec_id
+                                ORDER BY list_dot_product(cn.v, cv) / (cn.vn * cvn) + 0.0 DESC,
+                                         icent) AS pr
+                       FROM cn, icents WHERE cn.vec_id < 8) WHERE pr <= 2),
+              qs AS (SELECT vec_id AS query_id, sub, sv FROM psub WHERE vec_id < 8),
+              tbl AS (SELECT q.query_id, q.sub, c.cent_id AS cell,
+                             list_dot_product(q.sv, q.sv)
+                               - 2.0 * list_dot_product(q.sv, c.cv)
+                               + list_dot_product(c.cv, c.cv) AS part
+                      FROM qs q JOIN cb c USING (sub)),
+              ad AS (SELECT t.query_id, k.vec_id, list(t.part ORDER BY t.sub) AS plist
+                     FROM codes k
+                     JOIN ica ON k.vec_id = ica.vec_id
+                     JOIN qp ON ica.ivf_cell = qp.ivf_cell
+                     JOIN tbl t ON t.query_id = qp.query_id
+                       AND k.sub = t.sub AND k.cell = t.cell
+                     WHERE k.vec_id != qp.query_id
+                     GROUP BY 1, 2),
+              ads AS (SELECT query_id, vec_id,
+                             round(list_dot_product(plist,
+                               list_transform(plist, x -> 1.0)), 6) AS adist
+                      FROM ad)
+          SELECT query_id, vec_id, adist, CAST(rk AS INT) AS rk FROM (
+            SELECT query_id, vec_id, adist,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adist, vec_id) AS rk
+            FROM ads) WHERE rk <= 5""",
     "v10_quantize_error" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,

@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkSpec {
     //    design (the ADC side itself is equi-join only)
     val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
       "v5_ivf_topk", "v6_ivf_nprobe", "v7_lsh_recall", "v8_semantic_dedup",
-      "v9_kmeans_recall", "v12_pq_adc_recall",
+      "v9_kmeans_recall", "v12_pq_adc_recall", "v13_ivfpq_topk",
       "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }

@@ -290,6 +290,35 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK with all cells probed equals full ADC; fewer probes yield a subset with identical scores") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val m = 2
+    val books = Vectors.pqCodebooksStep(vecs, "vec_id", "embedding", m, 10)
+    val q = vecs.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    // step=10 over 30 ids → 3 coarse cells; nprobe=3 probes them all
+    val all = rows(Vectors.ivfPqTopK(vecs, q, "vec_id", "embedding",
+      step = 10, books, m, k = 5, nprobe = 3))
+    val full = rows(Vectors.pqAdcTopK(vecs, q, "vec_id", "embedding", books, m, 5))
+    assert(all === full)
+    // nprobe=1 returns fewer-or-equal results whose (query, vec, adist)
+    // all appear in the full ADC scoring (ranks may shift; scores cannot)
+    val one = Vectors.ivfPqTopK(vecs, q, "vec_id", "embedding",
+        step = 10, books, m, k = 5, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    val fullScores = full.map(r => (r._1, r._2) -> r._3).toMap ++
+      rows(Vectors.pqAdcTopK(vecs, q, "vec_id", "embedding", books, m, 30))
+        .map(r => (r._1, r._2) -> r._3).toMap
+    one.foreach { case (qid, vid, adist, _) =>
+      assert(fullScores.get((qid, vid)).forall(_ == adist),
+        s"probed score for ($qid,$vid) diverges from full ADC")
+    }
+    assert(one.nonEmpty)
+  }
+
   test("pqTrain codebooks reconstruct at most as badly as the step rule") {
     val rnd = new scala.util.Random(19)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
