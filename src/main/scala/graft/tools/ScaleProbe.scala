@@ -231,6 +231,14 @@ object ScaleProbe {
       graft.ann.Vectors.pqTrain(emb, "vec_id", "embedding",
         m = 8, k = 64, iters = 3, sampleFrac = 0.1).count()
     }
+    time("v13 ivfPqTopK (nprobe=2 of ~400 cells, 8 queries)") {
+      // the production composition: ADC restricted to probed cells — this
+      // should beat the full-corpus ADC query above as cells shrink
+      val books = graft.ann.Vectors.pqCodebooksStep(
+        emb, "vec_id", "embedding", 8, 200)
+      graft.ann.Vectors.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 50, books, 8, 5, nprobe = 2).count()
+    }
     spark.catalog.clearCache()
     val events = time("amplify events (same 150 users, 10x rows each)") {
       // Tables.load owns the nanos->micros ts normalization
