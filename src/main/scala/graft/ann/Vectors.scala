@@ -466,11 +466,32 @@ object Vectors {
                 vecCol: String, step: Int, books: DataFrame, m: Int, k: Int,
                 nprobe: Int, roundTo: Int = 6): DataFrame = {
     val (c, cents) = corpusAndCents(corpus, idCol, vecCol, step)
-    // the stored index: (vec_id, sub, cell=pq code, ivf_cell) — code rows
-    // plus the coarse-cell tag; floats never leave the build stage
-    val codes = pqAssign(corpus, idCol, vecCol, books, m)
+    ivfPqTopKFromIndex(ivfPqIndex(corpus, idCol, vecCol, cents, books, m),
+      queries, idCol, vecCol, cents, books, m, k, nprobe, roundTo)
+  }
+
+  /** Build the IVF-PQ index relation: (vec_id, sub, cell=pq code,
+    * ivf_cell) — m code rows per vector plus the coarse-cell tag. This is
+    * what gets PERSISTED (ideally bucketed on ivf_cell); floats never
+    * leave this build stage. `cents` is any small (cent_id, cv, cvn)
+    * quantizer ([[kmeansCentroids]] or the step rule).
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 cents: DataFrame, books: DataFrame, m: Int): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+    pqAssign(corpus, idCol, vecCol, books, m)
       .join(assignCells(c, "vec_id", cents).withColumnRenamed("cell", "ivf_cell"),
         "vec_id")
+  }
+
+  /** [[ivfPqTopK]] over an already-built [[ivfPqIndex]] relation — the
+    * production form: the index is encoded once and persisted; each query
+    * batch pays only probe ranking + the probed-cell code join.
+    */
+  def ivfPqTopKFromIndex(codes: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, cents: DataFrame, books: DataFrame,
+                         m: Int, k: Int, nprobe: Int,
+                         roundTo: Int = 6): DataFrame = {
     // query side: probe ranking over queries × centroids (small, broadcast)
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("vn", l2norm(col("v")))

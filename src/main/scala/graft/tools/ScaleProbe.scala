@@ -118,6 +118,15 @@ object ScaleProbe {
     // no index-side exchange — BucketingSpec)
     locally {
       val banded = Dedup.bandedSignatures(sigs, 4).localCheckpoint()
+      // a previous probe run leaves the managed table's directory behind
+      // while a fresh session's catalog has no entry for it — saveAsTable
+      // then refuses (LOCATION_ALREADY_EXISTS); clear both sides first
+      spark.sql("DROP TABLE IF EXISTS probe_band_idx")
+      val wh = new java.io.File("spark-warehouse/probe_band_idx")
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(): Unit
+      }
+      if (wh.exists) rmr(wh)
       time("d9 bucketed band-index build (one-time)") {
         Dedup.writeBandIndex(banded.filter(col("doc_id") % 100 =!= 0),
           "probe_band_idx")
@@ -231,13 +240,27 @@ object ScaleProbe {
       graft.ann.Vectors.pqTrain(emb, "vec_id", "embedding",
         m = 8, k = 64, iters = 3, sampleFrac = 0.1).count()
     }
-    time("v13 ivfPqTopK (nprobe=2 of ~400 cells, 8 queries)") {
-      // the production composition: ADC restricted to probed cells — this
-      // should beat the full-corpus ADC query above as cells shrink
-      val books = graft.ann.Vectors.pqCodebooksStep(
-        emb, "vec_id", "embedding", 8, 200)
-      graft.ann.Vectors.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", 50, books, 8, 5, nprobe = 2).count()
+    time("v13 IVF-PQ: index build + probed-cell query, timed separately") {
+      import graft.ann.Vectors
+      val books = Vectors.pqCodebooksStep(emb, "vec_id", "embedding", 8, 200)
+        .localCheckpoint()
+      // expose the step-rule quantizer the same way ivfTopK derives it
+      val cents = emb.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"),
+          Vectors.asDouble(col("embedding")).as("cv"))
+        .withColumn("cvn", graft.ann.Vectors.l2norm(col("cv")))
+        .localCheckpoint()
+      val idxDir = "/root/repo/target/probe/ivfpq_index"
+      time("  index build: PQ codes + coarse cell per vector + write") {
+        Vectors.ivfPqIndex(emb, "vec_id", "embedding", cents, books, 8)
+          .write.mode("overwrite").parquet(idxDir)
+      }
+      time("  probed-cell ADC top-5 over the stored index (8 queries, nprobe=2)") {
+        Vectors.ivfPqTopKFromIndex(spark.read.parquet(idxDir),
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          cents, books, 8, 5, nprobe = 2).count()
+      }
     }
     spark.catalog.clearCache()
     val events = time("amplify events (same 150 users, 10x rows each)") {
