@@ -522,6 +522,86 @@ object Vectors {
       .select(col("query_id"), col("vec_id"), col("adist"), col("rk"))
   }
 
+  /** Residual IVF-PQ index: each vector is PQ-encoded as its RESIDUAL
+    * against its coarse centroid, v − c(v) — the accuracy detail real
+    * IVF-PQ deployments use (Jégou et al. 2011 §IV): residuals cluster
+    * around 0 with much smaller spread than raw vectors, so the same m×k
+    * codebook budget reconstructs them more precisely. `books` must be
+    * trained/derived on the residual distribution (pass the output of
+    * [[pqTrain]] over [[residuals]], or any (sub, cent_id, cv)).
+    * Output: (vec_id, sub, cell, ivf_cell) — [[ivfPqIndex]]'s schema, so
+    * persistence and the probed-cell join work unchanged; only the ADC
+    * table must be built from query residuals per probed cell
+    * ([[ivfPqResidualTopKFromIndex]]).
+    */
+  def ivfPqResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                         cents: DataFrame, books: DataFrame,
+                         m: Int): DataFrame = {
+    val res = residuals(corpus, idCol, vecCol, cents)
+    pqAssign(res, "vec_id", "resid", books, m)
+      .join(res.select(col("vec_id"), col("ivf_cell")), "vec_id")
+  }
+
+  /** (vec_id, resid = v − centroid(v), ivf_cell) residual relation under
+    * a coarse quantizer — the training input for residual PQ codebooks
+    * and the encoding input of [[ivfPqResidualIndex]].
+    */
+  def residuals(corpus: DataFrame, idCol: String, vecCol: String,
+                cents: DataFrame): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+    c.join(assignCells(c, "vec_id", cents).withColumnRenamed("cell", "ivf_cell"),
+        "vec_id")
+      .join(broadcast(cents.select(col("cent_id").as("ivf_cell"), col("cv"))),
+        "ivf_cell")
+      .select(col("vec_id"), col("ivf_cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("resid"))
+  }
+
+  /** Probed-cell ADC over a RESIDUAL index: identical join/aggregation
+    * shape to [[ivfPqTopKFromIndex]], except the per-(query, cell)
+    * distance table is built from the query's residual against EACH
+    * probed centroid — q − c scores codes of cell c. Table size is
+    * nprobe × m × k per query (still broadcastable). Approximate distance
+    * is then ‖(q − c) − recon(v − c)‖² ≈ ‖q − v‖² within the cell.
+    */
+  def ivfPqResidualTopKFromIndex(codes: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 cents: DataFrame, books: DataFrame,
+                                 m: Int, k: Int, nprobe: Int,
+                                 roundTo: Int = 6): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val probed = q0.crossJoin(broadcast(cents))
+      .withColumn("__cc",
+        dot(col("v"), col("cv")) / (col("vn") * col("cvn")) + 0.0)
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cc").desc, col("cent_id"))))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("ivf_cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("qres"))
+    val table = subVectors(
+        probed.select(concat_ws("#", col("query_id"), col("ivf_cell")).as("qc"),
+          col("qres").as("v")), "qc", m)
+      .join(broadcast(books), "sub")
+      .select(col("qc"), col("sub"), col("cent_id").as("cell"),
+        l2sq(col("sv"), col("cv")).as("part"))
+      .withColumn("query_id", split(col("qc"), "#").getItem(0).cast("long"))
+      .withColumn("ivf_cell", split(col("qc"), "#").getItem(1).cast("long"))
+      .drop("qc")
+    codes.join(broadcast(table), Seq("ivf_cell", "sub", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("part")))),
+          x => x.getField("part")),
+        lit(0.0), (acc, x) => acc + x).as("__adist"))
+      .withColumn("adist", round(col("__adist"), roundTo))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adist"), col("rk"))
+  }
+
   /** Trained PQ codebooks: per-subspace k-means under L2 (the textbook PQ
     * trainer — Jégou et al. 2011, "Product Quantization for Nearest
     * Neighbor Search"), deterministic by the same construction as

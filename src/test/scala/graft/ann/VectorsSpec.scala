@@ -319,6 +319,43 @@ class VectorsSpec extends SparkSpec {
     assert(one.nonEmpty)
   }
 
+  test("residual IVF-PQ: residual codebooks reconstruct better on clustered data; probed query finds cluster-mates") {
+    // clustered corpus: 3 tight clusters of 20 around random centers —
+    // the regime residual encoding exists for (residual spread << raw
+    // spread once the coarse quantizer has found the centers)
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextGaussian() * 3.0))
+    val vecs = (0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(_ + rnd.nextGaussian() * 0.1))
+    }.toDF("vec_id", "embedding")
+    val m = 4; val kq = 4
+    val cents = Vectors.kmeansCentroids(vecs, "vec_id", "embedding", k = 3)
+    val res = Vectors.residuals(vecs, "vec_id", "embedding", cents)
+    val rawBooks = Vectors.pqTrain(vecs, "vec_id", "embedding", m, kq)
+    val resBooks = Vectors.pqTrain(res, "vec_id", "resid", m, kq)
+    def meanMse(df: org.apache.spark.sql.DataFrame, vc: String,
+                books: org.apache.spark.sql.DataFrame): Double =
+      Vectors.pqReconstructionMse(df, "vec_id", vc, books, m)
+        .agg(avg(col("pq_mse"))).head().getDouble(0)
+    val raw = meanMse(vecs, "embedding", rawBooks)
+    val rsd = meanMse(res, "resid", resBooks)
+    assert(rsd < raw,
+      s"residual mse $rsd should beat raw mse $raw on clustered data")
+    // probed residual-ADC query: a cluster member's top-3 are cluster-mates
+    val idx = Vectors.ivfPqResidualIndex(vecs, "vec_id", "embedding",
+      cents, resBooks, m)
+    val got = Vectors.ivfPqResidualTopKFromIndex(idx,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        cents, resBooks, m, k = 3, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length === 3)
+    assert(got.forall { case (q, v, _, _) => q == 0L && v % 3 == 0L },
+      s"top-3 of query 0 should be cluster-0 members, got ${got.mkString(",")}")
+    // ranks are 1..3 ascending by distance
+    assert(got.sortBy(_._4).map(_._4).toSeq === Seq(1, 2, 3))
+  }
+
   test("pqTrain codebooks reconstruct at most as badly as the step rule") {
     val rnd = new scala.util.Random(19)
     val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
