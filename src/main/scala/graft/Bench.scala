@@ -61,11 +61,14 @@ object Bench {
     }.toMap
     // Millisecond precision: full nanosecond doubles made the result line
     // ~5 KB, overflowing the driver's 4 KB stdout-tail capture, so the JSON
-    // arrived front-truncated and never parsed (rounds 1-4). 3 decimals is
-    // far below the ±25% host-noise band and keeps ~134 queries under 4 KB.
+    // arrived front-truncated and never parsed (rounds 1-4). Even at 3
+    // decimals, 135+ queries × ~22 bytes ≈ 3 KB still overflowed the ~2 KB
+    // tail that survives in practice (round 5: "parsed": null again). So the
+    // per-query map now goes to a durable repo file (BENCHDETAIL.json) and
+    // stdout carries ONLY the tiny total object, which always fits.
     def f3(v: Double): String = if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = names.map { k => s"\"" + k + "\":" + f3(results(k)) }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — a failed query's -1 sentinel
     // must never lower (improve) the headline metric
@@ -73,9 +76,18 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (reported -1): ${failed.mkString(", ")}")
     val total = results.values.filter(_ >= 0).sum
+    val detail =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","nqueries":${names.size},"failed":${failed.size},"queries":$qs}"""
+    // Durable full record: every per-query timing, every round, regression-
+    // diffable with plain git. Written before spark.stop() so a hung
+    // executor shutdown can't lose it.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCHDETAIL.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // the result object must be the FINAL stdout line, alone, AFTER
-    // spark.stop(): the driver parses the captured tail as JSON
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // spark.stop(): the driver parses the captured tail as JSON. Compact on
+    // purpose — the full per-query map is in BENCHDETAIL.json.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","nqueries":${names.size},"failed":${failed.size},"detail":"BENCHDETAIL.json"}""")
   }
 }

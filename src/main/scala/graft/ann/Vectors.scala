@@ -131,6 +131,15 @@ object Vectors {
     (c, centroidsOf(c, step))
   }
 
+  /** Public step-rule coarse quantizer: (cent_id, cv, cvn) from every
+    * `step`-th corpus vector — the oracle-expressible stand-in for
+    * [[kmeansCentroids]], for callers composing the index pieces
+    * themselves (e.g. [[ivfPqResidualIndex]] + its query side).
+    */
+  def stepCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    step: Int): DataFrame =
+    centroidsOf(normalized(corpus, idCol, vecCol), step)
+
   /** Max-cosine cell per row via a max_by hash aggregate, NOT a row_number
     * window: the assignment relation is corpus × centroids rows, and a
     * window means a full shuffle+sort of all of them, while the aggregate
@@ -315,10 +324,17 @@ object Vectors {
   /** (id, sub ∈ 0..m−1, sv) sub-vector decomposition for product
     * quantization: the vector is split into `m` equal contiguous slices.
     * Input must be (idOut, v) with v already array<double>; dimension must
-    * be divisible by m (slice arithmetic is positional).
+    * be divisible by m — enforced with raise_error, because slice()
+    * truncates to ⌊dim/m⌋ and would otherwise SILENTLY drop the trailing
+    * coordinates from every code and distance (round-5 ADVICE).
     */
   private def subVectors(df: DataFrame, idOut: String, m: Int): DataFrame =
-    df.select(col(idOut), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+    df.withColumn("v",
+        when(size(col("v")) % lit(m) === 0, col("v"))
+          .otherwise(raise_error(concat(
+            lit("subVectors: vector dim "), size(col("v")).cast("string"),
+            lit(s" is not divisible by m=$m")))))
+      .select(col(idOut), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
       .select(col(idOut), col("sub"),
         slice(col("v"), col("sub") * (size(col("v")) / lit(m)) + 1,
           size(col("v")) / lit(m)).as("sv"))
@@ -365,18 +381,29 @@ object Vectors {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("cent_id"), struct(col("__d"), col("cent_id"))).as("cell"))
 
-  /** PQ codes in storage form: (vec_id, codes array<int> ordered by sub) —
-    * with 256-entry codebooks each code is one byte, so m bytes per vector
+  /** PQ codes in storage form: (vec_id, codes array<int> ordered by sub),
+    * with each code remapped to the DENSE 0..k−1 space (rank of its
+    * cent_id within the subspace's codebook). Codebook cent_ids may be
+    * sparse — the step rule uses source vec_ids 0, step, 2·step, … — and
+    * storing those raw would falsify the bytes-per-vector claim (round-5
+    * ADVICE). Dense codes with a ≤256-entry codebook genuinely persist as
+    * one byte each (cast to tinyint on write), so m bytes per vector
     * versus 4·dim for float32 (dim/m × 32 compression; m=8 over 64 dims =
-    * 32×). The long (vec_id, sub, cell) form from [[pqAssign]] is what the
-    * ADC scorer joins on; this array form is what an index persists.
+    * 32×). The long (vec_id, sub, cell=cent_id) form from [[pqAssign]] is
+    * what the ADC scorer joins on; this array form is what an index
+    * persists (decode = codebook lookup by rank).
     */
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
-              books: DataFrame, m: Int): DataFrame =
+              books: DataFrame, m: Int): DataFrame = {
+    val codeMap = books.select(col("sub"), col("cent_id").as("cell"))
+      .withColumn("code", row_number().over(
+        Window.partitionBy("sub").orderBy("cell")) - 1)
     pqAssign(corpus, idCol, vecCol, books, m)
+      .join(broadcast(codeMap), Seq("sub", "cell"))
       .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
-        x => x.getField("cell").cast("int")).as("codes"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code").cast("int")).as("codes"))
+  }
 
   /** Per-vector PQ reconstruction MSE: Σ_s ‖sv_s − cv_cell(s)‖² / dim —
     * the compression-quality measure to set m against (compare with the
@@ -579,15 +606,16 @@ object Vectors {
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("cent_id").as("ivf_cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("qres"))
+    // key the per-(query, probed-cell) table on a STRUCT, not a string
+    // round-trip: concat_ws/split/cast nulled out non-numeric query ids and
+    // silently returned empty results (round-5 ADVICE)
     val table = subVectors(
-        probed.select(concat_ws("#", col("query_id"), col("ivf_cell")).as("qc"),
+        probed.select(struct(col("query_id"), col("ivf_cell")).as("qc"),
           col("qres").as("v")), "qc", m)
       .join(broadcast(books), "sub")
-      .select(col("qc"), col("sub"), col("cent_id").as("cell"),
+      .select(col("qc.query_id").as("query_id"), col("qc.ivf_cell").as("ivf_cell"),
+        col("sub"), col("cent_id").as("cell"),
         l2sq(col("sv"), col("cv")).as("part"))
-      .withColumn("query_id", split(col("qc"), "#").getItem(0).cast("long"))
-      .withColumn("ivf_cell", split(col("qc"), "#").getItem(1).cast("long"))
-      .drop("qc")
     codes.join(broadcast(table), Seq("ivf_cell", "sub", "cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))

@@ -181,11 +181,15 @@ object Pipelines {
     substrN match {
       case None => kept
       case Some(n) =>
-        val cleaned = Dedup.scrubbedText(kept, id, text, n)
+        // internal output name: an input that already carries a
+        // "clean_text" column (or textColName == "clean_text") would make
+        // the join ambiguous with the default name (round-5 ADVICE)
+        val cleaned = Dedup.scrubbedText(kept, id, text, n,
+            textOutCol = "__graft_clean_text")
           .withColumnRenamed("doc_id", "__scrub_id")
         kept.join(cleaned, id.cast("long") === col("__scrub_id"))
           .drop(textColName, "__scrub_id")
-          .withColumnRenamed("clean_text", textColName)
+          .withColumnRenamed("__graft_clean_text", textColName)
     }
   }
 

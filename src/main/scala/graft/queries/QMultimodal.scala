@@ -161,6 +161,28 @@ object QMultimodal {
           array_join(col("lumaHist").cast("array<string>"), ",").as("luma_hist"))
     }),
 
+    // U4: REAL video demux end-to-end — synthesize a complete Y4M (Cmono)
+    // container per document (dims + per-frame constant lumas from table
+    // columns), demux it with the real container parser
+    // (Multimodal.y4mFrames), average each sampled frame's actual luma
+    // plane, and emit (doc, frame_idx, dims, mean_luma). The oracle
+    // recomputes everything arithmetically: frame j of doc d is constant
+    // luma (d·7 + j·13) % 256, so mean_luma = that/255. stride=2,
+    // maxFrames=2 → sampled indices {0, 2}. The u1d BMP pattern extended
+    // to video: real bytes, real demuxer, arithmetic oracle.
+    "u4_video_frames" -> ((s, d) => {
+      val nf = (col("doc_id") % 4 + 2).cast("int")
+      val files = t(s, d, "documents")
+        .select(col("doc_id").cast("string").as("path"),
+          y4mVideo((col("doc_id") % 12 + 4).cast("int"),
+            (col("doc_id") % 5 + 2).cast("int"),
+            transform(sequence(lit(0), nf - 1),
+              j => (col("doc_id") * 7 + j * 13) % 256)).as("content"))
+      demuxY4m(files, stride = 2, maxFrames = 2).toDF()
+        .select(col("path").cast("long").as("doc_id"), col("frame_idx"),
+          col("width"), col("height"), col("mean_luma"))
+    }),
+
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
     // npy / opaque bytes) synthesized per-language. The fallthrough branch
     // is NUL-prefixed so natural text starting with an ASCII magic ("BM",
@@ -247,6 +269,17 @@ object QMultimodal {
                     THEN CAST(width * height AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END AS VARCHAR)), ',') AS luma_hist
          FROM b""",
+    "u4_video_frames" ->
+      """WITH p AS (SELECT doc_id,
+                CAST(doc_id % 12 + 4 AS INT) AS width,
+                CAST(doc_id % 5 + 2 AS INT) AS height,
+                CAST(doc_id % 4 + 2 AS BIGINT) AS nframes
+              FROM documents),
+              f AS (SELECT doc_id, width, height, unnest(range(0, nframes)) AS j
+                    FROM p)
+         SELECT doc_id, CAST(j AS INT) AS frame_idx, width, height,
+                round(((doc_id * 7 + j * 13) % 256) / 255.0, 6) AS mean_luma
+         FROM f WHERE j % 2 = 0 AND j <= 2""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'

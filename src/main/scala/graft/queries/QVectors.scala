@@ -185,6 +185,23 @@ object QVectors {
       val books = Vectors.pqCodebooksStep(emb, "vec_id", "embedding", PqM, PqStep)
       Vectors.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         step = 50, books, PqM, 5, nprobe = 2)
+    }),
+
+    // V14: RESIDUAL IVF-PQ — v13 with each vector PQ-encoded as its
+    // residual against its coarse centroid (Jégou et al. 2011 §IV), the
+    // accuracy detail production IVF-PQ deployments run. Codebooks come
+    // from the every-25th rule applied to the RESIDUAL relation, so the
+    // whole composition (coarse assign → residual → residual codebooks →
+    // encode → probed residual-ADC query) stays oracle-expressible.
+    "v14_ivfpq_residual_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Vectors.stepCentroids(emb, "vec_id", "embedding", 50)
+      val res = Vectors.residuals(emb, "vec_id", "embedding", cents)
+      val books = Vectors.pqCodebooksStep(res, "vec_id", "resid", PqM, PqStep)
+      val idx = Vectors.ivfPqResidualIndex(emb, "vec_id", "embedding",
+        cents, books, PqM)
+      Vectors.ivfPqResidualTopKFromIndex(idx, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", cents, books, PqM, 5, nprobe = 2)
     }))
 
   /** DuckDB fragment: hyperplane p as a DOUBLE[] expression recomputing the
@@ -328,6 +345,79 @@ object QVectors {
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY adist, vec_id) AS rk
             FROM ads) WHERE rk <= 5""",
+    "v14_ivfpq_residual_topk" -> {
+      val subDim = Dim / PqM
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                     FROM embeddings),
+              icents AS (SELECT vec_id AS icent, v AS cv, vn AS cvn
+                         FROM c WHERE vec_id % 50 = 0),
+              ica AS (SELECT vec_id, ivf_cell FROM (
+                        SELECT c.vec_id, icent AS ivf_cell,
+                               row_number() OVER (PARTITION BY c.vec_id
+                                 ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                          icent) AS rk
+                        FROM c, icents) WHERE rk = 1),
+              res AS (SELECT c.vec_id, ica.ivf_cell,
+                             list_transform(range(1, len(c.v) + 1),
+                               j -> c.v[CAST(j AS INT)] - icents.cv[CAST(j AS INT)]) AS rv
+                      FROM c JOIN ica ON c.vec_id = ica.vec_id
+                             JOIN icents ON ica.ivf_cell = icents.icent),
+              rsub AS (SELECT vec_id, u.sub AS sub, u.sv AS sv FROM (
+                         SELECT vec_id, unnest(list_transform(range(0, $PqM),
+                           j -> {'sub': CAST(j AS INT),
+                                 'sv': rv[CAST(j * $subDim + 1 AS INT):CAST(j * $subDim + $subDim AS INT)]})) AS u
+                         FROM res)),
+              rcb AS (SELECT sub, vec_id AS cent_id, sv AS cv
+                      FROM rsub WHERE vec_id % $PqStep = 0),
+              rdist AS (SELECT s.vec_id, s.sub, cb.cent_id,
+                               list_dot_product(s.sv, s.sv)
+                                 - 2.0 * list_dot_product(s.sv, cb.cv)
+                                 + list_dot_product(cb.cv, cb.cv) AS d
+                        FROM rsub s JOIN rcb cb USING (sub)),
+              codes AS (SELECT vec_id, sub, cent_id AS cell FROM (
+                          SELECT vec_id, sub, cent_id,
+                                 row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d + 0.0, cent_id) AS rn
+                          FROM rdist) WHERE rn = 1),
+              qp AS (SELECT query_id, ivf_cell FROM (
+                       SELECT c.vec_id AS query_id, icent AS ivf_cell,
+                              row_number() OVER (PARTITION BY c.vec_id
+                                ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                         icent) AS pr
+                       FROM c, icents WHERE c.vec_id < 8) WHERE pr <= 2),
+              qres AS (SELECT qp.query_id, qp.ivf_cell,
+                              list_transform(range(1, len(c.v) + 1),
+                                j -> c.v[CAST(j AS INT)] - icents.cv[CAST(j AS INT)]) AS qrv
+                       FROM qp JOIN c ON qp.query_id = c.vec_id
+                              JOIN icents ON qp.ivf_cell = icents.icent),
+              qsub AS (SELECT query_id, ivf_cell, u.sub AS sub, u.sv AS sv FROM (
+                         SELECT query_id, ivf_cell, unnest(list_transform(range(0, $PqM),
+                           j -> {'sub': CAST(j AS INT),
+                                 'sv': qrv[CAST(j * $subDim + 1 AS INT):CAST(j * $subDim + $subDim AS INT)]})) AS u
+                         FROM qres)),
+              tbl AS (SELECT q.query_id, q.ivf_cell, q.sub, cb.cent_id AS cell,
+                             list_dot_product(q.sv, q.sv)
+                               - 2.0 * list_dot_product(q.sv, cb.cv)
+                               + list_dot_product(cb.cv, cb.cv) AS part
+                      FROM qsub q JOIN rcb cb USING (sub)),
+              ad AS (SELECT t.query_id, k.vec_id, list(t.part ORDER BY t.sub) AS plist
+                     FROM codes k
+                     JOIN ica ON k.vec_id = ica.vec_id
+                     JOIN tbl t ON ica.ivf_cell = t.ivf_cell
+                       AND k.sub = t.sub AND k.cell = t.cell
+                     WHERE k.vec_id != t.query_id
+                     GROUP BY 1, 2),
+              ads AS (SELECT query_id, vec_id,
+                             round(list_dot_product(plist,
+                               list_transform(plist, x -> 1.0)), 6) AS adist
+                      FROM ad)
+          SELECT query_id, vec_id, adist, CAST(rk AS INT) AS rk FROM (
+            SELECT query_id, vec_id, adist,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adist, vec_id) AS rk
+            FROM ads) WHERE rk <= 5"""
+    },
     "v10_quantize_error" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,

@@ -282,11 +282,14 @@ class VectorsSpec extends SparkSpec {
         "vec_id", "embedding", books, m, k)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(got === expect)
-    // and the storage-form codes agree with the assignment, in sub order
+    // and the storage-form codes agree with the assignment, in sub order,
+    // remapped to the DENSE 0..k−1 space (rank of the sparse step-rule
+    // cent_id within the sorted codebook)
+    val centRank = cents.map(_._1).sorted.zipWithIndex.toMap
     val codes = Vectors.pqCodes(vecs, "vec_id", "embedding", books, m)
       .as[(Long, Seq[Int])].collect().toMap
     base.foreach { case (vid, vv) =>
-      assert(codes(vid) === (0 until m).map(s => bestCell(sub(vv, s), s).toInt))
+      assert(codes(vid) === (0 until m).map(s => centRank(bestCell(sub(vv, s), s))))
     }
   }
 
