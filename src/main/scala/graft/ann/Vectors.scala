@@ -405,6 +405,22 @@ object Vectors {
         x => x.getField("code").cast("int")).as("codes"))
   }
 
+  /** Expand a [[pqCodes]] storage relation back to the long
+    * (vec_id, sub, cell = cent_id) form the ADC scorer joins on — each
+    * dense code is decoded to its codebook cent_id by rank (the inverse
+    * of [[pqCodes]]'s remap; one broadcast join, no shuffle of the code
+    * relation). Use this when scoring persisted codes:
+    * `pqAdcTopKFromCodes(pqCodesToCells(stored, books), ...)`.
+    */
+  def pqCodesToCells(codes: DataFrame, books: DataFrame): DataFrame = {
+    val codeMap = books.select(col("sub"), col("cent_id"))
+      .withColumn("code", row_number().over(
+        Window.partitionBy("sub").orderBy("cent_id")) - 1)
+    codes.select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(codeMap), Seq("sub", "code"))
+      .select(col("vec_id"), col("sub"), col("cent_id").as("cell"))
+  }
+
   /** Per-vector PQ reconstruction MSE: Σ_s ‖sv_s − cv_cell(s)‖² / dim —
     * the compression-quality measure to set m against (compare with the
     * scalar-quantization error of [[quantizeInt8]]: PQ at m=8 stores 4×
@@ -499,9 +515,9 @@ object Vectors {
 
   /** Build the IVF-PQ index relation: (vec_id, sub, cell=pq code,
     * ivf_cell) — m code rows per vector plus the coarse-cell tag. This is
-    * what gets PERSISTED (ideally bucketed on ivf_cell); floats never
-    * leave this build stage. `cents` is any small (cent_id, cv, cvn)
-    * quantizer ([[kmeansCentroids]] or the step rule).
+    * what gets PERSISTED, bucketed on ivf_cell via [[writeIvfPqIndex]];
+    * floats never leave this build stage. `cents` is any small
+    * (cent_id, cv, cvn) quantizer ([[kmeansCentroids]] or the step rule).
     */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  cents: DataFrame, books: DataFrame, m: Int): DataFrame = {
@@ -511,9 +527,30 @@ object Vectors {
         "vec_id")
   }
 
+  /** Persist an [[ivfPqIndex]] / [[ivfPqResidualIndex]] relation as a
+    * BUCKETED, in-bucket-sorted table on ivf_cell — the at-scale layout
+    * for [[ivfPqTopKFromIndex]]: the codes of one coarse cell land in one
+    * bucket, so a probed-cell query scans only the buckets its probe set
+    * hashes to (bucket pruning on a literal cell filter —
+    * SelectedBucketsCount in the scan, asserted in BucketingSpec; pin
+    * spark.sql.sources.bucketing.autoBucketedScan.enabled=false for
+    * filter-only reads or the planner silently forfeits the pruning) and
+    * per-cell maintenance aggregations ride the bucket partitioning with
+    * no exchange. Pay the index shuffle once at encode time, not per
+    * query batch — the d9 band-index discipline ([[graft.dedup.Dedup
+    * .writeBandIndex]]) applied to ANN.
+    */
+  def writeIvfPqIndex(index: DataFrame, table: String, buckets: Int = 64): Unit =
+    graft.core.Bucketing.writeBucketed(index, table, "ivf_cell", buckets)
+
+  /** Reopen a [[writeIvfPqIndex]] table (bucket metadata from the catalog). */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     table: String): DataFrame = spark.table(table)
+
   /** [[ivfPqTopK]] over an already-built [[ivfPqIndex]] relation — the
-    * production form: the index is encoded once and persisted; each query
-    * batch pays only probe ranking + the probed-cell code join.
+    * production form: the index is encoded once and persisted
+    * ([[writeIvfPqIndex]]); each query batch pays only probe ranking + the
+    * probed-cell code join.
     */
   def ivfPqTopKFromIndex(codes: DataFrame, queries: DataFrame, idCol: String,
                          vecCol: String, cents: DataFrame, books: DataFrame,

@@ -574,19 +574,22 @@ object Dedup {
     * ONCE on the gram key for both the document-frequency aggregate and
     * the semi-join back (the "is this gram shared" test is min(doc) ≠
     * max(doc) — a map-side-combining aggregate, no count-distinct state).
-    * At 100 TB the gram string would be replaced by a 64-bit hash to
-    * shrink the shuffle (collisions only over-mark, cost ε extra scrub);
-    * kept as the string here so the DuckDB oracle reproduces the decision
-    * exactly.
+    * `hashGrams=true` replaces the gram string with its 64-bit xxhash —
+    * the 100 TB shuffle shrink (an n=5 word gram averages ~30 bytes; the
+    * hash is 8): collisions can only OVER-mark (cost ε extra scrub, never
+    * a missed duplicate), and a ~10⁸-distinct-gram corpus expects ~10⁻³
+    * colliding pairs per 2⁶⁴ space. Kept OFF for the d10 oracle rows so
+    * DuckDB reproduces the decision exactly; ScaleProbe measures both.
     */
   def duplicateNgramPositions(docs: DataFrame, id: Column, text: Column,
-                              n: Int): DataFrame = {
+                              n: Int, hashGrams: Boolean = false): DataFrame = {
     val grams = docs
       .select(id.as("doc_id"), tokens(text).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         posexplode(wordNgramsFromTokens(col("toks"), n)).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"), col("g"))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"),
+        (if (hashGrams) xxhash64(col("g")) else col("g")).as("g"))
       // feeds the doc-frequency aggregate AND the semi-join probe —
       // materialize once instead of re-tokenizing the corpus per branch
       .localCheckpoint(false)

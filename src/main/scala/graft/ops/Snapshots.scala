@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-snapshot table — time-travel-lite over keyed MERGE epochs.
+  *
+  * Deliberately NOT a Delta/Iceberg transaction log (README "Deliberate
+  * exclusions"): no commit protocol, no concurrent writers, no file-level
+  * manifests. What it does cover is the query users actually run against
+  * such logs: "the table as of version V". The layout is append-only
+  * parquet partitions `_v=N` (one per MERGE epoch, each holding at most
+  * one row per key — the s11 keyed-refresh output shape, optionally with
+  * a boolean delete marker); a snapshot at V is the last-writer-wins row
+  * per key over all epochs `_v <= V`, minus keys whose winning row is a
+  * delete.
+  *
+  * Scale shape: the `_v <= V` cut is PARTITION PRUNING (epochs are
+  * directories — untouched epochs are never read), and last-writer-wins
+  * is a map-side-combining max_by aggregate on the key — ONE shuffle of
+  * the epochs actually read, no window sort. At 100 TB the epoch chain is
+  * periodically compacted by writing a snapshot back as a new base epoch
+  * (readAsOf(V) → writeEpoch(..., v=V+1) — same operators).
+  *
+  * Reference: checkpoint refresh/rollback flows
+  * (checkpoints/download.py) — re-expressed as a versioned lake layout.
+  */
+object Snapshots {
+
+  /** Write one MERGE epoch: `df` (at most one row per key; may carry a
+    * boolean delete-marker column) becomes partition `_v=version`.
+    * Overwrites that epoch only — earlier epochs are immutable.
+    */
+  def writeEpoch(df: DataFrame, dir: String, version: Int): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/_v=$version")
+
+  /** The table as of `version`: last-writer-wins per key over epochs
+    * `_v <= version` (partition-pruned scan), with rows whose winning
+    * epoch marked them deleted (`deletedCol` true) removed. Ties cannot
+    * occur by the one-row-per-key-per-epoch contract.
+    */
+  def readAsOf(spark: SparkSession, dir: String, keyCols: Seq[String],
+               version: Int, deletedCol: String = "_deleted"): DataFrame = {
+    val all = spark.read.parquet(dir).filter(col("_v") <= version)
+    val snap = all
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(all.columns.map(col): _*), col("_v")).as("__r"))
+      .select(col("__r.*"))
+    val live =
+      if (snap.columns.contains(deletedCol))
+        snap.filter(!coalesce(col(deletedCol), lit(false))).drop(deletedCol)
+      else snap
+    live.drop("_v")
+  }
+
+  /** All epoch versions present under `dir` (from the partition listing —
+    * no data files read).
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    import spark.implicits._
+    spark.read.parquet(dir).select(col("_v").cast("int")).distinct()
+      .as[Int].collect().toSeq.sorted
+  }
+}

@@ -145,6 +145,44 @@ object QSources {
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
 
+    // S15: versioned-snapshot read (time-travel-lite) — the s11 MERGE
+    // chain persisted as append-only epoch partitions (_v=0 base, _v=1
+    // keyed refresh, _v=2 refresh + deletes) and read back AS OF two
+    // different versions in one result. readAsOf prunes epochs by
+    // partition (_v <= V never touches later directories) and resolves
+    // last-writer-wins with a map-side max_by aggregate — one shuffle.
+    // The oracle replays the same chain arithmetically from orders.
+    // asOf(1) must NOT see epoch 2's tripled prices or deletes even
+    // though both are on disk — that's the time-travel property under
+    // test.
+    "s15_snapshot_asof" -> ((s, d) => {
+      import graft.ops.Snapshots
+      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/snapshots"
+      val marker = new org.apache.hadoop.fs.Path(dir + "/_v=2/_SUCCESS")
+      if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+        val orders = t(s, d, "orders")
+        Snapshots.writeEpoch(orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderpriority").as("priority"), lit(false).as("_deleted")),
+          dir, 0)
+        Snapshots.writeEpoch(orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("price"),
+            col("o_orderpriority").as("priority"), lit(false).as("_deleted")),
+          dir, 1)
+        Snapshots.writeEpoch(orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 3).as("price"),
+            col("o_orderpriority").as("priority"),
+            (col("o_orderkey") % 7 === 0).as("_deleted")),
+          dir, 2)
+      }
+      val v1 = Snapshots.readAsOf(s, dir, Seq("o_orderkey"), 1)
+        .withColumn("version", lit(1))
+      val v2 = Snapshots.readAsOf(s, dir, Seq("o_orderkey"), 2)
+        .withColumn("version", lit(2))
+      v1.unionByName(v2)
+        .select(col("version"), col("o_orderkey"), col("price"), col("priority"))
+    }),
+
     // S11: keyed upsert / merge — the incremental-manifest-refresh shape
     // (MERGE INTO semantics as one full-outer join + coalesce: updates
     // win on matched keys, unmatched base rows persist, brand-new keys
@@ -205,6 +243,25 @@ object QSources {
          SELECT s_nationkey, grp, count(*) AS n_files,
                 round(sum(size), 2) AS group_bytes
          FROM c GROUP BY s_nationkey, grp""",
+    "s15_snapshot_asof" ->
+      """WITH v1 AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS price,
+                o_orderpriority AS priority
+              FROM orders
+              WHERE o_orderkey % 3 != 0 OR o_orderkey % 2 = 0),
+              v2 AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+                     WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS price,
+                o_orderpriority AS priority
+              FROM orders
+              WHERE (o_orderkey % 3 != 0 OR o_orderkey % 2 = 0
+                     OR o_orderkey % 5 = 0)
+                AND NOT (o_orderkey % 5 = 0 AND o_orderkey % 7 = 0))
+         SELECT CAST(1 AS INT) AS version, * FROM v1
+         UNION ALL
+         SELECT CAST(2 AS INT) AS version, * FROM v2""",
     "s11_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority
                        FROM orders WHERE o_orderkey % 3 != 0),

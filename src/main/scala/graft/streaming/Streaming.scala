@@ -281,6 +281,30 @@ object Streaming {
       }
       .start()
 
+  /** T-family twin of [[graft.ops.Snapshots]]: a keyed UPDATE stream
+    * becomes a versioned snapshot table — each micro-batch is written as
+    * one immutable MERGE epoch (`_v = batch id`; a replayed batch
+    * overwrites its own epoch directory, the same idempotence device as
+    * [[foreachBatchParquetSink]]), so [[graft.ops.Snapshots.readAsOf]]
+    * time-travels the ingested stream exactly like the batch chain:
+    * asOf(latest) is current state, asOf(N) the state after micro-batch
+    * N. Contract per micro-batch: at most one row per key (the s11
+    * keyed-refresh shape); a boolean delete-marker column streams
+    * deletes. StreamingSpec asserts version-by-version equality with a
+    * directly-written batch epoch chain.
+    */
+  def snapshotEpochStream(updates: DataFrame, dir: String,
+                          checkpointDir: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Snapshots.writeEpoch(batch, dir, id.toInt)
+      }
+      .start()
+
   /** Run a streaming aggregate to completion over the currently-available
     * input and return the final snapshot as a batch DataFrame (test/driver
     * helper; production queries run with a real trigger instead).

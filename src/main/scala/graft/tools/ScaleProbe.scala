@@ -137,6 +137,23 @@ object ScaleProbe {
           Dedup.readBandIndex(spark, "probe_band_idx")).count()
       }
     }
+    // d10 substring dedup at 10×: identical copies make EVERY gram shared
+    // (all positions marked, maximal runs everywhere) — the worst case for
+    // the gram shuffle, the per-doc windows, and the span filter alike
+    time("d10 duplicateNgramPositions (string grams)") {
+      println(s"[probe] marked positions: " + Dedup.duplicateNgramPositions(
+        docs, col("doc_id"), col("text"), 5).count())
+    }
+    time("d10 duplicateNgramPositions (hashed grams — the 100 TB shuffle shrink)") {
+      println(s"[probe] marked positions (hashed): " + Dedup.duplicateNgramPositions(
+        docs, col("doc_id"), col("text"), 5, hashGrams = true).count())
+    }
+    time("d10 duplicateNgramRuns (gaps-and-islands spans)") {
+      Dedup.duplicateNgramRuns(docs, col("doc_id"), col("text"), 5).count()
+    }
+    time("d10b scrubDuplicateRuns (full scrub incl. span filter)") {
+      Dedup.scrubDuplicateRuns(docs, col("doc_id"), col("text"), 5).count()
+    }
     time("tx tfidf (grouped tf/df + top-term window)") {
       graft.text.TextFunctions
         .tfidfTopTerm(docs, col("doc_id"), col("text")).count()
@@ -228,12 +245,13 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(codesDir)
       }
       time("  ADC top-5 over stored codes (8 queries)") {
-        val stored = spark.read.parquet(codesDir)
-          .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cell")))
-          .select(col("vec_id"), col("sub"), col("cell").cast("long").as("cell"))
-        graft.ann.Vectors.pqAdcTopKFromCodes(stored,
-          emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", books, 8, 5).count()
+        // stored codes are DENSE ranks — decode to cent_ids first (the
+        // pqCodesToCells inverse of the pqCodes remap)
+        val stored = graft.ann.Vectors.pqCodesToCells(
+          spark.read.parquet(codesDir), books)
+        println("[probe] ADC rows: " + graft.ann.Vectors.pqAdcTopKFromCodes(
+          stored, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", books, 8, 5).count())
       }
     }
     time("v11 pqTrain (m=8, k=64, 3 iters, 10% sample)") {

@@ -291,6 +291,14 @@ class VectorsSpec extends SparkSpec {
     base.foreach { case (vid, vv) =>
       assert(codes(vid) === (0 until m).map(s => centRank(bestCell(sub(vv, s), s))))
     }
+    // and pqCodesToCells inverts the dense remap exactly: decoded cells ==
+    // the original assignment relation (what the ADC scorer joins on)
+    val decoded = Vectors.pqCodesToCells(
+        Vectors.pqCodes(vecs, "vec_id", "embedding", books, m), books)
+      .as[(Long, Int, Long)].collect().toSet
+    val assigned = Vectors.pqAssign(vecs, "vec_id", "embedding", books, m)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(decoded === assigned)
   }
 
   test("ivfPqTopK with all cells probed equals full ADC; fewer probes yield a subset with identical scores") {

@@ -61,6 +61,51 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucketed IVF-PQ index: probed query matches in-memory; cell scans prune buckets; per-cell agg has no exchange") {
+    import graft.ann.Vectors
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val m = 2
+    val books = Vectors.pqCodebooksStep(vecs, "vec_id", "embedding", m, 10)
+    val cents = Vectors.stepCentroids(vecs, "vec_id", "embedding", 10)
+    val index = Vectors.ivfPqIndex(vecs, "vec_id", "embedding", cents, books, m)
+    Vectors.writeIvfPqIndex(index, "ivfpq_index_b", 8)
+    val back = Vectors.readIvfPqIndex(spark, "ivfpq_index_b")
+    val q = vecs.filter(col("vec_id") < 2)
+    // identical results through the persisted index
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(Vectors.ivfPqTopKFromIndex(back, q, "vec_id", "embedding",
+        cents, books, m, 5, nprobe = 2)) ===
+      rows(Vectors.ivfPqTopKFromIndex(index, q, "vec_id", "embedding",
+        cents, books, m, 5, nprobe = 2)))
+    // a literal probed-cell filter scans only the buckets those cells hash
+    // to — the 100-TB read path: nprobe cells out of the whole index.
+    // autoBucketedScan must be pinned off: for a filter-only query the
+    // planner assumes a non-bucketed scan is just as good and silently
+    // forfeits bucket pruning
+    val prevAuto = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val scan = try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      back.filter(col("ivf_cell").isin(0L, 10L))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    assert(scan.contains("SelectedBucketsCount"), scan)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(scan).get
+    assert(sel.group(1).toInt < sel.group(2).toInt, scan)
+    // per-cell maintenance aggregation rides the bucket partitioning
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val agg = back.groupBy("ivf_cell").agg(count(lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("aggregation on the bucket key needs no exchange either") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

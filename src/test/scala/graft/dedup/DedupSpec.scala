@@ -317,5 +317,12 @@ class DedupSpec extends SparkSpec {
     assert(clean(1L) === "alpha beta gamma delta epsilon")
     assert(clean(2L) === "one two three four five6")
     assert(clean(3L) === "totally unrelated prose with no shared five gram runs here")
+    // the hashed-gram scale variant marks the identical position set (a
+    // 64-bit collision on this corpus would be astronomical)
+    assert(Dedup.duplicateNgramPositions(d, col("doc_id"), col("text"), 5,
+        hashGrams = true)
+      .as[(Long, Int)].collect().toSet ===
+      Dedup.duplicateNgramPositions(d, col("doc_id"), col("text"), 5)
+        .as[(Long, Int)].collect().toSet)
   }
 }

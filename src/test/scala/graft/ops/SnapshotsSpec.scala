@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("readAsOf replays the MERGE chain: LWW per key, deletes, re-insert resurrection, epoch pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    // v0: keys 1..4; v1: update 2, delete 3; v2: resurrect 3, insert 5
+    Snapshots.writeEpoch(
+      Seq((1L, "a", false), (2L, "b", false), (3L, "c", false), (4L, "d", false))
+        .toDF("k", "val", "_deleted"), dir, 0)
+    Snapshots.writeEpoch(
+      Seq((2L, "b2", false), (3L, "c", true)).toDF("k", "val", "_deleted"), dir, 1)
+    Snapshots.writeEpoch(
+      Seq((3L, "c3", false), (5L, "e", false)).toDF("k", "val", "_deleted"), dir, 2)
+
+    def snap(v: Int): Map[Long, String] =
+      Snapshots.readAsOf(spark, dir, Seq("k"), v)
+        .as[(Long, String)].collect().toMap
+
+    assert(snap(0) === Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(snap(1) === Map(1L -> "a", 2L -> "b2", 4L -> "d")) // 3 deleted
+    assert(snap(2) === Map(1L -> "a", 2L -> "b2", 3L -> "c3", 4L -> "d", 5L -> "e"))
+    assert(Snapshots.versions(spark, dir) === Seq(0, 1, 2))
+
+    // the _v <= V cut is partition pruning: an asOf(0) scan lists only
+    // the _v=0 directory (later epochs never read)
+    val plan = spark.read.parquet(dir).filter(col("_v") <= 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(_v"), plan)
+  }
+
+  test("readAsOf without a delete column is plain LWW") {
+    val dir = java.nio.file.Files.createTempDirectory("snap2").toString
+    Snapshots.writeEpoch(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), dir, 0)
+    Snapshots.writeEpoch(Seq((2L, 99.0)).toDF("k", "x"), dir, 3)
+    assert(Snapshots.readAsOf(spark, dir, Seq("k"), 3).as[(Long, Double)]
+      .collect().toMap === Map(1L -> 10.0, 2L -> 99.0))
+    assert(Snapshots.readAsOf(spark, dir, Seq("k"), 2).as[(Long, Double)]
+      .collect().toMap === Map(1L -> 10.0, 2L -> 20.0))
+  }
+}

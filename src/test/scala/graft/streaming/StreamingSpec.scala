@@ -83,6 +83,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("snapshotEpochStream: each micro-batch is an epoch; readAsOf time-travels the stream == batch chain") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.Snapshots
+    val dir = tmp("snapstream")
+    // two keyed-update files + maxFilesPerTrigger=1 → two epochs:
+    // epoch 0 inserts {1→a, 2→b}; epoch 1 updates 2 and deletes 1
+    val b0 = Seq((1L, "a", false), (2L, "b", false))
+    val b1 = Seq((2L, "b2", false), (1L, "a", true))
+    b0.toDF("k", "val", "_deleted").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    b1.toDF("k", "val", "_deleted").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Streaming.snapshotEpochStream(stream, s"$dir/snap", s"$dir/ckpt",
+      Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(Snapshots.versions(spark, s"$dir/snap") === Seq(0, 1))
+    def asOf(d: String, v: Int): Map[Long, String] =
+      Snapshots.readAsOf(spark, d, Seq("k"), v).as[(Long, String)]
+        .collect().toMap
+    // file-source ordering: epoch ids are assigned by arrival, so the two
+    // possible orders both yield a valid chain; identify epoch 0 by content
+    val (first, second) =
+      if (asOf(s"$dir/snap", 0).contains(1L)) (b0, b1) else (b1, b0)
+    // version-by-version equality with a directly-written batch chain
+    val batchDir = tmp("snapbatch")
+    Snapshots.writeEpoch(first.toDF("k", "val", "_deleted"), batchDir, 0)
+    Snapshots.writeEpoch(second.toDF("k", "val", "_deleted"), batchDir, 1)
+    assert(asOf(s"$dir/snap", 0) === asOf(batchDir, 0))
+    assert(asOf(s"$dir/snap", 1) === asOf(batchDir, 1))
+    // and the final state is the expected LWW-with-deletes result: the
+    // later epoch's update and delete both take effect
+    val wantFinal = (first.map(r => r._1 -> r).toMap ++
+      second.map(r => r._1 -> r).toMap)
+      .collect { case (k, (_, v, del)) if !del => k -> v }
+    assert(asOf(s"$dir/snap", 1) === wantFinal)
+  }
+
   test("streaming ingestCandidates == batch incremental dedup (new×index pairs)") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.streaming.Trigger
