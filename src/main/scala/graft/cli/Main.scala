@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
   *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
+  *   runMain graft.cli.Main snapshot   --dir <snapdir> --keys k1[,k2] [--as-of N] [--write-epoch <parquet> --version N] [--compact-to N] [--output <dir>]
   */
 object Main {
 
@@ -162,6 +163,28 @@ object Main {
             codes.write.mode("overwrite").parquet(s"$out/codes")
             println(s"[pq] books + codes written to $out")
           case None => codes.show(10, truncate = false)
+        }
+      case "snapshot" =>
+        // versioned-snapshot table maintenance: append an epoch, read as
+        // of a version (default: latest), or compact history
+        import graft.ops.Snapshots
+        val dir = opt(args, "--dir").get
+        val keys = opt(args, "--keys").map(_.split(",").toSeq).getOrElse(Seq("k"))
+        opt(args, "--write-epoch").foreach { src =>
+          Snapshots.writeEpoch(spark.read.parquet(src), dir,
+            opt(args, "--version").get.toInt)
+        }
+        opt(args, "--compact-to").foreach { v =>
+          Snapshots.compactTo(spark, dir, keys, v.toInt)
+        }
+        val asOf = opt(args, "--as-of").map(_.toInt)
+          .orElse(Snapshots.versions(spark, dir).lastOption)
+        asOf.foreach { v =>
+          val snap = Snapshots.readAsOf(spark, dir, keys, v)
+          opt(args, "--output") match {
+            case Some(out) => snap.write.mode("overwrite").parquet(out)
+            case None      => snap.show(20, truncate = false)
+          }
         }
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()

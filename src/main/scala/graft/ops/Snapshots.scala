@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * directories — untouched epochs are never read), and last-writer-wins
   * is a map-side-combining max_by aggregate on the key — ONE shuffle of
   * the epochs actually read, no window sort. At 100 TB the epoch chain is
-  * periodically compacted by writing a snapshot back as a new base epoch
-  * (readAsOf(V) → writeEpoch(..., v=V+1) — same operators).
+  * periodically compacted with [[compactTo]] (the snapshot becomes the
+  * new base epoch; history below it is dropped), so replay length stays
+  * O(epochs since last compaction).
   *
   * Reference: checkpoint refresh/rollback flows
   * (checkpoints/download.py) — re-expressed as a versioned lake layout.
@@ -60,5 +61,39 @@ object Snapshots {
     import spark.implicits._
     spark.read.parquet(dir).select(col("_v").cast("int")).distinct()
       .as[Int].collect().toSeq.sorted
+  }
+
+  /** Compact history up to `version`: materialize [[readAsOf]](version)
+    * as the new base epoch `_v=version` and drop every earlier epoch
+    * directory. Snapshots at `version` and later are unchanged (later
+    * epochs still override the base per key; keys whose winner at
+    * `version` was a delete are simply absent from the base, which is
+    * what readAsOf returned anyway); history BELOW `version` is
+    * deliberately gone — that is the point. This bounds the epoch-chain
+    * length a 100 TB deployment replays: run periodically, the chain
+    * stays O(epochs since last compaction).
+    *
+    * The base is staged to `<dir>/.compact_tmp` first and swapped in
+    * only after the write succeeds (a failed compaction leaves the
+    * original chain intact).
+    */
+  def compactTo(spark: SparkSession, dir: String, keyCols: Seq[String],
+                version: Int, deletedCol: String = "_deleted"): Unit = {
+    // the base must keep the chain's schema: readAsOf drops the delete
+    // marker, but later epochs still carry it — a mixed-schema partition
+    // read would resolve against whichever footer it samples
+    val hadDeleted = spark.read.parquet(dir).columns.contains(deletedCol)
+    val snap = readAsOf(spark, dir, keyCols, version, deletedCol)
+    val base = if (hadDeleted) snap.withColumn(deletedCol, lit(false)) else snap
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/.compact_tmp"
+    base.write.mode("overwrite").parquet(tmp)
+    versions(spark, dir).filter(_ <= version).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_v=$v"), true)
+    }
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/_v=$version"))
+    (): Unit
   }
 }

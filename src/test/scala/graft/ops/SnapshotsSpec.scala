@@ -34,6 +34,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(_v"), plan)
   }
 
+  test("compactTo drops history below V, preserves every snapshot at/after V") {
+    val dir = java.nio.file.Files.createTempDirectory("snap3").toString
+    Snapshots.writeEpoch(
+      Seq((1L, "a", false), (2L, "b", false), (3L, "c", false), (4L, "d", false))
+        .toDF("k", "val", "_deleted"), dir, 0)
+    Snapshots.writeEpoch(
+      Seq((2L, "b2", false), (3L, "c", true)).toDF("k", "val", "_deleted"), dir, 1)
+    Snapshots.writeEpoch(
+      Seq((3L, "c3", false), (5L, "e", false)).toDF("k", "val", "_deleted"), dir, 2)
+    def snap(v: Int): Map[Long, String] =
+      Snapshots.readAsOf(spark, dir, Seq("k"), v)
+        .as[(Long, String)].collect().toMap
+    val (at1, at2) = (snap(1), snap(2))
+    Snapshots.compactTo(spark, dir, Seq("k"), 1)
+    assert(Snapshots.versions(spark, dir) === Seq(1, 2))
+    // snapshots at and after the compaction point are byte-for-byte stable
+    // (the delete of 3 at v1 is now baked into the base; v2 resurrects it)
+    assert(snap(1) === at1)
+    assert(snap(2) === at2)
+  }
+
   test("readAsOf without a delete column is plain LWW") {
     val dir = java.nio.file.Files.createTempDirectory("snap2").toString
     Snapshots.writeEpoch(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), dir, 0)
