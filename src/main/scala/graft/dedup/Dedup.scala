@@ -393,6 +393,39 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact n-gram CONTAINMENT over character n-gram sets —
+    * max-containment |A∩B| / min(|A|,|B|), the doc-in-doc measure
+    * (Broder's containment): a short document wholly embedded in a long
+    * one scores ~1.0 here while its Jaccard stays low (the union is
+    * dominated by the long side), so near-superset duplicates that
+    * [[ngramJaccardPairs]] misses are caught. Same inverted-index shape
+    * and stop-gram cap as Jaccard — one gram shuffle, pairs only via the
+    * index join, never all-pairs.
+    */
+  def ngramContainmentPairs(docs: DataFrame, id: Column, text: Column, n: Int,
+                            minContainment: Double, roundTo: Int = 6,
+                            maxDocFreq: Int = 1000): DataFrame = {
+    val allGrams = docs.select(id.as("doc_id"),
+        explode(array_distinct(charNgrams(text, n))).as("g"))
+    val rareGrams = allGrams.groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("g")
+    val grams = allGrams.join(rareGrams, Seq("g"), "left_semi")
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("containment", round(col("inter") /
+        least(col("sz_a"), col("sz_b")), roundTo))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Connected components over an undirected pair relation — the final
     * stage of at-scale dedup: verified near-dup PAIRS become duplicate
     * CLUSTERS (cluster id = min member id), so "keep one representative per

@@ -450,7 +450,17 @@ object QText {
     "d4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         t(s, d, "documents").filter(col("doc_id") < 150),
-        col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 100)))
+        col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 100)),
+
+    // D11: character-3-gram CONTAINMENT (|A∩B| / min set size) on the same
+    // bounded range — the doc-in-doc measure: a short document embedded in
+    // a long one scores ~1.0 where its Jaccard stays low, so near-superset
+    // duplicates slip past d4 but not this. Same inverted-index shape and
+    // stop-gram cap.
+    "d11_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(
+        t(s, d, "documents").filter(col("doc_id") < 150),
+        col("doc_id"), col("text"), 3, 0.6, maxDocFreq = 100)))
 
   def oracle: Map[String, String] = Map(
     "tx_tokens" ->
@@ -753,5 +763,25 @@ object QText {
          FROM inter
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
-         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5""")
+         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5""",
+    "d11_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+              g0 AS (SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, CAST(greatest(length(text) - 1, 2) AS BIGINT)),
+                         i -> substring(text, CAST(i AS INT), 3))) AS g
+                FROM d)),
+              g AS (SELECT doc_id, g FROM g0 WHERE g IN (
+                SELECT g FROM g0 GROUP BY g HAVING count(*) <= 100)),
+              sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(inter / least(sa.sz, sb.sz), 6) AS containment
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE round(inter / least(sa.sz, sb.sz), 6) >= 0.6""")
 }

@@ -336,6 +336,36 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_files"), sum("o_totalprice").as("group_bytes"))
         .count()
     }
+    // s15 snapshots: MERGE-chain replay cost vs chain length, and the
+    // compaction win — epoch 0 is the full keyed table, epochs 1..19 are
+    // 5% keyed refreshes (the daily-ingest shape)
+    locally {
+      import graft.ops.Snapshots
+      val dir = "/root/repo/target/probe/snapshots"
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(): Unit
+      }
+      rmr(new java.io.File(dir))
+      time("s15 write 20-epoch chain (1.5M base + 19 × 5% refreshes)") {
+        Snapshots.writeEpoch(orders.select(col("o_orderkey"),
+          col("o_totalprice").as("price"), lit(false).as("_deleted")), dir, 0)
+        (1 to 19).foreach { v =>
+          Snapshots.writeEpoch(orders.filter(col("o_orderkey") % 20 === v)
+            .select(col("o_orderkey"), (col("o_totalprice") * v).as("price"),
+              lit(false).as("_deleted")), dir, v)
+        }
+      }
+      time("s15 readAsOf(19) — LWW over all 20 epochs") {
+        Snapshots.readAsOf(spark, dir, Seq("o_orderkey"), 19).count()
+      }
+      time("s15 readAsOf(4) — partition-pruned to 5 epochs") {
+        Snapshots.readAsOf(spark, dir, Seq("o_orderkey"), 4).count()
+      }
+      time("s15 compactTo(15) + readAsOf(19) over the 5 remaining epochs") {
+        Snapshots.compactTo(spark, dir, Seq("o_orderkey"), 15)
+        Snapshots.readAsOf(spark, dir, Seq("o_orderkey"), 19).count()
+      }
+    }
     time("trainingFeed end-to-end (distributed, 3-asset manifest)") {
       // synthesize the reference manifest shape from the amplified orders:
       // 3 asset keys per stem → manifest rows = 3 × orders; the feed then

@@ -293,6 +293,26 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("must divide"))
   }
 
+  test("containment catches a doc-in-doc near-superset that Jaccard misses") {
+    // doc 2 is doc 1 verbatim plus 3x more unique prose: containment of
+    // the embedded doc is ~1.0 while Jaccard stays far below it
+    val short = "pack my box with five dozen liquor jugs"
+    val d = Seq(
+      (1L, short),
+      (2L, s"$short and then a great deal of entirely unrelated following " +
+        "commentary stretching onward with many extra distinct words"),
+      (3L, "nothing in common with either of the other two documents at all"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(d, col("doc_id"), col("text"),
+        3, 0.9).as[(Long, Long, Double)].collect()
+    assert(cont.map(r => (r._1, r._2)).toSeq === Seq((1L, 2L)))
+    assert(cont.head._3 >= 0.99)
+    val jac = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .find(r => r._1 == 1L && r._2 == 2L).get._3
+    assert(jac < 0.5, s"jaccard $jac should stay low for the superset pair")
+  }
+
   test("substring dedup removes a planted shared passage and nothing else") {
     // Two docs share an 8-token passage embedded in otherwise-unique prose;
     // a third doc is untouched. n=5 marks gram starts

@@ -253,6 +253,28 @@ class MultimodalSpec extends SparkSpec {
       bos.toByteArray.toSeq)
   }
 
+  test("y4mFrames round-trips randomized containers across colourspaces") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 50) {
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(9)
+      val (colour, mult) = Seq(("mono", 2), ("420jpeg", 3), ("422", 4), ("444", 6))(rnd.nextInt(4))
+      val frameSize = w * h * mult / 2
+      val n = rnd.nextInt(5)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F30000:1001 Ip A1:1 C$colour\n".getBytes("ASCII"))
+      val frames = (0 until n).map { _ =>
+        val f = Array.fill(frameSize)(rnd.nextInt(256).toByte)
+        bos.write("FRAME\n".getBytes("ASCII")); bos.write(f); f
+      }
+      val got = Multimodal.y4mFrames(bos.toByteArray)
+      assert(got.length === n, s"W$w H$h C$colour n=$n")
+      got.zip(frames).foreach { case (g, f) =>
+        assert((g.width, g.height, g.frameSize, g.ySize) === (w, h, frameSize, w * h))
+        assert(bos.toByteArray.slice(g.start, g.start + g.frameSize).toSeq === f.toSeq)
+      }
+    }
+  }
+
   test("blobSink writes payloads from executors (S8)") {
     val out = Files.createTempDirectory("mmout").toString
     val df = Seq(("x.bin", Array[Byte](1, 2, 3)), ("y.bin", Array[Byte](9)))
