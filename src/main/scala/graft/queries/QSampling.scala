@@ -193,6 +193,21 @@ object QSampling {
         .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // X15: per-source document cap — the domain-cap curation op (bound
+    // any single domain's share of the corpus, the standard defense
+    // against one crawl source dominating the mixture): keep at most 200
+    // docs per source, chosen by deterministic hash rank so the cap is
+    // reproducible across runs/engines and independent of input order.
+    // Window partitions are per-source (bounded-cardinality key), never
+    // corpus-global.
+    "x15_domain_cap" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(Determinism.detHash(col("doc_id")), col("doc_id"))))
+        .filter(col("__r") <= 200)
+        .select(col("doc_id"), col("source"))),
+
     // X6: seeded per-row augmentation flags — the deterministic form of
     // RandomHorizontalFlip / RandomCrop (reference
     // train/train_stage_1/dataloader.py:46, train_DIT/dataloader.py:52-58):
@@ -223,6 +238,13 @@ object QSampling {
       "x1_bernoulli" ->
         s"""SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE ${Determinism.detRandSql("(l_orderkey * 8 + l_linenumber)")} < 0.1""",
+      "x15_domain_cap" ->
+        s"""WITH t AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY ${Determinism.detHashSql("doc_id")}, doc_id) AS rn
+              FROM documents)
+            SELECT doc_id, source FROM t WHERE rn <= 200""",
       "x10_mixture_plan" ->
         """WITH per AS (
              SELECT source,
