@@ -32,8 +32,13 @@ object Snapshots {
     * boolean delete-marker column) becomes partition `_v=version`.
     * Overwrites that epoch only — earlier epochs are immutable.
     */
-  def writeEpoch(df: DataFrame, dir: String, version: Int): Unit =
+  def writeEpoch(df: DataFrame, dir: String, version: Int): Unit = {
+    // a data column named _v would collide with the partition column at
+    // read time and silently shadow the version — fail loudly instead
+    require(!df.columns.contains("_v"),
+      "writeEpoch: input must not carry a _v column (reserved for the epoch version)")
     df.write.mode("overwrite").parquet(s"$dir/_v=$version")
+  }
 
   /** The table as of `version`: last-writer-wins per key over epochs
     * `_v <= version` (partition-pruned scan), with rows whose winning
@@ -42,6 +47,9 @@ object Snapshots {
     */
   def readAsOf(spark: SparkSession, dir: String, keyCols: Seq[String],
                version: Int, deletedCol: String = "_deleted"): DataFrame = {
+    // an empty key set would make groupBy() a single global aggregate and
+    // return one arbitrary row — never what a snapshot read means
+    require(keyCols.nonEmpty, "readAsOf: keyCols must be non-empty")
     val all = spark.read.parquet(dir).filter(col("_v") <= version)
     val snap = all
       .groupBy(keyCols.map(col): _*)

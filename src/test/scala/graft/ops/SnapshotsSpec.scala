@@ -55,6 +55,39 @@ class SnapshotsSpec extends SparkSpec {
     assert(snap(2) === at2)
   }
 
+  test("property: random epoch chains match a driver-side LWW model at every version, before and after compaction") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 5) {
+      val dir = java.nio.file.Files.createTempDirectory(s"snapp$trial").toString
+      val nEpochs = 2 + rnd.nextInt(4)
+      val keys = 1L to 8L
+      // model: per-version replay of (key -> (val, deleted))
+      var model = Map.empty[Long, (String, Boolean)]
+      val states = scala.collection.mutable.ArrayBuffer[Map[Long, String]]()
+      (0 until nEpochs).foreach { v =>
+        val rows = keys.filter(_ => rnd.nextBoolean()).map { k =>
+          (k, s"v$v-k$k-${rnd.nextInt(100)}", rnd.nextInt(4) == 0)
+        }
+        // one row per key per epoch (the MERGE contract) — rows is distinct by key
+        Snapshots.writeEpoch(rows.toDF("k", "val", "_deleted"), dir, v)
+        model = model ++ rows.map(r => r._1 -> (r._2, r._3))
+        states += model.collect { case (k, (vv, false)) => k -> vv }.toMap
+      }
+      def snap(v: Int): Map[Long, String] =
+        Snapshots.readAsOf(spark, dir, Seq("k"), v)
+          .as[(Long, String)].collect().toMap
+      (0 until nEpochs).foreach { v =>
+        assert(snap(v) === states(v), s"trial $trial version $v")
+      }
+      // compact to a random midpoint: every surviving version still matches
+      val cut = rnd.nextInt(nEpochs)
+      Snapshots.compactTo(spark, dir, Seq("k"), cut)
+      (cut until nEpochs).foreach { v =>
+        assert(snap(v) === states(v), s"trial $trial post-compact($cut) version $v")
+      }
+    }
+  }
+
   test("readAsOf without a delete column is plain LWW") {
     val dir = java.nio.file.Files.createTempDirectory("snap2").toString
     Snapshots.writeEpoch(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), dir, 0)
