@@ -154,6 +154,25 @@ object ScaleProbe {
     time("d10b scrubDuplicateRuns (full scrub incl. span filter)") {
       Dedup.scrubDuplicateRuns(docs, col("doc_id"), col("text"), 5).count()
     }
+    time("d4/d11 inverted-index similarity (sf-native docs, cap=100)") {
+      // natural df distribution: measures the real inverted-index join
+      // cost above the 150-doc oracle bound
+      val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      println("[probe] jaccard pairs: " + Dedup.ngramJaccardPairs(
+        d0, col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 100).count())
+      println("[probe] containment pairs: " + Dedup.ngramContainmentPairs(
+        d0, col("doc_id"), col("text"), 3, 0.6, maxDocFreq = 100).count())
+    }
+    time("d11 cap defense on the 10x duplicated corpus (cap=5)") {
+      // every doc has 9 exact copies, so every gram's df >= 10 — the cap
+      // drops them ALL and the join does no pair work: the quadratic
+      // blowup a duplicated corpus would otherwise cause is bounded by
+      // the df cap, not by luck (exact dedup runs BEFORE this stage in
+      // the d6 pipeline precisely so the cap only sees residual heat)
+      println("[probe] containment pairs (all-dup, capped): " +
+        Dedup.ngramContainmentPairs(docs, col("doc_id"), col("text"),
+          3, 0.6, maxDocFreq = 5).count())
+    }
     time("tx tfidf (grouped tf/df + top-term window)") {
       graft.text.TextFunctions
         .tfidfTopTerm(docs, col("doc_id"), col("text")).count()
