@@ -429,6 +429,7 @@ object Multimodal {
   def demuxY4m(files: DataFrame, stride: Int, maxFrames: Int,
                pathCol: String = "path",
                contentCol: String = "content"): Dataset[VideoFrame] = {
+    require(stride > 0, s"demuxY4m: stride must be positive, got $stride")
     val spark = files.sparkSession
     import spark.implicits._
     files.select(col(pathCol), col(contentCol)).as[(String, Array[Byte])]
@@ -462,6 +463,8 @@ object Multimodal {
   def sampleFrames(files: DataFrame, stride: Int, maxFrames: Int,
                    frameBytes: Int = 4096, pathCol: String = "path",
                    contentCol: String = "content"): Dataset[Frame] = {
+    require(stride > 0 && frameBytes > 0,
+      s"sampleFrames: stride and frameBytes must be positive, got $stride/$frameBytes")
     val spark = files.sparkSession
     import spark.implicits._
     files.select(col(pathCol), col(contentCol)).as[(String, Array[Byte])]
@@ -501,9 +504,11 @@ object Multimodal {
     val wh = (width.cast("long") * height.cast("long")).cast("int")
     val header = concat(lit("YUV4MPEG2 W"), width.cast("string"),
       lit(" H"), height.cast("string"), lit(" F25:1 Ip A1:1 Cmono\n"))
-    // per frame: "FRAME\n" (4652414d450a) + W·H copies of the luma byte
+    // per frame: "FRAME\n" (4652414d450a) + W·H copies of the luma byte;
+    // pmod (not %) so out-of-range lumas wrap into 0..255 instead of
+    // producing a negative whose hex is 16 chars wide
     val frameHex = transform(lumas, g => concat(lit("4652414D450A"),
-      call_function("repeat", lpad(hex(g.cast("long") % 256), 2, "0"), wh)))
+      call_function("repeat", lpad(hex(pmod(g.cast("long"), lit(256L))), 2, "0"), wh)))
     concat(header.cast("binary"), unhex(array_join(frameHex, "")))
   }
 

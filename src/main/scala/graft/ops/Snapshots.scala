@@ -62,13 +62,19 @@ object Snapshots {
     live.drop("_v")
   }
 
-  /** All epoch versions present under `dir` (from the partition listing —
-    * no data files read).
+  /** All epoch versions present under `dir` — a pure directory listing
+    * (one FS metadata call, no Spark job, no data files read; the honest
+    * version of the claim, since a parquet-read distinct would scan the
+    * table).
     */
   def versions(spark: SparkSession, dir: String): Seq[Int] = {
-    import spark.implicits._
-    spark.read.parquet(dir).select(col("_v").cast("int")).distinct()
-      .as[Int].collect().toSeq.sorted
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_v=").toInt).toOption)
+      .sorted
   }
 
   /** Compact history up to `version`: materialize [[readAsOf]](version)
