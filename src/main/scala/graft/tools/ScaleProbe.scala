@@ -299,6 +299,19 @@ object ScaleProbe {
           cents, books, 8, 5, nprobe = 2).count()
       }
     }
+    time("u4 Y4M demux throughput (50k synthesized clips, ~16 MB of frames)") {
+      // in-query container synthesis + real demux at the amplified doc
+      // count: measures the mapPartitions decode edge, not file IO
+      import graft.multimodal.Multimodal
+      val nf = (col("doc_id") % 4 + 2).cast("int")
+      val vids = docs.select(col("doc_id").cast("string").as("path"),
+        Multimodal.y4mVideo((col("doc_id") % 12 + 4).cast("int"),
+          (col("doc_id") % 5 + 2).cast("int"),
+          transform(sequence(lit(0), nf - 1),
+            j => (col("doc_id") * 7 + j * 13) % 256)).as("content"))
+      println("[probe] demuxed frames: " +
+        Multimodal.demuxY4m(vids, stride = 1, maxFrames = 8).count())
+    }
     spark.catalog.clearCache()
     val events = time("amplify events (same 150 users, 10x rows each)") {
       // Tables.load owns the nanos->micros ts normalization

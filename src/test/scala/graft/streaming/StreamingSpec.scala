@@ -123,6 +123,48 @@ class StreamingSpec extends SparkSpec {
     assert(asOf(s"$dir/snap", 1) === wantFinal)
   }
 
+  test("streaming Y4M demux (binaryFile stream) == batch demuxY4m") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.multimodal.Multimodal
+    val dir = tmp("y4mstream")
+    // two clips with distinct geometry/lumas
+    def y4m(w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("ASCII"))
+      lumas.foreach { g =>
+        bos.write("FRAME\n".getBytes("ASCII"))
+        bos.write(Array.fill(w * h)(g.toByte))
+      }
+      bos.toByteArray
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/in/a.y4m"), y4m(4, 3, Seq(10, 20, 30)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/in/b.y4m"), y4m(6, 2, Seq(200)))
+    // the SAME Dataset operator runs on the stream — flatMap is
+    // stream-safe, so video decode needs no batch/stream fork
+    val stream = spark.readStream.format("binaryFile")
+      .schema(Multimodal.binarySource(spark, s"$dir/in").schema)
+      .load(s"$dir/in")
+    val q = Multimodal.demuxY4m(stream, stride = 2, maxFrames = 10)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$dir/out").start()
+    q.awaitTermination()
+    def key(r: (String, Int, Int, Int, Double)) =
+      (r._1.split("/").last, r._2, r._3, r._4, r._5)
+    val got = spark.read.parquet(s"$dir/out")
+      .as[(String, Int, Int, Int, Double)].collect().map(key).toSet
+    val want = Multimodal.demuxY4m(
+        Multimodal.binarySource(spark, s"$dir/in", "*.y4m"), 2, 10)
+      .collect().map(f => key((f.path, f.frame_idx, f.width, f.height, f.mean_luma)))
+      .toSet
+    assert(got === want)
+    assert(got.map(_._1) === Set("a.y4m", "b.y4m"))
+  }
+
   test("streaming ingestCandidates == batch incremental dedup (new×index pairs)") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.streaming.Trigger
