@@ -387,23 +387,32 @@ object Vectors {
     * sparse — the step rule uses source vec_ids 0, step, 2·step, … — and
     * storing those raw would falsify the bytes-per-vector claim (round-5
     * ADVICE). Dense codes with a ≤256-entry codebook genuinely persist as
-    * one byte each (cast to tinyint on write), so m bytes per vector
-    * versus 4·dim for float32 (dim/m × 32 compression; m=8 over 64 dims =
-    * 32×). The long (vec_id, sub, cell=cent_id) form from [[pqAssign]] is
+    * one byte each — k ≤ 128 casts to tinyint directly; k ≤ 256 needs the
+    * −128 bias into the signed range first (`code - 128` cast tinyint,
+    * exactly [[quantizeInt8]]'s convention — an unbiased cast of codes
+    * > 127 overflows under ANSI mode). That is m bytes per vector versus
+    * 4·dim for float32 (dim/m × 32 compression; m=8 over 64 dims = 32×).
+    * The long (vec_id, sub, cell=cent_id) form from [[pqAssign]] is
     * what the ADC scorer joins on; this array form is what an index
     * persists (decode = codebook lookup by rank).
     */
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
-              books: DataFrame, m: Int): DataFrame = {
-    val codeMap = books.select(col("sub"), col("cent_id").as("cell"))
-      .withColumn("code", row_number().over(
-        Window.partitionBy("sub").orderBy("cell")) - 1)
+              books: DataFrame, m: Int): DataFrame =
     pqAssign(corpus, idCol, vecCol, books, m)
-      .join(broadcast(codeMap), Seq("sub", "cell"))
+      .join(broadcast(denseCodeMap(books).withColumnRenamed("cent_id", "cell")),
+        Seq("sub", "cell"))
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x.getField("code").cast("int")).as("codes"))
-  }
+
+  /** The dense (sub, cent_id) → code ∈ 0..k−1 rank mapping — the ONE
+    * definition both [[pqCodes]] (encode) and [[pqCodesToCells]] (decode)
+    * share, so the rank convention cannot drift between them.
+    */
+  private def denseCodeMap(books: DataFrame): DataFrame =
+    books.select(col("sub"), col("cent_id"))
+      .withColumn("code", row_number().over(
+        Window.partitionBy("sub").orderBy("cent_id")) - 1)
 
   /** Expand a [[pqCodes]] storage relation back to the long
     * (vec_id, sub, cell = cent_id) form the ADC scorer joins on — each
@@ -412,14 +421,10 @@ object Vectors {
     * relation). Use this when scoring persisted codes:
     * `pqAdcTopKFromCodes(pqCodesToCells(stored, books), ...)`.
     */
-  def pqCodesToCells(codes: DataFrame, books: DataFrame): DataFrame = {
-    val codeMap = books.select(col("sub"), col("cent_id"))
-      .withColumn("code", row_number().over(
-        Window.partitionBy("sub").orderBy("cent_id")) - 1)
+  def pqCodesToCells(codes: DataFrame, books: DataFrame): DataFrame =
     codes.select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(codeMap), Seq("sub", "code"))
+      .join(broadcast(denseCodeMap(books)), Seq("sub", "code"))
       .select(col("vec_id"), col("sub"), col("cent_id").as("cell"))
-  }
 
   /** Per-vector PQ reconstruction MSE: Σ_s ‖sv_s − cv_cell(s)‖² / dim —
     * the compression-quality measure to set m against (compare with the

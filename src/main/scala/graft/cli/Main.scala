@@ -171,8 +171,9 @@ object Main {
         val dir = opt(args, "--dir").get
         val keys = opt(args, "--keys").map(_.split(",").toSeq).getOrElse(Seq("k"))
         opt(args, "--write-epoch").foreach { src =>
+          // arbitrary user parquet: enforce the one-row-per-key contract
           Snapshots.writeEpoch(spark.read.parquet(src), dir,
-            opt(args, "--version").get.toInt)
+            opt(args, "--version").get.toInt, uniqueOn = keys)
         }
         opt(args, "--compact-to").foreach { v =>
           Snapshots.compactTo(spark, dir, keys, v.toInt)

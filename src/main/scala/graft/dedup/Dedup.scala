@@ -369,16 +369,22 @@ object Dedup {
     * consistent over the filtered gram universe (the standard
     * stop-shingle-removal semantics; the oracle applies the same cap).
     */
-  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
-                        minJaccard: Double, roundTo: Int = 6,
-                        maxDocFreq: Int = 1000): DataFrame = {
-    // the exploded gram relation feeds several branches (df agg, sizes,
-    // both pair-join sides); localCheckpoint sharing was A/B-measured at
-    // the 10× probe and came out FLAT (16.1 vs 16.8 s duplicated-corpus,
-    // 4.0 vs 4.1 s sf-native: the df aggregate dominates and checkpoint
-    // block IO offsets the explode recompute) — kept unshared for the
-    // simpler lineage, unlike verifyCandidates where the upstream LSH
-    // chain makes recompute 3× expensive
+  /** Shared inverted-index core of [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]: explode char n-gram sets, drop grams
+    * above the df cap, self-join on the gram, and return per-pair
+    * (doc_a, doc_b, inter, sz_a, sz_b) — the sufficient statistics for
+    * any set-overlap measure. ONE definition so the two measures can
+    * never disagree on which pairs enter scoring.
+    *
+    * localCheckpoint sharing of the gram relation was A/B-measured at
+    * the 10× probe and came out FLAT (16.1 vs 16.8 s duplicated-corpus,
+    * 4.0 vs 4.1 s sf-native: the df aggregate dominates and checkpoint
+    * block IO offsets the explode recompute) — kept unshared for the
+    * simpler lineage, unlike verifyCandidates where the upstream LSH
+    * chain makes recompute 3× expensive.
+    */
+  private def ngramPairStats(docs: DataFrame, id: Column, text: Column,
+                             n: Int, maxDocFreq: Int): DataFrame = {
     val allGrams = docs.select(id.as("doc_id"),
         explode(array_distinct(charNgrams(text, n))).as("g"))
     val rareGrams = allGrams.groupBy("g")
@@ -387,18 +393,22 @@ object Dedup {
       .select("g")
     val grams = allGrams.join(rareGrams, Seq("g"), "left_semi")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = grams.as("a").join(grams.as("b"),
+    grams.as("a").join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
+                        minJaccard: Double, roundTo: Int = 6,
+                        maxDocFreq: Int = 1000): DataFrame =
+    ngramPairStats(docs, id, text, n, maxDocFreq)
       .withColumn("jaccard", round(col("inter") /
         (col("sz_a") + col("sz_b") - col("inter")), roundTo))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** Exact n-gram CONTAINMENT over character n-gram sets —
     * max-containment |A∩B| / min(|A|,|B|), the doc-in-doc measure
@@ -411,29 +421,12 @@ object Dedup {
     */
   def ngramContainmentPairs(docs: DataFrame, id: Column, text: Column, n: Int,
                             minContainment: Double, roundTo: Int = 6,
-                            maxDocFreq: Int = 1000): DataFrame = {
-    // same branch structure and A/B-measured no-checkpoint call as
-    // [[ngramJaccardPairs]]
-    val allGrams = docs.select(id.as("doc_id"),
-        explode(array_distinct(charNgrams(text, n))).as("g"))
-    val rareGrams = allGrams.groupBy("g")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("g")
-    val grams = allGrams.join(rareGrams, Seq("g"), "left_semi")
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+                            maxDocFreq: Int = 1000): DataFrame =
+    ngramPairStats(docs, id, text, n, maxDocFreq)
       .withColumn("containment", round(col("inter") /
         least(col("sz_a"), col("sz_b")), roundTo))
       .filter(col("containment") >= minContainment)
       .select("doc_a", "doc_b", "containment")
-  }
 
   /** Connected components over an undirected pair relation — the final
     * stage of at-scale dedup: verified near-dup PAIRS become duplicate

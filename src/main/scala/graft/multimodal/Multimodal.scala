@@ -384,13 +384,17 @@ object Multimodal {
         case _ => ()
       }
     }
-    if (w <= 0 || h <= 0) return Nil
+    // overflow guard: w·h·3 must stay inside Int, or a crafted header
+    // (e.g. H2147483647) would wrap frameSize negative and the frame walk
+    // below would never advance — an infinite loop, not a Nil return
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 3) return Nil
     val ySize = w * h
     val frameSize =
       if (colour.startsWith("mono")) ySize
       else if (colour.startsWith("444")) ySize * 3
       else if (colour.startsWith("422")) ySize * 2
       else ySize * 3 / 2 // 420 family (420jpeg/420mpeg2/420paldv)
+    if (frameSize <= 0) return Nil
     val out = scala.collection.mutable.ArrayBuffer[Y4mFrame]()
     var pos = nl + 1
     var idx = 0

@@ -31,12 +31,29 @@ object Snapshots {
   /** Write one MERGE epoch: `df` (at most one row per key; may carry a
     * boolean delete-marker column) becomes partition `_v=version`.
     * Overwrites that epoch only — earlier epochs are immutable.
+    *
+    * `uniqueOn` (optional) ENFORCES the one-row-per-key contract before
+    * writing: [[readAsOf]]'s max_by resolves last-writer-wins by `_v`
+    * alone, so a duplicate key inside one epoch would make snapshots
+    * nondeterministic with no error pointing at the bad epoch. The check
+    * is one aggregate over the epoch (epochs are refresh-sized); pass
+    * the key columns anywhere the input is not trusted (the CLI does).
     */
-  def writeEpoch(df: DataFrame, dir: String, version: Int): Unit = {
+  def writeEpoch(df: DataFrame, dir: String, version: Int,
+                 uniqueOn: Seq[String] = Nil): Unit = {
     // a data column named _v would collide with the partition column at
     // read time and silently shadow the version — fail loudly instead
     require(!df.columns.contains("_v"),
       "writeEpoch: input must not carry a _v column (reserved for the epoch version)")
+    if (uniqueOn.nonEmpty) {
+      val dup = df.groupBy(uniqueOn.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+        .collect()
+      require(dup.isEmpty,
+        s"writeEpoch: epoch $version has more than one row for key " +
+          s"${dup.headOption.map(_.toString).getOrElse("")} — the one-row-per-key-per-epoch " +
+          "contract would make readAsOf nondeterministic")
+    }
     df.write.mode("overwrite").parquet(s"$dir/_v=$version")
   }
 
@@ -87,9 +104,12 @@ object Snapshots {
     * length a 100 TB deployment replays: run periodically, the chain
     * stays O(epochs since last compaction).
     *
-    * The base is staged to `<dir>/.compact_tmp` first and swapped in
-    * only after the write succeeds (a failed compaction leaves the
-    * original chain intact).
+    * The base is staged to `<dir>/.compact_tmp` first; a failure during
+    * the WRITE leaves the original chain intact, and a failure during
+    * the swap (delete/rename report failure as booleans — both are
+    * checked and rethrown) leaves the staged base in `.compact_tmp` for
+    * manual recovery. Single-writer by contract, like every epoch
+    * operation here.
     */
   def compactTo(spark: SparkSession, dir: String, keyCols: Seq[String],
                 version: Int, deletedCol: String = "_deleted"): Unit = {
@@ -103,11 +123,20 @@ object Snapshots {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$dir/.compact_tmp"
     base.write.mode("overwrite").parquet(tmp)
+    // Hadoop delete/rename report failure as a BOOLEAN, not an exception —
+    // ignoring it here would silently destroy the chain on a failed swap.
+    // Order: olds are deleted only after the staged base is fully written;
+    // a throw mid-swap leaves the base recoverable in .compact_tmp.
     versions(spark, dir).filter(_ <= version).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_v=$v"), true)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_v=$v")
+      if (!fs.delete(p, true) && fs.exists(p))
+        throw new IllegalStateException(
+          s"compactTo: could not delete epoch $p; staged base left at $tmp")
     }
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$dir/_v=$version"))
-    (): Unit
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$dir/_v=$version")))
+      throw new IllegalStateException(
+        s"compactTo: rename $tmp -> ${s"$dir/_v=$version"} failed; " +
+          "staged base left in place for manual recovery")
   }
 }

@@ -157,7 +157,13 @@ object QSources {
     // test.
     "s15_snapshot_asof" -> ((s, d) => {
       import graft.ops.Snapshots
-      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/snapshots"
+      // spec tag in the fixture path: the cached chain is only valid for
+      // THIS epoch definition — bump the tag whenever the filters /
+      // multipliers / delete predicate below change, or a stale cached
+      // chain would silently mismatch the recomputed oracle
+      val spec = "e0-3rd_e1-2x2_e2-3x5del7"
+      val dir =
+        s"/root/repo/target/fixtures/${new java.io.File(d).getName}/snapshots_$spec"
       val marker = new org.apache.hadoop.fs.Path(dir + "/_v=2/_SUCCESS")
       if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
         val orders = t(s, d, "orders")

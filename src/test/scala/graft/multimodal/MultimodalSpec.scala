@@ -216,6 +216,10 @@ class MultimodalSpec extends SparkSpec {
     // malformed input → Nil, never a throw
     assert(Multimodal.y4mFrames("not a video".getBytes) === Nil)
     assert(Multimodal.y4mFrames(Array.empty[Byte]) === Nil)
+    // crafted overflow header (w·h·3 > Int.MaxValue) → Nil, never an
+    // infinite frame walk
+    assert(Multimodal.y4mFrames(
+      ("YUV4MPEG2 W2 H2147483647 C444\nFRAME\n" + "x" * 64).getBytes) === Nil)
   }
 
   test("demuxY4m and sampleFrames decode REAL Y4M frame bytes (U1 video)") {

@@ -88,6 +88,19 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("writeEpoch(uniqueOn) rejects a duplicate-key epoch (nondeterministic LWW otherwise)") {
+    val dir = java.nio.file.Files.createTempDirectory("snap4").toString
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "val")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.writeEpoch(dup, dir, 0, uniqueOn = Seq("k"))
+    }
+    assert(e.getMessage.contains("one-row-per-key"))
+    // unique input passes with the same check on
+    Snapshots.writeEpoch(Seq((1L, "a"), (2L, "c")).toDF("k", "val"),
+      dir, 0, uniqueOn = Seq("k"))
+    assert(Snapshots.readAsOf(spark, dir, Seq("k"), 0).count() === 2)
+  }
+
   test("readAsOf without a delete column is plain LWW") {
     val dir = java.nio.file.Files.createTempDirectory("snap2").toString
     Snapshots.writeEpoch(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), dir, 0)
