@@ -81,8 +81,11 @@ object Bench {
     // Durable full record: every per-query timing, every round, regression-
     // diffable with plain git. Written before spark.stop() so a hung
     // executor shutdown can't lose it.
+    // path override via SPARK_GRAFT_DETAIL; default is cwd-relative so the
+    // bench works from any checkout, not just /root/repo
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCHDETAIL.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCHDETAIL.json"),
+      java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // the result object must be the FINAL stdout line, alone, AFTER

@@ -552,6 +552,61 @@ object Vectors {
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                      table: String): DataFrame = spark.table(table)
 
+  /** Corpus-mean PQ reconstruction error under `books` — one number
+    * summarizing how well the (frozen) codebooks still fit a vector set;
+    * the drift statistic [[appendToIvfPqIndex]] guards on.
+    */
+  def meanPqMse(corpus: DataFrame, idCol: String, vecCol: String,
+                books: DataFrame, m: Int): Double =
+    pqReconstructionMse(corpus, idCol, vecCol, books, m)
+      .agg(avg(col("pq_mse"))).head.getDouble(0)
+
+  /** INCREMENTAL index ingest — the d9 band-index discipline
+    * ([[graft.dedup.Dedup.incrementalCandidatePairs]]) applied to ANN:
+    * encode ONLY the new shard against the EXISTING coarse centroids and
+    * PQ codebooks (both frozen at base-build time; both persisted-stable)
+    * and append its code rows to the bucketed index table. The corpus is
+    * never re-read and never re-encoded — ingest cost tracks the shard,
+    * not the index, which is what a daily-embedding-ingest deployment
+    * needs on day two. Bucket pruning and the exchange-free per-cell
+    * aggregations survive the append because every appended file carries
+    * its bucket id ([[graft.core.Bucketing.appendBucketed]]).
+    *
+    * Frozen codebooks are the one way this goes stale: a shard drawn from
+    * a drifted distribution still gets codes, just bad ones, and recall
+    * decays silently. The DRIFT GUARD makes that loud: pass
+    * `baselineMse` (the base corpus's [[meanPqMse]], recorded at build
+    * time) and the append REFUSES (IllegalStateException) when the
+    * shard's mean reconstruction error exceeds `driftFactor` × baseline —
+    * the signal to retrain codebooks and rebuild, not append. Returns the
+    * shard's mean MSE so callers can track the trend.
+    *
+    * Contract: shard ids must be new (the caller's ingest ledger, as in
+    * d9) — appending an existing vec_id would double its code rows.
+    * `buckets` must match the base table's spec; Spark validates.
+    * Append-then-query ≡ rebuild-then-query on the union is asserted in
+    * VectorsSpec and under the v15 oracle (frozen-from-base codebooks are
+    * oracle-expressible — the cb/icents CTEs just carry the base
+    * predicate).
+    */
+  def appendToIvfPqIndex(table: String, newVectors: DataFrame,
+                         idCol: String, vecCol: String,
+                         cents: DataFrame, books: DataFrame, m: Int,
+                         baselineMse: Double = Double.NaN,
+                         driftFactor: Double = 2.0,
+                         buckets: Int = 64): Double = {
+    val shardMse = meanPqMse(newVectors, idCol, vecCol, books, m)
+    if (!baselineMse.isNaN && shardMse > baselineMse * driftFactor)
+      throw new IllegalStateException(
+        f"appendToIvfPqIndex: shard mean PQ reconstruction error $shardMse%.6f " +
+          f"exceeds $driftFactor%.1f x baseline $baselineMse%.6f — the codebooks " +
+          "no longer fit the incoming distribution; retrain and rebuild instead of appending")
+    graft.core.Bucketing.appendBucketed(
+      ivfPqIndex(newVectors, idCol, vecCol, cents, books, m),
+      table, "ivf_cell", buckets)
+    shardMse
+  }
+
   /** [[ivfPqTopK]] over an already-built [[ivfPqIndex]] relation — the
     * production form: the index is encoded once and persisted
     * ([[writeIvfPqIndex]]); each query batch pays only probe ranking + the

@@ -12,10 +12,38 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed + in-bucket-sorted managed parquet table. */
+  /** Write `df` as a bucketed + in-bucket-sorted managed parquet table.
+    * Replaces any previous incarnation: with the in-memory catalog a
+    * PREVIOUS session's managed location can survive on disk with no
+    * catalog entry, and saveAsTable("overwrite") refuses such an orphan
+    * (LOCATION_ALREADY_EXISTS) — so the stale location is dropped first.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc) && !fs.delete(loc, true))
+      throw new IllegalStateException(
+        s"writeBucketed: could not remove stale table location $loc")
     df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Append a shard to an EXISTING bucketed table — the incremental-ingest
+    * half of the pay-the-shuffle-once pattern: only the shard is shuffled
+    * into buckets (cost tracks the shard, not the table), each append lands
+    * one more bucket-tagged file set per bucket, and bucket pruning /
+    * exchange-free joins keep working because every file carries its bucket
+    * id. `key`/`buckets` must match the spec the table was created with
+    * ([[writeBucketed]]) — Spark validates and fails loudly on mismatch.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int): Unit =
+    df.write.mode("append").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 

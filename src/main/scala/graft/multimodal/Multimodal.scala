@@ -406,7 +406,10 @@ object Multimodal {
         if (e <= bytes.length && e - pos >= 5)
           new String(bytes, pos, 5, java.nio.charset.StandardCharsets.US_ASCII)
         else ""
-      if (e >= bytes.length || marker != "FRAME" || e + 1 + frameSize > bytes.length)
+      // frame-extent check in Long: frameSize can be Int.MaxValue-1 for a
+      // header that passes the w·h·3 guard (e.g. W715827882 H1 C444), so
+      // Int `e + 1 + frameSize` would wrap negative and accept a bogus frame
+      if (e >= bytes.length || marker != "FRAME" || e.toLong + 1 + frameSize > bytes.length)
         ok = false
       else {
         out += Y4mFrame(idx, w, h, e + 1, ySize, frameSize)

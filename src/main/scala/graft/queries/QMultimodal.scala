@@ -279,7 +279,11 @@ object QMultimodal {
                     FROM p)
          SELECT doc_id, CAST(j AS INT) AS frame_idx, width, height,
                 round(((doc_id * 7 + j * 13) % 256) / 255.0, 6) AS mean_luma
-         FROM f WHERE j % 2 = 0 AND j <= 2""",
+         -- demuxY4m(stride=2, maxFrames=2): sampled frames are j % stride = 0,
+         -- and take(maxFrames) keeps sampled-rank j // stride < maxFrames —
+         -- derived from the constants, not a hand-solved literal, so changing
+         -- stride/maxFrames on the Spark side desynchronizes loudly here too
+         FROM f WHERE j % 2 = 0 AND (j // 2) < 2""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'

@@ -202,6 +202,31 @@ object QVectors {
         cents, books, PqM)
       Vectors.ivfPqResidualTopKFromIndex(idx, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", cents, books, PqM, 5, nprobe = 2)
+    }),
+
+    // V15: INCREMENTAL index ingest under the oracle — build the bucketed
+    // IVF-PQ index from a BASE corpus (vec_id % 7 != 0), freeze its
+    // quantizers, append the shard (every 7th vector) with
+    // appendToIvfPqIndex (drift-guarded against the base's recorded MSE),
+    // and query the persisted table. The oracle is v13's composition with
+    // the base predicate on the cb/icents CTEs — append-then-query must
+    // equal training-frozen-quantizers-then-encoding-everything.
+    "v15_ivfpq_append_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") % 7 =!= 0)
+      val shard = emb.filter(col("vec_id") % 7 === 0)
+      val cents = Vectors.stepCentroids(base, "vec_id", "embedding", 50)
+      val books = Vectors.pqCodebooksStep(base, "vec_id", "embedding", PqM, PqStep)
+      val tbl = "graft_v15_ivfpq"
+      val baseMse = Vectors.meanPqMse(base, "vec_id", "embedding", books, PqM)
+      Vectors.writeIvfPqIndex(
+        Vectors.ivfPqIndex(base, "vec_id", "embedding", cents, books, PqM),
+        tbl, buckets = 8)
+      Vectors.appendToIvfPqIndex(tbl, shard, "vec_id", "embedding",
+        cents, books, PqM, baselineMse = baseMse, buckets = 8)
+      Vectors.ivfPqTopKFromIndex(Vectors.readIvfPqIndex(s, tbl),
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        cents, books, PqM, 5, nprobe = 2)
     }))
 
   /** DuckDB fragment: hyperplane p as a DOUBLE[] expression recomputing the
@@ -217,7 +242,7 @@ object QVectors {
     * engine's exact dot-product decomposition, −0.0 normalization, and
     * cent_id tie-break).
     */
-  private val pqSql: String = {
+  private def pqSqlFrom(basePred: String): String = {
     val subDim = Dim / PqM
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               psub AS (SELECT vec_id, u.sub AS sub, u.sv AS sv FROM (
@@ -226,7 +251,7 @@ object QVectors {
                                 'sv': v[CAST(j * $subDim + 1 AS INT):CAST(j * $subDim + $subDim AS INT)]})) AS u
                         FROM e)),
               cb AS (SELECT sub, vec_id AS cent_id, sv AS cv
-                     FROM psub WHERE vec_id % $PqStep = 0),
+                     FROM psub WHERE vec_id % $PqStep = 0 AND ($basePred)),
               pdist AS (SELECT s.vec_id, s.sub, c.cent_id,
                                list_dot_product(s.sv, s.sv)
                                  - 2.0 * list_dot_product(s.sv, c.cv)
@@ -238,6 +263,57 @@ object QVectors {
                                  ORDER BY d + 0.0, cent_id) AS rn
                         FROM pdist) WHERE rn = 1)"""
   }
+
+  private val pqSql: String = pqSqlFrom("TRUE")
+
+  /** The full IVF-PQ probed-ADC oracle (v13's composition), parametrized
+    * on the predicate defining which vectors the QUANTIZERS (PQ codebooks
+    * and coarse centroids) are drawn from. "TRUE" = trained on the whole
+    * corpus (v13); a base predicate = frozen-from-base quantizers, i.e.
+    * the incremental-append semantics (v15). Assignment/encoding always
+    * covers ALL vectors — exactly what append-then-query produces.
+    */
+  private def ivfPqOracleSql(basePred: String): String =
+    s"""WITH ${pqSqlFrom(basePred)},
+              codes AS (SELECT vec_id, sub, cent_id AS cell FROM asg),
+              cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+              icents AS (SELECT vec_id AS icent, v AS cv, vn AS cvn
+                         FROM cn WHERE vec_id % 50 = 0 AND ($basePred)),
+              ica AS (SELECT vec_id, ivf_cell FROM (
+                        SELECT cn.vec_id, icent AS ivf_cell,
+                               row_number() OVER (PARTITION BY cn.vec_id
+                                 ORDER BY list_dot_product(cn.v, cv) / (cn.vn * cvn) + 0.0 DESC,
+                                          icent) AS rk
+                        FROM cn, icents) WHERE rk = 1),
+              qp AS (SELECT query_id, ivf_cell FROM (
+                       SELECT cn.vec_id AS query_id, icent AS ivf_cell,
+                              row_number() OVER (PARTITION BY cn.vec_id
+                                ORDER BY list_dot_product(cn.v, cv) / (cn.vn * cvn) + 0.0 DESC,
+                                         icent) AS pr
+                       FROM cn, icents WHERE cn.vec_id < 8) WHERE pr <= 2),
+              qs AS (SELECT vec_id AS query_id, sub, sv FROM psub WHERE vec_id < 8),
+              tbl AS (SELECT q.query_id, q.sub, c.cent_id AS cell,
+                             list_dot_product(q.sv, q.sv)
+                               - 2.0 * list_dot_product(q.sv, c.cv)
+                               + list_dot_product(c.cv, c.cv) AS part
+                      FROM qs q JOIN cb c USING (sub)),
+              ad AS (SELECT t.query_id, k.vec_id, list(t.part ORDER BY t.sub) AS plist
+                     FROM codes k
+                     JOIN ica ON k.vec_id = ica.vec_id
+                     JOIN qp ON ica.ivf_cell = qp.ivf_cell
+                     JOIN tbl t ON t.query_id = qp.query_id
+                       AND k.sub = t.sub AND k.cell = t.cell
+                     WHERE k.vec_id != qp.query_id
+                     GROUP BY 1, 2),
+              ads AS (SELECT query_id, vec_id,
+                             round(list_dot_product(plist,
+                               list_transform(plist, x -> 1.0)), 6) AS adist
+                      FROM ad)
+          SELECT query_id, vec_id, adist, CAST(rk AS INT) AS rk FROM (
+            SELECT query_id, vec_id, adist,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adist, vec_id) AS rk
+            FROM ads) WHERE rk <= 5"""
 
   def oracle: Map[String, String] = Map(
     "v11_pq_error" ->
@@ -304,47 +380,13 @@ object QVectors {
           FROM br b LEFT JOIN adc5 a
             ON b.query_id = a.query_id AND b.vec_id = a.vec_id
           GROUP BY b.query_id""",
-    "v13_ivfpq_topk" ->
-      s"""WITH $pqSql,
-              codes AS (SELECT vec_id, sub, cent_id AS cell FROM asg),
-              cn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
-              icents AS (SELECT vec_id AS icent, v AS cv, vn AS cvn
-                         FROM cn WHERE vec_id % 50 = 0),
-              ica AS (SELECT vec_id, ivf_cell FROM (
-                        SELECT cn.vec_id, icent AS ivf_cell,
-                               row_number() OVER (PARTITION BY cn.vec_id
-                                 ORDER BY list_dot_product(cn.v, cv) / (cn.vn * cvn) + 0.0 DESC,
-                                          icent) AS rk
-                        FROM cn, icents) WHERE rk = 1),
-              qp AS (SELECT query_id, ivf_cell FROM (
-                       SELECT cn.vec_id AS query_id, icent AS ivf_cell,
-                              row_number() OVER (PARTITION BY cn.vec_id
-                                ORDER BY list_dot_product(cn.v, cv) / (cn.vn * cvn) + 0.0 DESC,
-                                         icent) AS pr
-                       FROM cn, icents WHERE cn.vec_id < 8) WHERE pr <= 2),
-              qs AS (SELECT vec_id AS query_id, sub, sv FROM psub WHERE vec_id < 8),
-              tbl AS (SELECT q.query_id, q.sub, c.cent_id AS cell,
-                             list_dot_product(q.sv, q.sv)
-                               - 2.0 * list_dot_product(q.sv, c.cv)
-                               + list_dot_product(c.cv, c.cv) AS part
-                      FROM qs q JOIN cb c USING (sub)),
-              ad AS (SELECT t.query_id, k.vec_id, list(t.part ORDER BY t.sub) AS plist
-                     FROM codes k
-                     JOIN ica ON k.vec_id = ica.vec_id
-                     JOIN qp ON ica.ivf_cell = qp.ivf_cell
-                     JOIN tbl t ON t.query_id = qp.query_id
-                       AND k.sub = t.sub AND k.cell = t.cell
-                     WHERE k.vec_id != qp.query_id
-                     GROUP BY 1, 2),
-              ads AS (SELECT query_id, vec_id,
-                             round(list_dot_product(plist,
-                               list_transform(plist, x -> 1.0)), 6) AS adist
-                      FROM ad)
-          SELECT query_id, vec_id, adist, CAST(rk AS INT) AS rk FROM (
-            SELECT query_id, vec_id, adist,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY adist, vec_id) AS rk
-            FROM ads) WHERE rk <= 5""",
+    "v13_ivfpq_topk" -> ivfPqOracleSql("TRUE"),
+    // v15: the SAME probed-ADC composition, but codebooks and coarse
+    // centroids frozen from the BASE corpus (vec_id % 7 != 0) — the
+    // incremental-append semantics of Vectors.appendToIvfPqIndex: the
+    // shard (every 7th vector) is encoded against the frozen quantizers,
+    // so append-then-query over base+shard is exactly this SQL.
+    "v15_ivfpq_append_topk" -> ivfPqOracleSql("vec_id % 7 != 0"),
     "v14_ivfpq_residual_topk" -> {
       val subDim = Dim / PqM
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,

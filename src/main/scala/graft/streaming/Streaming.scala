@@ -292,18 +292,42 @@ object Streaming {
     * keyed-refresh shape); a boolean delete-marker column streams
     * deletes. StreamingSpec asserts version-by-version equality with a
     * directly-written batch epoch chain.
+    *
+    * `compactEvery` (opt-in, requires `keyCols`) bounds the replay chain
+    * the way the batch path does with a manual
+    * [[graft.ops.Snapshots.compactTo]]: every N micro-batches the chain
+    * BELOW the current epoch is compacted into one base. The target is
+    * `id - 1`, never `id` itself — a replayed micro-batch overwrites its
+    * own `_v=id` directory (the idempotence device above), which would
+    * destroy a base compacted AT `id`; at `id - 1` the replay rewrites
+    * only its own epoch and the base stays intact, so the
+    * compact-then-crash-then-replay path is idempotent. Chain length
+    * stays O(compactEvery) instead of O(total micro-batches).
     */
   def snapshotEpochStream(updates: DataFrame, dir: String,
                           checkpointDir: String,
-                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          keyCols: Seq[String] = Nil,
+                          compactEvery: Int = 0): StreamingQuery = {
+    require(compactEvery == 0 || keyCols.nonEmpty,
+      "snapshotEpochStream: compactEvery needs keyCols for last-writer-wins compaction")
     updates.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // epoch versions are Int partition values; a batch id past
+        // Int.MaxValue would wrap negative and corrupt last-writer-wins
+        // ordering — fail loudly instead
+        require(id <= Int.MaxValue,
+          s"snapshotEpochStream: micro-batch id $id exceeds Int epoch range")
         graft.ops.Snapshots.writeEpoch(batch, dir, id.toInt)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          graft.ops.Snapshots.compactTo(
+            batch.sparkSession, dir, keyCols, id.toInt - 1)
       }
       .start()
+  }
 
   /** Run a streaming aggregate to completion over the currently-available
     * input and return the final snapshot as a batch DataFrame (test/driver

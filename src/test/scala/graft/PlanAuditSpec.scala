@@ -74,10 +74,12 @@ class PlanAuditSpec extends SparkSpec {
     //  - v14: v13's tiny-centroid crosses (corpus cell assignment + query
     //    probe ranking), twice — once more for the residual encoding; the
     //    code joins stay equi on (ivf_cell, sub, cell)
+    //  - v15: the same tiny-centroid crosses as v13 (shard cell assignment
+    //    at append time + query probe ranking against the frozen centroids)
     val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
       "v5_ivf_topk", "v6_ivf_nprobe", "v7_lsh_recall", "v8_semantic_dedup",
       "v9_kmeans_recall", "v12_pq_adc_recall", "v13_ivfpq_topk",
-      "v14_ivfpq_residual_topk",
+      "v14_ivfpq_residual_topk", "v15_ivfpq_append_topk",
       "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }

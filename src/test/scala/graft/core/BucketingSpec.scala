@@ -106,6 +106,63 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("incremental IVF-PQ append: append==rebuild, pruning survives, drift guard refuses") {
+    import graft.ann.Vectors
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val base = vecs.filter(col("vec_id") < 45)
+    val shard = vecs.filter(col("vec_id") >= 45)
+    val m = 2
+    // quantizers frozen at base-build time — the incremental contract
+    val books = Vectors.pqCodebooksStep(base, "vec_id", "embedding", m, 10)
+    val cents = Vectors.stepCentroids(base, "vec_id", "embedding", 10)
+    val baseMse = Vectors.meanPqMse(base, "vec_id", "embedding", books, m)
+    Vectors.writeIvfPqIndex(
+      Vectors.ivfPqIndex(base, "vec_id", "embedding", cents, books, m),
+      "ivfpq_append_b", 8)
+    val shardMse = Vectors.appendToIvfPqIndex("ivfpq_append_b", shard,
+      "vec_id", "embedding", cents, books, m, baselineMse = baseMse, buckets = 8)
+    assert(shardMse >= 0.0)
+    val back = Vectors.readIvfPqIndex(spark, "ivfpq_append_b")
+    assert(back.count() === vecs.count() * m)
+    // append-then-query == rebuild-then-query on the union
+    val rebuilt = Vectors.ivfPqIndex(vecs, "vec_id", "embedding", cents, books, m)
+    val q = vecs.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(Vectors.ivfPqTopKFromIndex(back, q, "vec_id", "embedding",
+        cents, books, m, 5, nprobe = 2)) ===
+      rows(Vectors.ivfPqTopKFromIndex(rebuilt, q, "vec_id", "embedding",
+        cents, books, m, 5, nprobe = 2)))
+    // bucket pruning survives the append (appended files carry bucket ids)
+    val prevAuto = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val scan = try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      back.filter(col("ivf_cell").isin(0L, 10L))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    assert(scan.contains("SelectedBucketsCount"), scan)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(scan).get
+    assert(sel.group(1).toInt < sel.group(2).toInt, scan)
+    // drift guard: a shard from a shifted distribution (×100 scale) must
+    // refuse loudly instead of silently degrading recall
+    val drifted = shard.select((col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => x * 100).as("embedding"))
+    val e = intercept[IllegalStateException] {
+      Vectors.appendToIvfPqIndex("ivfpq_append_b", drifted,
+        "vec_id", "embedding", cents, books, m,
+        baselineMse = baseMse, buckets = 8)
+    }
+    assert(e.getMessage.contains("retrain"))
+    // the refused shard must NOT have been inserted
+    assert(Vectors.readIvfPqIndex(spark, "ivfpq_append_b").count() ===
+      vecs.count() * m)
+  }
+
   test("aggregation on the bucket key needs no exchange either") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
