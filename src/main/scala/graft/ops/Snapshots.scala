@@ -67,6 +67,12 @@ object Snapshots {
     // an empty key set would make groupBy() a single global aggregate and
     // return one arbitrary row — never what a snapshot read means
     require(keyCols.nonEmpty, "readAsOf: keyCols must be non-empty")
+    // history below a compaction point is GONE by design — an asOf there
+    // must fail loud, not return an empty (silently wrong) snapshot
+    val vs = versions(spark, dir)
+    require(vs.isEmpty || version >= vs.min,
+      s"readAsOf: version $version predates the oldest epoch ${vs.headOption.getOrElse(-1)} — " +
+        "history below a compaction point no longer exists")
     val all = spark.read.parquet(dir).filter(col("_v") <= version)
     val snap = all
       .groupBy(keyCols.map(col): _*)
@@ -110,6 +116,16 @@ object Snapshots {
     * checked and rethrown) leaves the staged base in `.compact_tmp` for
     * manual recovery. Single-writer by contract, like every epoch
     * operation here.
+    *
+    * CONCURRENT READERS: compaction deletes epoch directories a reader
+    * planned before the swap may still reference. The guarantee is
+    * succeed-or-fail-loud, never silently wrong: a pre-planned readAsOf
+    * either completes against the files it captured or throws on the
+    * missing ones (SnapshotsSpec asserts this), and a FRESH readAsOf
+    * below the compaction point is rejected by the oldest-epoch guard.
+    * Schedule compaction in the ingest process (e.g.
+    * [[graft.streaming.Streaming.snapshotEpochStream]]'s compactEvery),
+    * not concurrently with ad-hoc history reads.
     */
   def compactTo(spark: SparkSession, dir: String, keyCols: Seq[String],
                 version: Int, deletedCol: String = "_deleted"): Unit = {

@@ -55,6 +55,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(snap(2) === at2)
   }
 
+  test("compactTo under a concurrent reader: a pre-planned readAsOf succeeds or fails loud, never silently wrong") {
+    val dir = java.nio.file.Files.createTempDirectory("snapconc").toString
+    Snapshots.writeEpoch(Seq((1L, "a"), (2L, "b")).toDF("k", "val"), dir, 0)
+    Snapshots.writeEpoch(Seq((2L, "b2"), (3L, "c")).toDF("k", "val"), dir, 1)
+    Snapshots.writeEpoch(Seq((4L, "d")).toDF("k", "val"), dir, 2)
+    val expected = Snapshots.readAsOf(spark, dir, Seq("k"), 1)
+      .as[(Long, String)].collect().toMap
+    // a reader plans asOf(1) (file listing captured at plan time), then a
+    // compaction to v=2 deletes the _v=0 and _v=1 directories under it
+    val planned = Snapshots.readAsOf(spark, dir, Seq("k"), 1)
+    planned.queryExecution.executedPlan // force planning before the swap
+    Snapshots.compactTo(spark, dir, Seq("k"), 2)
+    // single-writer is the documented contract; for a concurrent READER
+    // the guarantee is weaker but real: the pre-planned scan either still
+    // returns the correct snapshot or throws (missing files) — an empty
+    // or partial result would be the silent-corruption case
+    scala.util.Try(planned.as[(Long, String)].collect().toMap) match {
+      case scala.util.Success(m) => assert(m === expected, "silently wrong snapshot")
+      case scala.util.Failure(_) => () // loud failure: acceptable
+    }
+    // a FRESH asOf below the compaction point is documented-gone history:
+    // it fails loud (guard in readAsOf), never an empty fabricated snapshot
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, dir, Seq("k"), 1)
+    }
+    assert(e.getMessage.contains("compaction"))
+  }
+
   test("property: random epoch chains match a driver-side LWW model at every version, before and after compaction") {
     val rnd = new scala.util.Random(47)
     for (trial <- 1 to 5) {

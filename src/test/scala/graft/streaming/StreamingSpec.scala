@@ -123,6 +123,35 @@ class StreamingSpec extends SparkSpec {
     assert(asOf(s"$dir/snap", 1) === wantFinal)
   }
 
+  test("snapshotEpochStream compactEvery: chain stays bounded, readAsOf correct across mid-stream compaction") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.Snapshots
+    val dir = tmp("snapcompact")
+    // six single-key-update files + maxFilesPerTrigger=1 → six micro-batch
+    // epochs (ids 0..5); distinct keys make the final LWW state independent
+    // of the file-source arrival order
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "val").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Streaming.snapshotEpochStream(stream, s"$dir/snap", s"$dir/ckpt",
+      Trigger.AvailableNow(), keyCols = Seq("k"), compactEvery = 2)
+    q.awaitTermination()
+    // compactions fired at batches 2 and 4 (each targeting id-1): the
+    // chain on disk is {base _v=3, 4, 5} — bounded, never all six epochs
+    val vs = Snapshots.versions(spark, s"$dir/snap")
+    assert(vs === Seq(3, 4, 5), s"chain not compacted: $vs")
+    // the compacted chain still answers correctly: final state is all six
+    // updates, and the base epoch holds exactly the first four
+    val fin = Snapshots.readAsOf(spark, s"$dir/snap", Seq("k"), 5)
+      .as[(Long, String)].collect().toMap
+    assert(fin === (0 until 6).map(i => i.toLong -> s"v$i").toMap)
+    assert(Snapshots.readAsOf(spark, s"$dir/snap", Seq("k"), 3).count() === 4)
+  }
+
   test("streaming Y4M demux (binaryFile stream) == batch demuxY4m") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.multimodal.Multimodal
