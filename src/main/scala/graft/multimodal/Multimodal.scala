@@ -188,6 +188,101 @@ object Multimodal {
     round(wavDataBytes(c) * lit(8000.0) /
       (wavSampleRate(c) * wavChannels(c) * wavBitsPerSample(c)), 3)
 
+  /** A COMPLETE PCM16 WAV — [[wavHeader]] plus a real little-endian int16
+    * sample payload, built entirely from pure hex expressions (codegen'd,
+    * no UDF; the audio analog of [[bmpImage]]/[[y4mVideo]]). `samples` is
+    * an array<int> of 16-bit values in [-32768, 32767], serialized
+    * interleaved in array order. Lets an oracle-checked query drive the
+    * [[decodeWavSamples]] PCM edge end-to-end from table columns alone.
+    */
+  def wavPcm16(sampleRate: Column, channels: Column,
+               samples: Column): Column = {
+    // two's-complement LE int16: value mod 2^16 hex-dumped to 4 digits,
+    // then byte-swapped (low byte first)
+    val payloadHex = array_join(transform(samples, s => {
+      val u = ((s.cast("long") % 65536) + 65536) % 65536
+      val hx = lpad(hex(u), 4, "0")
+      concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    }), "")
+    concat(wavHeader(sampleRate, channels, lit(16), size(samples) * 2),
+      unhex(payloadHex))
+  }
+
+  /** Decoded-clip record produced by [[decodeWavSamples]]. */
+  case class WavClip(path: String, sample_rate: Int, channels: Int,
+                     n_samples: Int, mean_amp: Double, rms: Double)
+
+  /** U1 (audio): REAL PCM sample decode — walk the RIFF chunk list (not
+    * just the canonical 44-byte layout: fmt/data found wherever they sit,
+    * word-aligned, sizes read as unsigned and bounds-checked in Long),
+    * decode the int16 payload, and emit per-clip amplitude stats:
+    * mean_amp = mean(s/32768), rms = sqrt(mean((s/32768)²)), both summed
+    * in sample order (ordered fold, cross-engine float parity) and
+    * rounded to 6 decimals. `n_samples` counts FRAMES (payload int16s /
+    * channels; stats cover all interleaved values). Non-PCM16, malformed,
+    * or truncated input yields Nil — the [[parseNpy]] convention, never a
+    * throw.
+    */
+  def decodeWavSamples(files: DataFrame, pathCol: String = "path",
+                       contentCol: String = "content"): Dataset[WavClip] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(pathCol), col(contentCol)).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => parseWavPcm16(path, bytes) }
+  }
+
+  private[multimodal] def parseWavPcm16(path: String,
+                                        bytes: Array[Byte]): Option[WavClip] = {
+    def ascii(off: Int, n: Int): String =
+      if (off + n <= bytes.length)
+        new String(bytes, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def leU(off: Int, n: Int): Long = {
+      var v = 0L; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (bytes(off + i) & 0xffL); i -= 1 }
+      v
+    }
+    if (bytes.length < 12 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+      return None
+    var pos = 12L
+    var fmtOk = false
+    var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1L; var dataLen = -1L
+    // chunk walk in Long: a crafted u32 size must not wrap the cursor
+    while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val id = ascii(pos.toInt, 4)
+      val sz = leU(pos.toInt + 4, 4)
+      val body = pos + 8
+      if (id == "fmt " && sz >= 16 && body + 16 <= bytes.length) {
+        val audioFormat = leU(body.toInt, 2)
+        channels = leU(body.toInt + 2, 2).toInt
+        sampleRate = leU(body.toInt + 4, 4).toInt
+        bits = leU(body.toInt + 14, 2).toInt
+        fmtOk = audioFormat == 1L
+      } else if (id == "data") {
+        dataOff = body; dataLen = sz
+      }
+      pos = body + sz + (sz & 1L) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || bits != 16 || channels < 1 || dataOff < 0 ||
+        dataOff + dataLen > bytes.length) return None
+    val n = (dataLen / 2L).toInt
+    var sum = 0.0; var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val off = (dataOff + 2L * i).toInt
+      val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+      val a = s / 32768.0
+      sum += a; sumSq += a * a
+      i += 1
+    }
+    val mean = if (n == 0) 0.0 else sum / n
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+    Some(WavClip(path, sampleRate, channels, n / channels,
+      BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   /** Decoded-image record produced at the mapPartitions edge. */
   case class DecodedImage(path: String, width: Int, height: Int,
                           format: String, meanLuma: Double)

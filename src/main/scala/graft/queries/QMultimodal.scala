@@ -149,6 +149,25 @@ object QMultimodal {
     // ARRAY<BIGINT>: the driver's oracle compare sorts column values and
     // cannot hash raw array cells (round-4 verdict); library callers get
     // the array form from Multimodal.imageFeatures directly.
+    // U2b (audio): REAL PCM decode under the oracle — build a complete
+    // PCM16 WAV per document (header + little-endian sample payload from
+    // table columns), decode the actual bytes with the RIFF chunk-walking
+    // parser, and emit per-clip amplitude stats. Sample j of doc d is
+    // ((d·131 + j·17) mod 2^16) − 32768, so the oracle recomputes
+    // mean/RMS arithmetically (the u1d/u4 pattern, closing the last
+    // header-only multimodal edge).
+    "u2b_wav_samples" -> ((s, d) => {
+      val n = (col("doc_id") % 5 + 3).cast("int")
+      val samples = transform(sequence(lit(0), n - 1),
+        j => ((col("doc_id") * 131 + j * 17) % 65536 - 32768).cast("int"))
+      val files = t(s, d, "documents")
+        .select(col("doc_id").cast("string").as("path"),
+          wavPcm16(lit(8000), lit(1), samples).as("content"))
+      decodeWavSamples(files).toDF()
+        .select(col("path").cast("long").as("doc_id"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("mean_amp"), col("rms"))
+    }),
+
     "u1e_luma_hist" -> ((s, d) => {
       val files = t(s, d, "documents")
         .select(col("doc_id").cast("string").as("path"),
@@ -234,6 +253,24 @@ object QMultimodal {
          SELECT doc_id, 'riff' AS fmt, sample_rate, channels, bits, data_bytes,
                 round(data_bytes * 8000.0 / (sample_rate * channels * bits), 3) AS duration_ms
          FROM p""",
+    "u2b_wav_samples" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 5 + 3 AS BIGINT) AS n
+              FROM documents),
+              f AS (SELECT doc_id, unnest(range(0, n)) AS j FROM p),
+              sv AS (SELECT doc_id, j,
+                (((doc_id * 131 + j * 17) % 65536) - 32768) / 32768.0 AS a
+              FROM f),
+              ag AS (SELECT doc_id, list(a ORDER BY j) AS al
+                     FROM sv GROUP BY doc_id)
+         SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(len(al) AS INT) AS n_samples,
+                -- ordered folds (list_dot_product over the j-ordered list)
+                -- match the decoder's sample-order summation exactly
+                round(list_dot_product(al, list_transform(al, x -> 1.0))
+                  / len(al), 6) AS mean_amp,
+                round(sqrt(list_dot_product(al, al) / len(al)), 6) AS rms
+         FROM ag""",
     "u3_frame_plan" ->
       """WITH p AS (SELECT doc_id,
                 CAST(least(greatest(floor(octet_length(encode(text)) / 64), 1), 32) AS BIGINT) AS n_frames

@@ -279,6 +279,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavPcm16 fixture round-trips through parseWavPcm16 with exact sample stats (U1 audio)") {
+    val samples = Seq(0, 1, -1, 32767, -32768, 12345, -12345)
+    val df = Seq(("clip", samples)).toDF("path", "s")
+      .select(col("path"),
+        Multimodal.wavPcm16(lit(8000), lit(1), col("s")).as("content"))
+    val clip = Multimodal.decodeWavSamples(df).collect().head
+    assert(clip.sample_rate === 8000 && clip.channels === 1)
+    assert(clip.n_samples === samples.length)
+    val amps = samples.map(_ / 32768.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(clip.mean_amp === r6(amps.sum / amps.length))
+    assert(clip.rms === r6(math.sqrt(amps.map(a => a * a).sum / amps.length)))
+    // the parser is a real chunk walker, not a 44-byte-offset reader: an
+    // extra LIST chunk between fmt and data must not break it
+    val canonical = df.select(col("content")).as[Array[Byte]].collect().head
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(canonical, 0, 36)                    // RIFF..fmt chunk
+    bos.write("LIST".getBytes("ASCII")); bos.write(Array[Byte](4, 0, 0, 0))
+    bos.write("INFO".getBytes("ASCII"))            // 4-byte LIST body
+    bos.write(canonical, 36, canonical.length - 36) // data chunk
+    val shifted = Multimodal.parseWavPcm16("clip", bos.toByteArray)
+    assert(shifted.contains(clip.copy()))
+    // malformed input: truncated payload, wrong magic, non-PCM16 → None
+    assert(Multimodal.parseWavPcm16("t", canonical.dropRight(3)).isEmpty)
+    assert(Multimodal.parseWavPcm16("t", "JUNK".getBytes("ASCII")).isEmpty)
+    val nonPcm = canonical.clone(); nonPcm(20) = 3  // audioFormat = float
+    assert(Multimodal.parseWavPcm16("t", nonPcm).isEmpty)
+  }
+
   test("blobSink writes payloads from executors (S8)") {
     val out = Files.createTempDirectory("mmout").toString
     val df = Seq(("x.bin", Array[Byte](1, 2, 3)), ("y.bin", Array[Byte](9)))
