@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3] [--substr-n 5]
+  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
@@ -76,7 +76,10 @@ object Main {
         val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
           minQuality = opt(args, "--min-quality").map(_.toDouble).getOrElse(0.5),
           minJaccard = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3),
-          substrN = opt(args, "--substr-n").map(_.toInt))
+          substrN = opt(args, "--substr-n").map(_.toInt),
+          minContainment = opt(args, "--min-containment").map(_.toDouble),
+          maxPerSource = opt(args, "--max-per-source").map(_.toInt).getOrElse(0),
+          sourceCol = opt(args, "--source-col").getOrElse("source"))
         opt(args, "--output") match {
           case Some(out) => kept.write.mode("overwrite").parquet(out)
           case None      => println(s"[dedup] kept ${kept.count()} documents")

@@ -125,6 +125,25 @@ object Sampling {
       .drop("__stratum", "__n", "__tgt", "__copies", "__rep", "__h", "__rn")
   }
 
+  /** X15: per-source DOMAIN CAP — keep at most `maxPerSource` rows per
+    * `source`, chosen by deterministic hash rank (detHash(key), then key —
+    * a stable, seedless uniform draw, the X1 convention), so one crawled
+    * domain cannot dominate a training corpus. The row_number window
+    * partitions BY SOURCE: per-group sorts of bounded groups, never a
+    * corpus-global order. Skewed sources (one domain = half the corpus)
+    * are exactly the case the cap exists for; the window sort of that one
+    * group is the cost of selecting its N survivors, bounded by the
+    * group's own size.
+    */
+  def domainCap(df: DataFrame, source: Column, key: Column,
+                maxPerSource: Int): DataFrame = {
+    require(maxPerSource > 0, s"domainCap: cap must be positive, got $maxPerSource")
+    df.withColumn("__r", row_number().over(
+        Window.partitionBy(source).orderBy(Determinism.detHash(key), key)))
+      .filter(col("__r") <= maxPerSource)
+      .drop("__r")
+  }
+
   /** X3: deterministic global shuffle — a stable permutation position.
     * Simple form: a global window = every row through ONE task. Use only
     * for driver-bounded inputs; [[shufflePositionDistributed]] computes the

@@ -154,25 +154,54 @@ object Pipelines {
     *     [[graft.dedup.Dedup.scrubDuplicateRuns]]) written back to
     *     `textColName`.
     *
+    * Two opt-in stages extend the chain (the d11/x15 operators):
+    *
+    *  - `maxPerSource` + `sourceCol`: a PRE-SAMPLING DOMAIN CAP applied
+    *    right after the quality gate — at most N docs per source, chosen
+    *    by deterministic hash rank ([[graft.ops.Sampling.domainCap]]), so
+    *    one crawled domain cannot dominate the corpus AND every later
+    *    stage (signatures, pair joins, CC) shrinks with it. Windows are
+    *    per-source, never corpus-global.
+    *  - `minContainment`: a CONTAINMENT pass alongside Jaccard
+    *    verification — doc-in-doc near-superset duplicates (|A∩B| /
+    *    min(|A|,|B|), Broder) whose Jaccard stays low join the pair
+    *    relation before clustering, so an embedded copy collapses into
+    *    its superset's cluster ([[graft.dedup.Dedup
+    *    .ngramContainmentPairs]]; same inverted-index + stop-gram cap).
+    *
     * Returns the kept documents with their original columns (the text
     * column rewritten when `substrN` is set). All stages are the same
-    * oracle-checked operators as d1/d2/d5/d6/d7/d10.
+    * oracle-checked operators as d1/d2/d5/d6/d7/d10/d11/x15.
     */
   def dedupCorpus(docs: DataFrame, id: Column, text: Column,
                   minQuality: Double = 0.5, minhashK: Int = 8,
                   bandSize: Int = 4, ngram: Int = 3,
                   minJaccard: Double = 0.3,
                   substrN: Option[Int] = None,
-                  textColName: String = "text"): DataFrame = {
+                  textColName: String = "text",
+                  minContainment: Option[Double] = None,
+                  maxPerSource: Int = 0,
+                  sourceCol: String = "source"): DataFrame = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     val quality = docs.filter(
       round(graft.text.TextFunctions.qualityScoreNative(text), 6) >= minQuality)
-    val exact = Dedup.exactDedup(quality, id, text).localCheckpoint(false)
+    val capped =
+      if (maxPerSource <= 0) quality
+      else graft.ops.Sampling.domainCap(quality, col(sourceCol), id, maxPerSource)
+    val exact = Dedup.exactDedup(capped, id, text).localCheckpoint(false)
     val cands = Dedup.lshCandidatePairs(
       Dedup.minhashSignatures(exact, id, text, minhashK), bandSize)
     val verified = Dedup.verifyCandidates(exact, cands, id, text, ngram, minJaccard)
-    val clusters = Dedup.connectedComponents(verified, "doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = minContainment match {
+      case None => verified
+      case Some(minC) =>
+        verified.union(
+          Dedup.ngramContainmentPairs(exact, id, text, ngram, minC)
+            .select(col("doc_a"), col("doc_b")))
+    }
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     // drop every clustered doc that is not its cluster's representative
     // (distinct working name so the join condition resolves unambiguously)
     val dropIds = clusters.filter(col("doc_id") =!= col("cluster"))

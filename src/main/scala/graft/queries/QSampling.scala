@@ -201,11 +201,7 @@ object QSampling {
     // Window partitions are per-source (bounded-cardinality key), never
     // corpus-global.
     "x15_domain_cap" -> ((s, d) =>
-      t(s, d, "documents")
-        .withColumn("__r", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("source")
-            .orderBy(Determinism.detHash(col("doc_id")), col("doc_id"))))
-        .filter(col("__r") <= 200)
+      Sampling.domainCap(t(s, d, "documents"), col("source"), col("doc_id"), 200)
         .select(col("doc_id"), col("source"))),
 
     // X6: seeded per-row augmentation flags — the deterministic form of

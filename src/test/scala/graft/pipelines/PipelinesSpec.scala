@@ -172,4 +172,50 @@ class PipelinesSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L))
   }
+
+  test("dedupCorpus opt-in stages: containment catches doc-in-doc dups; domain cap bounds each source") {
+    import org.apache.spark.sql.functions.col
+    val long = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the quiet green forest to rest for a while longer " +
+      "before returning home across the wide river under the evening sky"
+    val short = "the quick brown fox jumps over the lazy dog and then runs"
+    val other = "completely different content about spark shuffles and " +
+      "partitions and aggregate hash maps spilling to local disk under " +
+      "memory pressure during wide transformations at large scale"
+    // doc 2 is wholly CONTAINED in doc 1: containment ~1.0, Jaccard low
+    // (the union is dominated by the long side) — without the containment
+    // stage both survive
+    val docs = Seq((1L, long, "a"), (2L, short, "a"), (3L, other, "b"))
+      .toDF("doc_id", "text", "source")
+    def keptIds(minC: Option[Double]) =
+      Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+          minhashK = 8, bandSize = 4, ngram = 3, minJaccard = 0.5,
+          minContainment = minC)
+        .select("doc_id").as[Long].collect().toSet
+    assert(keptIds(None) === Set(1L, 2L, 3L), "precondition: Jaccard misses the embedded doc")
+    assert(keptIds(Some(0.8)) === Set(1L, 3L), "containment collapses doc-in-doc")
+    // domain cap: 12 distinct quality docs in source "big" (genuinely
+    // different texts — near-dups would collapse in the LSH stage and mask
+    // the cap), cap at 3 — the cap applies before dedup and bounds every
+    // source independently
+    val bigTexts = Seq(
+      "the harbor lights flickered while fishing boats returned with the evening tide",
+      "a mountain trail winds through cedar groves toward the snowline above the valley",
+      "fresh bread and roasted coffee filled the market square early on saturday morning",
+      "the orchestra tuned quietly before the conductor raised a baton over the hall",
+      "monsoon clouds gathered over the rice terraces as farmers watched from the ridge",
+      "an old librarian catalogued maps of forgotten railways across the northern plains",
+      "solar panels tilted toward noon while the battery bank charged behind the barn",
+      "the chess club met on thursdays to study endgames from a century of tournaments",
+      "migrating cranes circled the wetland twice before settling among the reeds at dusk",
+      "a potter shaped river clay into tall jars glazed with ash from the kiln fire",
+      "the night train crossed the steel bridge as frost settled on the signal wires",
+      "volunteers repainted the lighthouse stairs and replaced the lamp room windows")
+    val many = bigTexts.zipWithIndex.map { case (t, i) =>
+        (10L + i, t, "big") } :+ ((30L, long, "small"))
+    val kept2 = Pipelines.dedupCorpus(many.toDF("doc_id", "text", "source"),
+        col("doc_id"), col("text"), maxPerSource = 3)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept2("big") === 3L && kept2("small") === 1L)
+  }
 }
