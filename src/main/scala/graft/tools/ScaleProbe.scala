@@ -299,6 +299,42 @@ object ScaleProbe {
           cents, books, 8, 5, nprobe = 2).count()
       }
     }
+    time("v15 IVF-PQ incremental append: 1% shard vs full rebuild") {
+      import graft.ann.Vectors
+      // shard on residue 7, NOT 0: the step-rule quantizers sample
+      // vec_id % step == 0 ids, and every id divisible by 200 is also
+      // divisible by 100 — a %100==0 shard would leave the BASE with
+      // zero codebook samples (empty books -> empty index -> NULL MSE)
+      val base = emb.filter(col("vec_id") % 100 =!= 7)
+      val shard = emb.filter(col("vec_id") % 100 === 7)
+      val books = Vectors.pqCodebooksStep(base, "vec_id", "embedding", 8, 200)
+        .localCheckpoint()
+      val cents = Vectors.stepCentroids(base, "vec_id", "embedding", 50)
+        .localCheckpoint()
+      time("  base index build + bucketed write (one-time)") {
+        Vectors.writeIvfPqIndex(
+          Vectors.ivfPqIndex(base, "vec_id", "embedding", cents, books, 8),
+          "probe_ivfpq_idx")
+      }
+      val baseMse = time("  drift baseline meanPqMse over the base (recorded once at build)") {
+        Vectors.meanPqMse(base, "vec_id", "embedding", books, 8)
+      }
+      time("  append 1% shard (drift check + encode shard + bucketed insert)") {
+        // ingest cost must track the SHARD: this number should sit far
+        // below the base build above, and stay flat as the index grows
+        Vectors.appendToIvfPqIndex("probe_ivfpq_idx", shard,
+          "vec_id", "embedding", cents, books, 8, baselineMse = baseMse)
+      }
+      time("  the avoided alternative: re-encode the whole corpus") {
+        Vectors.ivfPqIndex(emb, "vec_id", "embedding", cents, books, 8).count()
+      }
+      time("  probed query over the appended index (8 queries, nprobe=2)") {
+        println("[probe] appended-index topk rows: " +
+          Vectors.ivfPqTopKFromIndex(Vectors.readIvfPqIndex(spark, "probe_ivfpq_idx"),
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            cents, books, 8, 5, nprobe = 2).count())
+      }
+    }
     time("u4 Y4M demux throughput (50k synthesized clips, ~16 MB of frames)") {
       // in-query container synthesis + real demux at the amplified doc
       // count: measures the mapPartitions decode edge, not file IO
@@ -346,6 +382,43 @@ object ScaleProbe {
       Sampling.shufflePositionDistributed(
         Sampling.bernoulli(orders, col("o_orderkey"), 0.05)
           .select("o_orderkey"), col("o_orderkey")).count()
+    }
+    // x8 A/B: AQE runtime skew-join splitting vs manual deterministic
+    // salting, on a planted hot key (half the fact rows share one key).
+    // The dim is forced non-broadcast — with a broadcastable dim neither
+    // technique is needed, which is always the first fix to try.
+    locally {
+      val fact = orders.withColumn("k",
+        when(col("o_orderkey") % 2 === 0, lit(-1L)).otherwise(col("o_custkey")))
+      val dim = orders.select(col("o_custkey").as("k")).distinct()
+        .union(spark.range(-1, 0).select(col("id").as("k")))
+        .withColumn("attr", md5(col("k").cast("string")))
+        .localCheckpoint()
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def run() = fact.join(dim, "k").agg(count(lit(1))).collect()
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        time("x8 plain SMJ, AQE skew-join OFF (one straggler reducer)") { run() }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // defaults only fire at 256 MB-sized partitions; scale the
+        // thresholds to probe size so the splitting actually engages
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        time("x8 plain SMJ, AQE skew-join ON (runtime split, zero code)") { run() }
+        time("x8 saltedJoin (32 buckets, deterministic salt)") {
+          graft.ops.Skew.saltedJoin(fact, dim, "k", col("o_orderkey"), 32)
+            .agg(count(lit(1))).collect()
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
     }
     time("x9 clusterByZ write (z-order layout, 64 files)") {
       val dir = "/root/repo/target/probe/zorder"

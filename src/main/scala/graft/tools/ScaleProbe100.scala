@@ -1,0 +1,198 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× probe of the TWO heaviest compositions — the full LSH dedup chain
+  * (minhash → band join → verify → connected components) and the
+  * trainingFeed — timed at 10× and 100× in the same session so the
+  * scaling exponent is read directly off the ratio (linear = ~10×).
+  *
+  * Amplification here VARIES the text per copy (" copyN" suffix), unlike
+  * [[ScaleProbe]]'s exact copies: an exact-copy corpus grows pair cliques
+  * quadratically in the copy count (every doc + its 99 twins), which
+  * measures the amplification artifact, not the operator. With varied
+  * copies each copy-space replicates the ORIGINAL corpus's near-dup
+  * structure, so candidate/verified/edge counts — every stage's true
+  * input — scale linearly with the corpus, which is what a 100× bigger
+  * real corpus does.
+  *
+  * Connected components additionally gets a controlled synthetic graph
+  * (dense cliques + a long chain, sized by the copy factor) because its
+  * cost is driven by the EDGE relation, not the corpus.
+  *
+  * Usage: runMain graft.tools.ScaleProbe100 [copies=100] [sfDir] [sections]
+  * where sections ⊆ chain,cc,feed (comma-separated; default all).
+  * Run with SPARK_DRIVER_MEM=48g+ — the 100× feed sketches a 45M-row
+  * manifest through a range partitioner.
+  */
+object ScaleProbe100 {
+
+  private def time[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(100)
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val sections = args.drop(2).headOption.map(_.split(",").toSet)
+      .getOrElse(Set("chain", "cc", "feed"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def amplifyVaried(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, shift: Long): DataFrame = {
+      val k = spark.range(0, n).toDF("__copy")
+      df.crossJoin(broadcast(k))
+        .withColumn(idCol, col(idCol) + col("__copy") * shift)
+        .withColumn(textCol,
+          concat(col(textCol), lit(" copy"), col("__copy")))
+        .drop("__copy")
+    }
+
+    def dedupChain(factor: Int): Unit = {
+      val docs = amplifyVaried(spark.read.parquet(s"$sfDir/documents.parquet"),
+        "doc_id", "text", factor, 10000000L).localCheckpoint()
+      println(s"[probe] ${factor}x docs: ${docs.count()}")
+      time(s"${factor}x dedup chain (minhash->band->verify->CC)") {
+        val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
+        val cands = Dedup.lshCandidatePairs(sigs, 4)
+        val verified = Dedup.verifyCandidates(docs, cands,
+          col("doc_id"), col("text"), 3, 0.3).localCheckpoint()
+        println(s"[probe] ${factor}x verified pairs: ${verified.count()}")
+        println(s"[probe] ${factor}x clustered docs: " +
+          Dedup.connectedComponents(verified, "doc_a", "doc_b").count())
+      }
+      spark.catalog.clearCache()
+    }
+    if (sections("chain")) { dedupChain(copies / 10); dedupChain(copies) }
+
+    // CC on controlled synthetic graphs: edges scale with the factor, so
+    // the two timings isolate CC's own scaling in its true input size
+    def ccGraph(factor: Int): Unit = {
+      val cliqueDocs = 1000L * factor
+      // 10-cliques: doc i pairs with the 9 following docs in its block
+      val edges = spark.range(0, cliqueDocs)
+        .select(col("id").as("doc_a"),
+          explode(sequence(lit(1), lit(9))).as("__j"))
+        .select(col("doc_a"),
+          ((col("doc_a") / 10) * 10 + (col("doc_a") + col("__j")) % 10).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .union(
+          // plus one long chain (diameter 10k·factor) for the star variant
+          spark.range(0, 10000L * factor)
+            .select((col("id") + 100000000L).as("doc_a"),
+              (col("id") + 100000001L).as("doc_b")))
+        .localCheckpoint()
+      println(s"[probe] ${factor}x synthetic edges: ${edges.count()}")
+      time(s"${factor}x connectedComponentsStar (cliques + ${10000 * factor}-chain)") {
+        Dedup.connectedComponentsStar(edges, "doc_a", "doc_b", maxIter = 60)
+          .count()
+      }
+    }
+    if (sections("cc")) { ccGraph(copies / 10); ccGraph(copies) }
+
+    def feed(factor: Int, shufflePartitions: Option[Int] = None): Unit = {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      shufflePartitions.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+      try feedBody(factor, shufflePartitions)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    def feedBody(factor: Int, parts: Option[Int]): Unit = {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = spark.range(0, factor).toDF("__copy")
+      // no localCheckpoint: pinning 15M full-width order rows on heap is
+      // what OOM'd the first 100× run — the amplification is a cheap
+      // deterministic projection, recomputing beats materializing
+      // repartition AFTER amplification: the crossJoin inherits the source
+      // file's input partitioning (1-2 tasks for a single parquet file),
+      // which single-threads the entire 45M-row map side at 100× — that
+      // artifact, not the feed, produced the original 668.7 s "cliff"
+      // (vs 359.3 s linear from a materialized parquet manifest, and
+      // shuffle-partition count was measured irrelevant at 634.6 s
+      // because the bottleneck precedes any exchange)
+      val amped = orders.crossJoin(broadcast(k))
+        .withColumn("o_orderkey",
+          col("o_orderkey") + col("__copy") * 100000000L)
+        .drop("__copy")
+        .repartition(cpus.toInt * 4)
+      println(s"[probe] ${factor}x orders: ${amped.count()}")
+      val diff = when(col("o_orderpriority").startsWith("1-"), "hard")
+        .when(col("o_orderpriority").startsWith("2-"), "medium")
+        .otherwise("easy")
+      val manifest = amped
+        .select(col("o_orderkey"), diff.as("diff"))
+        .withColumn("suffix",
+          explode(array(lit("person"), lit("cloth_a"), lit("vton"))))
+        .select(
+          concat(lit("s3://b/"), col("diff"), lit("/stem"), col("o_orderkey"),
+            lit("_"), col("suffix"), lit(".jpg")).as("key"),
+          concat(lit("s3://b/"), col("diff"), lit("/")).as("prefix"))
+      val label = parts.map(p => s" (shuffle.partitions=$p)").getOrElse("")
+      time(s"${factor}x trainingFeed end-to-end$label") {
+        println(s"[probe] ${factor}x feed rows: " +
+          graft.pipelines.Pipelines.trainingFeed(manifest,
+            Map("easy" -> 0.25, "medium" -> 0.25, "hard" -> 0.5)).count())
+      }
+      spark.catalog.clearCache()
+    }
+    if (sections("feed")) { feed(copies / 10); feed(copies) }
+    // the partition-sizing A/B: same 100× feed with shuffle partitions
+    // scaled to the data (what any real cluster deployment does) — if the
+    // cliff is spill from oversized 45M/32 sort partitions, this recovers
+    // linearity with zero code change
+    if (sections("feedparts")) {
+      feed(copies, Some(cpus.toInt * copies / 10))
+    }
+    // harness-vs-operator A/B: materialize the amplified manifest to
+    // parquet ONCE, then time trainingFeed reading it back — the in-memory
+    // probe recomputes the crossJoin-amplified manifest on every scan AND
+    // holds two localCheckpoint materializations derived from it, so a
+    // superlinear in-memory number may be probe pressure, not the operator.
+    // A real 100 TB manifest is parquet on disk; this is the honest shape.
+    def feedFromParquet(factor: Int): Unit = {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = spark.range(0, factor).toDF("__copy")
+      val diff = when(col("o_orderpriority").startsWith("1-"), "hard")
+        .when(col("o_orderpriority").startsWith("2-"), "medium")
+        .otherwise("easy")
+      val path = s"/tmp/probe_manifest_${factor}x.parquet"
+      time(s"${factor}x manifest write to parquet (one-time amplification)") {
+        orders.crossJoin(broadcast(k))
+          .withColumn("o_orderkey",
+            col("o_orderkey") + col("__copy") * 100000000L)
+          .select(col("o_orderkey"), diff.as("diff"))
+          .withColumn("suffix",
+            explode(array(lit("person"), lit("cloth_a"), lit("vton"))))
+          .select(
+            concat(lit("s3://b/"), col("diff"), lit("/stem"), col("o_orderkey"),
+              lit("_"), col("suffix"), lit(".jpg")).as("key"),
+            concat(lit("s3://b/"), col("diff"), lit("/")).as("prefix"))
+          .write.mode("overwrite").parquet(path)
+      }
+      val manifest = spark.read.parquet(path)
+      time(s"${factor}x trainingFeed from parquet manifest") {
+        println(s"[probe] ${factor}x feed rows: " +
+          graft.pipelines.Pipelines.trainingFeed(manifest,
+            Map("easy" -> 0.25, "medium" -> 0.25, "hard" -> 0.5)).count())
+      }
+      spark.catalog.clearCache()
+    }
+    if (sections("feedpq")) { feedFromParquet(copies / 10); feedFromParquet(copies) }
+
+    spark.stop()
+  }
+}
