@@ -554,12 +554,16 @@ object Vectors {
 
   /** Corpus-mean PQ reconstruction error under `books` — one number
     * summarizing how well the (frozen) codebooks still fit a vector set;
-    * the drift statistic [[appendToIvfPqIndex]] guards on.
+    * the drift statistic [[appendToIvfPqIndex]] guards on. An EMPTY
+    * corpus has no mean (avg over zero rows is SQL NULL): returns NaN
+    * rather than throwing an opaque NPE, so callers can treat
+    * empty-shard ingest as a no-op.
     */
   def meanPqMse(corpus: DataFrame, idCol: String, vecCol: String,
                 books: DataFrame, m: Int): Double =
-    pqReconstructionMse(corpus, idCol, vecCol, books, m)
-      .agg(avg(col("pq_mse"))).head.getDouble(0)
+    Option(pqReconstructionMse(corpus, idCol, vecCol, books, m)
+      .agg(avg(col("pq_mse"))).head.getAs[java.lang.Double](0))
+      .fold(Double.NaN)(_.doubleValue)
 
   /** INCREMENTAL index ingest — the d9 band-index discipline
     * ([[graft.dedup.Dedup.incrementalCandidatePairs]]) applied to ANN:
@@ -588,6 +592,18 @@ object Vectors {
     * VectorsSpec and under the v15 oracle (frozen-from-base codebooks are
     * oracle-expressible — the cb/icents CTEs just carry the base
     * predicate).
+    *
+    * Edge cases (both realistic in daily ingest, both guarded): an EMPTY
+    * shard is a documented no-op returning NaN (nothing to encode, no
+    * drift signal — [[meanPqMse]] has no mean to compute); a baseline of
+    * exactly 0.0 (a tiny base where every vector was a codebook sample)
+    * would make the multiplicative guard refuse ANY nonzero shard error,
+    * so the comparison carries an additive epsilon of 1e-6 — the
+    * rounding quantum of [[pqReconstructionMse]] (roundTo=6), i.e. the
+    * smallest representable nonzero shard MSE. A shard within one
+    * quantum of a zero baseline is float/rounding noise, not drift;
+    * genuine drift produces MSE orders of magnitude above it and is
+    * still refused (asserted in BucketingSpec).
     */
   def appendToIvfPqIndex(table: String, newVectors: DataFrame,
                          idCol: String, vecCol: String,
@@ -596,7 +612,9 @@ object Vectors {
                          driftFactor: Double = 2.0,
                          buckets: Int = 64): Double = {
     val shardMse = meanPqMse(newVectors, idCol, vecCol, books, m)
-    if (!baselineMse.isNaN && shardMse > baselineMse * driftFactor)
+    if (shardMse.isNaN) return shardMse // empty shard: documented no-op
+    val driftEps = 1e-6 // pqReconstructionMse roundTo=6 quantum
+    if (!baselineMse.isNaN && shardMse > baselineMse * driftFactor + driftEps)
       throw new IllegalStateException(
         f"appendToIvfPqIndex: shard mean PQ reconstruction error $shardMse%.6f " +
           f"exceeds $driftFactor%.1f x baseline $baselineMse%.6f — the codebooks " +

@@ -163,6 +163,50 @@ class BucketingSpec extends SparkSpec {
       vecs.count() * m)
   }
 
+  test("append edge cases: empty shard no-ops with NaN; zero baseline admits rounding noise, refuses real drift") {
+    import graft.ann.Vectors
+    // degenerate base: identical vectors — every codebook sample IS the
+    // vector, so the recorded baseline MSE is exactly 0.0
+    val base = (0L until 20L).map(i => (i, Array.fill(8)(1.0)))
+      .toDF("vec_id", "embedding")
+    val m = 2
+    val books = Vectors.pqCodebooksStep(base, "vec_id", "embedding", m, 4)
+    val cents = Vectors.stepCentroids(base, "vec_id", "embedding", 4)
+    val baseMse = Vectors.meanPqMse(base, "vec_id", "embedding", books, m)
+    assert(baseMse === 0.0)
+    Vectors.writeIvfPqIndex(
+      Vectors.ivfPqIndex(base, "vec_id", "embedding", cents, books, m),
+      "ivfpq_edge_b", 8)
+    // (a) EMPTY shard: documented no-op — NaN back, nothing inserted,
+    // no NPE from the NULL mean
+    val empty = base.filter(col("vec_id") < 0)
+    assert(Vectors.meanPqMse(empty, "vec_id", "embedding", books, m).isNaN)
+    val r = Vectors.appendToIvfPqIndex("ivfpq_edge_b", empty,
+      "vec_id", "embedding", cents, books, m, baselineMse = baseMse, buckets = 8)
+    assert(r.isNaN)
+    assert(Vectors.readIvfPqIndex(spark, "ivfpq_edge_b").count() === 20L * m)
+    // (b) zero baseline + one-quantum shard error (noise 8e-4 per element
+    // -> per-vector MSE 6.4e-7, rounds to the 1e-6 quantum): the bare
+    // multiplicative guard would refuse ANY nonzero error against a 0.0
+    // baseline; the additive quantum epsilon admits it
+    val noisy = (100L until 110L).map(i => (i, Array.fill(8)(1.0 + 8e-4)))
+      .toDF("vec_id", "embedding")
+    val mse = Vectors.appendToIvfPqIndex("ivfpq_edge_b", noisy,
+      "vec_id", "embedding", cents, books, m, baselineMse = 0.0, buckets = 8)
+    assert(mse > 0.0 && mse <= 1e-6, mse)
+    assert(Vectors.readIvfPqIndex(spark, "ivfpq_edge_b").count() === 30L * m)
+    // (c) zero baseline does NOT disable the guard: genuine drift
+    // (orders of magnitude above the quantum) is still refused
+    val drifted = (200L until 210L).map(i =>
+      (i, Array.fill(8)(new scala.util.Random(i).nextGaussian() * 50)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalStateException] {
+      Vectors.appendToIvfPqIndex("ivfpq_edge_b", drifted,
+        "vec_id", "embedding", cents, books, m, baselineMse = 0.0, buckets = 8)
+    }
+    assert(Vectors.readIvfPqIndex(spark, "ivfpq_edge_b").count() === 30L * m)
+  }
+
   test("aggregation on the bucket key needs no exchange either") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
