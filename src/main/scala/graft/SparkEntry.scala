@@ -35,4 +35,24 @@ object SparkEntry {
     QRelational.oracle ++ QWindows.oracle ++ QSampling.oracle ++
       QScalars.oracle ++ QEvents.oracle ++ QText.oracle ++
       QVectors.oracle ++ QMultimodal.oracle ++ QSources.oracle
+
+  /** BOARD-SIZE GUARD. The correctness board once silently shrank when a
+    * query started throwing (t7_sessionize, round 8) — Verify's per-query
+    * try/catch kept the run alive and nobody noticed the missing output.
+    * This count is the declared size of the query surface; EntryGuardSpec
+    * asserts `queries.size` matches it (so a dropped/renamed/shadowed map
+    * key fails the build), and Verify refuses to start when they disagree.
+    * UPDATE THIS when adding or removing queries — that edit is the
+    * explicit, reviewable act of changing the board.
+    */
+  val declaredQueryCount: Int = 142
+
+  /** Queries intentionally absent from `oracleSql` — engine-specific
+    * semantics (HLL sketch internals, iterative k-means training) that
+    * DuckDB can't reproduce; the driver records a weaker rows-only check.
+    * EntryGuardSpec asserts this set and the oracle keyset exactly
+    * partition `queries`, so an accidentally-forgotten oracle entry is a
+    * build failure, not a silent downgrade.
+    */
+  val rowsOnlyQueries: Set[String] = Set("a11_approx_distinct", "v9_kmeans_recall")
 }

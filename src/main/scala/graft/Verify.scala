@@ -21,18 +21,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // board-size guard (round-8 lesson): refuse to run a shrunken surface
+    require(SparkEntry.queries.size == SparkEntry.declaredQueryCount,
+      s"query surface ${SparkEntry.queries.size} != declared " +
+        s"${SparkEntry.declaredQueryCount} — update SparkEntry.declaredQueryCount")
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally
         // queries that cache intermediates (d5, x3) must not pin storage
         // memory for the rest of the 80+-query run
         spark.catalog.clearCache()
     }
+    if (failed.nonEmpty)
+      // loud, unmissable: a failed query means the board shrinks
+      System.err.println(
+        s"[verify] *** ${failed.size} QUERIES FAILED (board shrinks!): " +
+          failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

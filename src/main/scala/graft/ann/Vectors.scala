@@ -614,7 +614,15 @@ object Vectors {
     val shardMse = meanPqMse(newVectors, idCol, vecCol, books, m)
     if (shardMse.isNaN) return shardMse // empty shard: documented no-op
     val driftEps = 1e-6 // pqReconstructionMse roundTo=6 quantum
-    if (!baselineMse.isNaN && shardMse > baselineMse * driftFactor + driftEps)
+    // Compare at the same 6-decimal quantum the per-vector MSEs were rounded
+    // to: the float mean of rounded values can sit one ulp above the quantum
+    // (ten vectors at 1e-6 average to 1.0000000000000002e-6), which must not
+    // trip a guard whose documented tolerance is exactly that quantum.
+    val shardQ = BigDecimal(shardMse)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val boundQ = BigDecimal(baselineMse * driftFactor + driftEps)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (!baselineMse.isNaN && shardQ > boundQ)
       throw new IllegalStateException(
         f"appendToIvfPqIndex: shard mean PQ reconstruction error $shardMse%.6f " +
           f"exceeds $driftFactor%.1f x baseline $baselineMse%.6f — the codebooks " +
@@ -622,7 +630,11 @@ object Vectors {
     graft.core.Bucketing.appendBucketed(
       ivfPqIndex(newVectors, idCol, vecCol, cents, books, m),
       table, "ivf_cell", buckets)
-    shardMse
+    // return the quantum-rounded mean: the per-vector MSEs are already
+    // rounded to 6 decimals, so the raw float mean can sit an ulp above the
+    // quantum — callers tracking the trend should see quantum-consistent
+    // values, matching what the guard compared
+    shardQ
   }
 
   /** [[ivfPqTopK]] over an already-built [[ivfPqIndex]] relation — the

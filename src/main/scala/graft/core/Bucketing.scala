@@ -21,6 +21,13 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession
+    // simple (single-part) names only: the stale-location cleanup below
+    // derives the managed path as warehouse.dir/<name> — a qualified
+    // `db.tbl` would be DROPped as one backtick-quoted identifier while
+    // the delete hit the wrong directory. Fail loudly instead of
+    // corrupting either side.
+    require(!table.contains(".") && !table.contains("`"),
+      s"writeBucketed: '$table' must be a simple (unqualified) table name")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)

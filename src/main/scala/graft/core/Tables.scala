@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the deterministic test tables (TESTDATA.md) and for
   * engine-native manifest relations (FIXTURES.md §A).
@@ -19,14 +19,19 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The events table carries TIMESTAMP(NANOS) which Spark's vectorized
-    // parquet reader rejects; sessions set
-    // spark.sql.legacy.parquet.nanosAsLong=true and we normalize the raw
-    // nano count to a proper micros timestamp here (truncation matches the
-    // DuckDB oracle's ts::TIMESTAMP cast).
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // The events table's `ts` physical type has shifted across testdata
+    // generations: TIMESTAMP(NANOS) (read as a raw Long under
+    // spark.sql.legacy.parquet.nanosAsLong=true), then timestamp[us] with no
+    // timezone (read as TIMESTAMP_NTZ under inferTimestampNTZ). Event-time
+    // operators (withWatermark, session_window, unix_micros) require the
+    // zoned TIMESTAMP type, so normalize ALL shapes to TIMESTAMP here — the
+    // session timezone is UTC, so the NTZ→TIMESTAMP cast is the identity
+    // wall-clock mapping DuckDB's ts::TIMESTAMP oracle uses.
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

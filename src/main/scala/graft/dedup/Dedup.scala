@@ -428,6 +428,37 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .select("doc_a", "doc_b", "containment")
 
+  /** Benchmark DECONTAMINATION — the d8 overlap test as a reusable
+    * operator: ids of `docs` sharing at least `minShared` distinct word
+    * n-grams with ANY document in `evalDocs`. Pretraining corpora are
+    * scrubbed against held-out eval sets before training (the reference
+    * keeps its test data in its own directory for the same isolation,
+    * train/common/metrics.py:271-329); this is the engine-side pass that
+    * enforces it.
+    *
+    * Scale shape: the train side is one projection + explode (distinct
+    * grams per doc, no pairwise work); the eval side is a benchmark —
+    * small by construction — so its distinct gram set BROADCASTS and the
+    * membership test is a map-side semi-join. The only shuffle is the
+    * per-train-doc gram count, carrying (id, count) pairs for matching
+    * grams only. Work tracks the train corpus linearly at any scale.
+    *
+    * Output: (doc_id, shared_ngrams) for contaminated train docs —
+    * anti-join against it to scrub, join to flag/audit.
+    */
+  def contaminatedIds(docs: DataFrame, id: Column, text: Column,
+                      evalDocs: DataFrame, evalText: Column,
+                      n: Int = 5, minShared: Int = 1): DataFrame = {
+    import graft.text.TextFunctions.{tokens, wordNgramsFromTokens}
+    def grams(txt: Column): Column =
+      array_distinct(wordNgramsFromTokens(tokens(txt), n))
+    val trainG = docs.select(id.as("doc_id"), explode(grams(text)).as("g"))
+    val evalG = evalDocs.select(explode(grams(evalText)).as("g")).distinct()
+    trainG.join(broadcast(evalG), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Connected components over an undirected pair relation — the final
     * stage of at-scale dedup: verified near-dup PAIRS become duplicate
     * CLUSTERS (cluster id = min member id), so "keep one representative per

@@ -154,7 +154,23 @@ object Pipelines {
     *     [[graft.dedup.Dedup.scrubDuplicateRuns]]) written back to
     *     `textColName`.
     *
-    * Two opt-in stages extend the chain (the d11/x15 operators):
+    * Four opt-in stages extend the chain (the d8/d11/x15/tx operators):
+    *
+    *  - `preClean`: a PRE-CLEAN pass BEFORE the quality gate — strip
+    *    markup, then redact PII ([[graft.text.TextFunctions.stripMarkup]]
+    *    → [[graft.text.TextFunctions.redactPii]], in that order: tags are
+    *    boilerplate the gate must not score, and PII must be gone before
+    *    any text is kept). Web-corpus curation normalizes/cleans before
+    *    any filtering (the reference's dataloaders do the same ahead of
+    *    use, train/train_CATVTON/dataloader.py:53-64). The cleaned text
+    *    REPLACES `textColName` for every later stage AND in the output —
+    *    raw PII never reaches the kept corpus.
+    *  - `evalDocs`: DECONTAMINATION right after the quality gate/domain
+    *    cap — any doc sharing ≥ `decontMinShared` distinct word
+    *    `decontN`-grams with the eval set is dropped before the
+    *    signature stages ([[graft.dedup.Dedup.contaminatedIds]]; the d8
+    *    overlap test). Runs early so contaminated docs never pay LSH /
+    *    verify / CC work. The eval relation must carry `textColName`.
     *
     *  - `maxPerSource` + `sourceCol`: a PRE-SAMPLING DOMAIN CAP applied
     *    right after the quality gate — at most N docs per source, chosen
@@ -181,24 +197,45 @@ object Pipelines {
                   textColName: String = "text",
                   minContainment: Option[Double] = None,
                   maxPerSource: Int = 0,
-                  sourceCol: String = "source"): DataFrame = {
+                  sourceCol: String = "source",
+                  preClean: Boolean = false,
+                  evalDocs: Option[DataFrame] = None,
+                  decontN: Int = 5,
+                  decontMinShared: Int = 1): DataFrame = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
-    val quality = docs.filter(
-      round(graft.text.TextFunctions.qualityScoreNative(text), 6) >= minQuality)
-    val capped =
+    // pre-clean rewrites the text column IN PLACE so every later stage —
+    // gate, signatures, verification, scrub — and the returned corpus see
+    // only the cleaned form
+    val (cleanSrc, cleanText) =
+      if (!preClean) (docs, text)
+      else (docs.withColumn(textColName, graft.text.TextFunctions.redactPii(
+        graft.text.TextFunctions.stripMarkup(text))), col(textColName))
+    val quality = cleanSrc.filter(
+      round(graft.text.TextFunctions.qualityScoreNative(cleanText), 6) >= minQuality)
+    val capped0 =
       if (maxPerSource <= 0) quality
       else graft.ops.Sampling.domainCap(quality, col(sourceCol), id, maxPerSource)
-    val exact = Dedup.exactDedup(capped, id, text).localCheckpoint(false)
+    val capped = evalDocs match {
+      case None => capped0
+      case Some(ev) =>
+        val dirty = Dedup.contaminatedIds(capped0, id, cleanText,
+            ev, col(textColName), decontN, decontMinShared)
+          .select(col("doc_id").as("__dirty_id"))
+        capped0.join(broadcast(dirty), id.cast("long") === col("__dirty_id"),
+          "left_anti")
+    }
+    val exact = Dedup.exactDedup(capped, id, cleanText).localCheckpoint(false)
     val cands = Dedup.lshCandidatePairs(
-      Dedup.minhashSignatures(exact, id, text, minhashK), bandSize)
-    val verified = Dedup.verifyCandidates(exact, cands, id, text, ngram, minJaccard)
+      Dedup.minhashSignatures(exact, id, cleanText, minhashK), bandSize)
+    val verified = Dedup.verifyCandidates(exact, cands, id, cleanText, ngram,
+        minJaccard)
       .select(col("doc_a"), col("doc_b"))
     val pairs = minContainment match {
       case None => verified
       case Some(minC) =>
         verified.union(
-          Dedup.ngramContainmentPairs(exact, id, text, ngram, minC)
+          Dedup.ngramContainmentPairs(exact, id, cleanText, ngram, minC)
             .select(col("doc_a"), col("doc_b")))
     }
     val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
@@ -213,7 +250,7 @@ object Pipelines {
         // internal output name: an input that already carries a
         // "clean_text" column (or textColName == "clean_text") would make
         // the join ambiguous with the default name (round-5 ADVICE)
-        val cleaned = Dedup.scrubbedText(kept, id, text, n,
+        val cleaned = Dedup.scrubbedText(kept, id, cleanText, n,
             textOutCol = "__graft_clean_text")
           .withColumnRenamed("doc_id", "__scrub_id")
         kept.join(cleaned, id.cast("long") === col("__scrub_id"))

@@ -44,11 +44,24 @@ object Streaming {
         d.toString
       } else path
     val batch = spark.read.parquet(dir)
-    val raw = spark.readStream.schema(batch.schema).parquet(dir)
-    if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    normalizeEventTs(spark.readStream.schema(batch.schema).parquet(dir))
   }
+
+  /** Normalize an events relation's `ts` to the zoned TIMESTAMP type that
+    * event-time operators (withWatermark, session_window) require — same
+    * rule as [[graft.core.Tables.load]]: the testdata's physical shape has
+    * been nanos-as-Long, NTZ micros, and zoned micros across generations.
+    * Works on batch and streaming DataFrames (pure column rewrite).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** T1/T2: every-250-steps trigger buckets — identical expression to the
     * oracle-checked batch query t2_step_buckets. Works on batch or
@@ -304,6 +317,18 @@ object Streaming {
     * compact-then-crash-then-replay path is idempotent. Chain length
     * stays O(compactEvery) instead of O(total micro-batches).
     */
+  /** Whether [[snapshotEpochStream]]'s periodic compaction (target
+    * `id - 1`) is actually due: only when epochs OLDER than the target
+    * still exist. A chain already compacted at or beyond `id - 1` — a
+    * checkpoint restored from backup replaying against a dir a newer run
+    * compacted further, or an external maintenance job's compaction — made
+    * the unconditional `compactTo(id - 1)` throw readAsOf's oldest-epoch
+    * guard and KILL the streaming query; skipping is always safe (the
+    * chain is already at least as compact as this call would make it).
+    */
+  def compactionDue(spark: SparkSession, dir: String, id: Int): Boolean =
+    graft.ops.Snapshots.versions(spark, dir).headOption.exists(_ < id - 1)
+
   def snapshotEpochStream(updates: DataFrame, dir: String,
                           checkpointDir: String,
                           trigger: Trigger = Trigger.AvailableNow(),
@@ -322,7 +347,8 @@ object Streaming {
         require(id <= Int.MaxValue,
           s"snapshotEpochStream: micro-batch id $id exceeds Int epoch range")
         graft.ops.Snapshots.writeEpoch(batch, dir, id.toInt)
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0 &&
+            compactionDue(batch.sparkSession, dir, id.toInt))
           graft.ops.Snapshots.compactTo(
             batch.sparkSession, dir, keyCols, id.toInt - 1)
       }

@@ -207,6 +207,16 @@ class BucketingSpec extends SparkSpec {
     assert(Vectors.readIvfPqIndex(spark, "ivfpq_edge_b").count() === 30L * m)
   }
 
+  test("writeBucketed refuses qualified table names (stale-location path would target the wrong directory)") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Bucketing.writeBucketed(df, "somedb.tbl", "k", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Bucketing.writeBucketed(df, "`weird`", "k", 4)
+    }
+  }
+
   test("aggregation on the bucket key needs no exchange either") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

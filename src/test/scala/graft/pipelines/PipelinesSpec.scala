@@ -218,4 +218,60 @@ class PipelinesSpec extends SparkSpec {
       .groupBy("source").count().as[(String, Long)].collect().toMap
     assert(kept2("big") === 3L && kept2("small") === 1L)
   }
+
+  test("dedupCorpus preClean: markup stripped and PII redacted BEFORE the gate; raw PII never in the kept corpus") {
+    import org.apache.spark.sql.functions.col
+    val clean = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the quiet green forest to rest for a while longer"
+    // tag soup around otherwise-good prose: without preClean the <div>
+    // tokens depress the quality score below the gate
+    val taggy = "<div><p>the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the quiet green forest to rest for a while " +
+      "longer tonight</p></div>"
+    val pii = "completely different content about spark shuffles and " +
+      "partitions contact alice@example.com or +1-555-0100-200 for the " +
+      "cluster access keys during wide transformations at large scale"
+    val docs = Seq((1L, clean), (2L, taggy), (3L, pii)).toDF("doc_id", "text")
+    val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        preClean = true)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // doc 2 survives the gate because tags were stripped first — but its
+    // stripped text is now a near-dup of doc 1 and clusters away
+    assert(kept.keySet === Set(1L, 3L), s"got ${kept.keySet}")
+    assert(!kept(3L).contains("alice@example.com") &&
+      !kept(3L).contains("555-0100"), "raw PII reached the kept corpus")
+    assert(kept(3L).contains("<EMAIL>") && kept(3L).contains("<PHONE>"))
+    // without preClean the taggy doc is gated out and the PII doc keeps
+    // its raw identifiers — the stage changes both outcomes
+    val raw = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(raw.keySet === Set(1L, 3L))
+    assert(raw(3L).contains("alice@example.com"))
+  }
+
+  test("dedupCorpus decontamination: docs sharing eval n-grams are dropped before dedup") {
+    import org.apache.spark.sql.functions.col
+    val evalText = "the held out benchmark question asks about the capital " +
+      "of france and its famous tower near the river"
+    val contaminated = "training document that leaked the held out benchmark " +
+      "question asks about the capital of france verbatim somewhere inside " +
+      "its long body of otherwise unremarkable prose about geography"
+    val cleanDoc = "completely different content about spark shuffles and " +
+      "partitions and aggregate hash maps spilling to local disk under " +
+      "memory pressure during wide transformations at large scale"
+    val docs = Seq((1L, contaminated), (2L, cleanDoc)).toDF("doc_id", "text")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        evalDocs = Some(eval))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L), s"contaminated doc survived: $kept")
+    // without the stage both survive (they are not near-dups of each other)
+    val noStage = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(noStage === Set(1L, 2L))
+    // the operator itself reports the overlap for auditing
+    val audit = graft.dedup.Dedup.contaminatedIds(docs, col("doc_id"),
+      col("text"), eval, col("text"), 5).as[(Long, Long)].collect().toMap
+    assert(audit.keySet === Set(1L) && audit(1L) >= 5L)
+  }
 }

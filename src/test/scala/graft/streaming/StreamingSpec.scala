@@ -152,6 +152,26 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.readAsOf(spark, s"$dir/snap", Seq("k"), 3).count() === 4)
   }
 
+  test("compactionDue: skips when the chain is already compacted at/beyond the target (stale-checkpoint replay)") {
+    import graft.ops.Snapshots
+    val dir = tmp("compactdue")
+    // chain with epochs 1..3: compaction at id=4 (target 3) is due
+    (1 to 3).foreach { v =>
+      Snapshots.writeEpoch(Seq((v.toLong, s"v$v")).toDF("k", "val"), s"$dir/c", v)
+    }
+    assert(Streaming.compactionDue(spark, s"$dir/c", 4))
+    // compact the chain to 3 — the same id=4 compaction is now a no-op,
+    // and an OLDER id (a stale checkpoint's replayed micro-batch, the
+    // unconditional-compactTo crash) must skip rather than call
+    // compactTo(1) against an oldest epoch of 3
+    Snapshots.compactTo(spark, s"$dir/c", Seq("k"), 3)
+    assert(Snapshots.versions(spark, s"$dir/c") === Seq(3))
+    assert(!Streaming.compactionDue(spark, s"$dir/c", 4))
+    assert(!Streaming.compactionDue(spark, s"$dir/c", 2))
+    // empty dir (first ever compacting batch): nothing to compact
+    assert(!Streaming.compactionDue(spark, s"$dir/nonexistent", 2))
+  }
+
   test("streaming Y4M demux (binaryFile stream) == batch demuxY4m") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.multimodal.Multimodal
@@ -319,11 +339,7 @@ class StreamingSpec extends SparkSpec {
       val stream = spark.readStream
         .schema(spark.read.parquet(srcDir.toString).schema)
         .parquet(srcDir.toString)
-      val normalized =
-        if (spark.read.parquet(srcDir.toString).schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-          stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else stream
+      val normalized = Streaming.normalizeEventTs(stream)
       val q = Streaming.dedupStream(normalized, Seq("user_id", "event_type"))
         .select("user_id", "event_type", "ts")
         .writeStream.outputMode("append")
