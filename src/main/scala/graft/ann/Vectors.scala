@@ -545,12 +545,68 @@ object Vectors {
     * query batch — the d9 band-index discipline ([[graft.dedup.Dedup
     * .writeBandIndex]]) applied to ANN.
     */
-  def writeIvfPqIndex(index: DataFrame, table: String, buckets: Int = 64): Unit =
+  def writeIvfPqIndex(index: DataFrame, table: String, buckets: Int = 64): Unit = {
     graft.core.Bucketing.writeBucketed(index, table, "ivf_cell", buckets)
+    // a REBUILD starts with a clean slate: tombstones recorded against a
+    // previous incarnation must not mask ids in the new index
+    index.sparkSession.sql(s"DROP TABLE IF EXISTS `${tombstoneTable(table)}`")
+  }
 
-  /** Reopen a [[writeIvfPqIndex]] table (bucket metadata from the catalog). */
+  /** Reopen a [[writeIvfPqIndex]] table (bucket metadata from the catalog).
+    * Tombstoned ids ([[deleteFromIvfPqIndex]]) are masked here — the read
+    * anti-joins the (broadcast, tiny) tombstone relation, so deletes are
+    * visible immediately without touching the index files; the physical
+    * drop happens at the next [[compactIvfPqIndex]].
+    */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                     table: String): DataFrame = spark.table(table)
+                     table: String): DataFrame = {
+    val tt = tombstoneTable(table)
+    if (spark.catalog.tableExists(tt))
+      spark.table(table)
+        .join(broadcast(spark.table(tt)), Seq("vec_id"), "left_anti")
+    else spark.table(table)
+  }
+
+  /** Side table holding deleted vec_ids for `table` (one long column). */
+  def tombstoneTable(table: String): String = table + "__tombstones"
+
+  /** DELETE vectors from a persisted IVF-PQ index — the removal path the
+    * append-only ingest ([[appendToIvfPqIndex]]) needs as its complement:
+    * dedup-removal feedback and right-to-be-forgotten requests both arrive
+    * as id lists, and rewriting a 100-TB bucketed index per request is not
+    * an option. The ids are appended to a TOMBSTONE side table (cost ∝
+    * deletes); every [[readIvfPqIndex]] masks them via a broadcast
+    * anti-join (deletes are benchmark-set-sized, never corpus-sized); the
+    * next [[compactIvfPqIndex]] drops the rows physically and clears the
+    * tombstones — the same marker-then-compact discipline the snapshot
+    * chain uses for streamed deletes ([[graft.ops.Snapshots]]).
+    *
+    * A tombstone masks its id until compaction, including rows appended
+    * AFTER the delete — re-ingesting a deleted id only takes effect once a
+    * compaction has cleared the tombstone set.
+    */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, ids: DataFrame,
+                           idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(tombstoneTable(table))
+
+  /** Physically drop tombstoned rows: one shuffle-free bucketed rewrite
+    * ([[graft.core.Bucketing.compactBucketed]] with the anti-join folded
+    * into the same pass — also collapsing any appended file sets), then
+    * the tombstone table is cleared. Crash between swap and clear is safe:
+    * re-applying tombstones whose rows are already gone is a no-op.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String): Unit = {
+    val tt = tombstoneTable(table)
+    if (spark.catalog.tableExists(tt)) {
+      graft.core.Bucketing.compactBucketed(spark, table,
+        _.join(broadcast(spark.table(tt)), Seq("vec_id"), "left_anti"))
+      spark.sql(s"DROP TABLE `$tt`")
+    } else graft.core.Bucketing.compactBucketed(spark, table)
+  }
 
   /** Corpus-mean PQ reconstruction error under `books` — one number
     * summarizing how well the (frozen) codebooks still fit a vector set;
@@ -620,13 +676,17 @@ object Vectors {
     // trip a guard whose documented tolerance is exactly that quantum.
     val shardQ = BigDecimal(shardMse)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val boundQ = BigDecimal(baselineMse * driftFactor + driftEps)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    if (!baselineMse.isNaN && shardQ > boundQ)
-      throw new IllegalStateException(
-        f"appendToIvfPqIndex: shard mean PQ reconstruction error $shardMse%.6f " +
-          f"exceeds $driftFactor%.1f x baseline $baselineMse%.6f — the codebooks " +
-          "no longer fit the incoming distribution; retrain and rebuild instead of appending")
+    if (!baselineMse.isNaN) {
+      // NaN baseline = no guard — and BigDecimal(NaN) throws, so the bound
+      // must only be computed on the guarded path
+      val boundQ = BigDecimal(baselineMse * driftFactor + driftEps)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (shardQ > boundQ)
+        throw new IllegalStateException(
+          f"appendToIvfPqIndex: shard mean PQ reconstruction error $shardMse%.6f " +
+            f"exceeds $driftFactor%.1f x baseline $baselineMse%.6f — the codebooks " +
+            "no longer fit the incoming distribution; retrain and rebuild instead of appending")
+    }
     graft.core.Bucketing.appendBucketed(
       ivfPqIndex(newVectors, idCol, vecCol, cents, books, m),
       table, "ivf_cell", buckets)

@@ -57,4 +57,85 @@ object Bucketing {
   /** Read a bucketed table back (bucket metadata flows from the catalog). */
   def readBucketed(spark: org.apache.spark.sql.SparkSession,
                    table: String): DataFrame = spark.table(table)
+
+  /** COMPACT an appended-to bucketed table back to one file per bucket.
+    *
+    * [[appendBucketed]] lands one more file set per bucket on every
+    * ingest — correct (every file carries its bucket id, so pruning and
+    * exchange-free joins keep working) but degrading: after N daily
+    * appends each bucket is N files, and every query pays N× the open/
+    * footer cost plus an N-way merge behind the in-bucket sort. This
+    * rewrite is the companion maintenance op: one shuffle of the table
+    * into exactly `numBuckets` output files (repartition on the bucket
+    * key matches Spark's bucket hashing, so each task holds exactly one
+    * bucket's rows and the bucketed write emits one file per bucket),
+    * preserving the catalog bucket spec and in-bucket sort order.
+    *
+    * Epoch-swap crash discipline (the [[graft.ops.Snapshots.compactTo]]
+    * pattern): the compacted copy is fully written to a scratch table
+    * first; only then is the original dropped and the scratch renamed
+    * into place. A crash before the DROP leaves the original live (the
+    * scratch is garbage to clean); a crash between DROP and RENAME
+    * leaves the compacted data recoverable under `<table>__compact`.
+    * Single-writer by contract, like the appends it compacts.
+    *
+    * Run it on the same cadence a snapshot chain runs compactTo — e.g.
+    * every K ingests of a d9 band index or v15 IVF-PQ index — and the
+    * per-query file count stays O(numBuckets) instead of O(appends).
+    */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession,
+                      table: String,
+                      transform: DataFrame => DataFrame = identity): Unit = {
+    require(!table.contains(".") && !table.contains("`"),
+      s"compactBucketed: '$table' must be a simple (unqualified) table name")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"compactBucketed: table '$table' is not bucketed"))
+    require(spec.bucketColumnNames.size == 1,
+      s"compactBucketed: expected a single bucket column, got ${spec.bucketColumnNames}")
+    val key = spec.bucketColumnNames.head
+    val n = spec.numBuckets
+    val sortCols = spec.sortColumnNames
+    val scratch = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+    // SHUFFLE-FREE rewrite: force the bucketed scan (the auto-bucketed-scan
+    // heuristic would disable it for a bare scan-to-write plan, leaving
+    // arbitrary file-split partitions while the optimizer ALSO elides any
+    // repartition on the key as redundant against the table's logical
+    // partitioning — every task would then hold rows of every bucket and
+    // the write would emit tasks×buckets files). With the bucketed scan on,
+    // each task reads exactly one bucket's N appended files and the
+    // bucketed write emits exactly one file for it: no exchange anywhere —
+    // compaction cost is read + write, never a shuffle of the index.
+    val autoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoScan)
+    try {
+      spark.conf.set(autoScan, "false")
+      // `transform` lets maintenance rewrites fold row-level work into the
+      // same pass (e.g. physically dropping tombstoned ids). It must be
+      // partitioning-preserving — broadcast joins and filters are; anything
+      // that re-shuffles the key would break the one-task-per-bucket write.
+      val w = transform(spark.table(table))
+        .write.format("parquet").bucketBy(n, key)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+        .saveAsTable(scratch)
+    } finally spark.conf.set(autoScan, prev)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$table`")
+  }
+
+  /** Data files of a bucketed managed table (maintenance/diagnostics: the
+    * per-bucket file growth [[compactBucketed]] exists to reverse).
+    */
+  def dataFiles(spark: org.apache.spark.sql.SparkSession,
+                table: String): Seq[String] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) Nil
+    else fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .filter(f => !f.startsWith("_") && !f.startsWith("."))
+  }
 }

@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
   * degenerate group key turns one shuffle partition into the straggler
   * that dominates the stage at 100 TB.
   *
+  * WHEN TO SALT vs LEAN ON AQE (measured A/B, SURVEY §6.3: 7.5M fact
+  * rows with half on one hot key, dim forced non-broadcast — AQE split
+  * 1.5-1.6 s, AQE off 1.6-2.2 s, salted 2.1-2.6 s):
+  *
+  *  1. Default to AQE. It fixes the straggler at runtime for zero code
+  *     and, in the measured A/B, beats salting — the salt pays a real
+  *     tax (fact-side hash column + a `buckets`× replicated dim) on
+  *     every row whether or not skew materializes.
+  *  2. Salt when the skewed shuffle feeds an operator AQE's splitter
+  *     does not cover: skewed AGGREGATION ([[saltedSum]] — AQE skew
+  *     handling applies to sort-merge JOIN partitions, not groupBy
+  *     aggregates), a skewed join under `spark.sql.shuffle.partitions`
+  *     already at task-size limits, or a stage whose straggler is CPU
+  *     (one task decompressing one giant key) rather than bytes — AQE's
+  *     trigger is partition SIZE and misses byte-thin CPU-hot keys.
+  *  3. Salt when determinism of the physical layout matters: AQE
+  *     re-plans per run, so spill/locality behavior varies run to run;
+  *     the [[Determinism.detHash]] salt gives an oracle-reproducible
+  *     layout (x7/x8 are oracle-checked through the salted path).
+  *  4. Broadcast beats both whenever the dim fits — always try that
+  *     first; the A/B forces it off precisely because a broadcastable
+  *     dim needs neither technique.
+  *
   * Both helpers preserve exact semantics; salt only changes the shuffle
   * layout.
   */

@@ -1,0 +1,167 @@
+package graft.tools
+
+import graft.ann.Vectors
+import graft.core.Bucketing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only probe for the three maintenance-path scale claims (SURVEY
+  * §6.3): the AQE-vs-salting skew A/B, IVF-PQ incremental-append cost
+  * tracking the shard, and bucketed-table compaction recovering per-query
+  * read cost after many appends. Separated from [[ScaleProbe]] so the
+  * amplification factor can be sized to each question (the skew A/B needs
+  * far more rows than the dedup sections to rise above noise).
+  *
+  * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
+  * where sections is a comma list of {x8,v15,compact} (default: all).
+  */
+object MaintProbe {
+
+  private def time[A](name: String)(f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] $name: $s%.1f s")
+    (r, s)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sections = args.drop(1).headOption
+      .map(_.split(",").toSet).getOrElse(Set("x8", "v15", "compact"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def amplify(df: DataFrame, idCol: String, copies: Int,
+                shift: Long): DataFrame = {
+      val k = spark.range(0, copies).toDF("__copy")
+      df.crossJoin(broadcast(k))
+        .withColumn(idCol, col(idCol) + col("__copy") * shift)
+        .drop("__copy")
+        // a narrow source (one parquet file) otherwise leaves the whole
+        // amplified map side on 1-2 input tasks (SURVEY §6.3 lesson)
+        .repartition(cpus.toInt)
+    }
+
+    // ---- x8: AQE skew-join vs deterministic salting, 50x orders ----
+    // 7.5M fact rows, half pinned to ONE hot key; dim forced non-broadcast.
+    if (sections("x8")) locally {
+      val orders = amplify(spark.read.parquet(s"$sfDir/orders.parquet"),
+        "o_orderkey", 50, 100000000L)
+        .select("o_orderkey", "o_custkey").localCheckpoint()
+      println(s"[probe] x8 fact rows: ${orders.count()}")
+      val fact = orders.withColumn("k",
+        when(col("o_orderkey") % 2 === 0, lit(-1L)).otherwise(col("o_custkey")))
+      val dim = orders.select(col("o_custkey").as("k")).distinct()
+        .union(spark.range(-1, 0).select(col("id").as("k")))
+        .withColumn("attr", md5(col("k").cast("string")))
+        .localCheckpoint()
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def run() = fact.join(dim, "k").agg(count(lit(1))).collect()
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        time("x8/50x plain SMJ, AQE skew-join OFF (straggler reducer)") { run() }
+        time("x8/50x plain SMJ, AQE skew-join OFF, run 2") { run() }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        time("x8/50x plain SMJ, AQE skew-join ON (runtime split)") { run() }
+        time("x8/50x plain SMJ, AQE skew-join ON, run 2") { run() }
+        time("x8/50x saltedJoin (32 buckets, deterministic salt)") {
+          graft.ops.Skew.saltedJoin(fact, dim, "k", col("o_orderkey"), 32)
+            .agg(count(lit(1))).collect()
+        }
+        time("x8/50x saltedJoin, run 2") {
+          graft.ops.Skew.saltedJoin(fact, dim, "k", col("o_orderkey"), 32)
+            .agg(count(lit(1))).collect()
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+      spark.catalog.clearCache()
+    }
+
+    // ---- v15: IVF-PQ append cost vs index size (must track the SHARD) ----
+    if (sections("v15")) locally {
+      val emb = amplify(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", 100, 1000000L).localCheckpoint()
+      println(s"[probe] v15 embeddings rows: ${emb.count()}")
+      val shard = emb.filter(col("vec_id") % 100 === 7)   // 1%
+      val base = emb.filter(col("vec_id") % 100 =!= 7)
+      val m = 8
+      val books = Vectors.pqCodebooksStep(base, "vec_id", "embedding", m, 200)
+        .localCheckpoint()
+      val cents = Vectors.stepCentroids(base, "vec_id", "embedding", 50)
+        .localCheckpoint()
+      val (_, buildS) = time("v15/100x base index build + bucketed write (99%)") {
+        Vectors.writeIvfPqIndex(
+          Vectors.ivfPqIndex(base, "vec_id", "embedding", cents, books, m),
+          "maint_ivfpq_idx")
+      }
+      val (baseMse, _) = time("v15/100x drift baseline meanPqMse (one-time)") {
+        Vectors.meanPqMse(base, "vec_id", "embedding", books, m)
+      }
+      val (_, appendS) = time("v15/100x append 1% shard (drift check + encode + insert)") {
+        Vectors.appendToIvfPqIndex("maint_ivfpq_idx", shard,
+          "vec_id", "embedding", cents, books, m, baselineMse = baseMse)
+      }
+      println(f"[probe] v15/100x append/rebuild cost ratio: ${appendS / buildS}%.3f " +
+        "(shard is 1% of the corpus; a ratio near 0.01-0.1 means ingest " +
+        "tracks the shard, not the index)")
+      spark.catalog.clearCache()
+    }
+
+    // ---- bucketed compaction: read cost after 10 appends vs compacted ----
+    if (sections("compact")) locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val m = 8
+      val books = Vectors.pqCodebooksStep(emb, "vec_id", "embedding", m, 200)
+        .localCheckpoint()
+      val cents = Vectors.stepCentroids(emb, "vec_id", "embedding", 50)
+        .localCheckpoint()
+      Vectors.writeIvfPqIndex(
+        Vectors.ivfPqIndex(emb, "vec_id", "embedding", cents, books, m),
+        "maint_compact_idx")
+      // 10 daily shards (ids shifted so they are new)
+      (1 to 10).foreach { day =>
+        val shard = emb.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + day * 10000000L)
+        Vectors.appendToIvfPqIndex("maint_compact_idx", shard,
+          "vec_id", "embedding", cents, books, m)
+      }
+      println(s"[probe] files after 10 appends: " +
+        Bucketing.dataFiles(spark, "maint_compact_idx").size)
+      val q = emb.filter(col("vec_id") < 8)
+      def query() =
+        Vectors.ivfPqTopKFromIndex(Vectors.readIvfPqIndex(spark, "maint_compact_idx"),
+          q, "vec_id", "embedding", cents, books, m, 5, nprobe = 2).count()
+      time("compact/query over 11 file sets (warmup)") { query() }
+      val (_, beforeS) = time("compact/query over 11 file sets") { query() }
+      val (_, compactS) = time("compact/compactBucketed (shuffle-free rewrite)") {
+        Bucketing.compactBucketed(spark, "maint_compact_idx")
+      }
+      println(s"[probe] files after compaction: " +
+        Bucketing.dataFiles(spark, "maint_compact_idx").size)
+      time("compact/query over 1 file set (warmup)") { query() }
+      val (_, afterS) = time("compact/query over 1 file set") { query() }
+      println(f"[probe] compaction: query ${beforeS}%.2f s -> ${afterS}%.2f s, " +
+        f"rewrite cost ${compactS}%.2f s amortized over every later query")
+    }
+    spark.stop()
+  }
+}

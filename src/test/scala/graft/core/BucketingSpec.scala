@@ -195,6 +195,13 @@ class BucketingSpec extends SparkSpec {
       "vec_id", "embedding", cents, books, m, baselineMse = 0.0, buckets = 8)
     assert(mse > 0.0 && mse <= 1e-6, mse)
     assert(Vectors.readIvfPqIndex(spark, "ivfpq_edge_b").count() === 30L * m)
+    // (b2) NO baseline (NaN): guard disabled entirely — the append must
+    // succeed for any shard error (BigDecimal(NaN) once threw here)
+    val unguarded = (300L until 305L).map(i => (i, Array.fill(8)(1.0 + 3e-3)))
+      .toDF("vec_id", "embedding")
+    Vectors.appendToIvfPqIndex("ivfpq_edge_b", unguarded,
+      "vec_id", "embedding", cents, books, m, buckets = 8)
+    assert(Vectors.readIvfPqIndex(spark, "ivfpq_edge_b").count() === 35L * m)
     // (c) zero baseline does NOT disable the guard: genuine drift
     // (orders of magnitude above the quantum) is still refused
     val drifted = (200L until 210L).map(i =>
@@ -204,7 +211,96 @@ class BucketingSpec extends SparkSpec {
       Vectors.appendToIvfPqIndex("ivfpq_edge_b", drifted,
         "vec_id", "embedding", cents, books, m, baselineMse = 0.0, buckets = 8)
     }
-    assert(Vectors.readIvfPqIndex(spark, "ivfpq_edge_b").count() === 30L * m)
+    assert(Vectors.readIvfPqIndex(spark, "ivfpq_edge_b").count() === 35L * m)
+  }
+
+  test("IVF-PQ tombstone deletes: delete-then-query == rebuild-without-deleted; compaction drops rows physically") {
+    import graft.ann.Vectors
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val m = 2
+    val books = Vectors.pqCodebooksStep(vecs, "vec_id", "embedding", m, 10)
+    val cents = Vectors.stepCentroids(vecs, "vec_id", "embedding", 10)
+    Vectors.writeIvfPqIndex(
+      Vectors.ivfPqIndex(vecs, "vec_id", "embedding", cents, books, m),
+      "ivfpq_del_b", 8)
+    val q = vecs.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    def queryIdx() = rows(Vectors.ivfPqTopKFromIndex(
+      Vectors.readIvfPqIndex(spark, "ivfpq_del_b"), q, "vec_id", "embedding",
+      cents, books, m, 5, nprobe = 2))
+    // doom ids the CURRENT top-k actually returns, so the delete must
+    // change the result (top-k structs are (query_id, vec_id, dist, rank))
+    val doomed = queryIdx().map(_._2).toSeq.distinct.sorted.take(3)
+    val kept = vecs.filter(!col("vec_id").isin(doomed: _*))
+    // the oracle: an index rebuilt WITHOUT the deleted vectors
+    val want = rows(Vectors.ivfPqTopKFromIndex(
+      Vectors.ivfPqIndex(kept, "vec_id", "embedding", cents, books, m),
+      q, "vec_id", "embedding", cents, books, m, 5, nprobe = 2))
+    assert(queryIdx() !== want,
+      "precondition: deleting returned ids must change the result")
+    Vectors.deleteFromIvfPqIndex(spark, "ivfpq_del_b",
+      doomed.toDF("vec_id"))
+    // logical delete: visible immediately, no file rewritten
+    assert(queryIdx() === want)
+    assert(spark.table("ivfpq_del_b").count() === 60L * m, "rows rewritten early")
+    // physical drop at compaction; tombstones cleared; results unchanged
+    Vectors.compactIvfPqIndex(spark, "ivfpq_del_b")
+    assert(spark.table("ivfpq_del_b").count() === (60L - doomed.size) * m)
+    assert(!spark.catalog.tableExists(Vectors.tombstoneTable("ivfpq_del_b")))
+    assert(queryIdx() === want)
+    // a fresh write of the same name must not inherit stale tombstones
+    Vectors.deleteFromIvfPqIndex(spark, "ivfpq_del_b", Seq(0L).toDF("vec_id"))
+    Vectors.writeIvfPqIndex(
+      Vectors.ivfPqIndex(vecs, "vec_id", "embedding", cents, books, m),
+      "ivfpq_del_b", 8)
+    assert(spark.table("ivfpq_del_b").count() === 60L * m)
+    assert(!spark.catalog.tableExists(Vectors.tombstoneTable("ivfpq_del_b")))
+  }
+
+  test("compactBucketed: N appends collapse to one file per bucket; pruning and no-exchange survive") {
+    val buckets = 4
+    def rowsAt(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"payload_$i")).toDF("k", "v")
+    Bucketing.writeBucketed(rowsAt(0, 100), "compact_t", "k", buckets)
+    (1 to 3).foreach { a =>
+      Bucketing.appendBucketed(rowsAt(a * 100L, a * 100L + 100), "compact_t",
+        "k", buckets)
+    }
+    // each append lands its own file set: strictly more files than buckets
+    val before = Bucketing.dataFiles(spark, "compact_t")
+    assert(before.size > buckets, s"expected growth, got ${before.size} files")
+    val want = spark.table("compact_t").as[(Long, String)].collect().toSet
+    Bucketing.compactBucketed(spark, "compact_t")
+    // one file per bucket, same rows, bucket spec preserved
+    val after = Bucketing.dataFiles(spark, "compact_t")
+    assert(after.size === buckets, s"not compacted: $after")
+    assert(spark.table("compact_t").as[(Long, String)].collect().toSet === want)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("compact_t")).bucketSpec
+    assert(spec.exists(s => s.numBuckets == buckets &&
+      s.bucketColumnNames == Seq("k") && s.sortColumnNames == Seq("k")))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // bucket pruning: an equality filter on the bucket key reads 1 bucket
+      // (plan check needs the bucketed scan forced on, as elsewhere)
+      val prevAuto = spark.conf
+        .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      val pruned = spark.table("compact_t").filter(col("k") === 42L)
+      val scan = try {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        pruned.queryExecution.executedPlan.toString
+      } finally spark.conf
+        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      assert(scan.contains(s"SelectedBucketsCount: 1 out of $buckets"), scan)
+      assert(pruned.count() === 1L)
+      // co-located aggregation: still no exchange after the rewrite
+      val agg = spark.table("compact_t").groupBy("k").agg(count(lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("writeBucketed refuses qualified table names (stale-location path would target the wrong directory)") {
