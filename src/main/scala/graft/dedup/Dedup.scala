@@ -181,6 +181,21 @@ object Dedup {
   def readBandIndex(spark: org.apache.spark.sql.SparkSession,
                     table: String): DataFrame = spark.table(table)
 
+  /** Fold a deduplicated shard's banded signatures INTO the persisted band
+    * index — the step that closes the d9 ingest loop: after
+    * [[incrementalCandidatePairs]] has verified today's shard, its
+    * signatures become part of the index tomorrow's shard joins against.
+    * Only the shard shuffles into buckets (cost ∝ shard); the index is
+    * never rewritten. Each append lands one more file set per bucket —
+    * run [[graft.core.Bucketing.compactBucketed]] on the same cadence the
+    * snapshot chain compacts (every K ingests) to keep per-bucket file
+    * count O(K); the shuffle-free rewrite preserves the bucket spec, so
+    * the exchange-free ingest join is unaffected.
+    */
+  def appendBandIndex(banded: DataFrame, table: String,
+                      buckets: Int = 64): Unit =
+    graft.core.Bucketing.appendBucketed(banded, table, "band_sig", buckets)
+
   /** D9: INCREMENTAL candidate pairs — a new ingest shard against the
     * persisted [[bandedSignatures]] index of the existing corpus, plus
     * new×new, but never old×old. At 100 TB this is the only dedup query
@@ -450,10 +465,18 @@ object Dedup {
                       evalDocs: DataFrame, evalText: Column,
                       n: Int = 5, minShared: Int = 1): DataFrame = {
     import graft.text.TextFunctions.{tokens, wordNgramsFromTokens}
-    def grams(txt: Column): Column =
-      array_distinct(wordNgramsFromTokens(tokens(txt), n))
-    val trainG = docs.select(id.as("doc_id"), explode(grams(text)).as("g"))
-    val evalG = evalDocs.select(explode(grams(evalText)).as("g")).distinct()
+    // tokenize ONCE into a bound attribute — n-grams straight off the text
+    // re-run the interpreted split per gram position (HOF lambdas are
+    // CodegenFallback; the tx_word_bigrams lesson, ~10× at sf0.1); docs
+    // shorter than n tokens have no n-gram (the greatest() guard in the
+    // gram builder would otherwise emit a truncated pseudo-gram)
+    def grams(df: DataFrame, idc: Column, txt: Column): DataFrame = df
+      .select(idc.as("doc_id"), tokens(txt).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgramsFromTokens(col("__toks"), n))).as("g"))
+    val trainG = grams(docs, id, text)
+    val evalG = grams(evalDocs, lit(0L), evalText).select("g").distinct()
     trainG.join(broadcast(evalG), Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)

@@ -275,6 +275,27 @@ object QText {
         .agg(count(lit(1)).as("shared_5grams"))
     }),
 
+    // D12: the in-pipeline decontamination stage under a full oracle — the
+    // exact relation Pipelines.dedupCorpus(evalDocs = ...) feeds into its
+    // dedup stages: quality-gated train docs (doc_id >= 50 stands in for
+    // the train split) minus every doc sharing ANY word 5-gram with the
+    // eval split (doc_id < 50). Same broadcast-eval + left-anti shape as
+    // the pipeline (Dedup.contaminatedIds); d8 reports the overlap pairs,
+    // this reports the KEPT corpus.
+    "d12_decontaminated_keep" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") >= 50)
+        .filter(round(qualityScoreNative(col("text")), 6) >= 0.5)
+      val evalSide = docs.filter(col("doc_id") < 50)
+      val dirty = Dedup.contaminatedIds(train, col("doc_id"), col("text"),
+          evalSide, col("text"), 5)
+        .select(col("doc_id").as("__dirty_id"))
+      train.join(broadcast(dirty), col("doc_id") === col("__dirty_id"),
+          "left_anti")
+        .select(col("doc_id"))
+    }),
+
     // D9: INCREMENTAL dedup — a new ingest shard (doc_id >= 400) against
     // the banded-signature index of the existing corpus (doc_id < 400),
     // plus new×new, never old×old. The day-to-day production dedup query:
@@ -661,6 +682,22 @@ object QText {
           FROM (SELECT * FROM g WHERE doc_id >= 50) tr
           JOIN (SELECT * FROM g WHERE doc_id < 50) ev USING (g)
           GROUP BY 1, 2""",
+    "d12_decontaminated_keep" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+               f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+               g AS (SELECT DISTINCT doc_id, g FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(toks) - 3),
+                          i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1] || '_' ||
+                               toks[CAST(i AS INT) + 2] || '_' || toks[CAST(i AS INT) + 3] || '_' ||
+                               toks[CAST(i AS INT) + 4])) AS g
+                 FROM f)),
+               dirty AS (SELECT DISTINCT tr.doc_id
+                         FROM (SELECT * FROM g WHERE doc_id >= 50) tr
+                         JOIN (SELECT * FROM g WHERE doc_id < 50) ev USING (g))
+          SELECT doc_id FROM documents
+          WHERE doc_id >= 50 AND round($qualitySql, 6) >= 0.5
+            AND doc_id NOT IN (SELECT doc_id FROM dirty)""",
     // transitive closure of the verified-pair graph, min reachable id per
     // vertex = cluster. WITH RECURSIVE; the d5 pipeline rides along as a
     // plain CTE. Shared by d7 (min-label propagation) and d7b (alternating

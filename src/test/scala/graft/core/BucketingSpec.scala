@@ -58,6 +58,22 @@ class BucketingSpec extends SparkSpec {
       // and identical pairs either way
       assert(viaBucketed.as[(Long, Long)].collect().toSet ===
         viaRaw.as[(Long, Long)].collect().toSet)
+      // the d9 ingest LOOP: fold the verified shard into the index, query
+      // the next shard against it — equals the all-in-memory computation
+      Dedup.appendBandIndex(shard, "band_index_b", 8)
+      val shard2 = bandedOf(docs.filter(col("doc_id") >= 30)
+        .withColumn("doc_id", col("doc_id") + 100))
+      val wantNext = Dedup.incrementalCandidatePairs(shard2, index.union(shard))
+        .as[(Long, Long)].collect().toSet
+      def viaIdx() = Dedup.incrementalCandidatePairs(
+          shard2, Dedup.readBandIndex(spark, "band_index_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(viaIdx() === wantNext)
+      // compaction collapses the append's extra file set and changes nothing
+      val before = Bucketing.dataFiles(spark, "band_index_b").size
+      Bucketing.compactBucketed(spark, "band_index_b")
+      assert(Bucketing.dataFiles(spark, "band_index_b").size < before)
+      assert(viaIdx() === wantNext)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
