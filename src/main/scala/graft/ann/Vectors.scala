@@ -659,7 +659,10 @@ object Vectors {
     * smallest representable nonzero shard MSE. A shard within one
     * quantum of a zero baseline is float/rounding noise, not drift;
     * genuine drift produces MSE orders of magnitude above it and is
-    * still refused (asserted in BucketingSpec).
+    * still refused (asserted in BucketingSpec). The comparison runs at
+    * the same 6-decimal quantum (both sides rounded), and the epsilon
+    * applies at EVERY baseline as uniform rounding tolerance — at any
+    * realistic nonzero baseline it is far inside the driftFactor margin.
     */
   def appendToIvfPqIndex(table: String, newVectors: DataFrame,
                          idCol: String, vecCol: String,

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,compact} (default: all).
+  * where sections is a comma list of {x8,v15,compact,decont}
+  * (default: all).
   */
 object MaintProbe {
 
@@ -28,7 +29,7 @@ object MaintProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val sections = args.drop(1).headOption
-      .map(_.split(",").toSet).getOrElse(Set("x8", "v15", "compact"))
+      .map(_.split(",").toSet).getOrElse(Set("x8", "v15", "compact", "decont"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -161,6 +162,22 @@ object MaintProbe {
       val (_, afterS) = time("compact/query over 1 file set") { query() }
       println(f"[probe] compaction: query ${beforeS}%.2f s -> ${afterS}%.2f s, " +
         f"rewrite cost ${compactS}%.2f s amortized over every later query")
+    }
+    // ---- decontamination: cost linear in the train corpus ----
+    // The eval side is a benchmark (fixed size); the train side grows.
+    // Timing 1x vs 10x train reads the scaling exponent directly.
+    if (sections("decont")) locally {
+      import graft.dedup.Dedup
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .localCheckpoint()
+      val docs10 = amplify(docs1, "doc_id", 10, 1000000L).localCheckpoint()
+      val evalSide = docs1.filter(col("doc_id") < 50)
+      def run(df: DataFrame): Long =
+        Dedup.contaminatedIds(df.filter(col("doc_id") >= 50), col("doc_id"),
+          col("text"), evalSide, col("text"), 5).count()
+      time("decont contaminatedIds warmup") { run(docs1) }
+      time("decont 1x train corpus") { run(docs1) }
+      time("decont 10x train corpus") { run(docs10) }
     }
     spark.stop()
   }
