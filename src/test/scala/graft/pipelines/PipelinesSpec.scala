@@ -249,6 +249,41 @@ class PipelinesSpec extends SparkSpec {
     assert(raw(3L).contains("alice@example.com"))
   }
 
+  test("dedupCorpus with EVERY opt-in stage on: clean, decontaminate, cap, containment, scrub compose") {
+    import org.apache.spark.sql.functions.col
+    val long = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the quiet green forest to rest for a while longer " +
+      "before returning home across the wide river under the evening sky"
+    val short = "the quick brown fox jumps over the lazy dog and then runs"
+    val evalText = "held out benchmark question about the capital of france " +
+      "and its famous tower near the river in the spring"
+    val docs = Seq(
+      // markup + PII, survives only because preClean strips tags first
+      (1L, "<p>" + long + " contact bob@example.com today</p>", "a"),
+      (2L, short, "a"),              // contained in 1 -> containment drop
+      (3L, "leaked text where the held out benchmark question about the " +
+        "capital of france appears verbatim in otherwise long unremarkable " +
+        "prose about european geography and travel", "b"), // contaminated
+      (4L, "completely different content about spark shuffles and " +
+        "partitions and aggregate hash maps spilling to local disk under " +
+        "memory pressure during wide transformations at large scale", "b"))
+      .toDF("doc_id", "text", "source")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        preClean = true, evalDocs = Some(eval),
+        minContainment = Some(0.8), maxPerSource = 5,
+        substrN = Some(5))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // 1 kept (cleaned), 2 contained-in-1, 3 contaminated, 4 kept
+    assert(kept.keySet === Set(1L, 4L), s"got ${kept.keySet}")
+    // substrN rewrites kept text as the normalized token stream (documented)
+    // — so the <EMAIL> placeholder survives as the token "email"; what must
+    // never appear is the raw markup or the raw address
+    assert(!kept(1L).contains("<p>") && !kept(1L).contains("bob") &&
+      !kept(1L).contains("@"), kept(1L))
+    assert(kept(1L).contains("email"), kept(1L))
+  }
+
   test("dedupCorpus decontamination: docs sharing eval n-grams are dropped before dedup") {
     import org.apache.spark.sql.functions.col
     val evalText = "the held out benchmark question asks about the capital " +
