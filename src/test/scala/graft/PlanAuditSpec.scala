@@ -90,6 +90,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected product/failed plans: $offenders")
   }
 
+  test("d12_decontaminated_keep: eval side broadcasts; train side never sort-merge-joins") {
+    // the decontamination scale contract: the eval gram set (benchmark-
+    // sized) reaches the train side as a BROADCAST semi-join, and the
+    // kept-corpus anti-join is also broadcast (contaminated ids are
+    // bounded by the eval set's reach) — a SortMergeJoin anywhere here
+    // would mean the corpus-sized side is being shuffled for membership
+    // tests against benchmark-sized relations
+    val p = plan("d12_decontaminated_keep")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).nonEmpty, p)
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).nonEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the doc_id >= 50 split reaches the parquet source on both branches
+    assert(p.contains("GreaterThanOrEqual(doc_id,50)"), p)
+  }
+
   test("trainingFeed (distributed): every global window runs over a bounded aggregate, never the feed") {
     // audited on the OPTIMIZED LOGICAL plan: AQE wraps the physical plan in
     // AdaptiveSparkPlanExec (a leaf to collect()), and the logical Window /
