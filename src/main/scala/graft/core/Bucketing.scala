@@ -30,7 +30,11 @@ object Bucketing {
       s"writeBucketed: '$table' must be a simple (unqualified) table name")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.conf.get("spark.sql.warehouse.dir"),
+      // Locale.ROOT to match the catalog's own identifier normalization —
+      // a tr_TR default locale would lowercase 'I' to dotless 'ı' and miss
+      // the stale directory
+      table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc) && !fs.delete(loc, true))
       throw new IllegalStateException(
