@@ -22,7 +22,7 @@ object Bench {
     def force(name: String, dir: String): Boolean =
       try {
         val df = SparkEntry.queries(name)(spark, dir)
-        df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
           .agg(bit_xor(col("__h"))).collect()
         true
       } catch { case e: Throwable =>

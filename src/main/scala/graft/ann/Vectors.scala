@@ -618,7 +618,7 @@ object Vectors {
   def meanPqMse(corpus: DataFrame, idCol: String, vecCol: String,
                 books: DataFrame, m: Int): Double =
     Option(pqReconstructionMse(corpus, idCol, vecCol, books, m)
-      .agg(avg(col("pq_mse"))).head.getAs[java.lang.Double](0))
+      .agg(avg(col("pq_mse"))).head().getAs[java.lang.Double](0))
       .fold(Double.NaN)(_.doubleValue)
 
   /** INCREMENTAL index ingest — the d9 band-index discipline
@@ -858,7 +858,7 @@ object Vectors {
         s"only ${initIds.length} vectors — lower k or raise sampleFrac")
     val idRank = initIds.zipWithIndex.toMap
     var books: Seq[(Int, Long, Seq[Double])] = sv
-      .filter(col("vec_id").isin(initIds: _*))
+      .filter(col("vec_id").isin(initIds.toIndexedSeq: _*))
       .select(col("vec_id"), col("sub"), col("sv")).collect()
       .map(r => (r.getInt(1), idRank(r.getLong(0)).toLong, r.getSeq[Double](2)))
       .toSeq

@@ -30,7 +30,7 @@ object AsofJoin {
     val r = rightDf.select(col(key), col(rightTime).as("__t"), col(payload).as("__p"))
       .withColumn("__side", lit(0))
     val unioned = l.select((l.columns.filterNot(Set("__t", "__side", "__p"))
-        .map(col) ++ Seq(col("__t"), col("__side"), col("__p"))): _*)
+        .toIndexedSeq.map(col) ++ Seq(col("__t"), col("__side"), col("__p"))): _*)
       .unionByName(r.select(col(key), col("__t"), col("__side"), col("__p")),
         allowMissingColumns = true)
     // Total order: (__t, __side, __p). Without __p, two right rows sharing

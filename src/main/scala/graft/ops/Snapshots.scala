@@ -76,7 +76,7 @@ object Snapshots {
     val all = spark.read.parquet(dir).filter(col("_v") <= version)
     val snap = all
       .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(all.columns.map(col): _*), col("_v")).as("__r"))
+      .agg(max_by(struct(all.columns.toIndexedSeq.map(col): _*), col("_v")).as("__r"))
       .select(col("__r.*"))
     val live =
       if (snap.columns.contains(deletedCol))

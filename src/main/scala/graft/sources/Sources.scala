@@ -36,6 +36,6 @@ object Sources {
     // repartition(1) + sortWithinPartitions: one sorted file. (orderBy
     // after coalesce(1) would re-shuffle and fan back out; coalesce after
     // orderBy would collapse the sort itself to one task.)
-    pairs.repartition(1).sortWithinPartitions(pairs.columns.map(col): _*)
+    pairs.repartition(1).sortWithinPartitions(pairs.columns.toIndexedSeq.map(col): _*)
       .write.mode("overwrite").option("delimiter", " ").csv(path)
 }

@@ -30,7 +30,7 @@ object Explain {
     (1 to times).foreach { i =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      df.select(xxhash64(df.columns.map(col): _*).as("__h")).agg(bit_xor(col("__h"))).collect()
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h")).agg(bit_xor(col("__h"))).collect()
       println(f"[explain] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
