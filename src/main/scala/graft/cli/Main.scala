@@ -31,10 +31,18 @@ object Main {
     args.sliding(2).collectFirst { case Array(`name`, v) => v }
 
   def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The command dispatch, on a caller-owned session — separated from
+    * [[main]] (which stops its session) so tests can drive the real arg
+    * surface under the shared test session.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse(
       sys.error("usage: train|curriculum|evaluate|sync|dedup|mixture|pack"))
-    val spark = GraftSession.local()
-    try cmd match {
+    cmd match {
       case "train" =>
         val manifest = spark.read.parquet(opt(args, "--manifest").get)
         val profile = opt(args, "--profile").getOrElse("hard") match {
@@ -196,6 +204,6 @@ object Main {
           }
         }
       case other => sys.error(s"unknown command: $other")
-    } finally spark.stop()
+    }
   }
 }

@@ -178,6 +178,9 @@ object MaintProbe {
       time("decont contaminatedIds warmup") { run(docs1) }
       time("decont 1x train corpus") { run(docs1) }
       time("decont 10x train corpus") { run(docs10) }
+      val docs100 = amplify(docs1, "doc_id", 100, 1000000L).localCheckpoint()
+      println(s"[probe] decont 100x rows: ${docs100.count()}")
+      time("decont 100x train corpus") { run(docs100) }
     }
     spark.stop()
   }
