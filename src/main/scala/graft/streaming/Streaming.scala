@@ -239,6 +239,36 @@ object Streaming {
       .select(col("doc_id").as("new_doc"), col("matched_doc"))
   }
 
+  /** Streaming DECONTAMINATION sink — the curation pipeline's eval-overlap
+    * stage ([[graft.dedup.Dedup.contaminatedIds]]) applied to a document
+    * ingest stream: each micro-batch is scrubbed with the EXACT batch
+    * operator (foreachBatch = batch semantics per micro-batch, the
+    * trainingFeedStream discipline), and only clean documents reach
+    * `outDir`. Decontamination is per-document — no cross-batch state —
+    * so micro-batch composition is exact, not approximate: the union of
+    * scrubbed micro-batches equals the scrubbed union (asserted in
+    * StreamingSpec). The eval side is static, benchmark-sized, and
+    * broadcast per batch; cost per micro-batch tracks the batch.
+    */
+  def decontaminateStreamSink(docsStream: DataFrame, evalDocs: DataFrame,
+                              outDir: String, checkpointDir: String,
+                              n: Int = 5,
+                              trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dirty = graft.dedup.Dedup.contaminatedIds(batch, col("doc_id"),
+            col("text"), evalDocs, col("text"), n)
+          .select(col("doc_id").as("__dirty_id"))
+        batch.join(broadcast(dirty),
+            batch("doc_id") === col("__dirty_id"), "left_anti")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** T4: async checkpoint sink — each micro-batch is written to
     * `<outDir>/batch=<id>` by foreachBatch, with exactly-once bookkeeping in
     * `checkpointDir` (the reference's background-thread S3 upload,

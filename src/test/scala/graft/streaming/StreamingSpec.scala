@@ -152,6 +152,40 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.readAsOf(spark, s"$dir/snap", Seq("k"), 3).count() === 4)
   }
 
+  test("streaming decontamination == batch: clean docs pass, contaminated docs dropped, across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("decontstream")
+    val evalText = "held out benchmark question about the capital of france " +
+      "and its famous tower near the river in the spring"
+    val contaminated = "leaked copy of the held out benchmark question about " +
+      "the capital of france pasted into long unremarkable prose"
+    val clean1 = "completely different content about spark shuffles and " +
+      "partitions and aggregate hash maps spilling to local disk"
+    val clean2 = "a mountain trail winds through cedar groves toward the " +
+      "snowline above the quiet valley in early autumn light"
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    // two files -> two micro-batches, a contaminated doc in each half
+    Seq((1L, clean1), (2L, contaminated)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    Seq((3L, clean2), (4L, contaminated + " second occurrence"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Streaming.decontaminateStreamSink(stream, eval,
+      s"$dir/out", s"$dir/ckpt", 5, Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    // batch twin over the full input
+    val all = spark.read.parquet(s"$dir/in")
+    val dirty = graft.dedup.Dedup.contaminatedIds(all, col("doc_id"),
+      col("text"), eval, col("text"), 5).select(col("doc_id")).as[Long].collect().toSet
+    val want = all.select("doc_id").as[Long].collect().toSet -- dirty
+    assert(got === want && got === Set(1L, 3L), s"got $got want $want")
+  }
+
   test("compactionDue: skips when the chain is already compacted at/beyond the target (stale-checkpoint replay)") {
     import graft.ops.Snapshots
     val dir = tmp("compactdue")
