@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1]
+  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
@@ -81,7 +81,7 @@ object Main {
         println(s"[sync] pending: ${pending.count()} objects")
       case "dedup" =>
         val docs = spark.read.parquet(opt(args, "--docs").get)
-        val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
           minQuality = opt(args, "--min-quality").map(_.toDouble).getOrElse(0.5),
           minJaccard = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3),
           substrN = opt(args, "--substr-n").map(_.toInt),
@@ -93,6 +93,13 @@ object Main {
           decontN = opt(args, "--decont-ngram").map(_.toInt).getOrElse(5),
           decontMinShared =
             opt(args, "--decont-min-shared").map(_.toInt).getOrElse(1))
+        val kept = stages.last._2
+        // funnel audit: per-stage surviving-doc counts — the curation
+        // run's QA report ("gate dropped N, decontamination M, ...")
+        if (args.contains("--audit"))
+          stages.foreach { case (name, df) =>
+            println(f"[dedup] ${name}%-24s ${df.count()}%d docs")
+          }
         opt(args, "--output") match {
           case Some(out) => kept.write.mode("overwrite").parquet(out)
           case None      => println(s"[dedup] kept ${kept.count()} documents")

@@ -201,9 +201,39 @@ object Pipelines {
                   preClean: Boolean = false,
                   evalDocs: Option[DataFrame] = None,
                   decontN: Int = 5,
-                  decontMinShared: Int = 1): DataFrame = {
+                  decontMinShared: Int = 1): DataFrame =
+    dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
+      minJaccard, substrN, textColName, minContainment, maxPerSource,
+      sourceCol, preClean, evalDocs, decontN, decontMinShared).last._2
+
+  /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
+    * (stageName, relation) — the FUNNEL AUDIT a production curation run
+    * reports: counting each stage gives per-stage drop numbers ("gate
+    * dropped 12%, decontamination 0.3%, clusters 18%, ..."), and any stage
+    * can be inspected or sampled for QA. The last element is exactly what
+    * [[dedupCorpus]] returns; stages not enabled by the parameters are
+    * absent from the list. Counting every stage re-executes the shared
+    * prefix per count (Spark relations are lazy) EXCEPT the exact-dedup
+    * checkpoint boundary, which all later stages reuse — cheap enough for
+    * a per-ingest report, and the audit is opt-in by construction.
+    */
+  def dedupCorpusStages(docs: DataFrame, id: Column, text: Column,
+                        minQuality: Double = 0.5, minhashK: Int = 8,
+                        bandSize: Int = 4, ngram: Int = 3,
+                        minJaccard: Double = 0.3,
+                        substrN: Option[Int] = None,
+                        textColName: String = "text",
+                        minContainment: Option[Double] = None,
+                        maxPerSource: Int = 0,
+                        sourceCol: String = "source",
+                        preClean: Boolean = false,
+                        evalDocs: Option[DataFrame] = None,
+                        decontN: Int = 5,
+                        decontMinShared: Int = 1): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
+    val stages = Seq.newBuilder[(String, DataFrame)]
+    stages += ("input" -> docs)
     // pre-clean rewrites the text column IN PLACE so every later stage —
     // gate, signatures, verification, scrub — and the returned corpus see
     // only the cleaned form
@@ -211,11 +241,14 @@ object Pipelines {
       if (!preClean) (docs, text)
       else (docs.withColumn(textColName, graft.text.TextFunctions.redactPii(
         graft.text.TextFunctions.stripMarkup(text))), col(textColName))
+    if (preClean) stages += ("pre_clean" -> cleanSrc)
     val quality = cleanSrc.filter(
       round(graft.text.TextFunctions.qualityScoreNative(cleanText), 6) >= minQuality)
+    stages += ("quality_gate" -> quality)
     val capped0 =
       if (maxPerSource <= 0) quality
       else graft.ops.Sampling.domainCap(quality, col(sourceCol), id, maxPerSource)
+    if (maxPerSource > 0) stages += ("domain_cap" -> capped0)
     val capped = evalDocs match {
       case None => capped0
       case Some(ev) =>
@@ -225,7 +258,9 @@ object Pipelines {
         capped0.join(broadcast(dirty), id.cast("long") === col("__dirty_id"),
           "left_anti")
     }
+    if (evalDocs.isDefined) stages += ("decontaminated" -> capped)
     val exact = Dedup.exactDedup(capped, id, cleanText).localCheckpoint(false)
+    stages += ("exact_dedup" -> exact)
     val cands = Dedup.lshCandidatePairs(
       Dedup.minhashSignatures(exact, id, cleanText, minhashK), bandSize)
     val verified = Dedup.verifyCandidates(exact, cands, id, cleanText, ngram,
@@ -244,19 +279,20 @@ object Pipelines {
     val dropIds = clusters.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as("__drop_id"))
     val kept = exact.join(dropIds, id.cast("long") === col("__drop_id"), "left_anti")
-    substrN match {
-      case None => kept
-      case Some(n) =>
-        // internal output name: an input that already carries a
-        // "clean_text" column (or textColName == "clean_text") would make
-        // the join ambiguous with the default name (round-5 ADVICE)
-        val cleaned = Dedup.scrubbedText(kept, id, cleanText, n,
-            textOutCol = "__graft_clean_text")
-          .withColumnRenamed("doc_id", "__scrub_id")
+    stages += ("cluster_representatives" -> kept)
+    substrN.foreach { n =>
+      // internal output name: an input that already carries a
+      // "clean_text" column (or textColName == "clean_text") would make
+      // the join ambiguous with the default name (round-5 ADVICE)
+      val cleaned = Dedup.scrubbedText(kept, id, cleanText, n,
+          textOutCol = "__graft_clean_text")
+        .withColumnRenamed("doc_id", "__scrub_id")
+      stages += ("substring_scrub" ->
         kept.join(cleaned, id.cast("long") === col("__scrub_id"))
           .drop(textColName, "__scrub_id")
-          .withColumnRenamed("__graft_clean_text", textColName)
+          .withColumnRenamed("__graft_clean_text", textColName))
     }
+    stages.result()
   }
 
   /** §3.3 Sync: manifest diff → parallel transfer. Returns the pending

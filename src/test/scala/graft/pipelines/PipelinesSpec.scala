@@ -284,6 +284,45 @@ class PipelinesSpec extends SparkSpec {
     assert(kept(1L).contains("email"), kept(1L))
   }
 
+  test("dedupCorpusStages: the funnel audit exposes every active stage, monotonically shrinking") {
+    import org.apache.spark.sql.functions.col
+    val long = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the quiet green forest to rest for a while longer"
+    val evalText = "held out benchmark question about the capital of france " +
+      "and its famous tower near the river in the spring"
+    val docs = Seq(
+      (1L, "<p>" + long + "</p>", "a"),
+      (2L, long + " tonight", "a"),       // near-dup of 1 -> clustered away
+      (3L, "leaked " + evalText + " embedded in long prose about european " +
+        "travel and geography for padding the document", "b"),
+      (4L, "completely different content about spark shuffles and " +
+        "partitions and aggregate hash maps spilling to local disk under " +
+        "memory pressure during wide transformations at large scale", "b"),
+      (5L, "xx", "b"))                    // below the quality gate
+      .toDF("doc_id", "text", "source")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      preClean = true, evalDocs = Some(eval), maxPerSource = 10,
+      substrN = Some(5))
+    assert(stages.map(_._1) === Seq("input", "pre_clean", "quality_gate",
+      "domain_cap", "decontaminated", "exact_dedup",
+      "cluster_representatives", "substring_scrub"))
+    val counts = stages.map { case (n, df) => n -> df.count() }
+    // the funnel only narrows (pre_clean rewrites, never drops)
+    counts.sliding(2).foreach { case Seq((a, ca), (b, cb)) =>
+      assert(cb <= ca, s"$b ($cb) grew over $a ($ca)")
+    }
+    assert(counts.toMap.apply("input") === 5L)
+    assert(counts.toMap.apply("quality_gate") === 4L)   // doc 5 gated
+    assert(counts.toMap.apply("decontaminated") === 3L) // doc 3 dropped
+    assert(counts.toMap.apply("cluster_representatives") === 2L) // doc 2 clustered
+    // and the last stage IS dedupCorpus
+    val direct = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+      preClean = true, evalDocs = Some(eval), maxPerSource = 10,
+      substrN = Some(5)).select("doc_id").as[Long].collect().toSet
+    assert(stages.last._2.select("doc_id").as[Long].collect().toSet === direct)
+  }
+
   test("dedupCorpus decontamination: docs sharing eval n-grams are dropped before dedup") {
     import org.apache.spark.sql.functions.col
     val evalText = "the held out benchmark question asks about the capital " +
