@@ -44,6 +44,11 @@ object Verify {
       System.err.println(
         s"[verify] *** ${failed.size} QUERIES FAILED (board shrinks!): " +
           failed.sorted.mkString(", "))
+    // machine-visible failure record (round-9 ADVICE: stderr alone is not
+    // programmatically detectable): always written, [] on a clean run, in
+    // its own file so oracle_sql.json stays a pure name→SQL map
+    Files.writeString(Paths.get(s"$outDir/failed_queries.json"),
+      failed.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -60,5 +65,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // non-zero exit AFTER all outputs are written: CI / exit-code checks
+    // see the shrink, while the driver still has every dump + the oracle
+    // map + failed_queries.json to diagnose with
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

@@ -28,6 +28,21 @@ object Bucketing {
     // corrupting either side.
     require(!table.contains(".") && !table.contains("`"),
       s"writeBucketed: '$table' must be a simple (unqualified) table name")
+    dropTableAndStaleLocation(spark, table)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** DROP `table` and delete any surviving managed location: with the
+    * in-memory catalog a PREVIOUS session's (or a crashed run's) managed
+    * directory can linger on disk with no catalog entry, and
+    * saveAsTable refuses such an orphan (LOCATION_ALREADY_EXISTS). Shared
+    * by [[writeBucketed]] and [[compactBucketed]]'s scratch write so
+    * retries of a crashed write are self-healing on both paths.
+    */
+  private def dropTableAndStaleLocation(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
@@ -38,10 +53,7 @@ object Bucketing {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc) && !fs.delete(loc, true))
       throw new IllegalStateException(
-        s"writeBucketed: could not remove stale table location $loc")
-    df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+        s"Bucketing: could not remove stale table location $loc")
   }
 
   /** Append a shard to an EXISTING bucketed table — the incremental-ingest
@@ -102,7 +114,11 @@ object Bucketing {
     val n = spec.numBuckets
     val sortCols = spec.sortColumnNames
     val scratch = table + "__compact"
-    spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+    // stale-location cleanup, not just DROP: a crash mid-scratch-write
+    // leaves the scratch DATA directory on disk with NO catalog entry, so
+    // a bare DROP IF EXISTS is a no-op and the retry's saveAsTable fails
+    // with LOCATION_ALREADY_EXISTS (round-9 ADVICE)
+    dropTableAndStaleLocation(spark, scratch)
     // SHUFFLE-FREE rewrite: force the bucketed scan (the auto-bucketed-scan
     // heuristic would disable it for a bare scan-to-write plan, leaving
     // arbitrary file-split partitions while the optimizer ALSO elides any

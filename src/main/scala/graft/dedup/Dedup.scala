@@ -276,6 +276,14 @@ object Dedup {
         (col("vote") > 0).cast("int").as("bit"))
   }
 
+  /** Broadcast `pairs` only when its row count is within `maxPairs`, else
+    * return it unhinted (Spark then plans a shuffle join). The count is one
+    * cheap job over an already-localCheckpoint'ed relation — callers pass
+    * the materialized candidate list, never raw lineage.
+    */
+  private def guardedBroadcast(pairs: DataFrame, maxPairs: Long): DataFrame =
+    if (pairs.count() <= maxPairs) broadcast(pairs) else pairs
+
   /** Array-kernel variant of [[verifyCandidates]]: each candidate doc's
     * distinct gram SET is one array column computed in the scan projection
     * (no explode, no per-gram rows), the pair list picks up both arrays
@@ -294,7 +302,8 @@ object Dedup {
     */
   def verifyCandidatesArray(docs: DataFrame, candidates: DataFrame, id: Column,
                             text: Column, n: Int, minJaccard: Double,
-                            roundTo: Int = 6): DataFrame = {
+                            roundTo: Int = 6,
+                            maxBroadcastPairs: Long = 2000000L): DataFrame = {
     // dropDuplicates first: Jaccard is per (doc_a, doc_b); a caller-supplied
     // duplicate pair would just duplicate output rows here, but the contract
     // (distinct pairs out) matches the default form. localCheckpoint: the
@@ -307,7 +316,7 @@ object Dedup {
     val gramSets = docs.select(id.as("doc_id"),
         array_distinct(charNgrams(text, n)).as("gs"))
       .join(candDocs, Seq("doc_id"), "left_semi")
-    val joined = broadcast(cands)
+    val joined = guardedBroadcast(cands, maxBroadcastPairs)
       .join(gramSets.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
       .join(gramSets.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
     joined
@@ -338,10 +347,19 @@ object Dedup {
     * the candidates; verification scales with candidates, not with gram
     * document frequency. See [[verifyCandidatesArray]] for the measured
     * array-kernel alternative and the regime where it wins.
+    *
+    * The pair-list broadcast is GUARDED, not unconditional: up to
+    * `maxBroadcastPairs` pairs (~50 B/row → ~100 MB at the 2M default) the
+    * pair relation broadcasts and the gram joins stay map-side; beyond it —
+    * a genuinely duplicated 100-TB corpus can propose candidate sets past
+    * executor memory — the hint is dropped and Spark plans an ordinary
+    * shuffle join: same rows, no broadcast OOM cliff (round-9 verdict).
+    * Identity of the two paths is asserted in DedupSpec.
     */
   def verifyCandidates(docs: DataFrame, candidates: DataFrame, id: Column,
                        text: Column, n: Int, minJaccard: Double,
-                       roundTo: Int = 6): DataFrame = {
+                       roundTo: Int = 6,
+                       maxBroadcastPairs: Long = 2000000L): DataFrame = {
     // Both intermediates feed multiple plan branches (candidates: doc set
     // + pair join; grams: sizes + two join sides) — share them or the
     // LSH chain / gram explode is recomputed per branch. localCheckpoint
@@ -358,7 +376,7 @@ object Dedup {
       .join(candDocs, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = broadcast(cands)
+    val inter = guardedBroadcast(cands, maxBroadcastPairs)
       .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -457,6 +475,15 @@ object Dedup {
     * membership test is a map-side semi-join. The only shuffle is the
     * per-train-doc gram count, carrying (id, count) pairs for matching
     * grams only. Work tracks the train corpus linearly at any scale.
+    *
+    * BOUNDEDNESS CONTRACT (why this broadcast is unconditional where
+    * [[verifyCandidates]]' is guarded): the broadcast side is the distinct
+    * gram set of the EVAL relation, and eval sets are held-out benchmarks —
+    * thousands to low millions of grams, fixed ahead of the run, never
+    * scaling with the train corpus. A caller passing a corpus-sized
+    * relation as `evalDocs` is using the wrong operator (that is
+    * [[duplicateNgramPositions]]' shared-gram test), not hitting a hidden
+    * cliff in this one.
     *
     * Output: (doc_id, shared_ngrams) for contaminated train docs —
     * anti-join against it to scrub, join to flag/audit.

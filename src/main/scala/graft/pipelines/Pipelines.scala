@@ -252,8 +252,18 @@ object Pipelines {
     val capped = evalDocs match {
       case None => capped0
       case Some(ev) =>
+        // compare in the SAME text space: with preClean on, the train side
+        // is markup-stripped + PII-redacted, so the eval side must get the
+        // identical rewrite — an eval doc carrying markup (common in
+        // benchmark dumps) would otherwise produce different n-grams than
+        // the cleaned train copy of the same passage and evade the stage
+        // precisely when pre-clean is enabled (round-9 ADVICE)
+        val evClean =
+          if (!preClean) ev
+          else ev.withColumn(textColName, graft.text.TextFunctions.redactPii(
+            graft.text.TextFunctions.stripMarkup(col(textColName))))
         val dirty = Dedup.contaminatedIds(capped0, id, cleanText,
-            ev, col(textColName), decontN, decontMinShared)
+            evClean, col(textColName), decontN, decontMinShared)
           .select(col("doc_id").as("__dirty_id"))
         capped0.join(broadcast(dirty), id.cast("long") === col("__dirty_id"),
           "left_anti")

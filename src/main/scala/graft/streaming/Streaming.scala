@@ -249,6 +249,14 @@ object Streaming {
     * scrubbed micro-batches equals the scrubbed union (asserted in
     * StreamingSpec). The eval side is static, benchmark-sized, and
     * broadcast per batch; cost per micro-batch tracks the batch.
+    *
+    * IDEMPOTENT per micro-batch (the [[foreachBatchParquetSink]] device):
+    * each batch overwrites its own `batch=<id>` subdirectory, so a batch
+    * replayed after a crash between the parquet write and the checkpoint
+    * commit (foreachBatch is at-least-once) REPLACES its prior output
+    * instead of appending duplicates into the clean corpus — the very
+    * artifact this pipeline exists to prevent. Readers just
+    * `read.parquet(outDir)` (the batch id surfaces as a partition column).
     */
   def decontaminateStreamSink(docsStream: DataFrame, evalDocs: DataFrame,
                               outDir: String, checkpointDir: String,
@@ -259,13 +267,13 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val dirty = graft.dedup.Dedup.contaminatedIds(batch, col("doc_id"),
             col("text"), evalDocs, col("text"), n)
           .select(col("doc_id").as("__dirty_id"))
         batch.join(broadcast(dirty),
             batch("doc_id") === col("__dirty_id"), "left_anti")
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
       .start()
 

@@ -80,6 +80,22 @@ class DedupSpec extends SparkSpec {
     assert(!arrayForm.exists(r => r._1 == 96L || r._2 == 97L))
   }
 
+  test("verifyCandidates broadcast guard: forced shuffle-join fallback is row-identical") {
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
+    val cands = Dedup.lshCandidatePairs(sigs, bandSize = 4)
+    def rows(maxBroadcastPairs: Long) = Dedup.verifyCandidates(
+        docs, cands, col("doc_id"), col("text"), 3, 0.0,
+        maxBroadcastPairs = maxBroadcastPairs)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // maxBroadcastPairs = 0 forces the unhinted (shuffle-join) path — the
+    // at-scale fallback for candidate sets beyond executor memory; it must
+    // produce exactly the broadcast plan's pairs
+    val broadcastForm = rows(Long.MaxValue)
+    val shuffleForm = rows(0L)
+    assert(broadcastForm.nonEmpty)
+    assert(shuffleForm === broadcastForm)
+  }
+
   test("ngram document-frequency cap drops hot grams from the join") {
     val uncapped = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       3, 0.0, maxDocFreq = 1000)
