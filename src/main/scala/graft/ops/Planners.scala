@@ -75,4 +75,49 @@ object Planners {
       .groupBy(col(group), col("seq"))
       .agg(count(lit(1)).as("n_docs"), sum(col(nTok)).as("seq_tokens"))
   }
+
+  /** MATERIALIZED packed sequences — the consumable relation behind
+    * [[packPlan]]'s summary: one row per (document × window it occupies)
+    * under GPT-style concatenate-then-chunk packing, so a trainer (or the
+    * chunker feeding it) can assemble every fixed-`budget` window from doc
+    * spans without re-deriving the layout. A document whose tokens
+    * straddle window boundaries emits one SPAN row per window it touches.
+    *
+    * Output columns per span:
+    *  - `seq`: the window id within the group (0-based);
+    *  - the `order` column: which document the span comes from;
+    *  - `doc_offset`: 0-based first token of the span WITHIN the document;
+    *  - `win_offset`: 0-based position of the span WITHIN the window
+    *    (non-zero only for the first doc continuing into a window);
+    *  - `len`: span token count (> 0 always).
+    *
+    * Invariants (asserted in PipelinesSpec): per document the spans
+    * partition its tokens exactly (sum(len) = n_tok, contiguous from
+    * doc_offset 0); per window the spans tile [0, budget) exactly except
+    * the group's last window, which ends at the group's token total.
+    *
+    * Same scale shape as [[packPlan]]: ONE per-group window cumsum (the
+    * deterministic `order` must be unique per group), then a stateless
+    * explode of each doc's window range — work ∝ docs + produced spans,
+    * never corpus-global. Zero-token docs occupy no tokens and emit no
+    * span. Integer `div` arithmetic throughout, so the layout is exact at
+    * any corpus size (no double rounding at 2^53 tokens).
+    */
+  def packedWindows(docs: DataFrame, group: String, order: String,
+                    nTok: String, budget: Long): DataFrame = {
+    require(budget > 0, s"packedWindows: budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col(order))
+    docs
+      .withColumn("__before", sum(col(nTok)).over(w) - col(nTok))
+      .filter(col(nTok) > 0)
+      .withColumn("seq", explode(sequence(
+        expr(s"__before div $budget"),
+        expr(s"(__before + $nTok - 1) div $budget"))))
+      .select(col(group), col("seq"), col(order),
+        greatest(col("seq") * budget - col("__before"), lit(0L)).as("doc_offset"),
+        greatest(col("__before") - col("seq") * budget, lit(0L)).as("win_offset"),
+        (least((col("seq") + 1) * budget, col("__before") + col(nTok))
+          - greatest(col("seq") * budget, col("__before"))).as("len"))
+  }
 }

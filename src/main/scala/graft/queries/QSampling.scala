@@ -91,6 +91,20 @@ object QSampling {
         "lang", "doc_id", "n_tok", budget = 4096)
     }),
 
+    // X16: MATERIALIZED packed sequences — the consumable span relation
+    // behind x12's plan summary: one row per (doc × window) with in-doc
+    // and in-window offsets, so windows are assembled from spans without
+    // re-deriving the layout. budget=256 (vs x12's 4096) so straddling
+    // docs — the interesting rows — are common in the oracle data.
+    "x16_packed_windows" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      graft.ops.Planners.packedWindows(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            tokenCountNative(col("text")).cast("long").as("n_tok")),
+        "lang", "doc_id", "n_tok", budget = 256)
+    }),
+
     // X13: sequence-length bucketing — group documents into padded-length
     // bins (next multiple of 64 tokens, capped at 2048) and report the
     // per-bin doc count, token total, and PADDING WASTE (bin length minus
@@ -277,6 +291,30 @@ object QSampling {
            SELECT lang, seq, count(*) AS n_docs,
                   CAST(sum(n_tok) AS BIGINT) AS seq_tokens
            FROM p GROUP BY lang, seq""",
+      "x16_packed_windows" ->
+        """WITH tk AS (
+             SELECT doc_id, lang,
+                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x != '')) AS BIGINT) AS n_tok
+             FROM documents),
+               p AS (
+             SELECT doc_id, lang, n_tok,
+                    -- CAST: DuckDB sums BIGINT into HUGEINT, and range()
+                    -- has no HUGEINT overload
+                    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+                      AS BIGINT) AS bef
+             FROM tk),
+               sp AS (
+             SELECT lang, doc_id, n_tok, bef,
+                    unnest(range(bef // 256, (bef + n_tok - 1) // 256 + 1)) AS seq
+             FROM p WHERE n_tok > 0)
+           SELECT lang, seq, doc_id,
+                  greatest(seq * 256 - bef, 0) AS doc_offset,
+                  greatest(bef - seq * 256, 0) AS win_offset,
+                  least((seq + 1) * 256, bef + n_tok)
+                    - greatest(seq * 256, bef) AS len
+           FROM sp""",
       "x13_length_buckets" ->
         """WITH t AS (
              SELECT lang,

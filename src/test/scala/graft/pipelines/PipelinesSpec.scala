@@ -51,6 +51,48 @@ class PipelinesSpec extends SparkSpec {
     assert(rowsOf(distributed = true).nonEmpty)
   }
 
+  test("packedWindows materializes the trainingFeed into exact window spans") {
+    val rows = for {
+      i <- 1 to 60
+      diff = Seq("easy", "medium", "hard")(i % 3)
+      suffix <- Seq("person", "cloth_a", "vton")
+    } yield (s"s3://b/$diff/stem$i" + s"_$suffix.jpg", s"s3://b/$diff/")
+    val manifest = rows.toDF("key", "prefix")
+    val feed = Pipelines.trainingFeed(manifest,
+        Map("easy" -> 1.0, "medium" -> 1.0, "hard" -> 1.0))
+      // per-sample token cost (deterministic stand-in for a tokenizer):
+      // straddles are guaranteed because costs aren't divisors of 64
+      .withColumn("n_tok", (xxhash64(col("stem")) % 37 + 38).cast("long"))
+      .localCheckpoint()
+    val budget = 64L
+    val spans = graft.ops.Planners.packedWindows(
+      feed, "difficulty", "pos", "n_tok", budget).cache()
+    val byDoc = spans.groupBy("difficulty", "pos")
+      .agg(sum("len").as("s"), min("doc_offset").as("mn"),
+        max(col("doc_offset") + col("len")).as("mx"))
+      .join(feed.select(col("difficulty"), col("pos"), col("n_tok")),
+        Seq("difficulty", "pos"))
+    // per document: spans partition its tokens exactly, starting at 0
+    assert(byDoc.filter(col("s") =!= col("n_tok") || col("mn") =!= 0 ||
+      col("mx") =!= col("n_tok")).count() === 0)
+    // per window: spans tile [0, budget) exactly, except each group's last
+    val byWin = spans.groupBy("difficulty", "seq")
+      .agg(sum("len").as("s"), min("win_offset").as("mn"),
+        max(col("win_offset") + col("len")).as("mx"),
+        max("seq").as("sq"))
+    val lastSeq = spans.groupBy("difficulty").agg(max("seq").as("last"))
+    assert(byWin.join(lastSeq, "difficulty")
+      .filter(col("sq") < col("last"))
+      .filter(col("s") =!= budget || col("mn") =!= 0 || col("mx") =!= budget)
+      .count() === 0)
+    // a straddling doc exists (budget=64, doc costs 38..74) and its two
+    // spans are adjacent in both doc space and window space
+    val straddle = spans.groupBy("difficulty", "pos").count()
+      .filter(col("count") > 1)
+    assert(straddle.count() > 0)
+    assert(spans.filter(col("len") <= 0).count() === 0)
+  }
+
   test("evaluate: scores ⋈ test manifest → model × metric pivot") {
     val test = Seq("s1", "s2").toDF("stem")
     val scores = Seq(
