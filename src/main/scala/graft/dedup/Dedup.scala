@@ -678,6 +678,69 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("lo"), col("doc_id")).as("cluster"))
   }
 
+  /** D13: band a BIT-FINGERPRINT column (SimHash, image dHash — any
+    * Hamming-space signature packed into a long) for LSH bucketing: the
+    * `bits`-bit fingerprint splits into `bits / bandBits` contiguous
+    * bands, and two fingerprints within Hamming distance d collide on at
+    * least one band whenever d < bits/bandBits (pigeonhole) — the same
+    * banding guarantee MinHash gets from seed bands, applied to bit
+    * space. Pure projection + explode: NO shuffle until a consumer joins
+    * on the band (asserted in PlanAuditSpec). Output:
+    * (doc_id, band, band_val).
+    */
+  def fingerprintBands(hashes: DataFrame, id: Column, fp: Column,
+                       bits: Int, bandBits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63 && bandBits >= 1 && bits % bandBits == 0,
+      s"fingerprintBands: need 1 <= bandBits <= bits <= 63 with bandBits " +
+        s"dividing bits, got bits=$bits bandBits=$bandBits")
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1L
+    val bands = array((0 until nBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        shiftright(fp, b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
+    }: _*)
+    hashes.select(id.cast("long").as("doc_id"), explode(bands).as("bv"))
+      .select(col("doc_id"), col("bv.band").as("band"),
+        col("bv.band_val").as("band_val"))
+  }
+
+  /** D13: perceptual near-duplicate pairs over a bit-fingerprint column —
+    * the image twin of the MinHash-LSH → verify chain, with Hamming
+    * distance as the verification measure: band the fingerprints
+    * ([[fingerprintBands]]), equi-join on (band, band_val) to propose
+    * candidates (never all-pairs; `maxBucket` caps a degenerate bucket —
+    * e.g. a corpus full of solid-color images all hashing to 0 — at
+    * maxBucket² pairs, the [[lshCandidatePairs]] discipline), then keep
+    * pairs whose exact Hamming distance (bit_count of xor, one codegen'd
+    * expression per pair) is <= `maxHamming`. Banding recall contract:
+    * a pair at distance d is GUARANTEED proposed when d < bits/bandBits;
+    * beyond that it is probabilistic — the standard LSH trade, stated
+    * rather than hidden. Output: (doc_a, doc_b, hamming), distinct,
+    * doc_a < doc_b.
+    */
+  def imageNearDupPairs(hashes: DataFrame, id: Column, fp: Column,
+                        bits: Int, bandBits: Int, maxHamming: Int,
+                        maxBucket: Int = 64): DataFrame = {
+    val fps = hashes.select(id.cast("long").as("doc_id"),
+      fp.cast("long").as("__fp"))
+    val banded = fingerprintBands(fps, col("doc_id"), col("__fp"),
+        bits, bandBits)
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_val")))
+      .filter(col("bn") <= maxBucket)
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(fps.select(col("doc_id").as("doc_a"), col("__fp").as("__fa")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("__fp").as("__fb")), "doc_b")
+      .withColumn("hamming", bit_count(col("__fa").bitwiseXOR(col("__fb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** D10 stage 1: token positions whose word `n`-gram also appears in at
     * least one OTHER document — the marked set behind cross-document exact
     * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes

@@ -152,6 +152,136 @@ object Multimodal {
       unhex(call_function("repeat", rowHex, height.cast("int"))))
   }
 
+  /** A COMPLETE 24-bpp BMP with a PER-ROW constant gray level — the
+    * [[bmpImage]] builder generalized from one flat color to a vertical
+    * profile: visual row r (top-down) is filled with `rowGrays[r]` (wrapped
+    * into 0..255). Still pure hex-string expressions, still decodable by
+    * any codec. This is the fixture shape the perceptual-hash operators
+    * need under oracle check: a row-profile image's dHash is recomputable
+    * arithmetically from the gray array, while the engine computes it from
+    * REAL decoded pixels ([[imageDHashById]]).
+    *
+    * BMP stores pixel rows BOTTOM-UP (positive-height DIB), so the rows
+    * serialize in reverse array order; decoders hand back `rowGrays[0]` as
+    * the top row (asserted in MultimodalSpec).
+    */
+  def bmpImageRows(width: Column, rowGrays: Column): Column = {
+    val w = width.cast("long")
+    val h = size(rowGrays)
+    val rowBytes = floor((w * 3 + lit(3)) / 4).cast("long") * 4
+    val pad = (rowBytes - w * 3).cast("int")
+    val dataSize = (rowBytes * h.cast("long")).cast("long")
+    val rowsHex = transform(reverse(rowGrays), g => {
+      val byteHex = lpad(hex(pmod(g.cast("long"), lit(256L))), 2, "0")
+      concat(
+        call_function("repeat", concat(byteHex, byteHex, byteHex),
+          width.cast("int")),
+        call_function("repeat", lit("00"), pad))
+    })
+    concat(
+      unhex(lit("424D")),
+      le(dataSize + 54, 4),
+      le(lit(0), 4),
+      le(lit(54), 4),
+      le(lit(40), 4),
+      le(width, 4),
+      le(h, 4),
+      le(lit(1), 2),
+      le(lit(24), 2),
+      le(lit(0), 4),
+      le(dataSize, 4),
+      le(lit(0), 16),
+      unhex(array_join(rowsHex, "")))
+  }
+
+  /** Perceptual row-hash record produced by [[imageDHashById]]. */
+  case class ImageHash(doc_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** U1/D13: perceptual image fingerprint from REAL decoded pixels — the
+    * vertical-gradient variant of dHash (difference hash): decode with
+    * ImageIO, average each pixel row's Rec.601 luma, downsample the row
+    * profile to `gridRows` bins, and emit one bit per bin comparing it to
+    * its successor (cyclic, so the fingerprint has exactly `gridRows`
+    * bits): bit i = 1 iff bin(i) > bin((i+1) % gridRows). Gradient signs
+    * survive brightness/contrast shifts — the property that makes dHash a
+    * near-dup detector rather than an exact hash.
+    *
+    * Downsampling: block-average when height >= gridRows (every bin gets
+    * >= 1 row via r → floor(r·grid/h)); nearest-row sampling when the
+    * image is shorter than the grid. Height == gridRows is the identity
+    * mapping — the fixture regime where the DuckDB oracle reproduces the
+    * fingerprint arithmetically (d13_image_dhash).
+    *
+    * Output is id-keyed (id cast to long — the dedup pipeline's id
+    * contract) so fingerprints join straight into the banding/verify/CC
+    * machinery ([[graft.dedup.Dedup.imageNearDupPairs]]). Undecodable
+    * payloads are dropped (the P7 null-drop convention). The relation is
+    * metadata-sized: one long per image, payloads never leave the scan.
+    */
+  def imageDHashById(files: DataFrame, id: Column, content: Column,
+                     gridRows: Int = 16): DataFrame = {
+    require(gridRows >= 2 && gridRows <= 63,
+      s"imageDHashById: gridRows must be in [2, 63], got $gridRows")
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(id.cast("long"), content).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.flatMap { case (docId, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val rowMean = new Array[Double](h)
+              var r = 0
+              while (r < h) {
+                var s = 0.0
+                var i = r * w
+                val end = i + w
+                while (i < end) {
+                  val p = px(i)
+                  s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+                    0.114 * (p & 0xff)
+                  i += 1
+                }
+                rowMean(r) = s / w
+                r += 1
+              }
+              val bin = new Array[Double](gridRows)
+              if (h >= gridRows) {
+                val cnt = new Array[Int](gridRows)
+                var rr = 0
+                while (rr < h) {
+                  val b = (rr.toLong * gridRows / h).toInt
+                  bin(b) += rowMean(rr); cnt(b) += 1
+                  rr += 1
+                }
+                var b = 0
+                while (b < gridRows) { bin(b) /= cnt(b); b += 1 }
+              } else {
+                var b = 0
+                while (b < gridRows) {
+                  bin(b) = rowMean((b.toLong * h / gridRows).toInt)
+                  b += 1
+                }
+              }
+              var fp = 0L
+              var i2 = 0
+              while (i2 < gridRows) {
+                if (bin(i2) > bin((i2 + 1) % gridRows)) fp |= 1L << i2
+                i2 += 1
+              }
+              Some(ImageHash(docId, w, h, fp))
+            }
+          } catch { case _: Exception => None }
+        }
+      }.toDF()
+  }
+
   /** U1 (audio): serialize a canonical 44-byte RIFF/WAVE header — the
     * inverse of the `wav*` parsers, used by fixtures and round-trips.
     */

@@ -184,6 +184,14 @@ object Pipelines {
     *    relation before clustering, so an embedded copy collapses into
     *    its superset's cluster ([[graft.dedup.Dedup
     *    .ngramContainmentPairs]]; same inverted-index + stop-gram cap).
+    *  - `imageCol`: PERCEPTUAL IMAGE near-dup pairs — dHash fingerprints
+    *    from the binary image column's REAL decoded pixels
+    *    ([[graft.multimodal.Multimodal.imageDHashById]]), banded in
+    *    Hamming space and verified by exact bit distance
+    *    ([[graft.dedup.Dedup.imageNearDupPairs]]), unioned into the same
+    *    cluster graph as the text pairs: a doc duplicated by pixels
+    *    collapses like one duplicated by words — the multimodal axis a
+    *    training corpus of image triplets needs deduped as much as text.
     *
     * Returns the kept documents with their original columns (the text
     * column rewritten when `substrN` is set). All stages are the same
@@ -201,10 +209,15 @@ object Pipelines {
                   preClean: Boolean = false,
                   evalDocs: Option[DataFrame] = None,
                   decontN: Int = 5,
-                  decontMinShared: Int = 1): DataFrame =
+                  decontMinShared: Int = 1,
+                  imageCol: Option[String] = None,
+                  imageGridRows: Int = 16,
+                  imageBandBits: Int = 8,
+                  maxImageHamming: Int = 2): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
-      sourceCol, preClean, evalDocs, decontN, decontMinShared).last._2
+      sourceCol, preClean, evalDocs, decontN, decontMinShared,
+      imageCol, imageGridRows, imageBandBits, maxImageHamming).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -229,7 +242,11 @@ object Pipelines {
                         preClean: Boolean = false,
                         evalDocs: Option[DataFrame] = None,
                         decontN: Int = 5,
-                        decontMinShared: Int = 1): Seq[(String, DataFrame)] = {
+                        decontMinShared: Int = 1,
+                        imageCol: Option[String] = None,
+                        imageGridRows: Int = 16,
+                        imageBandBits: Int = 8,
+                        maxImageHamming: Int = 2): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     val stages = Seq.newBuilder[(String, DataFrame)]
@@ -283,7 +300,23 @@ object Pipelines {
           Dedup.ngramContainmentPairs(exact, id, cleanText, ngram, minC)
             .select(col("doc_a"), col("doc_b")))
     }
-    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    // image mode: perceptual near-dup pairs over the image column join the
+    // SAME cluster graph as the text pairs, so a doc duplicated by pixels
+    // collapses into its cluster exactly like one duplicated by words —
+    // multimodal corpora (the reference's image triplets) dedup both axes
+    // in one CC pass. Fingerprints are computed over the exact-dedup
+    // survivors only (everything upstream already shrank the relation).
+    val allPairs = imageCol match {
+      case None => pairs
+      case Some(ic) =>
+        val hashes = graft.multimodal.Multimodal.imageDHashById(
+          exact, id, col(ic), imageGridRows)
+        pairs.union(
+          Dedup.imageNearDupPairs(hashes, col("doc_id"), col("dhash"),
+            imageGridRows, imageBandBits, maxImageHamming)
+            .select(col("doc_a"), col("doc_b")))
+    }
+    val clusters = Dedup.connectedComponents(allPairs, "doc_a", "doc_b")
     // drop every clustered doc that is not its cluster's representative
     // (distinct working name so the join condition resolves unambiguously)
     val dropIds = clusters.filter(col("doc_id") =!= col("cluster"))

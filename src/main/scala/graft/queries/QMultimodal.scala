@@ -19,6 +19,19 @@ object QMultimodal {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Shared d13 fixture: a 6×16 row-profile BMP per document whose visual
+    * row r has gray level = first md5 byte of "docId|r" (pseudorandom
+    * across the corpus — no short period, so band buckets stay balanced
+    * at any sf; both engines reproduce it exactly).
+    */
+  private def d13Fixture(s: SparkSession, d: String): DataFrame = {
+    val grays = transform(sequence(lit(0), lit(15)), r =>
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+        r.cast("string"))), 1, 2), 16, 10).cast("int"))
+    t(s, d, "documents")
+      .select(col("doc_id"), bmpImageRows(lit(6), grays).as("content"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: whole-object fetch shape — byte fingerprint + length of a binary
     // payload column, no decode.
@@ -202,6 +215,32 @@ object QMultimodal {
           col("width"), col("height"), col("mean_luma"))
     }),
 
+    // D13: perceptual image fingerprint from REAL decoded pixels — build a
+    // complete row-profile BMP per document (visual row r's gray level is
+    // the first md5 byte of "docId|r" — pseudorandom, engine-reproducible),
+    // decode it with ImageIO, and compute the 16-bit vertical dHash over
+    // the actual pixel rows. The oracle recomputes every bit
+    // arithmetically: a constant-gray row's mean luma is monotone in the
+    // gray level, so bit i = (gray(i) > gray((i+1) % 16)) — the u1d/u1e
+    // real-decode-under-oracle pattern extended to perceptual hashing.
+    "d13_image_dhash" -> ((s, d) =>
+      imageDHashById(d13Fixture(s, d), col("doc_id"), col("content"), 16)
+        .select(col("doc_id"), col("width"), col("height"), col("dhash"))),
+
+    // D13b: image NEAR-DUP pairs — the dHash fingerprints banded 2×8 bits
+    // (LSH bucketing in Hamming space: distance-1 pairs always collide on
+    // a band), candidates equi-joined on (band, band_val) with the
+    // per-bucket cap, then verified by exact Hamming distance <= 2. The
+    // multimodal twin of d5_lsh_verify: real pixels in, banded candidate
+    // generation (never all-pairs), exact verification — all under a full
+    // DuckDB oracle that replicates banding, cap, and bit_count(xor).
+    "d13b_image_neardup" -> ((s, d) => {
+      val hashes = imageDHashById(d13Fixture(s, d), col("doc_id"),
+        col("content"), 16)
+      graft.dedup.Dedup.imageNearDupPairs(hashes, col("doc_id"),
+        col("dhash"), bits = 16, bandBits = 8, maxHamming = 2)
+    }),
+
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
     // npy / opaque bytes) synthesized per-language. The fallthrough branch
     // is NUL-prefixed so natural text starting with an ASCII magic ("BM",
@@ -321,6 +360,51 @@ object QMultimodal {
          -- derived from the constants, not a hand-solved literal, so changing
          -- stride/maxFrames on the Spark side desynchronizes loudly here too
          FROM f WHERE j % 2 = 0 AND (j // 2) < 2""",
+    "d13_image_dhash" ->
+      """WITH r AS (SELECT doc_id, unnest(range(0, 16)) AS r FROM documents),
+              g AS (SELECT doc_id, r,
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|'
+                  || CAST(r AS VARCHAR)), 1, 2)) AS INT) AS g
+              FROM r),
+              -- a constant-gray row's mean luma is strictly monotone in the
+              -- gray level, so the engine's double comparison over decoded
+              -- pixels equals this integer comparison
+              b AS (SELECT a.doc_id, a.r,
+                CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+              FROM g a JOIN g b
+                ON a.doc_id = b.doc_id AND b.r = (a.r + 1) % 16)
+         SELECT doc_id, CAST(6 AS INT) AS width, CAST(16 AS INT) AS height,
+                CAST(sum(bit * (CAST(1 AS BIGINT) << r)) AS BIGINT) AS dhash
+         FROM b GROUP BY doc_id""",
+    "d13b_image_neardup" ->
+      """WITH r AS (SELECT doc_id, unnest(range(0, 16)) AS r FROM documents),
+              g AS (SELECT doc_id, r,
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|'
+                  || CAST(r AS VARCHAR)), 1, 2)) AS INT) AS g
+              FROM r),
+              b AS (SELECT a.doc_id, a.r,
+                CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+              FROM g a JOIN g b
+                ON a.doc_id = b.doc_id AND b.r = (a.r + 1) % 16),
+              fp AS (SELECT doc_id,
+                CAST(sum(bit * (CAST(1 AS BIGINT) << r)) AS BIGINT) AS dhash
+              FROM b GROUP BY doc_id),
+              bd AS (SELECT doc_id,
+                bands.band AS band, (dhash >> (bands.band * 8)) & 255 AS band_val
+              FROM fp CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS band) bands),
+              capped AS (SELECT doc_id, band, band_val FROM bd
+                QUALIFY count(*) OVER (PARTITION BY band, band_val) <= 64),
+              cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT c.doc_a, c.doc_b,
+                CAST(bit_count(xor(fa.dhash, fb.dhash)) AS INT) AS hamming
+         FROM cand c
+         JOIN fp fa ON fa.doc_id = c.doc_a
+         JOIN fp fb ON fb.doc_id = c.doc_b
+         WHERE bit_count(xor(fa.dhash, fb.dhash)) <= 2""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'

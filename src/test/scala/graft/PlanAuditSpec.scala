@@ -90,6 +90,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unexpected product/failed plans: $offenders")
   }
 
+  test("d13 banding: fingerprint → bands is exchange-free (pure projection + explode)") {
+    import spark.implicits._
+    val imgs = Seq((1L, Seq(200, 150, 100, 50))).toDF("doc_id", "grays")
+      .select(col("doc_id"),
+        graft.multimodal.Multimodal.bmpImageRows(lit(5), col("grays"))
+          .as("content"))
+    val hashes = graft.multimodal.Multimodal.imageDHashById(
+      imgs, col("doc_id"), col("content"), 4)
+    val banded = graft.dedup.Dedup.fingerprintBands(
+      hashes, col("doc_id"), col("dhash"), 4, 2)
+    // the signature stage of image dedup must add NO shuffle on top of the
+    // decode edge — banding is projection + explode, exactly like the
+    // MinHash kernel's shuffle-free signature stage
+    val p = banded.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("d12_decontaminated_keep: eval side broadcasts; train side never sort-merge-joins") {
     // the decontamination scale contract: the eval gram set (benchmark-
     // sized) reaches the train side as a BROADCAST semi-join, and the

@@ -80,6 +80,29 @@ class DedupSpec extends SparkSpec {
     assert(!arrayForm.exists(r => r._1 == 96L || r._2 == 97L))
   }
 
+  test("imageNearDupPairs: Hamming banding proposes and verifies; cap bounds degenerate buckets") {
+    // 8-bit fingerprints, 2 bands of 4: 1-2 collide on the low band
+    // (hamming 1); 3 matches nobody within hamming 2; 4-5 identical
+    val fps = Seq(
+      (1L, 0xA5L), (2L, 0xB5L), (3L, 0x5AL), (4L, 0xF0L), (5L, 0xF0L))
+      .toDF("doc_id", "fp")
+    val pairs = Dedup.imageNearDupPairs(fps, col("doc_id"), col("fp"),
+        bits = 8, bandBits = 4, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1), (4L, 5L, 0)))
+    // banding recall contract: hamming 1 < bits/bandBits = 2 ALWAYS
+    // collides on a band; a doc sharing no band with anyone (3) proposes
+    // nothing regardless of exhaustive distances
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // degenerate bucket (all-identical fingerprints — solid-color corpus):
+    // the per-bucket cap drops the bucket instead of going quadratic
+    val solid = (1L to 20L).map((_, 0L)).toDF("doc_id", "fp")
+    assert(Dedup.imageNearDupPairs(solid, col("doc_id"), col("fp"),
+      8, 4, 2, maxBucket = 10).count() === 0)
+    assert(Dedup.imageNearDupPairs(solid, col("doc_id"), col("fp"),
+      8, 4, 2, maxBucket = 64).count() === 190) // 20 choose 2
+  }
+
   test("verifyCandidates broadcast guard: forced shuffle-join fallback is row-identical") {
     val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
     val cands = Dedup.lshCandidatePairs(sigs, bandSize = 4)

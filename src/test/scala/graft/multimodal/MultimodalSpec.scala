@@ -119,6 +119,66 @@ class MultimodalSpec extends SparkSpec {
       math.abs(dec(77).meanLuma - 77.0 / 255.0) < 1e-6)
   }
 
+  test("bmpImageRows: visual row order is top-down through the real codec (d13 fixture)") {
+    // rows [10, 200, 30]: BMP serializes bottom-up, so a row-order bug
+    // would decode as [30, 200, 10] — pin the exact per-row pixel values
+    val df = Seq(1).toDF("k").select(
+      Multimodal.bmpImageRows(lit(4), array(lit(10), lit(200), lit(30)))
+        .as("content"))
+    val bytes = df.as[Array[Byte]].head()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth === 4 && img.getHeight === 3)
+    def gray(r: Int): Int = img.getRGB(0, r) & 0xff
+    assert((0 until 3).map(gray) === Seq(10, 200, 30))
+    // and every pixel of a row carries the row's gray
+    assert((0 until 4).forall(c => (img.getRGB(c, 1) & 0xff) === 200))
+  }
+
+  test("imageDHashById: gradient bits from real pixels; block-average and short-image paths") {
+    // strictly decreasing 4-row profile at h == grid: bits 0..2 set (each
+    // bin > its successor), wrap bit 3 clear (row 3 < row 0) → fp = 7
+    val grid4 = Seq((1L, Seq(200, 150, 100, 50))).toDF("doc_id", "grays")
+      .select(col("doc_id"),
+        Multimodal.bmpImageRows(lit(5), col("grays")).as("content"))
+    val fp4 = Multimodal.imageDHashById(grid4, col("doc_id"), col("content"), 4)
+      .select("doc_id", "width", "height", "dhash")
+      .as[(Long, Int, Int, Long)].head()
+    assert(fp4 === ((1L, 5, 4, 7L)))
+    // h = 2×grid: block-average halves the rows first — averages
+    // (175, 75) keep the same gradient signs as the 4-row case above
+    val grid8 = Seq((2L, Seq(200, 150, 100, 50))).toDF("doc_id", "grays")
+      .select(col("doc_id"),
+        Multimodal.bmpImageRows(lit(5),
+          flatten(transform(col("grays"), g => array(g, g)))).as("content"))
+    val fp8 = Multimodal.imageDHashById(grid8, col("doc_id"), col("content"), 4)
+      .select("dhash").as[Long].head()
+    assert(fp8 === 7L)
+    // h < grid: nearest-row sampling (2 rows into a 4-bin grid: rows
+    // [200, 50] sample to bins [200, 200, 50, 50] → only bit 1 set)
+    val short = Seq((3L, 1)).toDF("doc_id", "k")
+      .select(col("doc_id"),
+        Multimodal.bmpImageRows(lit(5), array(lit(200), lit(50))).as("content"))
+    val fpS = Multimodal.imageDHashById(short, col("doc_id"), col("content"), 4)
+      .select("dhash").as[Long].head()
+    assert(fpS === (1L << 1))
+    // near-dup property: one row nudged slightly flips no gradient sign —
+    // identical fingerprint; a reversed gradient is far away
+    val trio = Seq(
+      (10L, Seq(200, 150, 100, 50)), (11L, Seq(198, 150, 100, 50)),
+      (12L, Seq(50, 100, 150, 200)))
+      .toDF("doc_id", "grays")
+      .select(col("doc_id"),
+        Multimodal.bmpImageRows(lit(5), col("grays")).as("content"))
+    val fps = Multimodal.imageDHashById(trio, col("doc_id"), col("content"), 4)
+      .select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(fps(10L) === fps(11L))
+    assert(java.lang.Long.bitCount(fps(10L) ^ fps(12L)) >= 3)
+    // undecodable payloads are dropped, not thrown
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    assert(Multimodal.imageDHashById(junk, col("doc_id"), col("content"), 4)
+      .count() === 0)
+  }
+
   test("resizeImages rescales through the real codec and re-encodes losslessly") {
     // constant-gray source: bilinear rescale of a constant image is the
     // same constant, so the resized PNG must decode to the exact gray luma

@@ -93,6 +93,37 @@ class PipelinesSpec extends SparkSpec {
     assert(spans.filter(col("len") <= 0).count() === 0)
   }
 
+  test("dedupCorpus imageCol: pixel near-dups cluster and dedup like text near-dups") {
+    import graft.multimodal.Multimodal
+    // four docs with DISTINCT texts (no text pair fires); docs 1-2 carry
+    // near-identical images (one gray nudged, same gradient signs), doc 3
+    // a reversed gradient, doc 4 another unrelated profile
+    val texts = Map(
+      1L -> "alpine meadows under clear morning light with distant peaks",
+      2L -> "harbor cranes unload container ships beneath sodium lamps",
+      3L -> "desert winds carve long ridges into the orange dune field",
+      4L -> "subway platforms echo with late night maintenance announcements")
+    val grays = Map(
+      1L -> Seq(200, 150, 100, 50, 210, 160, 110, 60, 220, 170, 120, 70, 230, 180, 130, 80),
+      2L -> Seq(198, 150, 100, 50, 210, 160, 110, 60, 220, 170, 120, 70, 230, 180, 130, 80),
+      3L -> Seq(50, 100, 150, 200, 60, 110, 160, 210, 70, 120, 170, 220, 80, 130, 180, 230),
+      4L -> Seq(10, 240, 20, 230, 30, 220, 40, 210, 50, 200, 60, 190, 70, 180, 80, 170))
+    val docs = texts.keys.toSeq.sorted.map(i => (i, texts(i), grays(i)))
+      .toDF("doc_id", "text", "grays")
+      .select(col("doc_id"), col("text"),
+        Multimodal.bmpImageRows(lit(6), col("grays")).as("img"))
+      .localCheckpoint()
+    val keptNoImg = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNoImg === Set(1L, 2L, 3L, 4L)) // texts are all distinct
+    val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minQuality = 0.0, imageCol = Some("img"))
+      .select("doc_id").as[Long].collect().toSet
+    // image near-dup 1-2 collapses to the min-id representative
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
   test("evaluate: scores ⋈ test manifest → model × metric pivot") {
     val test = Seq("s1", "s2").toDF("stem")
     val scores = Seq(
