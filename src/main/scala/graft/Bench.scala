@@ -14,6 +14,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" warning: every global
+    // window on the board is over a provably bounded relation (asserted
+    // query-by-query in PlanAuditSpec's sweep — THAT is the guard), so
+    // here the dozens of repeats are wallpaper that would bury a real new
+    // warning in the bench tail (round-9 verdict).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Force with a checksum over every output column, not count(): count()
     // lets Catalyst prune unused projections, so projection-only queries
     // would time "scan + count" instead of the expressions the oracle

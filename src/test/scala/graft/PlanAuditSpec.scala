@@ -163,6 +163,37 @@ class PlanAuditSpec extends SparkSpec {
       "expected the non-distributed form to contain a full-feed global window")
   }
 
+  test("sweep: every unpartitioned window on the board runs over a provably bounded relation") {
+    // The board-wide twin of the trainingFeed bounded-window audit: a
+    // global (empty-partition-spec) window serializes its whole input
+    // through ONE task, so it is only admissible over a relation that is
+    // bounded by construction — an aggregate's output (group-count rows)
+    // or the numPartitions-row offset relations of the distributed-rank
+    // shape. WindowExec's "No Partition Defined" warning is silenced in
+    // Bench on the strength of THIS assertion: any new unbounded global
+    // window fails the suite instead of scrolling past in a log tail.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+    def boundedInput(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate                 => true
+      case _: GlobalLimit               => true // top-k: at most k rows
+      case j if j.children.length > 1   => false // join below the window: full data
+      case l if l.children.isEmpty      => false // raw scan below the window
+      case other                        => other.children.forall(boundedInput)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      try {
+        val plan = SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !boundedInput(w.child) => w
+        }
+        if (bad.isEmpty) None else Some(s"$q (${bad.size} unbounded)")
+      } catch { case e: Throwable => Some(s"$q PLAN_FAIL ${e.getMessage.take(120)}") }
+    }
+    assert(offenders.isEmpty,
+      s"global windows over unbounded input: $offenders")
+  }
+
   test("s13_partition_prune: the partition filter prunes directories at planning time") {
     val p = plan("s13_partition_prune")
     // the filter must land in PartitionFilters (directory pruning), not in
