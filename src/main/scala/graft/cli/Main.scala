@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--compact-every K] [--output <dir>] [--audit]
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
   *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
@@ -143,6 +144,86 @@ object Main {
         opt(args, "--output") match {
           case Some(out) => pairs.write.mode("overwrite").parquet(out)
           case None      => println(s"[ingest] candidate pairs: ${pairs.count()}")
+        }
+      case "ingest-daily" =>
+        // Day-2 ingest composed end-to-end, the production loop the d9 /
+        // v15 operators exist for: band the shard's MinHash signatures →
+        // propose candidates against the persisted band index (work ∝
+        // shard, never old×old) → Jaccard-verify ONLY the candidates →
+        // fold the shard into the band index → optionally append shard
+        // vectors to the IVF-PQ index under the frozen-codebook drift
+        // guard → compact bucketed tables once per-bucket file count
+        // reaches --compact-every. --audit prints the funnel.
+        import graft.core.Bucketing
+        import graft.dedup.Dedup
+        val docs = spark.read.parquet(opt(args, "--docs").get)
+        val k = opt(args, "--minhash-k").map(_.toInt).getOrElse(8)
+        val bandSize = opt(args, "--band-size").map(_.toInt).getOrElse(4)
+        val bandTable = opt(args, "--band-table").get
+        val buckets = opt(args, "--buckets").map(_.toInt).getOrElse(64)
+        val shardBanded = Dedup.bandedSignatures(
+            Dedup.minhashSignatures(docs, col("doc_id"), col("text"), k),
+            bandSize)
+          .localCheckpoint() // feeds pairs AND the index append
+        // candidates + verification are EAGERLY materialized before the
+        // index append below: both read the band-index table lazily, and
+        // appending first would let today's shard join against itself
+        val cands = Dedup.incrementalCandidatePairs(shardBanded,
+          Dedup.readBandIndex(spark, bandTable)).localCheckpoint()
+        // gram lookup for verification: the persisted corpus text plus
+        // today's shard; without --corpus only new×new pairs can verify
+        // (index-side docs have no text here) — the audit shows the gap
+        val lookup = (opt(args, "--corpus") match {
+          case Some(c) => spark.read.parquet(c)
+            .select(col("doc_id"), col("text"))
+            .union(docs.select(col("doc_id"), col("text")))
+          case None => docs.select(col("doc_id"), col("text"))
+        }).dropDuplicates("doc_id")
+        val verified = Dedup.verifyCandidates(lookup, cands,
+            col("doc_id"), col("text"),
+            opt(args, "--ngram").map(_.toInt).getOrElse(3),
+            opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3))
+          .localCheckpoint()
+        Dedup.appendBandIndex(shardBanded, bandTable, buckets)
+        val vecAppend = opt(args, "--vectors").map { vdir =>
+          val vecTable = opt(args, "--vec-table").get
+          val m = opt(args, "--m").map(_.toInt).getOrElse(8)
+          val mse = graft.ann.Vectors.appendToIvfPqIndex(vecTable,
+            spark.read.parquet(vdir), "vec_id", "embedding",
+            spark.read.parquet(opt(args, "--cents").get),
+            spark.read.parquet(opt(args, "--books").get), m,
+            baselineMse = opt(args, "--baseline-mse").map(_.toDouble)
+              .getOrElse(Double.NaN),
+            buckets = opt(args, "--vec-buckets").map(_.toInt)
+              .getOrElse(buckets))
+          (vecTable, mse)
+        }
+        val compactEvery = opt(args, "--compact-every").map(_.toInt).getOrElse(0)
+        def due(tbl: String): Boolean = compactEvery > 0 && {
+          val n = Bucketing.bucketCount(spark, tbl)
+          n > 0 && Bucketing.dataFiles(spark, tbl).size >= compactEvery.toLong * n
+        }
+        val bandCompacted = due(bandTable)
+        if (bandCompacted) Bucketing.compactBucketed(spark, bandTable)
+        val vecCompacted = vecAppend.exists { case (t, _) => due(t) }
+        vecAppend.foreach { case (t, _) =>
+          if (vecCompacted) graft.ann.Vectors.compactIvfPqIndex(spark, t)
+        }
+        if (args.contains("--audit")) {
+          println(f"[ingest-daily] shard_docs       ${docs.count()}%d")
+          println(f"[ingest-daily] shard_band_rows  ${shardBanded.count()}%d")
+          println(f"[ingest-daily] candidate_pairs  ${cands.count()}%d")
+          println(f"[ingest-daily] verified_pairs   ${verified.count()}%d")
+          vecAppend.foreach { case (t, mse) =>
+            println(s"[ingest-daily] vec_append_mse   $mse (table $t)") }
+          println(s"[ingest-daily] band_index_files " +
+            s"${Bucketing.dataFiles(spark, bandTable).size} " +
+            s"(compacted=$bandCompacted)")
+        }
+        opt(args, "--output") match {
+          case Some(out) => verified.write.mode("overwrite").parquet(out)
+          case None =>
+            println(s"[ingest-daily] verified pairs: ${verified.count()}")
         }
       case "decode" =>
         import graft.multimodal.Multimodal

@@ -145,6 +145,16 @@ object Bucketing {
     spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$table`")
   }
 
+  /** Bucket count of a managed table from the catalog (0 if unbucketed) —
+    * lets maintenance cadence logic reason in files-per-bucket without the
+    * caller re-supplying the spec it wrote the table with.
+    */
+  def bucketCount(spark: org.apache.spark.sql.SparkSession,
+                  table: String): Int =
+    spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(0)
+
   /** Data files of a bucketed managed table (maintenance/diagnostics: the
     * per-bucket file growth [[compactBucketed]] exists to reverse).
     */

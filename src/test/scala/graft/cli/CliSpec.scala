@@ -43,6 +43,83 @@ class CliSpec extends SparkSpec {
     assert(kept(1L).contains("<EMAIL>"))
   }
 
+  test("ingest-daily: band append + d9 candidates + verify + vector append + compaction, end-to-end") {
+    import graft.ann.Vectors
+    import graft.core.Bucketing
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    // day-0 corpus: 6 distinct docs; day-1 shard re-ingests doc 2's text
+    // under a new id (101) plus one genuinely new doc (102)
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      3L -> "spark shuffles partition data across executors during wide stages",
+      4L -> "mountain trails wind through cedar groves toward the snow line",
+      5L -> "harbor cranes unload container ships beneath bright sodium lamps",
+      6L -> "desert winds carve long ridges into the shifting orange dunes")
+    val corpus = texts.toDF("doc_id", "text")
+    val shard = Seq(
+      101L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      102L -> "subway platforms echo with late night maintenance announcements")
+      .toDF("doc_id", "text")
+    val corpusDir = tmpDir("cli_corpus"); corpus.write.mode("overwrite").parquet(corpusDir)
+    val shardDir = tmpDir("cli_shard"); shard.write.mode("overwrite").parquet(shardDir)
+    // day-0 band index (the persisted artifact tomorrow's shard joins)
+    Dedup.writeBandIndex(Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4),
+      "cli_band_idx", buckets = 4)
+    val bandFiles0 = Bucketing.dataFiles(spark, "cli_band_idx").size
+    // day-0 IVF-PQ index with frozen quantizers + baseline MSE
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 20L).map(i => (i, Array.fill(4)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val m = 2
+    val books = Vectors.pqCodebooksStep(base, "vec_id", "embedding", m, 5)
+    val cents = Vectors.stepCentroids(base, "vec_id", "embedding", 5)
+    val baseMse = Vectors.meanPqMse(base, "vec_id", "embedding", books, m)
+    Vectors.writeIvfPqIndex(
+      Vectors.ivfPqIndex(base, "vec_id", "embedding", cents, books, m),
+      "cli_vec_idx", 4)
+    val shardVecs = (100L until 105L)
+      .map(i => (i, Array.fill(4)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val centsDir = tmpDir("cli_cents"); cents.write.mode("overwrite").parquet(centsDir)
+    val booksDir = tmpDir("cli_books"); books.write.mode("overwrite").parquet(booksDir)
+    val vecsDir = tmpDir("cli_vecs"); shardVecs.write.mode("overwrite").parquet(vecsDir)
+    val outDir = tmpDir("cli_ingout") + "/pairs"
+    Main.run(spark, Array("ingest-daily",
+      "--docs", shardDir, "--corpus", corpusDir,
+      "--band-table", "cli_band_idx", "--buckets", "4",
+      "--min-jaccard", "0.5",
+      "--vectors", vecsDir, "--vec-table", "cli_vec_idx",
+      "--cents", centsDir, "--books", booksDir, "--m", m.toString,
+      "--baseline-mse", baseMse.toString, "--vec-buckets", "4",
+      "--compact-every", "1", "--output", outDir, "--audit"))
+    // the re-ingested text verifies against its day-0 twin
+    val pairs = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 101L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L))
+    // the shard's signatures were folded into the band index
+    val idx = Dedup.readBandIndex(spark, "cli_band_idx")
+    assert(idx.filter(col("doc_id") === 101L).count() === 2) // 8 seeds / 4
+    // vectors appended: (20 base + 5 shard) docs × m code rows
+    assert(Vectors.readIvfPqIndex(spark, "cli_vec_idx").count() === 25L * m)
+    // compaction ran (6 files ≥ compact-every × 4 buckets) and collapsed
+    // the band index back to one file per bucket
+    assert(Bucketing.dataFiles(spark, "cli_band_idx").size === 4)
+    assert(bandFiles0 === 4)
+    // day-2 ingest against the compacted index still works (the spec
+    // survives the rewrite): same shard re-run proposes the same 2-101
+    // pair plus 101's self-index hit being excluded
+    val cands2 = Dedup.incrementalCandidatePairs(
+      Dedup.bandedSignatures(Dedup.minhashSignatures(
+        shard, col("doc_id"), col("text"), 8), 4),
+      Dedup.readBandIndex(spark, "cli_band_idx"))
+      .as[(Long, Long)].collect().toSet
+    assert(cands2.contains((2L, 101L)))
+  }
+
   test("mixture subcommand: temperature plan lands in --output as json") {
     val docs = (0L until 30L).map(i =>
         (i, "some text content here", if (i < 24) "en" else "fr"))
