@@ -315,7 +315,82 @@ object QVectors {
                      ORDER BY adist, vec_id) AS rk
             FROM ads) WHERE rk <= 5"""
 
+  /** v9's Lloyd's loop, UNROLLED (iters = 3, seed = 42 are fixed in the
+    * query) — the round-9 verdict's "attempt a v9 oracle": no recursion
+    * needed, each iteration is assign (argmax cosine, min-cent-id
+    * tie-break, the v6 pattern) → per-(cell, coordinate) rounded means →
+    * empty cells keep their previous centroid.
+    */
+  private def v9IterSql(n: Int): String = {
+    val prev = if (n == 1) "cents0" else s"cents${n - 1}"
+    s"""a$n AS (SELECT vec_id, cell FROM (
+             SELECT c.vec_id, cent_id AS cell,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY list_dot_product(c.v, cv)
+                        / (c.vn * sqrt(list_dot_product(cv, cv))) + 0.0 DESC,
+                        cent_id) AS rk
+             FROM c, $prev) WHERE rk = 1),
+        ex$n AS (SELECT cell, v,
+               unnest(generate_series(1, len(v))) AS p
+             FROM a$n JOIN c USING (vec_id)),
+        m$n AS (SELECT cell, p, round(avg(v[CAST(p AS INT)]), 6) AS m
+             FROM ex$n GROUP BY cell, p),
+        cents$n AS (SELECT i.cent_id, coalesce(mm.mv, i.cv) AS cv
+             FROM $prev i LEFT JOIN (
+               SELECT cell, list(m ORDER BY p) AS mv FROM m$n GROUP BY cell) mm
+               ON mm.cell = i.cent_id)"""
+  }
+
+  private val v9Sql: String = {
+    val hash = graft.ops.Determinism.detHashSql("vec_id + 42")
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+             FROM embeddings),
+        cents0 AS (SELECT CAST(rk - 1 AS BIGINT) AS cent_id, v AS cv FROM (
+             SELECT v, row_number() OVER (ORDER BY h, vec_id) AS rk
+             FROM (SELECT vec_id, v, $hash AS h FROM c)) WHERE rk <= 16),
+        ${v9IterSql(1)},
+        ${v9IterSql(2)},
+        ${v9IterSql(3)},
+        cents AS (SELECT cent_id, cv,
+                    sqrt(list_dot_product(cv, cv)) AS cvn FROM cents3),
+        ca AS (SELECT vec_id, v, vn, cell FROM (
+             SELECT c.vec_id, c.v, c.vn, cent_id AS cell,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                        cent_id) AS rk
+             FROM c, cents) WHERE rk = 1),
+        qa AS (SELECT query_id, q, qn, cell FROM (
+             SELECT c.vec_id AS query_id, c.v AS q, c.vn AS qn, cent_id AS cell,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                        cent_id) AS pr
+             FROM c, cents WHERE c.vec_id < 8) WHERE pr <= 2),
+        km AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, ca.vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY list_dot_product(ca.v, qa.q) / (ca.vn * qa.qn) DESC,
+                        ca.vec_id) AS rk
+             FROM ca JOIN qa USING (cell) WHERE ca.vec_id != qa.query_id)
+             WHERE rk <= 5),
+        brute AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY list_dot_product(c.v, q.q) / (c.vn * q.qn) DESC,
+                        c.vec_id) AS rk
+             FROM c, (SELECT vec_id AS query_id, v AS q, vn AS qn FROM c
+                      WHERE vec_id < 8) q
+             WHERE c.vec_id != q.query_id) WHERE rk <= 5)
+      SELECT b.query_id,
+             round(CAST(sum(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS recall
+      FROM brute b LEFT JOIN km k
+        ON k.query_id = b.query_id AND k.vec_id = b.vec_id
+      GROUP BY b.query_id"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "v9_kmeans_recall" -> v9Sql,
     "v11_pq_error" ->
       s"""WITH $pqSql,
               pl AS (SELECT vec_id, list(d ORDER BY sub) AS dl
