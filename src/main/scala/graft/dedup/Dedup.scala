@@ -491,20 +491,75 @@ object Dedup {
   def contaminatedIds(docs: DataFrame, id: Column, text: Column,
                       evalDocs: DataFrame, evalText: Column,
                       n: Int = 5, minShared: Int = 1): DataFrame = {
+    val trainG = docGrams(docs, id, text, n)
+    val evalG = docGrams(evalDocs, lit(0L), evalText, n).select("g").distinct()
+    trainG.join(broadcast(evalG), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** Per-doc DISTINCT word n-grams — the shared gram builder behind the
+    * decontamination operators. Tokenize ONCE into a bound attribute —
+    * n-grams straight off the text re-run the interpreted split per gram
+    * position (HOF lambdas are CodegenFallback; the tx_word_bigrams
+    * lesson, ~10× at sf0.1); docs shorter than n tokens have no n-gram
+    * (the greatest() guard in the gram builder would otherwise emit a
+    * truncated pseudo-gram).
+    */
+  private def docGrams(df: DataFrame, idc: Column, txt: Column,
+                       n: Int): DataFrame = {
     import graft.text.TextFunctions.{tokens, wordNgramsFromTokens}
-    // tokenize ONCE into a bound attribute — n-grams straight off the text
-    // re-run the interpreted split per gram position (HOF lambdas are
-    // CodegenFallback; the tx_word_bigrams lesson, ~10× at sf0.1); docs
-    // shorter than n tokens have no n-gram (the greatest() guard in the
-    // gram builder would otherwise emit a truncated pseudo-gram)
-    def grams(df: DataFrame, idc: Column, txt: Column): DataFrame = df
-      .select(idc.as("doc_id"), tokens(txt).as("__toks"))
+    df.select(idc.as("doc_id"), tokens(txt).as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(wordNgramsFromTokens(col("__toks"), n))).as("g"))
-    val trainG = grams(docs, id, text)
-    val evalG = grams(evalDocs, lit(0L), evalText).select("g").distinct()
-    trainG.join(broadcast(evalG), Seq("g"), "left_semi")
+  }
+
+  /** [[contaminatedIds]] at the scale where the eval gram set itself
+    * outgrows the broadcast budget (a consortium eval suite, a
+    * many-benchmark union): instead of broadcasting the exact gram set, a
+    * FIXED-SIZE Bloom filter over the eval grams ships to every task and
+    * pre-filters train grams map-side; only the survivors — true matches
+    * plus an `fpp` fraction of false positives — reach the exact
+    * semi-join, which Spark now plans at survivor volume (broadcast if
+    * the eval side still fits, shuffle otherwise — unhinted either way).
+    *
+    * The result is EXACTLY [[contaminatedIds]]' (same oracle): the bloom
+    * can only let extra grams reach the exact verify, never change its
+    * decision — asserted in DedupSpec including an undersized-filter
+    * stress case.
+    *
+    * Scale contract: driver and executors hold the filter's bits —
+    * `-expectedEvalGrams · ln(fpp) / ln²2` bits (~4.8 MB for 4M grams at
+    * 1%), independent of the train corpus — and the exact join's shuffle
+    * shrinks from every train gram to `matches + fpp · |train grams|`.
+    * Both sides hash grams to longs with the codegen'd `xxhash64` first,
+    * so the membership probe is [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (the expression behind Spark's own runtime row-group filtering) on
+    * 8-byte keys — no UDF, no string re-hash per probe.
+    */
+  def contaminatedIdsBloom(docs: DataFrame, id: Column, text: Column,
+                           evalDocs: DataFrame, evalText: Column,
+                           n: Int = 5, minShared: Int = 1,
+                           expectedEvalGrams: Long = 4000000L,
+                           fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val trainG = docGrams(docs, id, text, n)
+    val evalG = docGrams(evalDocs, lit(0L), evalText, n).select("g").distinct()
+    // distributed build; the driver holds only the merged filter bits
+    val bf = evalG.select(xxhash64(col("g")).as("h"))
+      .stat.bloomFilter("h", expectedEvalGrams, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = ColumnShim.column(new BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      ColumnShim.expression(xxhash64(col("g")))))
+    trainG.filter(might)
+      .join(evalG, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
   }

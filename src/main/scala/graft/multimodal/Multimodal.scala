@@ -362,7 +362,31 @@ object Multimodal {
   }
 
   private[multimodal] def parseWavPcm16(path: String,
-                                        bytes: Array[Byte]): Option[WavClip] = {
+                                        bytes: Array[Byte]): Option[WavClip] =
+    parseWavRaw(bytes).map { case (sampleRate, channels, samples) =>
+      val n = samples.length
+      var sum = 0.0; var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        val a = samples(i) / 32768.0
+        sum += a; sumSq += a * a
+        i += 1
+      }
+      val mean = if (n == 0) 0.0 else sum / n
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      WavClip(path, sampleRate, channels, n / math.max(channels, 1),
+        BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+  /** Raw PCM16 WAV parse shared by [[parseWavPcm16]] and
+    * [[audioFingerprintById]]: the RIFF chunk walk (fmt/data wherever they
+    * sit, word-aligned, u32 sizes bounds-checked in Long) plus the int16
+    * payload decode — (sample_rate, channels, interleaved samples), no
+    * derived stats. None on anything that isn't integer PCM16.
+    */
+  private[multimodal] def parseWavRaw(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Short])] = {
     def ascii(off: Int, n: Int): String =
       if (off + n <= bytes.length)
         new String(bytes, off, n, java.nio.charset.StandardCharsets.US_ASCII)
@@ -397,20 +421,94 @@ object Multimodal {
     if (!fmtOk || bits != 16 || channels < 1 || dataOff < 0 ||
         dataOff + dataLen > bytes.length) return None
     val n = (dataLen / 2L).toInt
-    var sum = 0.0; var sumSq = 0.0
+    val samples = new Array[Short](n)
     var i = 0
     while (i < n) {
       val off = (dataOff + 2L * i).toInt
-      val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
-      val a = s / 32768.0
-      sum += a; sumSq += a * a
+      samples(i) = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
       i += 1
     }
-    val mean = if (n == 0) 0.0 else sum / n
-    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
-    Some(WavClip(path, sampleRate, channels, n / channels,
-      BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      BigDecimal(rms).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    Some((sampleRate, channels, samples))
+  }
+
+  /** Energy-envelope fingerprint record produced by
+    * [[audioFingerprintById]]. */
+  case class AudioHash(doc_id: Long, sample_rate: Int, n_samples: Int,
+                       afp: Long)
+
+  /** U2/D14: perceptual audio fingerprint from REAL decoded PCM — the
+    * audio twin of [[imageDHashById]]'s gradient hash, over the clip's
+    * energy envelope: decode int16 samples (the [[parseWavRaw]] RIFF
+    * walk), mix channels to a mono |amplitude| stream, block-average it
+    * into `frames` energy bins, and emit one bit per bin comparing it to
+    * its successor (cyclic): bit i = 1 iff e(i) > e((i+1) % frames).
+    * Gradient signs survive uniform gain changes — the same property that
+    * makes dHash a near-dup detector — so a re-encoded or volume-shifted
+    * copy of a clip fingerprints identically while unrelated clips land
+    * ~frames/2 bits apart.
+    *
+    * Downsampling mirrors the image hash: block-average when the clip has
+    * >= `frames` sample frames, nearest-sample when shorter; exactly
+    * `frames` blocks is the identity regime the DuckDB oracle reproduces
+    * arithmetically (d14_audio_fp).
+    *
+    * Output is id-keyed (long — the dedup pipeline's id contract) so
+    * fingerprints feed straight into the Hamming-space banding/verify
+    * machinery ([[graft.dedup.Dedup.imageNearDupPairs]], which is
+    * fingerprint-agnostic). Undecodable payloads and zero-length clips
+    * are dropped (the P7 null-drop convention); the relation is
+    * metadata-sized — one long per clip, payloads never leave the scan.
+    */
+  def audioFingerprintById(files: DataFrame, id: Column, content: Column,
+                           frames: Int = 16): DataFrame = {
+    require(frames >= 2 && frames <= 63,
+      s"audioFingerprintById: frames must be in [2, 63], got $frames")
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(id.cast("long"), content).as[(Long, Array[Byte])]
+      .flatMap { case (docId, bytes) =>
+        parseWavRaw(bytes).flatMap { case (rate, ch, samples) =>
+          val n = samples.length / math.max(ch, 1)
+          if (n == 0) None
+          else {
+            val mono = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var s = 0.0; var c = 0
+              while (c < ch) {
+                s += math.abs(samples(i * ch + c) / 32768.0); c += 1
+              }
+              mono(i) = s / ch
+              i += 1
+            }
+            val bin = new Array[Double](frames)
+            if (n >= frames) {
+              val cnt = new Array[Int](frames)
+              var r = 0
+              while (r < n) {
+                val b = (r.toLong * frames / n).toInt
+                bin(b) += mono(r); cnt(b) += 1
+                r += 1
+              }
+              var b = 0
+              while (b < frames) { bin(b) /= cnt(b); b += 1 }
+            } else {
+              var b = 0
+              while (b < frames) {
+                bin(b) = mono((b.toLong * n / frames).toInt)
+                b += 1
+              }
+            }
+            var fp = 0L
+            var i2 = 0
+            while (i2 < frames) {
+              if (bin(i2) > bin((i2 + 1) % frames)) fp |= 1L << i2
+              i2 += 1
+            }
+            Some(AudioHash(docId, rate, n, fp))
+          }
+        }
+      }.toDF()
   }
 
   /** Decoded-image record produced at the mapPartitions edge. */

@@ -32,6 +32,25 @@ object QMultimodal {
       .select(col("doc_id"), bmpImageRows(lit(6), grays).as("content"))
   }
 
+  /** Shared d14 fixture: a 64-sample mono PCM16 WAV per document whose
+    * energy envelope is a 16-block profile — block b (4 samples, all
+    * equal) has amplitude = first md5 byte of "docId#b" (the audio twin
+    * of [[d13Fixture]]'s row-profile BMP; '#' salt so audio fingerprints
+    * differ from the image ones). Amplitudes are non-negative, so the
+    * engine's mean-|amplitude| per block is amp/32768 — strictly monotone
+    * in the md5 byte, which lets the oracle compare the integers.
+    */
+  private def d14Fixture(s: SparkSession, d: String): DataFrame = {
+    val samples = flatten(transform(sequence(lit(0), lit(15)), b => {
+      val amp = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#"), b.cast("string"))), 1, 2), 16, 10).cast("int")
+      array(amp, amp, amp, amp)
+    }))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        wavPcm16(lit(8000), lit(1), samples).as("content"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: whole-object fetch shape — byte fingerprint + length of a binary
     // payload column, no decode.
@@ -241,6 +260,30 @@ object QMultimodal {
         col("dhash"), bits = 16, bandBits = 8, maxHamming = 2)
     }),
 
+    // D14: perceptual audio fingerprint from REAL decoded PCM — complete
+    // WAVs synthesized from pure expressions (16-block energy profile,
+    // d14Fixture), decoded by the production RIFF walk + int16 decode,
+    // energy-envelope gradient bits recomputed arithmetically by the
+    // oracle. The audio twin of d13_image_dhash.
+    "d14_audio_fp" -> ((s, d) =>
+      audioFingerprintById(d14Fixture(s, d), col("doc_id"),
+        col("content"), 16)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("afp"))),
+
+    // D14b: audio NEAR-DUP pairs — the energy fingerprints fed through
+    // the SAME Hamming-space banding/verify machinery as the image hashes
+    // (imageNearDupPairs is fingerprint-agnostic): 2×8-bit bands, bucket
+    // cap, exact Hamming <= 2 verification, all under a full DuckDB
+    // oracle. Near-dup detection now spans text (d2/d5), images (d13b),
+    // and audio.
+    "d14b_audio_neardup" -> ((s, d) => {
+      val hashes = audioFingerprintById(d14Fixture(s, d), col("doc_id"),
+        col("content"), 16)
+      graft.dedup.Dedup.imageNearDupPairs(hashes, col("doc_id"),
+        col("afp"), bits = 16, bandBits = 8, maxHamming = 2)
+    }),
+
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
     // npy / opaque bytes) synthesized per-language. The fallthrough branch
     // is NUL-prefixed so natural text starting with an ASCII magic ("BM",
@@ -405,6 +448,52 @@ object QMultimodal {
          JOIN fp fa ON fa.doc_id = c.doc_a
          JOIN fp fb ON fb.doc_id = c.doc_b
          WHERE bit_count(xor(fa.dhash, fb.dhash)) <= 2""",
+    "d14_audio_fp" ->
+      """WITH r AS (SELECT doc_id, unnest(range(0, 16)) AS b FROM documents),
+              g AS (SELECT doc_id, b,
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                  || CAST(b AS VARCHAR)), 1, 2)) AS INT) AS amp
+              FROM r),
+              -- a constant-amplitude block's mean |amplitude| is amp/32768,
+              -- strictly monotone in amp, so the engine's double comparison
+              -- over decoded samples equals this integer comparison
+              bits AS (SELECT a.doc_id, a.b,
+                CASE WHEN a.amp > n.amp THEN 1 ELSE 0 END AS bit
+              FROM g a JOIN g n
+                ON a.doc_id = n.doc_id AND n.b = (a.b + 1) % 16)
+         SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+                CAST(64 AS INT) AS n_samples,
+                CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS afp
+         FROM bits GROUP BY doc_id""",
+    "d14b_audio_neardup" ->
+      """WITH r AS (SELECT doc_id, unnest(range(0, 16)) AS b FROM documents),
+              g AS (SELECT doc_id, b,
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#'
+                  || CAST(b AS VARCHAR)), 1, 2)) AS INT) AS amp
+              FROM r),
+              bits AS (SELECT a.doc_id, a.b,
+                CASE WHEN a.amp > n.amp THEN 1 ELSE 0 END AS bit
+              FROM g a JOIN g n
+                ON a.doc_id = n.doc_id AND n.b = (a.b + 1) % 16),
+              fp AS (SELECT doc_id,
+                CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS afp
+              FROM bits GROUP BY doc_id),
+              bd AS (SELECT doc_id,
+                bands.band AS band, (afp >> (bands.band * 8)) & 255 AS band_val
+              FROM fp CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS band) bands),
+              capped AS (SELECT doc_id, band, band_val FROM bd
+                QUALIFY count(*) OVER (PARTITION BY band, band_val) <= 64),
+              cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT c.doc_a, c.doc_b,
+                CAST(bit_count(xor(fa.afp, fb.afp)) AS INT) AS hamming
+         FROM cand c
+         JOIN fp fa ON fa.doc_id = c.doc_a
+         JOIN fp fb ON fb.doc_id = c.doc_b
+         WHERE bit_count(xor(fa.afp, fb.afp)) <= 2""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'

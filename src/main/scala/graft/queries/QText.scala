@@ -275,6 +275,20 @@ object QText {
         .agg(count(lit(1)).as("shared_5grams"))
     }),
 
+    // D8b: decontamination on the BLOOM scale path — the eval gram set
+    // ships as a fixed-size Bloom filter (codegen'd xxhash64 +
+    // BloomFilterMightContain probe), train grams pre-filtered map-side,
+    // survivors exact-verified. Output is contaminatedIds' relation
+    // exactly (the bloom can only admit extras into the exact verify), so
+    // it runs under a full DuckDB oracle with no bloom in the SQL.
+    "d8b_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.dedup.Dedup.contaminatedIdsBloom(
+        docs.filter(col("doc_id") >= 50), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 50), col("text"),
+        n = 5, minShared = 1, expectedEvalGrams = 100000L, fpp = 0.01)
+    }),
+
     // D12: the in-pipeline decontamination stage under a full oracle — the
     // exact relation Pipelines.dedupCorpus(evalDocs = ...) feeds into its
     // dedup stages: quality-gated train docs (doc_id >= 50 stands in for
@@ -682,6 +696,20 @@ object QText {
           FROM (SELECT * FROM g WHERE doc_id >= 50) tr
           JOIN (SELECT * FROM g WHERE doc_id < 50) ev USING (g)
           GROUP BY 1, 2""",
+    "d8b_bloom_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+               f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+               g AS (SELECT DISTINCT doc_id, g FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(toks) - 3),
+                          i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1] || '_' ||
+                               toks[CAST(i AS INT) + 2] || '_' || toks[CAST(i AS INT) + 3] || '_' ||
+                               toks[CAST(i AS INT) + 4])) AS g
+                 FROM f))
+          SELECT tr.doc_id AS doc_id, count(*) AS shared_ngrams
+          FROM (SELECT * FROM g WHERE doc_id >= 50) tr
+          WHERE tr.g IN (SELECT g FROM g WHERE doc_id < 50)
+          GROUP BY 1""",
     "d12_decontaminated_keep" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
                f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),

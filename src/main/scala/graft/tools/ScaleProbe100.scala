@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   * cost is driven by the EDGE relation, not the corpus.
   *
   * Usage: runMain graft.tools.ScaleProbe100 [copies=100] [sfDir] [sections]
-  * where sections ⊆ chain,cc,feed (comma-separated; default all).
+  * where sections ⊆ chain,cc,feed,feedparts,feedpq,pipeline
+  * (comma-separated; default chain,cc,feed).
   * Run with SPARK_DRIVER_MEM=48g+ — the 100× feed sketches a 45M-row
   * manifest through a range partitioner.
   */
@@ -192,6 +193,44 @@ object ScaleProbe100 {
       spark.catalog.clearCache()
     }
     if (sections("feedpq")) { feedFromParquet(copies / 10); feedFromParquet(copies) }
+
+    // FULL dedupCorpus with every opt-in stage on — pre-clean, domain cap,
+    // decontamination, containment, substring scrub — timed per stage via
+    // the dedupCorpusStages funnel (count each stage relation in order:
+    // the exact-dedup localCheckpoint materializes on its own count, so
+    // later counts read from it and each marginal time is that stage's
+    // own cost; the per-stage walls are what a production curation run
+    // audits, and the 10×→100× ratio per stage exposes any super-linear
+    // stage that the individually-probed compositions could hide behind
+    // checkpoint boundaries).
+    def fullPipeline(factor: Int): Unit = {
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = amplifyVaried(raw, "doc_id", "text", factor, 10000000L)
+        .localCheckpoint()
+      println(s"[probe] ${factor}x pipeline docs: ${docs.count()}")
+      // the eval split stays FIXED (a benchmark doesn't grow with the
+      // corpus — the decontamination boundedness contract)
+      val evalDocs = raw.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      val stages = graft.pipelines.Pipelines.dedupCorpusStages(
+        docs, col("doc_id"), col("text"),
+        preClean = true, maxPerSource = (docs.count() / 4L).toInt.max(1),
+        evalDocs = Some(evalDocs), minContainment = Some(0.9),
+        substrN = Some(20))
+      var prev = t0
+      stages.foreach { case (name, df) =>
+        val c = df.count()
+        val now = System.nanoTime()
+        println(f"[probe] ${factor}x stage $name%-24s ${c}%9d rows  " +
+          f"${(now - prev) / 1e9}%6.1f s")
+        prev = now
+      }
+      println(f"[probe] ${factor}x full dedupCorpus (all stages): " +
+        f"${(prev - t0) / 1e9}%.1f s")
+      spark.catalog.clearCache()
+    }
+    if (sections("pipeline")) { fullPipeline(copies / 10); fullPipeline(copies) }
 
     spark.stop()
   }

@@ -384,4 +384,39 @@ class DedupSpec extends SparkSpec {
       Dedup.duplicateNgramPositions(d, col("doc_id"), col("text"), 5)
         .as[(Long, Int)].collect().toSet)
   }
+
+  test("contaminatedIdsBloom equals the exact operator, including with an undersized filter") {
+    // synthetic corpus: 60 train docs, 8 eval docs, planted overlaps —
+    // train doc 3k shares eval doc k's passage verbatim
+    val evalDocs = (0 until 8).map(k =>
+      (k.toLong, s"held out benchmark passage number $k with unique suffix token$k"))
+      .toDF("doc_id", "text")
+    val train = (0 until 60).map { i =>
+      val base = s"ordinary training document $i talking about topic ${i % 7} at length"
+      val t = if (i % 3 == 0 && i / 3 < 8)
+        s"$base held out benchmark passage number ${i / 3} with unique suffix token${i / 3}"
+      else base
+      (100L + i, t)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.contaminatedIds(train, col("doc_id"), col("text"),
+      evalDocs, col("text"), 5, 1)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val bloom = Dedup.contaminatedIdsBloom(train, col("doc_id"), col("text"),
+      evalDocs, col("text"), 5, 1)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom === exact)
+    // undersized-filter stress: expected items far below reality + a 30%
+    // fpp floods the pre-filter with false positives — the exact verify
+    // must still produce the identical relation
+    val stressed = Dedup.contaminatedIdsBloom(train, col("doc_id"), col("text"),
+      evalDocs, col("text"), 5, 1, expectedEvalGrams = 8L, fpp = 0.3)
+      .as[(Long, Long)].collect().toSet
+    assert(stressed === exact)
+    // minShared threshold rides through the bloom path unchanged
+    val strict = Dedup.contaminatedIdsBloom(train, col("doc_id"), col("text"),
+      evalDocs, col("text"), 5, 100)
+      .as[(Long, Long)].collect().toSet
+    assert(strict === exact.filter(_._2 >= 100))
+  }
 }

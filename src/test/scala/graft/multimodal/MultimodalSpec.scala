@@ -179,6 +179,55 @@ class MultimodalSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("audioFingerprintById: energy-gradient bits from real PCM; mix, gain, and short-clip paths") {
+    def wav(docId: Long, samples: Seq[Int], channels: Int = 1) =
+      Seq((docId, samples)).toDF("doc_id", "s")
+        .select(col("doc_id"), Multimodal.wavPcm16(lit(8000), lit(channels),
+          transform(col("s"), x => x.cast("int"))).as("content"))
+    def fp(df: org.apache.spark.sql.DataFrame, frames: Int = 4): Long =
+      Multimodal.audioFingerprintById(df, col("doc_id"), col("content"), frames)
+        .select("afp").as[Long].head()
+    // identity regime (n == frames): envelope [200,150,100,50] → bits
+    // 200>150, 150>100, 100>50, !(50>200) = 0b0111, same as the image twin
+    assert(fp(wav(1L, Seq(200, 150, 100, 50))) === 7L)
+    // |amplitude|: a negative sample has the same energy
+    assert(fp(wav(2L, Seq(-200, 150, -100, 50))) === 7L)
+    // uniform gain shift preserves every gradient sign → identical fp
+    assert(fp(wav(3L, Seq(400, 300, 200, 100))) === 7L)
+    // block-average regime (n = 2×frames): pairs average to the same
+    // envelope
+    assert(fp(wav(4L, Seq(210, 190, 160, 140, 110, 90, 60, 40))) === 7L)
+    // short clip (n < frames): nearest-sample upsampling — [200, 50]
+    // into 4 bins = [200, 200, 50, 50] → only bit 1 set
+    assert(fp(wav(5L, Seq(200, 50))) === (1L << 1))
+    // stereo mix: (L, R) = (a±Δ) pairs mono-mix to |a| — equal to the
+    // mono fingerprint
+    assert(fp(wav(6L, Seq(220, 180, 170, 130, 120, 80, 70, 30),
+      channels = 2)) === 7L)
+    // metadata rides along: sample_rate + per-channel frame count
+    val meta = Multimodal.audioFingerprintById(
+      wav(7L, Seq(1, 2, 3, 4), channels = 2), col("doc_id"), col("content"), 2)
+      .select("sample_rate", "n_samples").as[(Int, Int)].head()
+    assert(meta === ((8000, 2)))
+    // undecodable payloads are dropped, not thrown
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    assert(Multimodal.audioFingerprintById(junk, col("doc_id"), col("content"), 4)
+      .count() === 0)
+    // near-dup property through the banding machinery: a nudged copy
+    // fingerprints identically (Hamming 0), a reversed envelope is far
+    val trio = Seq(
+      (10L, Seq(200, 150, 100, 50)), (11L, Seq(202, 150, 100, 50)),
+      (12L, Seq(50, 100, 150, 200))).toDF("doc_id", "s")
+      .select(col("doc_id"), Multimodal.wavPcm16(lit(8000), lit(1),
+        transform(col("s"), x => x.cast("int"))).as("content"))
+    val hashes = Multimodal.audioFingerprintById(trio, col("doc_id"),
+      col("content"), 4)
+    val pairs = graft.dedup.Dedup.imageNearDupPairs(hashes, col("doc_id"),
+      col("afp"), bits = 4, bandBits = 2, maxHamming = 1)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSet === Set((10L, 11L, 0)))
+  }
+
   test("resizeImages rescales through the real codec and re-encodes losslessly") {
     // constant-gray source: bilinear rescale of a constant image is the
     // same constant, so the resized PNG must decode to the exact gray luma
