@@ -778,6 +778,86 @@ object Multimodal {
       }
   }
 
+  /** Temporal fingerprint record produced by [[videoFingerprintById]]. */
+  case class VideoHash(doc_id: Long, width: Int, height: Int, n_frames: Int,
+                       vfp: Long)
+
+  /** U4/D15: perceptual video fingerprint from REALLY demuxed frames — the
+    * temporal member of the dHash family ([[imageDHashById]] spatial,
+    * [[audioFingerprintById]] energy-envelope): demux the Y4M container
+    * ([[y4mFrames]]), average each frame's actual luma plane, downsample
+    * the per-frame luma sequence to `gridFrames` bins, and emit one bit
+    * per bin comparing it to its successor (cyclic): bit i = 1 iff
+    * lum(i) > lum((i+1) % gridFrames). Gradient signs survive uniform
+    * brightness/exposure shifts — a re-graded or re-muxed copy of a clip
+    * fingerprints identically while unrelated clips land ~gridFrames/2
+    * bits apart.
+    *
+    * Downsampling mirrors the image/audio hashes: block-average when the
+    * clip has >= `gridFrames` frames, nearest-frame when shorter; exactly
+    * `gridFrames` frames is the identity regime the DuckDB oracle
+    * reproduces arithmetically (d15_video_fp — constant-luma frames make
+    * the mean luma monotone in the generating byte).
+    *
+    * Output is id-keyed (long — the dedup pipeline's id contract) so
+    * fingerprints feed straight into the Hamming-space banding/verify
+    * machinery ([[graft.dedup.Dedup.imageNearDupPairs]], fingerprint-
+    * agnostic). Undecodable/empty containers are dropped (the P7
+    * null-drop convention); the relation is metadata-sized — one long per
+    * clip, frame bytes never leave the scan.
+    */
+  def videoFingerprintById(files: DataFrame, id: Column, content: Column,
+                           gridFrames: Int = 16): DataFrame = {
+    require(gridFrames >= 2 && gridFrames <= 63,
+      s"videoFingerprintById: gridFrames must be in [2, 63], got $gridFrames")
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(id.cast("long"), content).as[(Long, Array[Byte])]
+      .flatMap { case (docId, bytes) =>
+        val frames = y4mFrames(bytes)
+        if (frames.isEmpty) None
+        else {
+          val n = frames.length
+          val lum = new Array[Double](n)
+          var fi = 0
+          while (fi < n) {
+            val f = frames(fi)
+            var s = 0.0
+            var i = f.start
+            val end = f.start + f.ySize
+            while (i < end) { s += (bytes(i) & 0xff); i += 1 }
+            lum(fi) = s / f.ySize
+            fi += 1
+          }
+          val bin = new Array[Double](gridFrames)
+          if (n >= gridFrames) {
+            val cnt = new Array[Int](gridFrames)
+            var r = 0
+            while (r < n) {
+              val b = (r.toLong * gridFrames / n).toInt
+              bin(b) += lum(r); cnt(b) += 1
+              r += 1
+            }
+            var b = 0
+            while (b < gridFrames) { bin(b) /= cnt(b); b += 1 }
+          } else {
+            var b = 0
+            while (b < gridFrames) {
+              bin(b) = lum((b.toLong * n / gridFrames).toInt)
+              b += 1
+            }
+          }
+          var fp = 0L
+          var i2 = 0
+          while (i2 < gridFrames) {
+            if (bin(i2) > bin((i2 + 1) % gridFrames)) fp |= 1L << i2
+            i2 += 1
+          }
+          Some(VideoHash(docId, frames.head.width, frames.head.height, n, fp))
+        }
+      }.toDF()
+  }
+
   /** U1 (video): frame sampling — the 1→N generator edge: each (path,
     * content) row fans out to every `stride`-th frame. Y4M containers are
     * REALLY demuxed ([[y4mFrames]]): frameIdx is the container's frame

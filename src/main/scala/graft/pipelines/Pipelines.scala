@@ -184,14 +184,21 @@ object Pipelines {
     *    relation before clustering, so an embedded copy collapses into
     *    its superset's cluster ([[graft.dedup.Dedup
     *    .ngramContainmentPairs]]; same inverted-index + stop-gram cap).
-    *  - `imageCol`: PERCEPTUAL IMAGE near-dup pairs — dHash fingerprints
-    *    from the binary image column's REAL decoded pixels
-    *    ([[graft.multimodal.Multimodal.imageDHashById]]), banded in
-    *    Hamming space and verified by exact bit distance
-    *    ([[graft.dedup.Dedup.imageNearDupPairs]]), unioned into the same
-    *    cluster graph as the text pairs: a doc duplicated by pixels
-    *    collapses like one duplicated by words — the multimodal axis a
-    *    training corpus of image triplets needs deduped as much as text.
+    *  - `imageCol` / `audioCol` / `videoCol`: PERCEPTUAL near-dup pairs
+    *    per modality — dHash fingerprints from the binary column's REAL
+    *    decoded payload (pixels via
+    *    [[graft.multimodal.Multimodal.imageDHashById]], PCM energy
+    *    envelope via [[Multimodal.audioFingerprintById]], demuxed frame
+    *    lumas via [[Multimodal.videoFingerprintById]]), banded in Hamming
+    *    space and verified by exact bit distance
+    *    ([[graft.dedup.Dedup.imageNearDupPairs]], fingerprint-agnostic),
+    *    unioned into the same cluster graph as the text pairs: a doc
+    *    duplicated by pixels, waveform, or frames collapses like one
+    *    duplicated by words — the multimodal axes a training corpus of
+    *    image triplets needs deduped as much as text. All three modes
+    *    share the `imageGridRows`/`imageBandBits`/`maxImageHamming`
+    *    knobs (the fingerprints live in the same `gridRows`-bit Hamming
+    *    space).
     *
     * Returns the kept documents with their original columns (the text
     * column rewritten when `substrN` is set). All stages are the same
@@ -213,11 +220,14 @@ object Pipelines {
                   imageCol: Option[String] = None,
                   imageGridRows: Int = 16,
                   imageBandBits: Int = 8,
-                  maxImageHamming: Int = 2): DataFrame =
+                  maxImageHamming: Int = 2,
+                  audioCol: Option[String] = None,
+                  videoCol: Option[String] = None): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
-      imageCol, imageGridRows, imageBandBits, maxImageHamming).last._2
+      imageCol, imageGridRows, imageBandBits, maxImageHamming,
+      audioCol, videoCol).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -246,7 +256,9 @@ object Pipelines {
                         imageCol: Option[String] = None,
                         imageGridRows: Int = 16,
                         imageBandBits: Int = 8,
-                        maxImageHamming: Int = 2): Seq[(String, DataFrame)] = {
+                        maxImageHamming: Int = 2,
+                        audioCol: Option[String] = None,
+                        videoCol: Option[String] = None): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     val stages = Seq.newBuilder[(String, DataFrame)]
@@ -300,21 +312,32 @@ object Pipelines {
           Dedup.ngramContainmentPairs(exact, id, cleanText, ngram, minC)
             .select(col("doc_a"), col("doc_b")))
     }
-    // image mode: perceptual near-dup pairs over the image column join the
-    // SAME cluster graph as the text pairs, so a doc duplicated by pixels
-    // collapses into its cluster exactly like one duplicated by words —
-    // multimodal corpora (the reference's image triplets) dedup both axes
-    // in one CC pass. Fingerprints are computed over the exact-dedup
-    // survivors only (everything upstream already shrank the relation).
-    val allPairs = imageCol match {
-      case None => pairs
-      case Some(ic) =>
-        val hashes = graft.multimodal.Multimodal.imageDHashById(
-          exact, id, col(ic), imageGridRows)
-        pairs.union(
-          Dedup.imageNearDupPairs(hashes, col("doc_id"), col("dhash"),
-            imageGridRows, imageBandBits, maxImageHamming)
-            .select(col("doc_a"), col("doc_b")))
+    // perceptual modes: near-dup pairs over each enabled binary column
+    // join the SAME cluster graph as the text pairs, so a doc duplicated
+    // by pixels, waveform, or frames collapses into its cluster exactly
+    // like one duplicated by words — multimodal corpora (the reference's
+    // image triplets) dedup every axis in one CC pass. Fingerprints are
+    // computed over the exact-dedup survivors only (everything upstream
+    // already shrank the relation), and all three fingerprint families
+    // share the Hamming banding/verify machinery.
+    val perceptual: Seq[DataFrame] =
+      imageCol.map { ic =>
+        graft.multimodal.Multimodal.imageDHashById(exact, id, col(ic),
+          imageGridRows).withColumnRenamed("dhash", "__fp")
+      }.toSeq ++
+      audioCol.map { ac =>
+        graft.multimodal.Multimodal.audioFingerprintById(exact, id, col(ac),
+          imageGridRows).withColumnRenamed("afp", "__fp")
+      } ++
+      videoCol.map { vc =>
+        graft.multimodal.Multimodal.videoFingerprintById(exact, id, col(vc),
+          imageGridRows).withColumnRenamed("vfp", "__fp")
+      }
+    val allPairs = perceptual.foldLeft(pairs) { (acc, hashes) =>
+      acc.union(
+        Dedup.imageNearDupPairs(hashes, col("doc_id"), col("__fp"),
+          imageGridRows, imageBandBits, maxImageHamming)
+          .select(col("doc_a"), col("doc_b")))
     }
     val clusters = Dedup.connectedComponents(allPairs, "doc_a", "doc_b")
     // drop every clustered doc that is not its cluster's representative

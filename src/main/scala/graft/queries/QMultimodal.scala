@@ -51,6 +51,21 @@ object QMultimodal {
         wavPcm16(lit(8000), lit(1), samples).as("content"))
   }
 
+  /** Shared d15 fixture: a 16-frame 4×3 Cmono Y4M per document where frame
+    * f's constant luma = first md5 byte of "docId~f" (the video member of
+    * the [[d13Fixture]]/[[d14Fixture]] family; '~' salt so video
+    * fingerprints differ from the image/audio ones). A constant-luma
+    * frame's mean luma is the byte itself, strictly monotone, so the
+    * oracle compares the generating integers.
+    */
+  private def d15Fixture(s: SparkSession, d: String): DataFrame = {
+    val lumas = transform(sequence(lit(0), lit(15)), f =>
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit("~"),
+        f.cast("string"))), 1, 2), 16, 10).cast("int"))
+    t(s, d, "documents")
+      .select(col("doc_id"), y4mVideo(lit(4), lit(3), lumas).as("content"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: whole-object fetch shape — byte fingerprint + length of a binary
     // payload column, no decode.
@@ -284,6 +299,30 @@ object QMultimodal {
         col("afp"), bits = 16, bandBits = 8, maxHamming = 2)
     }),
 
+    // D15: perceptual video fingerprint from REALLY demuxed frames —
+    // complete Y4M containers synthesized from pure expressions (16-frame
+    // constant-luma profile, d15Fixture), demuxed by the production
+    // container walk, each frame's ACTUAL luma plane averaged, temporal
+    // gradient bits recomputed arithmetically by the oracle. The video
+    // member of the d13/d14 fingerprint family.
+    "d15_video_fp" -> ((s, d) =>
+      videoFingerprintById(d15Fixture(s, d), col("doc_id"),
+        col("content"), 16)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("vfp"))),
+
+    // D15b: video NEAR-DUP pairs — the temporal fingerprints fed through
+    // the SAME Hamming-space banding/verify machinery as the image/audio
+    // hashes: 2×8-bit bands, bucket cap, exact Hamming <= 2 verification,
+    // all under a full DuckDB oracle. Near-dup detection now spans all
+    // four modalities: text (d2/d5), images (d13b), audio (d14b), video.
+    "d15b_video_neardup" -> ((s, d) => {
+      val hashes = videoFingerprintById(d15Fixture(s, d), col("doc_id"),
+        col("content"), 16)
+      graft.dedup.Dedup.imageNearDupPairs(hashes, col("doc_id"),
+        col("vfp"), bits = 16, bandBits = 8, maxHamming = 2)
+    }),
+
     // U1b: magic-byte format sniff across mixed payloads (png / jpeg /
     // npy / opaque bytes) synthesized per-language. The fallthrough branch
     // is NUL-prefixed so natural text starting with an ASCII magic ("BM",
@@ -494,6 +533,52 @@ object QMultimodal {
          JOIN fp fa ON fa.doc_id = c.doc_a
          JOIN fp fb ON fb.doc_id = c.doc_b
          WHERE bit_count(xor(fa.afp, fb.afp)) <= 2""",
+    "d15_video_fp" ->
+      """WITH r AS (SELECT doc_id, unnest(range(0, 16)) AS f FROM documents),
+              g AS (SELECT doc_id, f,
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '~'
+                  || CAST(f AS VARCHAR)), 1, 2)) AS INT) AS lum
+              FROM r),
+              -- a constant-luma frame's mean luma is the byte itself,
+              -- strictly monotone, so the engine's double comparison over
+              -- decoded planes equals this integer comparison
+              bits AS (SELECT a.doc_id, a.f,
+                CASE WHEN a.lum > n.lum THEN 1 ELSE 0 END AS bit
+              FROM g a JOIN g n
+                ON a.doc_id = n.doc_id AND n.f = (a.f + 1) % 16)
+         SELECT doc_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+                CAST(16 AS INT) AS n_frames,
+                CAST(sum(bit * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS vfp
+         FROM bits GROUP BY doc_id""",
+    "d15b_video_neardup" ->
+      """WITH r AS (SELECT doc_id, unnest(range(0, 16)) AS f FROM documents),
+              g AS (SELECT doc_id, f,
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '~'
+                  || CAST(f AS VARCHAR)), 1, 2)) AS INT) AS lum
+              FROM r),
+              bits AS (SELECT a.doc_id, a.f,
+                CASE WHEN a.lum > n.lum THEN 1 ELSE 0 END AS bit
+              FROM g a JOIN g n
+                ON a.doc_id = n.doc_id AND n.f = (a.f + 1) % 16),
+              fp AS (SELECT doc_id,
+                CAST(sum(bit * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS vfp
+              FROM bits GROUP BY doc_id),
+              bd AS (SELECT doc_id,
+                bands.band AS band, (vfp >> (bands.band * 8)) & 255 AS band_val
+              FROM fp CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS band) bands),
+              capped AS (SELECT doc_id, band, band_val FROM bd
+                QUALIFY count(*) OVER (PARTITION BY band, band_val) <= 64),
+              cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT c.doc_a, c.doc_b,
+                CAST(bit_count(xor(fa.vfp, fb.vfp)) AS INT) AS hamming
+         FROM cand c
+         JOIN fp fa ON fa.doc_id = c.doc_a
+         JOIN fp fb ON fb.doc_id = c.doc_b
+         WHERE bit_count(xor(fa.vfp, fb.vfp)) <= 2""",
     "u1_magic_sniff" ->
       """SELECT doc_id, lang,
                 CASE lang WHEN 'en' THEN 'png' WHEN 'fr' THEN 'jpeg'

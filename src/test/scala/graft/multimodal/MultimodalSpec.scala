@@ -228,6 +228,51 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSet === Set((10L, 11L, 0)))
   }
 
+  test("videoFingerprintById: temporal-gradient bits from really demuxed frames") {
+    def vid(docId: Long, lumas: Seq[Int], w: Int = 4, h: Int = 3) =
+      Seq((docId, lumas)).toDF("doc_id", "l")
+        .select(col("doc_id"), Multimodal.y4mVideo(lit(w), lit(h),
+          col("l")).as("content"))
+    def fp(df: org.apache.spark.sql.DataFrame, frames: Int = 4): Long =
+      Multimodal.videoFingerprintById(df, col("doc_id"), col("content"), frames)
+        .select("vfp").as[Long].head()
+    // identity regime (n == gridFrames): luma sequence [200,150,100,50] →
+    // bits 200>150, 150>100, 100>50, !(50>200) = 0b0111 — the image/audio
+    // twins' canonical case
+    assert(fp(vid(1L, Seq(200, 150, 100, 50))) === 7L)
+    // uniform brightness shift preserves every gradient sign → identical
+    // fp (the property that makes it a near-dup detector)
+    assert(fp(vid(2L, Seq(210, 160, 110, 60))) === 7L)
+    // block-average regime (n = 2×gridFrames): frame pairs average to the
+    // same temporal envelope
+    assert(fp(vid(3L, Seq(210, 190, 160, 140, 110, 90, 60, 40))) === 7L)
+    // short clip (n < gridFrames): nearest-frame upsampling — [200, 50]
+    // into 4 bins = [200, 200, 50, 50] → only bit 1 set
+    assert(fp(vid(4L, Seq(200, 50))) === (1L << 1))
+    // metadata rides along: real demuxed geometry + frame count
+    val meta = Multimodal.videoFingerprintById(
+      vid(5L, Seq(9, 8, 7), w = 6, h = 2), col("doc_id"), col("content"), 2)
+      .select("width", "height", "n_frames").as[(Int, Int, Int)].head()
+    assert(meta === ((6, 2, 3)))
+    // undecodable payloads are dropped, not thrown
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    assert(Multimodal.videoFingerprintById(junk, col("doc_id"), col("content"), 4)
+      .count() === 0)
+    // near-dup property through the banding machinery: a re-graded copy
+    // (uniform +2 luma) fingerprints identically, a reversed sequence is far
+    val trio = Seq(
+      (10L, Seq(200, 150, 100, 50)), (11L, Seq(202, 152, 102, 52)),
+      (12L, Seq(50, 100, 150, 200))).toDF("doc_id", "l")
+      .select(col("doc_id"), Multimodal.y4mVideo(lit(4), lit(3),
+        col("l")).as("content"))
+    val hashes = Multimodal.videoFingerprintById(trio, col("doc_id"),
+      col("content"), 4)
+    val pairs = graft.dedup.Dedup.imageNearDupPairs(hashes, col("doc_id"),
+      col("vfp"), bits = 4, bandBits = 2, maxHamming = 1)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSet === Set((10L, 11L, 0)))
+  }
+
   test("resizeImages rescales through the real codec and re-encodes losslessly") {
     // constant-gray source: bilinear rescale of a constant image is the
     // same constant, so the resized PNG must decode to the exact gray luma

@@ -124,6 +124,49 @@ class PipelinesSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("dedupCorpus audioCol/videoCol: every perceptual axis joins one cluster graph") {
+    import graft.multimodal.Multimodal
+    // five docs with DISTINCT texts; docs 1-2 carry near-identical AUDIO
+    // (uniform gain shift — same energy gradient), docs 3-4 near-identical
+    // VIDEO (uniform brightness shift — same temporal gradient); doc 5
+    // unrelated on both axes. One CC pass must collapse both pairs.
+    val texts = Map(
+      1L -> "alpine meadows under clear morning light with distant peaks",
+      2L -> "harbor cranes unload container ships beneath sodium lamps",
+      3L -> "desert winds carve long ridges into the orange dune field",
+      4L -> "subway platforms echo with late night maintenance announcements",
+      5L -> "tidal pools glitter between basalt shelves at low water")
+    // fingerprint-distinct 16-step profiles (gradient-sign patterns are
+    // pairwise >= 7 bits apart, and the one 2-bit-close pair C/E never
+    // shares a band value, so no spurious candidate is even proposed)
+    val A = (0 until 16).map(i => if (i % 2 == 0) 235 else 15)  // fp 0x5555
+    val B = (0 until 16).map(i => 200 - i * 9)                  // fp 0x7FFF
+    val C = (0 until 16).map(i => 40 + i * 12)                  // fp 0x8000
+    val E = (0 until 16).map(i => if (i < 8) 220 else 30)       // fp 0x0080
+    val F = (0 until 16).map(i => if (i % 2 == 0) 15 else 235)  // fp 0xAAAA
+    def shift(p: Seq[Int], d: Int) = p.map(_ + d)
+    // audio pair 1-2 (E vs gain-shifted E); video pair 3-4 (F vs re-graded F)
+    val audioEnv = Map(1L -> E, 2L -> shift(E, 5), 3L -> A, 4L -> B, 5L -> C)
+    val videoEnv = Map(1L -> A, 2L -> B, 3L -> F, 4L -> shift(F, 2), 5L -> C)
+    val docs = texts.keys.toSeq.sorted
+      .map(i => (i, texts(i), audioEnv(i), videoEnv(i)))
+      .toDF("doc_id", "text", "aenv", "venv")
+      .select(col("doc_id"), col("text"),
+        Multimodal.wavPcm16(lit(8000), lit(1),
+          flatten(transform(col("aenv"), a => array(a, a, a, a)))).as("aud"),
+        Multimodal.y4mVideo(lit(4), lit(3), col("venv")).as("vid"))
+      .localCheckpoint()
+    val keptPlain = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptPlain === Set(1L, 2L, 3L, 4L, 5L)) // texts all distinct
+    val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minQuality = 0.0, audioCol = Some("aud"), videoCol = Some("vid"))
+      .select("doc_id").as[Long].collect().toSet
+    // audio near-dup 1-2 AND video near-dup 3-4 both collapse to min-id
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
   test("evaluate: scores ⋈ test manifest → model × metric pivot") {
     val test = Seq("s1", "s2").toDF("stem")
     val scores = Seq(
