@@ -339,7 +339,14 @@ object Pipelines {
           imageGridRows, imageBandBits, maxImageHamming)
           .select(col("doc_a"), col("doc_b")))
     }
-    val clusters = Dedup.connectedComponents(allPairs, "doc_a", "doc_b")
+    // star CC, not min-label: min-label's round count is the component
+    // DIAMETER, and the 100× probe (§6.3) showed a real curation graph
+    // grows >25-long near-dup chains (A≈B≈C≈… through varied copies +
+    // containment pairs) — min-label threw its convergence guard exactly
+    // at the scale this pipeline exists for. The alternating-star form
+    // contracts in O(log² n) rounds regardless of diameter, at ~equal
+    // cost on dense clusters (d7 4.27 s vs d7b 4.32 s at sf0.1).
+    val clusters = Dedup.connectedComponentsStar(allPairs, "doc_a", "doc_b")
     // drop every clustered doc that is not its cluster's representative
     // (distinct working name so the join condition resolves unambiguously)
     val dropIds = clusters.filter(col("doc_id") =!= col("cluster"))

@@ -218,7 +218,14 @@ object ScaleProbe100 {
         preClean = true, maxPerSource = (docs.count() / 4L).toInt.max(1),
         evalDocs = Some(evalDocs), minContainment = Some(0.9),
         substrN = Some(20))
-      var prev = t0
+      // dedupCorpusStages construction is NOT pure planning: the pair
+      // broadcast guard counts the candidate relation (running the
+      // minhash → band → verify chain) and the CC round loop iterates
+      // eagerly — report that eager core as its own line instead of
+      // letting it masquerade as the first stage's count
+      println(f"[probe] ${factor}x eager core (pair gen + verify + CC): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      var prev = System.nanoTime()
       stages.foreach { case (name, df) =>
         val c = df.count()
         val now = System.nanoTime()
