@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--audit]
+  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
@@ -96,7 +96,9 @@ object Main {
             opt(args, "--decont-min-shared").map(_.toInt).getOrElse(1),
           imageCol = opt(args, "--image-col"),
           audioCol = opt(args, "--audio-col"),
-          videoCol = opt(args, "--video-col"))
+          videoCol = opt(args, "--video-col"),
+          embeddingCol = opt(args, "--embedding-col"),
+          minCosine = opt(args, "--min-cosine").map(_.toDouble).getOrElse(0.99))
         val kept = stages.last._2
         // funnel audit: per-stage surviving-doc counts — the curation
         // run's QA report ("gate dropped N, decontamination M, ...")

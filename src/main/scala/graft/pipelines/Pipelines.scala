@@ -199,6 +199,18 @@ object Pipelines {
     *    share the `imageGridRows`/`imageBandBits`/`maxImageHamming`
     *    knobs (the fingerprints live in the same `gridRows`-bit Hamming
     *    space).
+    *  - `embeddingCol`: SEMANTIC near-dup pairs (SemDeDup, Abbas et al.
+    *    2023) — a `semCells`-cell k-means quantizer
+    *    ([[graft.ann.Vectors.kmeansCentroids]], driver holds k×dim only)
+    *    partitions the embedding space, and docs within `minCosine` of
+    *    each other in the same cell pair up
+    *    ([[graft.ann.Vectors.semanticNearDupPairsWith]]: cell-bounded
+    *    exact cosine, never the corpus square, hot cells capped at
+    *    `semMaxCell`) and join the cluster graph too — catching
+    *    paraphrase duplicates that share no n-gram, pixel, or byte with
+    *    their twin. With every mode on, one CC pass collapses lexical,
+    *    perceptual (image/audio/video), and semantic duplicates
+    *    together.
     *
     * Returns the kept documents with their original columns (the text
     * column rewritten when `substrN` is set). All stages are the same
@@ -222,12 +234,17 @@ object Pipelines {
                   imageBandBits: Int = 8,
                   maxImageHamming: Int = 2,
                   audioCol: Option[String] = None,
-                  videoCol: Option[String] = None): DataFrame =
+                  videoCol: Option[String] = None,
+                  embeddingCol: Option[String] = None,
+                  semCells: Int = 64,
+                  minCosine: Double = 0.99,
+                  semMaxCell: Int = 512): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
       imageCol, imageGridRows, imageBandBits, maxImageHamming,
-      audioCol, videoCol).last._2
+      audioCol, videoCol, embeddingCol, semCells, minCosine,
+      semMaxCell).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -258,7 +275,11 @@ object Pipelines {
                         imageBandBits: Int = 8,
                         maxImageHamming: Int = 2,
                         audioCol: Option[String] = None,
-                        videoCol: Option[String] = None): Seq[(String, DataFrame)] = {
+                        videoCol: Option[String] = None,
+                        embeddingCol: Option[String] = None,
+                        semCells: Int = 64,
+                        minCosine: Double = 0.99,
+                        semMaxCell: Int = 512): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     val stages = Seq.newBuilder[(String, DataFrame)]
@@ -333,11 +354,32 @@ object Pipelines {
         graft.multimodal.Multimodal.videoFingerprintById(exact, id, col(vc),
           imageGridRows).withColumnRenamed("vfp", "__fp")
       }
-    val allPairs = perceptual.foldLeft(pairs) { (acc, hashes) =>
+    val perceptualPairs = perceptual.foldLeft(pairs) { (acc, hashes) =>
       acc.union(
         Dedup.imageNearDupPairs(hashes, col("doc_id"), col("__fp"),
           imageGridRows, imageBandBits, maxImageHamming)
           .select(col("doc_a"), col("doc_b")))
+    }
+    // semantic mode: IVF-cell-bounded exact-cosine pairs over the
+    // embedding column (SemDeDup) — paraphrase duplicates that share no
+    // n-gram or byte with their twin still collapse into the one graph
+    val allPairs = embeddingCol match {
+      case None => perceptualPairs
+      case Some(ec) =>
+        // the PRODUCTION quantizer (SemDeDup proper clusters with
+        // k-means), not the oracle's step rule: step centroids come from
+        // vec_id % step == 0, which silently yields ZERO cells — and
+        // zero pairs — on a corpus whose ids happen to skip the
+        // multiples. k is bounded by the corpus (kmeansCentroids
+        // loudly refuses k > rows); the count reads the exact-dedup
+        // checkpoint the guard counts already materialized.
+        val vecs = exact.select(id.cast("long").as("vec_id"), col(ec))
+        val k = math.min(semCells.toLong, vecs.count()).toInt
+        val cents = graft.ann.Vectors.kmeansCentroids(vecs, "vec_id", ec, k)
+        perceptualPairs.union(
+          graft.ann.Vectors.semanticNearDupPairsWith(vecs, "vec_id", ec,
+            cents, minCosine, semMaxCell)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     }
     // star CC, not min-label: min-label's round count is the component
     // DIAMETER, and the 100× probe (§6.3) showed a real curation graph

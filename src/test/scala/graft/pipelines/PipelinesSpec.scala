@@ -167,6 +167,34 @@ class PipelinesSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 5L))
   }
 
+  test("dedupCorpus embeddingCol: semantic near-dups collapse without any shared n-gram") {
+    // four docs with DISTINCT texts (no lexical pair fires); docs 1-2 are
+    // paraphrases — near-identical embeddings (cosine ~0.99995), no shared
+    // 3-gram; docs 3-4 orthogonal to everything
+    val docs = Seq(
+      (1L, "alpine meadows under clear morning light with distant peaks",
+        Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, "harbor cranes unload container ships beneath sodium lamps",
+        Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, "desert winds carve long ridges into the orange dune field",
+        Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, "subway platforms echo with late night maintenance announcements",
+        Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("doc_id", "text", "emb").localCheckpoint()
+    val keptPlain = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptPlain === Set(1L, 2L, 3L, 4L))
+    // semCells=1 keeps the 4-doc fixture deterministic (one cell → pure
+    // within-cell exact cosine; a k=2 split of near-orthogonal vectors
+    // depends on init). Cell partitioning itself is VectorsSpec's job.
+    val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minQuality = 0.0, embeddingCol = Some("emb"), semCells = 1)
+      .select("doc_id").as[Long].collect().toSet
+    // semantic near-dup 1-2 collapses to the min-id representative
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
   test("evaluate: scores ⋈ test manifest → model × metric pivot") {
     val test = Seq("s1", "s2").toDF("stem")
     val scores = Seq(
