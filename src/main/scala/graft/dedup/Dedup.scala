@@ -759,6 +759,40 @@ object Dedup {
         col("bv.band_val").as("band_val"))
   }
 
+  /** [[fingerprintBands]] with the band-index column contract
+    * ((doc_id, band, band_sig)) — banded bit-fingerprints are
+    * schema-compatible with the text MinHash band index, so the ENTIRE d9
+    * incremental machinery ([[writeBandIndex]] / [[appendBandIndex]] /
+    * [[incrementalCandidatePairs]] / [[graft.core.Bucketing
+    * .compactBucketed]]) serves perceptual dedup unchanged: persist
+    * today's image/audio/video fingerprint bands bucketed, join
+    * tomorrow's shard against only the buckets it lands in, verify the
+    * candidates with [[verifyHammingPairs]], fold the shard in. One
+    * index discipline for every modality.
+    */
+  def fingerprintBandsIndexable(hashes: DataFrame, id: Column, fp: Column,
+                                bits: Int, bandBits: Int): DataFrame =
+    fingerprintBands(hashes, id, fp, bits, bandBits)
+      .withColumnRenamed("band_val", "band_sig")
+
+  /** Hamming verification of candidate pairs: join each side's
+    * fingerprint and keep pairs with bit_count(xor) <= `maxHamming` —
+    * the perceptual twin of [[verifyCandidates]]' exact-Jaccard pass
+    * (work ∝ candidates, one codegen'd expression per pair). Candidates
+    * must carry (doc_a, doc_b). Output: (doc_a, doc_b, hamming).
+    */
+  def verifyHammingPairs(hashes: DataFrame, id: Column, fp: Column,
+                         candidates: DataFrame, maxHamming: Int): DataFrame = {
+    val fps = hashes.select(id.cast("long").as("doc_id"),
+      fp.cast("long").as("__fp"))
+    candidates.select("doc_a", "doc_b")
+      .join(fps.select(col("doc_id").as("doc_a"), col("__fp").as("__fa")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("__fp").as("__fb")), "doc_b")
+      .withColumn("hamming", bit_count(col("__fa").bitwiseXOR(col("__fb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** D13: perceptual near-duplicate pairs over a bit-fingerprint column —
     * the image twin of the MinHash-LSH → verify chain, with Hamming
     * distance as the verification measure: band the fingerprints
@@ -766,8 +800,8 @@ object Dedup {
     * candidates (never all-pairs; `maxBucket` caps a degenerate bucket —
     * e.g. a corpus full of solid-color images all hashing to 0 — at
     * maxBucket² pairs, the [[lshCandidatePairs]] discipline), then keep
-    * pairs whose exact Hamming distance (bit_count of xor, one codegen'd
-    * expression per pair) is <= `maxHamming`. Banding recall contract:
+    * pairs whose exact Hamming distance ([[verifyHammingPairs]]) is
+    * <= `maxHamming`. Banding recall contract:
     * a pair at distance d is GUARANTEED proposed when d < bits/bandBits;
     * beyond that it is probabilistic — the standard LSH trade, stated
     * rather than hidden. Output: (doc_a, doc_b, hamming), distinct,
@@ -788,12 +822,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(fps.select(col("doc_id").as("doc_a"), col("__fp").as("__fa")), "doc_a")
-      .join(fps.select(col("doc_id").as("doc_b"), col("__fp").as("__fb")), "doc_b")
-      .withColumn("hamming", bit_count(col("__fa").bitwiseXOR(col("__fb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    verifyHammingPairs(fps, col("doc_id"), col("__fp"), cands, maxHamming)
   }
 
   /** D10 stage 1: token positions whose word `n`-gram also appears in at

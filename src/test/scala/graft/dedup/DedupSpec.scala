@@ -209,6 +209,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => b >= 10L }) // every pair touches the shard
   }
 
+  test("incremental PERCEPTUAL dedup: fingerprint bands ride the d9 band-index machinery") {
+    // 16-bit fingerprints; old corpus 1-3, new shard 10-12: 10 is a
+    // 1-bit-nudged copy of 1 (new×index), 11≡12 (new×new), old 1≈2 must
+    // never pair (handled when the index was built)
+    val fps = Seq(
+      1L -> 0x7FFFL, 2L -> 0x7FFEL, 3L -> 0x5555L,
+      10L -> 0x7FFBL, 11L -> 0x00F0L, 12L -> 0x00F0L)
+      .toDF("doc_id", "fp")
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      Dedup.fingerprintBandsIndexable(df, col("doc_id"), col("fp"), 16, 8)
+    val cands = Dedup.incrementalCandidatePairs(
+      banded(fps.filter(col("doc_id") >= 10)),
+      banded(fps.filter(col("doc_id") < 10)))
+    val verified = Dedup.verifyHammingPairs(fps, col("doc_id"), col("fp"),
+        cands, maxHamming = 2)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    // 1^0x7FFB = 1 bit apart via the shared high band; 2^10 = 2 bits —
+    // both verified; 11-12 identical; no old×old pair anywhere
+    assert(verified === Set((1L, 10L, 1), (2L, 10L, 2), (11L, 12L, 0)))
+    // and the banded shape IS the index schema: persisting + reopening
+    // through the bucketed band index yields identical incremental pairs
+    // (session warehouse is a per-PID temp dir, GraftSession.local)
+    spark.sql("DROP TABLE IF EXISTS fp_band_index")
+    try {
+      Dedup.writeBandIndex(banded(fps.filter(col("doc_id") < 10)),
+        "fp_band_index", buckets = 4)
+      val viaIndex = Dedup.incrementalCandidatePairs(
+        banded(fps.filter(col("doc_id") >= 10)),
+        Dedup.readBandIndex(spark, "fp_band_index"))
+      val verified2 = Dedup.verifyHammingPairs(fps, col("doc_id"), col("fp"),
+          viaIndex, maxHamming = 2)
+        .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+        .collect().toSet
+      assert(verified2 === verified)
+    } finally spark.sql("DROP TABLE IF EXISTS fp_band_index")
+  }
+
   test("ASCII-only folding contract: kernels diverge from lower() on U+212A (documented)") {
     // The byte-walk kernels fold only A-Z; the relational twins use Unicode
     // lower(). U+212A KELVIN SIGN lowercases INTO ASCII 'k', so the twin
