@@ -239,6 +239,37 @@ object Streaming {
       .select(col("doc_id").as("new_doc"), col("matched_doc"))
   }
 
+  /** Streaming PERCEPTUAL ingest — [[ingestCandidates]]' fingerprint twin:
+    * a stream of (id, fingerprint) rows — e.g.
+    * [[graft.multimodal.Multimodal.videoFingerprintById]] over a binary
+    * file stream; the fingerprint maps are stateless, so they are
+    * stream-safe exactly like the streaming Y4M demux — is banded with
+    * the index column contract
+    * ([[graft.dedup.Dedup.fingerprintBandsIndexable]], pure
+    * projection+explode) and stream-static joined against the persisted
+    * perceptual band index. Zero state store; candidates surface within
+    * the micro-batch that decoded the payload. Verify downstream with
+    * [[graft.dedup.Dedup.verifyHammingPairs]] (pair-driven, batch or
+    * foreachBatch). Output: (new_doc, matched_doc) per colliding band.
+    */
+  def ingestFingerprintCandidates(fpStream: DataFrame, index: DataFrame,
+                                  idCol: String, fpCol: String,
+                                  bits: Int, bandBits: Int,
+                                  maxBucket: Int = 64,
+                                  indexPreCapped: Boolean = false): DataFrame = {
+    val banded = graft.dedup.Dedup.fingerprintBandsIndexable(
+      fpStream, col(idCol), col(fpCol), bits, bandBits)
+    val capped = (if (indexPreCapped) index
+      else index
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
+        .filter(col("__bn") <= maxBucket))
+      .select(col("doc_id").as("matched_doc"), col("band"), col("band_sig"))
+    banded.join(capped, Seq("band", "band_sig"))
+      .filter(col("doc_id") =!= col("matched_doc"))
+      .select(col("doc_id").as("new_doc"), col("matched_doc"))
+  }
+
   /** Streaming DECONTAMINATION sink — the curation pipeline's eval-overlap
     * stage ([[graft.dedup.Dedup.contaminatedIds]]) applied to a document
     * ingest stream: each micro-batch is scrubbed with the EXACT batch
