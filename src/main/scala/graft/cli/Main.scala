@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--compact-every K] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--compact-every K] [--output <dir>] [--audit]
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
   *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
@@ -202,6 +202,32 @@ object Main {
               .getOrElse(buckets))
           (vecTable, mse)
         }
+        // perceptual branch: precomputed (doc_id, fp) fingerprints — image
+        // dHash / audio envelope / video temporal hash, any modality —
+        // ride the SAME index discipline: band → candidates vs the
+        // persisted fp index → Hamming-verify → fold the shard in
+        val fpIngest = opt(args, "--fp-parquet").map { fdir =>
+          val fpTable = opt(args, "--fp-table").get
+          val fpCol = opt(args, "--fp-col").getOrElse("fp")
+          val bits = opt(args, "--fp-bits").map(_.toInt).getOrElse(16)
+          val bandBits = opt(args, "--fp-band-bits").map(_.toInt).getOrElse(8)
+          val maxHam = opt(args, "--max-hamming").map(_.toInt).getOrElse(2)
+          val shardFps = spark.read.parquet(fdir)
+            .select(col("doc_id"), col(fpCol))
+          val shardBandedFp = Dedup.fingerprintBandsIndexable(shardFps,
+            col("doc_id"), col(fpCol), bits, bandBits).localCheckpoint()
+          val fpCands = Dedup.incrementalCandidatePairs(shardBandedFp,
+            Dedup.readBandIndex(spark, fpTable)).localCheckpoint()
+          val fpLookup = (opt(args, "--fp-corpus") match {
+            case Some(c) => spark.read.parquet(c)
+              .select(col("doc_id"), col(fpCol)).union(shardFps)
+            case None => shardFps
+          }).dropDuplicates("doc_id")
+          val fpVerified = Dedup.verifyHammingPairs(fpLookup, col("doc_id"),
+            col(fpCol), fpCands, maxHam).localCheckpoint()
+          Dedup.appendBandIndex(shardBandedFp, fpTable, buckets)
+          (fpTable, fpVerified)
+        }
         val compactEvery = opt(args, "--compact-every").map(_.toInt).getOrElse(0)
         def due(tbl: String): Boolean = compactEvery > 0 && {
           val n = Bucketing.bucketCount(spark, tbl)
@@ -209,6 +235,9 @@ object Main {
         }
         val bandCompacted = due(bandTable)
         if (bandCompacted) Bucketing.compactBucketed(spark, bandTable)
+        fpIngest.foreach { case (t, _) =>
+          if (due(t)) Bucketing.compactBucketed(spark, t)
+        }
         val vecCompacted = vecAppend.exists { case (t, _) => due(t) }
         vecAppend.foreach { case (t, _) =>
           if (vecCompacted) graft.ann.Vectors.compactIvfPqIndex(spark, t)
@@ -220,6 +249,8 @@ object Main {
           println(f"[ingest-daily] verified_pairs   ${verified.count()}%d")
           vecAppend.foreach { case (t, mse) =>
             println(s"[ingest-daily] vec_append_mse   $mse (table $t)") }
+          fpIngest.foreach { case (t, v) =>
+            println(f"[ingest-daily] fp_pairs         ${v.count()}%d (table $t)") }
           println(s"[ingest-daily] band_index_files " +
             s"${Bucketing.dataFiles(spark, bandTable).size} " +
             s"(compacted=$bandCompacted)")
@@ -228,6 +259,13 @@ object Main {
           case Some(out) => verified.write.mode("overwrite").parquet(out)
           case None =>
             println(s"[ingest-daily] verified pairs: ${verified.count()}")
+        }
+        fpIngest.foreach { case (_, v) =>
+          opt(args, "--fp-output") match {
+            case Some(out) => v.write.mode("overwrite").parquet(out)
+            case None =>
+              println(s"[ingest-daily] fp pairs: ${v.count()}")
+          }
         }
       case "decode" =>
         import graft.multimodal.Multimodal
