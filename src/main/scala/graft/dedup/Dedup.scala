@@ -498,6 +498,41 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** D8c: eval-side CONTAMINATION REPORT — the QA view the benchmark
+    * owner needs after decontamination: per EVAL document, how much of it
+    * leaks in the training corpus — total distinct word `n`-grams, how
+    * many appear in at least one train doc, and the leaked fraction.
+    * A fully-leaked item (contamination → 1.0) means the benchmark can't
+    * measure that capability against this corpus no matter how the train
+    * side is scrubbed; the report is what decides re-drawing eval items
+    * vs dropping train docs.
+    *
+    * Same boundedness contract as [[contaminatedIds]], orientation
+    * flipped: the eval gram relation (benchmark-sized, id-keyed)
+    * broadcasts; train grams stream map-side through the broadcast hash
+    * join and only the MATCHES shuffle (for the distinct (eval_doc, gram)
+    * count) — nothing scales with eval × train. Output:
+    * (eval_doc, n_grams, n_shared, contamination), one row per eval doc
+    * with at least n tokens.
+    */
+  def contaminationReport(docs: DataFrame, id: Column, text: Column,
+                          evalDocs: DataFrame, evalId: Column,
+                          evalText: Column, n: Int = 5,
+                          roundTo: Int = 6): DataFrame = {
+    val trainG = docGrams(docs, id, text, n).select("g")
+    val evalG = docGrams(evalDocs, evalId, evalText, n)
+      .select(col("doc_id").as("eval_doc"), col("g")).localCheckpoint(false)
+    val totals = evalG.groupBy("eval_doc").agg(count(lit(1)).as("n_grams"))
+    val shared = trainG.join(broadcast(evalG), Seq("g"))
+      .select("eval_doc", "g").distinct()
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("eval_doc"), "left")
+      .select(col("eval_doc"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("n_grams"), roundTo)
+          .as("contamination"))
+  }
+
   /** Per-doc DISTINCT word n-grams — the shared gram builder behind the
     * decontamination operators. Tokenize ONCE into a bound attribute —
     * n-grams straight off the text re-run the interpreted split per gram

@@ -275,6 +275,18 @@ object QText {
         .agg(count(lit(1)).as("shared_5grams"))
     }),
 
+    // D8c: eval-side contamination report — per eval doc (< 50, the d8
+    // split), the fraction of its distinct 5-grams leaked into the train
+    // corpus: the QA view that decides re-drawing benchmark items vs
+    // scrubbing train docs. Broadcast-eval orientation like d8; only
+    // matches shuffle.
+    "d8c_contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.dedup.Dedup.contaminationReport(
+        docs.filter(col("doc_id") >= 50), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 50), col("doc_id"), col("text"))
+    }),
+
     // D8b: decontamination on the BLOOM scale path — the eval gram set
     // ships as a fixed-size Bloom filter (codegen'd xxhash64 +
     // BloomFilterMightContain probe), train grams pre-filtered map-side,
@@ -696,6 +708,25 @@ object QText {
           FROM (SELECT * FROM g WHERE doc_id >= 50) tr
           JOIN (SELECT * FROM g WHERE doc_id < 50) ev USING (g)
           GROUP BY 1, 2""",
+    "d8c_contamination_report" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+               f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+               g AS (SELECT DISTINCT doc_id, g FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(toks) - 3),
+                          i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1] || '_' ||
+                               toks[CAST(i AS INT) + 2] || '_' || toks[CAST(i AS INT) + 3] || '_' ||
+                               toks[CAST(i AS INT) + 4])) AS g
+                 FROM f)),
+               ev AS (SELECT doc_id AS eval_doc, g FROM g WHERE doc_id < 50),
+               tr AS (SELECT DISTINCT g FROM g WHERE doc_id >= 50),
+               tot AS (SELECT eval_doc, count(*) AS n_grams FROM ev GROUP BY 1),
+               sh AS (SELECT eval_doc, count(*) AS n_shared FROM ev
+                      WHERE g IN (SELECT g FROM tr) GROUP BY 1)
+          SELECT tot.eval_doc, tot.n_grams,
+                 coalesce(sh.n_shared, 0) AS n_shared,
+                 round(coalesce(sh.n_shared, 0) / tot.n_grams, 6) AS contamination
+          FROM tot LEFT JOIN sh USING (eval_doc)""",
     "d8b_bloom_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
                f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),

@@ -105,6 +105,44 @@ object ScaleProbe100 {
     }
     if (sections("cc")) { ccGraph(copies / 10); ccGraph(copies) }
 
+    // perceptual near-dup chain over synthetic 63-bit fingerprints with a
+    // realistic near-dup structure: 2% of docs are a 1-bit nudge of a base
+    // doc (the re-encoded/re-graded copy), everything else pseudo-random —
+    // the decode cost is bench-measured per modality (d13/d14/d15); this
+    // probe isolates the BAND→VERIFY→CC part that actually grows with the
+    // corpus, at 63-bit width (the production grid, not the oracle's 16)
+    def fpChain(factor: Int): Unit = {
+      val n = 5000L * factor
+      val base = spark.range(0, n)
+        .select(col("id").as("doc_id"),
+          abs(xxhash64(col("id"))).as("fp"))
+      val nudged = spark.range(0, n / 50)
+        .select((col("id") * 50 + n).as("doc_id"),
+          // copy of doc (id*50) with bit (id % 63) flipped
+          abs(xxhash64(col("id") * 50))
+            // scala shiftleft() wants a literal shift; the SQL function
+            // accepts a column
+            .bitwiseXOR(call_function("shiftleft", lit(1L),
+              (col("id") % 63).cast("int")))
+            .as("fp"))
+      val fps = base.union(nudged).localCheckpoint()
+      println(s"[probe] ${factor}x fingerprints: ${fps.count()}")
+      // 3 bands x 21 bits: band width sizes bucket population — a 7-bit
+      // band has 128 values, so at 500k docs EVERY bucket would exceed the
+      // cap and the probe would measure an empty join; 21-bit bands keep
+      // buckets near-singleton while the pigeonhole still guarantees any
+      // pair at Hamming <= 2 collides on at least one of the 3 bands
+      time(s"${factor}x fp chain (band->verify->CC, 63-bit, 3x21 bands)") {
+        val pairs = Dedup.imageNearDupPairs(fps, col("doc_id"), col("fp"),
+          bits = 63, bandBits = 21, maxHamming = 2).localCheckpoint()
+        println(s"[probe] ${factor}x fp pairs: ${pairs.count()}")
+        println(s"[probe] ${factor}x fp clustered docs: " +
+          Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b").count())
+      }
+      spark.catalog.clearCache()
+    }
+    if (sections("fp")) { fpChain(copies / 10); fpChain(copies) }
+
     def feed(factor: Int, shufflePartitions: Option[Int] = None): Unit = {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       shufflePartitions.foreach(p =>
