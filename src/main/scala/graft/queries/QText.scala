@@ -376,6 +376,48 @@ object QText {
       Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")
     }),
 
+    // D7c: cluster-SIZE histogram — the curation QA chart over the same
+    // clusters: how many duplicate groups of each size exist (a corpus
+    // dominated by a few giant clusters needs different treatment — cap
+    // review, boilerplate scrub — than one with many pairs). Two tiny
+    // aggregates over the d7 output; cluster relation is pair-bounded.
+    "d7c_cluster_sizes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val verified =
+        Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+      Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // D16: cross-SOURCE duplication matrix — the provenance view over the
+    // verified pairs: how much of source A duplicates source B (ordered
+    // pair of source names, pair count, mean overlap). What a licensing /
+    // crawl-dedup review reads to decide which feed to drop; diagonal
+    // rows are intra-source duplication. Pairs are the bounded relation;
+    // the source lookup is a doc_id equi-join per side.
+    "d16_cross_source_dup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val verified =
+        Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+      val src = docs.select(col("doc_id"), col("source"))
+      verified
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("__sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("__sb")), "doc_b")
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"),
+          col("jaccard"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          // max, not avg: a cross-engine mean of doubles is summation-
+          // order-sensitive in the last ulp; max is exact
+          max(col("jaccard")).as("max_jaccard"))
+    }),
+
     // D6: the composed corpus-cleaning pipeline — quality gate first
     // (cheap per-row score drops low-quality docs BEFORE any dedup
     // shuffle: at 100 TB the filter runs map-side against the scan and
@@ -764,6 +806,23 @@ object QText {
     // the same closure.
     "d7_dup_clusters" -> d7Sql,
     "d7b_dup_clusters_star" -> d7Sql,
+    "d16_cross_source_dup" ->
+      s"""WITH verified AS ($d5Sql),
+               sp AS (SELECT v.doc_a, v.doc_b, v.jaccard,
+                             da.source AS sa, db.source AS sb
+                      FROM verified v
+                      JOIN documents da ON da.doc_id = v.doc_a
+                      JOIN documents db ON db.doc_id = v.doc_b)
+          SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+                 count(*) AS n_pairs,
+                 max(jaccard) AS max_jaccard
+          FROM sp GROUP BY 1, 2""",
+    "d7c_cluster_sizes" ->
+      s"""WITH cl AS ($d7Sql),
+               sz AS (SELECT cluster, count(*) AS cluster_size
+                      FROM cl GROUP BY cluster)
+          SELECT cluster_size, count(*) AS n_clusters
+          FROM sz GROUP BY 1""",
     "d6_clean_pipeline" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
                  min(doc_id) AS canonical_id, count(*) AS n_docs
