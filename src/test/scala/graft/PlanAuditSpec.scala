@@ -122,6 +122,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(doc_id,50)"), p)
   }
 
+  test("d8c_contamination_report: eval grams broadcast; train grams never shuffle for membership") {
+    // the flipped-orientation decontamination contract: the eval gram
+    // relation (benchmark-sized, id-keyed) is the BROADCAST side of the
+    // inner join; the corpus-sized train gram stream stays map-side. A
+    // SortMergeJoin on the GRAM key would shuffle the whole train corpus
+    // to score a benchmark — the final totals⟗shared outer join on
+    // eval_doc is benchmark-bounded on both sides and may plan as SMJ
+    val p = plan("d8c_contamination_report")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("SortMergeJoin \\[g#".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("trainingFeed (distributed): every global window runs over a bounded aggregate, never the feed") {
     // audited on the OPTIMIZED LOGICAL plan: AQE wraps the physical plan in
     // AdaptiveSparkPlanExec (a leaf to collect()), and the logical Window /
