@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
   *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--compact-every K] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
   *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
@@ -266,6 +267,54 @@ object Main {
             case None =>
               println(s"[ingest-daily] fp pairs: ${v.count()}")
           }
+        }
+      case "report" =>
+        // corpus-QA report: the d7c / d16 / d8c views in one command —
+        // cluster-size histogram, cross-source duplication matrix, and
+        // (with --eval) the eval-side contamination report. Writes each
+        // as parquet under --output, or prints when absent.
+        import graft.dedup.Dedup
+        val docs = spark.read.parquet(opt(args, "--docs").get)
+        val k = opt(args, "--minhash-k").map(_.toInt).getOrElse(8)
+        val bandSize = opt(args, "--band-size").map(_.toInt).getOrElse(4)
+        val ngram = opt(args, "--ngram").map(_.toInt).getOrElse(3)
+        val minJ = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3)
+        val srcCol = opt(args, "--source-col").getOrElse("source")
+        val verified = Dedup.verifyCandidates(docs,
+          Dedup.lshCandidatePairs(
+            Dedup.minhashSignatures(docs, col("doc_id"), col("text"), k),
+            bandSize),
+          col("doc_id"), col("text"), ngram, minJ).localCheckpoint()
+        val sizes = Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")
+          .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        val src = docs.select(col("doc_id"), col(srcCol).as("__src"))
+        val matrix = verified
+          .join(src.select(col("doc_id").as("doc_a"), col("__src").as("__sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("__src").as("__sb")), "doc_b")
+          .select(least(col("__sa"), col("__sb")).as("source_a"),
+            greatest(col("__sa"), col("__sb")).as("source_b"), col("jaccard"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+        val contamination = opt(args, "--eval").map { ev =>
+          Dedup.contaminationReport(docs, col("doc_id"), col("text"),
+            spark.read.parquet(ev), col("doc_id"), col("text"),
+            opt(args, "--decont-ngram").map(_.toInt).getOrElse(5))
+        }
+        opt(args, "--output") match {
+          case Some(out) =>
+            sizes.write.mode("overwrite").parquet(s"$out/cluster_sizes")
+            matrix.write.mode("overwrite").parquet(s"$out/cross_source")
+            contamination.foreach(
+              _.write.mode("overwrite").parquet(s"$out/contamination"))
+          case None =>
+            println("[report] cluster sizes:"); sizes.orderBy("cluster_size").show(50)
+            println("[report] cross-source duplication:")
+            matrix.orderBy(col("n_pairs").desc).show(50, truncate = false)
+            contamination.foreach { c =>
+              println("[report] eval contamination:")
+              c.orderBy(col("contamination").desc).show(50)
+            }
         }
       case "decode" =>
         import graft.multimodal.Multimodal

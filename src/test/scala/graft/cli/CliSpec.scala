@@ -165,6 +165,40 @@ class CliSpec extends SparkSpec {
     assert(files >= 1 && files <= 4, s"got $files files")
   }
 
+  test("report subcommand: cluster sizes + cross-source matrix + contamination land as parquet") {
+    val dup = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank tonight while the moon rises over the quiet water meadows"
+    val docs = Seq(
+      (1L, dup, "crawlA"),
+      (2L, dup + " x", "crawlB"), // near-dup of 1 across sources
+      (3L, "completely different content about spark shuffles and wide " +
+        "stages spilling partial aggregates to local disk under pressure",
+        "crawlA"),
+      (4L, "held out benchmark question about the capital of france and " +
+        "its famous tower near the river in the early spring", "crawlB"))
+      .toDF("doc_id", "text", "source")
+    val evalDocs = Seq((100L, "benchmark question about the capital of " +
+      "france and its famous tower near the river")).toDF("doc_id", "text")
+    val docsDir = tmpDir("cli_rep_docs")
+    val evalDir = tmpDir("cli_rep_eval")
+    val outDir = tmpDir("cli_rep_out") + "/report"
+    docs.write.mode("overwrite").parquet(docsDir)
+    evalDocs.write.mode("overwrite").parquet(evalDir)
+    Main.run(spark, Array("report", "--docs", docsDir, "--eval", evalDir,
+      "--output", outDir))
+    val sizes = spark.read.parquet(s"$outDir/cluster_sizes")
+      .as[(Long, Long)].collect().toMap
+    assert(sizes === Map(2L -> 1L)) // one 2-doc cluster (1,2)
+    val matrix = spark.read.parquet(s"$outDir/cross_source")
+      .select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect().toSet
+    assert(matrix === Set(("crawlA", "crawlB", 1L)))
+    val cont = spark.read.parquet(s"$outDir/contamination")
+      .select("eval_doc", "contamination").as[(Long, Double)].collect().toMap
+    assert(cont.keySet === Set(100L))
+    assert(cont(100L) > 0.5) // the eval item leaks via doc 4
+  }
+
   test("mixture subcommand: temperature plan lands in --output as json") {
     val docs = (0L until 30L).map(i =>
         (i, "some text content here", if (i < 24) "en" else "fr"))
