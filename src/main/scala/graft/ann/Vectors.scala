@@ -933,6 +933,86 @@ object Vectors {
     semanticNearDupPairsImpl(c, cents, minCosine, maxCell, roundTo)
   }
 
+  /** Persist the semantic-dedup index: every vector's cell assignment
+    * plus its full normalized vector, BUCKETED on cell — the d9
+    * band-index discipline applied to embedding space. Day-2 semantic
+    * dedup then joins only the cells today's shard lands in
+    * ([[incrementalSemanticPairs]]); the corpus is never re-scanned.
+    * Unlike the PQ indexes this stores exact vectors (within-cell
+    * verification is exact cosine, not ADC), so the table is
+    * corpus × dim doubles — the price of exact SemDeDup decisions.
+    */
+  def writeSemanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                         cents: DataFrame, table: String,
+                         buckets: Int = 64): Unit = {
+    val c = normalized(corpus, idCol, vecCol)
+    graft.core.Bucketing.writeBucketed(
+      assignCells(c, "vec_id", cents).join(c, "vec_id"), table, "cell", buckets)
+  }
+
+  /** Reopen a [[writeSemanticIndex]] table (bucket metadata from the
+    * catalog). */
+  def readSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String): DataFrame = spark.table(table)
+
+  /** Fold a shard into the semantic index at shard cost — assignment uses
+    * the FROZEN centroid set the index was built with (the
+    * [[appendToIvfPqIndex]] discipline: cells must stay comparable across
+    * appends; re-train and rebuild when the embedding distribution
+    * drifts). Only the shard shuffles into buckets. Compact on the usual
+    * cadence ([[graft.core.Bucketing.compactBucketed]]).
+    */
+  def appendToSemanticIndex(shard: DataFrame, idCol: String, vecCol: String,
+                            cents: DataFrame, table: String,
+                            buckets: Int = 64): Unit = {
+    val c = normalized(shard, idCol, vecCol)
+    graft.core.Bucketing.appendBucketed(
+      assignCells(c, "vec_id", cents).join(c, "vec_id"), table, "cell", buckets)
+  }
+
+  /** INCREMENTAL semantic near-dup pairs — the embedding-space member of
+    * the day-2 dedup trilogy (text: [[graft.dedup.Dedup
+    * .incrementalCandidatePairs]]; perceptual: the fingerprint band
+    * index): today's shard against the persisted cell-bucketed index
+    * plus shard×shard, never old×old. The shard is assigned with the
+    * index's frozen centroids, both sides are capped per cell
+    * (`maxCell` per side, so a hot historical cell cannot explode a
+    * small shard's join — worst case cells × maxCell² like the band
+    * caps), and exact cosine ≥ `minCosine` decides. Cost ∝ shard cells'
+    * populations; the bucketed index prunes to the shard's cells.
+    * Output: (vec_a, vec_b, cosine), at least one side new, vec_a <
+    * vec_b.
+    */
+  def incrementalSemanticPairs(shard: DataFrame, idCol: String,
+                               vecCol: String, cents: DataFrame,
+                               index: DataFrame, minCosine: Double,
+                               maxCell: Int = 512,
+                               roundTo: Int = 6): DataFrame = {
+    def capped(df: DataFrame): DataFrame = df
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("__cn") <= maxCell)
+      .drop("__cn")
+    val c = normalized(shard, idCol, vecCol).localCheckpoint(false)
+    val nw = capped(assignCells(c, "vec_id", cents).join(c, "vec_id"))
+      .localCheckpoint(false)
+    val old = capped(index)
+    def scored(a: DataFrame, b: DataFrame, cond: Column): DataFrame =
+      a.select(col("vec_id").as("__ia"), col("cell"),
+          col("v").as("__va"), col("vn").as("__na"))
+        .join(b.select(col("vec_id").as("__ib"), col("cell"),
+          col("v").as("__vb"), col("vn").as("__nb")), "cell")
+        .filter(cond)
+        .withColumn("cosine",
+          round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")),
+            roundTo))
+        .filter(col("cosine") >= minCosine)
+        .select(least(col("__ia"), col("__ib")).as("vec_a"),
+          greatest(col("__ia"), col("__ib")).as("vec_b"), col("cosine"))
+    scored(nw, nw, col("__ia") < col("__ib"))
+      .union(scored(nw, old, col("__ia") =!= col("__ib")))
+      .distinct()
+  }
+
   private def semanticNearDupPairsImpl(c: DataFrame, cents: DataFrame,
                                        minCosine: Double, maxCell: Int,
                                        roundTo: Int): DataFrame = {

@@ -329,6 +329,54 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("semantic index: incremental pairs are new×index + new×new; append folds the shard") {
+    import graft.ann.Vectors
+    // unit vectors by ANGLE in the xy-plane: minCosine 0.99 admits pairs
+    // within ~8.1°, so planted pairs sit 1° apart and every other pair
+    // is >= 14.5° apart; cells split at 45° (centroids = step-3 vectors
+    // 0° and 90°)
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    val base = Seq(
+      0L -> at(0), 1L -> at(20), 3L -> at(90), 4L -> at(60))
+      .toDF("vec_id", "emb")
+    val cents = Vectors.stepCentroids(base, "vec_id", "emb", 3)
+      .localCheckpoint()
+    spark.sql("DROP TABLE IF EXISTS sem_idx_spec")
+    Vectors.writeSemanticIndex(base, "vec_id", "emb", cents,
+      "sem_idx_spec", buckets = 4)
+    // shard: 100 is 1° from base 0 (new×index); 101/102 are 1° apart in
+    // the other cell (new×new); nothing else clears the threshold
+    val shard = Seq(100L -> at(1), 101L -> at(75), 102L -> at(76))
+      .toDF("vec_id", "emb")
+    try {
+      val got = Vectors.incrementalSemanticPairs(shard, "vec_id", "emb",
+          cents, Vectors.readSemanticIndex(spark, "sem_idx_spec"),
+          minCosine = 0.99)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(got === Set((0L, 100L), (101L, 102L)), s"got $got")
+      // ground truth: the batch SemDeDup pairs over base ∪ shard,
+      // restricted to at-least-one-new — identical
+      val want = Vectors.semanticNearDupPairsWith(base.union(shard),
+          "vec_id", "emb", cents, minCosine = 0.99)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+        .filter(p => (p._1 >= 100L) || (p._2 >= 100L))
+      assert(got === want)
+      // fold the shard in; a later shard then pairs against it via the
+      // index alone (the day-3 ingest)
+      Vectors.appendToSemanticIndex(shard, "vec_id", "emb", cents,
+        "sem_idx_spec", buckets = 4)
+      val day3 = Seq(200L -> at(75.5)).toDF("vec_id", "emb")
+      val got3 = Vectors.incrementalSemanticPairs(day3, "vec_id", "emb",
+          cents, Vectors.readSemanticIndex(spark, "sem_idx_spec"),
+          minCosine = 0.99)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(got3 === Set((101L, 200L), (102L, 200L)), s"got $got3")
+    } finally spark.sql("DROP TABLE IF EXISTS sem_idx_spec")
+  }
+
   test("aggregation on the bucket key needs no exchange either") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
