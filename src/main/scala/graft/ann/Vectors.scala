@@ -944,10 +944,18 @@ object Vectors {
     */
   def writeSemanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
                          cents: DataFrame, table: String,
-                         buckets: Int = 64): Unit = {
-    val c = normalized(corpus, idCol, vecCol)
+                         buckets: Int = 64): Unit =
     graft.core.Bucketing.writeBucketed(
-      assignCells(c, "vec_id", cents).join(c, "vec_id"), table, "cell", buckets)
+      semanticIndex(corpus, idCol, vecCol, cents), table, "cell", buckets)
+
+  /** The semantic index RELATION — (vec_id, cell, v, vn) under the given
+    * quantizer — for callers composing in-memory ([[writeSemanticIndex]]
+    * persists exactly this, bucketed).
+    */
+  def semanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol)
+    assignCells(c, "vec_id", cents).join(c, "vec_id")
   }
 
   /** Reopen a [[writeSemanticIndex]] table (bucket metadata from the
@@ -964,11 +972,9 @@ object Vectors {
     */
   def appendToSemanticIndex(shard: DataFrame, idCol: String, vecCol: String,
                             cents: DataFrame, table: String,
-                            buckets: Int = 64): Unit = {
-    val c = normalized(shard, idCol, vecCol)
+                            buckets: Int = 64): Unit =
     graft.core.Bucketing.appendBucketed(
-      assignCells(c, "vec_id", cents).join(c, "vec_id"), table, "cell", buckets)
-  }
+      semanticIndex(shard, idCol, vecCol, cents), table, "cell", buckets)
 
   /** INCREMENTAL semantic near-dup pairs — the embedding-space member of
     * the day-2 dedup trilogy (text: [[graft.dedup.Dedup

@@ -136,6 +136,22 @@ object QVectors {
       Vectors.semanticNearDupPairs(t(s, d, "embeddings"),
         "vec_id", "embedding", 50, 0.4, maxCell = 512)),
 
+    // V16: INCREMENTAL semantic dedup — the day-2 form of v8: the corpus
+    // split into an existing index (vec_id >= 40, quantized by its own
+    // step centroids) and today's shard (< 40); pairs are shard×index +
+    // shard×shard within the shard's cells only, never old×old. The
+    // persisted-index form of the same operator is exercised in
+    // BucketingSpec; this oracle pins the pair semantics.
+    "v16_incremental_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val index = emb.filter(col("vec_id") >= 40)
+      val shard = emb.filter(col("vec_id") < 40)
+      val cents = Vectors.stepCentroids(index, "vec_id", "embedding", 50)
+      Vectors.incrementalSemanticPairs(shard, "vec_id", "embedding", cents,
+        Vectors.semanticIndex(index, "vec_id", "embedding", cents),
+        minCosine = 0.4, maxCell = 512)
+    }),
+
     // V11: product-quantization reconstruction error vs the int8 scalar
     // path — PQ at m=8 over 64 dims stores 8 bytes/vector (32× smaller
     // than float32, 4× smaller than v10's int8) for a measured MSE cost.
@@ -612,6 +628,34 @@ object QVectors {
                 round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
          FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.4""",
+    "v16_incremental_semantic" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                    FROM embeddings),
+              cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
+                        FROM c WHERE vec_id >= 40 AND vec_id % 50 = 0),
+              ca0 AS (SELECT vec_id, v, vn, cell FROM (
+                SELECT c.vec_id, c.v, c.vn, cent_id AS cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                  cent_id) AS rk
+                FROM c, cents) WHERE rk = 1),
+              nw AS (SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY cell) AS cn
+                FROM ca0 WHERE vec_id < 40) WHERE cn <= 512),
+              old AS (SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY cell) AS cn
+                FROM ca0 WHERE vec_id >= 40) WHERE cn <= 512),
+              nn AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                            round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
+                     FROM nw a JOIN nw b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+              no AS (SELECT least(a.vec_id, b.vec_id) AS vec_a,
+                            greatest(a.vec_id, b.vec_id) AS vec_b,
+                            round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
+                     FROM nw a JOIN old b ON a.cell = b.cell AND a.vec_id != b.vec_id)
+         SELECT DISTINCT vec_a, vec_b, cosine
+         FROM (SELECT * FROM nn UNION ALL SELECT * FROM no)
+         WHERE cosine >= 0.4""",
     "v5_ivf_topk" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
