@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--compact-every K] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-output <dir>] [--compact-every K] [--output <dir>] [--audit]
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
@@ -229,6 +229,23 @@ object Main {
           Dedup.appendBandIndex(shardBandedFp, fpTable, buckets)
           (fpTable, fpVerified)
         }
+        // semantic branch: shard embeddings against the cell-bucketed
+        // exact-vector index (frozen centroids) — shard×index + shard×shard
+        // cosine pairs, then fold the shard in
+        val semIngest = opt(args, "--sem-vectors").map { sdir =>
+          import graft.ann.Vectors
+          val semTable = opt(args, "--sem-table").get
+          val cents = spark.read.parquet(opt(args, "--sem-cents").get)
+          val minCos = opt(args, "--min-cosine").map(_.toDouble).getOrElse(0.99)
+          val shardVecs = spark.read.parquet(sdir)
+          val vecCol = opt(args, "--sem-col").getOrElse("embedding")
+          val pairs = Vectors.incrementalSemanticPairs(shardVecs, "vec_id",
+            vecCol, cents, Vectors.readSemanticIndex(spark, semTable),
+            minCos).localCheckpoint()
+          Vectors.appendToSemanticIndex(shardVecs, "vec_id", vecCol, cents,
+            semTable, buckets)
+          (semTable, pairs)
+        }
         val compactEvery = opt(args, "--compact-every").map(_.toInt).getOrElse(0)
         def due(tbl: String): Boolean = compactEvery > 0 && {
           val n = Bucketing.bucketCount(spark, tbl)
@@ -237,6 +254,9 @@ object Main {
         val bandCompacted = due(bandTable)
         if (bandCompacted) Bucketing.compactBucketed(spark, bandTable)
         fpIngest.foreach { case (t, _) =>
+          if (due(t)) Bucketing.compactBucketed(spark, t)
+        }
+        semIngest.foreach { case (t, _) =>
           if (due(t)) Bucketing.compactBucketed(spark, t)
         }
         val vecCompacted = vecAppend.exists { case (t, _) => due(t) }
@@ -252,6 +272,8 @@ object Main {
             println(s"[ingest-daily] vec_append_mse   $mse (table $t)") }
           fpIngest.foreach { case (t, v) =>
             println(f"[ingest-daily] fp_pairs         ${v.count()}%d (table $t)") }
+          semIngest.foreach { case (t, v) =>
+            println(f"[ingest-daily] sem_pairs        ${v.count()}%d (table $t)") }
           println(s"[ingest-daily] band_index_files " +
             s"${Bucketing.dataFiles(spark, bandTable).size} " +
             s"(compacted=$bandCompacted)")
@@ -266,6 +288,13 @@ object Main {
             case Some(out) => v.write.mode("overwrite").parquet(out)
             case None =>
               println(s"[ingest-daily] fp pairs: ${v.count()}")
+          }
+        }
+        semIngest.foreach { case (_, v) =>
+          opt(args, "--sem-output") match {
+            case Some(out) => v.write.mode("overwrite").parquet(out)
+            case None =>
+              println(s"[ingest-daily] sem pairs: ${v.count()}")
           }
         }
       case "report" =>

@@ -165,6 +165,49 @@ class CliSpec extends SparkSpec {
     assert(files >= 1 && files <= 4, s"got $files files")
   }
 
+  test("ingest-daily --sem-vectors: embedding shard pairs against the semantic index") {
+    import graft.ann.Vectors
+    import org.apache.spark.sql.functions._
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    // base corpus in two cells (step-3 centroids at 0° and 90°); the
+    // shard carries one vector 1° off base 0 — the only cosine-0.99 pair
+    val base = Seq(0L -> at(0), 1L -> at(20), 3L -> at(90), 4L -> at(60))
+      .toDF("vec_id", "embedding")
+    val cents = Vectors.stepCentroids(base, "vec_id", "embedding", 3)
+      .localCheckpoint()
+    spark.sql("DROP TABLE IF EXISTS cli_sem_idx")
+    Vectors.writeSemanticIndex(base, "vec_id", "embedding", cents,
+      "cli_sem_idx", buckets = 4)
+    val shard = Seq(300L -> at(1), 301L -> at(75)).toDF("vec_id", "embedding")
+    val shardDir = tmpDir("cli_semv")
+    shard.write.mode("overwrite").parquet(shardDir)
+    val centsDir = tmpDir("cli_semc")
+    cents.write.mode("overwrite").parquet(centsDir)
+    // minimal text side (nothing pairs)
+    val docsDir = tmpDir("cli_semd")
+    Seq(400L -> "totally unrelated words about parsers and grammars")
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    spark.sql("DROP TABLE IF EXISTS cli_sem_band_idx")
+    graft.dedup.Dedup.writeBandIndex(graft.dedup.Dedup.bandedSignatures(
+      graft.dedup.Dedup.minhashSignatures(
+        Seq(401L -> "prior day corpus entry with its own words")
+          .toDF("doc_id", "text"), col("doc_id"), col("text"), 8), 4),
+      "cli_sem_band_idx", buckets = 4)
+    val semOut = tmpDir("cli_semout") + "/pairs"
+    Main.run(spark, Array("ingest-daily",
+      "--docs", docsDir, "--band-table", "cli_sem_band_idx", "--buckets", "4",
+      "--sem-vectors", shardDir, "--sem-table", "cli_sem_idx",
+      "--sem-cents", centsDir, "--sem-output", semOut, "--audit"))
+    val pairs = spark.read.parquet(semOut)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 300L)), s"got $pairs")
+    // the shard was folded in: 4 base + 2 shard vectors in the index
+    assert(Vectors.readSemanticIndex(spark, "cli_sem_idx").count() === 6L)
+  }
+
   test("report subcommand: cluster sizes + cross-source matrix + contamination land as parquet") {
     val dup = "the quick brown fox jumps over the lazy dog near the river " +
       "bank tonight while the moon rises over the quiet water meadows"
