@@ -143,6 +143,49 @@ object ScaleProbe100 {
     }
     if (sections("fp")) { fpChain(copies / 10); fpChain(copies) }
 
+    // semantic dedup: one-time index build vs the day-2 incremental form.
+    // Copies are rotated by a copy-keyed pseudo-random offset (±5 per
+    // dim, original values ~N(0,1)) so cross-copy cosines stay low and
+    // the near-dup structure is the original corpus's per copy — the
+    // varied-copy discipline in embedding space.
+    def semChain(factor: Int): Unit = {
+      import graft.ann.Vectors
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val k = spark.range(0, factor).toDF("__copy")
+      val vecs = emb.crossJoin(broadcast(k))
+        .withColumn("vec_id", col("vec_id") + col("__copy") * 10000000L)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => x + sin((i + 1).cast("double") * (col("__copy") + 1)) * lit(5.0)))
+        .drop("__copy")
+        .repartition(32).localCheckpoint()
+      println(s"[probe] ${factor}x sem vectors: ${vecs.count()}")
+      // k-means quantizer, corpus-independent size (k×dim on the driver)
+      val cents = time(s"${factor}x sem kmeans (k=256, 5% sample)") {
+        Vectors.kmeansCentroids(vecs, "vec_id", "embedding", 256,
+          iters = 2, sampleFrac = 0.05).localCheckpoint()
+      }
+      val shard = vecs.filter(col("vec_id") % 97 === 0).localCheckpoint()
+      val index = vecs.filter(col("vec_id") % 97 =!= 0)
+      val idx = time(s"${factor}x sem index build (one-time)") {
+        val i = Vectors.semanticIndex(index, "vec_id", "embedding", cents)
+          .localCheckpoint()
+        println(s"[probe] ${factor}x sem index rows: ${i.count()}")
+        i
+      }
+      time(s"${factor}x sem INCREMENTAL (1% shard vs index)") {
+        println(s"[probe] ${factor}x sem incr pairs: " +
+          Vectors.incrementalSemanticPairs(shard, "vec_id", "embedding",
+            cents, idx, minCosine = 0.95).count())
+      }
+      time(s"${factor}x sem BATCH (full corpus, the rebuild alternative)") {
+        println(s"[probe] ${factor}x sem batch pairs: " +
+          Vectors.semanticNearDupPairsWith(vecs, "vec_id", "embedding",
+            cents, minCosine = 0.95).count())
+      }
+      spark.catalog.clearCache()
+    }
+    if (sections("sem")) { semChain(copies / 10); semChain(copies) }
+
     def feed(factor: Int, shufflePartitions: Option[Int] = None): Unit = {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       shufflePartitions.foreach(p =>
