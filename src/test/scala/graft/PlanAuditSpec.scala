@@ -76,10 +76,14 @@ class PlanAuditSpec extends SparkSpec {
     //    code joins stay equi on (ivf_cell, sub, cell)
     //  - v15: the same tiny-centroid crosses as v13 (shard cell assignment
     //    at append time + query probe ranking against the frozen centroids)
+    //  - v16: v8's tiny-centroid assignment cross, twice (index build +
+    //    shard assignment against the frozen centroids); the pair joins
+    //    themselves stay equi on cell
     val intentional = Set("j8_cross", "v1_cosine_topk", "v3_cosine_neardup",
       "v5_ivf_topk", "v6_ivf_nprobe", "v7_lsh_recall", "v8_semantic_dedup",
       "v9_kmeans_recall", "v12_pq_adc_recall", "v13_ivfpq_topk",
       "v14_ivfpq_residual_topk", "v15_ivfpq_append_topk",
+      "v16_incremental_semantic",
       "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
