@@ -958,6 +958,45 @@ object Vectors {
     assignCells(c, "vec_id", cents).join(c, "vec_id")
   }
 
+  /** STATELESS cell assignment — [[assignCells]] without the aggregate:
+    * the centroid set is collected ONCE at plan-build time (driver-bounded
+    * k×dim doubles, the same contract as [[kmeansCentroids]]' driver-side
+    * recenter step) and folded into the projection as literal columns, so
+    * the argmax is a pure per-row map — no shuffle, no aggregation state.
+    * That makes it legal on a STREAMING relation, where assignCells'
+    * groupBy would demand a state store and an output-mode change; it is
+    * also the right batch shape for a SMALL shard against frozen
+    * centroids (zero exchange instead of the corpus×k aggregate).
+    *
+    * Equivalence is exact, including the tie-break: the struct compares
+    * (cosine, -cent_id) lexicographically — max cosine, then MIN
+    * centroid id — and `+ 0.0` normalizes -0.0 so zero-cosine ties order
+    * the way assignCells and the SQL oracles do (asserted in
+    * VectorsSpec). Output: the [[normalized]] projection plus `cell`.
+    *
+    * Expression size grows with k (one struct per centroid); the k ≤
+    * a-few-thousand coarse quantizers this engine uses stay well inside
+    * codegen limits — the require documents the contract.
+    */
+  def assignCellsStateless(df: DataFrame, idCol: String, vecCol: String,
+                           cents: DataFrame): DataFrame = {
+    val rows = cents.select("cent_id", "cv", "cvn").collect()
+    require(rows.nonEmpty, "assignCellsStateless: empty centroid set")
+    require(rows.length <= 8192,
+      s"assignCellsStateless: ${rows.length} centroids would inline an " +
+        "oversized projection; use assignCells (aggregate form) for large k")
+    val scored = rows.map { r =>
+      val cid = r.getLong(0)
+      val cv = r.getSeq[Double](1).toArray
+      val cvn = r.getDouble(2)
+      struct(
+        (dot(col("v"), lit(cv)) / (col("vn") * lit(cvn)) + 0.0).as("c"),
+        lit(-cid).as("tb"), lit(cid).as("cid"))
+    }
+    normalized(df, idCol, vecCol)
+      .withColumn("cell", array_max(array(scored.toSeq: _*)).getField("cid"))
+  }
+
   /** Reopen a [[writeSemanticIndex]] table (bucket metadata from the
     * catalog). */
   def readSemanticIndex(spark: org.apache.spark.sql.SparkSession,

@@ -270,6 +270,56 @@ object Streaming {
       .select(col("doc_id").as("new_doc"), col("matched_doc"))
   }
 
+  /** Streaming SEMANTIC ingest — the embedding member of the streaming
+    * day-2 trio ([[ingestCandidates]]: text bands;
+    * [[ingestFingerprintCandidates]]: perceptual bands): a stream of
+    * (id, embedding) rows is assigned to its IVF cell STATELESSLY
+    * ([[graft.ann.Vectors.assignCellsStateless]] — the frozen centroid
+    * set is folded into the projection as literals, so no aggregate and
+    * no state store), then stream-static equi-joined on `cell` against
+    * the persisted semantic index
+    * ([[graft.ann.Vectors.writeSemanticIndex]]'s bucketed table — only
+    * the cells today's vectors land in are read). Unlike the band twins,
+    * whose Hamming/Jaccard verify is a separate pair-driven stage,
+    * verification happens INLINE: cosine is row-pairwise computable, so
+    * the emitted candidates are already exact SemDeDup pairs. Zero
+    * state; candidates surface within their own micro-batch.
+    *
+    * `maxBucket` caps a hot historical cell per batch (window over the
+    * static side — rides the index's bucket partitioning when the index
+    * is the bucketed table; pre-cap and pass `indexPreCapped = true` to
+    * skip it, the [[ingestCandidates]] cost contract). Output:
+    * (new_doc, matched_doc, cosine) with cosine ≥ `minCosine`, rounded
+    * to `roundTo` exactly like the batch operator
+    * ([[graft.ann.Vectors.incrementalSemanticPairs]]), whose new×index
+    * half this equals micro-batch-composed (asserted in StreamingSpec).
+    */
+  def ingestSemanticCandidates(vecStream: DataFrame, index: DataFrame,
+                               cents: DataFrame, idCol: String,
+                               vecCol: String, minCosine: Double,
+                               maxBucket: Int = 512,
+                               indexPreCapped: Boolean = false,
+                               roundTo: Int = 6): DataFrame = {
+    import graft.ann.Vectors.{assignCellsStateless, dot}
+    val nw = assignCellsStateless(vecStream, idCol, vecCol, cents)
+      .select(col("vec_id").as("new_doc"), col("cell"),
+        col("v").as("__va"), col("vn").as("__na"))
+    val capped = (if (indexPreCapped) index
+      else index
+        .withColumn("__cn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+        .filter(col("__cn") <= maxBucket))
+      .select(col("vec_id").as("matched_doc"), col("cell"),
+        col("v").as("__vb"), col("vn").as("__nb"))
+    nw.join(capped, Seq("cell"))
+      .filter(col("new_doc") =!= col("matched_doc"))
+      .withColumn("cosine",
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")),
+          roundTo))
+      .filter(col("cosine") >= minCosine)
+      .select(col("new_doc"), col("matched_doc"), col("cosine"))
+  }
+
   /** Streaming DECONTAMINATION sink — the curation pipeline's eval-overlap
     * stage ([[graft.dedup.Dedup.contaminatedIds]]) applied to a document
     * ingest stream: each micro-batch is scrubbed with the EXACT batch

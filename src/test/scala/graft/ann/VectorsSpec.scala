@@ -410,4 +410,32 @@ class VectorsSpec extends SparkSpec {
       assert(brute((a, b)) === c && c >= 0.5)
     }
   }
+
+  test("assignCellsStateless == aggregate assignCells on real embeddings") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val cents = Vectors.stepCentroids(emb, "vec_id", "embedding", 25)
+      .localCheckpoint()
+    val got = Vectors.assignCellsStateless(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    val want = Vectors.semanticIndex(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("assignCellsStateless tie-break: equal cosine picks MIN cent_id") {
+    // two identical centroids under different ids: every cosine ties
+    // exactly, so the struct tie-break ((cosine, -cent_id) lexicographic)
+    // must pick the smaller id — the assignCells / oracle total order
+    val cents = Seq((10L, Array(1.0, 0.0), 1.0), (3L, Array(1.0, 0.0), 1.0))
+      .toDF("cent_id", "cv", "cvn")
+    val df = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Vectors.assignCellsStateless(df, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L), (2L, 3L)))
+    // and the aggregate form agrees on the same degenerate input
+    val agg = Vectors.semanticIndex(df, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(agg === got)
+  }
 }

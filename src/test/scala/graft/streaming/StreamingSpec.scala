@@ -344,6 +344,60 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 100L)))
   }
 
+  test("streaming semantic ingest == batch incremental pairs (new×index half)") {
+    import graft.ann.Vectors
+    import org.apache.spark.sql.streaming.Trigger
+    // the BucketingSpec angle fixture: cells split at 45°, planted pair
+    // 1° apart, everything else >= 14.5° apart at minCosine 0.99
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    val base = Seq(0L -> at(0), 1L -> at(20), 3L -> at(90), 4L -> at(60))
+      .toDF("vec_id", "emb")
+    val cents = Vectors.stepCentroids(base, "vec_id", "emb", 3)
+      .localCheckpoint()
+    val index = Vectors.semanticIndex(base, "vec_id", "emb", cents)
+      .localCheckpoint()
+    // shard as TWO parquet files, one per micro-batch
+    // (maxFilesPerTrigger=1): candidates must compose across batches
+    val dir = tmp("sem_ingest")
+    Seq(100L -> at(1)).toDF("vec_id", "emb").write.parquet(s"$dir/in")
+    Seq(101L -> at(89), 102L -> at(75)).toDF("vec_id", "emb")
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val out = s"$dir/out"
+    val q = Streaming.ingestSemanticCandidates(stream, index, cents,
+        "vec_id", "emb", minCosine = 0.99)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }.start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(least(col("new_doc"), col("matched_doc")).as("a"),
+        greatest(col("new_doc"), col("matched_doc")).as("b"), col("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    // batch ground truth: incrementalSemanticPairs restricted to its
+    // new×index half (the stream checks each arrival against the INDEX;
+    // new×new pairs surface once the shard is folded in) — same pairs,
+    // same rounded cosines
+    val shard = Seq(100L -> at(1), 101L -> at(89), 102L -> at(75))
+      .toDF("vec_id", "emb")
+    val want = Vectors.incrementalSemanticPairs(shard, "vec_id", "emb",
+        cents, index, minCosine = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => (p._1 >= 100L) != (p._2 >= 100L))
+    assert(got === want)
+    // the planted 1°-apart pairs: 100≈0 and 101≈3; 102 (75°) matches
+    // nothing in the index
+    assert(got.map(p => (p._1, p._2)) === Set((0L, 100L), (3L, 101L)))
+  }
+
   test("streaming watermarked dedup == batch dropDuplicates (same key set)") {
     val stream = Streaming.eventsFileStream(spark, s"$sf0001/events.parquet")
     val outDir = tmp("out")
