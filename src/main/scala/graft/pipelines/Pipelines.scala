@@ -132,6 +132,44 @@ object Pipelines {
       .sortWithinPartitions(posCol)
       .write.mode("overwrite").parquet(outDir)
 
+  /** The packing LAST MILE: materialize [[graft.ops.Planners
+    * .packedWindows]] span layout as addressable training shards —
+    * `outDir/<group>=…/shard=<s>/` holds EXACTLY the spans of windows
+    * [s·windowsPerShard, (s+1)·windowsPerShard), one parquet file per
+    * shard, spans sorted (seq, win_offset) inside it.
+    *
+    * Deterministic by construction, which `repartitionByRange` +
+    * `maxRecordsPerFile` (the [[shardedFeedSink]] shape) is NOT: range
+    * boundaries come from sampling and file splits from write-task row
+    * counts, so two runs of the same corpus could cut different shard
+    * boundaries — poison for resumable training, where "shard 17" must
+    * name the same windows on every rerun and on the rerun of a
+    * preempted writer. Here the shard id is arithmetic on the window id
+    * (`seq div windowsPerShard`), the one shuffle is a hash repartition
+    * on (group, shard) — work ∝ spans, no sampling pass, no global
+    * sort — and each shard directory is one task's single sorted file.
+    * A trainer resumes mid-epoch by opening exactly the shard dirs at
+    * and after its cursor; the span schema (seq, doc span, offsets) is
+    * self-describing, so within-file order is a sequential-IO
+    * optimization, not a correctness carrier.
+    *
+    * Shard size is governed, not emergent: windowsPerShard ×
+    * budget tokens per shard (± the straddling spans), the knob that
+    * keeps object-store files in the flat range at 100 TB regardless of
+    * document length distribution.
+    */
+  def writePackedShards(docs: DataFrame, group: String, order: String,
+                        nTok: String, budget: Long, windowsPerShard: Long,
+                        outDir: String): Unit = {
+    require(windowsPerShard > 0,
+      s"writePackedShards: windowsPerShard must be positive, got $windowsPerShard")
+    graft.ops.Planners.packedWindows(docs, group, order, nTok, budget)
+      .withColumn("shard", expr(s"seq div $windowsPerShard"))
+      .repartition(col(group), col("shard"))
+      .sortWithinPartitions(col("seq"), col("win_offset"))
+      .write.partitionBy(group, "shard").mode("overwrite").parquet(outDir)
+  }
+
   /** Corpus curation end-to-end — the flagship LLM-training-data pipeline
     * composed from the engine's own stages, in the order that minimizes
     * work at scale:

@@ -93,6 +93,41 @@ class PipelinesSpec extends SparkSpec {
     assert(spans.filter(col("len") <= 0).count() === 0)
   }
 
+  test("writePackedShards: addressable shard dirs hold exactly their window range, one sorted file each") {
+    val docs = (1 to 200).map { i =>
+      (Seq("web", "code")(i % 2), i.toLong, (i % 37 + 38).toLong)
+    }.toDF("source", "doc", "n_tok")
+    val budget = 64L
+    val out = java.nio.file.Files.createTempDirectory("packed").toString
+    Pipelines.writePackedShards(docs, "source", "doc", "n_tok", budget,
+      windowsPerShard = 8, outDir = out)
+    val back = spark.read.parquet(out)
+    // round-trip equals the packedWindows relation with shard = seq div 8
+    val want = graft.ops.Planners.packedWindows(
+        docs, "source", "doc", "n_tok", budget)
+      .withColumn("shard", expr("seq div 8"))
+      .select("source", "shard", "seq", "doc", "doc_offset", "win_offset", "len")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val got = back
+      .select("source", "shard", "seq", "doc", "doc_offset", "win_offset", "len")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    // shard addressing: every span in dir shard=s has seq in [8s, 8s+8)
+    assert(back.filter(col("seq") < col("shard") * 8 ||
+      col("seq") >= (col("shard") + 1) * 8).count() === 0)
+    // one parquet file per shard dir, spans sorted (seq, win_offset) in it
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    for (g <- dirs; s <- g.listFiles.filter(_.isDirectory)) {
+      val files = s.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${s.getPath}: ${files.length} files")
+      val inFile = spark.read.parquet(files.head.getPath)
+        .select("seq", "win_offset").as[(Long, Long)].collect()
+      assert(inFile.sameElements(inFile.sortBy(p => (p._1, p._2))),
+        s"${s.getPath} not in (seq, win_offset) order")
+    }
+  }
+
   test("dedupCorpus imageCol: pixel near-dups cluster and dedup like text near-dups") {
     import graft.multimodal.Multimodal
     // four docs with DISTINCT texts (no text pair fires); docs 1-2 carry
