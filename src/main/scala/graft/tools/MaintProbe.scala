@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,compact,decont}
-  * (default: all).
+  * where sections is a comma list of {x8,v15,compact,decont,stream}
+  * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {
 
@@ -181,6 +181,69 @@ object MaintProbe {
       val docs100 = amplify(docs1, "doc_id", 100, 1000000L).localCheckpoint()
       println(s"[probe] decont 100x rows: ${docs100.count()}")
       time("decont 100x train corpus") { run(docs100) }
+    }
+    // ---- stream: streaming day-2 ingest rate tracks the SHARD ----
+    // Claim (§6.3): the stream-static candidate joins read only the index
+    // buckets a micro-batch touches, so wall scales with shard rows at a
+    // FIXED index size. Timed as 1x vs 10x shard against the same
+    // persisted index, several micro-batches each (maxFilesPerTrigger),
+    // for both members with a persisted index: text bands and semantic
+    // cells. Startup/trigger overhead is fixed per run, so the ratio is
+    // an upper bound on the per-row exponent.
+    if (sections("stream")) locally {
+      import graft.dedup.Dedup
+      import graft.streaming.Streaming
+      import org.apache.spark.sql.streaming.Trigger
+      val tmpRoot = java.nio.file.Files.createTempDirectory("streamprobe").toString
+      def drain(df: DataFrame, name: String): Double = {
+        val q = df.writeStream.outputMode("append")
+          .option("checkpointLocation", s"$tmpRoot/ckpt_$name")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            println(s"[probe] $name batch=$id candidates=${b.count()}")
+          }.start()
+        val (_, s) = time(s"stream/$name drain") { q.awaitTermination() }
+        s
+      }
+      // text: 50k-doc index (10x corpus), shards of 500 and 5000 docs
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val corpus = amplify(docs, "doc_id", 10, 10000000L).localCheckpoint()
+      spark.sql("DROP TABLE IF EXISTS probe_stream_band_idx")
+      Dedup.writeBandIndex(Dedup.bandedSignaturesProjected(
+        corpus, col("doc_id"), col("text"), 8, 4), "probe_stream_band_idx")
+      val bandIdx = Dedup.readBandIndex(spark, "probe_stream_band_idx")
+      for (copies <- Seq(1, 10, 100)) {
+        val in = s"$tmpRoot/text_in_$copies"
+        amplify(docs.limit(500), "doc_id", copies, 1000000L)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+          .repartition(8).write.parquet(in)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        drain(Streaming.ingestCandidates(stream, bandIdx, 8, 4),
+          s"text_${copies}x (${copies * 500} docs)")
+      }
+      // semantic: 20k-vector index (10x embeddings), shards of 200 / 2000
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val vcorpus = amplify(emb, "vec_id", 10, 10000000L).localCheckpoint()
+      val cents = Vectors.kmeansCentroids(vcorpus, "vec_id", "embedding", 64)
+        .localCheckpoint()
+      spark.sql("DROP TABLE IF EXISTS probe_stream_sem_idx")
+      Vectors.writeSemanticIndex(vcorpus, "vec_id", "embedding", cents,
+        "probe_stream_sem_idx")
+      val semIdx = Vectors.readSemanticIndex(spark, "probe_stream_sem_idx")
+      for (copies <- Seq(1, 10, 100)) {
+        val in = s"$tmpRoot/sem_in_$copies"
+        amplify(emb.limit(200), "vec_id", copies, 1000000L)
+          .withColumn("vec_id", col("vec_id") + 900000000L)
+          .repartition(8).write.parquet(in)
+        val stream = spark.readStream
+          .schema(spark.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 2).parquet(in)
+        drain(Streaming.ingestSemanticCandidates(stream, semIdx, cents,
+          "vec_id", "embedding", minCosine = 0.9),
+          s"sem_${copies}x (${copies * 200} vecs)")
+      }
     }
     spark.stop()
   }
