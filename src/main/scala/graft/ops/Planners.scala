@@ -103,6 +103,30 @@ object Planners {
     * span. Integer `div` arithmetic throughout, so the layout is exact at
     * any corpus size (no double rounding at 2^53 tokens).
     */
+  /** Shard MANIFEST over [[packedWindows]]' layout under
+    * [[graft.pipelines.Pipelines.writePackedShards]]' arithmetic
+    * (shard = seq div windowsPerShard): one row per (group, shard) with
+    * window/span counts, the token total, and the window range — the
+    * trainer-side addressing and accounting relation (which shard dirs
+    * exist, how many tokens each holds, where a resume cursor lands)
+    * derived WITHOUT listing files. Same scale shape as the layout
+    * itself plus one aggregate on (group, shard).
+    */
+  def shardManifest(docs: DataFrame, group: String, order: String,
+                    nTok: String, budget: Long,
+                    windowsPerShard: Long): DataFrame = {
+    require(windowsPerShard > 0,
+      s"shardManifest: windowsPerShard must be positive, got $windowsPerShard")
+    packedWindows(docs, group, order, nTok, budget)
+      .withColumn("shard", expr(s"seq div $windowsPerShard"))
+      .groupBy(col(group), col("shard"))
+      .agg(countDistinct(col("seq")).as("n_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("len")).as("shard_tokens"),
+        min(col("seq")).as("first_seq"),
+        max(col("seq")).as("last_seq"))
+  }
+
   def packedWindows(docs: DataFrame, group: String, order: String,
                     nTok: String, budget: Long): DataFrame = {
     require(budget > 0, s"packedWindows: budget must be positive, got $budget")

@@ -105,6 +105,19 @@ object QSampling {
         "lang", "doc_id", "n_tok", budget = 256)
     }),
 
+    // X17: shard manifest — writePackedShards' addressing arithmetic
+    // (shard = seq div 8) summarized per (group, shard): the relation a
+    // resumable trainer reads to name shard dirs and budget work,
+    // derived from the layout, never from file listings.
+    "x17_shard_manifest" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      graft.ops.Planners.shardManifest(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            tokenCountNative(col("text")).cast("long").as("n_tok")),
+        "lang", "doc_id", "n_tok", budget = 256, windowsPerShard = 8)
+    }),
+
     // X13: sequence-length bucketing — group documents into padded-length
     // bins (next multiple of 64 tokens, capped at 2048) and report the
     // per-bin doc count, token total, and PADDING WASTE (bin length minus
@@ -315,6 +328,33 @@ object QSampling {
                   least((seq + 1) * 256, bef + n_tok)
                     - greatest(seq * 256, bef) AS len
            FROM sp""",
+      "x17_shard_manifest" ->
+        """WITH tk AS (
+             SELECT doc_id, lang,
+                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x != '')) AS BIGINT) AS n_tok
+             FROM documents),
+               p AS (
+             SELECT doc_id, lang, n_tok,
+                    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+                      AS BIGINT) AS bef
+             FROM tk),
+               sp AS (
+             SELECT lang, doc_id, n_tok, bef,
+                    unnest(range(bef // 256, (bef + n_tok - 1) // 256 + 1)) AS seq
+             FROM p WHERE n_tok > 0),
+               spans AS (
+             SELECT lang, seq, seq // 8 AS shard,
+                    least((seq + 1) * 256, bef + n_tok)
+                      - greatest(seq * 256, bef) AS len
+             FROM sp)
+           SELECT lang, shard,
+                  CAST(count(DISTINCT seq) AS BIGINT) AS n_windows,
+                  count(*) AS n_spans,
+                  CAST(sum(len) AS BIGINT) AS shard_tokens,
+                  min(seq) AS first_seq, max(seq) AS last_seq
+           FROM spans GROUP BY lang, shard""",
       "x13_length_buckets" ->
         """WITH t AS (
              SELECT lang,
