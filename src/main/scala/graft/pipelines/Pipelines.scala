@@ -276,13 +276,14 @@ object Pipelines {
                   embeddingCol: Option[String] = None,
                   semCells: Int = 64,
                   minCosine: Double = 0.99,
-                  semMaxCell: Int = 512): DataFrame =
+                  semMaxCell: Int = 512,
+                  keepBy: Option[Column] = None): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
       imageCol, imageGridRows, imageBandBits, maxImageHamming,
       audioCol, videoCol, embeddingCol, semCells, minCosine,
-      semMaxCell).last._2
+      semMaxCell, keepBy).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -317,7 +318,8 @@ object Pipelines {
                         embeddingCol: Option[String] = None,
                         semCells: Int = 64,
                         minCosine: Double = 0.99,
-                        semMaxCell: Int = 512): Seq[(String, DataFrame)] = {
+                        semMaxCell: Int = 512,
+                        keepBy: Option[Column] = None): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     val stages = Seq.newBuilder[(String, DataFrame)]
@@ -427,10 +429,31 @@ object Pipelines {
     // contracts in O(log² n) rounds regardless of diameter, at ~equal
     // cost on dense clusters (d7 4.27 s vs d7b 4.32 s at sf0.1).
     val clusters = Dedup.connectedComponentsStar(allPairs, "doc_a", "doc_b")
-    // drop every clustered doc that is not its cluster's representative
+    // drop every clustered doc that is not its cluster's representative.
+    // Default policy: the min-id member (== the cluster label). With
+    // `keepBy`, the KEPT member maximizes (keepBy, -doc_id) — keep the
+    // best-quality / longest copy among near-dups, the production
+    // curation choice (min-id keeps whichever copy happened to be
+    // crawled first). One extra aggregate over CLUSTERED docs only; the
+    // score column is evaluated against the exact-dedup survivors, so it
+    // sees pre-cleaned text. Tie-break min doc_id keeps the policy
+    // deterministic (and oracle-expressible, d17).
     // (distinct working name so the join condition resolves unambiguously)
-    val dropIds = clusters.filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id").as("__drop_id"))
+    val dropIds = keepBy match {
+      case None =>
+        clusters.filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id").as("__drop_id"))
+      case Some(score) =>
+        val scored = clusters.join(
+          exact.select(id.cast("long").as("doc_id"), score.as("__kb")),
+          "doc_id")
+        val keepers = scored.groupBy("cluster")
+          .agg(max_by(col("doc_id"),
+            struct(col("__kb"), -col("doc_id"))).as("__keep_id"))
+        scored.join(keepers, "cluster")
+          .filter(col("doc_id") =!= col("__keep_id"))
+          .select(col("doc_id").as("__drop_id"))
+    }
     val kept = exact.join(dropIds, id.cast("long") === col("__drop_id"), "left_anti")
     stages += ("cluster_representatives" -> kept)
     substrN.foreach { n =>

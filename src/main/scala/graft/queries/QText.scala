@@ -392,6 +392,28 @@ object QText {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // D17: representative POLICY over the duplicate clusters — per
+    // cluster, the kept member under keep-best-by-length (max n_chars,
+    // tie-break min doc_id): what production curation keeps among
+    // near-dups (the most complete copy), vs the min-id default that
+    // keeps whichever copy was crawled first. The policy is ONE max_by
+    // aggregate over clustered docs; dedupCorpus exposes it as `keepBy`
+    // (any score column — quality, length, recency).
+    "d17_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val verified =
+        Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+      Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy("cluster")
+        .agg(max_by(col("doc_id"),
+            struct(col("n_chars"), -col("doc_id"))).as("keep_id"),
+          max(col("n_chars")).as("keep_n_chars"),
+          count(lit(1)).as("n_members"))
+    }),
+
     // D16: cross-SOURCE duplication matrix — the provenance view over the
     // verified pairs: how much of source A duplicates source B (ordered
     // pair of source names, pair count, mean overlap). What a licensing /
@@ -823,6 +845,18 @@ object QText {
                       FROM cl GROUP BY cluster)
           SELECT cluster_size, count(*) AS n_clusters
           FROM sz GROUP BY 1""",
+    "d17_keep_best" ->
+      s"""WITH cl AS ($d7Sql),
+               m AS (SELECT cl.doc_id, cl.cluster, d.n_chars
+                     FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+               r AS (SELECT cluster, doc_id, n_chars,
+                            row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_chars DESC, doc_id) AS rn,
+                            count(*) OVER (PARTITION BY cluster) AS nm
+                     FROM m)
+          SELECT cluster, doc_id AS keep_id, n_chars AS keep_n_chars,
+                 nm AS n_members
+          FROM r WHERE rn = 1""",
     "d6_clean_pipeline" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
                  min(doc_id) AS canonical_id, count(*) AS n_docs

@@ -159,6 +159,34 @@ class PipelinesSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("dedupCorpus keepBy: the best-scoring cluster member survives, not the min id") {
+    val near = "the quick brown fox jumps over the lazy dog near the " +
+      "riverbank every single morning before the sun rises over the hills"
+    val docs = Seq(
+      (1L, near),
+      (2L, near + " and keeps running"), // the LONGER near-dup copy
+      (3L, "completely different text about container ships unloading " +
+        "beneath sodium lamps at the harbor through the night"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val keptDefault = Pipelines.dedupCorpus(docs, col("doc_id"),
+        col("text"), minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptDefault === Set(1L, 3L)) // min-id keeps the shorter copy
+    val keptBest = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minQuality = 0.0, keepBy = Some(length(col("text"))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBest === Set(2L, 3L)) // keep-by-length keeps the longer
+    // ties fall back to min id: two byte-identical lengths
+    val tied = Seq((7L, near), (8L, near),
+      (9L, "unrelated content that stands alone in its own cluster " +
+        "speaking of deserts and dunes and long orange ridgelines"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val keptTied = Pipelines.dedupCorpus(tied, col("doc_id"), col("text"),
+        minQuality = 0.0, keepBy = Some(length(col("text"))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied === Set(7L, 9L))
+  }
+
   test("dedupCorpus audioCol/videoCol: every perceptual axis joins one cluster graph") {
     import graft.multimodal.Multimodal
     // five docs with DISTINCT texts; docs 1-2 carry near-identical AUDIO
