@@ -209,6 +209,50 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => b >= 10L }) // every pair touches the shard
   }
 
+  test("multi-day incremental ingest covers EXACTLY the batch pair set (cross-day dups)") {
+    // The lifecycle invariant day-2/day-3 ingest rests on: batch pairs
+    // over the whole corpus == day-0 batch within C0, plus each day's
+    // incremental pairs against the FOLDED index. The S2×S1 pair (20,11)
+    // is discoverable only because day 1 appended S1 to the index —
+    // skipping the fold silently loses cross-day duplicates.
+    val a = "the quick brown fox jumps over the lazy dog tonight again"
+    val b = "completely different content about spark partitions and shuffles"
+    val docs = Seq(
+      1L -> a, 2L -> a,
+      3L -> "mountain trails wind through cedar groves toward the snow line",
+      10L -> a, 11L -> (b + " extra"), 12L -> (b + " extra"),
+      20L -> (b + " extra"), 21L -> a, 22L -> "zebra unique words here")
+      .toDF("doc_id", "text")
+    val banded = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      .localCheckpoint()
+    def day(lo: Long, hi: Long) =
+      banded.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    spark.sql("DROP TABLE IF EXISTS md_band_idx")
+    try {
+      Dedup.writeBandIndex(day(0, 10), "md_band_idx", buckets = 4)
+      val p0 = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
+          docs.filter(col("doc_id") < 10), col("doc_id"), col("text"), 8), 4)
+        .as[(Long, Long)].collect().toSet
+      val p1 = Dedup.incrementalCandidatePairs(day(10, 20),
+          Dedup.readBandIndex(spark, "md_band_idx"))
+        .as[(Long, Long)].collect().toSet
+      Dedup.appendBandIndex(day(10, 20), "md_band_idx", buckets = 4)
+      val p2 = Dedup.incrementalCandidatePairs(day(20, 30),
+          Dedup.readBandIndex(spark, "md_band_idx"))
+        .as[(Long, Long)].collect().toSet
+      Dedup.appendBandIndex(day(20, 30), "md_band_idx", buckets = 4)
+      assert(p2.contains((11L, 20L)), s"cross-day pair lost: $p2")
+      val batch = Dedup.lshCandidatePairs(Dedup.minhashSignatures(
+          docs, col("doc_id"), col("text"), 8), 4)
+        .as[(Long, Long)].collect().toSet
+      assert((p0 ++ p1 ++ p2) === batch)
+      // and the days are disjoint slices of it (no pair double-proposed
+      // across days: each pair's later member fixes its discovery day)
+      assert((p0 & p1).isEmpty && (p0 & p2).isEmpty && (p1 & p2).isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS md_band_idx")
+  }
+
   test("incremental PERCEPTUAL dedup: fingerprint bands ride the d9 band-index machinery") {
     // 16-bit fingerprints; old corpus 1-3, new shard 10-12: 10 is a
     // 1-bit-nudged copy of 1 (new×index), 11≡12 (new×new), old 1≈2 must
