@@ -99,7 +99,14 @@ object Main {
           audioCol = opt(args, "--audio-col"),
           videoCol = opt(args, "--video-col"),
           embeddingCol = opt(args, "--embedding-col"),
-          minCosine = opt(args, "--min-cosine").map(_.toDouble).getOrElse(0.99))
+          minCosine = opt(args, "--min-cosine").map(_.toDouble).getOrElse(0.99),
+          // representative policy: keep the cluster member maximizing this
+          // column ("length" = longest copy; any numeric doc column works),
+          // instead of the min-id default
+          keepBy = opt(args, "--keep-by").map {
+            case "length" => length(col("text")).cast("long")
+            case c        => col(c)
+          })
         val kept = stages.last._2
         // funnel audit: per-stage surviving-doc counts — the curation
         // run's QA report ("gate dropped N, decontamination M, ...")

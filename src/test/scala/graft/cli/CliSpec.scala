@@ -43,6 +43,23 @@ class CliSpec extends SparkSpec {
     assert(kept(1L).contains("<EMAIL>"))
   }
 
+  test("dedup subcommand: --keep-by length keeps the longest cluster member") {
+    val near = "the quick brown fox jumps over the lazy dog near the " +
+      "riverbank every single morning before the sun rises over the hills"
+    val docsDir = tmpDir("cli_kb_docs")
+    val outDir = tmpDir("cli_kb_out") + "/kept"
+    Seq((1L, near, "a"), (2L, near + " and keeps running", "a"),
+      (3L, "completely different text about container ships unloading " +
+        "beneath sodium lamps at the harbor through the night", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(docsDir)
+    Main.run(spark, Array("dedup", "--docs", docsDir,
+      "--min-quality", "0.0", "--keep-by", "length", "--output", outDir))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L), s"got $kept")
+  }
+
   test("ingest-daily: band append + d9 candidates + verify + vector append + compaction, end-to-end") {
     import graft.ann.Vectors
     import graft.core.Bucketing
