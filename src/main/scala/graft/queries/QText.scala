@@ -146,6 +146,26 @@ object QText {
         round(qualityScoreNative(col("text")), 6).as("quality"))
     }),
 
+    // Quality-threshold CALIBRATION sweep: kept count and fraction at
+    // each candidate minQuality threshold (0.0 … 0.9) — the curve a
+    // curation run reads BEFORE picking the gate value, so the choice is
+    // a measured trade-off, not folklore. One scan; the 10 thresholds
+    // come from a per-row explode of a literal range (pure projection,
+    // no join), then one aggregate — scale shape: docs × 10 map rows.
+    "tx_quality_sweep" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      t(s, d, "documents")
+        .select(round(qualityScoreNative(col("text")), 6).as("q"),
+          explode(expr("sequence(0, 9)")).as("i"))
+        .select((col("i") / 10.0).as("threshold"), col("q"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .withColumn("frac_kept",
+          round(col("n_kept") / col("n_docs"), 6))
+    }),
+
     // Language-ID heuristic: marker-stopword argmax.
     "tx_langid" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -590,6 +610,16 @@ object QText {
                  round($stopSql, 6) AS stop_ratio,
                  round($qualitySql, 6) AS quality
           FROM documents""",
+    "tx_quality_sweep" ->
+      s"""WITH q AS (SELECT round($qualitySql, 6) AS q FROM documents),
+               e AS (SELECT q, g / 10.0 AS threshold
+                     FROM q CROSS JOIN generate_series(0, 9) g(g))
+          SELECT threshold, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+                 round(CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 6) AS frac_kept
+          FROM e GROUP BY threshold""",
     "tx_langid" ->
       s"""WITH sc AS (SELECT doc_id, lang, $langScoresSql FROM documents)
           SELECT doc_id, lang, $langGuessSql AS lang_guess,

@@ -152,6 +152,23 @@ object QVectors {
         minCosine = 0.4, maxCell = 512)
     }),
 
+    // V17: semantic-index CELL OCCUPANCY — the index-health view the
+    // maintenance loop reads: per-cell vector counts plus whether the
+    // cell would be dropped by the semantic-dedup cap (maxCell 512) or
+    // deserves a re-train (a hot cell means the frozen quantizer no
+    // longer matches the embedding distribution). Rides the index's
+    // natural (cell) partitioning — on the persisted bucketed table this
+    // aggregate needs no exchange at all (BucketingSpec's bucket-agg
+    // assertion).
+    "v17_cell_occupancy" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Vectors.stepCentroids(emb, "vec_id", "embedding", 50)
+      Vectors.semanticIndex(emb, "vec_id", "embedding", cents)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"))
+        .withColumn("over_cap", col("n_vectors") > 512)
+    }),
+
     // V11: product-quantization reconstruction error vs the int8 scalar
     // path — PQ at m=8 over 64 dims stores 8 bytes/vector (32× smaller
     // than float32, 4× smaller than v10's int8) for a measured MSE cost.
@@ -628,6 +645,21 @@ object QVectors {
                 round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
          FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.4""",
+    "v17_cell_occupancy" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                    FROM embeddings),
+              cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
+                        FROM c WHERE vec_id % 50 = 0),
+              ca AS (SELECT vec_id, cell FROM (
+                SELECT c.vec_id, cent_id AS cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                  cent_id) AS rk
+                FROM c, cents) WHERE rk = 1)
+         SELECT cell, count(*) AS n_vectors,
+                count(*) > 512 AS over_cap
+         FROM ca GROUP BY cell""",
     "v16_incremental_semantic" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn

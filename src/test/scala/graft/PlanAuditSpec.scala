@@ -84,6 +84,9 @@ class PlanAuditSpec extends SparkSpec {
       "v9_kmeans_recall", "v12_pq_adc_recall", "v13_ivfpq_topk",
       "v14_ivfpq_residual_topk", "v15_ivfpq_append_topk",
       "v16_incremental_semantic",
+      // v17: v8's tiny-centroid assignment cross again (occupancy is an
+      // aggregate over the same assignment relation)
+      "v17_cell_occupancy",
       "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
