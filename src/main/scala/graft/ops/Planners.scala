@@ -99,41 +99,74 @@ object Planners {
     * Same scale shape as [[packPlan]]: ONE per-group window cumsum (the
     * deterministic `order` must be unique per group), then a stateless
     * explode of each doc's window range — work ∝ docs + produced spans,
-    * never corpus-global. Zero-token docs occupy no tokens and emit no
+    * never corpus-global — but the cumsum serializes EACH GROUP through
+    * one task; [[packedWindowsDistributed]] is the row-identical form
+    * with no single-task stage for few-group (or one-group) corpora. Zero-token docs occupy no tokens and emit no
     * span. Integer `div` arithmetic throughout, so the layout is exact at
     * any corpus size (no double rounding at 2^53 tokens).
     */
-  /** Shard MANIFEST over [[packedWindows]]' layout under
-    * [[graft.pipelines.Pipelines.writePackedShards]]' arithmetic
-    * (shard = seq div windowsPerShard): one row per (group, shard) with
-    * window/span counts, the token total, and the window range — the
-    * trainer-side addressing and accounting relation (which shard dirs
-    * exist, how many tokens each holds, where a resume cursor lands)
-    * derived WITHOUT listing files. Same scale shape as the layout
-    * itself plus one aggregate on (group, shard).
-    */
-  def shardManifest(docs: DataFrame, group: String, order: String,
-                    nTok: String, budget: Long,
-                    windowsPerShard: Long): DataFrame = {
-    require(windowsPerShard > 0,
-      s"shardManifest: windowsPerShard must be positive, got $windowsPerShard")
-    packedWindows(docs, group, order, nTok, budget)
-      .withColumn("shard", expr(s"seq div $windowsPerShard"))
-      .groupBy(col(group), col("shard"))
-      .agg(countDistinct(col("seq")).as("n_windows"),
-        count(lit(1)).as("n_spans"),
-        sum(col("len")).as("shard_tokens"),
-        min(col("seq")).as("first_seq"),
-        max(col("seq")).as("last_seq"))
-  }
-
   def packedWindows(docs: DataFrame, group: String, order: String,
                     nTok: String, budget: Long): DataFrame = {
     require(budget > 0, s"packedWindows: budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(group)).orderBy(col(order))
-    docs
-      .withColumn("__before", sum(col(nTok)).over(w) - col(nTok))
+    spansFromBefore(
+      docs.withColumn("__before", sum(col(nTok)).over(w) - col(nTok)),
+      group, order, nTok, budget)
+  }
+
+  /** [[packedWindows]]' SCALE path — row-identical output with NO
+    * single-task stage. The window form's per-group cumsum serializes
+    * each group through ONE task, and the common 100-TB corpus has ONE
+    * group (a single global pack order) — the same cliff
+    * [[graft.ops.Sampling.shufflePositionDistributed]] exists for, with
+    * sum-before in place of count-before. Same two-phase discipline:
+    * range-repartition on (group, order) so partitions hold contiguous
+    * runs of the pack order; per-(partition, group) token totals — at
+    * most partitions + groups rows — prefix-summed per group and
+    * broadcast back as offsets; each row's token-before is its
+    * WITHIN-PARTITION running sum (a window keyed by (partition, group),
+    * parallelism = partition count) plus its partition's offset.
+    * Identical to the window form wherever the range bounds fall because
+    * (group, order) is a total order — `order` must be unique per group,
+    * the same contract as [[packedWindows]]. localCheckpoint shares the
+    * ranged relation between the offsets aggregate and the final join
+    * (the shufflePositionDistributed rationale: range exchanges never
+    * canonicalize equal, so ReuseExchange cannot unify them).
+    */
+  def packedWindowsDistributed(docs: DataFrame, group: String, order: String,
+                               nTok: String, budget: Long,
+                               partitions: Int = 0): DataFrame = {
+    require(budget > 0,
+      s"packedWindowsDistributed: budget must be positive, got $budget")
+    val p = if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val w = org.apache.spark.sql.expressions.Window
+    val ranged = docs
+      .repartitionByRange(p, col(group), col(order))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy(col("__pid"), col(group))
+      .agg(sum(col(nTok)).as("__psum"))
+      .withColumn("__off", coalesce(sum(col("__psum")).over(
+        w.partitionBy(col(group)).orderBy(col("__pid"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col(group), col("__off"))
+    val before = ranged.join(broadcast(offsets), Seq("__pid", group))
+      .withColumn("__before",
+        col("__off") + coalesce(sum(col(nTok)).over(
+          w.partitionBy(col("__pid"), col(group)).orderBy(col(order))
+            .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+    spansFromBefore(before, group, order, nTok, budget)
+  }
+
+  /** The shared stateless span arithmetic over a relation carrying
+    * `__before` (tokens before this doc in its group's pack order).
+    */
+  private def spansFromBefore(before: DataFrame, group: String,
+                              order: String, nTok: String,
+                              budget: Long): DataFrame =
+    before
       .filter(col(nTok) > 0)
       .withColumn("seq", explode(sequence(
         expr(s"__before div $budget"),
@@ -143,5 +176,34 @@ object Planners {
         greatest(col("__before") - col("seq") * budget, lit(0L)).as("win_offset"),
         (least((col("seq") + 1) * budget, col("__before") + col(nTok))
           - greatest(col("seq") * budget, col("__before"))).as("len"))
+
+  /** Shard MANIFEST over [[packedWindows]]' layout under
+    * [[graft.pipelines.Pipelines.writePackedShards]]' arithmetic
+    * (shard = seq div windowsPerShard): one row per (group, shard) with
+    * window/span counts, the token total, and the window range — the
+    * trainer-side addressing and accounting relation (which shard dirs
+    * exist, how many tokens each holds, where a resume cursor lands)
+    * derived WITHOUT listing files. Same scale shape as the layout
+    * itself plus one aggregate on (group, shard). `distributed = true`
+    * derives the layout from [[packedWindowsDistributed]] (row-identical
+    * by contract; the x17 oracle pins it).
+    */
+  def shardManifest(docs: DataFrame, group: String, order: String,
+                    nTok: String, budget: Long,
+                    windowsPerShard: Long,
+                    distributed: Boolean = true): DataFrame = {
+    require(windowsPerShard > 0,
+      s"shardManifest: windowsPerShard must be positive, got $windowsPerShard")
+    val spans = if (distributed)
+      packedWindowsDistributed(docs, group, order, nTok, budget)
+    else packedWindows(docs, group, order, nTok, budget)
+    spans
+      .withColumn("shard", expr(s"seq div $windowsPerShard"))
+      .groupBy(col(group), col("shard"))
+      .agg(countDistinct(col("seq")).as("n_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("len")).as("shard_tokens"),
+        min(col("seq")).as("first_seq"),
+        max(col("seq")).as("last_seq"))
   }
 }

@@ -160,10 +160,13 @@ object Pipelines {
     */
   def writePackedShards(docs: DataFrame, group: String, order: String,
                         nTok: String, budget: Long, windowsPerShard: Long,
-                        outDir: String): Unit = {
+                        outDir: String, distributed: Boolean = true): Unit = {
     require(windowsPerShard > 0,
       s"writePackedShards: windowsPerShard must be positive, got $windowsPerShard")
-    graft.ops.Planners.packedWindows(docs, group, order, nTok, budget)
+    (if (distributed)
+      graft.ops.Planners.packedWindowsDistributed(docs, group, order, nTok,
+        budget)
+    else graft.ops.Planners.packedWindows(docs, group, order, nTok, budget))
       .withColumn("shard", expr(s"seq div $windowsPerShard"))
       .repartition(col(group), col("shard"))
       .sortWithinPartitions(col("seq"), col("win_offset"))

@@ -55,4 +55,40 @@ class PlannersSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("packedWindowsDistributed == packedWindows exactly, incl. the one-group cliff case (ScalaCheck)") {
+    // random token counts (zero-token docs included), random group
+    // arity 1..3 — arity 1 is the single-task cliff the distributed form
+    // exists for; 4-way parallelism forces real partition boundaries
+    // through every group's pack order
+    val gen = for {
+      toks <- Gen.listOfN(60, Gen.choose(0L, 900L))
+      nGroups <- Gen.choose(1, 3)
+    } yield (toks, nGroups)
+    val prop = Prop.forAll(gen) { case (toks, nGroups) =>
+      val docs = toks.zipWithIndex
+        .map { case (n, i) => (i.toLong, s"g${i % nGroups}", n) }
+        .toDF("id", "g", "n_tok")
+      val want = Planners.packedWindows(docs, "g", "id", "n_tok", 512L)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val got = Planners.packedWindowsDistributed(
+          docs, "g", "id", "n_tok", 512L, partitions = 4)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("shardManifest distributed and window forms agree") {
+    val docs = (1 to 100).map(i => (i.toLong, "all", (i % 37 + 3).toLong))
+      .toDF("id", "g", "n_tok")
+    val a = Planners.shardManifest(docs, "g", "id", "n_tok", 64L, 8L,
+        distributed = true)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val b = Planners.shardManifest(docs, "g", "id", "n_tok", 64L, 8L,
+        distributed = false)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
 }
