@@ -182,6 +182,29 @@ object MaintProbe {
       println(s"[probe] decont 100x rows: ${docs100.count()}")
       time("decont 100x train corpus") { run(docs100) }
     }
+    // ---- pack: the one-group pack-layout cliff and its distributed fix ----
+    // packedWindows' per-group window cumsum serializes each group
+    // through ONE task; a single global pack order (the common trainer
+    // layout) is the worst case. Timing both forms on a one-group corpus
+    // at 1M and 10M docs reads the cliff and the fix directly.
+    if (sections("pack")) locally {
+      import graft.ops.Planners
+      def mkDocs(n: Long): DataFrame = spark.range(n)
+        .select(col("id"), lit("all").as("g"),
+          (col("id") % 37 + 38).as("n_tok"))
+        .repartition(cpus.toInt).localCheckpoint()
+      def run(f: => DataFrame): Long =
+        f.agg(sum(col("len"))).collect()(0).getLong(0)
+      for (n <- Seq(1000000L, 10000000L, 40000000L)) {
+        val docs = mkDocs(n)
+        time(s"pack/window form, 1 group, $n docs") {
+          run(Planners.packedWindows(docs, "g", "id", "n_tok", 4096L))
+        }
+        time(s"pack/distributed form, 1 group, $n docs") {
+          run(Planners.packedWindowsDistributed(docs, "g", "id", "n_tok", 4096L))
+        }
+      }
+    }
     // ---- stream: streaming day-2 ingest rate tracks the SHARD ----
     // Claim (§6.3): the stream-static candidate joins read only the index
     // buckets a micro-batch touches, so wall scales with shard rows at a
