@@ -168,7 +168,30 @@ object Main {
         // reaches --compact-every. --audit prints the funnel.
         import graft.core.Bucketing
         import graft.dedup.Dedup
-        val docs = spark.read.parquet(opt(args, "--docs").get)
+        // --shard-id makes the whole mutation set idempotent: a re-run of
+        // an already-recorded shard (the at-least-once scheduler reality)
+        // is a no-op instead of a double-append (Bucketing.ingestOnce
+        // contract; the ledger rides the band table)
+        val shardId = opt(args, "--shard-id")
+        val bandTableForLedger = opt(args, "--band-table").get
+        if (shardId.exists(Bucketing.ingestApplied(spark, bandTableForLedger, _))) {
+          println(s"[ingest-daily] shard ${shardId.get} already ingested " +
+            s"into $bandTableForLedger; no-op")
+        } else {
+        val docs0 = spark.read.parquet(opt(args, "--docs").get)
+        // optional DECONTAMINATION of today's shard BEFORE any signature
+        // or index work — without it, a contaminated document is folded
+        // into the band index and survives as tomorrow's match source
+        // even if a later batch decontamination scrubs the corpus
+        val docs = opt(args, "--decontaminate").map { evalDir =>
+          val eval = spark.read.parquet(evalDir)
+          val n = opt(args, "--decont-ngram").map(_.toInt).getOrElse(5)
+          val dirty = Dedup.contaminatedIds(docs0, col("doc_id"), col("text"),
+              eval, col("text"), n)
+            .select(col("doc_id").as("__dirty_id"))
+          docs0.join(broadcast(dirty),
+            docs0("doc_id") === col("__dirty_id"), "left_anti")
+        }.getOrElse(docs0)
         val k = opt(args, "--minhash-k").map(_.toInt).getOrElse(8)
         val bandSize = opt(args, "--band-size").map(_.toInt).getOrElse(4)
         val bandTable = opt(args, "--band-table").get
@@ -272,6 +295,8 @@ object Main {
         }
         if (args.contains("--audit")) {
           println(f"[ingest-daily] shard_docs       ${docs.count()}%d")
+          if (opt(args, "--decontaminate").isDefined)
+            println(f"[ingest-daily] decont_dropped   ${docs0.count() - docs.count()}%d")
           println(f"[ingest-daily] shard_band_rows  ${shardBanded.count()}%d")
           println(f"[ingest-daily] candidate_pairs  ${cands.count()}%d")
           println(f"[ingest-daily] verified_pairs   ${verified.count()}%d")
@@ -303,6 +328,12 @@ object Main {
             case None =>
               println(s"[ingest-daily] sem pairs: ${v.count()}")
           }
+        }
+        // ledger marker LAST: every append and output above completed, so
+        // a crash anywhere earlier leaves the marker absent and the rerun
+        // redoes the day (bounded duplication, healed at compaction —
+        // Bucketing.ingestOnce scaladoc)
+        shardId.foreach(Bucketing.markIngested(spark, bandTableForLedger, _))
         }
       case "report" =>
         // corpus-QA report: the d7c / d16 / d8c views in one command —

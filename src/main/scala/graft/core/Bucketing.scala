@@ -145,6 +145,58 @@ object Bucketing {
     spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$table`")
   }
 
+  /** Has shard `shardId` been recorded against `table`'s ingest ledger?
+    * See [[ingestOnce]].
+    */
+  def ingestApplied(spark: org.apache.spark.sql.SparkSession,
+                    table: String, shardId: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val ledger = table + "__ingests"
+    spark.catalog.tableExists(ledger) &&
+      spark.table(ledger).filter(col("shard_id") === shardId)
+        .limit(1).count() > 0
+  }
+
+  /** Record shard `shardId` in `table`'s ingest ledger (a tiny managed
+    * parquet table `<table>__ingests`, one row per applied shard).
+    */
+  def markIngested(spark: org.apache.spark.sql.SparkSession,
+                   table: String, shardId: String): Unit = {
+    import spark.implicits._
+    Seq(shardId).toDF("shard_id")
+      .write.mode("append").format("parquet").saveAsTable(table + "__ingests")
+  }
+
+  /** IDEMPOTENT ingest guard — the at-least-once reality of any scheduler
+    * (a crashed day-2 job WILL be re-run) made safe for append-path
+    * tables, which otherwise double-append the shard: `body` runs only if
+    * `shardId` is not yet in the table's ledger, and is recorded after it
+    * completes. Returns true if body ran, false if the shard was already
+    * applied (the rerun no-op).
+    *
+    * Crash contract: a crash DURING body or between body and the marker
+    * write leaves the marker absent, so the rerun re-appends — a bounded
+    * duplication window (one shard), healed physically by the next
+    * [[compactBucketed]] with `transform = _.dropDuplicates()`: exact
+    * replayed rows collapse inside the same shuffle-free one-task-per-
+    * bucket pass (dedup keys ⊇ the bucket key, so the aggregate rides
+    * the bucketed scan's partitioning — asserted in BucketingSpec).
+    * Marker-before-body would trade this for silent shard LOSS on crash;
+    * duplicates that compaction heals are the right side of that trade.
+    * Single-writer per table, like the appends it guards.
+    */
+  def ingestOnce(spark: org.apache.spark.sql.SparkSession,
+                 table: String, shardId: String)(body: => Unit): Boolean = {
+    require(!table.contains(".") && !table.contains("`"),
+      s"ingestOnce: '$table' must be a simple (unqualified) table name")
+    if (ingestApplied(spark, table, shardId)) false
+    else {
+      body
+      markIngested(spark, table, shardId)
+      true
+    }
+  }
+
   /** Bucket count of a managed table from the catalog (0 if unbucketed) —
     * lets maintenance cadence logic reason in files-per-bucket without the
     * caller re-supplying the spec it wrote the table with.

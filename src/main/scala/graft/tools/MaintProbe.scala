@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,compact,decont,stream}
+  * where sections is a comma list of {x8,v15,compact,decont,stream,pack}
   * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {

@@ -225,6 +225,56 @@ class CliSpec extends SparkSpec {
     assert(Vectors.readSemanticIndex(spark, "cli_sem_idx").count() === 6L)
   }
 
+  test("ingest-daily --shard-id/--decontaminate: contaminated doc never enters the index; rerun is a no-op") {
+    import graft.core.Bucketing
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    val evalText = "held out benchmark question about the capital of " +
+      "france and its famous tower near the river in the spring"
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS cli_led_idx")
+    spark.sql("DROP TABLE IF EXISTS cli_led_idx__ingests")
+    try {
+      Dedup.writeBandIndex(Dedup.bandedSignatures(
+        Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4),
+        "cli_led_idx", buckets = 4)
+      val base = spark.table("cli_led_idx").count()
+      // shard: 101 leaks the eval passage; 102 is clean
+      val shard = Seq(
+        101L -> ("a leaked copy of the held out benchmark question about " +
+          "the capital of france padded with travel prose"),
+        102L -> "subway platforms echo with late night announcements")
+        .toDF("doc_id", "text")
+      val shardDir = tmpDir("cli_led_shard")
+      shard.write.mode("overwrite").parquet(shardDir)
+      val evalDir = tmpDir("cli_led_eval")
+      Seq((900L, evalText)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(evalDir)
+      val outDir = tmpDir("cli_led_out") + "/pairs"
+      val argsDay = Array("ingest-daily", "--docs", shardDir,
+        "--band-table", "cli_led_idx", "--buckets", "4",
+        "--shard-id", "day-1", "--decontaminate", evalDir,
+        "--output", outDir)
+      Main.run(spark, argsDay)
+      val idx = Dedup.readBandIndex(spark, "cli_led_idx")
+      // 102's 2 band rows folded in; 101 decontaminated away BEFORE fold
+      assert(idx.filter(col("doc_id") === 102L).count() === 2)
+      assert(idx.filter(col("doc_id") === 101L).count() === 0)
+      val afterDay1 = idx.count()
+      assert(afterDay1 === base + 2)
+      // scheduler retry of the SAME day: ledger makes it a no-op
+      Main.run(spark, argsDay)
+      assert(Dedup.readBandIndex(spark, "cli_led_idx").count() === afterDay1)
+      assert(Bucketing.ingestApplied(spark, "cli_led_idx", "day-1"))
+      assert(!Bucketing.ingestApplied(spark, "cli_led_idx", "day-2"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cli_led_idx")
+      spark.sql("DROP TABLE IF EXISTS cli_led_idx__ingests")
+    }
+  }
+
   test("report subcommand: cluster sizes + cross-source matrix + contamination land as parquet") {
     val dup = "the quick brown fox jumps over the lazy dog near the river " +
       "bank tonight while the moon rises over the quiet water meadows"

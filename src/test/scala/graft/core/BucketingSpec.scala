@@ -377,6 +377,60 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sem_idx_spec")
   }
 
+  test("ingestOnce: rerun is a no-op; replayed append heals at compaction, shuffle-free") {
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 40L).map(i => (i, s"v$i")).toDF("k", "v")
+    val shard = (100L until 110L).map(i => (i, s"v$i")).toDF("k", "v")
+    spark.sql("DROP TABLE IF EXISTS ing_once_t")
+    spark.sql("DROP TABLE IF EXISTS ing_once_t__ingests")
+    try {
+      Bucketing.writeBucketed(rows, "ing_once_t", "k", 4)
+      // day-2 ingest under the guard
+      val ran = Bucketing.ingestOnce(spark, "ing_once_t", "day-2") {
+        Bucketing.appendBucketed(shard, "ing_once_t", "k", 4)
+      }
+      assert(ran && spark.table("ing_once_t").count() === 50)
+      // scheduler retries the SAME day: guard makes it a no-op
+      val reran = Bucketing.ingestOnce(spark, "ing_once_t", "day-2") {
+        Bucketing.appendBucketed(shard, "ing_once_t", "k", 4)
+      }
+      assert(!reran && spark.table("ing_once_t").count() === 50)
+      // crash WINDOW: append completed but the marker write was lost —
+      // the rerun re-appends (at-least-once) and the next compaction
+      // heals the exact duplicates inside the same shuffle-free pass
+      Bucketing.appendBucketed(shard, "ing_once_t", "k", 4)
+      assert(spark.table("ing_once_t").count() === 60)
+      Bucketing.compactBucketed(spark, "ing_once_t",
+        transform = _.dropDuplicates())
+      assert(spark.table("ing_once_t").count() === 50)
+      assert(Bucketing.dataFiles(spark, "ing_once_t").size === 4)
+      // and the healed table is byte-equal to the intended content
+      val got = spark.table("ing_once_t").as[(Long, String)].collect().toSet
+      assert(got === (rows.as[(Long, String)].collect().toSet ++
+        shard.as[(Long, String)].collect().toSet))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ing_once_t")
+      spark.sql("DROP TABLE IF EXISTS ing_once_t__ingests")
+    }
+  }
+
+  test("dropDuplicates rides the bucketed scan with no exchange (dedupe keys ⊇ bucket key)") {
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 40L).map(i => (i, s"v$i")).toDF("k", "v")
+    spark.sql("DROP TABLE IF EXISTS dedupe_scan_t")
+    try {
+      Bucketing.writeBucketed(rows, "dedupe_scan_t", "k", 4)
+      val autoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = spark.conf.get(autoScan)
+      try {
+        spark.conf.set(autoScan, "false")
+        val plan = spark.table("dedupe_scan_t").dropDuplicates()
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), plan)
+      } finally spark.conf.set(autoScan, prev)
+    } finally spark.sql("DROP TABLE IF EXISTS dedupe_scan_t")
+  }
+
   test("aggregation on the bucket key needs no exchange either") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
