@@ -133,15 +133,27 @@ object Main {
         graft.extensions.GraftExtensions.register(spark)
         val docs = spark.read.parquet(opt(args, "--docs").get)
         val group = opt(args, "--group").getOrElse("lang")
-        val plan = graft.ops.Planners.packPlan(
-          docs.select(col("doc_id"), col(group),
-            graft.text.TextFunctions.tokenCountNative(col("text"))
-              .cast("long").as("n_tok")),
-          group, "doc_id", "n_tok",
-          budget = opt(args, "--budget").map(_.toLong).getOrElse(4096L))
-        opt(args, "--output") match {
-          case Some(out) => plan.write.mode("overwrite").parquet(out)
-          case None      => plan.show(50, truncate = false)
+        val budget = opt(args, "--budget").map(_.toLong).getOrElse(4096L)
+        val toks = docs.select(col("doc_id"), col(group),
+          graft.text.TextFunctions.tokenCountNative(col("text"))
+            .cast("long").as("n_tok"))
+        // --out-shards materializes the LAYOUT as addressable training
+        // shards (writePackedShards: --windows-per-shard windows per dir,
+        // deterministic boundaries); default emits the packPlan summary
+        opt(args, "--out-shards") match {
+          case Some(outDir) =>
+            val wps = opt(args, "--windows-per-shard").map(_.toLong)
+              .getOrElse(1024L)
+            Pipelines.writePackedShards(toks, group, "doc_id", "n_tok",
+              budget, wps, outDir)
+            println(s"[pack] shard layout written to $outDir")
+          case None =>
+            val plan = graft.ops.Planners.packPlan(
+              toks, group, "doc_id", "n_tok", budget)
+            opt(args, "--output") match {
+              case Some(out) => plan.write.mode("overwrite").parquet(out)
+              case None      => plan.show(50, truncate = false)
+            }
         }
       case "ingest" =>
         // incremental dedup: new shard vs a persisted banded-signature

@@ -166,6 +166,24 @@ object QText {
           round(col("n_kept") / col("n_docs"), 6))
     }),
 
+    // Source PROFILE — the per-source data card a corpus release ships:
+    // document/token volumes, mean quality, language spread, size shape.
+    // One scan + one aggregate on source; at 100 TB this is the cheapest
+    // query in the curation suite and the first one a reviewer reads.
+    "tx_source_profile" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      t(s, d, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          tokenCountNative(col("text")).cast("long").as("n_tok"),
+          round(qualityScoreNative(col("text")), 6).as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("token_sum"),
+          round(avg("q"), 6).as("mean_quality"),
+          countDistinct("lang").as("n_langs"),
+          round(avg(col("n_chars")), 2).as("mean_chars"))
+    }),
+
     // Language-ID heuristic: marker-stopword argmax.
     "tx_langid" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -620,6 +638,17 @@ object QText {
                  round(CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END)
                    AS DOUBLE) / count(*), 6) AS frac_kept
           FROM e GROUP BY threshold""",
+    "tx_source_profile" ->
+      s"""WITH q AS (SELECT source, lang, n_chars,
+                            CAST(len($toksSql) AS BIGINT) AS n_tok,
+                            round($qualitySql, 6) AS q
+                     FROM documents)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS token_sum,
+                 round(avg(q), 6) AS mean_quality,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 round(avg(n_chars), 2) AS mean_chars
+          FROM q GROUP BY source""",
     "tx_langid" ->
       s"""WITH sc AS (SELECT doc_id, lang, $langScoresSql FROM documents)
           SELECT doc_id, lang, $langGuessSql AS lang_guess,

@@ -309,6 +309,24 @@ class CliSpec extends SparkSpec {
     assert(cont(100L) > 0.5) // the eval item leaks via doc 4
   }
 
+  test("pack --out-shards: the layout lands as addressable shard dirs") {
+    import org.apache.spark.sql.functions.col
+    val docsDir = tmpDir("cli_pack_docs")
+    (1 to 60).map(i => (i.toLong, "all",
+        ("tok " * (i % 17 + 3)).trim))
+      .toDF("doc_id", "grp", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val outDir = tmpDir("cli_pack_out") + "/shards"
+    Main.run(spark, Array("pack", "--docs", docsDir, "--group", "grp",
+      "--budget", "32", "--windows-per-shard", "4",
+      "--out-shards", outDir))
+    val back = spark.read.parquet(outDir)
+    assert(back.count() > 0)
+    // addressing: every span's window sits in its dir's range
+    assert(back.filter(col("seq") < col("shard") * 4 ||
+      col("seq") >= (col("shard") + 1) * 4).count() === 0)
+  }
+
   test("mixture subcommand: temperature plan lands in --output as json") {
     val docs = (0L until 30L).map(i =>
         (i, "some text content here", if (i < 24) "en" else "fr"))
