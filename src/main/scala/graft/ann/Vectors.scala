@@ -601,11 +601,19 @@ object Vectors {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String): Unit = {
     val tt = tombstoneTable(table)
+    // dropDuplicates first: the same crash-replay heal every band-index
+    // compaction applies (ingestOnce's bounded-duplication window — a
+    // rerun after a crash between append and ledger marker re-appends the
+    // shard's code rows verbatim). Dedup keys ⊇ the bucket key, so both
+    // the aggregate and the anti-join ride the bucketed scan's
+    // partitioning — still zero exchanges.
     if (spark.catalog.tableExists(tt)) {
       graft.core.Bucketing.compactBucketed(spark, table,
-        _.join(broadcast(spark.table(tt)), Seq("vec_id"), "left_anti"))
+        _.dropDuplicates()
+          .join(broadcast(spark.table(tt)), Seq("vec_id"), "left_anti"))
       spark.sql(s"DROP TABLE `$tt`")
-    } else graft.core.Bucketing.compactBucketed(spark, table)
+    } else graft.core.Bucketing.compactBucketed(spark, table,
+      _.dropDuplicates())
   }
 
   /** Corpus-mean PQ reconstruction error under `books` — one number
@@ -1024,15 +1032,23 @@ object Vectors {
     * (`maxCell` per side, so a hot historical cell cannot explode a
     * small shard's join — worst case cells × maxCell² like the band
     * caps), and exact cosine ≥ `minCosine` decides. Cost ∝ shard cells'
-    * populations; the bucketed index prunes to the shard's cells.
-    * Output: (vec_a, vec_b, cosine), at least one side new, vec_a <
-    * vec_b.
+    * populations: the index is SEMI-JOINED to the shard's cell set
+    * BEFORE the per-cell cap window, so the cap shuffles only rows of
+    * cells the shard actually touches (the semi-join keeps whole cells,
+    * so per-cell counts — and therefore which cells the cap drops — are
+    * identical to capping the full index), and the broadcast semi-join
+    * keeps the scan itself exchange-free. Pass `indexPreCapped = true`
+    * when the persisted index is already capped (the
+    * [[graft.streaming.Streaming]] twins' contract) to skip the window
+    * entirely. Output: (vec_a, vec_b, cosine), at least one side new,
+    * vec_a < vec_b.
     */
   def incrementalSemanticPairs(shard: DataFrame, idCol: String,
                                vecCol: String, cents: DataFrame,
                                index: DataFrame, minCosine: Double,
                                maxCell: Int = 512,
-                               roundTo: Int = 6): DataFrame = {
+                               roundTo: Int = 6,
+                               indexPreCapped: Boolean = false): DataFrame = {
     def capped(df: DataFrame): DataFrame = df
       .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cell")))
       .filter(col("__cn") <= maxCell)
@@ -1040,7 +1056,9 @@ object Vectors {
     val c = normalized(shard, idCol, vecCol).localCheckpoint(false)
     val nw = capped(assignCells(c, "vec_id", cents).join(c, "vec_id"))
       .localCheckpoint(false)
-    val old = capped(index)
+    val pruned = index.join(
+      broadcast(nw.select(col("cell")).distinct()), Seq("cell"), "left_semi")
+    val old = if (indexPreCapped) pruned else capped(pruned)
     def scored(a: DataFrame, b: DataFrame, cond: Column): DataFrame =
       a.select(col("vec_id").as("__ia"), col("cell"),
           col("v").as("__va"), col("vn").as("__na"))

@@ -182,14 +182,12 @@ object Main {
         import graft.dedup.Dedup
         // --shard-id makes the whole mutation set idempotent: a re-run of
         // an already-recorded shard (the at-least-once scheduler reality)
-        // is a no-op instead of a double-append (Bucketing.ingestOnce
-        // contract; the ledger rides the band table)
+        // is a no-op instead of a double-append. The check-then-mark
+        // contract lives in ONE place — Bucketing.ingestOnce wraps the
+        // whole mutation body; the ledger rides the band table.
         val shardId = opt(args, "--shard-id")
         val bandTableForLedger = opt(args, "--band-table").get
-        if (shardId.exists(Bucketing.ingestApplied(spark, bandTableForLedger, _))) {
-          println(s"[ingest-daily] shard ${shardId.get} already ingested " +
-            s"into $bandTableForLedger; no-op")
-        } else {
+        def ingestDailyBody(): Unit = {
         val docs0 = spark.read.parquet(opt(args, "--docs").get)
         // optional DECONTAMINATION of today's shard BEFORE any signature
         // or index work — without it, a contaminated document is folded
@@ -212,6 +210,18 @@ object Main {
             Dedup.minhashSignatures(docs, col("doc_id"), col("text"), k),
             bandSize)
           .localCheckpoint() // feeds pairs AND the index append
+        // FIRST-EVER-RUN bootstrap: when the catalog lacks an index table,
+        // create it EMPTY with the right bucket spec (zero rows of the
+        // shard's own schema), so day 1 is just another ingest — the read
+        // sees an empty index, candidates are new×new only, and the
+        // append below lands the first real file set. Without this,
+        // readBandIndex/readSemanticIndex (spark.table) throws and the
+        // loop needs a separate out-of-band build step.
+        def bootstrapBandIndex(table: String,
+                               like: org.apache.spark.sql.DataFrame): Unit =
+          if (!spark.catalog.tableExists(table))
+            Dedup.writeBandIndex(like.limit(0), table, buckets)
+        bootstrapBandIndex(bandTable, shardBanded)
         // candidates + verification are EAGERLY materialized before the
         // index append below: both read the band-index table lazily, and
         // appending first would let today's shard join against itself
@@ -259,6 +269,7 @@ object Main {
             .select(col("doc_id"), col(fpCol))
           val shardBandedFp = Dedup.fingerprintBandsIndexable(shardFps,
             col("doc_id"), col(fpCol), bits, bandBits).localCheckpoint()
+          bootstrapBandIndex(fpTable, shardBandedFp)
           val fpCands = Dedup.incrementalCandidatePairs(shardBandedFp,
             Dedup.readBandIndex(spark, fpTable)).localCheckpoint()
           val fpLookup = (opt(args, "--fp-corpus") match {
@@ -281,6 +292,9 @@ object Main {
           val minCos = opt(args, "--min-cosine").map(_.toDouble).getOrElse(0.99)
           val shardVecs = spark.read.parquet(sdir)
           val vecCol = opt(args, "--sem-col").getOrElse("embedding")
+          if (!spark.catalog.tableExists(semTable))
+            Vectors.writeSemanticIndex(shardVecs.limit(0), "vec_id", vecCol,
+              cents, semTable, buckets)
           val pairs = Vectors.incrementalSemanticPairs(shardVecs, "vec_id",
             vecCol, cents, Vectors.readSemanticIndex(spark, semTable),
             minCos).localCheckpoint()
@@ -293,13 +307,24 @@ object Main {
           val n = Bucketing.bucketCount(spark, tbl)
           n > 0 && Bucketing.dataFiles(spark, tbl).size >= compactEvery.toLong * n
         }
+        // compaction folds `dropDuplicates()` into the one-task-per-bucket
+        // rewrite: this is the physical HEAL of the crash-replay window the
+        // ingestOnce ledger leaves open (crash after an append but before
+        // the marker → the rerun re-appends the shard). Exact replayed
+        // rows collapse inside the same shuffle-free pass — dedup keys ⊇
+        // the bucket key, so the aggregate rides the bucketed scan's
+        // partitioning (BucketingSpec asserts zero exchanges) — and
+        // per-bucket counts return to truth, so maxBucket caps stop
+        // silently dropping candidate pairs off inflated buckets.
+        val heal: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          _.dropDuplicates()
         val bandCompacted = due(bandTable)
-        if (bandCompacted) Bucketing.compactBucketed(spark, bandTable)
+        if (bandCompacted) Bucketing.compactBucketed(spark, bandTable, heal)
         fpIngest.foreach { case (t, _) =>
-          if (due(t)) Bucketing.compactBucketed(spark, t)
+          if (due(t)) Bucketing.compactBucketed(spark, t, heal)
         }
         semIngest.foreach { case (t, _) =>
-          if (due(t)) Bucketing.compactBucketed(spark, t)
+          if (due(t)) Bucketing.compactBucketed(spark, t, heal)
         }
         val vecCompacted = vecAppend.exists { case (t, _) => due(t) }
         vecAppend.foreach { case (t, _) =>
@@ -341,11 +366,19 @@ object Main {
               println(s"[ingest-daily] sem pairs: ${v.count()}")
           }
         }
-        // ledger marker LAST: every append and output above completed, so
-        // a crash anywhere earlier leaves the marker absent and the rerun
-        // redoes the day (bounded duplication, healed at compaction —
-        // Bucketing.ingestOnce scaladoc)
-        shardId.foreach(Bucketing.markIngested(spark, bandTableForLedger, _))
+        }
+        shardId match {
+          case Some(sid) =>
+            // ledger marker LAST (written by ingestOnce after the body):
+            // a crash anywhere in the body leaves the marker absent and
+            // the rerun redoes the day — bounded duplication, healed
+            // physically by the dropDuplicates pass every compaction
+            // below folds in
+            val ran = Bucketing.ingestOnce(spark, bandTableForLedger, sid)(
+              ingestDailyBody())
+            if (!ran) println(s"[ingest-daily] shard $sid already " +
+              s"ingested into $bandTableForLedger; no-op")
+          case None => ingestDailyBody()
         }
       case "report" =>
         // corpus-QA report: the d7c / d16 / d8c views in one command —

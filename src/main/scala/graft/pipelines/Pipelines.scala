@@ -414,15 +414,24 @@ object Pipelines {
         // vec_id % step == 0, which silently yields ZERO cells — and
         // zero pairs — on a corpus whose ids happen to skip the
         // multiples. k is bounded by the corpus (kmeansCentroids
-        // loudly refuses k > rows); the count reads the exact-dedup
-        // checkpoint the guard counts already materialized.
+        // loudly refuses k > rows), probed with a BOUNDED
+        // limit(semCells).count() — k never exceeds semCells, so only
+        // the first semCells rows decide it; a full vecs.count() here
+        // would re-scan the whole exact-dedup relation during stage
+        // CONSTRUCTION even for callers that only inspect plans. An
+        // EMPTY corpus short-circuits to the perceptual graph (zero
+        // semantic pairs) instead of tripping kmeansCentroids' loud
+        // k = 0 refusal.
         val vecs = exact.select(id.cast("long").as("vec_id"), col(ec))
-        val k = math.min(semCells.toLong, vecs.count()).toInt
-        val cents = graft.ann.Vectors.kmeansCentroids(vecs, "vec_id", ec, k)
-        perceptualPairs.union(
-          graft.ann.Vectors.semanticNearDupPairsWith(vecs, "vec_id", ec,
-            cents, minCosine, semMaxCell)
-            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        val k = vecs.limit(semCells).count().toInt
+        if (k == 0) perceptualPairs
+        else {
+          val cents = graft.ann.Vectors.kmeansCentroids(vecs, "vec_id", ec, k)
+          perceptualPairs.union(
+            graft.ann.Vectors.semanticNearDupPairsWith(vecs, "vec_id", ec,
+              cents, minCosine, semMaxCell)
+              .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        }
     }
     // star CC, not min-label: min-label's round count is the component
     // DIAMETER, and the 100× probe (§6.3) showed a real curation graph

@@ -172,14 +172,19 @@ object QText {
     // query in the curation suite and the first one a reviewer reads.
     "tx_source_profile" -> ((s, d) => {
       graft.extensions.GraftExtensions.register(s)
+      // mean_quality via FIXED-POINT sum: a cross-engine avg of doubles is
+      // summation-order-sensitive in the last ulp (the d16 lesson), so the
+      // 6dp-rounded scores are summed as micro-units (exact BIGINT
+      // arithmetic, order-insensitive) and divided once at the end.
       t(s, d, "documents")
         .select(col("source"), col("lang"), col("n_chars"),
           tokenCountNative(col("text")).cast("long").as("n_tok"),
-          round(qualityScoreNative(col("text")), 6).as("q"))
+          round(round(qualityScoreNative(col("text")), 6) * lit(1e6))
+            .cast("long").as("q6"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tok").as("token_sum"),
-          round(avg("q"), 6).as("mean_quality"),
+          round(sum("q6") / (count(lit(1)) * lit(1e6)), 6).as("mean_quality"),
           countDistinct("lang").as("n_langs"),
           round(avg(col("n_chars")), 2).as("mean_chars"))
     }),
@@ -641,11 +646,13 @@ object QText {
     "tx_source_profile" ->
       s"""WITH q AS (SELECT source, lang, n_chars,
                             CAST(len($toksSql) AS BIGINT) AS n_tok,
-                            round($qualitySql, 6) AS q
+                            CAST(round(round($qualitySql, 6) * 1000000.0)
+                              AS BIGINT) AS q6
                      FROM documents)
           SELECT source, count(*) AS n_docs,
                  CAST(sum(n_tok) AS BIGINT) AS token_sum,
-                 round(avg(q), 6) AS mean_quality,
+                 round(CAST(sum(q6) AS DOUBLE) / (count(*) * 1000000.0), 6)
+                   AS mean_quality,
                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
                  round(avg(n_chars), 2) AS mean_chars
           FROM q GROUP BY source""",

@@ -438,4 +438,60 @@ class VectorsSpec extends SparkSpec {
       .select("vec_id", "cell").as[(Long, Long)].collect().toSet
     assert(agg === got)
   }
+
+  test("incrementalSemanticPairs prunes the index to the shard's cells before the cap window") {
+    val rnd = new scala.util.Random(23)
+    // 80 index vectors over many cells; the shard lands in a FEW cells —
+    // the cell semi-join must keep per-cell cap decisions identical to
+    // capping the full index while only touching the shard's cells
+    val idxVecs = (0L until 80L)
+      .map(i => (i, Array.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Vectors.stepCentroids(idxVecs, "vec_id", "embedding", 8)
+      .localCheckpoint()
+    val index = Vectors.semanticIndex(idxVecs, "vec_id", "embedding", cents)
+      .localCheckpoint()
+    // shard: two fresh vectors plus a scaled copy of index vector 7 —
+    // cosine 1.0 with its twin, guaranteed in the twin's cell
+    val seven = idxVecs.filter(col("vec_id") === 7L)
+      .select("embedding").as[Array[Float]].head()
+    val shard = Seq(
+      (200L, seven.map(_ * 3.0f)),
+      (201L, Array.fill(6)(rnd.nextGaussian().toFloat)),
+      (202L, Array.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Vectors.incrementalSemanticPairs(shard, "vec_id", "embedding",
+        cents, index, minCosine = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.exists { case (a, b, c) => a == 7L && b == 200L && c == 1.0 },
+      s"got $got")
+    // physical shape: the index side is pruned by a broadcast semi-join
+    // on cell, so the cap window shuffles only the shard's cells
+    val plan = Vectors.incrementalSemanticPairs(shard, "vec_id", "embedding",
+      cents, index, minCosine = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    // indexPreCapped skips the window on the index side but keeps results
+    // identical when no cell exceeds the cap
+    val pre = Vectors.incrementalSemanticPairs(shard, "vec_id", "embedding",
+        cents, index, minCosine = 0.9, indexPreCapped = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pre === got)
+    // and a hot historical cell (over maxCell) is dropped by BOTH the
+    // pruned window and full-index capping — same pair set either way
+    val gotCapped = Vectors.incrementalSemanticPairs(shard, "vec_id",
+        "embedding", cents, index, minCosine = 0.9, maxCell = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    def cellOf(ids: org.apache.spark.sql.DataFrame) =
+      Vectors.semanticIndex(ids, "vec_id", "embedding", cents)
+        .select("vec_id", "cell")
+    val counts = index.groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    val shardCells = cellOf(shard).as[(Long, Long)].collect().toMap
+    gotCapped.foreach { case (a, b, _) =>
+      val oldId = math.min(a, b); val cell = shardCells(math.max(a, b))
+      if (oldId < 200L) assert(counts(cell) <= 3L,
+        s"pair ($a,$b) survived through an over-cap cell $cell")
+    }
+  }
 }

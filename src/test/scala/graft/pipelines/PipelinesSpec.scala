@@ -258,6 +258,30 @@ class PipelinesSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("dedupCorpus embeddingCol: empty and tiny corpora survive the semantic stage") {
+    val schema = "doc_id LONG, text STRING, source STRING, emb ARRAY<FLOAT>"
+    // EMPTY corpus: the semantic stage short-circuits to zero pairs
+    // instead of tripping kmeansCentroids' k = 0 refusal
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val keptEmpty = Pipelines.dedupCorpus(empty, col("doc_id"), col("text"),
+        minQuality = 0.0, embeddingCol = Some("emb"), semCells = 4)
+      .select("doc_id").as[Long].collect()
+    assert(keptEmpty.isEmpty)
+    // corpus SMALLER than semCells: k clamps to the corpus size
+    val tiny = Seq(
+      (1L, "alpine meadows under clear morning light with distant peaks",
+        "a", Seq(1.0f, 0.0f)),
+      (2L, "harbor cranes unload container ships beneath sodium lamps",
+        "a", Seq(0.0f, 1.0f)))
+      .toDF("doc_id", "text", "source", "emb")
+    val keptTiny = Pipelines.dedupCorpus(tiny, col("doc_id"), col("text"),
+        minQuality = 0.0, embeddingCol = Some("emb"), semCells = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTiny === Set(1L, 2L))
+  }
+
   test("evaluate: scores ⋈ test manifest → model × metric pivot") {
     val test = Seq("s1", "s2").toDF("stem")
     val scores = Seq(
