@@ -966,6 +966,47 @@ object Vectors {
     assignCells(c, "vec_id", cents).join(c, "vec_id")
   }
 
+  /** PROTOTYPICALITY scores — each vector's cosine to its own cell's
+    * centroid (rounded to `roundTo`), the density signal the D4 /
+    * SSL-prototypes curation papers prune on: a crawl over-represents the
+    * prototypical core of every cluster, and those vectors teach a model
+    * least per token. Output: (vec_id, cell, proto). One broadcast join
+    * against the (tiny) centroid set after cell assignment; on the
+    * persisted cell-bucketed index the scoring is a map-side projection.
+    */
+  def prototypicality(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: DataFrame, roundTo: Int = 6): DataFrame =
+    semanticIndex(corpus, idCol, vecCol, cents)
+      .join(broadcast(cents.select(col("cent_id").as("cell"),
+        col("cv"), col("cvn"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        round(dot(col("v"), col("cv")) / (col("vn") * col("cvn"))
+          + lit(0.0), roundTo).as("proto"))
+
+  /** PROTOTYPICALITY pruning audit — [[prototypicality]] plus the per-cell
+    * keep/prune decision: within each cell the top `pruneFraction` of
+    * vectors by (proto desc, vec_id) are marked `pruned` (SemDeDup removes
+    * near-DUPLICATES; this removes near-REDUNDANT density — the two
+    * compose into the D4 recipe). ceil semantics: every non-empty cell
+    * prunes at least one vector when pruneFraction > 0. Deterministic
+    * under ties (vec_id ascending), so the kept set is reproducible —
+    * the property a resumable curation run needs. One per-cell window;
+    * exchange-free on a cell-bucketed index.
+    */
+  def prototypicalityPrune(corpus: DataFrame, idCol: String, vecCol: String,
+                           cents: DataFrame,
+                           pruneFraction: Double = 0.2): DataFrame = {
+    require(pruneFraction >= 0.0 && pruneFraction <= 1.0,
+      s"prototypicalityPrune: pruneFraction $pruneFraction outside [0, 1]")
+    val byProto = Window.partitionBy("cell")
+      .orderBy(col("proto").desc, col("vec_id"))
+    prototypicality(corpus, idCol, vecCol, cents)
+      .withColumn("rn", row_number().over(byProto))
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy("cell")))
+      .select(col("vec_id"), col("cell"), col("proto"),
+        (col("rn") <= ceil(col("cn") * lit(pruneFraction))).as("pruned"))
+  }
+
   /** STATELESS cell assignment — [[assignCells]] without the aggregate:
     * the centroid set is collected ONCE at plan-build time (driver-bounded
     * k×dim doubles, the same contract as [[kmeansCentroids]]' driver-side

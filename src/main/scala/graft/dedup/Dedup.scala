@@ -233,6 +233,68 @@ object Dedup {
     newNew.union(newOld).distinct()
   }
 
+  /** First-seen n-gram NOVELTY per document — the dedup-aware curation
+    * signal between exact-dup (0 against an earlier twin) and fully fresh
+    * (1): the fraction of a doc's distinct word n-grams whose corpus-wide
+    * first appearance (min id — ingest order at scale) is THIS document.
+    * Boilerplate-heavy docs score low with no pairwise work anywhere:
+    * one explode + one min-per-gram hash-aggregate (map-side partial min
+    * collapses hot boilerplate grams before the shuffle) + one per-doc
+    * re-aggregate — linear in corpus size. Docs with fewer than n tokens
+    * have no n-grams and are absent from the output by construction.
+    * Output: (doc_id, n_ngrams, n_novel, novelty).
+    */
+  def noveltyScores(docs: DataFrame, id: Column, text: Column,
+                    n: Int = 3, roundTo: Int = 6): DataFrame = {
+    val grams = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgramsFromTokens(col("toks"), n))).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_ngrams"), roundTo))
+  }
+
+  /** SKETCH-ACCURACY audit — for every LSH candidate pair, the MinHash
+    * ESTIMATE of Jaccard (the fraction of the k seeds whose minhash
+    * agrees — the estimator banding's S-curve is built on) against the
+    * exact char-n-gram Jaccard, with the absolute error. Run it on a
+    * daily shard before trusting the sketch at full scale: a drifting
+    * corpus (shorter docs, new alphabet, different shingle density)
+    * degrades the word-shingle sketch silently, and this view makes the
+    * degradation a number. Pairs with NO shared n-gram — pure band
+    * collisions, the most interesting rows — keep exact = 0.0 via the
+    * left join. Cost: the d5 verify pipeline plus one join against the
+    * (k rows per doc) signature relation.
+    * Output: (doc_a, doc_b, est_jaccard, jaccard, abs_err).
+    */
+  def sketchAccuracy(docs: DataFrame, id: Column, text: Column,
+                     k: Int = 8, bandSize: Int = 4, ngram: Int = 3,
+                     roundTo: Int = 6): DataFrame = {
+    val sigs = minhashSignatures(docs, id, text, k)
+    val cands = lshCandidatePairs(sigs, bandSize)
+    val est = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("seed"),
+        col("minhash").as("mh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("seed"),
+        col("minhash").as("mh_b")), Seq("doc_b", "seed"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(avg(when(col("mh_a") === col("mh_b"), 1.0)
+        .otherwise(0.0)), roundTo).as("est_jaccard"))
+    val exact = verifyCandidates(docs, cands, id, text, ngram,
+        minJaccard = 0.0, roundTo)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("jaccard")), roundTo))
+  }
+
   /** Long-format SimHash bits: (id, bit_idx ∈ 1..32, bit ∈ {0,1}).
     * bit_i votes +1 when hex digit i of md5(token) is >= '8' (top bit of the
     * nibble set), −1 otherwise; the sign of the per-document vote sum is the

@@ -213,6 +213,18 @@ object QText {
     "tx_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // NOVELTY score — per document, the fraction of its distinct word
+    // 3-grams that first appear in THIS document (first-seen = min
+    // doc_id over the corpus; ingest order at scale). The dedup-aware
+    // curation signal between exact dup (novelty 0 against an earlier
+    // twin) and fully fresh (novelty 1): boilerplate-heavy docs score
+    // low without any pairwise comparison. One explode + one min-per-
+    // gram aggregate (map-side partial min; the shuffle is keyed on the
+    // gram, so hot boilerplate grams combine before moving) + one
+    // per-doc re-aggregate — linear in corpus size, no pairs anywhere.
+    "tx_novelty" -> ((s, d) =>
+      Dedup.noveltyScores(t(s, d, "documents"), col("doc_id"), col("text"), 3)),
+
     // PII scrub — the redaction pass run before training on scraped text.
     // Deterministic synthetic PII (an email + a phone derived from doc_id)
     // is appended so the redaction provably fires on every row; output is
@@ -296,6 +308,21 @@ object QText {
         Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
       Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
     }),
+
+    // D18: SKETCH-ACCURACY audit — for every LSH candidate pair, the
+    // MinHash-estimated Jaccard (fraction of the 8 seeds whose minhash
+    // agrees) against the exact char-3-gram Jaccard, with the absolute
+    // error. The QA view that validates the sketch before its banding
+    // gates a 100 TB dedup run: a drifting corpus (shorter docs, new
+    // alphabet) degrades the word-shingle sketch silently, and this
+    // query makes the degradation measurable on a daily shard. Cost is
+    // the d5 pipeline plus one extra join against the (already tiny)
+    // signature relation. Candidate pairs with NO shared 3-gram (pure
+    // band collisions) keep exact = 0.0 via the left join — they are the
+    // most interesting rows in the audit.
+    "d18_sketch_accuracy" -> ((s, d) =>
+      Dedup.sketchAccuracy(t(s, d, "documents"), col("doc_id"), col("text"),
+        k = 8, bandSize = 4, ngram = 3)),
 
     // D8: benchmark decontamination — flag training documents sharing any
     // word 5-gram with the held-out set (doc_id < 50 stands in for the
@@ -672,6 +699,22 @@ object QText {
           FROM g GROUP BY lang""",
     "tx_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "tx_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+               f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+               g AS (SELECT DISTINCT doc_id, g FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1] || '_' ||
+                               toks[CAST(i AS INT) + 2])) AS g
+                 FROM f)),
+               fs AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+          SELECT doc_id, count(*) AS n_ngrams,
+                 CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                 round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS novelty
+          FROM g JOIN fs USING (g)
+          GROUP BY doc_id""",
     "tx_pii_redact" ->
       """WITH p AS (SELECT doc_id,
                text || ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -747,6 +790,54 @@ object QText {
           FROM w CROSS JOIN generate_series(1, 32) g(i)
           GROUP BY doc_id, i""",
     "d5_lsh_verify" -> d5Sql,
+    "d18_sketch_accuracy" ->
+      s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
+               sig AS (
+                 SELECT doc_id, seed,
+                        min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+                 FROM w CROSS JOIN generate_series(0, 7) g(seed)
+                 GROUP BY doc_id, seed),
+               banded AS (
+                 SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+                        md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+                 FROM sig GROUP BY doc_id, band),
+               small AS (SELECT * FROM (
+                 SELECT doc_id, band, band_sig,
+                        count(*) OVER (PARTITION BY band, band_sig) AS bn
+                 FROM banded) WHERE bn <= 64),
+               cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                        FROM small a JOIN small b
+                        ON a.band = b.band AND a.band_sig = b.band_sig
+                           AND a.doc_id < b.doc_id),
+               est AS (SELECT c.doc_a, c.doc_b,
+                              round(avg(CASE WHEN sa.minhash = sb.minhash
+                                THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+                       FROM cand c
+                       JOIN sig sa ON sa.doc_id = c.doc_a
+                       JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+                       GROUP BY 1, 2),
+               cd AS (SELECT DISTINCT doc_id FROM (
+                 SELECT doc_a AS doc_id FROM cand
+                 UNION ALL SELECT doc_b FROM cand)),
+               g0 AS (SELECT DISTINCT doc_id, g FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, CAST(greatest(length(text) - 1, 2) AS BIGINT)),
+                          i -> substring(text, CAST(i AS INT), 3))) AS g
+                 FROM documents WHERE doc_id IN (SELECT doc_id FROM cd))),
+               sz AS (SELECT doc_id, count(*) AS sz FROM g0 GROUP BY doc_id),
+               inter AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM g0 a JOIN g0 b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               ex AS (SELECT i.doc_a, i.doc_b,
+                             round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+                      FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+                      JOIN sz sb ON sb.doc_id = i.doc_b)
+          SELECT e.doc_a, e.doc_b, e.est_jaccard,
+                 coalesce(x.jaccard, 0.0) AS jaccard,
+                 round(abs(e.est_jaccard - coalesce(x.jaccard, 0.0)), 6) AS abs_err
+          FROM est e LEFT JOIN ex x
+            ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b""",
     "d9_incremental_dedup" ->
       s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
                sig AS (

@@ -169,6 +169,24 @@ object QVectors {
         .withColumn("over_cap", col("n_vectors") > 512)
     }),
 
+    // V18: PROTOTYPICALITY pruning (the D4 / SSL-prototypes move —
+    // SemDeDup's complement): near-duplicate *regions* of embedding
+    // space, not just near-duplicate pairs, are redundant for training,
+    // so within each IVF cell the vectors MOST similar to their own
+    // centroid (the prototypical core every crawl over-represents) are
+    // marked for pruning — top 20% per cell by cosine-to-centroid,
+    // ties broken by vec_id. One join against the broadcast centroid
+    // set + one per-cell window; on the persisted cell-bucketed index
+    // the window needs no exchange at all. Emits the full audit view
+    // (vec_id, cell, proto, pruned) rather than just survivors, so the
+    // curation report can histogram prototypicality per cell.
+    "v18_prototypicality" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Vectors.prototypicalityPrune(emb, "vec_id", "embedding",
+        Vectors.stepCentroids(emb, "vec_id", "embedding", 50),
+        pruneFraction = 0.2)
+    }),
+
     // V11: product-quantization reconstruction error vs the int8 scalar
     // path — PQ at m=8 over 64 dims stores 8 bytes/vector (32× smaller
     // than float32, 4× smaller than v10's int8) for a measured MSE cost.
@@ -645,6 +663,27 @@ object QVectors {
                 round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
          FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.4""",
+    "v18_prototypicality" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                    FROM embeddings),
+              cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
+                        FROM c WHERE vec_id % 50 = 0),
+              ca AS (SELECT vec_id, v, vn, cell FROM (
+                SELECT c.vec_id, c.v, c.vn, cent_id AS cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                  cent_id) AS rk
+                FROM c, cents) WHERE rk = 1),
+              sc AS (SELECT ca.vec_id, ca.cell,
+                            round(list_dot_product(ca.v, cv) / (ca.vn * cvn) + 0.0, 6) AS proto
+                     FROM ca JOIN cents ON ca.cell = cent_id),
+              r AS (SELECT vec_id, cell, proto,
+                           row_number() OVER (PARTITION BY cell
+                             ORDER BY proto DESC, vec_id) AS rn,
+                           count(*) OVER (PARTITION BY cell) AS cn
+                    FROM sc)
+         SELECT vec_id, cell, proto, rn <= ceil(0.2 * cn) AS pruned FROM r""",
     "v17_cell_occupancy" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn

@@ -87,6 +87,10 @@ class PlanAuditSpec extends SparkSpec {
       // v17: v8's tiny-centroid assignment cross again (occupancy is an
       // aggregate over the same assignment relation)
       "v17_cell_occupancy",
+      // v18: the same tiny-centroid assignment cross (prototypicality is
+      // a window over the assignment relation; the centroid re-join for
+      // scoring is equi on cell)
+      "v18_prototypicality",
       "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }

@@ -439,6 +439,46 @@ class VectorsSpec extends SparkSpec {
     assert(agg === got)
   }
 
+  test("prototypicalityPrune: per-cell top fraction by cosine-to-centroid, deterministic ties") {
+    val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
+    val cents = Vectors.stepCentroids(emb, "vec_id", "embedding", 25)
+      .localCheckpoint()
+    val got = Vectors.prototypicalityPrune(emb, "vec_id", "embedding", cents,
+        pruneFraction = 0.2)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.nonEmpty && got.length === emb.count())
+    val byCell = got.groupBy(_._2)
+    byCell.foreach { case (cell, rows) =>
+      val pruned = rows.filter(_._4)
+      // exactly ceil(0.2 * cell size) pruned per cell, at least one
+      assert(pruned.length === math.ceil(rows.length * 0.2).toLong,
+        s"cell $cell: ${pruned.length} of ${rows.length}")
+      // the pruned set is the TOP of the (proto desc, vec_id asc) order
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      assert(ordered.take(pruned.length).forall(_._4) &&
+        ordered.drop(pruned.length).forall(!_._4))
+    }
+    // scores are the cosine to the OWN cell's centroid (spot-check one)
+    val cent = cents.filter(col("cent_id") === got.head._2)
+      .select("cv", "cvn").as[(Seq[Double], Double)].head()
+    val v = emb.filter(col("vec_id") === got.head._1)
+      .select(Vectors.asDouble(col("embedding")).as("v"),
+        Vectors.l2norm(Vectors.asDouble(col("embedding"))).as("vn"))
+      .as[(Seq[Double], Double)].head()
+    val want = BigDecimal(v._1.zip(cent._1).map { case (a, b) => a * b }.sum
+      / (v._2 * cent._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(want.toDouble - got.head._3) <= 1e-6)
+    // prototypicality == the semanticIndex assignment's own cells
+    val cells = Vectors.semanticIndex(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, cell, _, _) => assert(cells(id) === cell) }
+    // pruneFraction 0 keeps everything; 1 prunes everything
+    assert(Vectors.prototypicalityPrune(emb, "vec_id", "embedding", cents, 0.0)
+      .filter(col("pruned")).count() === 0)
+    assert(Vectors.prototypicalityPrune(emb, "vec_id", "embedding", cents, 1.0)
+      .filter(!col("pruned")).count() === 0)
+  }
+
   test("incrementalSemanticPairs prunes the index to the shard's cells before the cap window") {
     val rnd = new scala.util.Random(23)
     // 80 index vectors over many cells; the shard lands in a FEW cells —

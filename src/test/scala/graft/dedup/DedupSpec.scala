@@ -501,4 +501,68 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(strict === exact.filter(_._2 >= 100))
   }
+
+  test("noveltyScores: exact copy scores 0, fresh doc 1, half-boilerplate in between") {
+    val boiler = "all rights reserved contact us for more information today"
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog tonight", // exact copy of 1
+      3L -> "completely fresh prose about glaciers calving into a fjord",
+      4L -> (boiler + " " + boiler), // pure repeated boilerplate, but FIRST
+      5L -> (boiler + " glaciers thunder beneath the midnight sun forever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs, col("doc_id"), col("text"), 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 2: every trigram first seen in doc 1
+    assert(got(2L) === ((8L, 0L, 0.0)))
+    // docs 1 and 3: all trigrams first seen here
+    assert(got(1L)._3 === 1.0 && got(3L)._3 === 1.0)
+    // doc 4 owns the boilerplate (first appearance wins, intra-doc
+    // repetition collapses via array_distinct)
+    assert(got(4L)._3 === 1.0)
+    // doc 5: boilerplate trigrams are old, its own tail is novel
+    assert(got(5L)._3 > 0.0 && got(5L)._3 < 1.0)
+    // counts are DISTINCT trigram counts
+    assert(got(4L)._1 < 2L * boiler.split(" ").length)
+  }
+
+  test("noveltyScores: sum of n_novel equals the corpus's distinct gram count") {
+    val docs = graft.core.Tables.load(spark, sf0001, "documents")
+      .limit(120)
+    val got = Dedup.noveltyScores(docs, col("doc_id"), col("text"), 3)
+    val novelSum = got.agg(sum("n_novel")).as[Long].head()
+    val distinctGrams = docs
+      .select(graft.text.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(array_distinct(
+        graft.text.TextFunctions.wordNgramsFromTokens(col("toks"), 3))).as("g"))
+      .agg(countDistinct("g")).as[Long].head()
+    // every distinct gram is novel in EXACTLY ONE doc (its first)
+    assert(novelSum === distinctGrams && novelSum > 0)
+  }
+
+  test("sketchAccuracy: identical docs estimate 1.0/err 0; band collisions keep exact 0.0") {
+    val same = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq(
+      1L -> same, 2L -> same,
+      3L -> "harbor cranes unload container ships beneath sodium lamps",
+      4L -> "harbor cranes unload container ships beneath sodium lights")
+      .toDF("doc_id", "text")
+    val got = Dedup.sketchAccuracy(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // identical docs: all seeds agree, exact jaccard 1.0, error 0
+    assert(got((1L, 2L)) === ((1.0, 1.0, 0.0)))
+    // est is always k-quantized and err = |est - exact| for every pair
+    got.values.foreach { case (est, ex, err) =>
+      assert(est >= 0.0 && est <= 1.0 && (est * 8).round / 8.0 === est)
+      assert(math.abs(math.abs(est - ex) - err) < 1e-9)
+    }
+    // near-dup pair 3-4 (one word differs) surfaces if banding caught it;
+    // if present its exact jaccard must be high but below 1
+    got.get((3L, 4L)).foreach { case (_, ex, _) =>
+      assert(ex > 0.5 && ex < 1.0)
+    }
+  }
 }
