@@ -987,11 +987,16 @@ object Vectors {
     * keep/prune decision: within each cell the top `pruneFraction` of
     * vectors by (proto desc, vec_id) are marked `pruned` (SemDeDup removes
     * near-DUPLICATES; this removes near-REDUNDANT density — the two
-    * compose into the D4 recipe). ceil semantics: every non-empty cell
-    * prunes at least one vector when pruneFraction > 0. Deterministic
-    * under ties (vec_id ascending), so the kept set is reproducible —
-    * the property a resumable curation run needs. One per-cell window;
-    * exchange-free on a cell-bucketed index.
+    * compose into the D4 recipe). FLOOR semantics — AT MOST the fraction
+    * prunes: floor(pruneFraction × |cell|) per cell, so a cell smaller
+    * than 1/pruneFraction is untouched. The alternative (ceil: every
+    * non-empty cell loses one) degenerates when the quantizer is fine
+    * relative to the corpus — with near-singleton cells it silently
+    * prunes EVERYTHING, observed driving the CLI on a 4-survivor /
+    * 40-centroid fixture. pruneFraction = 1.0 still prunes all.
+    * Deterministic under ties (vec_id ascending), so the kept set is
+    * reproducible — the property a resumable curation run needs. One
+    * per-cell window; exchange-free on a cell-bucketed index.
     */
   def prototypicalityPrune(corpus: DataFrame, idCol: String, vecCol: String,
                            cents: DataFrame,
@@ -1004,7 +1009,7 @@ object Vectors {
       .withColumn("rn", row_number().over(byProto))
       .withColumn("cn", count(lit(1)).over(Window.partitionBy("cell")))
       .select(col("vec_id"), col("cell"), col("proto"),
-        (col("rn") <= ceil(col("cn") * lit(pruneFraction))).as("pruned"))
+        (col("rn") <= floor(col("cn") * lit(pruneFraction))).as("pruned"))
   }
 
   /** STATELESS cell assignment — [[assignCells]] without the aggregate:

@@ -99,7 +99,12 @@ object Main {
           audioCol = opt(args, "--audio-col"),
           videoCol = opt(args, "--video-col"),
           embeddingCol = opt(args, "--embedding-col"),
+          semCells = opt(args, "--sem-cells").map(_.toInt).getOrElse(64),
           minCosine = opt(args, "--min-cosine").map(_.toDouble).getOrElse(0.99),
+          // D4 recipe: after cluster collapse, drop this fraction of the
+          // per-cell most-prototypical survivors (requires --embedding-col)
+          protoPruneFraction =
+            opt(args, "--proto-prune").map(_.toDouble).getOrElse(0.0),
           // representative policy: keep the cluster member maximizing this
           // column ("length" = longest copy; any numeric doc column works),
           // instead of the min-id default

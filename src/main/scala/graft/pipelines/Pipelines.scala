@@ -252,6 +252,13 @@ object Pipelines {
     *    their twin. With every mode on, one CC pass collapses lexical,
     *    perceptual (image/audio/video), and semantic duplicates
     *    together.
+    *  - `protoPruneFraction` (with `embeddingCol`): D4-style
+    *    PROTOTYPICALITY prune after cluster collapse — per quantizer
+    *    cell, drop the top fraction of surviving docs by
+    *    cosine-to-own-centroid ([[graft.ann.Vectors
+    *    .prototypicalityPrune]]), removing the over-represented dense
+    *    core SemDeDup's pairwise threshold never touches. Same frozen
+    *    centroids as the pair stage.
     *
     * Returns the kept documents with their original columns (the text
     * column rewritten when `substrN` is set). All stages are the same
@@ -280,13 +287,14 @@ object Pipelines {
                   semCells: Int = 64,
                   minCosine: Double = 0.99,
                   semMaxCell: Int = 512,
+                  protoPruneFraction: Double = 0.0,
                   keepBy: Option[Column] = None): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
       imageCol, imageGridRows, imageBandBits, maxImageHamming,
       audioCol, videoCol, embeddingCol, semCells, minCosine,
-      semMaxCell, keepBy).last._2
+      semMaxCell, protoPruneFraction, keepBy).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -322,6 +330,7 @@ object Pipelines {
                         semCells: Int = 64,
                         minCosine: Double = 0.99,
                         semMaxCell: Int = 512,
+                        protoPruneFraction: Double = 0.0,
                         keepBy: Option[Column] = None): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
@@ -406,32 +415,35 @@ object Pipelines {
     // semantic mode: IVF-cell-bounded exact-cosine pairs over the
     // embedding column (SemDeDup) — paraphrase duplicates that share no
     // n-gram or byte with their twin still collapse into the one graph
-    val allPairs = embeddingCol match {
-      case None => perceptualPairs
-      case Some(ec) =>
-        // the PRODUCTION quantizer (SemDeDup proper clusters with
-        // k-means), not the oracle's step rule: step centroids come from
-        // vec_id % step == 0, which silently yields ZERO cells — and
-        // zero pairs — on a corpus whose ids happen to skip the
-        // multiples. k is bounded by the corpus (kmeansCentroids
-        // loudly refuses k > rows), probed with a BOUNDED
-        // limit(semCells).count() — k never exceeds semCells, so only
-        // the first semCells rows decide it; a full vecs.count() here
-        // would re-scan the whole exact-dedup relation during stage
-        // CONSTRUCTION even for callers that only inspect plans. An
-        // EMPTY corpus short-circuits to the perceptual graph (zero
-        // semantic pairs) instead of tripping kmeansCentroids' loud
-        // k = 0 refusal.
+    // semantic-mode quantizer, shared by the SemDeDup pair stage AND the
+    // opt-in prototypicality prune below (frozen-centroid discipline: one
+    // k-means over the exact-dedup survivors, both stages read the same
+    // cells). The PRODUCTION quantizer (SemDeDup proper clusters with
+    // k-means), not the oracle's step rule: step centroids come from
+    // vec_id % step == 0, which silently yields ZERO cells — and zero
+    // pairs — on a corpus whose ids happen to skip the multiples. k is
+    // bounded by the corpus (kmeansCentroids loudly refuses k > rows),
+    // probed with a BOUNDED limit(semCells).count() — k never exceeds
+    // semCells, so only the first semCells rows decide it; a full
+    // vecs.count() here would re-scan the whole exact-dedup relation
+    // during stage CONSTRUCTION even for callers that only inspect
+    // plans. An EMPTY corpus short-circuits to the perceptual graph
+    // (zero semantic pairs, no prune) instead of tripping
+    // kmeansCentroids' loud k = 0 refusal.
+    val semCents: Option[DataFrame] = embeddingCol.flatMap { ec =>
+      val vecs = exact.select(id.cast("long").as("vec_id"), col(ec))
+      val k = vecs.limit(semCells).count().toInt
+      if (k == 0) None
+      else Some(graft.ann.Vectors.kmeansCentroids(vecs, "vec_id", ec, k))
+    }
+    val allPairs = (embeddingCol, semCents) match {
+      case (Some(ec), Some(cents)) =>
         val vecs = exact.select(id.cast("long").as("vec_id"), col(ec))
-        val k = vecs.limit(semCells).count().toInt
-        if (k == 0) perceptualPairs
-        else {
-          val cents = graft.ann.Vectors.kmeansCentroids(vecs, "vec_id", ec, k)
-          perceptualPairs.union(
-            graft.ann.Vectors.semanticNearDupPairsWith(vecs, "vec_id", ec,
-              cents, minCosine, semMaxCell)
-              .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-        }
+        perceptualPairs.union(
+          graft.ann.Vectors.semanticNearDupPairsWith(vecs, "vec_id", ec,
+            cents, minCosine, semMaxCell)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      case _ => perceptualPairs
     }
     // star CC, not min-label: min-label's round count is the component
     // DIAMETER, and the 100× probe (§6.3) showed a real curation graph
@@ -468,15 +480,34 @@ object Pipelines {
     }
     val kept = exact.join(dropIds, id.cast("long") === col("__drop_id"), "left_anti")
     stages += ("cluster_representatives" -> kept)
+    // opt-in PROTOTYPICALITY prune (the D4 recipe, Tirumala et al. 2023:
+    // dedup THEN density-prune): after near-duplicate clusters collapsed,
+    // drop the per-cell most-prototypical fraction of the SURVIVORS —
+    // the over-represented core of every embedding cluster that SemDeDup's
+    // pairwise threshold never touches. Same frozen centroids as the
+    // semantic pair stage (cells stay comparable); anti-join, never a
+    // broadcast of the drop set (it is pruneFraction × corpus).
+    val protoKept = (embeddingCol, semCents) match {
+      case (Some(ec), Some(cents)) if protoPruneFraction > 0 =>
+        val keptVecs = kept.select(id.cast("long").as("vec_id"), col(ec))
+        val drops = graft.ann.Vectors.prototypicalityPrune(keptVecs,
+            "vec_id", ec, cents, protoPruneFraction)
+          .filter(col("pruned")).select(col("vec_id").as("__proto_drop"))
+        val p = kept.join(drops, id.cast("long") === col("__proto_drop"),
+          "left_anti")
+        stages += ("proto_prune" -> p)
+        p
+      case _ => kept
+    }
     substrN.foreach { n =>
       // internal output name: an input that already carries a
       // "clean_text" column (or textColName == "clean_text") would make
       // the join ambiguous with the default name (round-5 ADVICE)
-      val cleaned = Dedup.scrubbedText(kept, id, cleanText, n,
+      val cleaned = Dedup.scrubbedText(protoKept, id, cleanText, n,
           textOutCol = "__graft_clean_text")
         .withColumnRenamed("doc_id", "__scrub_id")
       stages += ("substring_scrub" ->
-        kept.join(cleaned, id.cast("long") === col("__scrub_id"))
+        protoKept.join(cleaned, id.cast("long") === col("__scrub_id"))
           .drop(textColName, "__scrub_id")
           .withColumnRenamed("__graft_clean_text", textColName))
     }

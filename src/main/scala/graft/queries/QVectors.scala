@@ -683,7 +683,7 @@ object QVectors {
                              ORDER BY proto DESC, vec_id) AS rn,
                            count(*) OVER (PARTITION BY cell) AS cn
                     FROM sc)
-         SELECT vec_id, cell, proto, rn <= ceil(0.2 * cn) AS pruned FROM r""",
+         SELECT vec_id, cell, proto, rn <= floor(0.2 * cn) AS pruned FROM r""",
     "v17_cell_occupancy" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn

@@ -450,8 +450,9 @@ class VectorsSpec extends SparkSpec {
     val byCell = got.groupBy(_._2)
     byCell.foreach { case (cell, rows) =>
       val pruned = rows.filter(_._4)
-      // exactly ceil(0.2 * cell size) pruned per cell, at least one
-      assert(pruned.length === math.ceil(rows.length * 0.2).toLong,
+      // exactly floor(0.2 * cell size) pruned per cell — AT MOST the
+      // fraction; cells smaller than 5 are untouched
+      assert(pruned.length === math.floor(rows.length * 0.2).toLong,
         s"cell $cell: ${pruned.length} of ${rows.length}")
       // the pruned set is the TOP of the (proto desc, vec_id asc) order
       val ordered = rows.sortBy(r => (-r._3, r._1))

@@ -258,6 +258,50 @@ class PipelinesSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("dedupCorpus protoPruneFraction: D4 prune drops the per-cell most-prototypical survivors") {
+    import graft.ann.Vectors
+    val docs = Seq(
+      (1L, "alpine meadows under clear morning light with distant peaks",
+        Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, "harbor cranes unload container ships beneath sodium lamps",
+        Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, "desert winds carve long ridges into the orange dune field",
+        Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, "subway platforms echo with late night maintenance announcements",
+        Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("doc_id", "text", "emb").localCheckpoint()
+    // fraction 0.5 over the 3 survivors in the single cell: floor(1.5) = 1
+    // pruned (floor semantics — AT MOST the fraction; 0.3 would floor to 0)
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      minQuality = 0.0, embeddingCol = Some("emb"), semCells = 1,
+      protoPruneFraction = 0.5)
+    val byName = stages.toMap
+    assert(stages.map(_._1).contains("proto_prune"))
+    // semantic near-dup 1-2 collapsed first; then floor(0.5 × 3) = 1 of
+    // the survivors pruned as most-prototypical
+    val clusterKept = byName("cluster_representatives")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clusterKept === Set(1L, 3L, 4L))
+    val kept = stages.last._2.select("doc_id").as[Long].collect().toSet
+    assert(kept.size === 2 && kept.subsetOf(clusterKept))
+    // the dropped doc is exactly what the library operator picks under
+    // the SAME frozen centroids (k-means over the exact-dedup survivors)
+    val cents = Vectors.kmeansCentroids(
+      byName("exact_dedup").select(col("doc_id").as("vec_id"), col("emb")),
+      "vec_id", "emb", 1)
+    val wantDrop = Vectors.prototypicalityPrune(
+        clusterKept.toSeq.map(i => i -> Map(1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+          3L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),
+          4L -> Seq(0.0f, 0.0f, 1.0f, 0.0f))(i)).toDF("vec_id", "emb"),
+        "vec_id", "emb", cents, 0.5)
+      .filter(col("pruned")).select("vec_id").as[Long].collect().toSet
+    assert(clusterKept -- kept === wantDrop)
+    // fraction 0 is the identity (no proto_prune stage at all)
+    val plain = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      minQuality = 0.0, embeddingCol = Some("emb"), semCells = 1)
+    assert(!plain.map(_._1).contains("proto_prune"))
+  }
+
   test("dedupCorpus embeddingCol: empty and tiny corpora survive the semantic stage") {
     val schema = "doc_id LONG, text STRING, source STRING, emb ARRAY<FLOAT>"
     // EMPTY corpus: the semantic stage short-circuits to zero pairs
