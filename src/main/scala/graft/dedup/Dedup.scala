@@ -243,13 +243,25 @@ object Dedup {
     * re-aggregate — linear in corpus size. Docs with fewer than n tokens
     * have no n-grams and are absent from the output by construction.
     * Output: (doc_id, n_ngrams, n_novel, novelty).
+    *
+    * `hashGrams = true` is the 100 TB form (the [[dupGramPositions]]
+    * trade): the gram STRING never shuffles — its 64-bit xxhash does, an
+    * order-of-magnitude byte shrink on the one big exchange here. A hash
+    * collision merges two grams, so a later doc's gram can have its
+    * first-seen stolen by an earlier colliding gram: novelty is only ever
+    * UNDER-counted (a doc can score lower, never higher) — the safe
+    * direction for a keep-the-novel curation gate. Parity with the exact
+    * form is asserted in DedupSpec.
     */
   def noveltyScores(docs: DataFrame, id: Column, text: Column,
-                    n: Int = 3, roundTo: Int = 6): DataFrame = {
+                    n: Int = 3, roundTo: Int = 6,
+                    hashGrams: Boolean = false): DataFrame = {
     val grams = docs.select(id.as("doc_id"), tokens(text).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        explode(array_distinct(wordNgramsFromTokens(col("toks"), n))).as("g"))
+        explode(array_distinct(wordNgramsFromTokens(col("toks"), n))).as("g0"))
+      .select(col("doc_id"),
+        (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("g"))
     val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
     grams.join(first, "g")
       .groupBy("doc_id")

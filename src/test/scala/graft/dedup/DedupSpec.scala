@@ -542,6 +542,19 @@ class DedupSpec extends SparkSpec {
     assert(novelSum === distinctGrams && novelSum > 0)
   }
 
+  test("noveltyScores hashGrams parity: the hashed-shuffle scale form matches exactly on real docs") {
+    val docs = graft.core.Tables.load(spark, sf0001, "documents").limit(150)
+    def rows(hashed: Boolean) =
+      Dedup.noveltyScores(docs, col("doc_id"), col("text"), 3,
+          hashGrams = hashed)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    // 64-bit xxhash over a few thousand grams: collisions are ~impossible,
+    // so the forms must be row-identical here (the scale form can only
+    // ever UNDER-count novelty, and only on a real collision)
+    val exact = rows(hashed = false)
+    assert(exact === rows(hashed = true) && exact.nonEmpty)
+  }
+
   test("sketchAccuracy: identical docs estimate 1.0/err 0; band collisions keep exact 0.0") {
     val same = "the quick brown fox jumps over the lazy dog near the river"
     val docs = Seq(
