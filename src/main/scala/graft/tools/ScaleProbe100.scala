@@ -143,6 +143,29 @@ object ScaleProbe100 {
     }
     if (sections("fp")) { fpChain(copies / 10); fpChain(copies) }
 
+    // novelty: the op is ONE gram-keyed exchange — exact gram strings vs
+    // the 64-bit hashed form (hashGrams), which moves 8-byte keys instead
+    // of ~40-byte trigram strings through that shuffle. Forced with a
+    // full-column checksum (a bare count would let Catalyst prune the
+    // novelty arithmetic).
+    def noveltyProbe(factor: Int): Unit = {
+      val docs = amplifyVaried(spark.read.parquet(s"$sfDir/documents.parquet"),
+        "doc_id", "text", factor, 10000000L).localCheckpoint()
+      println(s"[probe] ${factor}x novelty docs: ${docs.count()}")
+      def force(df: DataFrame): Unit =
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
+          .agg(bit_xor(col("__h"))).collect()
+      time(s"${factor}x noveltyScores EXACT gram shuffle") {
+        force(Dedup.noveltyScores(docs, col("doc_id"), col("text"), 3))
+      }
+      time(s"${factor}x noveltyScores HASHED gram shuffle") {
+        force(Dedup.noveltyScores(docs, col("doc_id"), col("text"), 3,
+          hashGrams = true))
+      }
+      spark.catalog.clearCache()
+    }
+    if (sections("novelty")) { noveltyProbe(copies / 10); noveltyProbe(copies) }
+
     // semantic dedup: one-time index build vs the day-2 incremental form.
     // Copies are rotated by a copy-keyed pseudo-random offset (±5 per
     // dim, original values ~N(0,1)) so cross-copy cosines stay low and
