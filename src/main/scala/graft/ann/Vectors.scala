@@ -966,6 +966,63 @@ object Vectors {
     assignCells(c, "vec_id", cents).join(c, "vec_id")
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training data op: per query,
+    * the top-`k` corpus vectors by cosine INSIDE the band [loCos, hiCos) —
+    * similar enough to be informative negatives, dissimilar enough not to
+    * be an unlabeled positive or near-dup (the classic false-negative
+    * trap of naive in-batch negatives). Candidates come from the query's
+    * `nprobe` highest-cosine IVF cells only (the v5/v6 probe machinery),
+    * so cost per query is cell-bounded, never the corpus; the band filter
+    * runs BEFORE the top-k window, on the 6dp-rounded cosine both engines
+    * agree on. Output: (query_id, vec_id, cosine, rk), rk 1..k by
+    * (cosine desc, vec_id).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, step: Int,
+                    loCos: Double, hiCos: Double, nprobe: Int = 1,
+                    roundTo: Int = 6): DataFrame = {
+    val (c, cents) = corpusAndCents(corpus, idCol, vecCol, step)
+    val ca = c.join(assignCells(c, "vec_id", cents), "vec_id")
+    val q0 = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val qa = q0.crossJoin(broadcast(cents))
+      .withColumn("__cc",
+        dot(col("v"), col("cv")) / (col("vn") * col("cvn")) + 0.0)
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cc").desc, col("cent_id"))))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("v").as("q"), col("vn").as("qn"),
+        col("cent_id").as("cell"))
+    ca.join(broadcast(qa), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(dot(col("v"), col("q")) / (col("vn") * col("qn")), roundTo))
+      .filter(col("cos") >= loCos && col("cos") < hiCos)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos").as("cosine"),
+        col("rk"))
+  }
+
+  /** Johnson–Lindenstrauss-style RANDOM PROJECTION — `outDim` deterministic
+    * hyperplane dot products per vector (the v2 LSH plane generator, so
+    * the planes are engine-portable and oracle-expressible): shrink
+    * `dim`-wide vectors to `outDim` doubles before a brute-force or IVF
+    * pass. At 100 TB this is the cheap pre-filter: a 4× narrower scan
+    * whose cosine distortion is bounded (JL) and MEASURED by the
+    * v20_jl_distortion query rather than assumed. Pure per-row
+    * projection — no shuffle, stays inside whole-stage codegen.
+    * Output: (vec_id, proj: array<double>).
+    */
+  def projectRandom(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, dim: Int): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val comps = (0 until outDim).map(j => dot(v, typedLit(hyperplane(j, dim))))
+    df.select(col(idCol).cast("long").as("vec_id"), array(comps: _*).as("proj"))
+  }
+
   /** PROTOTYPICALITY scores — each vector's cosine to its own cell's
     * centroid (rounded to `roundTo`), the density signal the D4 /
     * SSL-prototypes curation papers prune on: a crawl over-represents the

@@ -187,6 +187,41 @@ object QVectors {
         pruneFraction = 0.2)
     }),
 
+    // V19: HARD-NEGATIVE mining — per query, the top-3 same-cell vectors
+    // with cosine in [0.05, 0.5): the contrastive-training negatives that
+    // are informative (similar) but safely below the positive/near-dup
+    // band. Cell-bounded like v5; the band filter runs before the top-k
+    // window on the rounded cosine.
+    "v19_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Vectors.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3, step = 50,
+        loCos = 0.05, hiCos = 0.5)
+    }),
+
+    // V20: JL random-projection DISTORTION — cosine in the original
+    // 64-dim space vs the 16-plane projected space for all pairs of a
+    // bounded id range, with the absolute error. The measurement that
+    // justifies (or vetoes) running the cheap 4×-narrower pre-filter
+    // scan at 100 TB; the projection itself is a pure codegen'd per-row
+    // map (no shuffle).
+    "v20_jl_distortion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 48)
+      val orig = emb.select(col("vec_id"),
+          Vectors.asDouble(col("embedding")).as("v"))
+        .withColumn("vn", Vectors.l2norm(col("v")))
+      val proj = Vectors.projectRandom(emb, "vec_id", "embedding", 16, Dim)
+        .withColumn("pn", Vectors.l2norm(col("proj")))
+      val e = orig.join(proj, "vec_id")
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(Vectors.dot(col("a.v"), col("b.v"))
+            / (col("a.vn") * col("b.vn")), 6).as("cos_orig"),
+          round(Vectors.dot(col("a.proj"), col("b.proj"))
+            / (col("a.pn") * col("b.pn")), 6).as("cos_proj"))
+        .withColumn("abs_err", round(abs(col("cos_orig") - col("cos_proj")), 6))
+    }),
+
     // V11: product-quantization reconstruction error vs the int8 scalar
     // path — PQ at m=8 over 64 dims stores 8 bytes/vector (32× smaller
     // than float32, 4× smaller than v10's int8) for a measured MSE cost.
@@ -663,6 +698,48 @@ object QVectors {
                 round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
          FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.4""",
+    "v19_hard_negatives" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                    FROM embeddings),
+              cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
+                        FROM c WHERE vec_id % 50 = 0),
+              ca AS (SELECT vec_id, v, vn, cell FROM (
+                SELECT c.vec_id, c.v, c.vn, cent_id AS cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                  cent_id) AS rk
+                FROM c, cents) WHERE rk = 1),
+              qa AS (SELECT vec_id AS query_id, v AS q, vn AS qn, cell
+                     FROM ca WHERE vec_id < 8),
+              s AS (SELECT query_id, ca.vec_id,
+                           round(list_dot_product(ca.v, qa.q) / (ca.vn * qa.qn), 6) AS cos
+                    FROM ca JOIN qa USING (cell) WHERE ca.vec_id != qa.query_id),
+              b AS (SELECT * FROM s WHERE cos >= 0.05 AND cos < 0.5),
+              r AS (SELECT query_id, vec_id, cos,
+                           CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) AS INT) AS rk
+                    FROM b)
+         SELECT query_id, vec_id, cos AS cosine, rk FROM r WHERE rk <= 3""",
+    "v20_jl_distortion" -> {
+      val projList = (0 until 16).map(j =>
+        s"list_dot_product(v, ${planeSql(j)})").mkString("[", ", ", "]")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 48),
+               e AS (SELECT vec_id, v,
+                            sqrt(list_dot_product(v, v)) AS vn,
+                            $projList AS proj
+                     FROM c),
+               e2 AS (SELECT vec_id, v, vn, proj,
+                             sqrt(list_dot_product(proj, proj)) AS pn
+                      FROM e)
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cos_orig,
+                 round(list_dot_product(a.proj, b.proj) / (a.pn * b.pn), 6) AS cos_proj,
+                 round(abs(round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6)
+                   - round(list_dot_product(a.proj, b.proj) / (a.pn * b.pn), 6)), 6) AS abs_err
+          FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id"""
+    },
     "v18_prototypicality" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn

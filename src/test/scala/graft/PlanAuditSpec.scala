@@ -91,6 +91,12 @@ class PlanAuditSpec extends SparkSpec {
       // a window over the assignment relation; the centroid re-join for
       // scoring is equi on cell)
       "v18_prototypicality",
+      // v19: v5's tiny-centroid assignment cross (hard negatives probe
+      // the query's cell; the candidate join stays equi on cell)
+      "v19_hard_negatives",
+      // v20: bounded-id all-pairs distortion measurement — the BNLJ over
+      // 48 vectors is the point (the projection itself is a pure map)
+      "v20_jl_distortion",
       "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }

@@ -439,6 +439,65 @@ class VectorsSpec extends SparkSpec {
     assert(agg === got)
   }
 
+  test("hardNegatives: band-filtered same-cell top-k; positives and dissimilar both excluded") {
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    // one cell (step covers all): query 0 at 0°; 1 is a near-dup (1°,
+    // cos ≈ 0.9998 — above the band), 2/3/4 informative negatives (50°,
+    // 55°, 60° — inside [0.3, 0.9)), 5 dissimilar (89°, cos ≈ 0.017 —
+    // below), 6 another far one (85°)
+    val vecs = Seq(0L -> at(0), 1L -> at(1), 2L -> at(50), 3L -> at(55),
+      4L -> at(60), 5L -> at(89), 6L -> at(85)).toDF("vec_id", "embedding")
+    val got = Vectors.hardNegatives(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2, step = 7, loCos = 0.3, hiCos = 0.9)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // top-2 of the band by cosine: 50° (0.643) then 55° (0.574)
+    assert(got.map(r => (r._2, r._4)).toSeq === Seq((2L, 1), (3L, 2)))
+    got.foreach { case (q, _, c, _) =>
+      assert(q === 0L && c >= 0.3 && c < 0.9)
+    }
+    // k larger than the band: exactly the 3 in-band vectors, never the
+    // near-dup (1) or the dissimilar tail (5, 6)
+    val all = Vectors.hardNegatives(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 10, step = 7, loCos = 0.3, hiCos = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all === Set(2L, 3L, 4L))
+  }
+
+  test("projectRandom: deterministic, linear, and cosine-preserving on average") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val p1 = Vectors.projectRandom(vecs, "vec_id", "embedding", 16, 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    val p2 = Vectors.projectRandom(vecs, "vec_id", "embedding", 16, 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p1 === p2 && p1(0L).length === 16) // deterministic planes
+    // linearity: proj(2v) == 2 proj(v) (it's a fixed matrix)
+    val doubled = vecs.select(col("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    val pd = Vectors.projectRandom(doubled, "vec_id", "embedding", 16, 64)
+      .as[(Long, Seq[Double])].collect().toMap
+    pd.foreach { case (id, v) =>
+      v.zip(p1(id)).foreach { case (d, o) => assert(math.abs(d - 2 * o) < 1e-6) }
+    }
+    // JL behavior in aggregate: mean |cos_orig - cos_proj| over all pairs
+    // is small (16 planes over 64 dims: distortion ~1/sqrt(16))
+    val e = vecs.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("vn", Vectors.l2norm(col("v")))
+    val pr = Vectors.projectRandom(vecs, "vec_id", "embedding", 16, 64)
+      .withColumn("pn", Vectors.l2norm(col("proj")))
+    val both = e.join(pr, "vec_id")
+    val errs = both.as("a").join(both.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(abs(Vectors.dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn"))
+        - Vectors.dot(col("a.proj"), col("b.proj")) / (col("a.pn") * col("b.pn"))))
+      .as[Double].collect()
+    val mean = errs.sum / errs.length
+    assert(mean < 0.25, f"mean cosine distortion $mean%.3f too large")
+  }
+
   test("prototypicalityPrune: per-cell top fraction by cosine-to-centroid, deterministic ties") {
     val emb = graft.core.Tables.load(spark, sf0001, "embeddings")
     val cents = Vectors.stepCentroids(emb, "vec_id", "embedding", 25)
