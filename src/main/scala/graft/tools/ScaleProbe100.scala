@@ -166,6 +166,40 @@ object ScaleProbe100 {
     }
     if (sections("novelty")) { noveltyProbe(copies / 10); noveltyProbe(copies) }
 
+    // semantic index BUILD forms: the r11 sem probe read 1.3 s → 43.1 s
+    // for 10× rows on the aggregate form (crossJoin×k + max_by + self-
+    // join). The stateless form (centroids folded in as literals — one
+    // projection, no join, no shuffle) is the candidate fix; this
+    // section measures both on identical data.
+    def semBuildProbe(factor: Int): Unit = {
+      import graft.ann.Vectors
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val k = spark.range(0, factor).toDF("__copy")
+      val vecs = emb.crossJoin(broadcast(k))
+        .withColumn("vec_id", col("vec_id") + col("__copy") * 10000000L)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => x + sin((i + 1).cast("double") * (col("__copy") + 1)) * lit(5.0)))
+        .drop("__copy")
+        .repartition(32).localCheckpoint()
+      println(s"[probe] ${factor}x sembuild vectors: ${vecs.count()}")
+      val cents = Vectors.kmeansCentroids(vecs, "vec_id", "embedding", 256,
+        iters = 2, sampleFrac = 0.05).localCheckpoint()
+      // force EVERY column (a bare count lets Catalyst prune the vector
+      // arrays — the dominant cost — out of both forms)
+      def force(df: DataFrame): Unit =
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
+          .agg(bit_xor(col("__h"))).collect()
+      time(s"${factor}x semanticIndex AGGREGATE form (all columns)") {
+        force(Vectors.semanticIndex(vecs, "vec_id", "embedding", cents))
+      }
+      time(s"${factor}x semanticIndex STATELESS form (all columns)") {
+        force(Vectors.assignCellsStateless(vecs, "vec_id", "embedding", cents)
+          .select("vec_id", "cell", "v", "vn"))
+      }
+      spark.catalog.clearCache()
+    }
+    if (sections("sembuild")) { semBuildProbe(copies / 10); semBuildProbe(copies) }
+
     // semantic dedup: one-time index build vs the day-2 incremental form.
     // Copies are rotated by a copy-keyed pseudo-random offset (±5 per
     // dim, original values ~N(0,1)) so cross-copy cosines stay low and
