@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.multimodal.Multimodal._
+import graft.multimodal.TarShards
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,6 +108,27 @@ object QMultimodal {
       binarySource(s, dir, "*.txt")
         .select(element_at(split(col("path"), "/"), -1).as("name"),
           col("length").as("n_bytes"),
+          contentMd5(col("content")).as("content_md5"))
+    }),
+
+    // S16: WebDataset-style TAR-SHARD round-trip — documents' payloads
+    // written as 4 deterministic POSIX tar shards (one sequential object
+    // per shard, the object-store-friendly layout PyTorch training jobs
+    // stream at 100 TB), read back through the shard-per-task tar walk,
+    // and fingerprinted. The oracle checks the payloads survived byte-
+    // exactly; shard assignment/interop/determinism are TarShardsSpec's.
+    "s16_tar_roundtrip" -> ((s, d) => {
+      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/tars"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      TarShards.writeTarShards(
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+            col("text").cast("binary").as("content")),
+        "name", "content", dir, numShards = 4)
+      TarShards.readTarShards(s, dir)
+        .select(col("name"),
+          length(col("content")).cast("long").as("n_bytes"),
           contentMd5(col("content")).as("content_md5"))
     }),
 
@@ -350,6 +372,11 @@ object QMultimodal {
                 CAST(doc_id % 2000 + 1 AS INT) AS height
          FROM documents""",
     "s4b_blob_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents WHERE doc_id < 200""",
+    "s16_tar_roundtrip" ->
       """SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_md5
