@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
   *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-output <dir>] [--compact-every K] [--output <dir>] [--audit]
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
+  *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
   *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
@@ -433,6 +434,26 @@ object Main {
               c.orderBy(col("contamination").desc).show(50)
             }
         }
+      case "export" =>
+        // curation → training handoff: write a (name, payload) relation —
+        // typically the dedup command's kept corpus — as WebDataset-style
+        // tar shards the training job streams sequentially. --name-col
+        // defaults to doc_id (".txt" appended when no extension present);
+        // --content-col defaults to the text column's bytes.
+        import graft.multimodal.TarShards
+        val docs = spark.read.parquet(opt(args, "--docs").get)
+        val nameCol = opt(args, "--name-col").getOrElse("doc_id")
+        val contentCol = opt(args, "--content-col").getOrElse("text")
+        val shards = opt(args, "--shards").map(_.toInt).getOrElse(16)
+        val outDir = opt(args, "--output").get
+        val named = docs.select(
+          when(col(nameCol).cast("string").rlike("\\.[A-Za-z0-9]+$"),
+            col(nameCol).cast("string"))
+            .otherwise(concat(col(nameCol).cast("string"), lit(".txt")))
+            .as("__name"),
+          col(contentCol).cast("binary").as("__content"))
+        TarShards.writeTarShards(named, "__name", "__content", outDir, shards)
+        println(s"[export] tar shards written to $outDir (shards=$shards)")
       case "decode" =>
         import graft.multimodal.Multimodal
         val files = Multimodal.binarySource(spark, opt(args, "--files").get)

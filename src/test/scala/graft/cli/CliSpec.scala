@@ -456,6 +456,25 @@ class CliSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("export subcommand: kept corpus lands as tar shards, round-trippable") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"document $i body with enough words to matter"))
+      .toDF("doc_id", "text")
+    val docsDir = tmpDir("cli_export_docs")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val outDir = tmpDir("cli_export_out") + "/shards"
+    Main.run(spark, Array("export", "--docs", docsDir,
+      "--output", outDir, "--shards", "3"))
+    val back = graft.multimodal.TarShards.readTarShards(spark, outDir)
+      .selectExpr("name", "CAST(content AS STRING) AS text")
+      .as[(String, String)].collect().toMap
+    assert(back.keySet === (0L until 30L).map(i => s"$i.txt").toSet)
+    assert(back("7.txt") === "document 7 body with enough words to matter")
+    val nShards = new java.io.File(outDir).listFiles
+      .count(_.getName.endsWith(".tar"))
+    assert(nShards >= 1 && nShards <= 3)
+  }
+
   test("mixture subcommand: temperature plan lands in --output as json") {
     val docs = (0L until 30L).map(i =>
         (i, "some text content here", if (i < 24) "en" else "fr"))
