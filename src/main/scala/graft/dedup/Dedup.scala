@@ -209,10 +209,20 @@ object Dedup {
     * buckets separately), so a boilerplate band-signature that is hot in
     * the historical index cannot explode a small shard's join: worst-case
     * pair count per bucket is maxBucket² regardless of corpus size.
-    * Output: distinct (doc_a < doc_b) with at least one side new.
+    * The index is SEMI-JOINED to the shard's (band, band_sig) set BEFORE
+    * its cap window — the semi-join keeps whole buckets, so per-bucket
+    * counts (and therefore which buckets the cap drops) are identical to
+    * capping the full index, but the window shuffles only buckets the
+    * shard actually touches and the broadcast semi-join keeps the index
+    * scan itself exchange-free (the [[graft.ann.Vectors
+    * .incrementalSemanticPairs]] discipline). Pass `indexPreCapped =
+    * true` when the persisted index is maintained pre-capped to skip its
+    * window entirely. Output: distinct (doc_a < doc_b) with at least one
+    * side new.
     */
   def incrementalCandidatePairs(newBanded: DataFrame, indexBanded: DataFrame,
-                                maxBucket: Int = 64): DataFrame = {
+                                maxBucket: Int = 64,
+                                indexPreCapped: Boolean = false): DataFrame = {
     def capped(df: DataFrame): DataFrame = df
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
@@ -220,7 +230,10 @@ object Dedup {
       .drop("bn")
     // the shard side feeds both joins; the index side is read once
     val nw = capped(newBanded).localCheckpoint(false)
-    val old = capped(indexBanded)
+    val pruned = indexBanded.join(
+      broadcast(nw.select(col("band"), col("band_sig")).distinct()),
+      Seq("band", "band_sig"), "left_semi")
+    val old = if (indexPreCapped) pruned else capped(pruned)
     val newNew = nw.as("a").join(nw.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
