@@ -200,6 +200,33 @@ object ScaleProbe100 {
     }
     if (sections("sembuild")) { semBuildProbe(copies / 10); semBuildProbe(copies) }
 
+    // tar-shard export: write + read-back wall at 10×/100× corpus size —
+    // one hash shuffle + sequential per-shard writes should stay linear;
+    // the read is one task per shard walking headers.
+    def tarProbe(factor: Int): Unit = {
+      import graft.multimodal.TarShards
+      val docs = amplifyVaried(spark.read.parquet(s"$sfDir/documents.parquet"),
+          "doc_id", "text", factor, 10000000L)
+        .select(concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+          col("text").cast("binary").as("content"))
+        .localCheckpoint()
+      val n = docs.count()
+      println(s"[probe] ${factor}x tar entries: $n")
+      val dir = java.nio.file.Files.createTempDirectory(s"tarprobe$factor").toString
+      time(s"${factor}x writeTarShards (32 shards)") {
+        TarShards.writeTarShards(docs, "name", "content", dir, 32)
+      }
+      time(s"${factor}x readTarShards (full checksum)") {
+        val back = TarShards.readTarShards(spark, dir)
+        val cnt = back.select(xxhash64(col("name"), col("content")).as("__h"))
+          .agg(bit_xor(col("__h")), count(lit(1))).head().getLong(1)
+        println(s"[probe] ${factor}x tar read-back entries: $cnt")
+        require(cnt == n, s"tar round-trip lost rows: $cnt != $n")
+      }
+      spark.catalog.clearCache()
+    }
+    if (sections("tar")) { tarProbe(copies / 10); tarProbe(copies) }
+
     // semantic dedup: one-time index build vs the day-2 incremental form.
     // Copies are rotated by a copy-keyed pseudo-random offset (±5 per
     // dim, original values ~N(0,1)) so cross-copy cosines stay low and

@@ -475,6 +475,43 @@ class CliSpec extends SparkSpec {
     assert(nShards >= 1 && nShards <= 3)
   }
 
+  test("END-TO-END: dedup → pack → export composes raw docs into training tar shards") {
+    // the full curation→training handoff through the real CLI surface:
+    // near-dups collapse, the kept corpus packs into token windows, and
+    // the same kept corpus exports as tar shards a loader would stream
+    val near = "the quick brown fox jumps over the lazy dog near the " +
+      "riverbank every single morning before the sun rises over the hills"
+    val docs = Seq(
+      (1L, near, "en"),
+      (2L, near + " and keeps running onward", "en"),
+      (3L, "harbor cranes unload container ships beneath sodium lamps " +
+        "through the night while foremen call out berth numbers", "en"),
+      (4L, "desert winds carve long ridges into the shifting orange dunes " +
+        "far beyond the last paved road on the southern plateau", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val docsDir = tmpDir("cli_e2e_docs")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val keptDir = tmpDir("cli_e2e_kept") + "/kept"
+    Main.run(spark, Array("dedup", "--docs", docsDir,
+      "--min-quality", "0.0", "--keep-by", "length", "--output", keptDir))
+    val keptIds = spark.read.parquet(keptDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds === Set(2L, 3L, 4L)) // 1-2 collapsed, longest kept
+    val packDir = tmpDir("cli_e2e_pack") + "/shards"
+    Main.run(spark, Array("pack", "--docs", keptDir, "--group", "lang",
+      "--budget", "16", "--windows-per-shard", "2", "--out-shards", packDir))
+    val spans = spark.read.parquet(packDir)
+    assert(spans.select("doc_id").as[Long].collect().toSet === keptIds)
+    val tarDir = tmpDir("cli_e2e_tar") + "/tars"
+    Main.run(spark, Array("export", "--docs", keptDir,
+      "--output", tarDir, "--shards", "2"))
+    val back = graft.multimodal.TarShards.readTarShards(spark, tarDir)
+      .selectExpr("name", "CAST(content AS STRING) AS text")
+      .as[(String, String)].collect().toMap
+    assert(back.keySet === keptIds.map(i => s"$i.txt"))
+    assert(back("2.txt").endsWith("keeps running onward"))
+  }
+
   test("mixture subcommand: temperature plan lands in --output as json") {
     val docs = (0L until 30L).map(i =>
         (i, "some text content here", if (i < 24) "en" else "fr"))
