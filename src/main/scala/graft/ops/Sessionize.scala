@@ -45,4 +45,53 @@ object Sessionize {
         min(col(ts)).as("session_start"),
         max(col(ts)).as("session_end"),
         round(sum(value), roundTo).as("sum_value"))
+
+  /** Strict-order FUNNEL, earliest-chain semantics: per key, stage k's
+    * timestamp is the earliest stage-k event STRICTLY AFTER stage k-1's
+    * timestamp (the standard product-analytics funnel — each step must
+    * happen after the previous one actually happened, not merely
+    * co-occur). Keys with no stage-1 event are absent: the funnel entry
+    * defines the cohort.
+    *
+    * Scale shape: one filtered aggregate + one key-equi-join per stage —
+    * never a self-join of the raw event log against itself, never a
+    * per-key event buffer, so a key with millions of events costs the
+    * same as one with ten. Each stage's join input shrinks monotonically
+    * (only keys that reached the previous stage).
+    *
+    * Output: (key, t_<stage1>, ..., t_<stageN>, stages_reached).
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: empty stage list")
+    require(stages.distinct.size == stages.size,
+      s"funnel: duplicate stage names in $stages")
+    val s0 = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t_${stages.head}"))
+    val full = stages.zipWithIndex.drop(1).foldLeft(s0) { case (acc, (st, i)) =>
+      val prev = s"t_${stages(i - 1)}"
+      val next = events.filter(col(typeCol) === st)
+        .select(col(keyCol), col(tsCol))
+        .join(acc.select(col(keyCol), col(prev)), Seq(keyCol))
+        .filter(col(tsCol) > col(prev))
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t_$st"))
+      acc.join(next, Seq(keyCol), "left")
+    }
+    full.withColumn("stages_reached",
+      stages.map(st => when(col(s"t_$st").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("int"))
+  }
+
+  /** The conversion summary over [[funnel]]: per stage (1-indexed, in
+    * funnel order), how many keys reached it — the chart a funnel is run
+    * for. Derived from the funnel relation with one tiny aggregate.
+    */
+  def funnelCounts(events: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String]): DataFrame =
+    funnel(events, keyCol, tsCol, typeCol, stages)
+      .select(explode(sequence(lit(1), col("stages_reached"))).as("stage_idx"))
+      .groupBy("stage_idx")
+      .agg(count(lit(1)).as("n_keys"))
+      .withColumn("stage",
+        element_at(typedLit(stages), col("stage_idx").cast("int")))
 }

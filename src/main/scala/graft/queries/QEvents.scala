@@ -73,7 +73,20 @@ object QEvents {
     // timestamp values.
     "t7_sessionize" -> ((s, d) =>
       graft.ops.Sessionize.sessions(t(s, d, "events"),
-        "user_id", "ts", "event_id", 8 * 3600L, col("value"))))
+        "user_id", "ts", "event_id", 8 * 3600L, col("value"))),
+
+    // T8: strict-order FUNNEL (earliest-chain) — per user, when each stage
+    // of view → click → signup → purchase was first reached given every
+    // earlier stage happened strictly before. One filtered aggregate +
+    // key-equi-join per stage; never a self-join of the raw log.
+    "t8_funnel" -> ((s, d) =>
+      graft.ops.Sessionize.funnel(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "signup", "purchase"))),
+
+    // T8b: the conversion chart over t8 — keys reaching each stage.
+    "t8b_funnel_counts" -> ((s, d) =>
+      graft.ops.Sessionize.funnelCounts(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "signup", "purchase"))))
 
   def oracle: Map[String, String] = Map(
     "t2_step_buckets" ->
@@ -124,5 +137,35 @@ object QEvents {
          SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                 count(*) AS n_events, min(ts) AS session_start,
                 max(ts) AS session_end, round(sum(value), 4) AS sum_value
-         FROM s GROUP BY user_id, session_idx""")
+         FROM s GROUP BY user_id, session_idx""",
+    "t8_funnel" -> funnelSql,
+    "t8b_funnel_counts" ->
+      s"""WITH f AS ($funnelSql),
+              x AS (SELECT unnest(range(1, stages_reached + 1)) AS stage_idx
+                    FROM f)
+          SELECT CAST(stage_idx AS BIGINT) AS stage_idx,
+                 count(*) AS n_keys,
+                 CASE stage_idx WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+                   WHEN 3 THEN 'signup' ELSE 'purchase' END AS stage
+          FROM x GROUP BY stage_idx""")
+
+  private val funnelSql =
+    """WITH o AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t_view FROM o
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT o.user_id, min(ts) AS t_click FROM o
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND ts > t_view GROUP BY 1),
+            s3 AS (SELECT o.user_id, min(ts) AS t_signup FROM o
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'signup' AND ts > t_click GROUP BY 1),
+            s4 AS (SELECT o.user_id, min(ts) AS t_purchase FROM o
+                   JOIN s3 USING (user_id)
+                   WHERE event_type = 'purchase' AND ts > t_signup GROUP BY 1)
+       SELECT s1.user_id, t_view, t_click, t_signup, t_purchase,
+              CAST((t_view IS NOT NULL)::INT + (t_click IS NOT NULL)::INT
+                + (t_signup IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT
+                AS INT) AS stages_reached
+       FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       LEFT JOIN s4 USING (user_id)"""
 }

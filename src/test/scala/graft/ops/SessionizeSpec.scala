@@ -38,4 +38,38 @@ class SessionizeSpec extends SparkSpec {
       .select("session_idx").as[Long].collect()
     assert(rows.toSet === Set(1L))
   }
+
+  test("funnel is strict-order earliest-chain: out-of-order stages don't count") {
+    val stages = Seq("view", "click", "buy")
+    val ev = Seq(
+      // user 1: full funnel in order — all 3 reached
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "buy", ts(9)),
+      // user 2: clicked BEFORE first view; a later click exists, so the
+      // chain picks the post-view click (min AFTER t_view, not global min)
+      (2L, "click", ts(0)), (2L, "view", ts(2)), (2L, "click", ts(7)),
+      // user 3: bought before clicking — buy must NOT count (strict order)
+      (3L, "view", ts(0)), (3L, "buy", ts(1)), (3L, "click", ts(4)),
+      // user 4: never viewed — not in the cohort at all
+      (4L, "click", ts(0)), (4L, "buy", ts(1)),
+      // user 5: tie — click at the SAME instant as view is not after it
+      (5L, "view", ts(3)), (5L, "click", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Sessionize.funnel(ev, "user_id", "ts", "event_type", stages)
+      .select("user_id", "t_view", "t_click", "t_buy", "stages_reached")
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 5L))
+    assert(got(1L) === ((ts(0), Some(ts(5)), Some(ts(9)), 3)))
+    assert(got(2L) === ((ts(2), Some(ts(7)), None, 2)))
+    assert(got(3L) === ((ts(0), Some(ts(4)), None, 2)))
+    assert(got(5L) === ((ts(3), None, None, 1)))
+    // conversion chart: 4 viewed, 3 clicked after viewing, 1 bought after
+    val counts = Sessionize.funnelCounts(ev, "user_id", "ts", "event_type",
+        stages)
+      .select("stage_idx", "stage", "n_keys")
+      .as[(Long, String, Long)].collect().toSet
+    assert(counts === Set((1L, "view", 4L), (2L, "click", 3L),
+      (3L, "buy", 1L)))
+  }
 }
