@@ -94,4 +94,35 @@ object Sessionize {
       .agg(count(lit(1)).as("n_keys"))
       .withColumn("stage",
         element_at(typedLit(stages), col("stage_idx").cast("int")))
+
+  /** Day-granularity COHORT RETENTION — the funnel's sibling: keys are
+    * cohorted by the day of their FIRST event, and each later active day
+    * lands in (cohort_day, day_offset) with the fraction of the cohort
+    * still active. Offset 0 is the cohort day itself (retention 1.0 by
+    * construction — the sanity row).
+    *
+    * Scale shape: one first-event aggregate (map-side min), one distinct
+    * over (key, day) — both collapse the raw log before anything joins —
+    * then a key-equi-join of two key-sized relations and two tiny
+    * aggregates. The raw event log is never self-joined and never
+    * shuffled twice.
+    */
+  def retention(events: DataFrame, keyCol: String, tsCol: String,
+                roundTo: Int = 6): DataFrame = {
+    val first = events.groupBy(col(keyCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    val active = events.select(col(keyCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val sizes = first.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(first, keyCol)
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col(keyCol))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .withColumn("retention",
+        round(col("n_active") / col("cohort_size"), roundTo))
+  }
 }

@@ -86,7 +86,16 @@ object QEvents {
     // T8b: the conversion chart over t8 — keys reaching each stage.
     "t8b_funnel_counts" -> ((s, d) =>
       graft.ops.Sessionize.funnelCounts(t(s, d, "events"), "user_id", "ts",
-        "event_type", Seq("view", "click", "signup", "purchase"))))
+        "event_type", Seq("view", "click", "signup", "purchase"))),
+
+    // T9: day-granularity cohort retention — users cohorted by first-event
+    // day, per (cohort_day, day_offset) active fraction.
+    "t9_retention" -> ((s, d) =>
+      graft.ops.Sessionize.retention(t(s, d, "events"), "user_id", "ts")
+        // DATE → 'yyyy-MM-dd' string for the cross-engine hash compare
+        // (pandas reads Spark DATE as date objects but DuckDB DATEs as
+        // datetime64 — same value, different dtype)
+        .withColumn("cohort_day", col("cohort_day").cast("string"))))
 
   def oracle: Map[String, String] = Map(
     "t2_step_buckets" ->
@@ -139,6 +148,21 @@ object QEvents {
                 max(ts) AS session_end, round(sum(value), 4) AS sum_value
          FROM s GROUP BY user_id, session_idx""",
     "t8_funnel" -> funnelSql,
+    "t9_retention" ->
+      """WITH o AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+              f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                    FROM o GROUP BY 1),
+              a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM o),
+              cs AS (SELECT cohort_day, count(*) AS cohort_size
+                     FROM f GROUP BY 1)
+          SELECT CAST(j.cohort_day AS VARCHAR) AS cohort_day,
+                 CAST(datediff('day', j.cohort_day, j.day) AS INT) AS day_offset,
+                 count(*) AS n_active, cohort_size,
+                 round(count(*)::DOUBLE / cohort_size, 6) AS retention
+          FROM (SELECT f.cohort_day, a.day, a.user_id
+                FROM a JOIN f USING (user_id)) j
+          JOIN cs USING (cohort_day)
+          GROUP BY 1, 2, cohort_size""",
     "t8b_funnel_counts" ->
       s"""WITH f AS ($funnelSql),
               x AS (SELECT unnest(range(1, stages_reached + 1)) AS stage_idx

@@ -72,4 +72,29 @@ class SessionizeSpec extends SparkSpec {
     assert(counts === Set((1L, "view", 4L), (2L, "click", 3L),
       (3L, "buy", 1L)))
   }
+
+  test("retention: cohort by first-event day, offset-0 is always 1.0, multiple same-day events count once") {
+    def day(d: Int, h: Int = 0) =
+      new java.sql.Timestamp((d * 24L + h) * 3600000L)
+    val ev = Seq(
+      // cohort day 0: users 1, 2. user 1 active days 0, 1, 3 (two events
+      // on day 1 — still one active day); user 2 active day 0 only
+      (1L, day(0)), (1L, day(1)), (1L, day(1, 5)), (1L, day(3)),
+      (2L, day(0, 8)),
+      // cohort day 1: user 3 active days 1 and 2
+      (3L, day(1)), (3L, day(2)))
+      .toDF("user_id", "ts")
+    val got = Sessionize.retention(ev, "user_id", "ts")
+      .selectExpr("CAST(cohort_day AS STRING)", "day_offset", "n_active",
+        "cohort_size", "retention")
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val d0 = "1970-01-01"; val d1 = "1970-01-02"
+    assert(got.keySet === Set((d0, 0), (d0, 1), (d0, 3), (d1, 0), (d1, 1)))
+    assert(got((d0, 0)) === ((2L, 2L, 1.0)))   // both cohort members day 0
+    assert(got((d0, 1)) === ((1L, 2L, 0.5)))   // only user 1; dup collapsed
+    assert(got((d0, 3)) === ((1L, 2L, 0.5)))
+    assert(got((d1, 0)) === ((1L, 1L, 1.0)))
+    assert(got((d1, 1)) === ((1L, 1L, 1.0)))
+  }
 }
