@@ -987,6 +987,41 @@ object Vectors {
     assignCells(c, "vec_id", cents).join(c, "vec_id")
   }
 
+  /** SEMANTIC contamination — the embedding-space member of the
+    * decontamination family ([[graft.dedup.Dedup.contaminatedIds]] catches
+    * verbatim/near-verbatim leakage by shared n-grams; this catches the
+    * PARAPHRASED benchmark item that shares no 5-gram with its source but
+    * embeds next to it): train vectors within `minCosine` of ANY eval
+    * vector, compared only inside shared quantizer cells (both sides
+    * assigned with the same frozen `cents`, so cost is cells × cell
+    * populations, never train × eval). Returns distinct train ids with
+    * their best-matching eval id and cosine — the audit row a
+    * decontamination report wants, not just a drop list.
+    * Output: (train_id, eval_id, cosine) — one row per contaminated train
+    * vector (max cosine, min eval_id tie-break).
+    */
+  def semanticContaminatedIds(train: DataFrame, trainIdCol: String,
+                              trainVecCol: String, eval: DataFrame,
+                              evalIdCol: String, evalVecCol: String,
+                              cents: DataFrame, minCosine: Double,
+                              roundTo: Int = 6): DataFrame = {
+    val tr = semanticIndex(train, trainIdCol, trainVecCol, cents)
+      .select(col("vec_id").as("__t"), col("cell"),
+        col("v").as("__tv"), col("vn").as("__tn"))
+    val ev = semanticIndex(eval, evalIdCol, evalVecCol, cents)
+      .select(col("vec_id").as("__e"), col("cell"),
+        col("v").as("__ev"), col("vn").as("__en"))
+    tr.join(ev, "cell")
+      .withColumn("cosine",
+        round(dot(col("__tv"), col("__ev")) / (col("__tn") * col("__en")),
+          roundTo))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("__t").as("train_id"))
+      .agg(max_by(col("__e"), struct(col("cosine"), -col("__e")))
+        .as("eval_id"),
+        max(col("cosine")).as("cosine"))
+  }
+
   /** HARD-NEGATIVE mining — the contrastive-training data op: per query,
     * the top-`k` corpus vectors by cosine INSIDE the band [loCos, hiCos) —
     * similar enough to be informative negatives, dissimilar enough not to

@@ -199,6 +199,21 @@ object QVectors {
         loCos = 0.05, hiCos = 0.5)
     }),
 
+    // V21: SEMANTIC contamination — train vectors embedding next to an
+    // eval vector (cosine ≥ 0.3 within shared cells): the paraphrased-
+    // benchmark-leakage check n-gram decontamination (d8) cannot see.
+    // Eval = vec_id < 20 stands in for the benchmark split (the d8
+    // convention); centroids frozen from the train side.
+    "v21_semantic_contamination" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val train = emb.filter(col("vec_id") >= 20)
+      val eval = emb.filter(col("vec_id") < 20)
+      Vectors.semanticContaminatedIds(train, "vec_id", "embedding",
+        eval, "vec_id", "embedding",
+        Vectors.stepCentroids(train, "vec_id", "embedding", 50),
+        minCosine = 0.3)
+    }),
+
     // V20: JL random-projection DISTORTION — cosine in the original
     // 64-dim space vs the 16-plane projected space for all pairs of a
     // bounded id range, with the absolute error. The measurement that
@@ -698,6 +713,29 @@ object QVectors {
                 round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) AS cosine
          FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.4""",
+    "v21_semantic_contamination" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                    FROM embeddings),
+              cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
+                        FROM c WHERE vec_id >= 20 AND vec_id % 50 = 0),
+              ca0 AS (SELECT vec_id, v, vn, cell FROM (
+                SELECT c.vec_id, c.v, c.vn, cent_id AS cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                  cent_id) AS rk
+                FROM c, cents) WHERE rk = 1),
+              tr AS (SELECT * FROM ca0 WHERE vec_id >= 20),
+              ev AS (SELECT * FROM ca0 WHERE vec_id < 20),
+              s AS (SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+                           round(list_dot_product(tr.v, ev.v) / (tr.vn * ev.vn), 6) AS cosine
+                    FROM tr JOIN ev USING (cell)
+                    WHERE round(list_dot_product(tr.v, ev.v) / (tr.vn * ev.vn), 6) >= 0.3)
+         SELECT train_id, eval_id, cosine FROM (
+           SELECT train_id, eval_id, cosine,
+                  row_number() OVER (PARTITION BY train_id
+                    ORDER BY cosine DESC, eval_id) AS rk
+           FROM s) WHERE rk = 1""",
     "v19_hard_negatives" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn

@@ -94,6 +94,8 @@ class PlanAuditSpec extends SparkSpec {
       // v19: v5's tiny-centroid assignment cross (hard negatives probe
       // the query's cell; the candidate join stays equi on cell)
       "v19_hard_negatives",
+      // v21: the same tiny-centroid assignment cross, both sides
+      "v21_semantic_contamination",
       // v20: bounded-id all-pairs distortion measurement — the BNLJ over
       // 48 vectors is the point (the projection itself is a pure map)
       "v20_jl_distortion",

@@ -439,6 +439,38 @@ class VectorsSpec extends SparkSpec {
     assert(agg === got)
   }
 
+  test("semanticContaminatedIds flags the planted paraphrase, picks the best eval match") {
+    val rnd = new scala.util.Random(31)
+    val trainVecs = (100L until 160L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    // eval: two items — eval 1 is a scaled copy of train 120 (a perfect
+    // "paraphrase": same direction, different bytes); eval 2 is random
+    val eval = Seq(
+      (1L, trainVecs.find(_._1 == 120L).get._2.map(_ * 0.5f)),
+      (2L, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val train = trainVecs.toDF("vec_id", "embedding")
+    val cents = Vectors.stepCentroids(train, "vec_id", "embedding", 20)
+      .localCheckpoint()
+    val got = Vectors.semanticContaminatedIds(train, "vec_id", "embedding",
+        eval, "vec_id", "embedding", cents, minCosine = 0.95)
+      .as[(Long, Long, Double)].collect()
+    // exactly the planted leak, matched to ITS eval twin at cosine 1.0
+    assert(got.toSeq === Seq((120L, 1L, 1.0)), s"got ${got.toSeq}")
+    // a train vector never pairs outside its cell even at threshold 0:
+    // every flagged id shares a cell with some eval vector
+    val all = Vectors.semanticContaminatedIds(train, "vec_id", "embedding",
+        eval, "vec_id", "embedding", cents, minCosine = -1.0)
+      .select("train_id").as[Long].collect().toSet
+    val cells = Vectors.semanticIndex(train, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val evCells = Vectors.semanticIndex(eval, "vec_id", "embedding", cents)
+      .select("cell").as[Long].collect().toSet
+    assert(all.nonEmpty && all.forall(id => evCells.contains(cells(id))))
+    assert((100L until 160L).toSet.filter(id => evCells.contains(cells(id)))
+      === all) // and EVERY same-cell train vector is audited at -1.0
+  }
+
   test("hardNegatives: band-filtered same-cell top-k; positives and dissimilar both excluded") {
     def at(deg: Double): Seq[Float] = {
       val r = math.toRadians(deg)
