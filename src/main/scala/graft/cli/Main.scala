@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-output <dir>] [--compact-every K] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--compact-every K] [--output <dir>] [--audit]
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
@@ -296,8 +296,23 @@ object Main {
           val semTable = opt(args, "--sem-table").get
           val cents = spark.read.parquet(opt(args, "--sem-cents").get)
           val minCos = opt(args, "--min-cosine").map(_.toDouble).getOrElse(0.99)
-          val shardVecs = spark.read.parquet(sdir)
+          val shardVecs0 = spark.read.parquet(sdir)
           val vecCol = opt(args, "--sem-col").getOrElse("embedding")
+          // optional SEMANTIC decontamination of today's shard BEFORE any
+          // index work — the embedding twin of --decontaminate: a shard
+          // vector within --sem-decont-cosine of any eval vector (the
+          // paraphrased benchmark item n-gram overlap can't see) is
+          // dropped before it can be folded in as tomorrow's match source
+          val shardVecs = opt(args, "--sem-eval").map { evDir =>
+            val dirty = Vectors.semanticContaminatedIds(
+                shardVecs0, "vec_id", vecCol,
+                spark.read.parquet(evDir), "vec_id", vecCol, cents,
+                opt(args, "--sem-decont-cosine").map(_.toDouble)
+                  .getOrElse(0.99))
+              .select(col("train_id").as("__sem_dirty"))
+            shardVecs0.join(broadcast(dirty),
+              col("vec_id") === col("__sem_dirty"), "left_anti")
+          }.getOrElse(shardVecs0)
           if (!spark.catalog.tableExists(semTable))
             Vectors.writeSemanticIndex(shardVecs.limit(0), "vec_id", vecCol,
               cents, semTable, buckets)

@@ -225,6 +225,58 @@ class CliSpec extends SparkSpec {
     assert(Vectors.readSemanticIndex(spark, "cli_sem_idx").count() === 6L)
   }
 
+  test("ingest-daily --sem-eval: semantically contaminated shard vector never enters the index") {
+    import graft.ann.Vectors
+    import org.apache.spark.sql.functions._
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    val base = Seq(0L -> at(0), 1L -> at(20), 3L -> at(90), 4L -> at(60))
+      .toDF("vec_id", "embedding")
+    val cents = Vectors.stepCentroids(base, "vec_id", "embedding", 3)
+      .localCheckpoint()
+    spark.sql("DROP TABLE IF EXISTS cli_semdc_idx")
+    Vectors.writeSemanticIndex(base, "vec_id", "embedding", cents,
+      "cli_semdc_idx", buckets = 4)
+    // shard vec 300 is 1° from base 0 (would pair AND fold); 301 clean.
+    // The EVAL vector sits 0.5° from 300 — a paraphrased benchmark item —
+    // so 300 must be dropped BEFORE pairing and folding.
+    val shard = Seq(300L -> at(1), 301L -> at(75)).toDF("vec_id", "embedding")
+    val evalVecs = Seq(900L -> at(1.5)).toDF("vec_id", "embedding")
+    val shardDir = tmpDir("cli_semdc_v")
+    shard.write.mode("overwrite").parquet(shardDir)
+    val evalDir = tmpDir("cli_semdc_e")
+    evalVecs.write.mode("overwrite").parquet(evalDir)
+    val centsDir = tmpDir("cli_semdc_c")
+    cents.write.mode("overwrite").parquet(centsDir)
+    val docsDir = tmpDir("cli_semdc_d")
+    Seq(400L -> "unrelated words about parsers and grammars")
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    spark.sql("DROP TABLE IF EXISTS cli_semdc_band")
+    graft.dedup.Dedup.writeBandIndex(graft.dedup.Dedup.bandedSignatures(
+      graft.dedup.Dedup.minhashSignatures(
+        Seq(401L -> "prior day corpus entry with its own words")
+          .toDF("doc_id", "text"), col("doc_id"), col("text"), 8), 4),
+      "cli_semdc_band", buckets = 4)
+    val semOut = tmpDir("cli_semdc_out") + "/pairs"
+    try {
+      Main.run(spark, Array("ingest-daily",
+        "--docs", docsDir, "--band-table", "cli_semdc_band", "--buckets", "4",
+        "--sem-vectors", shardDir, "--sem-table", "cli_semdc_idx",
+        "--sem-cents", centsDir, "--sem-eval", evalDir,
+        "--sem-decont-cosine", "0.99", "--sem-output", semOut))
+      // no pairs (300's would-be match was decontaminated away) and the
+      // index holds base + ONLY the clean shard vector
+      assert(spark.read.parquet(semOut).count() === 0L)
+      val idx = Vectors.readSemanticIndex(spark, "cli_semdc_idx")
+      assert(idx.count() === 5L)
+      assert(idx.filter(col("vec_id") === 300L).count() === 0L)
+      assert(idx.filter(col("vec_id") === 301L).count() === 1L)
+    } finally Seq("cli_semdc_idx", "cli_semdc_band").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("ingest-daily --shard-id/--decontaminate: contaminated doc never enters the index; rerun is a no-op") {
     import graft.core.Bucketing
     import graft.dedup.Dedup
