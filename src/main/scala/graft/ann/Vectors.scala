@@ -616,6 +616,67 @@ object Vectors {
       _.dropDuplicates())
   }
 
+  /** QUANTIZER REFRESH — the remediation the drift guard points at.
+    * [[appendToIvfPqIndex]] REFUSES a shard whose reconstruction error
+    * says the frozen codebooks no longer fit the incoming distribution,
+    * and the occupancy/drift views surface it — but detection without an
+    * engine-side remediation leaves "rebuild by hand". This is that
+    * operation: re-encode the CURRENT corpus under NEW quantizers ONCE
+    * and epoch-swap the bucketed index table in place, under
+    * [[graft.core.Bucketing.compactBucketed]]'s scratch-then-rename crash
+    * discipline: the new index is FULLY written (bucketed, sorted) to
+    * `<table>__refresh` before the live table is touched — a crash before
+    * the DROP leaves the old epoch live (the scratch is garbage the next
+    * refresh's stale-location cleanup clears); a crash between DROP and
+    * RENAME leaves the new epoch recoverable under the scratch name.
+    * Cost is one corpus encode + one bucket shuffle — the same bill as
+    * the original build, paid only when drift demands it; appends stay
+    * shard-priced between refreshes.
+    *
+    * Tombstones recorded against the OLD epoch are cleared on swap:
+    * `corpus` is the current source of truth (deletions already applied
+    * upstream, the [[compactIvfPqIndex]] output state), so stale masks
+    * must not shadow ids re-encoded into the new epoch — the same
+    * clean-slate contract as [[writeIvfPqIndex]]'s rebuild.
+    *
+    * Returns the refreshed drift baseline ([[meanPqMse]] of the corpus
+    * under the new books) — the number the ingest loop records as the
+    * next [[appendToIvfPqIndex]] `baselineMse`.
+    */
+  def refreshIvfPq(spark: org.apache.spark.sql.SparkSession, table: String,
+                   corpus: DataFrame, idCol: String, vecCol: String,
+                   cents: DataFrame, books: DataFrame, m: Int,
+                   buckets: Int = 64): Double = {
+    val scratch = table + "__refresh"
+    writeIvfPqIndex(ivfPqIndex(corpus, idCol, vecCol, cents, books, m),
+      scratch, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS `${tombstoneTable(table)}`")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$table`")
+    meanPqMse(corpus, idCol, vecCol, books, m)
+  }
+
+  /** [[refreshIvfPq]] with the production trainers: new coarse centroids
+    * ([[kmeansCentroids]]) and PQ codebooks ([[pqTrain]]) are trained on
+    * a deterministic sample of the CURRENT corpus distribution — centroid
+    * quality needs density, not the full 100-TB corpus — then the corpus
+    * is re-encoded once and the index epoch-swapped. Returns
+    * (cents, books, baselineMse): everything the ingest loop needs to
+    * resume appending against the new epoch. `k` coarse cells, `m`
+    * subspaces of `codes` codewords each.
+    */
+  def retrainIvfPq(spark: org.apache.spark.sql.SparkSession, table: String,
+                   corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, m: Int, codes: Int, iters: Int = 3,
+                   sampleFrac: Double = 1.0, seed: Long = 42,
+                   buckets: Int = 64): (DataFrame, DataFrame, Double) = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters, sampleFrac, seed)
+    val books = pqTrain(corpus, idCol, vecCol, m, codes, iters, sampleFrac, seed)
+    val baseline = refreshIvfPq(spark, table, corpus, idCol, vecCol,
+      cents, books, m, buckets)
+    (cents, books, baseline)
+  }
+
   /** Corpus-mean PQ reconstruction error under `books` — one number
     * summarizing how well the (frozen) codebooks still fit a vector set;
     * the drift statistic [[appendToIvfPqIndex]] guards on. An EMPTY
@@ -1181,6 +1242,41 @@ object Vectors {
                             buckets: Int = 64): Unit =
     graft.core.Bucketing.appendBucketed(
       semanticIndexFast(shard, idCol, vecCol, cents), table, "cell", buckets)
+
+  /** Quantizer refresh for a [[writeSemanticIndex]] table — the
+    * [[refreshIvfPq]] discipline applied to the SemDeDup index: when
+    * `v17_cell_occupancy` shows the frozen cells gone hot/drifted, re-
+    * assign the CURRENT corpus under NEW centroids once and epoch-swap
+    * the cell-bucketed table (scratch fully written, then DROP + RENAME —
+    * crash before the DROP leaves the old epoch live). Day-2 shards keep
+    * folding in at shard cost against the new `cents` afterwards.
+    */
+  def refreshSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, corpus: DataFrame, idCol: String,
+                           vecCol: String, cents: DataFrame,
+                           buckets: Int = 64): Unit = {
+    val scratch = table + "__refresh"
+    graft.core.Bucketing.writeBucketed(
+      semanticIndexFast(corpus, idCol, vecCol, cents), scratch, "cell", buckets)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$scratch` RENAME TO `$table`")
+  }
+
+  /** [[refreshSemanticIndex]] with the production trainer: new centroids
+    * from [[kmeansCentroids]] on a deterministic sample of the current
+    * corpus, then one re-assign + epoch swap. Returns the new centroid
+    * relation — the frozen quantizer subsequent [[appendToSemanticIndex]]
+    * / [[incrementalSemanticPairs]] calls must use.
+    */
+  def retrainSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, corpus: DataFrame, idCol: String,
+                           vecCol: String, k: Int, iters: Int = 3,
+                           sampleFrac: Double = 1.0, seed: Long = 42,
+                           buckets: Int = 64): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters, sampleFrac, seed)
+    refreshSemanticIndex(spark, table, corpus, idCol, vecCol, cents, buckets)
+    cents
+  }
 
   /** INCREMENTAL semantic near-dup pairs — the embedding-space member of
     * the day-2 dedup trilogy (text: [[graft.dedup.Dedup

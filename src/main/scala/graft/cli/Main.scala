@@ -247,6 +247,22 @@ object Main {
             opt(args, "--ngram").map(_.toInt).getOrElse(3),
             opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3))
           .localCheckpoint()
+        // no-silent-caps accounting (before the append, against the index
+        // the candidates actually joined): doc slots the per-bucket cap
+        // drops from candidacy, per side of the incremental join (shard
+        // window + index pruned to the shard's buckets — the exact
+        // relations incrementalCandidatePairs caps)
+        val capDropped: Option[(Long, Long)] =
+          if (args.contains("--audit")) {
+            def droppedSlots(banded: org.apache.spark.sql.DataFrame): Long =
+              Dedup.bandOccupancy(banded)
+                .agg(coalesce(sum(col("docs_dropped")), lit(0L)))
+                .head().getLong(0)
+            val idxPruned = Dedup.readBandIndex(spark, bandTable).join(
+              broadcast(shardBanded.select(col("band"), col("band_sig")).distinct()),
+              Seq("band", "band_sig"), "left_semi")
+            Some((droppedSlots(shardBanded), droppedSlots(idxPruned)))
+          } else None
         Dedup.appendBandIndex(shardBanded, bandTable, buckets)
         val vecAppend = opt(args, "--vectors").map { vdir =>
           val vecTable = opt(args, "--vec-table").get
@@ -356,6 +372,8 @@ object Main {
           if (opt(args, "--decontaminate").isDefined)
             println(f"[ingest-daily] decont_dropped   ${docs0.count() - docs.count()}%d")
           println(f"[ingest-daily] shard_band_rows  ${shardBanded.count()}%d")
+          capDropped.foreach { case (sh, ix) =>
+            println(f"[ingest-daily] cap_dropped_slots shard=$sh%d index=$ix%d") }
           println(f"[ingest-daily] candidate_pairs  ${cands.count()}%d")
           println(f"[ingest-daily] verified_pairs   ${verified.count()}%d")
           vecAppend.foreach { case (t, mse) =>

@@ -135,6 +135,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .filter(col("n_docs") > 1)
 
+  /** D19: band-bucket OCCUPANCY / overflow accounting — the no-silent-caps
+    * rule applied to the LSH band machinery (`v17_cell_occupancy`'s twin
+    * for the band index): every candidate generator here caps hot buckets
+    * (`filter(bn <= maxBucket)` in [[lshCandidatePairs]] /
+    * [[incrementalCandidatePairs]] / the Hamming fingerprint path) —
+    * correct as a worst-case bound, but a doc in an over-cap bucket
+    * silently loses its candidacy in that band with no way to see how
+    * much recall the cap spent. This view makes it measurable: per
+    * collision bucket, its size, whether the cap drops it, and how many
+    * doc slots it drops (`docs_dropped` = n_docs for an over-cap bucket —
+    * per-band slots, not distinct docs: a doc can still be recovered by
+    * another band, which is exactly what banding is for; the view is the
+    * upper bound on what the cap can cost). Singleton buckets generate no
+    * pairs and are excluded, so the output is collision-sized, never
+    * corpus-sized; the aggregate is one map-side-combining groupBy that on
+    * a persisted [[writeBandIndex]] table rides the bucket partitioning.
+    * `sigCol` generalizes over the two banded schemas: "band_sig"
+    * (MinHash text bands) and "band_val" ([[fingerprintBands]] Hamming
+    * bands) — same accounting, either index.
+    */
+  def bandOccupancy(banded: DataFrame, maxBucket: Int = 64,
+                    sigCol: String = "band_sig"): DataFrame =
+    banded.groupBy(col("band"), col(sigCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .withColumn("over_cap", col("n_docs") > maxBucket)
+      .withColumn("docs_dropped",
+        when(col("over_cap"), col("n_docs")).otherwise(lit(0L)))
+
   /** Candidate near-duplicate pairs from LSH buckets, with a per-bucket cap
     * to bound the worst-case quadratic blowup of a degenerate bucket
     * (e.g. boilerplate-heavy corpora). Pairs are (a < b), distinct.

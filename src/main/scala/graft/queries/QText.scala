@@ -324,6 +324,19 @@ object QText {
       Dedup.sketchAccuracy(t(s, d, "documents"), col("doc_id"), col("text"),
         k = 8, bandSize = 4, ngram = 3)),
 
+    // D19: band-bucket OCCUPANCY / overflow accounting — the v17 occupancy
+    // twin for the band index (the no-silent-caps rule): every LSH
+    // candidate generator drops over-cap buckets; this view reports, per
+    // collision bucket, its size, the over-cap flag, and the doc slots the
+    // cap costs — the recall-spend a 100 TB dedup run must be able to see.
+    // maxBucket = 16 here so both branches of the flag are exercised at
+    // test scale (bucket sizes at sf0.01 span 2..233).
+    "d19_band_occupancy" -> ((s, d) =>
+      Dedup.bandOccupancy(
+        Dedup.bandedSignatures(
+          Dedup.minhashSignatures(t(s, d, "documents"), col("doc_id"),
+            col("text"), 8), 4), maxBucket = 16)),
+
     // D8: benchmark decontamination — flag training documents sharing any
     // word 5-gram with the held-out set (doc_id < 50 stands in for the
     // benchmark split). Inverted-index equi-join on the gram (distinct
@@ -790,6 +803,23 @@ object QText {
           FROM w CROSS JOIN generate_series(1, 32) g(i)
           GROUP BY doc_id, i""",
     "d5_lsh_verify" -> d5Sql,
+    "d19_band_occupancy" ->
+      s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
+               sig AS (
+                 SELECT doc_id, seed,
+                        min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+                 FROM w CROSS JOIN generate_series(0, 7) g(seed)
+                 GROUP BY doc_id, seed),
+               banded AS (
+                 SELECT doc_id, CAST(floor(seed / 4) AS BIGINT) AS band,
+                        md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+                 FROM sig GROUP BY doc_id, band),
+               occ AS (SELECT band, band_sig, count(*) AS n_docs
+                       FROM banded GROUP BY band, band_sig
+                       HAVING count(*) > 1)
+          SELECT band, band_sig, n_docs, n_docs > 16 AS over_cap,
+                 CASE WHEN n_docs > 16 THEN n_docs ELSE 0 END AS docs_dropped
+          FROM occ""",
     "d18_sketch_accuracy" ->
       s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
                sig AS (

@@ -328,6 +328,46 @@ object QVectors {
       Vectors.ivfPqTopKFromIndex(Vectors.readIvfPqIndex(s, tbl),
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         cents, books, PqM, 5, nprobe = 2)
+    }),
+
+    // V22: quantizer-refresh drift view — the before/after evidence for
+    // [[Vectors.refreshIvfPq]]: an index built with STALE quantizers (step
+    // rules drawn from the base distribution only, v15's frozen-codebook
+    // setup) is epoch-swapped to quantizers re-drawn from the CURRENT
+    // corpus. One row per regime with the corpus-mean PQ reconstruction
+    // MSE — a fixed-point mean of the 6dp per-vector MSEs (sum of exact
+    // integers, one division, one rounding), the d16 discipline: a
+    // cross-engine mean of raw doubles is summation-order-sensitive in
+    // the last ulp. The refreshed row's n_vecs is counted FROM THE LIVE
+    // SWAPPED TABLE (distinct vec_id), so the query fails loudly if the
+    // epoch swap didn't land; refresh must strictly lower the mean MSE
+    // (asserted in BucketingSpec; visible in the row values here).
+    "v22_refresh_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") % 7 =!= 0)
+      val staleCents = Vectors.stepCentroids(base, "vec_id", "embedding", 50)
+      val staleBooks = Vectors.pqCodebooksStep(base, "vec_id", "embedding",
+        PqM, PqStep)
+      val tbl = "graft_v22_ivfpq"
+      Vectors.writeIvfPqIndex(
+        Vectors.ivfPqIndex(base, "vec_id", "embedding", staleCents,
+          staleBooks, PqM), tbl, buckets = 8)
+      val newCents = Vectors.stepCentroids(emb, "vec_id", "embedding", 50)
+      val newBooks = Vectors.pqCodebooksStep(emb, "vec_id", "embedding",
+        PqM, PqStep)
+      Vectors.refreshIvfPq(s, tbl, emb, "vec_id", "embedding",
+        newCents, newBooks, PqM, buckets = 8)
+      def regime(name: String, books: DataFrame, nVecs: DataFrame): DataFrame =
+        Vectors.pqReconstructionMse(emb, "vec_id", "embedding", books, PqM)
+          .agg(sum(round(col("pq_mse") * 1e6).cast("long")).as("__fp"),
+            count(lit(1)).as("__n"))
+          .crossJoin(nVecs)
+          .select(lit(name).as("regime"),
+            round(col("__fp") / col("__n") / lit(1e6), 6).as("mean_mse"),
+            col("n_vecs"))
+      regime("stale", staleBooks, emb.agg(count(lit(1)).as("n_vecs")))
+        .union(regime("refreshed", newBooks,
+          s.table(tbl).agg(countDistinct(col("vec_id")).as("n_vecs"))))
     }))
 
   /** DuckDB fragment: hyperplane p as a DOUBLE[] expression recomputing the
@@ -492,6 +532,48 @@ object QVectors {
 
   def oracle: Map[String, String] = Map(
     "v9_kmeans_recall" -> v9Sql,
+    // v22: stale chain = pqSqlFrom(base predicate) exactly as v15's frozen
+    // codebooks; refreshed chain = the same CTEs re-drawn over the full
+    // corpus. Per-vector MSE mirrors v11's pqm (ordered-list dot / Dim,
+    // 6dp); the regime mean is the fixed-point form (sum of exact BIGINTs,
+    // one division, one rounding) so it is summation-order-insensitive
+    // across engines.
+    "v22_refresh_drift" ->
+      s"""WITH ${pqSqlFrom("vec_id % 7 != 0")},
+              pm_s AS (SELECT vec_id,
+                              round(list_dot_product(dl, list_transform(dl, x -> 1.0))
+                                / $Dim, 6) AS pq_mse
+                       FROM (SELECT vec_id, list(d ORDER BY sub) AS dl
+                             FROM asg GROUP BY vec_id) t),
+              cb2 AS (SELECT sub, vec_id AS cent_id, sv AS cv
+                      FROM psub WHERE vec_id % $PqStep = 0),
+              pd2 AS (SELECT s.vec_id, s.sub, c.cent_id,
+                             list_dot_product(s.sv, s.sv)
+                               - 2.0 * list_dot_product(s.sv, c.cv)
+                               + list_dot_product(c.cv, c.cv) AS d
+                      FROM psub s JOIN cb2 c USING (sub)),
+              asg2 AS (SELECT vec_id, sub, d FROM (
+                         SELECT vec_id, sub, d,
+                                row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d + 0.0, cent_id) AS rn
+                         FROM pd2) t WHERE rn = 1),
+              pm_n AS (SELECT vec_id,
+                              round(list_dot_product(dl, list_transform(dl, x -> 1.0))
+                                / $Dim, 6) AS pq_mse
+                       FROM (SELECT vec_id, list(d ORDER BY sub) AS dl
+                             FROM asg2 GROUP BY vec_id) t),
+              nv AS (SELECT count(*) AS n_vecs FROM e)
+          SELECT 'stale' AS regime,
+                 round(CAST(sum(CAST(round(pq_mse * 1e6) AS BIGINT)) AS DOUBLE)
+                   / (SELECT n_vecs FROM nv) / 1e6, 6) AS mean_mse,
+                 (SELECT n_vecs FROM nv) AS n_vecs
+          FROM pm_s
+          UNION ALL
+          SELECT 'refreshed' AS regime,
+                 round(CAST(sum(CAST(round(pq_mse * 1e6) AS BIGINT)) AS DOUBLE)
+                   / (SELECT n_vecs FROM nv) / 1e6, 6) AS mean_mse,
+                 (SELECT n_vecs FROM nv) AS n_vecs
+          FROM pm_n""",
     "v11_pq_error" ->
       s"""WITH $pqSql,
               pl AS (SELECT vec_id, list(d ORDER BY sub) AS dl

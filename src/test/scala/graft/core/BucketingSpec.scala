@@ -440,4 +440,105 @@ class BucketingSpec extends SparkSpec {
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("quantizer refresh: retrain+epoch-swap == fresh rebuild; tombstones clear; pruning survives; ingest resumes") {
+    import graft.ann.Vectors
+    val rnd = new scala.util.Random(41)
+    val base = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val m = 2
+    val staleBooks = Vectors.pqCodebooksStep(base, "vec_id", "embedding", m, 10)
+    val staleCents = Vectors.stepCentroids(base, "vec_id", "embedding", 10)
+    val baseMse = Vectors.meanPqMse(base, "vec_id", "embedding", staleBooks, m)
+    val tbl = "ivfpq_refresh_b"
+    Vectors.writeIvfPqIndex(
+      Vectors.ivfPqIndex(base, "vec_id", "embedding", staleCents, staleBooks, m),
+      tbl, 8)
+    // the embedding distribution shifts: today's shard is REFUSED by the
+    // drift guard — the situation this operator remediates
+    val drifted = (50L until 110L).map(i =>
+      (i, Array.fill(8)(new scala.util.Random(i).nextGaussian() + 5)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalStateException] {
+      Vectors.appendToIvfPqIndex(tbl, drifted, "vec_id", "embedding",
+        staleCents, staleBooks, m, baselineMse = baseMse, buckets = 8)
+    }
+    // a tombstone recorded against the OLD epoch (deletion already applied
+    // to the corpus the refresh will re-encode)
+    Vectors.deleteFromIvfPqIndex(spark, tbl, Seq(3L).toDF("vec_id"))
+    assert(Vectors.readIvfPqIndex(spark, tbl)
+      .filter(col("vec_id") === 3L).count() === 0)
+    // REMEDIATION: one retrain + re-encode + epoch swap on the current corpus
+    val corpus = base.filter(col("vec_id") =!= 3L).union(drifted)
+    val (cents, books, newBase) = Vectors.retrainIvfPq(spark, tbl, corpus,
+      "vec_id", "embedding", k = 6, m = m, codes = 8, iters = 2, buckets = 8)
+    // refresh == fresh rebuild under the same (deterministically trained)
+    // quantizers — identical index rows...
+    val fresh = Vectors.ivfPqIndex(corpus, "vec_id", "embedding", cents, books, m)
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("sub"), col("cell"), col("ivf_cell"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+    assert(idx(spark.table(tbl)) === idx(fresh))
+    // ...and identical top-k through the production read path
+    val q = corpus.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(Vectors.ivfPqTopKFromIndex(Vectors.readIvfPqIndex(spark, tbl),
+        q, "vec_id", "embedding", cents, books, m, 5, nprobe = 2)) ===
+      rows(Vectors.ivfPqTopKFromIndex(fresh, q, "vec_id", "embedding",
+        cents, books, m, 5, nprobe = 2)))
+    // old-epoch tombstones are gone (the corpus is the source of truth)
+    assert(!spark.catalog.tableExists(Vectors.tombstoneTable(tbl)))
+    // the refreshed quantizers actually fit the new distribution better
+    assert(newBase <
+      Vectors.meanPqMse(corpus, "vec_id", "embedding", staleBooks, m))
+    // bucket pruning survives the epoch swap
+    val prevAuto = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val scan = try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      spark.table(tbl).filter(col("ivf_cell").isin(0L, 1L))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(scan).get
+    assert(sel.group(1).toInt < sel.group(2).toInt, scan)
+    // day-2 ingest RESUMES: a shard from the (now in-distribution) drifted
+    // population appends cleanly under the returned baseline
+    val nextShard = (200L until 210L).map(i =>
+      (i, Array.fill(8)(new scala.util.Random(i + 7).nextGaussian() + 5)))
+      .toDF("vec_id", "embedding")
+    Vectors.appendToIvfPqIndex(tbl, nextShard, "vec_id", "embedding",
+      cents, books, m, baselineMse = newBase, buckets = 8)
+    assert(spark.table(tbl).count() === (corpus.count() + 10) * m)
+  }
+
+  test("semantic index refresh: epoch swap re-assigns under new centroids; shard ingest resumes") {
+    import graft.ann.Vectors
+    val rnd = new scala.util.Random(43)
+    val corpus0 = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val staleCents = Vectors.stepCentroids(corpus0, "vec_id", "embedding", 10)
+    val tbl = "sem_refresh_b"
+    Vectors.writeSemanticIndex(corpus0, "vec_id", "embedding", staleCents, tbl, 8)
+    // distribution shifts; refresh re-assigns the CURRENT corpus under
+    // centroids trained on it
+    val corpus = corpus0.union((100L until 140L).map(i =>
+        (i, Array.fill(8)(new scala.util.Random(i).nextGaussian() + 5)))
+      .toDF("vec_id", "embedding"))
+    val cents = Vectors.retrainSemanticIndex(spark, tbl, corpus,
+      "vec_id", "embedding", k = 4, iters = 2, buckets = 8)
+    // the live table holds exactly the corpus, assigned per the returned cents
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(cellsOf(spark.table(tbl)) ===
+      cellsOf(Vectors.semanticIndex(corpus, "vec_id", "embedding", cents)))
+    // day-2 folding resumes against the new frozen cents
+    val shard = (200L until 205L).map(i =>
+      (i, Array.fill(8)(new scala.util.Random(i).nextGaussian() + 5)))
+      .toDF("vec_id", "embedding")
+    Vectors.appendToSemanticIndex(shard, "vec_id", "embedding", cents, tbl, 8)
+    assert(spark.table(tbl).count() === corpus.count() + 5)
+  }
 }

@@ -54,6 +54,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("bandOccupancy accounts exactly for the doc slots the bucket cap drops") {
+    // 6 identical docs form a hot bucket in BOTH bands; a 3-doc family
+    // stays under a cap of 4
+    val hot = (0L until 6L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val warm = (10L until 13L).map(i => (i, "zeta eta theta iota kappa"))
+    val dd = (hot ++ warm).toDF("doc_id", "text")
+    val banded = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(dd, col("doc_id"), col("text"), 8), 4)
+    val occ = Dedup.bandOccupancy(banded, maxBucket = 4)
+      .as[(Long, String, Long, Boolean, Long)].collect()
+    // 2 bands × 2 families = 4 collision buckets
+    assert(occ.length === 4)
+    val (over, under) = occ.partition(_._4)
+    assert(over.length === 2 && over.forall(r => r._3 === 6L && r._5 === 6L))
+    assert(under.length === 2 && under.forall(r => r._3 === 3L && r._5 === 0L))
+    // the accounting matches the cap's actual effect: no hot-family doc
+    // survives into candidate pairs; the warm family fully pairs up
+    val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(dd, col("doc_id"), col("text"), 8), 4,
+        maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    // the fingerprint (Hamming band) index gets the same view via sigCol
+    val fps = ((0L until 6L).map(i => (i, 0x1234L)) ++
+      Seq((10L, 0x4321L), (11L, 0x4321L))).toDF("doc_id", "fp")
+    val fpOcc = Dedup.bandOccupancy(
+        Dedup.fingerprintBands(fps, col("doc_id"), col("fp"), 16, 8),
+        maxBucket = 4, sigCol = "band_val")
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+    assert(fpOcc.count(_._4) === 2) // hot fp over cap in both bands
+    assert(fpOcc.filter(_._4).map(_._5).sum === 12L)
+  }
+
   test("array-kernel verifyCandidatesArray is row-identical to the default") {
     val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
     val cands = Dedup.lshCandidatePairs(sigs, bandSize = 4)
