@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
+  *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--output <manifestdir>]  (mixture-applied packed feed)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
   *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--compact-every K] [--output <dir>] [--audit]
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
@@ -161,6 +162,43 @@ object Main {
               case None      => plan.show(50, truncate = false)
             }
         }
+      case "feed" =>
+        // MIXTURE-APPLIED PACKED FEED (Pipelines.curatedFeed): per-source
+        // token-budget plan → exact-count sample at the planned fractions
+        // → packed shards under --out-shards, manifest to --output.
+        // --dedup folds the curation chain in front with its defaults;
+        // run the `dedup` command separately when its knobs are needed.
+        graft.extensions.GraftExtensions.register(spark)
+        val docs = spark.read.parquet(opt(args, "--docs").get)
+        val srcCol = opt(args, "--source-col").getOrElse("source")
+        val weights = opt(args, "--weights") match {
+          case Some(w) => spark.read.parquet(w)
+          case None =>
+            // the x10 deterministic default: weight = source index + 1
+            docs.select(col(srcCol)).distinct()
+              .withColumn("w",
+                regexp_extract(col(srcCol), "([0-9]+)", 1).cast("int") + 1)
+        }
+        val curate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (args.contains("--dedup"))
+            d => Pipelines.dedupCorpus(d, col("doc_id"), col("text"),
+              minQuality =
+                opt(args, "--min-quality").map(_.toDouble).getOrElse(0.5),
+              minJaccard =
+                opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3))
+          else identity
+        val outDir = opt(args, "--out-shards").get
+        val manifest = Pipelines.curatedFeed(docs, "doc_id", srcCol, weights,
+          graft.text.TextFunctions.tokenCountNative(col("text")),
+          budget = opt(args, "--budget").map(_.toLong).getOrElse(4096L),
+          windowsPerShard = opt(args, "--windows-per-shard").map(_.toLong)
+            .getOrElse(1024L),
+          outDir = outDir, curate = curate)
+        opt(args, "--output") match {
+          case Some(out) => manifest.write.mode("overwrite").parquet(out)
+          case None      => manifest.show(50, truncate = false)
+        }
+        println(s"[feed] packed shards written to $outDir")
       case "ingest" =>
         // incremental dedup: new shard vs a persisted banded-signature
         // index (write the index once with Dedup.bandedSignatures; every

@@ -72,9 +72,42 @@ object Sampling {
   def stratifiedExactDistributed(df: DataFrame, stratum: Column, key: Column,
                                  fractions: Map[String, Double],
                                  partitions: Int = 0): DataFrame = {
+    val fracMap = typedLit(fractions)
+    stratifiedDistributedImpl(df, stratum, key, partitions,
+      _.withColumn("__frac", coalesce(element_at(fracMap, col("__s")), lit(0.0))))
+  }
+
+  /** [[stratifiedExactDistributed]] with the fractions as a RELATION
+    * instead of a driver-side map — the form a PLANNER output feeds
+    * directly ([[graft.ops.Planners.tokenBudgetMixture]] emits
+    * (source, fraction)): the (broadcast, sources-sized) plan join
+    * replaces the typedLit map, so nothing is ever collected and the
+    * plan→sample composition stays one lazy relation. Strata absent from
+    * the plan sample at fraction 0; same selected rows as the map form
+    * for equal fractions (asserted in SamplingSpec).
+    */
+  def stratifiedExactByPlan(df: DataFrame, stratum: Column, key: Column,
+                            plan: DataFrame, planStratumCol: String,
+                            fractionCol: String = "fraction",
+                            partitions: Int = 0): DataFrame = {
+    val planSel = plan.select(col(planStratumCol).as("__ps"),
+      col(fractionCol).as("__pf"))
+    stratifiedDistributedImpl(df, stratum, key, partitions,
+      _.join(broadcast(planSel), col("__s") === col("__ps"), "left")
+        .withColumn("__frac", coalesce(col("__pf"), lit(0.0)))
+        .drop("__ps", "__pf"))
+  }
+
+  /** Shared distributed-rank machinery for the two exact-count forms:
+    * `attachFrac` appends the per-row `__frac` column (map lookup or plan
+    * join) onto the ranked relation carrying `__s`.
+    */
+  private def stratifiedDistributedImpl(df: DataFrame, stratum: Column,
+                                        key: Column, partitions: Int,
+                                        attachFrac: DataFrame => DataFrame)
+      : DataFrame = {
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val fracMap = typedLit(fractions)
     val ranged = df.withColumn("__s", stratum)
       .withColumn("__h", Determinism.detHash(key))
       .repartitionByRange(p, col("__h"), key)
@@ -86,12 +119,11 @@ object Sampling {
         Window.partitionBy("__s").orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__s", "__pid", "__off")
-    ranged
-      .withColumn("__lrn", row_number().over(
-        Window.partitionBy(col("__s"), col("__pid")).orderBy(col("__h"), key)))
-      .join(broadcast(offsets), Seq("__s", "__pid"))
-      .join(broadcast(totals), Seq("__s"))
-      .withColumn("__frac", coalesce(element_at(fracMap, col("__s")), lit(0.0)))
+    attachFrac(ranged
+        .withColumn("__lrn", row_number().over(
+          Window.partitionBy(col("__s"), col("__pid")).orderBy(col("__h"), key)))
+        .join(broadcast(offsets), Seq("__s", "__pid"))
+        .join(broadcast(totals), Seq("__s")))
       .filter(col("__off") + col("__lrn") <= floor(col("__n") * col("__frac")))
       .drop("__s", "__h", "__pid", "__lrn", "__off", "__n", "__frac")
   }

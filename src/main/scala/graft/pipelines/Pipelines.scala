@@ -173,6 +173,58 @@ object Pipelines {
       .write.partitionBy(group, "shard").mode("overwrite").parquet(outDir)
   }
 
+  /** MIXTURE-APPLIED PACKED FEED — the composition that turns a corpus
+    * into a materialized, resumable training feed in one call, closing
+    * the loop between the mixture planners (x10), the exact-count sampler
+    * (x1), the curation pipeline (d6) and the pack/shard writer
+    * (x16/x17), which until now only coexisted:
+    *
+    *  1. `curate` (default identity; pass a [[dedupCorpus]] closure to
+    *     fold the full curation chain in) — survivors only;
+    *  2. per-source token totals joined with the caller's mixture
+    *     `weights` relation (`(sourceCol, w)`) →
+    *     [[graft.ops.Planners.tokenBudgetMixture]] fractions — a
+    *     sources-sized broadcast plan, never collected;
+    *  3. exact-count per-source sampling at the planned fractions
+    *     ([[graft.ops.Sampling.stratifiedExactByPlan]], the distributed
+    *     rank form, deterministic in the doc id) — per-source sampled
+    *     counts land exactly at floor(n_src × fraction), the x18 oracle;
+    *  4. [[writePackedShards]]: concat-then-chunk spans into
+    *     `budget`-token windows, `windowsPerShard` windows per
+    *     deterministic `source=<s>/shard=<k>` dir under `outDir`.
+    *
+    * Returns the SHARD MANIFEST ([[graft.ops.Planners.shardManifest]]
+    * over the sampled relation) — the addressing/accounting view a
+    * resumable trainer budgets from. The shard files carry doc-id SPANS,
+    * not text (the x16 contract): window assembly joins them back to the
+    * curated corpus by id, so the feed never duplicates corpus bytes.
+    *
+    * Scale shape: the curate chain is computed ONCE — the sampler/planner
+    * run on a localCheckpointed (id, source, n_tok) projection (the
+    * narrow-checkpoint rule: never pin corpus text in executor storage),
+    * and the only corpus-sized shuffles are the sampler's range partition
+    * and the shard write's hash partition; plans and rank offsets stay
+    * sources×partitions-sized broadcasts.
+    */
+  def curatedFeed(docs: DataFrame, idCol: String, sourceCol: String,
+                  weights: DataFrame, nTok: Column,
+                  budget: Long, windowsPerShard: Long, outDir: String,
+                  curate: DataFrame => DataFrame = identity): DataFrame = {
+    val narrow = curate(docs)
+      .select(col(idCol), col(sourceCol), nTok.cast("long").as("__ntok"))
+      .localCheckpoint()
+    val per = narrow.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col("__ntok")).as("src_tokens"))
+      .join(weights.select(col(sourceCol).as("source"), col("w")), "source")
+    val plan = graft.ops.Planners.tokenBudgetMixture(per)
+    val sampled = graft.ops.Sampling.stratifiedExactByPlan(narrow,
+      col(sourceCol), col(idCol), plan, "source").localCheckpoint()
+    writePackedShards(sampled, sourceCol, idCol, "__ntok", budget,
+      windowsPerShard, outDir)
+    graft.ops.Planners.shardManifest(sampled, sourceCol, idCol, "__ntok",
+      budget, windowsPerShard)
+  }
+
   /** Corpus curation end-to-end — the flagship LLM-training-data pipeline
     * composed from the engine's own stages, in the order that minimizes
     * work at scale:

@@ -61,6 +61,33 @@ object QSampling {
       graft.ops.Planners.tokenBudgetMixture(per)
     }),
 
+    // X18: MIXTURE-APPLIED sampling — the x10 plan actually executed: the
+    // token-budget fractions feed the exact-count sampler as a RELATION
+    // (stratifiedExactByPlan — no driver map, no collect), and the
+    // per-source sampled counts must land EXACTLY at the plan's floor
+    // arithmetic (planned_docs = floor(n_docs × fraction) — the sampled
+    // column counts real sampled rows; the oracle states the contract).
+    // This is the accounting view of Pipelines.curatedFeed's stage 3.
+    "x18_mixture_counts" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        tokenCountNative(col("text")).cast("long").as("n_tok"))
+      val per = docs.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("src_tokens"), count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          regexp_extract(col("source"), "([0-9]+)", 1).cast("int") + 1)
+      val plan = graft.ops.Planners.tokenBudgetMixture(per)
+      val sampled = graft.ops.Sampling.stratifiedExactByPlan(docs,
+          col("source"), col("doc_id"), plan, "source")
+        .groupBy(col("source")).agg(count(lit(1)).as("__got"))
+      per.select(col("source"), col("n_docs"))
+        .join(plan.select(col("source"), col("fraction")), "source")
+        .join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          floor(col("n_docs") * col("fraction")).cast("long").as("planned_docs"),
+          coalesce(col("__got"), lit(0L)).as("sampled_docs"))
+    }),
+
     // X11: temperature-scaled mixture weights — the multilingual sampling
     // pass (p_l ∝ n_l^alpha, alpha = 1/T = 0.5) that upweights
     // low-resource languages relative to natural frequency before drawing
@@ -281,6 +308,24 @@ object QSampling {
                   round(CAST(w AS DOUBLE) / total_w, 6) AS target_share,
                   round(least(1.0, (CAST(w AS DOUBLE) / total_w) * total_tokens
                     / src_tokens), 6) AS fraction
+           FROM per CROSS JOIN tot""",
+      "x18_mixture_counts" ->
+        """WITH per AS (
+             SELECT source,
+                    CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x != ''))) AS BIGINT) AS src_tokens,
+                    count(*) AS n_docs,
+                    CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) + 1 AS w
+             FROM documents GROUP BY source),
+               tot AS (SELECT sum(src_tokens) AS total_tokens, sum(w) AS total_w
+                       FROM per)
+           SELECT source, n_docs,
+                  CAST(floor(n_docs * round(least(1.0,
+                    (CAST(w AS DOUBLE) / total_w) * total_tokens / src_tokens),
+                    6)) AS BIGINT) AS planned_docs,
+                  CAST(floor(n_docs * round(least(1.0,
+                    (CAST(w AS DOUBLE) / total_w) * total_tokens / src_tokens),
+                    6)) AS BIGINT) AS sampled_docs
            FROM per CROSS JOIN tot""",
       "x11_temperature_mix" ->
         """WITH per AS (SELECT lang, count(*) AS n_docs

@@ -379,6 +379,35 @@ class CliSpec extends SparkSpec {
       col("seq") >= (col("shard") + 1) * 4).count() === 0)
   }
 
+  test("feed: mixture plan -> exact-count sample -> packed shards + manifest, --dedup folds curation in") {
+    import org.apache.spark.sql.functions.col
+    val docsDir = tmpDir("cli_feed_docs")
+    // src1 twice as heavy as src0 under the default index-rule weights;
+    // doc 60 is an exact duplicate of doc 59 so --dedup visibly bites
+    val rows = (1 to 59).map(i => (i.toLong, s"src${i % 2}",
+      ("tok " * (i % 17 + 3)).trim + s" unique$i")) :+
+      (60L, "src1", ("tok " * (59 % 17 + 3)).trim + " unique59")
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val outDir = tmpDir("cli_feed_out") + "/shards"
+    val manDir = tmpDir("cli_feed_man") + "/manifest"
+    Main.run(spark, Array("feed", "--docs", docsDir,
+      "--budget", "32", "--windows-per-shard", "4",
+      "--dedup", "--min-quality", "0.0",
+      "--out-shards", outDir, "--output", manDir))
+    val back = spark.read.parquet(outDir)
+    val manifest = spark.read.parquet(manDir)
+    assert(back.count() > 0 && manifest.count() > 0)
+    // the exact duplicate lost to its min-id representative before packing
+    assert(back.filter(col("doc_id") === 60L).count() === 0)
+    // manifest accounting matches the written layout
+    val manTok = manifest.agg(org.apache.spark.sql.functions.sum("shard_tokens"))
+      .head().getLong(0)
+    val dirTok = back.agg(org.apache.spark.sql.functions.sum("len"))
+      .head().getLong(0)
+    assert(manTok === dirTok)
+  }
+
   test("ingest-daily first-ever run: band/fp/sem indices bootstrap from an empty catalog") {
     import graft.ann.Vectors
     import graft.core.Bucketing

@@ -55,6 +55,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedExactByPlan (fractions as a relation) selects the identical rows to the map form") {
+    val fr = Map("easy" -> 0.37, "medium" -> 0.74, "hard" -> 0.11)
+    val plan = fr.toSeq.toDF("src", "fraction")
+    val viaMap = Sampling.stratifiedExactDistributed(
+        df, col("stratum"), col("k"), fr)
+      .select("k").as[Long].collect().toSet
+    val viaPlan = Sampling.stratifiedExactByPlan(
+        df.repartition(5), col("stratum"), col("k"), plan, "src")
+      .select("k").as[Long].collect().toSet
+    assert(viaPlan === viaMap && viaPlan.nonEmpty)
+    // a stratum absent from the plan samples at 0
+    val partial = Sampling.stratifiedExactByPlan(df, col("stratum"), col("k"),
+        plan.filter(col("src") =!= "medium"), "src")
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(!partial.contains("medium") && partial.contains("easy"))
+  }
+
   test("shufflePositionDistributed equals the single-window rank exactly") {
     val input = df.filter(col("k") <= 237).select("k")
     val window = Sampling.shufflePosition(input, col("k"))

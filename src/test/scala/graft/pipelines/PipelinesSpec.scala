@@ -128,6 +128,58 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("curatedFeed: plan → exact-count sample → packed shards; manifest and dirs agree") {
+    val docs = (1 to 300).map { i =>
+      (i.toLong, Seq("web", "code")(i % 2), (i % 37 + 38).toLong)
+    }.toDF("doc_id", "source", "n_tok")
+    val weights = Seq(("web", 1), ("code", 3)).toDF("source", "w")
+    val out = java.nio.file.Files.createTempDirectory("feed").toString
+    val manifest = Pipelines.curatedFeed(docs, "doc_id", "source", weights,
+      col("n_tok"), budget = 64, windowsPerShard = 4, outDir = out,
+      curate = _.filter(col("doc_id") =!= 7L)) // a visible curation stage
+    // expected per-source sample sizes: the x18 floor arithmetic over the
+    // CURATED corpus (doc 7 gone)
+    val kept = docs.filter(col("doc_id") =!= 7L)
+    val per = kept.groupBy("source")
+      .agg(sum("n_tok").as("st"), count(lit(1)).as("n"))
+      .join(weights, "source")
+      .as[(String, Long, Long, Int)].collect()
+      .map { case (s, st, n, w) => s -> ((st, n, w.toLong)) }.toMap
+    val totTok = per.values.map(_._1).sum.toDouble
+    val totW = per.values.map(_._3).sum.toDouble
+    val expected = per.map { case (s, (st, n, w)) =>
+      val frac = BigDecimal(math.min(1.0, (w / totW) * totTok / st))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (s, math.floor(n * frac).toLong)
+    }
+    // the shard spans reference exactly the sampled docs: per source, the
+    // distinct doc count equals the plan's floor arithmetic, and the
+    // curated-out doc never appears
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("doc_id") === 7L).count() === 0)
+    val gotDocs = back.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .as[(String, Long)].collect().toMap
+    assert(gotDocs === expected, s"got $gotDocs want $expected")
+    // manifest ≡ the written layout: same (source, shard) rows, window
+    // counts match the dirs' distinct seqs, token totals match span sums
+    val manRows = manifest
+      .select(col("source"), col("shard"), col("n_windows"), col("shard_tokens"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val dirRows = back.groupBy("source", "shard")
+      .agg(countDistinct(col("seq")).as("nw"), sum(col("len")).as("tk"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(manRows === dirRows && manRows.nonEmpty)
+    // resumable-read contract: within each shard dir the spans replay in
+    // (seq, win_offset) order and tile each non-final window to the budget
+    val maxSeqs = back.groupBy("source").agg(max("seq").as("__mx"))
+    val windowTotals = back.join(maxSeqs, "source")
+      .filter(col("seq") =!= col("__mx"))
+      .groupBy("source", "seq").agg(sum("len").as("wtok"))
+      .select("wtok").distinct().as[Long].collect().toSet
+    assert(windowTotals === Set(64L), windowTotals.toString)
+  }
+
   test("dedupCorpus imageCol: pixel near-dups cluster and dedup like text near-dups") {
     import graft.multimodal.Multimodal
     // four docs with DISTINCT texts (no text pair fires); docs 1-2 carry
