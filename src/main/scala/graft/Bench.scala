@@ -22,6 +22,16 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Silence DAGScheduler's benign "attempted to access non-existent
+    // accumulator" error spam: clearCache() between queries unregisters
+    // accumulators that straggling task-end events still reference — a
+    // race with no correctness effect (rc=0, 0 failed) whose repeats bury
+    // the one JSON result line a reader of the bench tail needs. Real
+    // query failures are caught per-query by force() and reported in the
+    // FAILED line, not via this logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
     // Force with a checksum over every output column, not count(): count()
     // lets Catalyst prune unused projections, so projection-only queries
     // would time "scan + count" instead of the expressions the oracle

@@ -237,7 +237,7 @@ object Main {
         // or index work — without it, a contaminated document is folded
         // into the band index and survives as tomorrow's match source
         // even if a later batch decontamination scrubs the corpus
-        val docs = opt(args, "--decontaminate").map { evalDir =>
+        val docsPre = opt(args, "--decontaminate").map { evalDir =>
           val eval = spark.read.parquet(evalDir)
           val n = opt(args, "--decont-ngram").map(_.toInt).getOrElse(5)
           val dirty = Dedup.contaminatedIds(docs0, col("doc_id"), col("text"),
@@ -246,6 +246,11 @@ object Main {
           docs0.join(broadcast(dirty),
             docs0("doc_id") === col("__dirty_id"), "left_anti")
         }.getOrElse(docs0)
+        // --audit re-reads this relation for its counts: one shard-sized
+        // checkpoint makes the audit ≈ the non-audit wall instead of
+        // re-running the decontamination anti-join per count
+        val docs = if (args.contains("--audit")) docsPre.localCheckpoint()
+          else docsPre
         val k = opt(args, "--minhash-k").map(_.toInt).getOrElse(8)
         val bandSize = opt(args, "--band-size").map(_.toInt).getOrElse(4)
         val bandTable = opt(args, "--band-table").get

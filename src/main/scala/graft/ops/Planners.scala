@@ -142,7 +142,13 @@ object Planners {
     val p = if (partitions > 0) partitions
       else docs.sparkSession.sessionState.conf.numShufflePartitions
     val w = org.apache.spark.sql.expressions.Window
+    // project BEFORE the checkpoint: localCheckpoint materializes the
+    // relation at full input width, so a caller passing wide docs (with
+    // text) would pin the whole corpus in executor storage when only
+    // (group, order, nTok) ever reach spansFromBefore — the narrow-
+    // checkpoint rule (round-10 verdict).
     val ranged = docs
+      .select(col(group), col(order), col(nTok))
       .repartitionByRange(p, col(group), col(order))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
