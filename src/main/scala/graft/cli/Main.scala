@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--output <manifestdir>]  (mixture-applied packed feed)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
   *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--compact-every K] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
@@ -461,6 +462,42 @@ object Main {
             if (!ran) println(s"[ingest-daily] shard $sid already " +
               s"ingested into $bandTableForLedger; no-op")
           case None => ingestDailyBody()
+        }
+      case "refresh" =>
+        // QUANTIZER REFRESH — the remediation path when ingest-daily's
+        // drift guard refuses a vector shard (or v17/v22 views flag
+        // drift): retrain quantizers on the CURRENT corpus, re-encode
+        // once, epoch-swap the bucketed index in place. Writes the new
+        // quantizers (the frozen inputs of subsequent ingest-daily runs)
+        // and prints the new --baseline-mse to resume appending with.
+        val vecs = spark.read.parquet(opt(args, "--vectors").get)
+        opt(args, "--vec-table").foreach { tbl =>
+          val (cents, books, baseline) = graft.ann.Vectors.retrainIvfPq(
+            spark, tbl, vecs, "vec_id",
+            opt(args, "--vec-col").getOrElse("embedding"),
+            k = opt(args, "--k").map(_.toInt).getOrElse(64),
+            m = opt(args, "--m").map(_.toInt).getOrElse(8),
+            codes = opt(args, "--codes").map(_.toInt).getOrElse(256),
+            iters = opt(args, "--iters").map(_.toInt).getOrElse(3),
+            sampleFrac = opt(args, "--sample").map(_.toDouble).getOrElse(1.0),
+            buckets = opt(args, "--vec-buckets").map(_.toInt).getOrElse(64))
+          opt(args, "--out-cents")
+            .foreach(d => cents.write.mode("overwrite").parquet(d))
+          opt(args, "--out-books")
+            .foreach(d => books.write.mode("overwrite").parquet(d))
+          println(f"[refresh] table $tbl re-encoded; baseline_mse $baseline%.6f")
+        }
+        opt(args, "--sem-table").foreach { tbl =>
+          val cents = graft.ann.Vectors.retrainSemanticIndex(
+            spark, tbl, vecs, "vec_id",
+            opt(args, "--sem-col").getOrElse("embedding"),
+            k = opt(args, "--sem-cells").map(_.toInt).getOrElse(64),
+            iters = opt(args, "--iters").map(_.toInt).getOrElse(3),
+            sampleFrac = opt(args, "--sample").map(_.toDouble).getOrElse(1.0),
+            buckets = opt(args, "--buckets").map(_.toInt).getOrElse(64))
+          opt(args, "--out-sem-cents")
+            .foreach(d => cents.write.mode("overwrite").parquet(d))
+          println(s"[refresh] semantic table $tbl re-assigned under new centroids")
         }
       case "report" =>
         // corpus-QA report: the d7c / d16 / d8c views in one command —

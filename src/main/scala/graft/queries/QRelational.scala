@@ -242,6 +242,21 @@ object QRelational {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    // A11b: the QUANTITATIVE gate for the sketch a11 can only rows-check.
+    // approx_count_distinct's default rsd is 0.05; the estimate must land
+    // within a conservative 3×rsd (15%) of the exact distinct count. The
+    // oracle cannot reproduce the HLL register values — but it CAN assert
+    // the error bound: the output carries the exact count plus a boolean
+    // the oracle pins to TRUE, so a drifting/broken sketch flips the
+    // column and hash-fails instead of passing a weaker rows-only check.
+    "a11b_approx_error" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")) <=
+            ceil(col("exact_parts") * lit(0.15))).as("within_bound"))),
+
     // A10: rollup summary matrix (evaluate_all_models.py:56-116 shape).
     "a10_rollup" -> ((s, d) =>
       t(s, d, "orders")
@@ -458,6 +473,15 @@ object QRelational {
          FROM lineitem""",
     "a9_distinct" ->
       "SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts FROM lineitem GROUP BY l_returnflag",
+    // a11b: the oracle pins the HLL error-bound boolean — it cannot
+    // reproduce the sketch, but it CAN demand the estimate lands within
+    // 3×rsd of the exact count (the engine computes the comparison; a
+    // drifting sketch flips the column and hash-fails).
+    "a11b_approx_error" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                TRUE AS within_bound
+         FROM lineitem GROUP BY l_returnflag""",
     "a10_rollup" ->
       """SELECT n_name, o_orderstatus, count(*) AS cnt
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,compact,decont,stream,pack}
+  * where sections is a comma list of {x8,v15,refresh,compact,decont,stream,pack}
   * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {
@@ -124,6 +124,37 @@ object MaintProbe {
       println(f"[probe] v15/100x append/rebuild cost ratio: ${appendS / buildS}%.3f " +
         "(shard is 1% of the corpus; a ratio near 0.01-0.1 means ingest " +
         "tracks the shard, not the index)")
+      spark.catalog.clearCache()
+    }
+
+    // ---- refresh: quantizer refresh vs fresh rebuild (epoch swap ≈ free) --
+    // The remediation path's cost claim: refreshIvfPq = retrain + one
+    // corpus re-encode + bucketed write + DROP/RENAME — the same bill as
+    // a fresh rebuild with the SAME trainers, plus only the (metadata)
+    // epoch swap. A ratio near 1 means the crash-safe swap discipline
+    // costs nothing over the naive drop-and-rebuild it replaces.
+    if (sections("refresh")) locally {
+      val emb = amplify(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", 20, 1000000L).localCheckpoint()
+      println(s"[probe] refresh embeddings rows: ${emb.count()}")
+      val m = 8
+      val (_, rebuildS) = time("refresh/rebuild: train + encode + fresh bucketed write") {
+        val cents = Vectors.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 50, iters = 2, sampleFrac = 0.1)
+        val books = Vectors.pqTrain(emb, "vec_id", "embedding", m,
+          k = 64, iters = 2, sampleFrac = 0.1)
+        Vectors.writeIvfPqIndex(
+          Vectors.ivfPqIndex(emb, "vec_id", "embedding", cents, books, m),
+          "maint_refresh_idx")
+      }
+      val (_, refreshS) = time("refresh/epoch-swap: retrainIvfPq (same trainers + swap + new baseline)") {
+        Vectors.retrainIvfPq(spark, "maint_refresh_idx", emb,
+          "vec_id", "embedding", k = 50, m = m, codes = 64, iters = 2,
+          sampleFrac = 0.1)
+      }
+      println(f"[probe] refresh/rebuild cost ratio: ${refreshS / rebuildS}%.3f " +
+        "(retrainIvfPq also computes the new drift baseline — a ratio " +
+        "near 1 means the crash-safe epoch swap is free next to the encode)")
       spark.catalog.clearCache()
     }
 

@@ -327,6 +327,67 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("refresh: drift-refused ingest resumes after CLI quantizer refresh, end-to-end") {
+    import graft.ann.Vectors
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(19)
+    val base = (0L until 30L).map(i => (i, Array.fill(4)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val m = 2
+    val books = Vectors.pqCodebooksStep(base, "vec_id", "embedding", m, 5)
+    val cents = Vectors.stepCentroids(base, "vec_id", "embedding", 5)
+    val baseMse = Vectors.meanPqMse(base, "vec_id", "embedding", books, m)
+    Vectors.writeIvfPqIndex(
+      Vectors.ivfPqIndex(base, "vec_id", "embedding", cents, books, m),
+      "cli_refresh_idx", 4)
+    // a trivial text shard for the mandatory band branch
+    val docsDir = tmpDir("cli_rf_docs")
+    Seq((1L, "one ordinary document for the band index branch"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    val centsDir = tmpDir("cli_rf_cents"); cents.write.mode("overwrite").parquet(centsDir)
+    val booksDir = tmpDir("cli_rf_books"); books.write.mode("overwrite").parquet(booksDir)
+    // today's embedding shard drifted (+5 shift): the guard REFUSES it
+    val drifted = (100L until 160L).map(i =>
+      (i, Array.fill(4)(new scala.util.Random(i).nextGaussian() + 5)))
+      .toDF("vec_id", "embedding")
+    val driftDir = tmpDir("cli_rf_drift")
+    drifted.write.mode("overwrite").parquet(driftDir)
+    intercept[IllegalStateException] {
+      Main.run(spark, Array("ingest-daily", "--docs", docsDir,
+        "--band-table", "cli_refresh_band", "--buckets", "4",
+        "--vectors", driftDir, "--vec-table", "cli_refresh_idx",
+        "--cents", centsDir, "--books", booksDir, "--m", m.toString,
+        "--baseline-mse", baseMse.toString, "--vec-buckets", "4"))
+    }
+    assert(spark.table("cli_refresh_idx").count() === 30L * m)
+    // REMEDIATION through the CLI: retrain on the current corpus
+    // (base ∪ the drifted population), re-encode, epoch-swap
+    val corpus = base.union(drifted)
+    val corpusDir = tmpDir("cli_rf_corpus")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    val newCents = tmpDir("cli_rf_nc"); val newBooks = tmpDir("cli_rf_nb")
+    Main.run(spark, Array("refresh", "--vectors", corpusDir,
+      "--vec-table", "cli_refresh_idx", "--k", "6", "--m", m.toString,
+      "--codes", "8", "--iters", "2", "--vec-buckets", "4",
+      "--out-cents", newCents, "--out-books", newBooks))
+    assert(spark.table("cli_refresh_idx").count() === 90L * m)
+    // ingest RESUMES: the next shard from the shifted distribution appends
+    // cleanly under the refreshed quantizers and baseline
+    val nb = Vectors.meanPqMse(corpus, "vec_id", "embedding",
+      spark.read.parquet(newBooks), m)
+    val next = (200L until 210L).map(i =>
+      (i, Array.fill(4)(new scala.util.Random(i + 7).nextGaussian() + 5)))
+      .toDF("vec_id", "embedding")
+    val nextDir = tmpDir("cli_rf_next")
+    next.write.mode("overwrite").parquet(nextDir)
+    Main.run(spark, Array("ingest-daily", "--docs", docsDir,
+      "--band-table", "cli_refresh_band", "--buckets", "4",
+      "--vectors", nextDir, "--vec-table", "cli_refresh_idx",
+      "--cents", newCents, "--books", newBooks, "--m", m.toString,
+      "--baseline-mse", nb.toString, "--vec-buckets", "4"))
+    assert(spark.table("cli_refresh_idx").count() === 100L * m)
+  }
+
   test("report subcommand: cluster sizes + cross-source matrix + contamination land as parquet") {
     val dup = "the quick brown fox jumps over the lazy dog near the river " +
       "bank tonight while the moon rises over the quiet water meadows"
