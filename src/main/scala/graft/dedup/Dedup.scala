@@ -225,6 +225,37 @@ object Dedup {
                       buckets: Int = 64): Unit =
     graft.core.Bucketing.appendBucketed(banded, table, "band_sig", buckets)
 
+  /** Maintain a [[writeBandIndex]] table PRE-CAPPED — the missing PRODUCER
+    * of the `indexPreCapped = true` contract ([[incrementalCandidatePairs]]
+    * and the streaming twins skip their per-ingest index cap window when
+    * the persisted table is maintained this way, but nothing maintained
+    * it): one shuffle-free [[graft.core.Bucketing.compactBucketed]]
+    * rewrite whose transform heals crash-replay duplicates FIRST
+    * (dropDuplicates — replayed appends must not inflate a bucket over
+    * the cap) and then drops every over-cap (band, band_sig) bucket
+    * WHOLESALE — the same whole-bucket semantics as the query-time
+    * `capped` window, so pre-capped + skip ≡ uncapped + window (asserted
+    * in DedupSpec). The cap window partitions by (band, band_sig) ⊇ the
+    * bucket key, so it rides the bucketed scan with no exchange and the
+    * one-file-per-bucket write survives — compaction cost stays
+    * read + write, never a shuffle of the index.
+    *
+    * Cap-then-append drift, documented: rows appended AFTER a bucket was
+    * dropped restart its count from zero, so a once-hot signature can
+    * re-enter the index until the next cap pass. That is the price of a
+    * cap that costs O(compaction) instead of O(every ingest); run
+    * [[bandOccupancy]] (d19) at the same cadence to account for what
+    * each pass dropped — the no-silent-caps rule.
+    */
+  def capBandIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                   maxBucket: Int = 64): Unit =
+    graft.core.Bucketing.compactBucketed(spark, table, df =>
+      df.dropDuplicates()
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
+        .filter(col("bn") <= maxBucket)
+        .drop("bn"))
+
   /** D9: INCREMENTAL candidate pairs — a new ingest shard against the
     * persisted [[bandedSignatures]] index of the existing corpus, plus
     * new×new, but never old×old. At 100 TB this is the only dedup query

@@ -361,7 +361,7 @@ object QVectors {
         Vectors.pqReconstructionMse(emb, "vec_id", "embedding", books, PqM)
           .agg(sum(round(col("pq_mse") * 1e6).cast("long")).as("__fp"),
             count(lit(1)).as("__n"))
-          .crossJoin(nVecs)
+          .crossJoin(broadcast(nVecs))
           .select(lit(name).as("regime"),
             round(col("__fp") / col("__n") / lit(1e6), 6).as("mean_mse"),
             col("n_vecs"))

@@ -99,7 +99,13 @@ class PlanAuditSpec extends SparkSpec {
       // v20: bounded-id all-pairs distortion measurement — the BNLJ over
       // 48 vectors is the point (the projection itself is a pure map)
       "v20_jl_distortion",
-      "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix")
+      "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix",
+      // x18: embeds x10's plan (the one-row broadcast normalizer cross);
+      // the sampler itself joins equi on (stratum, pid) / broadcast plan
+      "x18_mixture_counts",
+      // v22: one-row broadcast crosses attaching the corpus/live-table
+      // n_vecs aggregate to each regime's one-row fixed-point mean
+      "v22_refresh_drift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||

@@ -87,6 +87,42 @@ class DedupSpec extends SparkSpec {
     assert(fpOcc.filter(_._4).map(_._5).sum === 12L)
   }
 
+  test("capBandIndex: pre-capped table + skip == uncapped index + query-time cap window") {
+    import graft.core.Bucketing
+    // 6-doc hot family (over a cap of 4 in both bands) + 3-doc warm family
+    val hot = (0L until 6L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val warm = (10L until 13L).map(i => (i, "zeta eta theta iota kappa"))
+    val corpus = (hot ++ warm).toDF("doc_id", "text")
+    def bandedOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandedSignatures(
+        Dedup.minhashSignatures(df, col("doc_id"), col("text"), 8), 4)
+    val banded = bandedOf(corpus)
+    Dedup.writeBandIndex(banded, "cap_band_idx", 4)
+    // a replayed append (crash window): duplicate rows that would inflate
+    // the warm bucket over the cap if not healed first
+    Dedup.appendBandIndex(bandedOf(corpus.filter(col("doc_id") >= 10L)),
+      "cap_band_idx", 4)
+    Dedup.capBandIndex(spark, "cap_band_idx", maxBucket = 4)
+    val capped = Dedup.readBandIndex(spark, "cap_band_idx")
+    // hot buckets dropped wholesale; warm family healed and retained
+    assert(capped.filter(col("doc_id") < 6L).count() === 0)
+    assert(capped.filter(col("doc_id") >= 10L).count() === 3L * 2) // 2 bands
+    // the contract: pre-capped + skip ≡ uncapped + query-time window
+    val shard = bandedOf(Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "zeta eta theta iota kappa")).toDF("doc_id", "text"))
+    val viaPreCapped = Dedup.incrementalCandidatePairs(shard, capped,
+        maxBucket = 4, indexPreCapped = true)
+      .as[(Long, Long)].collect().toSet
+    val viaWindow = Dedup.incrementalCandidatePairs(shard, banded,
+        maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(viaPreCapped === viaWindow && viaPreCapped.nonEmpty)
+    // compaction preserved the bucket layout: at most one file per bucket
+    // (empty buckets write none), down from the appended file sets
+    assert(Bucketing.dataFiles(spark, "cap_band_idx").size <= 4)
+  }
+
   test("array-kernel verifyCandidatesArray is row-identical to the default") {
     val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
     val cands = Dedup.lshCandidatePairs(sigs, bandSize = 4)
