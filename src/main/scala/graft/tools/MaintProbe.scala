@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,compact,decont,stream,pack}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack}
   * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {
@@ -213,6 +213,37 @@ object MaintProbe {
       println(s"[probe] decont 100x rows: ${docs100.count()}")
       time("decont 100x train corpus") { run(docs100) }
     }
+    // ---- feed: curatedFeed end-to-end wall vs corpus size ----
+    // The mixture-applied packed feed composes the sampler's range
+    // shuffle, the broadcast plan join, and the shard write — all
+    // individually linear; this times the COMPOSITION at 10× apart so
+    // the end-to-end exponent reads off the ratio (a super-linear stage
+    // hiding in the composition would show here even though every piece
+    // probes linear alone).
+    if (sections("feed")) locally {
+      import graft.pipelines.Pipelines
+      def mkDocs(n: Long): DataFrame = spark.range(n)
+        .select(col("id").as("doc_id"),
+          concat(lit("src"), (col("id") % 8).cast("string")).as("source"),
+          (col("id") % 37 + 38).as("n_tok"))
+        .repartition(cpus.toInt).localCheckpoint()
+      val weights = spark.range(8)
+        .select(concat(lit("src"), col("id").cast("string")).as("source"),
+          (col("id") + 1).cast("int").as("w"))
+      val walls = Seq(1000000L, 10000000L).map { n =>
+        val docs = mkDocs(n)
+        val out = java.nio.file.Files.createTempDirectory(s"feedprobe$n").toString
+        val (_, s) = time(s"feed/curatedFeed end-to-end, $n docs") {
+          Pipelines.curatedFeed(docs, "doc_id", "source", weights,
+            col("n_tok"), budget = 4096L, windowsPerShard = 1024L,
+            outDir = out).count()
+        }
+        s
+      }
+      println(f"[probe] feed 10x-data wall ratio: ${walls(1) / walls(0)}%.2f " +
+        "(near 10 = linear composition; the plan/offsets stay broadcast-sized)")
+    }
+
     // ---- pack: the one-group pack-layout cliff and its distributed fix ----
     // packedWindows' per-group window cumsum serializes each group
     // through ONE task; a single global pack order (the common trainer
