@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--min-quality 0.5] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
-  *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--output <manifestdir>]  (mixture-applied packed feed)
+  *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
   *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--compact-every K] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
@@ -194,7 +194,10 @@ object Main {
           budget = opt(args, "--budget").map(_.toLong).getOrElse(4096L),
           windowsPerShard = opt(args, "--windows-per-shard").map(_.toLong)
             .getOrElse(1024L),
-          outDir = outDir, curate = curate)
+          outDir = outDir, curate = curate,
+          // --epoch N repacks under that epoch's deterministic permutation
+          // (same sampled docs, decorrelated window neighborhoods)
+          epoch = opt(args, "--epoch").map(_.toLong))
         opt(args, "--output") match {
           case Some(out) => manifest.write.mode("overwrite").parquet(out)
           case None      => manifest.show(50, truncate = false)

@@ -106,13 +106,14 @@ object Planners {
     * any corpus size (no double rounding at 2^53 tokens).
     */
   def packedWindows(docs: DataFrame, group: String, order: String,
-                    nTok: String, budget: Long): DataFrame = {
+                    nTok: String, budget: Long,
+                    carry: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"packedWindows: budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(group)).orderBy(col(order))
     spansFromBefore(
       docs.withColumn("__before", sum(col(nTok)).over(w) - col(nTok)),
-      group, order, nTok, budget)
+      group, order, nTok, budget, carry)
   }
 
   /** [[packedWindows]]' SCALE path — row-identical output with NO
@@ -136,7 +137,8 @@ object Planners {
     */
   def packedWindowsDistributed(docs: DataFrame, group: String, order: String,
                                nTok: String, budget: Long,
-                               partitions: Int = 0): DataFrame = {
+                               partitions: Int = 0,
+                               carry: Seq[String] = Nil): DataFrame = {
     require(budget > 0,
       s"packedWindowsDistributed: budget must be positive, got $budget")
     val p = if (partitions > 0) partitions
@@ -148,7 +150,7 @@ object Planners {
     // (group, order, nTok) ever reach spansFromBefore — the narrow-
     // checkpoint rule (round-10 verdict).
     val ranged = docs
-      .select(col(group), col(order), col(nTok))
+      .select((Seq(group, order, nTok) ++ carry).distinct.map(col): _*)
       .repartitionByRange(p, col(group), col(order))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
@@ -163,7 +165,7 @@ object Planners {
         col("__off") + coalesce(sum(col(nTok)).over(
           w.partitionBy(col("__pid"), col(group)).orderBy(col(order))
             .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
-    spansFromBefore(before, group, order, nTok, budget)
+    spansFromBefore(before, group, order, nTok, budget, carry)
   }
 
   /** The shared stateless span arithmetic over a relation carrying
@@ -171,17 +173,21 @@ object Planners {
     */
   private def spansFromBefore(before: DataFrame, group: String,
                               order: String, nTok: String,
-                              budget: Long): DataFrame =
+                              budget: Long,
+                              carry: Seq[String] = Nil): DataFrame =
+    // `carry` columns ride the layout untouched (e.g. the doc id when the
+    // pack order is an epoch permutation) and append after the span shape
     before
       .filter(col(nTok) > 0)
       .withColumn("seq", explode(sequence(
         expr(s"__before div $budget"),
         expr(s"(__before + $nTok - 1) div $budget"))))
-      .select(col(group), col("seq"), col(order),
+      .select(Seq(col(group), col("seq"), col(order),
         greatest(col("seq") * budget - col("__before"), lit(0L)).as("doc_offset"),
         greatest(col("__before") - col("seq") * budget, lit(0L)).as("win_offset"),
         (least((col("seq") + 1) * budget, col("__before") + col(nTok))
-          - greatest(col("seq") * budget, col("__before"))).as("len"))
+          - greatest(col("seq") * budget, col("__before"))).as("len")) ++
+        carry.filterNot(Seq(group, order).contains).map(col): _*)
 
   /** Shard MANIFEST over [[packedWindows]]' layout under
     * [[graft.pipelines.Pipelines.writePackedShards]]' arithmetic

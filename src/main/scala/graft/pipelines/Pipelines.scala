@@ -160,13 +160,15 @@ object Pipelines {
     */
   def writePackedShards(docs: DataFrame, group: String, order: String,
                         nTok: String, budget: Long, windowsPerShard: Long,
-                        outDir: String, distributed: Boolean = true): Unit = {
+                        outDir: String, distributed: Boolean = true,
+                        carry: Seq[String] = Nil): Unit = {
     require(windowsPerShard > 0,
       s"writePackedShards: windowsPerShard must be positive, got $windowsPerShard")
     (if (distributed)
       graft.ops.Planners.packedWindowsDistributed(docs, group, order, nTok,
-        budget)
-    else graft.ops.Planners.packedWindows(docs, group, order, nTok, budget))
+        budget, carry = carry)
+    else graft.ops.Planners.packedWindows(docs, group, order, nTok, budget,
+      carry = carry))
       .withColumn("shard", expr(s"seq div $windowsPerShard"))
       .repartition(col(group), col("shard"))
       .sortWithinPartitions(col("seq"), col("win_offset"))
@@ -209,7 +211,8 @@ object Pipelines {
   def curatedFeed(docs: DataFrame, idCol: String, sourceCol: String,
                   weights: DataFrame, nTok: Column,
                   budget: Long, windowsPerShard: Long, outDir: String,
-                  curate: DataFrame => DataFrame = identity): DataFrame = {
+                  curate: DataFrame => DataFrame = identity,
+                  epoch: Option[Long] = None): DataFrame = {
     val narrow = curate(docs)
       .select(col(idCol), col(sourceCol), nTok.cast("long").as("__ntok"))
       .localCheckpoint()
@@ -217,11 +220,23 @@ object Pipelines {
       .agg(sum(col("__ntok")).as("src_tokens"))
       .join(weights.select(col(sourceCol).as("source"), col("w")), "source")
     val plan = graft.ops.Planners.tokenBudgetMixture(per)
-    val sampled = graft.ops.Sampling.stratifiedExactByPlan(narrow,
+    val sampled0 = graft.ops.Sampling.stratifiedExactByPlan(narrow,
       col(sourceCol), col(idCol), plan, "source").localCheckpoint()
-    writePackedShards(sampled, sourceCol, idCol, "__ntok", budget,
-      windowsPerShard, outDir)
-    graft.ops.Planners.shardManifest(sampled, sourceCol, idCol, "__ntok",
+    // per-EPOCH reshuffle (the x14 machinery): with `epoch` set, the pack
+    // order is the epoch's deterministic dense permutation instead of the
+    // id — each epoch gets an independent, reproducible window layout
+    // (trainers repack per epoch so window neighborhoods decorrelate)
+    // while the SAMPLED DOC SET stays identical across epochs (sampling
+    // ranks on the id hash, untouched by the epoch). Positions are
+    // globally dense, hence unique per group — packedWindows' contract.
+    val (sampled, orderCol, carryCols) = epoch match {
+      case Some(e) => (graft.ops.Sampling.epochShufflePosition(
+        sampled0, col(idCol), e), "pos", Seq(idCol))
+      case None => (sampled0, idCol, Nil)
+    }
+    writePackedShards(sampled, sourceCol, orderCol, "__ntok", budget,
+      windowsPerShard, outDir, carry = carryCols)
+    graft.ops.Planners.shardManifest(sampled, sourceCol, orderCol, "__ntok",
       budget, windowsPerShard)
   }
 

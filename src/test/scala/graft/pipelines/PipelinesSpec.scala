@@ -180,6 +180,41 @@ class PipelinesSpec extends SparkSpec {
     assert(windowTotals === Set(64L), windowTotals.toString)
   }
 
+  test("curatedFeed epochs: same sampled docs, decorrelated deterministic layouts, doc ids carried") {
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq("web", "code")(i % 2), (i % 37 + 38).toLong)
+    }.toDF("doc_id", "source", "n_tok")
+    val weights = Seq(("web", 2), ("code", 2)).toDF("source", "w")
+    def run(epoch: Option[Long]): org.apache.spark.sql.DataFrame = {
+      val out = java.nio.file.Files.createTempDirectory("feed_ep").toString
+      Pipelines.curatedFeed(docs, "doc_id", "source", weights,
+        col("n_tok"), budget = 64, windowsPerShard = 4, outDir = out,
+        epoch = epoch).count()
+      spark.read.parquet(out)
+    }
+    def docsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").distinct().as[Long].collect().toSet
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "seq", "doc_id", "len")
+        .as[(String, Long, Long, Long)].collect().toSet
+    val e1 = run(Some(1L)); val e1b = run(Some(1L)); val e2 = run(Some(2L))
+    // epoch spans carry the doc id (the pack order is the permutation,
+    // but the consumable identity stays doc_id)
+    assert(e1.columns.contains("doc_id") && e1.columns.contains("pos"))
+    // sampling is epoch-independent: identical doc sets
+    assert(docsOf(e1) === docsOf(e2) && docsOf(e1).nonEmpty)
+    // same epoch → identical layout (resumable); different epoch →
+    // different window composition over the same docs
+    assert(layout(e1) === layout(e1b))
+    assert(layout(e1) !== layout(e2))
+    // each epoch layout still tiles: per doc the span lengths sum to the
+    // doc's token count
+    val perDoc = e2.groupBy("doc_id").agg(sum("len").as("tl"))
+      .join(docs, "doc_id")
+      .filter(col("tl") =!= col("n_tok")).count()
+    assert(perDoc === 0)
+  }
+
   test("dedupCorpus imageCol: pixel near-dups cluster and dedup like text near-dups") {
     import graft.multimodal.Multimodal
     // four docs with DISTINCT texts (no text pair fires); docs 1-2 carry
