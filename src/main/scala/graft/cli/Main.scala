@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--compact-every K] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -259,6 +259,14 @@ object Main {
         val bandSize = opt(args, "--band-size").map(_.toInt).getOrElse(4)
         val bandTable = opt(args, "--band-table").get
         val buckets = opt(args, "--buckets").map(_.toInt).getOrElse(64)
+        // --pre-capped: the indexPreCapped contract end-to-end — ingest
+        // joins skip their index-side cap window (the persisted table is
+        // maintained pre-capped), and the compaction cadence runs
+        // capBandIndex (heal + whole-bucket cap) instead of the plain
+        // healing rewrite. --max-bucket sizes both the maintained cap and
+        // the shard-side query-time cap.
+        val preCapped = args.contains("--pre-capped")
+        val maxBucket = opt(args, "--max-bucket").map(_.toInt).getOrElse(64)
         val shardBanded = Dedup.bandedSignatures(
             Dedup.minhashSignatures(docs, col("doc_id"), col("text"), k),
             bandSize)
@@ -279,7 +287,8 @@ object Main {
         // index append below: both read the band-index table lazily, and
         // appending first would let today's shard join against itself
         val cands = Dedup.incrementalCandidatePairs(shardBanded,
-          Dedup.readBandIndex(spark, bandTable)).localCheckpoint()
+          Dedup.readBandIndex(spark, bandTable), maxBucket,
+          indexPreCapped = preCapped).localCheckpoint()
         // gram lookup for verification: the persisted corpus text plus
         // today's shard; without --corpus only new×new pairs can verify
         // (index-side docs have no text here) — the audit shows the gap
@@ -340,7 +349,8 @@ object Main {
             col("doc_id"), col(fpCol), bits, bandBits).localCheckpoint()
           bootstrapBandIndex(fpTable, shardBandedFp)
           val fpCands = Dedup.incrementalCandidatePairs(shardBandedFp,
-            Dedup.readBandIndex(spark, fpTable)).localCheckpoint()
+            Dedup.readBandIndex(spark, fpTable), maxBucket,
+            indexPreCapped = preCapped).localCheckpoint()
           val fpLookup = (opt(args, "--fp-corpus") match {
             case Some(c) => spark.read.parquet(c)
               .select(col("doc_id"), col(fpCol)).union(shardFps)
@@ -402,10 +412,17 @@ object Main {
         // silently dropping candidate pairs off inflated buckets.
         val heal: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
           _.dropDuplicates()
+        // under --pre-capped the band/fp rewrite also drops over-cap
+        // buckets (capBandIndex = heal + whole-bucket cap in the same
+        // shuffle-free pass) — the maintenance half of the contract the
+        // skip above relies on
+        def maintainBand(tbl: String): Unit =
+          if (preCapped) Dedup.capBandIndex(spark, tbl, maxBucket)
+          else Bucketing.compactBucketed(spark, tbl, heal)
         val bandCompacted = due(bandTable)
-        if (bandCompacted) Bucketing.compactBucketed(spark, bandTable, heal)
+        if (bandCompacted) maintainBand(bandTable)
         fpIngest.foreach { case (t, _) =>
-          if (due(t)) Bucketing.compactBucketed(spark, t, heal)
+          if (due(t)) maintainBand(t)
         }
         semIngest.foreach { case (t, _) =>
           if (due(t)) Bucketing.compactBucketed(spark, t, heal)

@@ -388,6 +388,49 @@ class CliSpec extends SparkSpec {
     assert(spark.table("cli_refresh_idx").count() === 100L * m)
   }
 
+  test("ingest-daily --pre-capped: skip rides a maintained cap; compaction keeps the invariant") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.col
+    val hotText = "alpha beta gamma delta epsilon"
+    val warmText = "zeta eta theta iota kappa"
+    val corpus = ((0L until 6L).map(i => (i, hotText)) ++
+      (10L until 13L).map(i => (i, warmText))).toDF("doc_id", "text")
+    Dedup.writeBandIndex(Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4),
+      "cli_precap_idx", 4)
+    // establish the pre-capped invariant before the first pre-capped ingest
+    Dedup.capBandIndex(spark, "cli_precap_idx", maxBucket = 4)
+    val shard = Seq((100L, hotText), (101L, warmText)).toDF("doc_id", "text")
+    val corpusDir = tmpDir("cli_precap_corpus")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    val shardDir = tmpDir("cli_precap_shard")
+    shard.write.mode("overwrite").parquet(shardDir)
+    val outDir = tmpDir("cli_precap_out") + "/pairs"
+    Main.run(spark, Array("ingest-daily", "--docs", shardDir,
+      "--corpus", corpusDir, "--band-table", "cli_precap_idx",
+      "--buckets", "4", "--min-jaccard", "0.5",
+      "--pre-capped", "--max-bucket", "4", "--compact-every", "1",
+      "--output", outDir))
+    val pairs = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the warm shard doc verifies against its 3 index twins; the hot doc
+    // finds NO index partners (its bucket was capped away — the recall
+    // spend d19/bandOccupancy accounts for)
+    assert(pairs === Set((10L, 101L), (11L, 101L), (12L, 101L)), pairs.toString)
+    // compaction (due at compact-every=1) re-ran capBandIndex: the hot
+    // CORPUS docs stay gone, and the warm bucket (3 index + 1 shard =
+    // 4 ≤ cap) is retained intact. Doc 100's rows REMAIN — the documented
+    // cap-then-append drift: its bucket was emptied before the append, so
+    // its count restarted at 1 ≤ cap (a once-hot signature re-enters
+    // until it runs hot again; d19/bandOccupancy accounts for each pass)
+    val idx = Dedup.readBandIndex(spark, "cli_precap_idx")
+    assert(idx.filter(col("doc_id") < 10L).count() === 0)
+    assert(idx.filter(col("doc_id") === 100L).count() === 2) // drift, 2 bands
+    assert(idx.filter(col("doc_id") >= 10L && col("doc_id") < 100L)
+      .count() === 3L * 2)
+    assert(idx.filter(col("doc_id") === 101L).count() === 2)
+  }
+
   test("report subcommand: cluster sizes + cross-source matrix + contamination land as parquet") {
     val dup = "the quick brown fox jumps over the lazy dog near the river " +
       "bank tonight while the moon rises over the quiet water meadows"
