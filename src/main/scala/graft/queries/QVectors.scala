@@ -368,6 +368,40 @@ object QVectors {
       regime("stale", staleBooks, emb.agg(count(lit(1)).as("n_vecs")))
         .union(regime("refreshed", newBooks,
           s.table(tbl).agg(countDistinct(col("vec_id")).as("n_vecs"))))
+    }),
+
+    // V23: the v22 twin for the SEMANTIC (SemDeDup) index — evidence for
+    // refreshSemanticIndex under a full oracle: an index assigned with
+    // STALE centroids (step rule over the base distribution) is
+    // epoch-swapped under centroids re-drawn from the current corpus; one
+    // row per regime with the corpus-mean cosine-to-assigned-centroid
+    // (fixed-point mean of the 6dp per-row cosines). The refreshed row is
+    // computed FROM THE LIVE SWAPPED TABLE — its (v, vn, cell) columns
+    // joined back to the new centroids — so both the re-assignment and
+    // the swap are what the oracle checks; refresh must raise the mean
+    // (cells fit the current distribution better).
+    "v23_semantic_refresh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") % 7 =!= 0)
+      val staleCents = Vectors.stepCentroids(base, "vec_id", "embedding", 50)
+      val tbl = "graft_v23_sem"
+      Vectors.writeSemanticIndex(emb, "vec_id", "embedding", staleCents,
+        tbl, 8)
+      val newCents = Vectors.stepCentroids(emb, "vec_id", "embedding", 50)
+      Vectors.refreshSemanticIndex(s, tbl, emb, "vec_id", "embedding",
+        newCents, buckets = 8)
+      def meanCos(idx: DataFrame, cents: DataFrame, name: String): DataFrame =
+        idx.join(broadcast(cents), idx("cell") === cents("cent_id"))
+          .select((Vectors.dot(col("v"), col("cv"))
+            / (col("vn") * col("cvn"))).as("__cos"))
+          .agg(sum(round(col("__cos") * 1e6).cast("long")).as("__fp"),
+            count(lit(1)).as("__n"))
+          .select(lit(name).as("regime"),
+            round(col("__fp") / col("__n") / lit(1e6), 6).as("mean_cos"),
+            col("__n").as("n_vecs"))
+      meanCos(Vectors.semanticIndex(emb, "vec_id", "embedding", staleCents),
+          staleCents, "stale")
+        .union(meanCos(s.table(tbl), newCents, "refreshed"))
     }))
 
   /** DuckDB fragment: hyperplane p as a DOUBLE[] expression recomputing the
@@ -574,6 +608,43 @@ object QVectors {
                    / (SELECT n_vecs FROM nv) / 1e6, 6) AS mean_mse,
                  (SELECT n_vecs FROM nv) AS n_vecs
           FROM pm_n""",
+    // v23: per-row cosine of the CHOSEN centroid (the v5 `ca` pattern —
+    // +0.0-normalized DESC order with cent_id tie-break, raw value), per
+    // quantizer regime; regime mean as the fixed-point form.
+    "v23_semantic_refresh" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+                     FROM embeddings),
+              cents_s AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
+                          FROM c WHERE vec_id % 50 = 0 AND vec_id % 7 != 0),
+              cents_n AS (SELECT vec_id AS cent_id, v AS cv, vn AS cvn
+                          FROM c WHERE vec_id % 50 = 0),
+              cos_s AS (SELECT vec_id, cos FROM (
+                          SELECT c.vec_id,
+                                 list_dot_product(c.v, cv) / (c.vn * cvn) AS cos,
+                                 row_number() OVER (PARTITION BY c.vec_id
+                                   ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                            cent_id) AS rk
+                          FROM c, cents_s) t WHERE rk = 1),
+              cos_n AS (SELECT vec_id, cos FROM (
+                          SELECT c.vec_id,
+                                 list_dot_product(c.v, cv) / (c.vn * cvn) AS cos,
+                                 row_number() OVER (PARTITION BY c.vec_id
+                                   ORDER BY list_dot_product(c.v, cv) / (c.vn * cvn) + 0.0 DESC,
+                                            cent_id) AS rk
+                          FROM c, cents_n) t WHERE rk = 1),
+              nv AS (SELECT count(*) AS n_vecs FROM c)
+          SELECT 'stale' AS regime,
+                 round(CAST(sum(CAST(round(cos * 1e6) AS BIGINT)) AS DOUBLE)
+                   / (SELECT n_vecs FROM nv) / 1e6, 6) AS mean_cos,
+                 (SELECT n_vecs FROM nv) AS n_vecs
+          FROM cos_s
+          UNION ALL
+          SELECT 'refreshed' AS regime,
+                 round(CAST(sum(CAST(round(cos * 1e6) AS BIGINT)) AS DOUBLE)
+                   / (SELECT n_vecs FROM nv) / 1e6, 6) AS mean_cos,
+                 (SELECT n_vecs FROM nv) AS n_vecs
+          FROM cos_n""",
     "v11_pq_error" ->
       s"""WITH $pqSql,
               pl AS (SELECT vec_id, list(d ORDER BY sub) AS dl

@@ -105,7 +105,11 @@ class PlanAuditSpec extends SparkSpec {
       "x18_mixture_counts",
       // v22: one-row broadcast crosses attaching the corpus/live-table
       // n_vecs aggregate to each regime's one-row fixed-point mean
-      "v22_refresh_drift")
+      "v22_refresh_drift",
+      // v23: the stale regime re-derives the tiny-centroid assignment
+      // cross in memory (v8's pattern); the refreshed regime reads the
+      // swapped table with an equi-join on cell
+      "v23_semantic_refresh")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||
