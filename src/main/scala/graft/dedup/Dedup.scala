@@ -915,6 +915,89 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("lo"), col("doc_id")).as("cluster"))
   }
 
+  /** Day-2 CLUSTER maintenance — fold a shard's new verified pairs into an
+    * existing `(doc_id, cluster)` assignment WITHOUT re-clustering the
+    * corpus. The missing third step of the incremental-dedup chain: the
+    * band index makes candidate generation shard-cost
+    * ([[incrementalCandidatePairs]]), verification is pair-cost, but
+    * turning pairs into cluster ids previously meant a full
+    * [[connectedComponents]] over ALL pairs ever seen. This operator's
+    * cost is new-pairs + affected-components only.
+    *
+    * Algorithm (quotient-graph contraction): map each new-pair endpoint to
+    * its existing cluster rep (unknown = itself), run star CC on that
+    * REDUCED rep-level graph (∝ new pairs, never the corpus), then relabel
+    * the assignment through the broadcast rep→new-rep map. Exactness:
+    * every old rep is the MINIMUM of its component (the CC label
+    * contract), so the reduced graph's min per merged component equals the
+    * batch min over all member vertices — incremental ≡ batch CC over
+    * (old edges ∪ new edges), asserted in DedupSpec and by the d20 oracle
+    * (which must reproduce d7's full recursive closure).
+    *
+    * Scale shape: the corpus-sized `assignment` is never shuffled — one
+    * broadcast semi-side lookup of the shard's endpoints and one broadcast
+    * relabel join, both map-side; every intermediate is bounded by the
+    * shard's pair count. `deltaOnly = true` returns just the rows a
+    * day-2 upsert needs (new vertices + vertices whose cluster changed)
+    * so the maintained cluster table is rewritten at delta cost, not
+    * corpus cost.
+    *
+    * Input: `assignment` with (doc_id, cluster); `newPairs` with
+    * (aCol, bCol). Output: (doc_id, cluster) over assignment ∪ new-pair
+    * endpoints (or the changed/new subset under `deltaOnly`).
+    */
+  def incrementalClusters(assignment: DataFrame, newPairs: DataFrame,
+                          aCol: String = "doc_a", bCol: String = "doc_b",
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None,
+                          deltaOnly: Boolean = false): DataFrame = {
+    val asg = assignment.select(col("doc_id").cast("long").as("doc_id"),
+      col("cluster").cast("long").as("cluster"))
+    val pairs = newPairs.select(col(aCol).cast("long").as("pa"),
+        col(bCol).cast("long").as("pb"))
+      .filter(col("pa") =!= col("pb")).localCheckpoint(false)
+    // shard endpoints → existing rep; the broadcast keeps the corpus-sized
+    // assignment scan map-side (endpoints are shard-bounded)
+    val endpoints = pairs.select(explode(array(col("pa"), col("pb"))).as("ep"))
+      .distinct().localCheckpoint(false)
+    val reps = asg.join(broadcast(endpoints), col("doc_id") === col("ep"))
+      .select(col("ep"), col("cluster").as("rep"))
+      .localCheckpoint(false)
+    // rep-level reduced edges: both joins are tiny × tiny
+    val ra = pairs.join(reps.withColumnRenamed("ep", "pa")
+        .withColumnRenamed("rep", "rep_a"), Seq("pa"), "left")
+    val reduced = ra.join(reps.withColumnRenamed("ep", "pb")
+        .withColumnRenamed("rep", "rep_b"), Seq("pb"), "left")
+      .select(coalesce(col("rep_a"), col("pa")).as("ea"),
+        coalesce(col("rep_b"), col("pb")).as("eb"))
+      .filter(col("ea") =!= col("eb"))
+    // CC over the contracted graph — star form: rep-level graphs are the
+    // long-chain regime (each merge round contracts whole components)
+    val merged = connectedComponentsStar(reduced, "ea", "eb", maxIter,
+        checkpointDir)
+      .select(col("doc_id").as("old_rep"), col("cluster").as("new_rep"))
+      .localCheckpoint(false)
+    // relabel: affected old clusters re-point at the merged rep; the map
+    // is bounded by the reduced graph's node count → broadcast, no
+    // exchange on the assignment side
+    val relabeled = asg.join(
+        broadcast(merged.withColumnRenamed("old_rep", "cluster")
+          .filter(col("cluster") =!= col("new_rep"))),
+        Seq("cluster"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_rep"), col("cluster")).as("cluster"),
+        col("new_rep").isNotNull.as("__chg"))
+    // brand-new vertices: rep = self; their merged label, or themselves if
+    // the reduced CC dropped them (only possible for degenerate inputs)
+    val fresh = endpoints.join(reps, Seq("ep"), "left_anti")
+      .join(merged.withColumnRenamed("old_rep", "ep"), Seq("ep"), "left")
+      .select(col("ep").as("doc_id"),
+        coalesce(col("new_rep"), col("ep")).as("cluster"),
+        lit(true).as("__chg"))
+    val full = relabeled.union(fresh)
+    (if (deltaOnly) full.filter(col("__chg")) else full).drop("__chg")
+  }
+
   /** D13: band a BIT-FINGERPRINT column (SimHash, image dHash — any
     * Hamming-space signature packed into a long) for LSH bucketing: the
     * `bits`-bit fingerprint splits into `bits / bandBits` contiguous

@@ -475,6 +475,26 @@ object QText {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // D20: INCREMENTAL cluster maintenance under the BATCH oracle — the
+    // day-2 chain's missing third step. The existing corpus (doc_id < 400,
+    // the d9 split) is clustered once; the new shard's pairs (anything
+    // touching doc_id >= 400) are folded in via the rep-level reduced
+    // graph, never re-clustering the corpus. The oracle is d7's full
+    // recursive transitive closure over ALL pairs: incremental must
+    // reproduce batch exactly — labels, membership, everything.
+    "d20_incremental_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val verified =
+        Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+          .localCheckpoint(false)
+      val oldPairs = verified.filter(col("doc_a") < 400 && col("doc_b") < 400)
+      val newPairs = verified.filter(col("doc_a") >= 400 || col("doc_b") >= 400)
+      val assignment = Dedup.connectedComponentsStar(oldPairs, "doc_a", "doc_b")
+      Dedup.incrementalClusters(assignment, newPairs)
+    }),
+
     // D17: representative POLICY over the duplicate clusters — per
     // cluster, the kept member under keep-best-by-length (max n_chars,
     // tie-break min doc_id): what production curation keeps among
@@ -1015,6 +1035,8 @@ object QText {
     // the same closure.
     "d7_dup_clusters" -> d7Sql,
     "d7b_dup_clusters_star" -> d7Sql,
+    // incremental fold-in must reproduce the identical batch closure
+    "d20_incremental_clusters" -> d7Sql,
     "d16_cross_source_dup" ->
       s"""WITH verified AS ($d5Sql),
                sp AS (SELECT v.doc_a, v.doc_b, v.jaccard,

@@ -463,6 +463,53 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("incrementalClusters: fold-in equals batch CC on random old/new splits (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // vertices < 20 are "day 1"; any edge touching >= 20 is the new shard.
+    // Covers: merges through a new vertex, chains of merges, new-only
+    // components, lower-id new vertices stealing a cluster label, and
+    // empty old or new sides.
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)))
+    val prop = Prop.forAll(edgeGen) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      if (real.isEmpty) true
+      else {
+        val df = real.toDF("doc_a", "doc_b")
+        val oldE = df.filter($"doc_a" < 20 && $"doc_b" < 20)
+        val newE = df.filter($"doc_a" >= 20 || $"doc_b" >= 20)
+        val assignment = Dedup.connectedComponentsStar(oldE, "doc_a", "doc_b")
+        val inc = Dedup.incrementalClusters(assignment, newE)
+          .as[(Long, Long)].collect().toMap
+        val batch = Dedup.connectedComponentsStar(df, "doc_a", "doc_b")
+          .as[(Long, Long)].collect().toMap
+        inc == batch
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("incrementalClusters deltaOnly: upserting the delta reproduces the full output") {
+    // two old clusters {1,2} and {10,11}, an untouched one {30,31}; new
+    // doc 50 bridges them, new doc 0 (lower than every old id) joins and
+    // steals the merged label; 60-61 form a new-only component
+    val assignment = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (30L, 30L), (31L, 30L)).toDF("doc_id", "cluster")
+    val newPairs = Seq((2L, 50L), (50L, 10L), (0L, 11L), (60L, 61L))
+      .toDF("doc_a", "doc_b")
+    val full = Dedup.incrementalClusters(assignment, newPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(full === Map(1L -> 0L, 2L -> 0L, 10L -> 0L, 11L -> 0L,
+      50L -> 0L, 0L -> 0L, 30L -> 30L, 31L -> 30L, 60L -> 60L, 61L -> 60L))
+    val delta = Dedup.incrementalClusters(assignment, newPairs,
+      deltaOnly = true).as[(Long, Long)].collect().toMap
+    // delta = exactly the changed + new rows: the untouched cluster stays out
+    assert(!delta.contains(30L) && !delta.contains(31L))
+    val upserted = assignment.as[(Long, Long)].collect().toMap ++ delta
+    assert(upserted === full)
+  }
+
   test("connectedComponentsStar converges on a long chain where min-label cannot") {
     // 51-node chain: diameter 50. Min-label needs 50 rounds (throws at 8);
     // star alternation contracts exponentially and finishes well inside 8.
