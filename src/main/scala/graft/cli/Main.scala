@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--cluster-table <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -396,6 +396,19 @@ object Main {
             semTable, buckets)
           (semTable, pairs)
         }
+        // maintained CLUSTER table: the day-2 chain's third step — fold
+        // today's verified pairs into the persisted (doc_id, cluster)
+        // assignment at DELTA cost (rep-level CC + changed/new-row append;
+        // the corpus-sized table is read once, never shuffled or rewritten)
+        val clusterDelta = opt(args, "--cluster-table").map { ctbl =>
+          if (!spark.catalog.tableExists(ctbl)) {
+            import spark.implicits._
+            Dedup.writeClusterAssignment(
+              Seq.empty[(Long, Long)].toDF("doc_id", "cluster"), ctbl, buckets)
+          }
+          (ctbl, Dedup.ingestClusterDelta(spark, ctbl, verified,
+            buckets = buckets))
+        }
         val compactEvery = opt(args, "--compact-every").map(_.toInt).getOrElse(0)
         def due(tbl: String): Boolean = compactEvery > 0 && {
           val n = Bucketing.bucketCount(spark, tbl)
@@ -427,6 +440,12 @@ object Main {
         semIngest.foreach { case (t, _) =>
           if (due(t)) Bucketing.compactBucketed(spark, t, heal)
         }
+        clusterDelta.foreach { case (t, _) =>
+          // collapse the epoch history (LWW per doc) on the same cadence;
+          // groupBy on the bucket key rides the one-task-per-bucket pass
+          if (due(t))
+            Bucketing.compactBucketed(spark, t, Dedup.collapseClusterEpochs)
+        }
         val vecCompacted = vecAppend.exists { case (t, _) => due(t) }
         vecAppend.foreach { case (t, _) =>
           if (vecCompacted) graft.ann.Vectors.compactIvfPqIndex(spark, t)
@@ -446,6 +465,9 @@ object Main {
             println(f"[ingest-daily] fp_pairs         ${v.count()}%d (table $t)") }
           semIngest.foreach { case (t, v) =>
             println(f"[ingest-daily] sem_pairs        ${v.count()}%d (table $t)") }
+          clusterDelta.foreach { case (t, n) =>
+            println(f"[ingest-daily] cluster_delta    $n%d rows (table $t, " +
+              f"live_docs ${Dedup.readClusterAssignment(spark, t).count()}%d)") }
           println(s"[ingest-daily] band_index_files " +
             s"${Bucketing.dataFiles(spark, bandTable).size} " +
             s"(compacted=$bandCompacted)")

@@ -998,6 +998,63 @@ object Dedup {
     (if (deltaOnly) full.filter(col("__chg")) else full).drop("__chg")
   }
 
+  /** Seed the MAINTAINED cluster table: `(doc_id, cluster, epoch)`
+    * bucketed on doc_id, the persisted artifact [[ingestClusterDelta]]
+    * appends to. Epoch 0 is the seed assignment; each ingest appends only
+    * its delta under the next epoch, and [[readClusterAssignment]]
+    * resolves last-write-wins. The d9 band-index discipline applied to
+    * cluster state: per-day WRITE cost tracks the delta, never the corpus.
+    */
+  def writeClusterAssignment(assignment: DataFrame, table: String,
+                             buckets: Int = 64): Unit =
+    graft.core.Bucketing.writeBucketed(
+      assignment.select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster").cast("long").as("cluster"), lit(0L).as("epoch")),
+      table, "doc_id", buckets)
+
+  /** The LIVE `(doc_id, cluster)` view of a maintained cluster table:
+    * last-write-wins per doc over the appended epochs. doc_id is the
+    * bucket key, so the resolve aggregate rides the bucketed scan with no
+    * exchange (the a9 LWW shape on the table's natural partitioning).
+    */
+  def readClusterAssignment(spark: org.apache.spark.sql.SparkSession,
+                            table: String): DataFrame =
+    spark.table(table).groupBy("doc_id")
+      .agg(expr("max_by(cluster, epoch)").as("cluster"))
+
+  /** Day-2 ingest step for the maintained cluster table: resolve the live
+    * assignment, fold `newPairs` in via [[incrementalClusters]], and
+    * append ONLY the delta (changed + new rows) under the next epoch.
+    * Cost: one read pass over the table (no shuffle of it), rep-level CC
+    * ∝ the shard's pairs, and a delta-sized append. History collapses at
+    * compaction time — pass [[collapseClusterEpochs]] as the
+    * compactBucketed transform on the same cadence as the band index.
+    * Returns the number of delta rows appended.
+    */
+  def ingestClusterDelta(spark: org.apache.spark.sql.SparkSession,
+                         table: String, newPairs: DataFrame,
+                         aCol: String = "doc_a", bCol: String = "doc_b",
+                         buckets: Int = 64): Long = {
+    val nextEpoch = spark.table(table)
+      .agg(coalesce(max(col("epoch")), lit(0L))).head().getLong(0) + 1L
+    val delta = incrementalClusters(readClusterAssignment(spark, table),
+        newPairs, aCol, bCol, deltaOnly = true)
+      .withColumn("epoch", lit(nextEpoch))
+      .localCheckpoint(false)
+    graft.core.Bucketing.appendBucketed(delta, table, "doc_id", buckets)
+    delta.count()
+  }
+
+  /** Compaction transform for a maintained cluster table: collapse the
+    * epoch history to one LWW row per doc (keeping the max epoch so the
+    * ingest counter stays monotonic). GroupBy on the bucket key — rides
+    * compactBucketed's one-task-per-bucket pass with no exchange.
+    */
+  def collapseClusterEpochs(tbl: DataFrame): DataFrame =
+    tbl.groupBy("doc_id").agg(
+      expr("max_by(cluster, epoch)").as("cluster"),
+      max(col("epoch")).as("epoch"))
+
   /** D13: band a BIT-FINGERPRINT column (SimHash, image dHash — any
     * Hamming-space signature packed into a long) for LSH bucketing: the
     * `bits`-bit fingerprint splits into `bits / bandBits` contiguous

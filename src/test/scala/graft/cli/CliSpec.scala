@@ -137,6 +137,71 @@ class CliSpec extends SparkSpec {
     assert(cands2.contains((2L, 101L)))
   }
 
+  test("ingest-daily --cluster-table: multi-day delta maintenance equals batch clusters") {
+    import graft.core.Bucketing
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    // day-0 corpus: 6 distinct docs plus doc 7 duplicating doc 3 (the seed
+    // cluster); day-1 duplicates doc 2; day-2 duplicates BOTH day-1's new
+    // doc (chain growth) and doc 3 (joining the seed cluster)
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      3L -> "spark shuffles partition data across executors during wide stages",
+      4L -> "mountain trails wind through cedar groves toward the snow line",
+      5L -> "harbor cranes unload container ships beneath bright sodium lamps",
+      6L -> "desert winds carve long ridges into the shifting orange dunes",
+      7L -> "spark shuffles partition data across executors during wide stages")
+    val corpus = texts.toDF("doc_id", "text")
+    val day1 = Seq(
+      101L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      102L -> "subway platforms echo with late night maintenance announcements")
+      .toDF("doc_id", "text")
+    val day2 = Seq(
+      201L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      202L -> "spark shuffles partition data across executors during wide stages")
+      .toDF("doc_id", "text")
+    val corpusDir = tmpDir("clc_corpus"); corpus.write.mode("overwrite").parquet(corpusDir)
+    val day1Dir = tmpDir("clc_day1"); day1.write.mode("overwrite").parquet(day1Dir)
+    val day2Dir = tmpDir("clc_day2"); day2.write.mode("overwrite").parquet(day2Dir)
+    // day-2 verification needs day-1's text in the lookup corpus
+    val corpus2Dir = tmpDir("clc_corpus2")
+    corpus.union(day1).write.mode("overwrite").parquet(corpus2Dir)
+    // day-0 artifacts: band index + cluster table seeded from the batch
+    // clusters over day-0's own pairs
+    Dedup.writeBandIndex(Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4),
+      "clc_band_idx", buckets = 4)
+    val cands0 = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4)
+    val seed = Dedup.connectedComponentsStar(
+      Dedup.verifyCandidates(corpus, cands0, col("doc_id"), col("text"), 3, 0.5),
+      "doc_a", "doc_b")
+    Dedup.writeClusterAssignment(seed, "clc_clusters", buckets = 4)
+    assert(Dedup.readClusterAssignment(spark, "clc_clusters")
+      .as[(Long, Long)].collect().toMap === Map(3L -> 3L, 7L -> 3L))
+    def day(docs: String, lookup: String): Unit =
+      Main.run(spark, Array("ingest-daily",
+        "--docs", docs, "--corpus", lookup,
+        "--band-table", "clc_band_idx", "--buckets", "4",
+        "--min-jaccard", "0.5", "--cluster-table", "clc_clusters",
+        "--compact-every", "1", "--audit"))
+    day(day1Dir, corpusDir)
+    day(day2Dir, corpus2Dir)
+    val live = Dedup.readClusterAssignment(spark, "clc_clusters")
+      .as[(Long, Long)].collect().toMap
+    // chain {2,101,201} labels 2; seed cluster {3,7} grew to include 202;
+    // the pairless doc 102 never enters the assignment
+    assert(live === Map(2L -> 2L, 101L -> 2L, 201L -> 2L,
+      3L -> 3L, 7L -> 3L, 202L -> 3L), s"got $live")
+    // compaction (due every ingest here) collapsed the epoch history to
+    // one LWW row per doc and at most one file per (non-empty) bucket,
+    // preserving the view
+    assert(Bucketing.dataFiles(spark, "clc_clusters").size <= 4)
+    assert(spark.table("clc_clusters").groupBy("doc_id").count()
+      .filter(col("count") > 1).count() === 0L)
+  }
+
   test("ingest-daily --fp-parquet: perceptual fingerprints ride the same loop") {
     import graft.core.Bucketing
     import graft.dedup.Dedup
