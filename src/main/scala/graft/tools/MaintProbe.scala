@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters}
   * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {
@@ -266,6 +266,40 @@ object MaintProbe {
           run(Planners.packedWindowsDistributed(docs, "g", "id", "n_tok", 4096L))
         }
       }
+    }
+    // ---- clusters: incremental fold-in cost vs re-clustering ----
+    // Claim: ingestClusterDelta's cost is one no-shuffle read pass over
+    // the assignment plus rep-level CC ∝ the shard's pairs — while batch
+    // re-clustering pays multi-round shuffles over corpus-scale edges.
+    // Fixed shard (20k pairs) against assignments of 1M / 10M docs; the
+    // batch baseline re-runs star CC over (old star edges ∪ new pairs).
+    if (sections("clusters")) locally {
+      import graft.dedup.Dedup
+      val nNew = 20000L
+      for (n <- Seq(1000000L, 10000000L)) {
+        // clusters of 4: assignment doc -> floor(id/4)*4
+        val asg = spark.range(n)
+          .select(col("id").as("doc_id"), (col("id") - col("id") % 4).as("cluster"))
+          .repartition(cpus.toInt).localCheckpoint()
+        // shard: half new-doc-to-old-doc links, half old-old bridges
+        val pairs = spark.range(nNew).select(
+            when(col("id") % 2 === 0, col("id") + n) // new doc id
+              .otherwise((col("id") * 7919L) % n).as("doc_a"),
+            ((col("id") * 104729L) % n).as("doc_b"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .localCheckpoint()
+        time(s"clusters/incremental fold-in, $n-doc assignment, $nNew new pairs") {
+          Dedup.incrementalClusters(asg, pairs).agg(count(lit(1))).collect()
+        }
+        time(s"clusters/batch re-cluster, $n docs + $nNew new pairs") {
+          Dedup.connectedComponentsStar(
+            asg.select(col("doc_id").as("doc_a"), col("cluster").as("doc_b"))
+              .filter(col("doc_a") =!= col("doc_b"))
+              .union(pairs),
+            "doc_a", "doc_b").agg(count(lit(1))).collect()
+        }
+      }
+      spark.catalog.clearCache()
     }
     // ---- stream: streaming day-2 ingest rate tracks the SHARD ----
     // Claim (§6.3): the stream-static candidate joins read only the index
