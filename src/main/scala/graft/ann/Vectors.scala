@@ -1230,6 +1230,20 @@ object Vectors {
   def readSemanticIndex(spark: org.apache.spark.sql.SparkSession,
                         table: String): DataFrame = spark.table(table)
 
+  /** FORGET vectors from the semantic index (takedown / deletion-request
+    * path): one shuffle-free bucketed rewrite with the broadcast anti-join
+    * folded in — the [[graft.dedup.Dedup.forgetFromBandIndex]] discipline
+    * on the cell-bucketed table. The forgotten vectors can never surface
+    * as semantic-pair partners again.
+    */
+  def forgetFromSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, ids: DataFrame,
+                              idCol: String = "vec_id"): Unit = {
+    val gone = ids.select(col(idCol).cast("long").as("__gone")).distinct()
+    graft.core.Bucketing.compactBucketed(spark, table,
+      t => t.join(broadcast(gone), t("vec_id") === col("__gone"), "left_anti"))
+  }
+
   /** Fold a shard into the semantic index at shard cost — assignment uses
     * the FROZEN centroid set the index was built with (the
     * [[appendToIvfPqIndex]] discipline: cells must stay comparable across

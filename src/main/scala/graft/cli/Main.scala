@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
   *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
   *   runMain graft.cli.Main snapshot   --dir <snapdir> --keys k1[,k2] [--as-of N] [--write-epoch <parquet> --version N] [--compact-to N] [--output <dir>]
+  *   runMain graft.cli.Main forget     --ids <parquet> [--band-table t] [--fp-table t] [--sem-table t] [--vec-table t] [--cluster-table t] [--id-col vec_id]  (deletion-request propagation across every maintained artifact)
   */
 object Main {
 
@@ -541,6 +542,40 @@ object Main {
             .foreach(d => cents.write.mode("overwrite").parquet(d))
           println(s"[refresh] semantic table $tbl re-assigned under new centroids")
         }
+      case "forget" =>
+        // DELETION-REQUEST propagation (takedown / right-to-be-forgotten /
+        // licensing pull): remove a set of ids from EVERY maintained
+        // artifact in one command — band index, perceptual fp index,
+        // semantic index (shuffle-free anti-join bucket rewrites), the
+        // IVF-PQ index (tombstone + physical compaction), and the cluster
+        // table (with representative-label repair). Each artifact flag is
+        // optional; --ids is a parquet of doc ids (--id-col for vector
+        // tables, default vec_id).
+        import graft.dedup.Dedup
+        import graft.ann.Vectors
+        val ids = spark.read.parquet(opt(args, "--ids").get)
+          .localCheckpoint()
+        val vecIdCol = opt(args, "--id-col").getOrElse("vec_id")
+        def report(tbl: String, what: String)(f: => Unit): Unit = {
+          val before = spark.table(tbl).count()
+          f
+          println(s"[forget] $what $tbl: ${before - spark.table(tbl).count()} rows removed")
+        }
+        opt(args, "--band-table").foreach { t =>
+          report(t, "band index")(Dedup.forgetFromBandIndex(spark, t, ids)) }
+        opt(args, "--fp-table").foreach { t =>
+          report(t, "fp index")(Dedup.forgetFromBandIndex(spark, t, ids)) }
+        opt(args, "--sem-table").foreach { t =>
+          report(t, "semantic index")(
+            Vectors.forgetFromSemanticIndex(spark, t, ids, vecIdCol)) }
+        opt(args, "--vec-table").foreach { t =>
+          report(t, "ivf-pq index") {
+            Vectors.deleteFromIvfPqIndex(spark, t, ids, vecIdCol)
+            Vectors.compactIvfPqIndex(spark, t)
+          } }
+        opt(args, "--cluster-table").foreach { t =>
+          report(t, "cluster table")(
+            Dedup.forgetFromClusterAssignment(spark, t, ids)) }
       case "report" =>
         // corpus-QA report: the d7c / d16 / d8c views in one command —
         // cluster-size histogram, cross-source duplication matrix, and

@@ -1055,6 +1055,54 @@ object Dedup {
       expr("max_by(cluster, epoch)").as("cluster"),
       max(col("epoch")).as("epoch"))
 
+  /** FORGET a set of documents from a persisted band/fingerprint index:
+    * one shuffle-free bucketed rewrite with the broadcast anti-join folded
+    * in (the deletion-request path — takedowns, right-to-be-forgotten,
+    * licensing pulls). After it, the docs can never be proposed as
+    * candidates again. `ids` needs a doc_id column; cost is the
+    * compaction pass it rides (and collapses appended files as a bonus).
+    */
+  def forgetFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, ids: DataFrame): Unit = {
+    val gone = ids.select(col("doc_id").cast("long").as("__gone")).distinct()
+    graft.core.Bucketing.compactBucketed(spark, table,
+      t => t.join(broadcast(gone), t("doc_id") === col("__gone"), "left_anti"))
+  }
+
+  /** FORGET documents from a maintained cluster table, with LABEL REPAIR:
+    * dropping a doc that was its cluster's REPRESENTATIVE (label = its own
+    * id) would leave the label dangling, so surviving members of such
+    * clusters relabel to the new minimum member — computed first as a
+    * small remap relation (∝ affected clusters only, broadcast-joined in
+    * the same shuffle-free bucketed rewrite). Epoch history for forgotten
+    * docs is dropped wholesale.
+    *
+    * CAVEAT (documented, conservative): the table stores labels, not
+    * edges, so a forgotten BRIDGE doc cannot split the component it once
+    * joined — survivors stay co-clustered. That is the safe direction for
+    * dedup (at worst a doc remains deduped against an ex-neighbor); a
+    * provable split needs the pair log replayed through
+    * [[connectedComponents]].
+    */
+  def forgetFromClusterAssignment(spark: org.apache.spark.sql.SparkSession,
+                                  table: String, ids: DataFrame): Unit = {
+    val gone = ids.select(col("doc_id").cast("long").as("__gone")).distinct()
+      .localCheckpoint(false)
+    val live = readClusterAssignment(spark, table)
+    // clusters whose label is forgotten → new label = min surviving member
+    val remap = live
+      .join(broadcast(gone), col("cluster") === col("__gone"), "left_semi")
+      .join(broadcast(gone), col("doc_id") === col("__gone"), "left_anti")
+      .groupBy(col("cluster")).agg(min(col("doc_id")).as("__new_lbl"))
+      .localCheckpoint(false)
+    graft.core.Bucketing.compactBucketed(spark, table, t =>
+      t.join(broadcast(gone), t("doc_id") === col("__gone"), "left_anti")
+        .join(broadcast(remap), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__new_lbl"), col("cluster")).as("cluster"),
+          col("epoch")))
+  }
+
   /** D13: band a BIT-FINGERPRINT column (SimHash, image dHash — any
     * Hamming-space signature packed into a long) for LSH bucketing: the
     * `bits`-bit fingerprint splits into `bits / bandBits` contiguous

@@ -202,6 +202,50 @@ class CliSpec extends SparkSpec {
       .filter(col("count") > 1).count() === 0L)
   }
 
+  test("forget: deletion request propagates across band index, semantic index, and cluster table") {
+    import graft.ann.Vectors
+    import graft.core.Bucketing
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // band index over docs 1..8; cluster {1,2,3} labeled 1, {6,7} labeled 6
+    val docs = (1L to 8L).map(i => (i, s"document number $i body " +
+      Seq.fill(8)(rnd.nextInt(50)).mkString(" "))).toDF("doc_id", "text")
+    Dedup.writeBandIndex(Dedup.bandedSignatures(
+      Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4),
+      "fg_band_idx", buckets = 4)
+    Dedup.writeClusterAssignment(Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (6L, 6L), (7L, 6L)).toDF("doc_id", "cluster"), "fg_clusters", buckets = 4)
+    // semantic index over vectors 1..8
+    val vecs = (1L to 8L).map(i => (i, Array.fill(4)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val cents = Vectors.stepCentroids(vecs, "vec_id", "embedding", 3)
+    Vectors.writeSemanticIndex(vecs, "vec_id", "embedding", cents,
+      "fg_sem_idx", buckets = 4)
+    // forget docs 1 (the {1,2,3} REPRESENTATIVE) and 7 (a plain member)
+    val idsDir = tmpDir("fg_ids")
+    Seq(1L, 7L).toDF("doc_id")
+      .withColumn("vec_id", col("doc_id"))
+      .write.mode("overwrite").parquet(idsDir)
+    Main.run(spark, Array("forget", "--ids", idsDir,
+      "--band-table", "fg_band_idx", "--sem-table", "fg_sem_idx",
+      "--cluster-table", "fg_clusters"))
+    // band + semantic: rows physically gone, survivors intact
+    assert(Dedup.readBandIndex(spark, "fg_band_idx")
+      .filter(col("doc_id").isin(1L, 7L)).count() === 0L)
+    assert(Dedup.readBandIndex(spark, "fg_band_idx")
+      .select("doc_id").distinct().count() === 6L)
+    assert(Vectors.readSemanticIndex(spark, "fg_sem_idx")
+      .filter(col("vec_id").isin(1L, 7L)).count() === 0L)
+    // cluster table: forgotten rows gone; the orphaned label 1 repaired to
+    // the new minimum member 2; cluster 6 keeps its label (6 survives)
+    val live = Dedup.readClusterAssignment(spark, "fg_clusters")
+      .as[(Long, Long)].collect().toMap
+    assert(live === Map(2L -> 2L, 3L -> 2L, 6L -> 6L), s"got $live")
+    // the rewrite stayed bucketed: day-2 ingest machinery still reads it
+    assert(Bucketing.bucketCount(spark, "fg_clusters") === 4)
+  }
+
   test("ingest-daily --fp-parquet: perceptual fingerprints ride the same loop") {
     import graft.core.Bucketing
     import graft.dedup.Dedup
