@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--cluster-table <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
   *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
   *   runMain graft.cli.Main snapshot   --dir <snapdir> --keys k1[,k2] [--as-of N] [--write-epoch <parquet> --version N] [--compact-to N] [--output <dir>]
-  *   runMain graft.cli.Main forget     --ids <parquet> [--band-table t] [--fp-table t] [--sem-table t] [--vec-table t] [--cluster-table t] [--id-col vec_id]  (deletion-request propagation across every maintained artifact)
+  *   runMain graft.cli.Main forget     --ids <parquet> [--band-table t] [--fp-table t] [--sem-table t] [--vec-table t] [--cluster-table t] [--pair-log t] [--id-col vec_id]  (deletion-request propagation across every maintained artifact)
   */
 object Main {
 
@@ -410,6 +410,13 @@ object Main {
           (ctbl, Dedup.ingestClusterDelta(spark, ctbl, verified,
             buckets = buckets))
         }
+        // pair log: the verified edges themselves, appended at shard cost —
+        // what makes a later `forget` repair exact (bridge splits)
+        opt(args, "--pair-log").foreach { pl =>
+          if (!spark.catalog.tableExists(pl))
+            Dedup.writePairLog(verified, pl, buckets)
+          else Dedup.appendPairLog(verified, pl, buckets)
+        }
         val compactEvery = opt(args, "--compact-every").map(_.toInt).getOrElse(0)
         def due(tbl: String): Boolean = compactEvery > 0 && {
           val n = Bucketing.bucketCount(spark, tbl)
@@ -574,8 +581,14 @@ object Main {
             Vectors.compactIvfPqIndex(spark, t)
           } }
         opt(args, "--cluster-table").foreach { t =>
-          report(t, "cluster table")(
-            Dedup.forgetFromClusterAssignment(spark, t, ids)) }
+          report(t, "cluster table")(opt(args, "--pair-log") match {
+            // with the pair log the repair is EXACT: affected components
+            // re-cluster over surviving edges (bridges split, isolated
+            // docs drop out) and the log itself is scrubbed
+            case Some(pl) =>
+              Dedup.forgetFromClusterAssignmentExact(spark, t, pl, ids)
+            case None => Dedup.forgetFromClusterAssignment(spark, t, ids)
+          }) }
       case "report" =>
         // corpus-QA report: the d7c / d16 / d8c views in one command —
         // cluster-size histogram, cross-source duplication matrix, and

@@ -1069,6 +1069,23 @@ object Dedup {
       t => t.join(broadcast(gone), t("doc_id") === col("__gone"), "left_anti"))
   }
 
+  /** Seed / grow the maintained PAIR LOG — the verified-pair edge list as
+    * a doc_a-bucketed table, appended per ingest at shard cost. The pair
+    * log is what makes [[forgetFromClusterAssignment]] EXACT: labels alone
+    * cannot split a component when a bridge doc is forgotten; the edges
+    * can.
+    */
+  def writePairLog(pairs: DataFrame, table: String, buckets: Int = 64): Unit =
+    graft.core.Bucketing.writeBucketed(
+      pairs.select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b")), table, "doc_a", buckets)
+
+  /** Append a shard's verified pairs to the pair log (cost ∝ the shard). */
+  def appendPairLog(pairs: DataFrame, table: String, buckets: Int = 64): Unit =
+    graft.core.Bucketing.appendBucketed(
+      pairs.select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b")), table, "doc_a", buckets)
+
   /** FORGET documents from a maintained cluster table, with LABEL REPAIR:
     * dropping a doc that was its cluster's REPRESENTATIVE (label = its own
     * id) would leave the label dangling, so surviving members of such
@@ -1101,6 +1118,66 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("__new_lbl"), col("cluster")).as("cluster"),
           col("epoch")))
+  }
+
+  /** EXACT forget for a maintained cluster table, given the pair log: the
+    * repair [[forgetFromClusterAssignment]] cannot do from labels alone.
+    * Affected components (those containing a forgotten doc) are re-run
+    * through star CC over their SURVIVING edges, so a forgotten bridge
+    * splits its component and docs left with no surviving pair drop out
+    * of the assignment entirely — the post-forget table equals batch CC
+    * over (pair log minus edges touching the forgotten ids), asserted in
+    * DedupSpec. Unaffected clusters are untouched.
+    *
+    * Cost: one broadcast-semi read pass over each of the assignment and
+    * the pair log (no shuffle of either), CC ∝ the affected components'
+    * edges, and the two shuffle-free bucket rewrites. The pair log itself
+    * is rewritten to drop edges touching the forgotten ids.
+    */
+  def forgetFromClusterAssignmentExact(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, pairLogTable: String, ids: DataFrame,
+      maxIter: Int = 20): Unit = {
+    val gone = ids.select(col("doc_id").cast("long").as("__gone")).distinct()
+      .localCheckpoint(false)
+    val live = readClusterAssignment(spark, table).localCheckpoint(false)
+    // labels of every component containing a forgotten doc (tiny)
+    val affectedLabels = live
+      .join(broadcast(gone), col("doc_id") === col("__gone"), "left_semi")
+      .select(col("cluster").as("__aff")).distinct().localCheckpoint(false)
+    // their member docs (∝ affected components)
+    val members = live.join(broadcast(affectedLabels),
+        col("cluster") === col("__aff"), "left_semi")
+      .select(col("doc_id")).localCheckpoint(false)
+    // the affected components' surviving edges: a doc_a-side semi-join
+    // finds every edge (both endpoints share a component by construction)
+    val edges = spark.table(pairLogTable)
+      .join(broadcast(members.withColumnRenamed("doc_id", "doc_a")),
+        Seq("doc_a"), "left_semi")
+      .join(broadcast(gone), col("doc_a") === col("__gone"), "left_anti")
+      .join(broadcast(gone), col("doc_b") === col("__gone"), "left_anti")
+    val repaired = connectedComponentsStar(edges, "doc_a", "doc_b", maxIter)
+      .withColumnRenamed("cluster", "__new_lbl").localCheckpoint(false)
+    graft.core.Bucketing.compactBucketed(spark, table, t => {
+      // collapse epochs first (bucket-key groupBy, exchange-free), then
+      // re-point affected docs at their repaired component — inner join,
+      // so docs with no surviving pair leave the assignment (the d7
+      // contract: only pair-touching docs carry a cluster row)
+      val collapsed = collapseClusterEpochs(t)
+        .join(broadcast(gone), col("doc_id") === col("__gone"), "left_anti")
+      val untouched = collapsed.join(broadcast(affectedLabels),
+          col("cluster") === col("__aff"), "left_anti")
+      val fixed = collapsed.join(broadcast(affectedLabels),
+          col("cluster") === col("__aff"), "left_semi")
+        .join(broadcast(repaired), Seq("doc_id"))
+        .select(col("doc_id"), col("__new_lbl").as("cluster"), col("epoch"))
+      untouched.unionByName(fixed)
+    })
+    // scrub the pair log too: forgotten edges must not resurface in a
+    // later repair or audit
+    graft.core.Bucketing.compactBucketed(spark, pairLogTable, t =>
+      t.join(broadcast(gone), col("doc_a") === col("__gone"), "left_anti")
+        .join(broadcast(gone), col("doc_b") === col("__gone"), "left_anti"))
   }
 
   /** D13: band a BIT-FINGERPRINT column (SimHash, image dHash — any

@@ -185,6 +185,7 @@ class CliSpec extends SparkSpec {
         "--docs", docs, "--corpus", lookup,
         "--band-table", "clc_band_idx", "--buckets", "4",
         "--min-jaccard", "0.5", "--cluster-table", "clc_clusters",
+        "--pair-log", "clc_pairs",
         "--compact-every", "1", "--audit"))
     day(day1Dir, corpusDir)
     day(day2Dir, corpus2Dir)
@@ -200,6 +201,11 @@ class CliSpec extends SparkSpec {
     assert(Bucketing.dataFiles(spark, "clc_clusters").size <= 4)
     assert(spark.table("clc_clusters").groupBy("doc_id").count()
       .filter(col("count") > 1).count() === 0L)
+    // the pair log accumulated both days' verified edges (what a later
+    // exact `forget` repair replays)
+    val logged = spark.table("clc_pairs").as[(Long, Long)].collect().toSet
+    assert(logged === Set((2L, 101L), (2L, 201L), (101L, 201L), (3L, 202L),
+      (7L, 202L)), s"got $logged")
   }
 
   test("forget: deletion request propagates across band index, semantic index, and cluster table") {

@@ -510,6 +510,32 @@ class DedupSpec extends SparkSpec {
     assert(upserted === full)
   }
 
+  test("forgetFromClusterAssignmentExact: bridge splits, isolated docs drop, equals batch over scrubbed log") {
+    // chain 1-2-3-4-5 (one cluster labeled 1), pair {10,11}, pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val seed = Dedup.connectedComponentsStar(edges, "doc_a", "doc_b")
+    Dedup.writeClusterAssignment(seed, "fx_clusters", buckets = 4)
+    Dedup.writePairLog(edges, "fx_pairs", buckets = 4)
+    // forget the BRIDGE doc 3 and one half of {20,21}
+    val ids = Seq(3L, 20L).toDF("doc_id")
+    Dedup.forgetFromClusterAssignmentExact(spark, "fx_clusters", "fx_pairs", ids)
+    val live = Dedup.readClusterAssignment(spark, "fx_clusters")
+      .as[(Long, Long)].collect().toMap
+    // the chain SPLITS into {1,2} and {4,5}; 21 is left pairless and
+    // leaves the assignment; {10,11} is untouched
+    assert(live === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L), s"got $live")
+    // the pair log was scrubbed, and the repaired table equals batch CC
+    // over what remains of it — the exactness contract
+    val scrubbed = spark.table("fx_pairs")
+    assert(scrubbed.filter($"doc_a".isin(3L, 20L) || $"doc_b".isin(3L, 20L))
+      .count() === 0L)
+    val batch = Dedup.connectedComponentsStar(scrubbed, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(live === batch)
+  }
+
   test("connectedComponentsStar converges on a long chain where min-label cannot") {
     // 51-node chain: diameter 50. Min-label needs 50 rounds (throws at 8);
     // star alternation contracts exponentially and finishes well inside 8.
