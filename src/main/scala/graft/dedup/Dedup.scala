@@ -1022,6 +1022,18 @@ object Dedup {
     spark.table(table).groupBy("doc_id")
       .agg(expr("max_by(cluster, epoch)").as("cluster"))
 
+  /** TIME-TRAVEL read of a maintained cluster table: the assignment as of
+    * ingest epoch `asOf` — yesterday's dedup decisions, reproducible for
+    * audits and A/Bs as long as the epoch history hasn't been collapsed
+    * by a compaction ([[collapseClusterEpochs]] keeps only the latest row
+    * per doc; run the as-of read before the compaction horizon). Same
+    * exchange-free LWW shape, with the epoch filter pushed to the scan.
+    */
+  def readClusterAssignmentAsOf(spark: org.apache.spark.sql.SparkSession,
+                                table: String, asOf: Long): DataFrame =
+    spark.table(table).filter(col("epoch") <= asOf).groupBy("doc_id")
+      .agg(expr("max_by(cluster, epoch)").as("cluster"))
+
   /** Day-2 ingest step for the maintained cluster table: resolve the live
     * assignment, fold `newPairs` in via [[incrementalClusters]], and
     * append ONLY the delta (changed + new rows) under the next epoch.

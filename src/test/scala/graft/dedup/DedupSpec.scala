@@ -510,6 +510,22 @@ class DedupSpec extends SparkSpec {
     assert(upserted === full)
   }
 
+  test("cluster table as-of read: epoch history reproduces yesterday's assignment") {
+    val seed = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster")
+    Dedup.writeClusterAssignment(seed, "ao_clusters", buckets = 4)
+    // day 1: new doc 0 joins and steals the label
+    Dedup.ingestClusterDelta(spark, "ao_clusters",
+      Seq((0L, 2L)).toDF("doc_a", "doc_b"), buckets = 4)
+    val asOf0 = Dedup.readClusterAssignmentAsOf(spark, "ao_clusters", 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(asOf0 === Map(1L -> 1L, 2L -> 1L))
+    val live = Dedup.readClusterAssignment(spark, "ao_clusters")
+      .as[(Long, Long)].collect().toMap
+    assert(live === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    assert(Dedup.readClusterAssignmentAsOf(spark, "ao_clusters", 1L)
+      .as[(Long, Long)].collect().toMap === live)
+  }
+
   test("forgetFromClusterAssignmentExact: bridge splits, isolated docs drop, equals batch over scrubbed log") {
     // chain 1-2-3-4-5 (one cluster labeled 1), pair {10,11}, pair {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
