@@ -570,6 +570,36 @@ object QText {
       Dedup.incrementalClusters(assignment, newPairs)
     }),
 
+    // D21: cluster CHURN across a day-2 ingest, through the PERSISTED
+    // table machinery end-to-end: seed the maintained cluster table from
+    // the old corpus's clusters (epoch 0), fold the new shard's pairs in
+    // as a delta (epoch 1), then diff the as-of-0 read against the live
+    // LWW read — per doc its old cluster (null for new arrivals), current
+    // cluster, and a changed flag. The oracle recomputes both sides as
+    // independent recursive closures, so the table write, delta append,
+    // as-of filter, and LWW resolve are ALL on the hook for exactness.
+    "d21_cluster_churn" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val verified =
+        Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+          .localCheckpoint(false)
+      val oldPairs = verified.filter(col("doc_a") < 400 && col("doc_b") < 400)
+      val newPairs = verified.filter(col("doc_a") >= 400 || col("doc_b") >= 400)
+      val tbl = "graft_d21_clusters"
+      Dedup.writeClusterAssignment(
+        Dedup.connectedComponentsStar(oldPairs, "doc_a", "doc_b"), tbl, 8)
+      Dedup.ingestClusterDelta(s, tbl, newPairs, buckets = 8)
+      val before = Dedup.readClusterAssignmentAsOf(s, tbl, 0L)
+        .withColumnRenamed("cluster", "old_cluster")
+      Dedup.readClusterAssignment(s, tbl)
+        .join(before, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old_cluster"), col("cluster"),
+          (coalesce(col("old_cluster"), lit(-1L)) =!= col("cluster"))
+            .as("changed"))
+    }),
+
     // D17: representative POLICY over the duplicate clusters — per
     // cluster, the kept member under keep-best-by-length (max n_chars,
     // tie-break min doc_id): what production curation keeps among
@@ -1113,6 +1143,32 @@ object QText {
     "d7b_dup_clusters_star" -> d7Sql,
     // incremental fold-in must reproduce the identical batch closure
     "d20_incremental_clusters" -> d7Sql,
+    // both sides of the churn diff as independent recursive closures
+    "d21_cluster_churn" ->
+      s"""WITH RECURSIVE verified AS ($d5Sql),
+               e_all AS (SELECT doc_a AS a, doc_b AS b FROM verified
+                         UNION SELECT doc_b, doc_a FROM verified),
+               reach_all(v, r) AS (
+                 SELECT a, a FROM e_all
+                 UNION
+                 SELECT e_all.b, reach_all.r
+                 FROM reach_all JOIN e_all ON e_all.a = reach_all.v),
+               cl_all AS (SELECT v AS doc_id, min(r) AS cluster
+                          FROM reach_all GROUP BY v),
+               vo AS (SELECT doc_a, doc_b FROM verified
+                      WHERE doc_a < 400 AND doc_b < 400),
+               e_old AS (SELECT doc_a AS a, doc_b AS b FROM vo
+                         UNION SELECT doc_b, doc_a FROM vo),
+               reach_old(v, r) AS (
+                 SELECT a, a FROM e_old
+                 UNION
+                 SELECT e_old.b, reach_old.r
+                 FROM reach_old JOIN e_old ON e_old.a = reach_old.v),
+               cl_old AS (SELECT v AS doc_id, min(r) AS cluster
+                          FROM reach_old GROUP BY v)
+          SELECT f.doc_id, o.cluster AS old_cluster, f.cluster,
+                 coalesce(o.cluster, -1) != f.cluster AS changed
+          FROM cl_all f LEFT JOIN cl_old o USING (doc_id)""",
     "d16_cross_source_dup" ->
       s"""WITH verified AS ($d5Sql),
                sp AS (SELECT v.doc_a, v.doc_b, v.jaccard,
