@@ -1192,6 +1192,70 @@ object Dedup {
         .join(broadcast(gone), col("doc_b") === col("__gone"), "left_anti"))
   }
 
+  /** EDIT-DISTANCE self-join (Gravano-style q-gram count filtering +
+    * Levenshtein verify) — the entity-resolution similarity axis the
+    * token-set measures miss: "smal ring" vs "small ring" shares few
+    * word shingles but is one edit away. Candidates come from the
+    * distinct-q-gram inverted index under the COMPLETE count bound: one
+    * edit destroys at most q distinct q-grams, so strings within
+    * distance k share at least max(|Ga|,|Gb|) − k·q of them (plus the
+    * |len_a − len_b| ≤ k length filter); only candidates pay the exact
+    * DP verify. Run it on the DISTINCT-key relation (dedupe first — the
+    * classic ER discipline; joining raw rows with duplicated keys grows
+    * pair counts quadratically in the duplication factor).
+    *
+    * COMPLETENESS is the contract, including the short-string hole the
+    * textbook filter has: when BOTH sides carry ≤ k·q distinct grams the
+    * count bound degenerates to ≥ 0, so a within-distance pair can share
+    * ZERO grams and the inverted index never proposes it ("cc" vs "cbc"
+    * at k=1, q=2 — caught by the ScalaCheck brute-force property). If
+    * either side has > k·q grams the bound forces ≥ 1 shared gram, so
+    * the residual is exactly short × short — covered by an explicit
+    * length-bucketed equi-join over the (tiny, length < q + k·q) short
+    * subset, never a cartesian. The d22 oracle brute-forces every
+    * distinct pair, so a candidate lost anywhere hash-fails the query.
+    * No silent caps — a hot q-gram (a very common substring) is the
+    * scale knob to watch via the same occupancy accounting as the band
+    * indexes. Strings shorter than q carry no gram and are excluded
+    * (documented).
+    *
+    * Output: (id_a, id_b, s_a, s_b, dist), id_a < id_b, dist ≤ k.
+    */
+  def editDistancePairs(rows: DataFrame, id: Column, str: Column,
+                        k: Int = 1, q: Int = 2): DataFrame = {
+    val base = rows.select(id.cast("long").as("fz_id"), str.as("fz_s"))
+      .filter(length(col("fz_s")) >= q)
+      .withColumn("fz_grams", array_distinct(expr(
+        s"transform(sequence(0, length(fz_s) - $q), i -> substring(fz_s, i + 1, $q))")))
+      .withColumn("fz_ng", size(col("fz_grams")))
+      .localCheckpoint(false)
+    val grams = base.select(col("fz_id"), col("fz_s"), col("fz_ng"),
+      explode(col("fz_grams")).as("g"))
+    val indexed = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.fz_id") < col("b.fz_id") &&
+          abs(length(col("a.fz_s")) - length(col("b.fz_s"))) <= k)
+      .groupBy(col("a.fz_id").as("id_a"), col("b.fz_id").as("id_b"),
+        col("a.fz_s").as("s_a"), col("b.fz_s").as("s_b"),
+        col("a.fz_ng").as("ng_a"), col("b.fz_ng").as("ng_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= greatest(col("ng_a"), col("ng_b")) - k * q)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+    // short-string fallback: length-bucket equi-join (a explodes its
+    // admissible partner lengths, so the planner gets a hash join)
+    val short = base.filter(col("fz_ng") <= k * q)
+    val shortA = short.select(col("fz_id").as("id_a"), col("fz_s").as("s_a"),
+      explode(expr(s"sequence(length(fz_s) - $k, length(fz_s) + $k)")).as("bl"))
+    val shortB = short.select(col("fz_id").as("id_b"), col("fz_s").as("s_b"),
+      length(col("fz_s")).cast("long").as("bl"))
+    val shortPairs = shortA.join(shortB,
+        Seq("bl")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+    indexed.union(shortPairs).distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist"))
+  }
+
   /** D13: band a BIT-FINGERPRINT column (SimHash, image dHash — any
     * Hamming-space signature packed into a long) for LSH bucketing: the
     * `bits`-bit fingerprint splits into `bits / bandBits` contiguous

@@ -600,6 +600,18 @@ object QText {
             .as("changed"))
     }),
 
+    // D22: EDIT-DISTANCE fuzzy self-join (q-gram count filter +
+    // Levenshtein verify) over the distinct part names — the
+    // entity-resolution axis: typo-level variants the token-set measures
+    // miss. The oracle BRUTE-FORCES every distinct pair, so the filter's
+    // completeness (not just the verify) is what the hash checks.
+    "d22_fuzzy_join" -> ((s, d) => {
+      val names = t(s, d, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("name_id"))
+      Dedup.editDistancePairs(names, col("name_id"), col("p_name"),
+        k = 2, q = 2)
+    }),
+
     // D17: representative POLICY over the duplicate clusters — per
     // cluster, the kept member under keep-best-by-length (max n_chars,
     // tie-break min doc_id): what production curation keeps among
@@ -1143,6 +1155,16 @@ object QText {
     "d7b_dup_clusters_star" -> d7Sql,
     // incremental fold-in must reproduce the identical batch closure
     "d20_incremental_clusters" -> d7Sql,
+    // brute-force over all distinct pairs: filter completeness on the hook
+    "d22_fuzzy_join" ->
+      """WITH n AS (SELECT p_name, min(p_partkey) AS name_id
+                    FROM part GROUP BY 1)
+         SELECT a.name_id AS id_a, b.name_id AS id_b,
+                a.p_name AS s_a, b.p_name AS s_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM n a, n b
+         WHERE a.name_id < b.name_id
+           AND levenshtein(a.p_name, b.p_name) <= 2""",
     // both sides of the churn diff as independent recursive closures
     "d21_cluster_churn" ->
       s"""WITH RECURSIVE verified AS ($d5Sql),

@@ -510,6 +510,38 @@ class DedupSpec extends SparkSpec {
     assert(upserted === full)
   }
 
+  test("editDistancePairs: q-gram count filter is COMPLETE vs brute force (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // short strings over a tiny alphabet: high collision/typo density
+    val strGen = Gen.choose(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val prop = Prop.forAll(Gen.listOfN(12, strGen)) { raw =>
+      val strs = raw.distinct
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val got = Dedup.editDistancePairs(df, col("id"), col("s"), k = 1, q = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute force over strings long enough to carry a 2-gram (the
+      // operator's documented exclusion)
+      val want = (for {
+        i <- strs.indices; j <- strs.indices
+        if i < j && strs(i).length >= 2 && strs(j).length >= 2 &&
+          lev(strs(i), strs(j)) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cluster table as-of read: epoch history reproduces yesterday's assignment") {
     val seed = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster")
     Dedup.writeClusterAssignment(seed, "ao_clusters", buckets = 4)
