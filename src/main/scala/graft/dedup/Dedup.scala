@@ -1256,6 +1256,85 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist"))
   }
 
+  /** Unit-normalized TF-IDF term weights, cross-engine exact by the
+    * fixed-point discipline: w = round(tf · ln(N/df), 6), the squared
+    * norm sums round(w²·1e12) as exact longs (summation-order-free), and
+    * u = round(w/‖w‖, 6). Docs whose every term is corpus-ubiquitous
+    * (all idf 0 → zero norm) drop out. Output: (doc_id, term, u).
+    */
+  def tfidfUnitWeights(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val w = tf.join(dfr, "term").join(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("w"))
+    val q = w.groupBy("doc_id")
+      .agg(sum(round(col("w") * col("w") * 1e12).cast("long")).as("q12"))
+      .filter(col("q12") > 0L)
+    w.join(q, "doc_id")
+      .select(col("doc_id"), col("term"),
+        round(col("w") / sqrt(col("q12") / 1e12), 6).as("u"))
+  }
+
+  /** D23: cosine similarity self-join over sparse TF-IDF vectors — the
+    * OTHER classic text near-dup axis (SemDeDup's cosine on learned
+    * embeddings; this is its lexical twin on exact term weights), with
+    * AllPairs-style PREFIX FILTERING (Bayardo et al., WWW'07): terms per
+    * doc are ordered rare-first (df asc), and a doc's tail whose
+    * Σ u·maxu < minCos can be left out of the inverted index entirely —
+    * any pair with cos ≥ minCos must share a term in one side's indexed
+    * prefix (if y misses x's whole prefix, dot ≤ Σ_suffix u·maxu < t).
+    * Candidates = prefix-index ⋈ full lists; only candidates pay the
+    * pair-driven exact-dot verify (fixed-point: per-term products round
+    * to 1e-12 integers before the exact long sums, so the d23 oracle —
+    * which computes the UNPRUNED join — puts pruning completeness on the
+    * hash hook; pruned ≡ unpruned is additionally ScalaCheck'd).
+    * Output: (doc_a, doc_b, cos), doc_a < doc_b, cos = round 6dp ≥ minCos.
+    */
+  def cosineTfidfPairs(docs: DataFrame, id: Column, text: Column,
+                       minCos: Double, pruned: Boolean = true): DataFrame = {
+    val weights = tfidfUnitWeights(docs, id, text).localCheckpoint(false)
+    val cands: DataFrame =
+      if (!pruned)
+        weights.as("a").join(weights.as("b"),
+            col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      else {
+        val stats = weights.groupBy("term")
+          .agg(count(lit(1)).as("tdf"), max(col("u")).as("maxu"))
+        val ordered = weights.join(stats, "term")
+        // tail-sum from this term onward in the (df asc, term asc) order;
+        // rows whose whole tail stays under minCos are suffix — skipped
+        // by the index. Per-doc window: bounded.
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tdf"), col("term"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val index = ordered
+          .withColumn("ts", sum(col("u") * col("maxu")).over(win))
+          .filter(col("ts") >= minCos)
+          .select(col("doc_id").as("ix_doc"), col("term"))
+        index.join(weights, "term")
+          .filter(col("ix_doc") =!= col("doc_id"))
+          .select(least(col("ix_doc"), col("doc_id")).as("doc_a"),
+            greatest(col("ix_doc"), col("doc_id")).as("doc_b"))
+          .distinct()
+      }
+    val wa = weights.select(col("doc_id").as("doc_a"), col("term"),
+      col("u").as("ua"))
+    val wb = weights.select(col("doc_id").as("doc_b"), col("term"),
+      col("u").as("ub"))
+    cands.join(wa, "doc_a").join(wb, Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(round(col("ua") * col("ub") * 1e12).cast("long")).as("dot12"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot12") / 1e12, 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** D13: band a BIT-FINGERPRINT column (SimHash, image dHash — any
     * Hamming-space signature packed into a long) for LSH bucketing: the
     * `bits`-bit fingerprint splits into `bits / bandBits` contiguous

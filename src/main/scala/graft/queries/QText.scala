@@ -612,6 +612,15 @@ object QText {
         k = 2, q = 2)
     }),
 
+    // D23: TF-IDF cosine similarity self-join with AllPairs prefix
+    // filtering — the lexical twin of v8's embedding-cosine dedup. The
+    // oracle computes the UNPRUNED shared-term join, so the prefix
+    // filter's completeness is what the hash checks (a pair the pruned
+    // index loses = a missing row). 0.9 = the near-dup regime.
+    "d23_cosine_pairs" -> ((s, d) =>
+      Dedup.cosineTfidfPairs(t(s, d, "documents"), col("doc_id"),
+        col("text"), 0.9)),
+
     // D17: representative POLICY over the duplicate clusters — per
     // cluster, the kept member under keep-best-by-length (max n_chars,
     // tie-break min doc_id): what production curation keeps among
@@ -1155,6 +1164,29 @@ object QText {
     "d7b_dup_clusters_star" -> d7Sql,
     // incremental fold-in must reproduce the identical batch closure
     "d20_incremental_clusters" -> d7Sql,
+    // UNPRUNED shared-term join: prefix-filter completeness on the hook
+    "d23_cosine_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+               dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+               nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+               w AS (SELECT doc_id, tf.term,
+                            round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS w
+                     FROM tf, dfr, nn WHERE tf.term = dfr.term),
+               q AS (SELECT doc_id,
+                            sum(CAST(round(w * w * 1e12) AS BIGINT)) AS q12
+                     FROM w GROUP BY 1),
+               u AS (SELECT w.doc_id, term,
+                            round(w / sqrt(q12 / 1e12), 6) AS u
+                     FROM w JOIN q ON w.doc_id = q.doc_id WHERE q12 > 0),
+               pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                sum(CAST(round(a.u * b.u * 1e12) AS BIGINT))
+                                  AS dot12
+                         FROM u a JOIN u b
+                           ON a.term = b.term AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2)
+          SELECT doc_a, doc_b, round(dot12 / 1e12, 6) AS cos
+          FROM pairs WHERE round(dot12 / 1e12, 6) >= 0.9""",
     // brute-force over all distinct pairs: filter completeness on the hook
     "d22_fuzzy_join" ->
       """WITH n AS (SELECT p_name, min(p_partkey) AS name_id

@@ -542,6 +542,47 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("cosineTfidfPairs: prefix-filtered join equals the unpruned join (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small vocab + short docs → dense similarity structure around the
+    // threshold, where a pruning hole would show
+    val docGen = Gen.choose(3, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("red", "blue", "cat", "dog", "run", "sky"))
+        .map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      def run(pruned: Boolean) =
+        Dedup.cosineTfidfPairs(df, col("doc_id"), col("text"), 0.7,
+          pruned = pruned)
+          .as[(Long, Long, Double)].collect().toSet
+      run(pruned = true) == run(pruned = false)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("cosineTfidfPairs finds a planted lexical near-dup; identical docs ~1.0") {
+    val docs = Seq(
+      (1L, "solar panels convert sunlight into electricity efficiently"),
+      (2L, "solar panels convert sunlight into electricity efficiently"),
+      (3L, "solar panels convert bright sunlight into electricity efficiently"),
+      (4L, "deep ocean currents redistribute heat around the planet"),
+      (5L, "mountain glaciers retreat as average temperatures climb"),
+      (6L, "city libraries archive newspapers on microfilm reels"),
+      (7L, "migratory birds navigate using magnetic field cues"),
+      (8L, "fermented tea cultures require warm stable conditions"),
+      (9L, "volcanic soil enriches coffee plantations at altitude"),
+      (10L, "orchestras tune to concert pitch before performances"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cosineTfidfPairs(docs, col("doc_id"), col("text"), 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // 6dp weight rounding leaves the self-dot a hair under exactly 1
+    assert(got((1L, 2L)) >= 0.999)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) < got((1L, 2L)))
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("cluster table as-of read: epoch history reproduces yesterday's assignment") {
     val seed = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster")
     Dedup.writeClusterAssignment(seed, "ao_clusters", buckets = 4)
