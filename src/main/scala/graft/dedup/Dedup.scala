@@ -1260,12 +1260,27 @@ object Dedup {
     * fixed-point discipline: w = round(tf · ln(N/df), 6), the squared
     * norm sums round(w²·1e12) as exact longs (summation-order-free), and
     * u = round(w/‖w‖, 6). Docs whose every term is corpus-ubiquitous
-    * (all idf 0 → zero norm) drop out. Output: (doc_id, term, u).
+    * (all idf 0 → zero norm) drop out. `terms` is any ARRAY column —
+    * unigram tokens, word shingles ([[graft.text.TextFunctions
+    * .wordNgramsFromTokens]], the sparse-vocabulary choice at corpus
+    * scale), char grams. Output: (doc_id, term, u).
     */
-  def tfidfUnitWeights(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+  def tfidfUnitWeights(docs: DataFrame, id: Column, terms: Column,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    // one explode pass: df, N, weights, and norms all re-read this
+    // relation — without the checkpoint each derivation re-explodes and
+    // re-aggregates the corpus
+    val tf0 = docs.select(id.as("doc_id"), explode(terms).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val dfr = tf0.groupBy("term").agg(count(lit(1)).as("df"))
+      // stop-TERM removal at the vocabulary level (maxDf): ubiquitous
+      // terms carry ~zero idf signal but quadratic join cost; dropping
+      // them BEFORE weighting keeps every later stage (norms, prefix
+      // bound, dots) in one consistent vector space — and any consumer's
+      // oracle can mirror it as a plain df filter
+      .filter(col("df") <= maxDf)
+    val tf = tf0.join(dfr.select("term"), "term")
     val n = tf.agg(countDistinct(col("doc_id")).as("n"))
     val w = tf.join(dfr, "term").join(broadcast(n))
       .select(col("doc_id"), col("term"),
@@ -1293,9 +1308,11 @@ object Dedup {
     * hash hook; pruned ≡ unpruned is additionally ScalaCheck'd).
     * Output: (doc_a, doc_b, cos), doc_a < doc_b, cos = round 6dp ≥ minCos.
     */
-  def cosineTfidfPairs(docs: DataFrame, id: Column, text: Column,
-                       minCos: Double, pruned: Boolean = true): DataFrame = {
-    val weights = tfidfUnitWeights(docs, id, text).localCheckpoint(false)
+  def cosineTfidfPairs(docs: DataFrame, id: Column, terms: Column,
+                       minCos: Double, pruned: Boolean = true,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    val weights = tfidfUnitWeights(docs, id, terms, maxDf)
+      .localCheckpoint(false)
     val cands: DataFrame =
       if (!pruned)
         weights.as("a").join(weights.as("b"),
@@ -1323,13 +1340,23 @@ object Dedup {
             greatest(col("ix_doc"), col("doc_id")).as("doc_b"))
           .distinct()
       }
+    // exact dot over SHARED terms only (non-shared contribute 0 for unit
+    // sparse vectors): one term-keyed pair join — Σ df² rows, the
+    // quadratic `maxDf` bounds — restricted to the candidate set. Never
+    // candidates × full term lists (measured 6× slower at sf0.1).
     val wa = weights.select(col("doc_id").as("doc_a"), col("term"),
       col("u").as("ua"))
     val wb = weights.select(col("doc_id").as("doc_b"), col("term"),
       col("u").as("ub"))
-    cands.join(wa, "doc_a").join(wb, Seq("doc_b", "term"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum(round(col("ua") * col("ub") * 1e12).cast("long")).as("dot12"))
+    val termPairs = wa.join(wb, "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ua") * col("ub") * 1e12).cast("long").as("p12"))
+    val contrib = if (pruned)
+      termPairs.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    else termPairs
+    contrib.groupBy("doc_a", "doc_b")
+      .agg(sum(col("p12")).as("dot12"))
       .select(col("doc_a"), col("doc_b"),
         round(col("dot12") / 1e12, 6).as("cos"))
       .filter(col("cos") >= minCos)

@@ -613,13 +613,23 @@ object QText {
     }),
 
     // D23: TF-IDF cosine similarity self-join with AllPairs prefix
-    // filtering — the lexical twin of v8's embedding-cosine dedup. The
-    // oracle computes the UNPRUNED shared-term join, so the prefix
-    // filter's completeness is what the hash checks (a pair the pruned
-    // index loses = a missing row). 0.9 = the near-dup regime.
-    "d23_cosine_pairs" -> ((s, d) =>
-      Dedup.cosineTfidfPairs(t(s, d, "documents"), col("doc_id"),
-        col("text"), 0.9)),
+    // filtering — the lexical twin of v8's embedding-cosine dedup. Terms
+    // are word 3-gram SHINGLES, not unigrams: this corpus has a 31-word
+    // unigram vocabulary (every doc shares every term — inherently
+    // all-pairs) but 27k shingles with max df 25, which is the sparse
+    // shape the inverted index and prefix filter exist for. The oracle
+    // computes the UNPRUNED shared-term join, so the prefix filter's
+    // completeness is what the hash checks. 0.9 = the near-dup regime.
+    "d23_cosine_pairs" -> ((s, d) => {
+      // project tokens ONCE before the shingle transform — inlined, the
+      // lambda re-runs the regex split per element_at access (measured
+      // 20 s → 2 s on the weights build at sf0.1)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 3)
+      Dedup.cosineTfidfPairs(docs, col("doc_id"),
+        wordNgramsFromTokens(col("__toks"), 3), 0.9)
+    }),
 
     // D17: representative POLICY over the duplicate clusters — per
     // cluster, the kept member under keep-best-by-length (max n_chars,
@@ -1166,7 +1176,14 @@ object QText {
     "d20_incremental_clusters" -> d7Sql,
     // UNPRUNED shared-term join: prefix-filter completeness on the hook
     "d23_cosine_pairs" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+                      WHERE len($toksSql) >= 3),
+               tok AS (SELECT doc_id,
+                              unnest(list_transform(range(1, len(toks) - 1),
+                                i -> toks[CAST(i AS INT)] || '_' ||
+                                     toks[CAST(i AS INT) + 1] || '_' ||
+                                     toks[CAST(i AS INT) + 2])) AS term
+                       FROM tk),
                tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
                dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
                nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),

@@ -553,7 +553,8 @@ class DedupSpec extends SparkSpec {
       val df = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
         .toDF("doc_id", "text")
       def run(pruned: Boolean) =
-        Dedup.cosineTfidfPairs(df, col("doc_id"), col("text"), 0.7,
+        Dedup.cosineTfidfPairs(df, col("doc_id"),
+          graft.text.TextFunctions.tokens(col("text")), 0.7,
           pruned = pruned)
           .as[(Long, Long, Double)].collect().toSet
       run(pruned = true) == run(pruned = false)
@@ -575,7 +576,8 @@ class DedupSpec extends SparkSpec {
       (9L, "volcanic soil enriches coffee plantations at altitude"),
       (10L, "orchestras tune to concert pitch before performances"))
       .toDF("doc_id", "text")
-    val got = Dedup.cosineTfidfPairs(docs, col("doc_id"), col("text"), 0.8)
+    val got = Dedup.cosineTfidfPairs(docs, col("doc_id"),
+      graft.text.TextFunctions.tokens(col("text")), 0.8)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
     // 6dp weight rounding leaves the self-dot a hair under exactly 1
     assert(got((1L, 2L)) >= 0.999)
