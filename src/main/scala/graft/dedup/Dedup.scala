@@ -1569,4 +1569,66 @@ object Dedup {
                 (i + 1) >= sp.getField("s") && (i + 1) <= sp.getField("e")))),
           " ").as(textOutCol))
   }
+
+  /** CORPUS-FREQUENCY SEGMENT SCRUB — CCNet-style line deduplication
+    * (Wenzek et al. 2020: drop lines whose hash repeats across the
+    * corpus; the boilerplate killer — nav bars, cookie banners, footers).
+    * `segments` is any ARRAY column: real lines (`split(text, "\n")`) in
+    * a web corpus, token windows ([[graft.text.TextFunctions
+    * .tokenWindows]]) where documents are single-line. A segment whose
+    * TOTAL occurrence count across the corpus exceeds `maxDf` is removed
+    * from every document; survivors are rejoined in original position
+    * order.
+    *
+    * Scale shape (100 TB): one posexplode (map-side), one hash-aggregate
+    * for the df, one equi-join back on the segment key, one doc-keyed
+    * reassembly aggregate whose per-group state is bounded by the
+    * document's own segment count (the a3 grouped-collect discipline) —
+    * no window over an unbounded partition, no all-pairs anything. With
+    * `hashed = true` the df aggregate and join-back carry an 8-byte
+    * xxhash64 key instead of the segment text (CCNet itself dedups line
+    * HASHES) — the shuffle shrinks by the mean segment length; a 64-bit
+    * collision wrongly scrubbing a rare line is ~n²/2⁶⁵. Hashed ≡ exact
+    * is ScalaCheck-asserted (DedupSpec); the oracle checks the exact
+    * form.
+    *
+    * Output: (doc_id, clean_text, n_kept, n_dropped) — every input doc
+    * appears; a doc whose every segment is boilerplate keeps an empty
+    * clean_text, and the kept/dropped counts make the recall spend
+    * visible per document (the no-silent-caps rule).
+    */
+  def scrubFrequentSegments(docs: DataFrame, id: Column, segments: Column,
+                            maxDf: Int, joiner: String = "\n",
+                            hashed: Boolean = false): DataFrame = {
+    val seg = docs.select(id.as("doc_id"),
+      posexplode(segments).as(Seq("pos", "seg")))
+    val key: Column => Column =
+      if (hashed) c => xxhash64(c) else identity
+    val dfr = seg.groupBy(key(col("seg")).as("__k"))
+      .agg(count(lit(1)).as("__df"))
+    seg.join(dfr, key(col("seg")) === col("__k"))
+      .withColumn("__keep", col("__df") <= maxDf)
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(joiner,
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("pos"), col("seg"))))),
+            s => s.getField("seg"))).as("clean_text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  /** Boilerplate report over the same segmentation: every segment whose
+    * corpus df exceeds `maxDf` (the ones [[scrubFrequentSegments]] would
+    * remove), with its occurrence count and distinct-document spread —
+    * what a curation run reads to audit WHAT the line scrub is about to
+    * delete. Output: (seg, df, n_docs).
+    */
+  def frequentSegments(docs: DataFrame, id: Column, segments: Column,
+                       maxDf: Int): DataFrame =
+    docs.select(id.as("doc_id"), explode(segments).as("seg"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("df"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("df") > maxDf)
 }

@@ -631,6 +631,32 @@ object QText {
         wordNgramsFromTokens(col("__toks"), 3), 0.9)
     }),
 
+    // D24: CCNet-style line dedup — drop segments whose corpus-wide
+    // occurrence count exceeds maxDf, rejoin survivors in position order.
+    // On this single-line corpus the segment unit is the non-overlapping
+    // 5-token window (df up to 7 at sf0.01 — non-degenerate); on a web
+    // corpus it is split(text, '\n'). Every doc stays in the output with
+    // per-doc kept/dropped counts (the no-silent-caps rule applied to
+    // the scrub itself).
+    "d24_line_scrub" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 1)
+      Dedup.scrubFrequentSegments(docs, col("doc_id"),
+        graft.text.TextFunctions.tokenWindows(col("__toks"), 5),
+        maxDf = 2, joiner = " ")
+    }),
+
+    // D24b: the audit twin — WHAT the line scrub deletes: every over-df
+    // segment with its occurrence count and distinct-doc spread.
+    "d24b_boilerplate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 1)
+      Dedup.frequentSegments(docs, col("doc_id"),
+        graft.text.TextFunctions.tokenWindows(col("__toks"), 5), maxDf = 2)
+    }),
+
     // D17: representative POLICY over the duplicate clusters — per
     // cluster, the kept member under keep-best-by-length (max n_chars,
     // tie-break min doc_id): what production curation keeps among
@@ -1204,6 +1230,37 @@ object QText {
                          GROUP BY 1, 2)
           SELECT doc_a, doc_b, round(dot12 / 1e12, 6) AS cos
           FROM pairs WHERE round(dot12 / 1e12, 6) >= 0.9""",
+    // mirrors the exact (unhashed) scrub: 5-token windows, df cap 2
+    "d24_line_scrub" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+                      WHERE len($toksSql) >= 1),
+               seg AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                              array_to_string(
+                                toks[(CAST(i AS BIGINT) * 5 + 1):
+                                     (CAST(i AS BIGINT) * 5 + 5)], ' ') AS seg
+                       FROM tk,
+                            unnest(range(0, CAST(ceil(len(toks) / 5.0) AS BIGINT))) t(i)),
+               dfr AS (SELECT seg, count(*) AS df FROM seg GROUP BY 1),
+               tg AS (SELECT s.doc_id, s.pos, s.seg, d.df <= 2 AS keep
+                      FROM seg s JOIN dfr d USING (seg))
+          SELECT doc_id,
+                 coalesce(string_agg(seg, ' ' ORDER BY pos)
+                   FILTER (WHERE keep), '') AS clean_text,
+                 CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+                 CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+          FROM tg GROUP BY doc_id""",
+    "d24b_boilerplate" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+                      WHERE len($toksSql) >= 1),
+               seg AS (SELECT doc_id,
+                              array_to_string(
+                                toks[(CAST(i AS BIGINT) * 5 + 1):
+                                     (CAST(i AS BIGINT) * 5 + 5)], ' ') AS seg
+                       FROM tk,
+                            unnest(range(0, CAST(ceil(len(toks) / 5.0) AS BIGINT))) t(i))
+          SELECT seg, count(*) AS df,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM seg GROUP BY seg HAVING count(*) > 2""",
     // brute-force over all distinct pairs: filter completeness on the hook
     "d22_fuzzy_join" ->
       """WITH n AS (SELECT p_name, min(p_partkey) AS name_id

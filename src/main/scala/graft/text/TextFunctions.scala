@@ -44,6 +44,20 @@ object TextFunctions {
   def wordNgrams(text: Column, n: Int): Column =
     wordNgramsFromTokens(tokens(text), n)
 
+  /** NON-overlapping fixed-width token windows, each rejoined with a
+    * space — the segmentation unit for corpus-frequency line dedup
+    * ([[graft.dedup.Dedup.scrubFrequentSegments]]) on single-line
+    * corpora, where a real `split(text, "\n")` would be degenerate. The
+    * last window keeps the remainder (1..w tokens). Takes the token
+    * ARRAY (see [[wordNgramsFromTokens]]'s CodegenFallback caveat);
+    * caller must guarantee a non-empty array — on size 0 the window
+    * count expression would walk `sequence` backwards.
+    */
+  def tokenWindows(toks: Column, w: Int): Column =
+    transform(
+      sequence(lit(0), ceil(size(toks) / lit(w.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))
+
   /** BPE-ish subword segmentation: letter runs, digit runs, and punctuation
     * runs, each optionally preceded by one space (the GPT-2 pre-tokenizer
     * shape, restricted to constructs whose regex semantics agree between

@@ -811,4 +811,45 @@ class DedupSpec extends SparkSpec {
       assert(ex > 0.5 && ex < 1.0)
     }
   }
+
+  test("scrubFrequentSegments drops over-df lines, keeps order, counts spend") {
+    // 'cookie banner' appears 3× (> maxDf 2) → scrubbed everywhere;
+    // every other line is rare and survives in original order
+    val docs = Seq(
+      1L -> Seq("cookie banner", "alpha text", "beta text"),
+      2L -> Seq("gamma text", "cookie banner"),
+      3L -> Seq("cookie banner"),
+      4L -> Seq("delta text", "epsilon text"))
+      .toDF("doc_id", "lines")
+    val got = Dedup.scrubFrequentSegments(docs, col("doc_id"), col("lines"),
+        maxDf = 2, joiner = "\n")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === (("alpha text\nbeta text", 2L, 1L)))
+    assert(got(2L) === (("gamma text", 1L, 1L)))
+    // all-boilerplate doc STAYS in the output, empty, spend visible
+    assert(got(3L) === (("", 0L, 1L)))
+    assert(got(4L) === (("delta text\nepsilon text", 2L, 0L)))
+    val rep = Dedup.frequentSegments(docs, col("doc_id"), col("lines"), 2)
+      .as[(String, Long, Long)].collect()
+    assert(rep.toSeq === Seq(("cookie banner", 3L, 3L)))
+  }
+
+  test("scrubFrequentSegments: hashed df-key form equals exact (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny segment vocabulary → heavy cross-doc repetition around the cap
+    val segGen = Gen.oneOf("nav", "footer", "body a", "body b", "body c", "")
+    val docGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, segGen))
+    val prop = Prop.forAll(Gen.listOfN(7, docGen)) { docsSeq =>
+      val df = docsSeq.zipWithIndex.map { case (ls, i) => (i.toLong, ls) }
+        .toDF("doc_id", "lines")
+      def run(hashed: Boolean) =
+        Dedup.scrubFrequentSegments(df, col("doc_id"), col("lines"),
+            maxDf = 2, hashed = hashed)
+          .as[(Long, String, Long, Long)].collect().toSet
+      run(hashed = true) == run(hashed = false)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
