@@ -581,6 +581,56 @@ object Pipelines {
     stages.result()
   }
 
+  /** LEAKAGE-SAFE SPLIT — train/val/test assignment by duplicate
+    * CLUSTER, not by document. A hash split over raw doc ids puts two
+    * near-duplicate documents on opposite sides of the split with
+    * probability 2·p·(1−p) per pair — the eval set then contains
+    * near-copies of training docs and the benchmark leaks. Here the
+    * split key is the document's dedup cluster id (any (doc_id, cluster)
+    * relation — [[graft.dedup.Dedup.connectedComponentsStar]] output,
+    * the maintained cluster table, or an exact-dup grouping); every
+    * member of a cluster lands on the same side BY CONSTRUCTION. Docs
+    * absent from `clusters` are singleton clusters keyed by their own id.
+    *
+    * Assignment is the engine's deterministic cross-engine PRF
+    * ([[graft.ops.Determinism]]): u = detHash(detHash(cluster) + seed) /
+    * 2⁶⁰ — the same nested decorrelation the epoch shuffle uses, so a
+    * seed change re-deals clusters independently and any worker
+    * recomputing the split sees identical assignments. Prefer fractions
+    * exactly representable in binary (0.75/0.125/0.125) when an external
+    * system must reproduce the thresholds bit-for-bit.
+    *
+    * Scale shape: one equi-join docs↔clusters on doc_id (no payload
+    * columns needed) plus a codegen'd hash projection — no window, no
+    * driver state. Output: (doc_id, cluster, split).
+    */
+  def clusterSplit(docs: DataFrame, id: Column, clusters: DataFrame,
+                   fractions: Seq[(String, Double)],
+                   seed: Long = 0L): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "split fractions must be positive")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1 (got $total)")
+    val keyed = docs.select(id.as("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val u = graft.ops.Determinism.detHash(
+        graft.ops.Determinism.detHash(col("cluster")) + lit(seed)) /
+      lit(graft.ops.Determinism.Space.toDouble)
+    // cumulative upper bounds; the LAST bucket is the otherwise-branch so
+    // float accumulation error can never orphan a row
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val split = fractions.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), hi)) =>
+        Some(acc.map(_.when(u < hi, name)).getOrElse(when(u < hi, name)))
+      }
+      .map(_.otherwise(fractions.last._1))
+      .getOrElse(lit(fractions.last._1))
+    keyed.select(col("doc_id"), col("cluster"), split.as("split"))
+  }
+
   /** §3.3 Sync: manifest diff → parallel transfer. Returns the pending
     * manifest (remote minus local, by key) and, when `execute` is set,
     * copies each pending file `srcDir/key` → `dstDir/key` from the

@@ -657,6 +657,23 @@ object QText {
         graft.text.TextFunctions.tokenWindows(col("__toks"), 5), maxDf = 2)
     }),
 
+    // D25: leakage-safe train/val/test split — whole near-dup clusters
+    // (the d7 star-CC closure) assigned to one side via the cross-engine
+    // PRF, singletons riding their own doc_id. Fractions 0.75/0.125/0.125
+    // are binary-exact so the oracle thresholds match bit-for-bit. The
+    // hash checks BOTH halves: the cluster closure (a doc in the wrong
+    // cluster = wrong key) and the assignment arithmetic.
+    "d25_cluster_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val verified =
+        Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+      graft.pipelines.Pipelines.clusterSplit(docs, col("doc_id"),
+        Dedup.connectedComponentsStar(verified, "doc_a", "doc_b"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), seed = 7L)
+    }),
+
     // D17: representative POLICY over the duplicate clusters — per
     // cluster, the kept member under keep-best-by-length (max n_chars,
     // tie-break min doc_id): what production curation keeps among
@@ -1261,6 +1278,25 @@ object QText {
           SELECT seg, count(*) AS df,
                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           FROM seg GROUP BY seg HAVING count(*) > 2""",
+    // cluster closure (the d7 recursive CTE) + the PRF assignment; the
+    // binary-exact thresholds make the CASE literals bit-identical to the
+    // Spark cumulative bounds
+    "d25_cluster_split" -> {
+      val u = graft.ops.Determinism.detHashSql(
+        s"(${graft.ops.Determinism.detHashSql("cluster")} + 7)")
+      s"""WITH clus AS ($d7Sql),
+               k AS (SELECT d.doc_id,
+                            coalesce(c.cluster, d.doc_id) AS cluster
+                     FROM documents d LEFT JOIN clus c USING (doc_id)),
+               a AS (SELECT doc_id, cluster,
+                            ($u / ${graft.ops.Determinism.Space}.0) AS u
+                     FROM k)
+          SELECT doc_id, cluster,
+                 CASE WHEN u < 0.75 THEN 'train'
+                      WHEN u < 0.875 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM a"""
+    },
     // brute-force over all distinct pairs: filter completeness on the hook
     "d22_fuzzy_join" ->
       """WITH n AS (SELECT p_name, min(p_partkey) AS name_id

@@ -710,4 +710,38 @@ class PipelinesSpec extends SparkSpec {
       col("text"), eval, col("text"), 5).as[(Long, Long)].collect().toMap
     assert(audit.keySet === Set(1L) && audit(1L) >= 5L)
   }
+
+  test("clusterSplit: clusters never straddle a split; fractions land; singletons keyed by id") {
+    import spark.implicits._
+    // 400 docs; docs 2k and 2k+1 share cluster k for k < 100 (200 docs in
+    // 100 two-member clusters), the rest are uncovered singletons
+    val docs = (0L until 400L).toDF("doc_id")
+    val clusters = (0L until 200L).map(i => (i, i / 2)).toDF("doc_id", "cluster")
+    val out = Pipelines.clusterSplit(docs, col("doc_id"), clusters,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), seed = 3L)
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 400 && out.map(_._1).distinct.length === 400)
+    // LEAKAGE GUARD: every cluster maps to exactly one split
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $c straddles splits: ${members.toSeq}")
+    }
+    // paired docs share their cluster; uncovered docs ride their own id
+    out.filter(_._1 < 200L).foreach { case (d, c, _) => assert(c === d / 2) }
+    out.filter(_._1 >= 200L).foreach { case (d, c, _) => assert(c === d) }
+    // fraction sanity over the 300 distinct clusters (PRF is uniform;
+    // ±0.15 absolute keeps the assertion far from flake territory)
+    val frac = out.groupBy(_._3).view.mapValues(_.length / 400.0).toMap
+    assert(math.abs(frac("train") - 0.75) < 0.15, frac.toString)
+    assert(frac.getOrElse("val", 0.0) > 0.0 && frac.getOrElse("test", 0.0) > 0.0)
+    // deterministic: same seed reproduces; different seed re-deals
+    val again = Pipelines.clusterSplit(docs, col("doc_id"), clusters,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), seed = 3L)
+      .as[(Long, Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val reseed = Pipelines.clusterSplit(docs, col("doc_id"), clusters,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), seed = 4L)
+      .as[(Long, Long, String)].collect()
+    assert(reseed.sortBy(_._1).map(_._3).toSeq !== out.sortBy(_._1).map(_._3).toSeq)
+  }
 }
