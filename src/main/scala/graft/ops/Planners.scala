@@ -218,4 +218,55 @@ object Planners {
         min(col("seq")).as("first_seq"),
         max(col("seq")).as("last_seq"))
   }
+
+  /** TOKEN-BUDGET SELECTION — the greedy quality knapsack of data
+    * curation: rank the corpus by (quality DESC, id ASC — a total order)
+    * and keep every document whose INCLUSIVE running token count fits
+    * `budget`. "Train on the best B tokens we have" as one relational
+    * operator, instead of hand-tuning a quality threshold until the
+    * token count happens to land ([[graft.queries.QText]]'s
+    * tx_quality_sweep measures that curve; this op inverts it exactly).
+    *
+    * The running sum is a GLOBAL-order cumsum — the same one-group cliff
+    * [[packedWindowsDistributed]] exists for — so it uses the identical
+    * two-phase discipline: range-repartition on the quality order,
+    * per-partition token totals (≤ `partitions` rows) prefix-summed
+    * under a global window OVER THAT AGGREGATE (the bounded-global-
+    * window rule, asserted board-wide in PlanAuditSpec) and broadcast
+    * back; each row adds its within-partition inclusive running sum.
+    * No single-task stage at any corpus size.
+    *
+    * Output: one row per KEPT doc — (id, quality, nTok, cum_tokens),
+    * cum_tokens ≤ budget. The first over-budget doc and everything after
+    * it drop (no partial-doc truncation — that is [[packedWindows]]'
+    * job downstream).
+    */
+  def tokenBudgetSelect(docs: DataFrame, id: String, quality: String,
+                        nTok: String, budget: Long,
+                        partitions: Int = 0): DataFrame = {
+    require(budget > 0,
+      s"tokenBudgetSelect: budget must be positive, got $budget")
+    val p = if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val w = org.apache.spark.sql.expressions.Window
+    val ranged = docs
+      .select(Seq(id, quality, nTok).map(col): _*)
+      .repartitionByRange(p, col(quality).desc, col(id))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(nTok)).as("__psum"))
+      .withColumn("__off", coalesce(sum(col("__psum")).over(
+        w.orderBy(col("__pid"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum_tokens",
+        col("__off") + sum(col(nTok)).over(
+          w.partitionBy(col("__pid"))
+            .orderBy(col(quality).desc, col(id))
+            .rowsBetween(w.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(id), col(quality), col(nTok), col("cum_tokens"))
+  }
 }

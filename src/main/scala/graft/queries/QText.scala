@@ -657,6 +657,18 @@ object QText {
         graft.text.TextFunctions.tokenWindows(col("__toks"), 5), maxDf = 2)
     }),
 
+    // X19: token-budget selection — the greedy quality knapsack: rank by
+    // (n_chars DESC, doc_id) and keep docs while the inclusive token
+    // cumsum fits the budget. Runs through the two-phase distributed
+    // cumsum (no single-task stage); the oracle is the plain window
+    // form, so the hash also pins distributed ≡ window row-identity.
+    "x19_token_budget" -> ((s, d) =>
+      graft.ops.Planners.tokenBudgetSelect(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_chars", "n_tok", budget = 8000L)),
+
     // D25: leakage-safe train/val/test split — whole near-dup clusters
     // (the d7 star-CC closure) assigned to one side via the cross-engine
     // PRF, singletons riding their own doc_id. Fractions 0.75/0.125/0.125
@@ -1278,6 +1290,19 @@ object QText {
           SELECT seg, count(*) AS df,
                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           FROM seg GROUP BY seg HAVING count(*) > 2""",
+    // the plain window-form cumsum: distributed ≡ window on the hook
+    "x19_token_budget" ->
+      s"""WITH q AS (SELECT doc_id, n_chars,
+                            CAST(len($toksSql) AS BIGINT) AS n_tok
+                     FROM documents),
+               c AS (SELECT doc_id, n_chars, n_tok,
+                            CAST(sum(n_tok) OVER (
+                              ORDER BY n_chars DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS cum_tokens
+                     FROM q)
+          SELECT doc_id, n_chars, n_tok, cum_tokens
+          FROM c WHERE cum_tokens <= 8000""",
     // cluster closure (the d7 recursive CTE) + the PRF assignment; the
     // binary-exact thresholds make the CASE literals bit-identical to the
     // Spark cumulative bounds

@@ -91,4 +91,33 @@ class PlannersSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(a === b && a.nonEmpty)
   }
+
+  test("tokenBudgetSelect: greedy quality-ordered fill, inclusive boundary (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // quality values COLLIDE on purpose (range 0..3) so the id tie-break
+    // is load-bearing across range-partition boundaries
+    val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(1L, 9L))
+    val prop = Prop.forAll(Gen.listOfN(25, rowGen), Gen.choose(5L, 80L)) {
+      (rows, budget) =>
+        val docs = rows.zipWithIndex
+          .map { case ((q, n), i) => (i.toLong, q, n) }
+          .toDF("id", "q", "n_tok")
+        val got = Planners.tokenBudgetSelect(docs, "id", "q", "n_tok",
+            budget, partitions = 4)
+          .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+        // local greedy reference: sort by (q desc, id), inclusive cumsum
+        var cum = 0L
+        val want = rows.zipWithIndex
+          .map { case ((q, n), i) => (i.toLong, q, n) }
+          .sortBy { case (i, q, _) => (-q, i) }
+          .flatMap { case (i, q, n) =>
+            cum += n; if (cum <= budget) Some((i, q, n, cum)) else None
+          }
+          .sortBy(_._1)
+        got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
