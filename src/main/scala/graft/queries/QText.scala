@@ -657,6 +657,14 @@ object QText {
         graft.text.TextFunctions.tokenWindows(col("__toks"), 5), maxDf = 2)
     }),
 
+    // TX: bigram-LM scoring — CCNet's perplexity-gate quality signal,
+    // trained on the scored corpus itself (add-0.5 smoothing, prefix
+    // conditioning). avg_logp = −ln(perplexity); fixed-point instance
+    // sums keep the cross-engine mean exact.
+    "tx_lm_score" -> ((s, d) =>
+      graft.text.TextFunctions.bigramLmScores(
+        t(s, d, "documents"), col("doc_id"), col("text"))),
+
     // X19: token-budget selection — the greedy quality knapsack: rank by
     // (n_chars DESC, doc_id) and keep docs while the inclusive token
     // cumsum fits the budget. Runs through the two-phase distributed
@@ -1290,6 +1298,30 @@ object QText {
           SELECT seg, count(*) AS df,
                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           FROM seg GROUP BY seg HAVING count(*) > 2""",
+    // add-0.5 bigram LM with prefix conditioning; fixed-point mean
+    "tx_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+                     WHERE len($toksSql) >= 2),
+               i2 AS (SELECT doc_id, bigram,
+                             string_split(bigram, '_')[1] AS w1
+                      FROM (SELECT doc_id,
+                              unnest(list_transform(range(1, len(toks)),
+                                i -> toks[CAST(i AS INT)] || '_' ||
+                                     toks[CAST(i AS INT) + 1])) AS bigram
+                            FROM t)),
+               c12 AS (SELECT bigram, count(*) AS c12 FROM i2 GROUP BY 1),
+               c1 AS (SELECT w1, count(*) AS c1 FROM i2 GROUP BY 1),
+               v AS (SELECT count(DISTINCT tok) AS v
+                     FROM (SELECT unnest(toks) AS tok FROM t)),
+               lp AS (SELECT doc_id,
+                             round(ln((CAST(c12 AS DOUBLE) + 0.5) /
+                               (CAST(c1 AS DOUBLE) + 0.5 * v)), 6) AS lp6
+                      FROM i2 JOIN c12 USING (bigram)
+                      JOIN c1 USING (w1) CROSS JOIN v)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
+                   (count(*) * 1e6), 6) AS avg_logp
+          FROM lp GROUP BY doc_id""",
     // the plain window-form cumsum: distributed ≡ window on the hook
     "x19_token_budget" ->
       s"""WITH q AS (SELECT doc_id, n_chars,

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for training-data curation, built entirely from
@@ -238,5 +238,55 @@ object TextFunctions {
           .orderBy(col("tfidf").desc, col("tok"))))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
+  }
+
+  /** BIGRAM-LM DOCUMENT SCORING — the in-engine form of CCNet's
+    * language-model quality filter (Wenzek et al. 2020 score documents
+    * by LM perplexity and keep the head of the distribution; the
+    * reference-scale pipelines all carry some LM-score gate). The model
+    * is an add-α bigram LM trained on the scored corpus itself:
+    * per-instance log-prob ln((c(w₁w₂)+α) / (c(w₁·)+α·V)) with c(w₁·)
+    * the bigram-PREFIX count (self-consistent conditioning), V the
+    * corpus vocabulary over scored docs; a document's score is the MEAN
+    * instance log-prob — avg_logp = −ln(perplexity), higher = more
+    * typical of the corpus, so a threshold on it is the perplexity
+    * gate, and the LOW tail is the gibberish/outlier report.
+    *
+    * Exactness contract (cross-engine): each instance log-prob rounds
+    * to 6dp, sums as fixed-point longs (order-insensitive), divides
+    * once — the tx_classifier/d23 discipline.
+    *
+    * Scale shape: one token explode for the counts, equi-joins of the
+    * corpus-sized instance relation against the (≪ corpus) count
+    * tables, one doc-keyed aggregate. No windows, no products; the
+    * vocabulary scalar broadcasts. Docs with < 2 tokens have no bigram
+    * and drop out (document the gate before the score).
+    *
+    * Output: (doc_id, n_bigrams, avg_logp).
+    */
+  def bigramLmScores(docs: DataFrame, id: Column, text: Column,
+                     alpha: Double = 0.5): DataFrame = {
+    val t0 = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint(false)
+    // tokens never contain '_' (the tokenizer strips non-[a-z0-9]), so
+    // the joined bigram string splits back losslessly
+    val inst = t0.select(col("doc_id"),
+        explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), "_")(0))
+      .localCheckpoint(false)
+    val c12 = inst.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = t0.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    inst.join(c12, "bigram").join(c1, "w1").crossJoin(broadcast(v))
+      .withColumn("lp6", round(
+        log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))),
+        6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(col("lp6") * 1e6).cast("long")).as("__s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s6") / (col("n_bigrams") * 1e6), 6).as("avg_logp"))
   }
 }

@@ -139,4 +139,26 @@ class TextFunctionsSpec extends SparkSpec {
     // way both are pipe-joined 4-hash strings
     assert(a.split('|').length === 4 && b.split('|').length === 4)
   }
+
+  test("bigramLmScores: repeated corpus phrasing scores above gibberish; short docs drop") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the mat"),
+      (4L, "zq xv wk jn qz vx"), // bigrams seen nowhere else
+      (5L, "one")) // < 2 tokens: no bigram, excluded
+      .toDF("doc_id", "text")
+    val got = TextFunctions.bigramLmScores(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._1 === 5L) // 6 tokens → 5 bigram instances
+    // identical docs score identically; the in-distribution docs beat
+    // the gibberish doc (every gibberish bigram is a singleton over a
+    // rare prefix)
+    assert(got(1L) === got(3L))
+    assert(got(1L)._2 > got(4L)._2 && got(2L)._2 > got(4L)._2)
+    // mean of 6dp-rounded instance log-probs stays in a sane range
+    assert(got(4L)._2 < 0.0 && got(4L)._2 > -15.0)
+  }
 }
