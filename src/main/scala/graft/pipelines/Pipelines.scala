@@ -355,13 +355,14 @@ object Pipelines {
                   minCosine: Double = 0.99,
                   semMaxCell: Int = 512,
                   protoPruneFraction: Double = 0.0,
-                  keepBy: Option[Column] = None): DataFrame =
+                  keepBy: Option[Column] = None,
+                  lineScrubDf: Int = 0): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
       imageCol, imageGridRows, imageBandBits, maxImageHamming,
       audioCol, videoCol, embeddingCol, semCells, minCosine,
-      semMaxCell, protoPruneFraction, keepBy).last._2
+      semMaxCell, protoPruneFraction, keepBy, lineScrubDf).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -398,7 +399,8 @@ object Pipelines {
                         minCosine: Double = 0.99,
                         semMaxCell: Int = 512,
                         protoPruneFraction: Double = 0.0,
-                        keepBy: Option[Column] = None): Seq[(String, DataFrame)] = {
+                        keepBy: Option[Column] = None,
+                        lineScrubDf: Int = 0): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     val stages = Seq.newBuilder[(String, DataFrame)]
@@ -406,11 +408,29 @@ object Pipelines {
     // pre-clean rewrites the text column IN PLACE so every later stage —
     // gate, signatures, verification, scrub — and the returned corpus see
     // only the cleaned form
-    val (cleanSrc, cleanText) =
+    val (pcSrc, pcText) =
       if (!preClean) (docs, text)
       else (docs.withColumn(textColName, graft.text.TextFunctions.redactPii(
         graft.text.TextFunctions.stripMarkup(text))), col(textColName))
-    if (preClean) stages += ("pre_clean" -> cleanSrc)
+    if (preClean) stages += ("pre_clean" -> pcSrc)
+    // CCNet line scrub (lineScrubDf > 0): drop \n-lines whose corpus df
+    // exceeds the cap — boilerplate removal BEFORE the quality gate, so
+    // nav-bar/footer text neither props up a doc's quality score nor
+    // pollutes its dedup signatures. Rewrites the text column in place
+    // (the pre-clean discipline); internal names keep the join
+    // unambiguous for inputs already carrying a clean_text column.
+    val (cleanSrc, cleanText) =
+      if (lineScrubDf <= 0) (pcSrc, pcText)
+      else {
+        val scrubbed = Dedup.scrubFrequentSegments(pcSrc, id,
+            split(pcText, "\n"), lineScrubDf)
+          .select(col("doc_id").as("__ls_id"),
+            col("clean_text").as("__ls_clean"))
+        (pcSrc.join(scrubbed, id.cast("long") === col("__ls_id"))
+          .drop(textColName, "__ls_id")
+          .withColumnRenamed("__ls_clean", textColName), col(textColName))
+      }
+    if (lineScrubDf > 0) stages += ("line_scrub" -> cleanSrc)
     val quality = cleanSrc.filter(
       round(graft.text.TextFunctions.qualityScoreNative(cleanText), 6) >= minQuality)
     stages += ("quality_gate" -> quality)

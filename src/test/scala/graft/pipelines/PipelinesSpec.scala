@@ -711,6 +711,35 @@ class PipelinesSpec extends SparkSpec {
     assert(audit.keySet === Set(1L) && audit(1L) >= 5L)
   }
 
+  test("dedupCorpus lineScrubDf: boilerplate lines vanish before gating and signatures") {
+    import spark.implicits._
+    // the same cookie-banner line rides every doc; bodies are distinct
+    val docs = Seq(
+      (1L, "accept all cookies to continue browsing this site\nglacier valleys"),
+      (2L, "accept all cookies to continue browsing this site\nharbor sandbars"),
+      (3L, "accept all cookies to continue browsing this site\nviolin rehairs"))
+      .toDF("doc_id", "text")
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      minQuality = 0.0, lineScrubDf = 2)
+    assert(stages.map(_._1).contains("line_scrub"))
+    val scrubbed = stages.toMap.apply("line_scrub")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) === "glacier valleys")
+    assert(scrubbed(2L) === "harbor sandbars")
+    // downstream: all three survive (bodies are not near-dups once the
+    // shared banner line is gone)
+    val kept = stages.last._2.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+    // WITHOUT the scrub the shared banner dominates the docs' 3-gram
+    // sets: the pairwise jaccard clears the 0.3 verification gate (the
+    // banding step that would surface the pair is probabilistic, so the
+    // assertion checks the deterministic gate quantity, not the
+    // end-to-end collapse)
+    val rawJac = graft.dedup.Dedup.ngramJaccardPairs(docs, col("doc_id"),
+        col("text"), 3, 0.3)
+    assert(rawJac.count() > 0, "banner-laden docs should clear the gate")
+  }
+
   test("clusterSplit: clusters never straddle a split; fractions land; singletons keyed by id") {
     import spark.implicits._
     // 400 docs; docs 2k and 2k+1 share cluster k for k < 100 (200 docs in
