@@ -100,6 +100,9 @@ class PlanAuditSpec extends SparkSpec {
       // 48 vectors is the point (the projection itself is a pure map)
       "v20_jl_distortion",
       "tx_tfidf", "tx_pmi", "x10_mixture_plan", "x11_temperature_mix",
+      // tx_lm_score: tx_pmi's one-row broadcast cross (the vocabulary
+      // scalar); the count joins stay equi on bigram/prefix
+      "tx_lm_score",
       // x18: embeds x10's plan (the one-row broadcast normalizer cross);
       // the sampler itself joins equi on (stratum, pid) / broadcast plan
       "x18_mixture_counts",
