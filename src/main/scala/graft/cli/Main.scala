@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -272,8 +272,32 @@ object Main {
         // the shard-side query-time cap.
         val preCapped = args.contains("--pre-capped")
         val maxBucket = opt(args, "--max-bucket").map(_.toInt).getOrElse(64)
+        // optional CCNet line scrub against the persisted corpus line
+        // counts: boilerplate lines leave today's shard BEFORE any
+        // signature work (global df = table totals + the shard's own);
+        // the shard's RAW line counts fold into the table further down,
+        // inside the same idempotency-guarded body as the index appends.
+        // First-ever run bootstraps an empty table (day-1 df = shard-own).
+        val lineFreqTable = opt(args, "--line-freq-table")
+        val lineScrubDf = opt(args, "--line-scrub-df").map(_.toInt).getOrElse(0)
+        val docsS = lineFreqTable match {
+          case Some(lt) if lineScrubDf > 0 =>
+            if (!spark.catalog.tableExists(lt))
+              Dedup.writeLineFreq(docs.limit(0), col("doc_id"),
+                split(col("text"), "\n"), lt, buckets)
+            val sc = Dedup.scrubShardSegments(docs, col("doc_id"),
+                split(col("text"), "\n"), Dedup.readLineFreq(spark, lt),
+                lineScrubDf)
+              .select(col("doc_id").as("__ls_id"),
+                col("clean_text").as("__ls_clean"))
+            docs.join(sc, col("doc_id") === col("__ls_id"))
+              .drop("text", "__ls_id")
+              .withColumnRenamed("__ls_clean", "text")
+              .localCheckpoint() // feeds banding AND verification
+          case _ => docs
+        }
         val shardBanded = Dedup.bandedSignatures(
-            Dedup.minhashSignatures(docs, col("doc_id"), col("text"), k),
+            Dedup.minhashSignatures(docsS, col("doc_id"), col("text"), k),
             bandSize)
           .localCheckpoint() // feeds pairs AND the index append
         // FIRST-EVER-RUN bootstrap: when the catalog lacks an index table,
@@ -300,8 +324,8 @@ object Main {
         val lookup = (opt(args, "--corpus") match {
           case Some(c) => spark.read.parquet(c)
             .select(col("doc_id"), col("text"))
-            .union(docs.select(col("doc_id"), col("text")))
-          case None => docs.select(col("doc_id"), col("text"))
+            .union(docsS.select(col("doc_id"), col("text")))
+          case None => docsS.select(col("doc_id"), col("text"))
         }).dropDuplicates("doc_id")
         val verified = Dedup.verifyCandidates(lookup, cands,
             col("doc_id"), col("text"),
@@ -325,6 +349,14 @@ object Main {
             Some((droppedSlots(shardBanded), droppedSlots(idxPruned)))
           } else None
         Dedup.appendBandIndex(shardBanded, bandTable, buckets)
+        // fold today's RAW line counts in (post-decont, PRE-scrub: the
+        // table tracks the corpus as ingested, the batch-contract df) —
+        // inside the guarded body, so a replayed shard cannot double-count
+        lineFreqTable.foreach { lt =>
+          if (lineScrubDf > 0)
+            Dedup.appendLineFreq(docs, col("doc_id"),
+              split(col("text"), "\n"), lt, buckets)
+        }
         val vecAppend = opt(args, "--vectors").map { vdir =>
           val vecTable = opt(args, "--vec-table").get
           val m = opt(args, "--m").map(_.toInt).getOrElse(8)
@@ -457,6 +489,13 @@ object Main {
           // groupBy on the bucket key rides the one-task-per-bucket pass
           if (due(t))
             Bucketing.compactBucketed(spark, t, Dedup.collapseClusterEpochs)
+        }
+        lineFreqTable.foreach { t =>
+          // merge count deltas (sum per hash rides the bucketed scan);
+          // NOT a replay heal — the ingestOnce ledger is what guards
+          // double-counting (collapseLineFreq scaladoc)
+          if (lineScrubDf > 0 && due(t))
+            Bucketing.compactBucketed(spark, t, Dedup.collapseLineFreq)
         }
         val vecCompacted = vecAppend.exists { case (t, _) => due(t) }
         vecAppend.foreach { case (t, _) =>

@@ -1606,9 +1606,19 @@ object Dedup {
       if (hashed) c => xxhash64(c) else identity
     val dfr = seg.groupBy(key(col("seg")).as("__k"))
       .agg(count(lit(1)).as("__df"))
-    seg.join(dfr, key(col("seg")) === col("__k"))
-      .withColumn("__keep", col("__df") <= maxDf)
-      .groupBy("doc_id")
+    reassembleSegments(
+      seg.join(dfr, key(col("seg")) === col("__k"))
+        .withColumn("__keep", col("__df") <= maxDf),
+      joiner)
+  }
+
+  /** Shared tail of the segment scrubs: (doc_id, pos, seg, __keep) →
+    * (doc_id, clean_text, n_kept, n_dropped). Per-group state is bounded
+    * by the document's own segment count.
+    */
+  private def reassembleSegments(tagged: DataFrame,
+                                 joiner: String): DataFrame =
+    tagged.groupBy("doc_id")
       .agg(
         concat_ws(joiner,
           transform(
@@ -1617,7 +1627,6 @@ object Dedup {
             s => s.getField("seg"))).as("clean_text"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
-  }
 
   /** Boilerplate report over the same segmentation: every segment whose
     * corpus df exceeds `maxDf` (the ones [[scrubFrequentSegments]] would
@@ -1631,4 +1640,82 @@ object Dedup {
       .groupBy("seg")
       .agg(count(lit(1)).as("df"), countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("df") > maxDf)
+
+  // ---- day-2 line scrub: the persisted LINE-FREQUENCY table ----------
+  //
+  // The d9 band-index discipline applied to CCNet line dedup: a bucketed
+  // (seg_hash, n) table holds the corpus's line occurrence counts;
+  // each ingest scrubs its shard against GLOBAL df = persisted + the
+  // shard's own counts, then folds the shard's counts in at shard cost.
+  // Counts are 64-bit line hashes (CCNet's own representation): 8 B/row,
+  // never the line text. Appends land DELTA rows; compaction collapses
+  // them ([[collapseLineFreq]] rides the one-task-per-bucket rewrite —
+  // the group key IS the bucket key, zero exchanges).
+  //
+  // Contract (asserted in DedupSpec): scrubbing day-2's shard against
+  // day-1's table ≡ the batch [[scrubFrequentSegments]] over day-1 ∪
+  // day-2 RESTRICTED to day-2's docs (hashed form) — both see the same
+  // union df for every day-2 line. Day-1's already-written output is
+  // not retroactively rewritten when a line later becomes frequent
+  // (CCNet's sharded behavior; a recount-and-rescrub of old shards is a
+  // batch rerun, not an ingest).
+
+  /** The (seg_hash, n) count relation for a corpus/shard. */
+  def segmentCounts(docs: DataFrame, id: Column,
+                    segments: Column): DataFrame =
+    docs.select(explode(segments).as("seg"))
+      .groupBy(xxhash64(col("seg")).as("seg_hash"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Create the persisted line-frequency table (bucketed on seg_hash). */
+  def writeLineFreq(docs: DataFrame, id: Column, segments: Column,
+                    table: String, buckets: Int = 64): Unit =
+    graft.core.Bucketing.writeBucketed(segmentCounts(docs, id, segments),
+      table, "seg_hash", buckets)
+
+  /** Reopen a [[writeLineFreq]] table. */
+  def readLineFreq(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame = spark.table(table)
+
+  /** Fold a shard's line counts into the table (delta rows; cost ∝
+    * shard). Compact on the usual cadence with [[collapseLineFreq]].
+    */
+  def appendLineFreq(docs: DataFrame, id: Column, segments: Column,
+                     table: String, buckets: Int = 64): Unit =
+    graft.core.Bucketing.appendBucketed(segmentCounts(docs, id, segments),
+      table, "seg_hash", buckets)
+
+  /** Compaction transform: collapse delta rows to one count per hash.
+    * NOTE this is NOT a crash-replay heal — summed deltas are not
+    * idempotent (a replayed append would double-count), unlike the band
+    * table's dropDuplicates. Appends to this table MUST run under the
+    * [[graft.core.Bucketing.ingestOnce]] ledger; the transform merges
+    * only legitimately-distinct deltas.
+    */
+  val collapseLineFreq: DataFrame => DataFrame =
+    _.groupBy("seg_hash").agg(sum(col("n")).as("n"))
+
+  /** Scrub an incoming shard against the persisted corpus counts: a
+    * shard line's effective df = its in-shard count + the table's total
+    * for that hash. Only the shard explodes and shuffles; the bucketed
+    * index side aggregates and joins WITHOUT an exchange (group key and
+    * join key = the bucket key). Output: [[scrubFrequentSegments]]'
+    * shape, hashed semantics.
+    */
+  def scrubShardSegments(shard: DataFrame, id: Column, segments: Column,
+                         index: DataFrame, maxDf: Int,
+                         joiner: String = "\n"): DataFrame = {
+    val seg = shard.select(id.as("doc_id"),
+        posexplode(segments).as(Seq("pos", "seg")))
+      .withColumn("seg_hash", xxhash64(col("seg")))
+      .localCheckpoint(false)
+    val own = seg.groupBy(col("seg_hash")).agg(count(lit(1)).as("__n_own"))
+    val idx = index.groupBy(col("seg_hash")).agg(sum(col("n")).as("__n_idx"))
+    val tot = own.join(idx, Seq("seg_hash"), "left")
+      .select(col("seg_hash"),
+        (col("__n_own") + coalesce(col("__n_idx"), lit(0L))).as("__df"))
+    reassembleSegments(
+      seg.join(tot, "seg_hash").withColumn("__keep", col("__df") <= maxDf),
+      joiner)
+  }
 }

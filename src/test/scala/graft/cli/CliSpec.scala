@@ -137,6 +137,56 @@ class CliSpec extends SparkSpec {
     assert(cands2.contains((2L, 101L)))
   }
 
+  test("ingest-daily --line-freq-table: day-2 banner scrubbed via persisted counts; shard counts fold in") {
+    import graft.core.Bucketing
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS cli_lf"); spark.sql("DROP TABLE IF EXISTS cli_lf_band")
+    val banner = "accept all cookies to continue browsing"
+    val day1 = Seq(
+      1L -> s"$banner\nglaciers calve into turquoise fjord water",
+      2L -> s"$banner\nviolin sections tune against the oboe drone")
+      .toDF("doc_id", "text")
+    val day2 = Seq(
+      11L -> s"$banner\nnight markets sell skewers beside neon canals")
+      .toDF("doc_id", "text")
+    val d1 = tmpDir("cli_lf_d1"); day1.write.mode("overwrite").parquet(d1)
+    val d2 = tmpDir("cli_lf_d2"); day2.write.mode("overwrite").parquet(d2)
+    // day 1 bootstraps BOTH tables from an empty catalog; banner df 2 ≤ 2
+    // survives day 1 (the sharded-scrub contract: day-1 output is as-of)
+    Main.run(spark, Array("ingest-daily", "--docs", d1,
+      "--band-table", "cli_lf_band", "--buckets", "4",
+      "--line-freq-table", "cli_lf", "--line-scrub-df", "2"))
+    // day 2: banner global df = 2 (table) + 1 (shard) > 2 → scrubbed, so
+    // the shard's signatures carry only the fresh body line
+    Main.run(spark, Array("ingest-daily", "--docs", d2,
+      "--band-table", "cli_lf_band", "--buckets", "4",
+      "--line-freq-table", "cli_lf", "--line-scrub-df", "2",
+      "--compact-every", "1"))
+    // counts table == batch counts over both days (collapse ran on the
+    // --compact-every cadence)
+    val got = Dedup.readLineFreq(spark, "cli_lf")
+      .as[(Long, Long)].collect().toSet
+    val want = Dedup.segmentCounts(day1.union(day2), col("doc_id"),
+      split(col("text"), "\n")).as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // banner hash carries df 3; one file set per bucket after collapse
+    val bannerHash = Seq(banner).toDF("seg")
+      .select(xxhash64(col("seg"))).as[Long].head()
+    assert(got.contains((bannerHash, 3L)))
+    // the scrub reached the signature path: doc 11's banded signatures in
+    // the index differ from what the UNSCRUBBED text would produce
+    val idxSigs = Dedup.readBandIndex(spark, "cli_lf_band")
+      .filter(col("doc_id") === 11L)
+      .select("band", "band_sig").as[(Long, String)].collect().toSet
+    val scrubbedSigs = Dedup.bandedSignatures(Dedup.minhashSignatures(
+        Seq(11L -> "night markets sell skewers beside neon canals")
+          .toDF("doc_id", "text"), col("doc_id"), col("text"), 8), 4)
+      .select("band", "band_sig").as[(Long, String)].collect().toSet
+    assert(idxSigs === scrubbedSigs)
+    spark.sql("DROP TABLE IF EXISTS cli_lf"); spark.sql("DROP TABLE IF EXISTS cli_lf_band")
+  }
+
   test("ingest-daily --cluster-table: multi-day delta maintenance equals batch clusters") {
     import graft.core.Bucketing
     import graft.dedup.Dedup

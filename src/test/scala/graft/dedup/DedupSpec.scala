@@ -835,6 +835,43 @@ class DedupSpec extends SparkSpec {
     assert(rep.toSeq === Seq(("cookie banner", 3L, 3L)))
   }
 
+  test("line-freq table: day-2 shard scrub == batch over the union; fold-in + collapse == batch counts") {
+    spark.sql("DROP TABLE IF EXISTS lf_test")
+    try {
+      // 'nav bar' df: 2 on day 1, +2 on day 2 → global 4 > cap 3; a
+      // day-2-only line repeated twice stays under the cap
+      val day1 = Seq(
+        1L -> Seq("nav bar", "body one"),
+        2L -> Seq("nav bar", "body two"),
+        3L -> Seq("body three"))
+        .toDF("doc_id", "lines")
+      val day2 = Seq(
+        11L -> Seq("nav bar", "fresh body a"),
+        12L -> Seq("nav bar", "fresh body a", "fresh body b"))
+        .toDF("doc_id", "lines")
+      Dedup.writeLineFreq(day1, col("doc_id"), col("lines"), "lf_test", 4)
+      val incr = Dedup.scrubShardSegments(day2, col("doc_id"), col("lines"),
+          Dedup.readLineFreq(spark, "lf_test"), maxDf = 3)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batch = Dedup.scrubFrequentSegments(day1.union(day2),
+          col("doc_id"), col("lines"), maxDf = 3, hashed = true)
+        .filter(col("doc_id") >= 11L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(incr === batch && incr.nonEmpty)
+      // the global df (not day-2's own 2) is what scrubbed 'nav bar'
+      assert(incr.find(_._1 == 11L).get._2 === "fresh body a")
+      // fold day 2 in, collapse deltas: table == batch counts of union
+      Dedup.appendLineFreq(day2, col("doc_id"), col("lines"), "lf_test", 4)
+      graft.core.Bucketing.compactBucketed(spark, "lf_test",
+        Dedup.collapseLineFreq)
+      val got = Dedup.readLineFreq(spark, "lf_test")
+        .as[(Long, Long)].collect().toSet
+      val want = Dedup.segmentCounts(day1.union(day2), col("doc_id"),
+        col("lines")).as[(Long, Long)].collect().toSet
+      assert(got === want)
+    } finally spark.sql("DROP TABLE IF EXISTS lf_test")
+  }
+
   test("scrubFrequentSegments: hashed df-key form equals exact (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // tiny segment vocabulary → heavy cross-doc repetition around the cap
