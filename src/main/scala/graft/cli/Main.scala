@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
   *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
   *   runMain graft.cli.Main snapshot   --dir <snapdir> --keys k1[,k2] [--as-of N] [--write-epoch <parquet> --version N] [--compact-to N] [--output <dir>]
-  *   runMain graft.cli.Main forget     --ids <parquet> [--band-table t] [--fp-table t] [--sem-table t] [--vec-table t] [--cluster-table t] [--pair-log t] [--id-col vec_id]  (deletion-request propagation across every maintained artifact)
+  *   runMain graft.cli.Main forget     --ids <parquet> [--band-table t] [--line-freq-table t (ids must carry text)] [--fp-table t] [--sem-table t] [--vec-table t] [--cluster-table t] [--pair-log t] [--id-col vec_id]  (deletion-request propagation across every maintained artifact)
   */
 object Main {
 
@@ -623,6 +623,15 @@ object Main {
             Vectors.deleteFromIvfPqIndex(spark, t, ids, vecIdCol)
             Vectors.compactIvfPqIndex(spark, t)
           } }
+        opt(args, "--line-freq-table").foreach { t =>
+          // counts carry no doc attribution, so the takedown payload must
+          // include the text (negative-delta append + collapse)
+          require(ids.columns.contains("text"),
+            "--line-freq-table forget needs a text column in --ids")
+          report(t, "line-freq table")(
+            Dedup.forgetFromLineFreq(ids, col("doc_id"),
+              split(col("text"), "\n"), t,
+              graft.core.Bucketing.bucketCount(spark, t))) }
         opt(args, "--cluster-table").foreach { t =>
           report(t, "cluster table")(opt(args, "--pair-log") match {
             // with the pair log the repair is EXACT: affected components

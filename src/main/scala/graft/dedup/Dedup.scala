@@ -1694,6 +1694,27 @@ object Dedup {
     */
   val collapseLineFreq: DataFrame => DataFrame =
     _.groupBy("seg_hash").agg(sum(col("n")).as("n"))
+      // net-zero hashes (every occurrence forgotten) leave the table
+      .filter(col("n") =!= 0L)
+
+  /** Deletion-request propagation ([[graft.cli.Main]] `forget`) for the
+    * line-frequency table: append NEGATIVE count deltas for the removed
+    * documents' lines, then collapse — net counts drop immediately (the
+    * pre-collapse sum in [[scrubShardSegments]] already nets negatives,
+    * so even an uncompacted table scrubs correctly) and hashes whose
+    * count reaches zero leave the table. Needs the deleted docs' TEXT
+    * (counts carry no doc attribution): the caller passes the takedown
+    * rows, or re-reads them from the corpus snapshot being scrubbed.
+    */
+  def forgetFromLineFreq(deleted: DataFrame, id: Column, segments: Column,
+                         table: String, buckets: Int = 64): Unit = {
+    graft.core.Bucketing.appendBucketed(
+      segmentCounts(deleted, id, segments)
+        .select(col("seg_hash"), (-col("n")).as("n")),
+      table, "seg_hash", buckets)
+    graft.core.Bucketing.compactBucketed(deleted.sparkSession, table,
+      collapseLineFreq)
+  }
 
   /** Scrub an incoming shard against the persisted corpus counts: a
     * shard line's effective df = its in-shard count + the table's total

@@ -358,6 +358,56 @@ object Streaming {
       }
       .start()
 
+  /** Streaming twin of the day-2 line scrub ([[graft.dedup.Dedup
+    * .scrubShardSegments]]): each micro-batch is scrubbed against the
+    * accumulated corpus line counts (global df = prior batches' counts +
+    * the batch's own), then its RAW counts land as a delta epoch.
+    *
+    * Counts live as per-batch DELTA DIRS (`countsDir/batch=<id>`), not
+    * the bucketed table: foreachBatch is at-least-once on retry, and a
+    * replayed table append would double-count — the batch-id overwrite
+    * is the idempotence device every sink here uses, and reading "all
+    * delta dirs EXCEPT my own id" makes the scrub exact under replay
+    * (the summing scrub needs no collapse: [[graft.dedup.Dedup
+    * .scrubShardSegments]] nets deltas in its aggregate). Micro-batches
+    * are shard-sized, so the lost bucketed-join exchange matters less
+    * than replay exactness; a nightly batch job can fold the deltas into
+    * the bucketed table and truncate the dirs if the streaming and daily
+    * paths share one corpus.
+    *
+    * Output per batch: the scrub relation (doc_id, clean_text, n_kept,
+    * n_dropped) at `outDir/batch=<id>`. StreamingSpec asserts stream ≡
+    * the per-day incremental batch chain.
+    */
+  def lineScrubStreamSink(docsStream: DataFrame, countsDir: String,
+                          outDir: String, checkpointDir: String,
+                          maxDf: Int,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val segs = split(col("text"), "\n")
+        val priorDirs = Option(new java.io.File(countsDir).listFiles())
+          .map(_.toSeq).getOrElse(Seq.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+            f.getName != s"batch=$id")
+          .map(_.getPath)
+        val prior =
+          if (priorDirs.isEmpty)
+            spark.range(0).select(col("id").as("seg_hash"), col("id").as("n"))
+          else spark.read.parquet(priorDirs: _*)
+        graft.dedup.Dedup.scrubShardSegments(batch, col("doc_id"), segs,
+            prior, maxDf)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        graft.dedup.Dedup.segmentCounts(batch, col("doc_id"), segs)
+          .write.mode("overwrite").parquet(s"$countsDir/batch=$id")
+      }
+      .start()
+
   /** T4: async checkpoint sink — each micro-batch is written to
     * `<outDir>/batch=<id>` by foreachBatch, with exactly-once bookkeeping in
     * `checkpointDir` (the reference's background-thread S3 upload,

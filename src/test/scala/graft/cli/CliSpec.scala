@@ -184,6 +184,20 @@ class CliSpec extends SparkSpec {
           .toDF("doc_id", "text"), col("doc_id"), col("text"), 8), 4)
       .select("band", "band_sig").as[(Long, String)].collect().toSet
     assert(idxSigs === scrubbedSigs)
+    // forget doc 1 (takedown payload carries the text): counts drop to
+    // the batch counts over the surviving docs; doc 1's unique body line
+    // nets to zero and leaves the table
+    val takedown = tmpDir("cli_lf_fg")
+    day1.filter(col("doc_id") === 1L).write.mode("overwrite").parquet(takedown)
+    Main.run(spark, Array("forget", "--ids", takedown,
+      "--line-freq-table", "cli_lf"))
+    val got2 = Dedup.readLineFreq(spark, "cli_lf")
+      .as[(Long, Long)].collect().toSet
+    val want2 = Dedup.segmentCounts(
+      day1.filter(col("doc_id") =!= 1L).union(day2), col("doc_id"),
+      split(col("text"), "\n")).as[(Long, Long)].collect().toSet
+    assert(got2 === want2)
+    assert(got2.contains((bannerHash, 2L)))
     spark.sql("DROP TABLE IF EXISTS cli_lf"); spark.sql("DROP TABLE IF EXISTS cli_lf_band")
   }
 

@@ -186,6 +186,49 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && got === Set(1L, 3L), s"got $got want $want")
   }
 
+  test("streaming line scrub == incremental batch chain: later batches see earlier counts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("linescrubstream")
+    val banner = "accept all cookies to continue browsing"
+    val b1 = Seq(
+      1L -> s"$banner\nglaciers calve into turquoise fjord water",
+      2L -> s"$banner\nviolin sections tune against the oboe drone")
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      11L -> s"$banner\nnight markets sell skewers beside neon canals")
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Streaming.lineScrubStreamSink(stream, s"$dir/counts",
+      s"$dir/out", s"$dir/ckpt", maxDf = 2, Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    // batch-1 banner df 2 ≤ 2 survives (as-of semantics); batch-2 sees
+    // global df 3 → scrubbed
+    assert(got(1L).startsWith(banner) && got(2L).startsWith(banner))
+    assert(got(11L) === "night markets sell skewers beside neon canals")
+    // the batch-2 output equals scrubShardSegments against batch-1 counts
+    val want2 = graft.dedup.Dedup.scrubShardSegments(b2, col("doc_id"),
+        split(col("text"), "\n"),
+        graft.dedup.Dedup.segmentCounts(b1, col("doc_id"),
+          split(col("text"), "\n")), maxDf = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val got2 = spark.read.parquet(s"$dir/out/batch=1")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got2 === want2)
+    // accumulated deltas == batch counts over everything
+    val cAll = spark.read.parquet(s"$dir/counts")
+      .groupBy("seg_hash").agg(sum("n").as("n"))
+      .as[(Long, Long)].collect().toSet
+    val cWant = graft.dedup.Dedup.segmentCounts(b1.union(b2), col("doc_id"),
+      split(col("text"), "\n")).as[(Long, Long)].collect().toSet
+    assert(cAll === cWant)
+  }
+
   test("compactionDue: skips when the chain is already compacted at/beyond the target (stale-checkpoint replay)") {
     import graft.ops.Snapshots
     val dir = tmp("compactdue")
