@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget}
   * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {
@@ -265,6 +265,69 @@ object MaintProbe {
         time(s"pack/distributed form, 1 group, $n docs") {
           run(Planners.packedWindowsDistributed(docs, "g", "id", "n_tok", 4096L))
         }
+      }
+    }
+    // ---- linescrub: CCNet line scrub — batch linearity + shard-cost
+    // ingest. Claims: the batch scrub is ~2 corpus-sized shuffles of
+    // 8 B hash keys (linear 1M→10M); the shard scrub's cost tracks the
+    // SHARD (the persisted freq table aggregates and joins on its own
+    // bucket key — a 10× bigger table must not 10× the ingest).
+    if (sections("linescrub")) locally {
+      import graft.dedup.Dedup
+      def mkDocs(n: Long, shift: Long = 0L): DataFrame = spark.range(n)
+        .select((col("id") + shift).as("doc_id"),
+          concat(lit("accept all cookies to continue\n"),
+            lit("body "), (col("id") % 50000).cast("string"),
+            lit(" text\n"),
+            lit("unique line "), (col("id") + shift).cast("string"))
+            .as("text"))
+        .repartition(cpus.toInt).localCheckpoint()
+      def lines = split(col("text"), "\n")
+      for (n <- Seq(1000000L, 10000000L)) {
+        val docs = mkDocs(n)
+        time(s"linescrub/batch hashed scrub, $n docs x 3 lines") {
+          Dedup.scrubFrequentSegments(docs, col("doc_id"), lines,
+              maxDf = 4, hashed = true)
+            .agg(sum(col("n_dropped"))).collect()
+        }
+      }
+      for (n <- Seq(1000000L, 10000000L)) {
+        spark.sql("DROP TABLE IF EXISTS probe_lf")
+        val corpus = mkDocs(n)
+        time(s"linescrub/freq-table build, $n docs (one-time)") {
+          Dedup.writeLineFreq(corpus, col("doc_id"), lines, "probe_lf", 64)
+        }
+        val shard = mkDocs(100000L, shift = 900000000L)
+        time(s"linescrub/shard scrub (100k docs) vs $n-doc table") {
+          Dedup.scrubShardSegments(shard, col("doc_id"), lines,
+              Dedup.readLineFreq(spark, "probe_lf"), maxDf = 4)
+            .agg(sum(col("n_dropped"))).collect()
+        }
+        spark.sql("DROP TABLE IF EXISTS probe_lf")
+      }
+    }
+    // ---- budget: tokenBudgetSelect on one global order ----
+    // Claim: the two-phase cumsum stays linear where a single global
+    // window would serialize the corpus through one task (the pack
+    // section measures that cliff for the same machinery).
+    if (sections("budget")) locally {
+      import graft.ops.Planners
+      def mkDocs(n: Long): DataFrame = spark.range(n)
+        .select(col("id"), (col("id") % 97).as("q"),
+          (col("id") % 37 + 38).as("n_tok"))
+        .repartition(cpus.toInt).localCheckpoint()
+      for (n <- Seq(1000000L, 10000000L, 40000000L)) {
+        val docs = mkDocs(n)
+        time(s"budget/distributed select, $n docs (keep ~1/3)") {
+          Planners.tokenBudgetSelect(docs, "id", "q", "n_tok", n * 19L)
+            .agg(count(lit(1))).collect()
+        }
+        if (n == 40000000L)
+          time(s"budget/distributed select, $n docs, 256 partitions") {
+            Planners.tokenBudgetSelect(docs, "id", "q", "n_tok", n * 19L,
+                partitions = 256)
+              .agg(count(lit(1))).collect()
+          }
       }
     }
     // ---- clusters: incremental fold-in cost vs re-clustering ----
