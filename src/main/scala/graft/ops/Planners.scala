@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Scratch
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -130,10 +131,12 @@ object Planners {
     * parallelism = partition count) plus its partition's offset.
     * Identical to the window form wherever the range bounds fall because
     * (group, order) is a total order — `order` must be unique per group,
-    * the same contract as [[packedWindows]]. localCheckpoint shares the
-    * ranged relation between the offsets aggregate and the final join
-    * (the shufflePositionDistributed rationale: range exchanges never
-    * canonicalize equal, so ReuseExchange cannot unify them).
+    * the same contract as [[packedWindows]]. A scratch-parquet
+    * materialization ([[graft.core.Scratch]]) shares the ranged relation
+    * between the offsets aggregate and the final join (range exchanges
+    * never canonicalize equal, so ReuseExchange cannot unify them; the
+    * columnar scratch replaced localCheckpoint after the 40M-row
+    * object-block cliff was measured — §6.3 budgetdiag).
     */
   def packedWindowsDistributed(docs: DataFrame, group: String, order: String,
                                nTok: String, budget: Long,
@@ -144,16 +147,16 @@ object Planners {
     val p = if (partitions > 0) partitions
       else docs.sparkSession.sessionState.conf.numShufflePartitions
     val w = org.apache.spark.sql.expressions.Window
-    // project BEFORE the checkpoint: localCheckpoint materializes the
-    // relation at full input width, so a caller passing wide docs (with
-    // text) would pin the whole corpus in executor storage when only
-    // (group, order, nTok) ever reach spansFromBefore — the narrow-
-    // checkpoint rule (round-10 verdict).
-    val ranged = docs
+    // project BEFORE materializing (the narrow-checkpoint rule, round-10
+    // verdict), then share the ranged relation via SCRATCH PARQUET, not
+    // localCheckpoint: the object-block materialization was the measured
+    // 40M-row cliff (104 s vs 10.6 s columnar — graft.core.Scratch,
+    // SURVEY §6.3 budgetdiag), and the frozen __pid values make both
+    // consuming jobs see identical partition assignment by construction.
+    val ranged = Scratch.materialize(docs
       .select((Seq(group, order, nTok) ++ carry).distinct.map(col): _*)
       .repartitionByRange(p, col(group), col(order))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__pid", spark_partition_id()), "pack")
     val offsets = ranged.groupBy(col("__pid"), col(group))
       .agg(sum(col(nTok)).as("__psum"))
       .withColumn("__off", coalesce(sum(col("__psum")).over(
@@ -249,11 +252,12 @@ object Planners {
     val p = if (partitions > 0) partitions
       else docs.sparkSession.sessionState.conf.numShufflePartitions
     val w = org.apache.spark.sql.expressions.Window
-    val ranged = docs
+    // scratch parquet, not localCheckpoint — the measured 40M cliff
+    // (graft.core.Scratch scaladoc)
+    val ranged = Scratch.materialize(docs
       .select(Seq(id, quality, nTok).map(col): _*)
       .repartitionByRange(p, col(quality).desc, col(id))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__pid", spark_partition_id()), "budget")
     val offsets = ranged.groupBy(col("__pid"))
       .agg(sum(col(nTok)).as("__psum"))
       .withColumn("__off", coalesce(sum(col("__psum")).over(

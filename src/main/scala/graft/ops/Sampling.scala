@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Scratch
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,8 +60,9 @@ object Sampling {
     * Selects the IDENTICAL rows to [[stratifiedExact]] (same (hash, key)
     * total order per stratum — equivalence asserted in SamplingSpec).
     * The ranged relation feeds three consumers (ranks, offsets, totals);
-    * localCheckpoint shares the one materialization and the
-    * ContextCleaner releases it when the result is dropped.
+    * a scratch-parquet materialization ([[graft.core.Scratch]]) shares it
+    * — replaced localCheckpoint after the 40M-row object-block cliff was
+    * measured (§6.3 budgetdiag).
     *
     * Cost shape: a constant-factor overhead (~2× at a 1.5M-row probe,
     * where 5 window tasks of 300k rows are still trivial) traded for
@@ -108,11 +110,12 @@ object Sampling {
       : DataFrame = {
     val p = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.withColumn("__s", stratum)
+    // scratch parquet, not localCheckpoint — the measured 40M cliff
+    // (graft.core.Scratch scaladoc)
+    val ranged = Scratch.materialize(df.withColumn("__s", stratum)
       .withColumn("__h", Determinism.detHash(key))
       .repartitionByRange(p, col("__h"), key)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__pid", spark_partition_id()), "strat")
     val totals = ranged.groupBy("__s").agg(count(lit(1)).as("__n"))
     val offsets = ranged.groupBy("__s", "__pid").agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum("__c").over(
@@ -229,21 +232,20 @@ object Sampling {
     // ranged+sorted relation. ReuseExchange does NOT unify the two range
     // exchanges (verified on the physical plan: rangepartitioning samples
     // its bounds per instance, so the branches never canonicalize equal),
-    // so share it via localCheckpoint: materialized once, eagerly; blocks
-    // are RDD-level persists the ContextCleaner releases when the result
-    // goes out of scope — not a CacheManager pin (round-2 ADVICE). The
-    // positions are deterministic regardless: (__h, key) is a total order.
-    // Caveat: localCheckpoint blocks are unreplicated, so an executor loss
-    // during THIS job fails it (no lineage to recompute) — fine for a
-    // single-job sample; see connectedComponents.checkpointDir for the
-    // reliable-checkpoint pattern on long multi-round jobs.
-    val ranged = df.withColumn("__h", hash)
+    // so share one SCRATCH-PARQUET materialization (graft.core.Scratch —
+    // replaced localCheckpoint after the 40M-row object-block cliff was
+    // measured, §6.3 budgetdiag; also survives executor loss, which
+    // unreplicated checkpoint blocks did not). The frozen __mid/__pid/
+    // __li values in the files are what make both consuming jobs
+    // consistent; positions are deterministic regardless: (__h, key) is
+    // a total order.
+    val ranged = Scratch.materialize(df.withColumn("__h", hash)
       .repartitionByRange(p, col("__h"), key)
       .sortWithinPartitions(col("__h"), key)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
-      .withColumn("__li", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-      .localCheckpoint()
+      .withColumn("__li", col("__mid").bitwiseAND(lit((1L << 33) - 1))),
+      "shuf")
     val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum("__cnt").over(
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag}
   * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {
@@ -328,6 +328,63 @@ object MaintProbe {
                 partitions = 256)
               .agg(count(lit(1))).collect()
           }
+      }
+    }
+    // ---- budgetdiag: stage-by-stage timing of the two-phase cumsum at
+    // the 40M cliff (both pack and budget jump superlinearly 10M→40M;
+    // which stage serializes?)
+    if (sections("budgetdiag")) locally {
+      val w = org.apache.spark.sql.expressions.Window
+      val n = 40000000L
+      val src = spark.range(n)
+        .select(col("id"), (col("id") % 97).as("q"),
+          (col("id") % 37 + 38).as("n_tok"))
+        .repartition(cpus.toInt)
+      val (d0, _) = time("diag/source checkpoint (40M)") {
+        val d = src.localCheckpoint(); d.count(); d
+      }
+      val (r0, _) = time("diag/rangePartition + pid + checkpoint") {
+        val r = d0.repartitionByRange(32, col("q").desc, col("id"))
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint()
+        r.count(); r
+      }
+      val (off, _) = time("diag/offsets aggregate") {
+        val o = r0.groupBy(col("__pid")).agg(sum(col("n_tok")).as("__psum"))
+          .withColumn("__off", coalesce(sum(col("__psum")).over(
+            w.orderBy(col("__pid")).rowsBetween(w.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col("__pid"), col("__off")).localCheckpoint()
+        o.count(); o
+      }
+      time("diag/join + per-pid window + filter + count") {
+        r0.join(broadcast(off), Seq("__pid"))
+          .withColumn("cum", col("__off") + sum(col("n_tok")).over(
+            w.partitionBy(col("__pid")).orderBy(col("q").desc, col("id"))
+              .rowsBetween(w.unboundedPreceding, 0)))
+          .filter(col("cum") <= n * 19L)
+          .agg(count(lit(1))).collect()
+      }
+      // A/B the materialization strategies for the shared ranged relation
+      val (r1, _) = time("diag/ALT rangePartition + persist(MEMORY_AND_DISK_SER)") {
+        val r = d0.repartitionByRange(32, col("q").desc, col("id"))
+          .withColumn("__pid", spark_partition_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        r.count(); r
+      }
+      time("diag/ALT pass over persisted-ser (offsets-shaped agg)") {
+        r1.groupBy(col("__pid")).agg(sum(col("n_tok"))).collect()
+      }
+      r1.unpersist()
+      val scratch = java.nio.file.Files.createTempDirectory("diagrange").toString
+      time("diag/ALT rangePartition + scratch parquet write") {
+        d0.repartitionByRange(32, col("q").desc, col("id"))
+          .withColumn("__pid", spark_partition_id())
+          .write.mode("overwrite").parquet(scratch)
+      }
+      val rp = spark.read.parquet(scratch)
+      time("diag/ALT pass over scratch parquet (offsets-shaped agg)") {
+        rp.groupBy(col("__pid")).agg(sum(col("n_tok"))).collect()
       }
     }
     // ---- clusters: incremental fold-in cost vs re-clustering ----
