@@ -38,13 +38,52 @@ import org.apache.spark.sql.DataFrame
   */
 object Scratch {
 
+  /** Row-count guideline for ITERATIVE operators choosing between
+    * localCheckpoint and scratch parquet per round: below this, thin
+    * round relations fit executor memory as object blocks and the per-
+    * round scratch write's fixed job cost dominates (a 20-round star CC
+    * measured 1.4× slower all-scratch at 1.8M edges); above it, object
+    * blocks approach the measured 40M-row spill cliff (§6.3 budgetdiag)
+    * where one columnar write is ~10× cheaper. Single-shot
+    * materializations with multiple consumers should just use
+    * [[materialize]] — their fixed cost is paid once and the cliff risk
+    * is one-sided. Overridable via the `graft.scratch.objectBlockSafeRows`
+    * system property (tests drive the scratch branch at toy sizes with
+    * it; a cluster profile can tune it without a rebuild).
+    */
+  def objectBlockSafeRows: Long =
+    Option(System.getProperty("graft.scratch.objectBlockSafeRows"))
+      .map(_.toLong).getOrElse(16L * 1000 * 1000)
+
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[
     (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]()
+
+  /** Early-release handle for one scratch dir — for iterative operators
+    * (CC rounds) whose per-round relation is dead as soon as the next
+    * round is materialized; without it a 20-round job over TB-scale
+    * edges would hold every round's files until JVM exit.
+    */
+  final class Handle private[Scratch] (
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path) {
+    /** Delete the dir now. The relation returned alongside this handle
+      * (and anything derived from it, unmaterialized) must not be read
+      * afterwards.
+      */
+    def drop(): Unit =
+      try { fs.cancelDeleteOnExit(p); fs.delete(p, true); () }
+      catch { case _: java.io.IOException => () }
+  }
 
   /** Write `df` to a fresh scratch dir and reopen it (explicit schema, so
     * an empty relation round-trips instead of failing schema inference).
     */
-  def materialize(df: DataFrame, tag: String): DataFrame = {
+  def materialize(df: DataFrame, tag: String): DataFrame =
+    materializeWithHandle(df, tag)._1
+
+  /** [[materialize]] plus a [[Handle]] to reclaim the dir before JVM
+    * exit — iterative callers drop round N−1 once round N is on disk.
+    */
+  def materializeWithHandle(df: DataFrame, tag: String): (DataFrame, Handle) = {
     val spark = df.sparkSession
     val base = Option(spark.conf.get("graft.scratch.dir", null))
       .getOrElse(System.getProperty("java.io.tmpdir"))
@@ -54,7 +93,7 @@ object Scratch {
     fs.deleteOnExit(path)
     live.add((fs, path))
     df.write.mode("overwrite").parquet(dir)
-    spark.read.schema(df.schema).parquet(dir)
+    (spark.read.schema(df.schema).parquet(dir), new Handle(fs, path))
   }
 
   /** Delete every scratch dir written so far. For long-running drivers

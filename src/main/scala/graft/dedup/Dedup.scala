@@ -777,17 +777,28 @@ object Dedup {
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    // lazy in both modes: the round's single convergence job materializes it
-    def persistRound(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(false)
-      else df.localCheckpoint(false)
-    // checkpoint the input FIRST: both union branches below read it, and
-    // without the checkpoint the caller's whole upstream pipeline (e.g. the
-    // d5 minhash->band->verify chain) would execute once per branch.
-    // lazy checkpoints throughout: the first job that touches them
-    // materializes them, so each round costs ONE job (the convergence
-    // aggregate), not two
-    val half = persistRound(
+    // Round materialization, SIZE-ADAPTIVE: reliable checkpoint when a
+    // dir is given (long multi-round clusters); otherwise localCheckpoint
+    // while the round relation is small enough for object blocks
+    // (`rows < Scratch.objectBlockSafeRows` — a per-round scratch write's
+    // fixed job cost dominates at dedup-graph sizes, measured 1.4× slower
+    // all-scratch at 1.8M edges) and scratch parquet above it, where
+    // object blocks hit the measured 40M-row spill cliff (§6.3
+    // budgetdiag). rows = -1 (unknown, the pre-count input) chooses
+    // object blocks: a blind first materialization degrades softly
+    // (spill), and every sized round after it chooses correctly. The
+    // returned thunk drops the round's files early (Scratch.Handle):
+    // holding all ~20 rounds until JVM exit is the disk leak it prevents.
+    def persistRound(df: DataFrame, rows: Long = -1L): (DataFrame, () => Unit) =
+      if (checkpointDir.isDefined) (df.checkpoint(false), () => ())
+      else if (rows >= 0L && rows >= graft.core.Scratch.objectBlockSafeRows) {
+        val (m, h) = graft.core.Scratch.materializeWithHandle(df, "cc")
+        (m, () => h.drop())
+      } else (df.localCheckpoint(false), () => ())
+    // materialize the input FIRST: both union branches below read it, and
+    // without it the caller's whole upstream pipeline (e.g. the d5
+    // minhash->band->verify chain) would execute once per branch
+    val (half, dropHalf) = persistRound(
       pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst")))
     // Right-size the iteration's parallelism to the working set: the dedup
@@ -800,13 +811,16 @@ object Dedup {
     val parts = math.max(1, math.min(
       half.sparkSession.sparkContext.defaultParallelism,
       (nEdges / 500000L + 1).toInt))
-    val edges = persistRound(
+    val (edges, _) = persistRound(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(parts, col("dst")))
-    var labels = persistRound(
+        .distinct().repartition(parts, col("dst")), nEdges)
+    // labels are vertex-sized; nEdges is its (conservative) upper bound
+    var (labels, dropLabels) = persistRound(
       edges.select(col("src").as("v")).distinct()
         .select(col("v"), col("v").as("lbl"))
-        .repartition(parts, col("v")))
+        .repartition(parts, col("v")), nEdges)
+    // edges + round-0 labels are materialized; the half orientation is dead
+    dropHalf()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -817,14 +831,17 @@ object Dedup {
       // (the extra exchange per round outweighs full-width scheduling,
       // which AQE's partition coalescing already tames); only the round-0
       // inputs are right-sized
-      val next = persistRound(
+      val (next, dropNext) = persistRound(
         labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
           .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
             // labels only ever decrease, so "changed" is exactly nlbl < lbl
-            when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("chg")))
+            when(col("nlbl") < col("lbl"), 1L).otherwise(0L).as("chg")),
+        nEdges)
       val row = next.agg(sum(col("chg"))).head()
       changed = if (row.isNullAt(0)) 0L else row.getLong(0) // null = no vertices
+      dropLabels() // round N is on disk (and aggregated); round N-1 is dead
       labels = next.select("v", "lbl")
+      dropLabels = dropNext
       iter += 1
     }
     // fail loudly, never return silently-split components: a chain with
@@ -860,14 +877,22 @@ object Dedup {
                               maxIter: Int = 20,
                               checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def persistRound(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(false)
-      else df.localCheckpoint(false)
-    val base = persistRound(
+    // Size-adaptive round materialization — the [[connectedComponents]]
+    // rationale: object blocks below Scratch.objectBlockSafeRows, scratch
+    // parquet above (each round's size is the previous signature's edge
+    // count; round 0 is blind and degrades softly). The thunk drops round
+    // N-1's files once round N is materialized.
+    def persistRound(df: DataFrame, rows: Long = -1L): (DataFrame, () => Unit) =
+      if (checkpointDir.isDefined) (df.checkpoint(false), () => ())
+      else if (rows >= 0L && rows >= graft.core.Scratch.objectBlockSafeRows) {
+        val (m, h) = graft.core.Scratch.materializeWithHandle(df, "ccstar")
+        (m, () => h.drop())
+      } else (df.localCheckpoint(false), () => ())
+    val (base, _) = persistRound( // read again after the loop — never drop
       pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
         .filter(col("a") =!= col("b")))
     // canonical orientation: hi > lo
-    var edges = persistRound(
+    var (edges, dropEdges) = persistRound(
       base.select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo")).distinct())
     def signature(df: DataFrame): (Long, Long) = {
@@ -897,8 +922,14 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(joined.select(col("hi"), col("m").as("lo")))
         .distinct()
-      edges = persistRound(ss)
-      val next = signature(edges)
+      // size the round by the previous signature's edge count — a proxy,
+      // not a bound (star rewrites roughly preserve then contract the
+      // edge set), with the threshold's margin absorbing the slack
+      val (newEdges, dropNew) = persistRound(ss, sig._1)
+      val next = signature(newEdges)
+      dropEdges() // round N is materialized (and signed); round N-1 is dead
+      edges = newEdges
+      dropEdges = dropNew
       converged = next == sig
       sig = next
       iter += 1

@@ -202,26 +202,29 @@ object Pipelines {
     * curated corpus by id, so the feed never duplicates corpus bytes.
     *
     * Scale shape: the curate chain is computed ONCE — the sampler/planner
-    * run on a localCheckpointed (id, source, n_tok) projection (the
-    * narrow-checkpoint rule: never pin corpus text in executor storage),
-    * and the only corpus-sized shuffles are the sampler's range partition
-    * and the shard write's hash partition; plans and rank offsets stay
-    * sources×partitions-sized broadcasts.
+    * run on a scratch-materialized (id, source, n_tok) projection (the
+    * narrow-checkpoint rule: never pin corpus text in executor storage;
+    * columnar scratch, not localCheckpoint — the corpus-row-scaled thin
+    * relation is exactly the measured 40M object-block cliff shape,
+    * §6.3 budgetdiag), and the only corpus-sized shuffles are the
+    * sampler's range partition and the shard write's hash partition;
+    * plans and rank offsets stay sources×partitions-sized broadcasts.
     */
   def curatedFeed(docs: DataFrame, idCol: String, sourceCol: String,
                   weights: DataFrame, nTok: Column,
                   budget: Long, windowsPerShard: Long, outDir: String,
                   curate: DataFrame => DataFrame = identity,
                   epoch: Option[Long] = None): DataFrame = {
-    val narrow = curate(docs)
-      .select(col(idCol), col(sourceCol), nTok.cast("long").as("__ntok"))
-      .localCheckpoint()
+    val narrow = graft.core.Scratch.materialize(curate(docs)
+      .select(col(idCol), col(sourceCol), nTok.cast("long").as("__ntok")),
+      "feednarrow")
     val per = narrow.groupBy(col(sourceCol).as("source"))
       .agg(sum(col("__ntok")).as("src_tokens"))
       .join(weights.select(col(sourceCol).as("source"), col("w")), "source")
     val plan = graft.ops.Planners.tokenBudgetMixture(per)
-    val sampled0 = graft.ops.Sampling.stratifiedExactByPlan(narrow,
-      col(sourceCol), col(idCol), plan, "source").localCheckpoint()
+    val sampled0 = graft.core.Scratch.materialize(
+      graft.ops.Sampling.stratifiedExactByPlan(narrow,
+        col(sourceCol), col(idCol), plan, "source"), "feedsample")
     // per-EPOCH reshuffle (the x14 machinery): with `epoch` set, the pack
     // order is the epoch's deterministic dense permutation instead of the
     // id — each epoch gets an independent, reproducible window layout

@@ -55,6 +55,21 @@ class ScratchSpec extends SparkSpec {
     } finally spark.conf.unset("graft.scratch.dir")
   }
 
+  test("materializeWithHandle: drop() reclaims that dir early, leaves others") {
+    val base = java.nio.file.Files.createTempDirectory("scratchhandle").toString
+    spark.conf.set("graft.scratch.dir", base)
+    try {
+      val (a, ha) = Scratch.materializeWithHandle(spark.range(5).toDF(), "ha")
+      val (b, _) = Scratch.materializeWithHandle(spark.range(7).toDF(), "hb")
+      assert(a.count() === 5L && b.count() === 7L)
+      ha.drop()
+      val left = new java.io.File(base).listFiles().map(_.getName)
+      assert(!left.exists(_.startsWith("graft_ha")))
+      assert(left.exists(_.startsWith("graft_hb")))
+      assert(b.count() === 7L) // survivor still readable after the drop
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
   test("cleanupNow deletes every scratch dir written so far") {
     val base = java.nio.file.Files.createTempDirectory("scratchclean").toString
     spark.conf.set("graft.scratch.dir", base)

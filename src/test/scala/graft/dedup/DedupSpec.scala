@@ -396,6 +396,28 @@ class DedupSpec extends SparkSpec {
     assert(reliable === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("CC scratch-branch rounds (size-adaptive threshold forced low) match object-block rounds") {
+    // persistRound picks scratch parquet above Scratch.objectBlockSafeRows;
+    // force the threshold to 0 so EVERY sized round takes the scratch
+    // branch (incl. the early-drop handles), and assert both CC forms
+    // produce the same labels as the default object-block path
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (5L, 4L))
+      .toDF("doc_a", "doc_b")
+    val expectMin = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val expectStar = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    System.setProperty("graft.scratch.objectBlockSafeRows", "0")
+    try {
+      val gotMin = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      val gotStar = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      assert(gotMin === expectMin)
+      assert(gotStar === expectStar)
+    } finally System.clearProperty("graft.scratch.objectBlockSafeRows")
+  }
+
   test("connectedComponents throws instead of returning split components at maxIter") {
     // 6-chain has diameter 5; 2 propagation rounds cannot finish it
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
