@@ -258,6 +258,35 @@ object QSampling {
       Sampling.domainCap(t(s, d, "documents"), col("source"), col("doc_id"), 200)
         .select(col("doc_id"), col("source"))),
 
+    // X20: DSIR importance weights (Xie et al. 2023) — score every raw
+    // doc by how target-like its hashed unigram+bigram profile is
+    // (target = the English slice; the "looks like wiki" selection pass).
+    // Model fit is two 64-bucket hash-aggregates; scoring is shuffle-free
+    // (one-row broadcast λ map + per-doc array fold). The oracle
+    // recomputes the whole chain — md5-prefix bucketing, Laplace
+    // smoothing, fixed-point λ sums — so the hash pins the arithmetic
+    // end to end.
+    "x20_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.ops.Dsir.importanceModel(
+        docs, docs.filter(col("lang") === "en"), col("text"), buckets = 64)
+      graft.ops.Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+        model, buckets = 64)
+    }),
+
+    // X21: DSIR Gumbel top-k resample — the weights drawn WITHOUT
+    // replacement with P ∝ exp(logw) via the deterministic Gumbel PRF;
+    // exact integer key arithmetic makes the draw engine-portable.
+    "x21_dsir_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.ops.Dsir.importanceModel(
+        docs, docs.filter(col("lang") === "en"), col("text"), buckets = 64)
+      graft.ops.Dsir.importanceResample(
+        graft.ops.Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+          model, buckets = 64),
+        col("doc_id"), k = 100, seed = 11L)
+    }),
+
     // X6: seeded per-row augmentation flags — the deterministic form of
     // RandomHorizontalFlip / RandomCrop (reference
     // train/train_stage_1/dataloader.py:46, train_DIT/dataloader.py:52-58):
@@ -272,9 +301,65 @@ object QSampling {
         (Determinism.detHash(key * 31 + 2) % 64).cast("int").as("crop_y"))
     }))
 
+  // Shared DSIR oracle chain (x20/x21): md5-prefix feature bucketing
+  // (unigrams + bigrams mod 64), Laplace-smoothed per-bucket λ in 6dp
+  // fixed point, per-doc integer λ sums — the Dsir.scala arithmetic
+  // restated in DuckDB. `f` keeps zero-feature docs (a CJK doc has no
+  // [a-z0-9] token) via the LEFT JOIN at the end.
+  private val dsirCtes: String = {
+    val toks =
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    def bkt(g: String) =
+      s"CAST('0x' || substring(md5($g), 1, 15) AS BIGINT) % 64"
+    s"""t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+        f AS (SELECT doc_id, lang,
+                list_concat(
+                  list_transform(toks, g -> ${bkt("g")}),
+                  CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)), i ->
+                      ${bkt("toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1]")})
+                  ELSE CAST([] AS BIGINT[]) END) AS fb
+              FROM t),
+        ex AS (SELECT doc_id, lang, unnest(fb) AS bucket FROM f),
+        rc AS (SELECT bucket, count(*) AS rcnt FROM ex GROUP BY 1),
+        tc AS (SELECT bucket, count(*) AS tcnt FROM ex
+               WHERE lang = 'en' GROUP BY 1),
+        m0 AS (SELECT s.bucket,
+                      coalesce(tcnt, 0) AS target_count,
+                      coalesce(rcnt, 0) AS raw_count
+               FROM (SELECT unnest(range(64)) AS bucket) s
+               LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+        tot AS (SELECT CAST(sum(target_count) AS BIGINT) AS nt,
+                       CAST(sum(raw_count) AS BIGINT) AS nr FROM m0),
+        m AS (SELECT bucket,
+                     CAST(round((ln((target_count + 1.0) / (nt + 64.0)) -
+                                 ln((raw_count + 1.0) / (nr + 64.0))) * 1e6)
+                       AS BIGINT) AS lam6
+              FROM m0 CROSS JOIN tot),
+        ds AS (SELECT doc_id, CAST(sum(lam6) AS BIGINT) AS logw6
+               FROM ex JOIN m USING (bucket) GROUP BY 1),
+        w AS (SELECT f.doc_id, CAST(len(fb) AS INT) AS n_feats,
+                     CAST(coalesce(ds.logw6, 0) AS BIGINT) AS logw6,
+                     round(CAST(coalesce(ds.logw6, 0) AS BIGINT) / 1e6, 6)
+                       AS logw
+              FROM f LEFT JOIN ds USING (doc_id))"""
+  }
+
   def oracle: Map[String, String] = {
     val h = Determinism.detHashSql("o_orderkey")
     Map(
+      "x20_dsir_weights" ->
+        s"""WITH $dsirCtes
+            SELECT doc_id, n_feats, logw6, logw FROM w""",
+      "x21_dsir_sample" -> {
+        val u = s"((${Determinism.detHashSql(
+            s"(${Determinism.detHashSql("doc_id")} + 11)")} + 0.5) / ${Determinism.Space}.0)"
+        s"""WITH $dsirCtes
+            SELECT doc_id, n_feats, logw6, logw,
+                   logw6 + CAST(round((-ln(-ln($u))) * 1e6) AS BIGINT) AS key6
+            FROM w
+            ORDER BY key6 DESC, doc_id LIMIT 100"""
+      },
       "x1_stratified_exact" ->
         s"""WITH t AS (
               SELECT o_orderkey, o_orderpriority,

@@ -112,7 +112,11 @@ class PlanAuditSpec extends SparkSpec {
       // v23: the stale regime re-derives the tiny-centroid assignment
       // cross in memory (v8's pattern); the refreshed regime reads the
       // swapped table with an equi-join on cell
-      "v23_semantic_refresh")
+      "v23_semantic_refresh",
+      // x20/x21: DSIR's two one-row broadcast crosses — the N_t/N_r
+      // totals over the B-row model, and the λ-map scoring cross (the
+      // tx_lm_score vocabulary pattern); nothing doc-keyed shuffles
+      "x20_dsir_weights", "x21_dsir_sample")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||

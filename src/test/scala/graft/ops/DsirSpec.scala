@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val B = 16
+
+  // tiny two-population corpus: "target-ish" docs share the wiki-word
+  // vocabulary, raw noise docs don't; one CJK doc tokenizes to nothing
+  private val docs = Seq(
+    (1L, "the solar system has planets", "en"),
+    (2L, "planets orbit the sun", "en"),
+    (3L, "buy cheap pills now now now", "xx"),
+    (4L, "cheap cheap deals buy now", "xx"),
+    (5L, "the sun is a star", "en"),
+    (6L, "中文文本", "zh") // no [a-z0-9] token at all
+  ).toDF("doc_id", "text", "lang")
+
+  private def model = Dsir.importanceModel(
+    docs, docs.filter(col("lang") === "en"), col("text"), B)
+
+  test("importanceModel: full bucket spine, counts conserve, λ arithmetic") {
+    val m = model.collect()
+    assert(m.length === B)
+    assert(m.map(_.getLong(0)).sorted.toSeq === (0L until B.toLong))
+    val (tSum, rSum) = (m.map(_.getLong(1)).sum, m.map(_.getLong(2)).sum)
+    // unigrams + bigrams: doc k tokens -> 2k-1 features (k >= 2); the
+    // CJK doc contributes zero
+    val featCount = Seq(5, 4, 6, 5, 5).map(k => 2 * k - 1).sum
+    val targetCount = Seq(5, 4, 5).map(k => 2 * k - 1).sum
+    assert(rSum === featCount.toLong)
+    assert(tSum === targetCount.toLong)
+    // λ replays the exact fixed-point formula for every bucket
+    m.foreach { r =>
+      val lam = math.round((
+        math.log((r.getLong(1) + 1.0) / (tSum + B.toDouble)) -
+          math.log((r.getLong(2) + 1.0) / (rSum + B.toDouble))) * 1e6)
+      assert(r.getLong(3) === lam, s"bucket ${r.getLong(0)}")
+    }
+  }
+
+  test("importanceWeights: fold equals explode-sum; empty doc scores zero") {
+    val lam = model.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val feats = docs.select(col("doc_id"),
+        Dsir.featureBuckets(graft.text.TextFunctions.tokens(col("text")), B)
+          .as("fb"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val w = Dsir.importanceWeights(docs, col("doc_id"), col("text"), model, B)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(w.size === 6)
+    feats.foreach { case (id, fb) =>
+      assert(w(id).getInt(1) === fb.length, s"n_feats doc $id")
+      assert(w(id).getLong(2) === fb.map(lam).sum, s"logw6 doc $id")
+    }
+    assert(w(6L).getInt(1) === 0)
+    assert(w(6L).getLong(2) === 0L)
+    // 6dp double mirrors the fixed-point sum
+    w.values.foreach(r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 1e6) < 1e-9))
+  }
+
+  test("importanceWeights: target-like docs outweigh off-target docs") {
+    val w = Dsir.importanceWeights(docs, col("doc_id"), col("text"), model, B)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val en = Seq(1L, 2L, 5L).map(w)
+    val xx = Seq(3L, 4L).map(w)
+    assert(en.min > xx.max,
+      s"every en logw6 (${en.mkString(",")}) should beat every xx (${xx.mkString(",")})")
+  }
+
+  test("importanceResample: deterministic, k rows, ranked by exact key") {
+    val w = Dsir.importanceWeights(docs, col("doc_id"), col("text"), model, B)
+    val s1 = Dsir.importanceResample(w, col("doc_id"), 3, seed = 7L).collect()
+    val s2 = Dsir.importanceResample(w, col("doc_id"), 3, seed = 7L).collect()
+    assert(s1.map(_.getLong(0)).toSeq === s2.map(_.getLong(0)).toSeq)
+    assert(s1.length === 3)
+    // replay the key arithmetic on the driver
+    val keys = w.collect().map { r =>
+      val id = r.getLong(0)
+      val u = (Determinism.detHashLocal(Determinism.detHashLocal(id) + 7L) +
+        0.5) / Determinism.Space.toDouble
+      id -> (r.getLong(2) + math.round(-math.log(-math.log(u)) * 1e6))
+    }.toMap
+    val expect = keys.toSeq.sortBy { case (id, k) => (-k, id) }.take(3)
+    assert(s1.map(r => (r.getLong(0), r.getLong(4))).toSeq === expect)
+    // a different seed redraws the noise
+    val s3 = Dsir.importanceResample(w, col("doc_id"), 3, seed = 8L).collect()
+    assert(s3.map(_.getLong(4)).toSeq !== s1.map(_.getLong(4)).toSeq)
+  }
+
+  test("importanceModel: target == raw gives λ == 0 everywhere") {
+    val m = Dsir.importanceModel(docs, docs, col("text"), B).collect()
+    assert(m.forall(_.getLong(3) === 0L))
+  }
+
+  test("importanceWeights: scoring pass is shuffle-free over a fit model") {
+    // the 100 TB contract: with the B-row model materialized, scoring the
+    // corpus moves NO doc-keyed data — the only exchanges are the one-row
+    // λ-map broadcast and the model's own tiny single-partition fold
+    val p = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+        model.localCheckpoint(false), B)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("importanceModel refuses absurd bucket counts") {
+    intercept[IllegalArgumentException] {
+      Dsir.importanceModel(docs, docs, col("text"), 100000)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.importanceResample(docs.limit(0), col("doc_id"), 0, 1L)
+    }
+  }
+}
