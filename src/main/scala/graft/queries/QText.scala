@@ -69,6 +69,36 @@ object QText {
         + (1.0 - least(($punctSql) * 5.0, 1.0)) * 0.3
         + least(($stopSql) * 4.0, 1.0) * 0.3"""
 
+  // DuckDB twin of GopherRules.ruleFlags, ending in a CTE `fl` with the
+  // per-doc rule booleans. Same integer-exact threshold arithmetic; the
+  // top-token multiplicity comes from an unnest + two-level aggregate
+  // (semantically identical to the Spark side's sorted run-length fold).
+  private val gopherFlagsSql: String =
+    s"""gtt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        gs AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                   AS BIGINT) AS sum_len,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   AS BIGINT) AS n_alpha,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   ['the','a','and','of','to','in','is','that'])) AS BIGINT)
+                   AS n_stop
+               FROM gtt),
+        gu AS (SELECT doc_id, unnest(toks) AS tok FROM gtt),
+        gpc AS (SELECT doc_id, tok, count(*) AS cnt FROM gu GROUP BY 1, 2),
+        gmc AS (SELECT doc_id, max(cnt) AS top_cnt FROM gpc GROUP BY 1),
+        fl AS (SELECT gs.doc_id, gs.n_tok,
+                 (gs.n_tok >= 20 AND gs.n_tok <= 80) AS r_wc,
+                 (gs.sum_len >= gs.n_tok * 3 AND gs.sum_len <= gs.n_tok * 10)
+                   AS r_mwl,
+                 (gs.n_alpha * 5 >= gs.n_tok * 4) AS r_alpha,
+                 (gs.n_stop >= 2) AS r_stop,
+                 (coalesce(gmc.top_cnt, 0) * 10 <= gs.n_tok) AS r_top,
+                 ((gs.n_tok - gs.n_distinct) * 2 <= gs.n_tok) AS r_dup
+               FROM gs LEFT JOIN gmc USING (doc_id))"""
+
   // DuckDB twin of the tx_classifier trainer: the 3 GD iterations
   // unrolled into (gradient, weight) CTE pairs — the v9 kmeans unroll
   // discipline. Kept as builders so the feature list, the z expression,
@@ -212,6 +242,27 @@ object QText {
         .withColumn("frac_kept",
           round(col("n_kept") / col("n_docs"), 6))
     }),
+
+    // Gopher-style per-rule quality flags (Rae et al. 2021 App. A1.1):
+    // six named boolean rules per document + the composite keep — the
+    // rule-level complement of tx_quality's score. Every threshold is an
+    // exact integer comparison (sum_len vs 3n/10n, 10·top_cnt vs n, …)
+    // so no float rounding can flip a flag cross-engine; the top-token
+    // count is a linear run-length fold over the sorted token array —
+    // one MAP-ONLY corpus pass, no explode, no shuffle (GopherRulesSpec
+    // asserts the plan is exchange-free).
+    "tx_gopher_rules" -> ((s, d) =>
+      graft.text.GopherRules.ruleFlags(
+        t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    // The rule-cost FUNNEL over those flags: per rule, how many docs it
+    // rejects at all (n_fail) and how many ONLY it rejects (n_sole_fail
+    // — what waiving the rule would recover). The audit a reviewer reads
+    // before adopting a gate; 6-row output at any corpus scale.
+    "tx_gopher_funnel" -> ((s, d) =>
+      graft.text.GopherRules.ruleFunnel(
+        graft.text.GopherRules.ruleFlags(
+          t(s, d, "documents"), col("doc_id"), col("text")))),
 
     // tx_classifier: IN-ENGINE quality-classifier training + corpus
     // scoring — the classifier-based filtering step of modern curation
@@ -903,6 +954,26 @@ object QText {
                  round(CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END)
                    AS DOUBLE) / count(*), 6) AS frac_kept
           FROM e GROUP BY threshold""",
+    "tx_gopher_rules" ->
+      s"""WITH $gopherFlagsSql
+          SELECT doc_id, n_tok, r_wc, r_mwl, r_alpha, r_stop, r_top, r_dup,
+                 (r_wc AND r_mwl AND r_alpha AND r_stop AND r_top AND r_dup)
+                   AS keep
+          FROM fl""",
+    "tx_gopher_funnel" -> {
+      val rules = Seq("r_wc", "r_mwl", "r_alpha", "r_stop", "r_top", "r_dup")
+      val nf = rules.map(r => s"CASE WHEN $r THEN 0 ELSE 1 END").mkString(" + ")
+      val arms = rules.map(r =>
+        s"""SELECT '$r' AS rule,
+                   CASE WHEN $r THEN 0 ELSE 1 END AS fail,
+                   CASE WHEN NOT $r AND nf = 1 THEN 1 ELSE 0 END AS sole
+            FROM f2""").mkString("\n UNION ALL\n")
+      s"""WITH $gopherFlagsSql,
+               f2 AS (SELECT *, ($nf) AS nf FROM fl)
+          SELECT rule, CAST(sum(fail) AS BIGINT) AS n_fail,
+                 CAST(sum(sole) AS BIGINT) AS n_sole_fail
+          FROM ($arms) GROUP BY rule"""
+    },
     "tx_source_profile" ->
       s"""WITH q AS (SELECT source, lang, n_chars,
                             CAST(len($toksSql) AS BIGINT) AS n_tok,

@@ -1,0 +1,112 @@
+package graft.text
+
+import graft.text.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style per-rule quality filtering (Rae et al. 2021, "Scaling
+  * Language Models: Methods, Analysis & Insights from Training Gopher",
+  * Appendix A1.1) — the RULE-LEVEL complement of
+  * [[TextFunctions.qualityScore]]'s composite score: each document gets a
+  * named boolean per rule plus the composite `keep`, and [[ruleFunnel]]
+  * reports what each rule actually costs (marginal and sole-fail doc
+  * counts) — the audit a curation reviewer reads before adopting a gate,
+  * the no-silent-caps rule applied to quality filtering itself.
+  *
+  * The reference pipeline has no document-quality pass (it trains on a
+  * fixed curated set, reference: train/common/dataset.py); this is part of
+  * the LLM-curation surface the brief adds on top.
+  *
+  * Exactness contract: every threshold is an EXACT INTEGER comparison —
+  * `mean word length ≥ 3` is tested as `sum_len ≥ 3·n_tok`, `top-token
+  * fraction ≤ 1/10` as `10·top_cnt ≤ n_tok`, and so on — so no float
+  * rounding can flip a flag between engines. Rule set (bounds adapted to
+  * this corpus's 10-99-token documents; Gopher's own are 50..100k words):
+  *
+  *  - `r_wc`:    token count in [20, 80]
+  *  - `r_mwl`:   mean token length in [3, 10]  (sum_len vs 3n / 10n)
+  *  - `r_alpha`: ≥ 80% of tokens contain an alphabetic character
+  *  - `r_stop`:  ≥ 2 distinct stopwords from a fixed 8-word list
+  *  - `r_top`:   most frequent token ≤ 1/10 of all tokens
+  *  - `r_dup`:   duplicate-token fraction ≤ 1/2  (Gopher's repetition axis)
+  *
+  * Scale shape (100 TB): [[ruleFlags]] is a MAP-ONLY pass — every signal
+  * including the top-token count comes from per-row array folds (the
+  * multiplicity count is a linear run-length fold over the doc's SORTED
+  * token array, never an explode), so the gate costs one corpus scan with
+  * NO shuffle (asserted in GopherRulesSpec). [[ruleFunnel]] adds one
+  * 6-row aggregate on top. Zero-token documents pass the ratio rules
+  * vacuously (0 ≥ 0) and are dropped by `r_wc` — `keep` is still false.
+  */
+object GopherRules {
+
+  /** The fixed stopword list `r_stop` draws from (engine policy). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "that")
+
+  /** Largest per-token multiplicity in a token array: sort, then one
+    * linear fold tracking (prev, current run, best run) — equal tokens
+    * are adjacent after the sort, so the longest run IS the top count.
+    * Map-side only; no explode, no shuffle.
+    */
+  def topTokenCount(toks: Column): Column =
+    aggregate(
+      sort_array(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Per-document rule flags: (doc_id, n_tok, r_wc, r_mwl, r_alpha,
+    * r_stop, r_top, r_dup, keep). One map-only corpus pass.
+    */
+  def ruleFlags(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val sw = array(Stopwords.map(lit): _*)
+    docs
+      .select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("sum_len"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(col("toks")), sw)).cast("long").as("n_stop"),
+        topTokenCount(col("toks")).as("top_cnt"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") >= 20L && col("n_tok") <= 80L).as("r_wc"),
+        (col("sum_len") >= col("n_tok") * 3L &&
+          col("sum_len") <= col("n_tok") * 10L).as("r_mwl"),
+        (col("n_alpha") * 5L >= col("n_tok") * 4L).as("r_alpha"),
+        (col("n_stop") >= 2L).as("r_stop"),
+        (col("top_cnt") * 10L <= col("n_tok")).as("r_top"),
+        ((col("n_tok") - col("n_distinct")) * 2L <= col("n_tok")).as("r_dup"))
+      .withColumn("keep",
+        col("r_wc") && col("r_mwl") && col("r_alpha") &&
+          col("r_stop") && col("r_top") && col("r_dup"))
+  }
+
+  private val RuleNames =
+    Seq("r_wc", "r_mwl", "r_alpha", "r_stop", "r_top", "r_dup")
+
+  /** The rule-cost audit over [[ruleFlags]] output: one row per rule with
+    * `n_fail` (documents the rule rejects at all) and `n_sole_fail`
+    * (documents ONLY this rule rejects — what waiving it would recover).
+    * 6-row output at any corpus scale; one explode×6 + aggregate.
+    */
+  def ruleFunnel(flags: DataFrame): DataFrame = {
+    val nFails = RuleNames
+      .map(r => when(col(r), 0).otherwise(1))
+      .reduce(_ + _)
+    flags
+      .withColumn("__nf", nFails)
+      .select(explode(array(RuleNames.map(r =>
+        struct(lit(r).as("rule"), (!col(r)).as("fail"),
+          (!col(r) && col("__nf") === 1).as("sole"))): _*)).as("x"))
+      .groupBy(col("x.rule").as("rule"))
+      .agg(sum(when(col("x.fail"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(col("x.sole"), 1L).otherwise(0L)).as("n_sole_fail"))
+  }
+}

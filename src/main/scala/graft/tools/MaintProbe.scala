@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir}
   * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {
@@ -329,6 +329,33 @@ object MaintProbe {
               .agg(count(lit(1))).collect()
           }
       }
+    }
+    // ---- dsir: DSIR model fit + scoring at 10× apart — fit is two
+    // explode→B-bucket aggregates (map-side combine collapses the gram
+    // explosion), scoring is the shuffle-free broadcast-λ fold; both
+    // should scale ~linearly in corpus tokens, and the 10× wall ratio is
+    // the evidence.
+    if (sections("dsir")) locally {
+      import graft.ops.Dsir
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      for (copies <- Seq(20, 200)) {
+        val docs = amplify(docs0, "doc_id", copies, 10000000L)
+          .localCheckpoint()
+        val n = docs.count()
+        val (model, _) = time(s"dsir/model fit, $n docs (B=4096)") {
+          val m = Dsir.importanceModel(docs,
+              docs.filter(col("lang") === "en"), col("text"), buckets = 4096)
+            .localCheckpoint(false)
+          m.count(); m
+        }
+        time(s"dsir/score + Gumbel top-1k resample, $n docs") {
+          Dsir.importanceResample(
+            Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+              model, 4096),
+            col("doc_id"), k = 1000, seed = 1L).count()
+        }
+      }
+      spark.catalog.clearCache()
     }
     // ---- budgetdiag: stage-by-stage timing of the two-phase cumsum at
     // the 40M cliff (both pack and budget jump superlinearly 10M→40M;
