@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB): model fit is two explode → `buckets`-bucket
   * hash-aggregates — partial aggregation collapses the gram explosion
   * map-side, the shuffle moves ≤ `buckets` rows per task. Scoring is
-  * SHUFFLE-FREE: the λ table folds into a one-row `map<long,long>`
-  * broadcast (the allowlisted one-row broadcast cross — the
-  * `bigramLmScores` vocabulary pattern), and each doc sums its own
+  * SHUFFLE-FREE: the λ table folds into a one-row position-indexed
+  * `array<long>` broadcast (the allowlisted one-row broadcast cross —
+  * the `bigramLmScores` vocabulary pattern; an array, not a map, because
+  * Catalyst map element_at is a linear scan), and each doc sums its own
   * features' entries with `aggregate()` in the project — a map-only pass
   * over the corpus, no doc-keyed shuffle. Resample is a global top-k
   * (per-partition heads, driver merges k rows).
@@ -49,10 +50,20 @@ object Dsir {
     * CodegenFallback caveat — project `tokens(text)` once first).
     * Singleton docs contribute their unigram only (no degenerate
     * 1-token "bigram").
+    *
+    * `xxh = true` swaps the md5-prefix bucket hash for `xxhash64 mod B`
+    * — the 100 TB fast path (the d10 hashGrams precedent): DSIR's
+    * feature hash only needs UNIFORMITY, not a specific function, so
+    * any uniform hash yields an equally valid model; xxhash64 skips the
+    * 32-hex-digit string + base-16 parse per gram (measured ~2× on both
+    * the fit and the scoring pass at 1M docs, §6.3). The md5 form stays
+    * the default because the DuckDB oracle can reproduce it exactly.
     */
-  def featureBuckets(toks: Column, buckets: Int): Column = {
+  def featureBuckets(toks: Column, buckets: Int,
+                     xxh: Boolean = false): Column = {
     def b(g: Column): Column =
-      conv(substring(md5(g), 1, 15), 16, 10).cast("long") % buckets
+      if (xxh) pmod(xxhash64(g), lit(buckets.toLong))
+      else conv(substring(md5(g), 1, 15), 16, 10).cast("long") % buckets
     concat(
       transform(toks, b _),
       when(size(toks) >= 2,
@@ -71,12 +82,20 @@ object Dsir {
     * a broadcast-sized artifact at any corpus scale.
     */
   def importanceModel(raw: DataFrame, target: DataFrame, text: Column,
-                      buckets: Int, alpha: Double = 1.0): DataFrame = {
+                      buckets: Int, alpha: Double = 1.0,
+                      xxh: Boolean = false): DataFrame = {
     require(buckets > 0 && buckets <= 65536,
       s"importanceModel: buckets must be in (0, 65536] (the λ table " +
-        s"broadcasts as a one-row map), got $buckets")
+        s"broadcasts as a one-row array), got $buckets")
+    // project tokens into a bound attribute BEFORE featureBuckets: the
+    // HOF lambdas are CodegenFallback, so an inlined tokens(text) would
+    // re-run the regex split at every element_at of the bigram transform
+    // — O(tokens²) per doc (the wordNgramsFromTokens caveat). CollapseProject
+    // keeps the boundary because the alias is non-cheap and multiply
+    // referenced.
     def counts(df: DataFrame, as: String): DataFrame = df
-      .select(explode(featureBuckets(tokens(text), buckets)).as("bucket"))
+      .select(tokens(text).as("__toks"))
+      .select(explode(featureBuckets(col("__toks"), buckets, xxh)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(as))
     val spark = raw.sparkSession
     val spine = spark.range(buckets).select(col("id").as("bucket"))
@@ -115,15 +134,30 @@ object Dsir {
     * corpus, nothing doc-keyed ever shuffles.
     */
   def importanceWeights(docs: DataFrame, id: Column, text: Column,
-                        model: DataFrame, buckets: Int): DataFrame = {
-    val m = model.agg(map_from_entries(
-      collect_list(struct(col("bucket"), col("lam6")))).as("__lam"))
+                        model: DataFrame, buckets: Int,
+                        xxh: Boolean = false): DataFrame = {
+    // POSITION-INDEXED λ array, not a map: Catalyst's ArrayBasedMapData
+    // element_at is a LINEAR scan, so a map lookup costs O(B) per
+    // feature — the map form measured 133 s vs 7.5 s for this array
+    // form on the same 1M-doc scoring pass at B=4096 (§6.3).
+    // importanceModel's spine guarantees every bucket 0..B-1 has a row,
+    // so sorting by bucket makes position b+1 the bucket-b entry and
+    // the fold's lookup O(1).
+    val m = model.agg(
+      transform(array_sort(collect_list(struct(col("bucket"), col("lam6")))),
+        s => s.getField("lam6")).as("__lam"))
     docs.select(id.as("doc_id"), tokens(text).as("__toks"))
+      // bind the feature array ONCE: size() and the λ fold both read it,
+      // and featureBuckets is itself a non-cheap HOF tree (CollapseProject
+      // keeps the boundary for a multiply-referenced non-cheap alias)
+      .select(col("doc_id"),
+        featureBuckets(col("__toks"), buckets, xxh).as("__fb"))
       .crossJoin(broadcast(m))
       .select(col("doc_id"),
-        size(featureBuckets(col("__toks"), buckets)).as("n_feats"),
-        aggregate(featureBuckets(col("__toks"), buckets), lit(0L),
-          (acc, b) => acc + element_at(col("__lam"), b)).as("logw6"))
+        size(col("__fb")).as("n_feats"),
+        aggregate(col("__fb"), lit(0L),
+          (acc, b) => acc + element_at(col("__lam"), (b + 1).cast("int")))
+          .as("logw6"))
       .select(col("doc_id"), col("n_feats"), col("logw6"),
         round(col("logw6") / 1e6, 6).as("logw"))
   }

@@ -359,13 +359,15 @@ object Pipelines {
                   semMaxCell: Int = 512,
                   protoPruneFraction: Double = 0.0,
                   keepBy: Option[Column] = None,
-                  lineScrubDf: Int = 0): DataFrame =
+                  lineScrubDf: Int = 0,
+                  gopherGate: Boolean = false): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
       imageCol, imageGridRows, imageBandBits, maxImageHamming,
       audioCol, videoCol, embeddingCol, semCells, minCosine,
-      semMaxCell, protoPruneFraction, keepBy, lineScrubDf).last._2
+      semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
+      gopherGate).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -403,7 +405,8 @@ object Pipelines {
                         semMaxCell: Int = 512,
                         protoPruneFraction: Double = 0.0,
                         keepBy: Option[Column] = None,
-                        lineScrubDf: Int = 0): Seq[(String, DataFrame)] = {
+                        lineScrubDf: Int = 0,
+                        gopherGate: Boolean = false): Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     val stages = Seq.newBuilder[(String, DataFrame)]
@@ -437,9 +440,17 @@ object Pipelines {
     val quality = cleanSrc.filter(
       round(graft.text.TextFunctions.qualityScoreNative(cleanText), 6) >= minQuality)
     stages += ("quality_gate" -> quality)
+    // Gopher per-rule gate (opt-in): the named-rule filter on top of the
+    // scored gate — one more map-only predicate (keepExpr let-binds the
+    // token array, so the six rules cost one tokenization), no shuffle;
+    // the tx_gopher_funnel view is the audit for what it drops
+    val gated =
+      if (!gopherGate) quality
+      else quality.filter(graft.text.GopherRules.keepExpr(cleanText))
+    if (gopherGate) stages += ("gopher_gate" -> gated)
     val capped0 =
-      if (maxPerSource <= 0) quality
-      else graft.ops.Sampling.domainCap(quality, col(sourceCol), id, maxPerSource)
+      if (maxPerSource <= 0) gated
+      else graft.ops.Sampling.domainCap(gated, col(sourceCol), id, maxPerSource)
     if (maxPerSource > 0) stages += ("domain_cap" -> capped0)
     val capped = evalDocs match {
       case None => capped0

@@ -61,32 +61,71 @@ object GopherRules {
       },
       acc => acc.getField("best"))
 
+  // signal builders over a token-array column (bound attribute OR lambda
+  // variable) and the rule comparisons over the signals — ONE set of
+  // arithmetic shared by ruleFlags and keepExpr, so the view and the
+  // pipeline gate cannot drift (parity asserted in GopherRulesSpec)
+  private def sumLenOf(toks: Column): Column =
+    aggregate(toks, lit(0L), (a, t) => a + length(t))
+  private def nAlphaOf(toks: Column): Column =
+    size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+  private def nStopOf(toks: Column): Column =
+    size(array_intersect(array_distinct(toks),
+      array(Stopwords.map(lit): _*))).cast("long")
+  private def rWc(nTok: Column) = nTok >= 20L && nTok <= 80L
+  private def rMwl(nTok: Column, sumLen: Column) =
+    sumLen >= nTok * 3L && sumLen <= nTok * 10L
+  private def rAlpha(nTok: Column, nAlpha: Column) = nAlpha * 5L >= nTok * 4L
+  private def rStop(nStop: Column) = nStop >= 2L
+  private def rTop(nTok: Column, topCnt: Column) = topCnt * 10L <= nTok
+  private def rDup(nTok: Column, nDistinct: Column) =
+    (nTok - nDistinct) * 2L <= nTok
+
   /** Per-document rule flags: (doc_id, n_tok, r_wc, r_mwl, r_alpha,
     * r_stop, r_top, r_dup, keep). One map-only corpus pass.
     */
-  def ruleFlags(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val sw = array(Stopwords.map(lit): _*)
+  def ruleFlags(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs
       .select(id.as("doc_id"), tokens(text).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),
-        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("sum_len"),
+        sumLenOf(col("toks")).as("sum_len"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
-        size(array_intersect(array_distinct(col("toks")), sw)).cast("long").as("n_stop"),
+        nAlphaOf(col("toks")).as("n_alpha"),
+        nStopOf(col("toks")).as("n_stop"),
         topTokenCount(col("toks")).as("top_cnt"))
       .select(col("doc_id"), col("n_tok"),
-        (col("n_tok") >= 20L && col("n_tok") <= 80L).as("r_wc"),
-        (col("sum_len") >= col("n_tok") * 3L &&
-          col("sum_len") <= col("n_tok") * 10L).as("r_mwl"),
-        (col("n_alpha") * 5L >= col("n_tok") * 4L).as("r_alpha"),
-        (col("n_stop") >= 2L).as("r_stop"),
-        (col("top_cnt") * 10L <= col("n_tok")).as("r_top"),
-        ((col("n_tok") - col("n_distinct")) * 2L <= col("n_tok")).as("r_dup"))
+        rWc(col("n_tok")).as("r_wc"),
+        rMwl(col("n_tok"), col("sum_len")).as("r_mwl"),
+        rAlpha(col("n_tok"), col("n_alpha")).as("r_alpha"),
+        rStop(col("n_stop")).as("r_stop"),
+        rTop(col("n_tok"), col("top_cnt")).as("r_top"),
+        rDup(col("n_tok"), col("n_distinct")).as("r_dup"))
       .withColumn("keep",
         col("r_wc") && col("r_mwl") && col("r_alpha") &&
           col("r_stop") && col("r_top") && col("r_dup"))
-  }
+
+  /** The composite keep as ONE boolean expression over raw text — the
+    * form a pipeline filter wants ([[graft.pipelines.Pipelines]]
+    * dedupCorpus `gopherGate`). The token array is let-bound via a
+    * single-element `transform`, so tokenization runs ONCE per row no
+    * matter how many rules read it (a lambda variable, unlike a
+    * projected alias, cannot be inlined apart by the optimizer).
+    * Identical decisions to [[ruleFlags]]' `keep` by construction
+    * (shared rule builders) and by assertion (GopherRulesSpec).
+    */
+  def keepExpr(text: Column): Column =
+    element_at(
+      transform(array(tokens(text)), toks => {
+        val nTok = size(toks).cast("long")
+        rWc(nTok) &&
+          rMwl(nTok, sumLenOf(toks)) &&
+          rAlpha(nTok, nAlphaOf(toks)) &&
+          rStop(nStopOf(toks)) &&
+          rTop(nTok, topTokenCount(toks)) &&
+          rDup(nTok, size(array_distinct(toks)).cast("long"))
+      }),
+      1)
 
   private val RuleNames =
     Seq("r_wc", "r_mwl", "r_alpha", "r_stop", "r_top", "r_dup")

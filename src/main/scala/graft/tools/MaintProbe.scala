@@ -354,6 +354,22 @@ object MaintProbe {
               model, 4096),
             col("doc_id"), k = 1000, seed = 1L).count()
         }
+        // the xxhash64 fast path (oracle-inexpressible, same model
+        // semantics): the delta vs the md5 run above is the per-gram
+        // hex-string + base-16-parse cost the 100 TB tier avoids
+        val (modelX, _) = time(s"dsir/model fit XXH, $n docs (B=4096)") {
+          val m = Dsir.importanceModel(docs,
+              docs.filter(col("lang") === "en"), col("text"),
+              buckets = 4096, xxh = true)
+            .localCheckpoint(false)
+          m.count(); m
+        }
+        time(s"dsir/score + resample XXH, $n docs") {
+          Dsir.importanceResample(
+            Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+              modelX, 4096, xxh = true),
+            col("doc_id"), k = 1000, seed = 1L).count()
+        }
       }
       spark.catalog.clearCache()
     }

@@ -109,6 +109,37 @@ class DsirSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("xxh fast path: same model semantics under the other uniform hash") {
+    // the d10 hashGrams precedent: the feature hash only needs
+    // uniformity, so the xxhash64 path must conserve counts, keep λ
+    // arithmetic exact, and still separate target-like docs from noise
+    val mx = Dsir.importanceModel(docs, docs.filter(col("lang") === "en"),
+      col("text"), B, xxh = true)
+    val m = mx.collect()
+    assert(m.length === B)
+    val (tSum, rSum) = (m.map(_.getLong(1)).sum, m.map(_.getLong(2)).sum)
+    val featCount = Seq(5, 4, 6, 5, 5).map(k => 2 * k - 1).sum
+    assert(rSum === featCount.toLong)
+    assert(tSum === Seq(5, 4, 5).map(k => 2 * k - 1).sum.toLong)
+    m.foreach { r =>
+      val lam = math.round((
+        math.log((r.getLong(1) + 1.0) / (tSum + B.toDouble)) -
+          math.log((r.getLong(2) + 1.0) / (rSum + B.toDouble))) * 1e6)
+      assert(r.getLong(3) === lam, s"bucket ${r.getLong(0)}")
+    }
+    val w = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+        mx, B, xxh = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(w.size === 6)
+    // n_feats is hash-independent; the empty doc still scores zero
+    assert(w(1L).getInt(1) === 9 && w(6L).getInt(1) === 0)
+    assert(w(6L).getLong(2) === 0L)
+    val en = Seq(1L, 2L, 5L).map(id => w(id).getLong(2))
+    val xx = Seq(3L, 4L).map(id => w(id).getLong(2))
+    assert(en.min > xx.max,
+      s"xxh path: en (${en.mkString(",")}) vs xx (${xx.mkString(",")})")
+  }
+
   test("importanceModel refuses absurd bucket counts") {
     intercept[IllegalArgumentException] {
       Dsir.importanceModel(docs, docs, col("text"), 100000)

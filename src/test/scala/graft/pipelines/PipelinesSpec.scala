@@ -535,6 +535,33 @@ class PipelinesSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("dedupCorpus gopherGate: the per-rule gate drops what the scored gate passes") {
+    import org.apache.spark.sql.functions.col
+    // both long docs clear the SCORED quality gate (length + stopwords);
+    // doc 2 additionally trips Gopher's top-token-dominance rule (one
+    // word 6× in 35 tokens > 1/10) — only the per-rule gate sees that
+    val clean = ((1 to 30).map(i => s"alpha$i") ++ Seq("the", "a", "is", "that"))
+      .mkString(" ")
+    val topHeavy = ((1 to 25).map(i => s"beta$i") ++
+      Seq.fill(6)("repeatme") ++ Seq("the", "a", "is", "that")).mkString(" ")
+    val docs = Seq(1L -> clean, 2L -> topHeavy, 3L -> "xx")
+      .toDF("doc_id", "text")
+    val off = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(off === Set(1L, 2L)) // scored gate alone keeps both long docs
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      gopherGate = true)
+    assert(stages.map(_._1).contains("gopher_gate"))
+    val on = stages.last._2.select("doc_id").as[Long].collect().toSet
+    assert(on === Set(1L))
+    // the stage is exactly the keepExpr filter of the scored-gate output
+    val q = stages.toMap.apply("quality_gate")
+    val g = stages.toMap.apply("gopher_gate")
+    assert(g.select("doc_id").as[Long].collect().toSet ===
+      q.filter(graft.text.GopherRules.keepExpr(col("text")))
+        .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("dedupCorpus opt-in stages: containment catches doc-in-doc dups; domain cap bounds each source") {
     import org.apache.spark.sql.functions.col
     val long = "the quick brown fox jumps over the lazy dog and then runs " +

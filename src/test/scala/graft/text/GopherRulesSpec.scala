@@ -79,6 +79,22 @@ class GopherRulesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("keepExpr == ruleFlags.keep on fixtures AND the real corpus") {
+    val viaExpr = docs.filter(GopherRules.keepExpr(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaFlags = flags.filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaExpr === viaFlags)
+    val d = graft.core.Tables.load(spark, sf0001, "documents")
+    val e = d.filter(GopherRules.keepExpr(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val f = GopherRules.ruleFlags(d, col("doc_id"), col("text"))
+      .filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(e === f)
+    assert(e.nonEmpty)
+  }
+
   test("rules discriminate on the real corpus (nothing constant-true/false)") {
     val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val f = GopherRules.ruleFlags(d, col("doc_id"), col("text"))
