@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * Exactness contract: every threshold is an EXACT INTEGER comparison —
   * `mean word length ≥ 3` is tested as `sum_len ≥ 3·n_tok`, `top-token
   * fraction ≤ 1/10` as `10·top_cnt ≤ n_tok`, and so on — so no float
-  * rounding can flip a flag between engines. Rule set (bounds adapted to
-  * this corpus's 10-99-token documents; Gopher's own are 50..100k words):
+  * rounding can flip a flag between engines. Rule set (default [[Bounds]]
+  * adapted to this corpus's 10-99-token documents; Gopher's own would be
+  * `Bounds(minTokens = 50, maxTokens = 100000)` — every threshold is
+  * caller-configurable, ratios as exact (num, den) pairs):
   *
   *  - `r_wc`:    token count in [20, 80]
   *  - `r_mwl`:   mean token length in [3, 10]  (sum_len vs 3n / 10n)
@@ -43,6 +45,20 @@ object GopherRules {
   /** The fixed stopword list `r_stop` draws from (engine policy). */
   val Stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "that")
+
+  /** Rule thresholds, all exact-integer: ratios are (num, den) pairs
+    * compared cross-multiplied so no float can flip a flag. Defaults are
+    * the corpus-adapted bounds the tx_gopher_* oracles pin; Gopher's own
+    * paper values would be e.g. `Bounds(minTokens = 50, maxTokens =
+    * 100000)`.
+    */
+  final case class Bounds(
+      minTokens: Long = 20, maxTokens: Long = 80,
+      minMeanLen: Long = 3, maxMeanLen: Long = 10,
+      minAlphaFrac: (Long, Long) = (4L, 5L), // ≥ 4/5 of tokens alphabetic
+      minStopwords: Long = 2,
+      maxTopFrac: (Long, Long) = (1L, 10L),  // top token ≤ 1/10 of tokens
+      maxDupFrac: (Long, Long) = (1L, 2L))   // dup fraction ≤ 1/2
 
   /** Largest per-token multiplicity in a token array: sort, then one
     * linear fold tracking (prev, current run, best run) — equal tokens
@@ -72,19 +88,23 @@ object GopherRules {
   private def nStopOf(toks: Column): Column =
     size(array_intersect(array_distinct(toks),
       array(Stopwords.map(lit): _*))).cast("long")
-  private def rWc(nTok: Column) = nTok >= 20L && nTok <= 80L
-  private def rMwl(nTok: Column, sumLen: Column) =
-    sumLen >= nTok * 3L && sumLen <= nTok * 10L
-  private def rAlpha(nTok: Column, nAlpha: Column) = nAlpha * 5L >= nTok * 4L
-  private def rStop(nStop: Column) = nStop >= 2L
-  private def rTop(nTok: Column, topCnt: Column) = topCnt * 10L <= nTok
-  private def rDup(nTok: Column, nDistinct: Column) =
-    (nTok - nDistinct) * 2L <= nTok
+  private def rWc(b: Bounds)(nTok: Column) =
+    nTok >= b.minTokens && nTok <= b.maxTokens
+  private def rMwl(b: Bounds)(nTok: Column, sumLen: Column) =
+    sumLen >= nTok * b.minMeanLen && sumLen <= nTok * b.maxMeanLen
+  private def rAlpha(b: Bounds)(nTok: Column, nAlpha: Column) =
+    nAlpha * b.minAlphaFrac._2 >= nTok * b.minAlphaFrac._1
+  private def rStop(b: Bounds)(nStop: Column) = nStop >= b.minStopwords
+  private def rTop(b: Bounds)(nTok: Column, topCnt: Column) =
+    topCnt * b.maxTopFrac._2 <= nTok * b.maxTopFrac._1
+  private def rDup(b: Bounds)(nTok: Column, nDistinct: Column) =
+    (nTok - nDistinct) * b.maxDupFrac._2 <= nTok * b.maxDupFrac._1
 
   /** Per-document rule flags: (doc_id, n_tok, r_wc, r_mwl, r_alpha,
     * r_stop, r_top, r_dup, keep). One map-only corpus pass.
     */
-  def ruleFlags(docs: DataFrame, id: Column, text: Column): DataFrame =
+  def ruleFlags(docs: DataFrame, id: Column, text: Column,
+                bounds: Bounds = Bounds()): DataFrame =
     docs
       .select(id.as("doc_id"), tokens(text).as("toks"))
       .select(col("doc_id"),
@@ -95,12 +115,12 @@ object GopherRules {
         nStopOf(col("toks")).as("n_stop"),
         topTokenCount(col("toks")).as("top_cnt"))
       .select(col("doc_id"), col("n_tok"),
-        rWc(col("n_tok")).as("r_wc"),
-        rMwl(col("n_tok"), col("sum_len")).as("r_mwl"),
-        rAlpha(col("n_tok"), col("n_alpha")).as("r_alpha"),
-        rStop(col("n_stop")).as("r_stop"),
-        rTop(col("n_tok"), col("top_cnt")).as("r_top"),
-        rDup(col("n_tok"), col("n_distinct")).as("r_dup"))
+        rWc(bounds)(col("n_tok")).as("r_wc"),
+        rMwl(bounds)(col("n_tok"), col("sum_len")).as("r_mwl"),
+        rAlpha(bounds)(col("n_tok"), col("n_alpha")).as("r_alpha"),
+        rStop(bounds)(col("n_stop")).as("r_stop"),
+        rTop(bounds)(col("n_tok"), col("top_cnt")).as("r_top"),
+        rDup(bounds)(col("n_tok"), col("n_distinct")).as("r_dup"))
       .withColumn("keep",
         col("r_wc") && col("r_mwl") && col("r_alpha") &&
           col("r_stop") && col("r_top") && col("r_dup"))
@@ -114,16 +134,16 @@ object GopherRules {
     * Identical decisions to [[ruleFlags]]' `keep` by construction
     * (shared rule builders) and by assertion (GopherRulesSpec).
     */
-  def keepExpr(text: Column): Column =
+  def keepExpr(text: Column, bounds: Bounds = Bounds()): Column =
     element_at(
       transform(array(tokens(text)), toks => {
         val nTok = size(toks).cast("long")
-        rWc(nTok) &&
-          rMwl(nTok, sumLenOf(toks)) &&
-          rAlpha(nTok, nAlphaOf(toks)) &&
-          rStop(nStopOf(toks)) &&
-          rTop(nTok, topTokenCount(toks)) &&
-          rDup(nTok, size(array_distinct(toks)).cast("long"))
+        rWc(bounds)(nTok) &&
+          rMwl(bounds)(nTok, sumLenOf(toks)) &&
+          rAlpha(bounds)(nTok, nAlphaOf(toks)) &&
+          rStop(bounds)(nStopOf(toks)) &&
+          rTop(bounds)(nTok, topTokenCount(toks)) &&
+          rDup(bounds)(nTok, size(array_distinct(toks)).cast("long"))
       }),
       1)
 

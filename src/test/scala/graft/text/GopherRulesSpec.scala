@@ -79,6 +79,25 @@ class GopherRulesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("custom Bounds move the thresholds (defaults are what the oracle pins)") {
+    val loose = GopherRules.Bounds(minTokens = 1, minStopwords = 0,
+      maxTopFrac = (1L, 1L), maxDupFrac = (1L, 1L))
+    val f = GopherRules.ruleFlags(docs, col("doc_id"), col("text"), loose)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = f(id).getBoolean(f(id).fieldIndex(c))
+    assert(b(2L, "r_wc"))                    // 4 tokens pass the 1-floor
+    assert(b(4L, "r_stop"))                  // stopword floor waived
+    assert(b(5L, "r_top") && b(5L, "r_dup")) // dominance/dup caps lifted
+    assert(!b(6L, "r_wc"))                   // empty doc still below 1
+    // keepExpr honors the same bounds
+    val viaExpr = docs.filter(GopherRules.keepExpr(col("text"), loose))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaFlags = GopherRules.ruleFlags(docs, col("doc_id"), col("text"), loose)
+      .filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaExpr === viaFlags)
+  }
+
   test("keepExpr == ruleFlags.keep on fixtures AND the real corpus") {
     val viaExpr = docs.filter(GopherRules.keepExpr(col("text")))
       .select("doc_id").collect().map(_.getLong(0)).toSet
