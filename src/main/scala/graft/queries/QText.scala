@@ -99,6 +99,39 @@ object QText {
                  ((gs.n_tok - gs.n_distinct) * 2 <= gs.n_tok) AS r_dup
                FROM gs LEFT JOIN gmc USING (doc_id))"""
 
+  // DuckDB twin of the Bpe trainer: k merge rounds unrolled into
+  // (pair-count, argmax, replace) CTE triples — the classifier/v9 unroll
+  // discipline. The double-space symbol representation makes the greedy
+  // merge application a plain string replace with identical semantics in
+  // both engines (Bpe.scala's exactness contract).
+  private val bpeRounds = 8
+  private val bpeSql: String = {
+    val head =
+      s"""bv AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                 FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+                 GROUP BY 1),
+          bw0 AS (SELECT word, freq,
+                         '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS w
+                  FROM bv)"""
+    val rounds = (1 to bpeRounds).map { r =>
+      s"""bp$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                SELECT freq, unnest(list_transform(range(1, len(syms)),
+                  i -> syms[CAST(i AS INT)] || ' ' || syms[CAST(i AS INT) + 1]))
+                  AS pair
+                FROM (SELECT freq,
+                        list_filter(string_split(w, '  '), x -> x != '') AS syms
+                      FROM bw${r - 1})) GROUP BY 1),
+          bt$r AS (SELECT split_part(pair, ' ', 1) AS sym_a,
+                          split_part(pair, ' ', 2) AS sym_b, cnt
+                   FROM bp$r ORDER BY cnt DESC, pair LIMIT 1),
+          bw$r AS (SELECT word, freq,
+                          replace(w, ' ' || sym_a || '  ' || sym_b || ' ',
+                                  ' ' || sym_a || sym_b || ' ') AS w
+                   FROM bw${r - 1} CROSS JOIN bt$r)"""
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   // DuckDB twin of the tx_classifier trainer: the 3 GD iterations
   // unrolled into (gradient, weight) CTE pairs — the v9 kmeans unroll
   // discipline. Kept as builders so the feature list, the z expression,
@@ -263,6 +296,29 @@ object QText {
       graft.text.GopherRules.ruleFunnel(
         graft.text.GopherRules.ruleFlags(
           t(s, d, "documents"), col("doc_id"), col("text")))),
+
+    // In-engine BPE tokenizer training (Sennrich et al. 2016): the top-8
+    // learned merges with their counts — trained entirely on the
+    // (word, freq) vocabulary relation (ONE corpus pass), each round a
+    // vocab-sized aggregate + one-row argmax cross + string replace
+    // (exact greedy application via the double-space representation —
+    // Bpe.scala's contract). The oracle unrolls all 8 rounds into CTEs,
+    // so the whole trainer is under the hash.
+    "tx_bpe_merges" -> ((s, d) =>
+      graft.text.Bpe.learnMerges(
+        graft.text.Bpe.wordFreq(t(s, d, "documents"), col("text")),
+        8)._1),
+
+    // The learned tokenizer APPLIED: per document, word count vs subword
+    // count under the 8 merges — each distinct word segmented once in
+    // the vocab, documents equi-join it (broadcast-sized next to the
+    // corpus) and aggregate.
+    "tx_bpe_doc_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Bpe.docSubwordCounts(docs, col("doc_id"), col("text"),
+        graft.text.Bpe.learnMerges(
+          graft.text.Bpe.wordFreq(docs, col("text")), 8)._2)
+    }),
 
     // tx_classifier: IN-ENGINE quality-classifier training + corpus
     // scoring — the classifier-based filtering step of modern curation
@@ -954,6 +1010,22 @@ object QText {
                  round(CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END)
                    AS DOUBLE) / count(*), 6) AS frac_kept
           FROM e GROUP BY threshold""",
+    "tx_bpe_merges" -> {
+      val arms = (1 to bpeRounds).map(r =>
+        s"""SELECT $r AS round, sym_a, sym_b, sym_a || sym_b AS merged, cnt
+            FROM bt$r""").mkString("\n UNION ALL\n")
+      s"WITH $bpeSql\n$arms"
+    },
+    "tx_bpe_doc_tokens" ->
+      s"""WITH $bpeSql
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                 CAST(sum(n_syms) AS BIGINT) AS n_bpe
+          FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents) u
+          JOIN (SELECT word,
+                       CAST(len(list_filter(string_split(w, '  '), x -> x != ''))
+                         AS BIGINT) AS n_syms
+                FROM bw$bpeRounds) v USING (word)
+          GROUP BY doc_id""",
     "tx_gopher_rules" ->
       s"""WITH $gopherFlagsSql
           SELECT doc_id, n_tok, r_wc, r_mwl, r_alpha, r_stop, r_top, r_dup,

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe}
   * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {
@@ -369,6 +369,28 @@ object MaintProbe {
             Dsir.importanceWeights(docs, col("doc_id"), col("text"),
               modelX, 4096, xxh = true),
             col("doc_id"), k = 1000, seed = 1L).count()
+        }
+      }
+      spark.catalog.clearCache()
+    }
+    // ---- bpe: the Sennrich word-frequency claim measured — the corpus
+    // pass (wordFreq) must scale with the corpus while the k merge
+    // rounds, running on the vocab relation, stay FLAT as the corpus
+    // behind them grows (amplified copies share one vocabulary, which is
+    // exactly the production shape: vocab ≪ corpus).
+    if (sections("bpe")) locally {
+      import graft.text.Bpe
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      for (copies <- Seq(20, 200)) {
+        val docs = amplify(docs0, "doc_id", copies, 10000000L)
+          .localCheckpoint()
+        val n = docs.count()
+        val (vf, _) = time(s"bpe/wordFreq corpus pass, $n docs") {
+          val v = Bpe.wordFreq(docs, col("text")).localCheckpoint(false)
+          println(s"[probe] vocab size: ${v.count()}"); v
+        }
+        time(s"bpe/learnMerges k=8 over the vocab ($n docs behind it)") {
+          Bpe.learnMerges(vf, 8)._1.count()
         }
       }
       spark.catalog.clearCache()

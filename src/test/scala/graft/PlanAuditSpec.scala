@@ -116,7 +116,11 @@ class PlanAuditSpec extends SparkSpec {
       // x20/x21: DSIR's two one-row broadcast crosses — the N_t/N_r
       // totals over the B-row model, and the λ-map scoring cross (the
       // tx_lm_score vocabulary pattern); nothing doc-keyed shuffles
-      "x20_dsir_weights", "x21_dsir_sample")
+      "x20_dsir_weights", "x21_dsir_sample",
+      // BPE: each of the 8 merge rounds crosses the vocab relation with
+      // the one-row argmax winner (broadcast); vocab-sized, never the
+      // corpus
+      "tx_bpe_merges", "tx_bpe_doc_tokens")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||
