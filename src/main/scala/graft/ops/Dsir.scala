@@ -162,6 +162,49 @@ object Dsir {
         round(col("logw6") / 1e6, 6).as("logw"))
   }
 
+  /** The λ table collected into a position-indexed driver array — the
+    * input [[importanceWeightsStateless]] wants. Driver-bounded by
+    * construction (B ≤ 65536 longs, the importanceModel require); the
+    * [[graft.ann.Vectors]] assignCellsStateless precedent for freezing a
+    * small model into a projection.
+    */
+  def collectLambda(model: DataFrame, buckets: Int): Array[Long] = {
+    val rows = model.select(col("bucket"), col("lam6")).collect()
+    require(rows.length == buckets,
+      s"collectLambda: model has ${rows.length} rows, expected $buckets " +
+        "(importanceModel always emits the full bucket spine)")
+    val a = new Array[Long](buckets)
+    rows.foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+    a
+  }
+
+  /** STATELESS scoring twin of [[importanceWeights]]: the frozen λ array
+    * rides the projection as ONE array literal — no join of any kind, a
+    * pure map over the input, which makes it STREAM-SAFE as-is (the
+    * day-2 deployment: fit the model once on yesterday's corpus+target,
+    * score each incoming shard in its micro-batch; zero state store).
+    * Output identical to [[importanceWeights]] under the same model —
+    * asserted in DsirSpec and stream==batch in StreamingSpec.
+    */
+  def importanceWeightsStateless(docs: DataFrame, id: Column, text: Column,
+                                 lam6: Array[Long], buckets: Int,
+                                 xxh: Boolean = false): DataFrame = {
+    require(lam6.length == buckets,
+      s"importanceWeightsStateless: λ array has ${lam6.length} entries, " +
+        s"expected $buckets")
+    val lamLit = typedLit(lam6.toSeq)
+    docs.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .select(col("doc_id"),
+        featureBuckets(col("__toks"), buckets, xxh).as("__fb"))
+      .select(col("doc_id"),
+        size(col("__fb")).as("n_feats"),
+        aggregate(col("__fb"), lit(0L),
+          (acc, b) => acc + element_at(lamLit, (b + 1).cast("int")))
+          .as("logw6"))
+      .select(col("doc_id"), col("n_feats"), col("logw6"),
+        round(col("logw6") / 1e6, 6).as("logw"))
+  }
+
   /** Gumbel top-k importance resample over [[importanceWeights]] output:
     * key = logw6 + round(Gumbel(0,1) · 1e6) with the Gumbel drawn from
     * the deterministic PRF u = (detHash(detHash(id)+seed)+0.5)/2^60 —

@@ -193,6 +193,21 @@ object Streaming {
       .select(col(key), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming DSIR scoring — the day-2 deployment of
+    * [[graft.ops.Dsir]]: the importance model is FIT ONCE in batch
+    * (yesterday's corpus + target), its λ table frozen into the
+    * projection as one array literal
+    * ([[graft.ops.Dsir.collectLambda]] → importanceWeightsStateless,
+    * the assignCellsStateless precedent), and every incoming shard is
+    * scored statelessly in its micro-batch — no join, no state store,
+    * map-only. stream == batch weights asserted in StreamingSpec.
+    * Output per input row: (doc_id, n_feats, logw6, logw).
+    */
+  def scoreDsirStream(docsStream: DataFrame, lam6: Array[Long],
+                      buckets: Int, xxh: Boolean = false): DataFrame =
+    graft.ops.Dsir.importanceWeightsStateless(docsStream,
+      col("doc_id"), col("text"), lam6, buckets, xxh)
+
   /** D9 streaming twin: ingest-time dedup candidates. New documents are
     * banded STATELESSLY ([[graft.dedup.Dedup.bandedSignaturesProjected]] —
     * the kernel computes signatures inside the projection, so there is no

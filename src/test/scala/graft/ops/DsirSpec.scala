@@ -140,6 +140,24 @@ class DsirSpec extends SparkSpec {
       s"xxh path: en (${en.mkString(",")}) vs xx (${xx.mkString(",")})")
   }
 
+  test("stateless scoring (frozen λ literal) == the broadcast-join form") {
+    val lam = Dsir.collectLambda(model, B)
+    val a = Dsir.importanceWeights(docs, col("doc_id"), col("text"), model, B)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Dsir.importanceWeightsStateless(docs, col("doc_id"), col("text"),
+        lam, B)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b)
+    // truly stateless: the plan has NO join and no exchange at all
+    val p = Dsir.importanceWeightsStateless(docs, col("doc_id"), col("text"),
+      lam, B).queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"), p)
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeightsStateless(docs, col("doc_id"), col("text"),
+        new Array[Long](B + 1), B)
+    }
+  }
+
   test("importanceModel refuses absurd bucket counts") {
     intercept[IllegalArgumentException] {
       Dsir.importanceModel(docs, docs, col("text"), 100000)

@@ -128,6 +128,39 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("curatedFeed with a DSIR-selection curate closure: only importance-sampled docs feed the pack") {
+    import graft.ops.Dsir
+    // two-population corpus: every third doc is target-like
+    val docs = (1 to 120).map { i =>
+      val txt =
+        if (i % 3 == 0) "the solar system has planets and the sun is a star"
+        else "buy cheap pills now now now cheap deals"
+      (i.toLong, Seq("web", "code")(i % 2), txt, (i % 17 + 20).toLong)
+    }.toDF("doc_id", "source", "text", "n_tok")
+    val weights = Seq(("web", 1), ("code", 1)).toDF("source", "w")
+    val model = Dsir.importanceModel(docs,
+      docs.filter(col("doc_id") % 3 === 0), col("text"), 32)
+    val dsirSelect: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = d => {
+      val keep = Dsir.importanceResample(
+        Dsir.importanceWeights(d, col("doc_id"), col("text"), model, 32),
+        col("doc_id"), k = 40, seed = 5L)
+        .select(col("doc_id").as("__keep"))
+      d.join(broadcast(keep), col("doc_id") === col("__keep")).drop("__keep")
+    }
+    val out = java.nio.file.Files.createTempDirectory("dsirfeed").toString
+    Pipelines.curatedFeed(docs, "doc_id", "source", weights, col("n_tok"),
+      budget = 64, windowsPerShard = 4, outDir = out, curate = dsirSelect)
+    val packed = spark.read.parquet(out)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val selected = Dsir.importanceResample(
+      Dsir.importanceWeights(docs, col("doc_id"), col("text"), model, 32),
+      col("doc_id"), 40, 5L).select("doc_id").as[Long].collect().toSet
+    assert(packed.nonEmpty && packed.subsetOf(selected))
+    // the draw skews hard toward the target-like population
+    assert(selected.count(_ % 3 == 0) > selected.size / 2,
+      s"selected ${selected.size}, target-like ${selected.count(_ % 3 == 0)}")
+  }
+
   test("curatedFeed: plan → exact-count sample → packed shards; manifest and dirs agree") {
     val docs = (1 to 300).map { i =>
       (i.toLong, Seq("web", "code")(i % 2), (i % 37 + 38).toLong)

@@ -291,6 +291,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) === Set("a.y4m", "b.y4m"))
   }
 
+  test("streaming DSIR scoring (frozen λ literal) == batch weights") {
+    import graft.ops.Dsir
+    import org.apache.spark.sql.streaming.Trigger
+    val corpus = Seq(
+      (1L, "the solar system has planets", "en"),
+      (2L, "planets orbit the sun", "en"),
+      (3L, "buy cheap pills now now now", "xx"),
+      (4L, "the sun is a star", "en")).toDF("doc_id", "text", "lang")
+    val B = 16
+    // model fit ONCE in batch; λ frozen to the driver
+    val lam = Dsir.collectLambda(
+      Dsir.importanceModel(corpus, corpus.filter(col("lang") === "en"),
+        col("text"), B), B)
+    // today's shard arrives as a parquet stream
+    val shard = Seq((100L, "planets orbit a star"),
+      (101L, "cheap cheap deals now"), (102L, "")).toDF("doc_id", "text")
+    val dir = tmp("dsirstream")
+    shard.write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+    val q = Streaming.scoreDsirStream(stream, lam, B)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$dir/out")
+      }.start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val want = Dsir.importanceWeights(shard, col("doc_id"), col("text"),
+        Dsir.importanceModel(corpus, corpus.filter(col("lang") === "en"),
+          col("text"), B), B)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === want)
+    assert(got.size === 3 && got(102L)._2 === 0L) // empty doc scores zero
+  }
+
   test("streaming ingestCandidates == batch incremental dedup (new×index pairs)") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.streaming.Trigger
