@@ -338,7 +338,9 @@ object MaintProbe {
     if (sections("dsir")) locally {
       import graft.ops.Dsir
       val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
-      for (copies <- Seq(20, 200)) {
+      // 100k / 1M / 10M docs — two decades, so the scaling exponent of
+      // the corpus-sized scoring pass reads off twice
+      for (copies <- Seq(20, 200, 2000)) {
         val docs = amplify(docs0, "doc_id", copies, 10000000L)
           .localCheckpoint()
         val n = docs.count()
