@@ -772,6 +772,16 @@ object QText {
       graft.text.TextFunctions.bigramLmScores(
         t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    // Interpolated Kneser-Ney bigram scoring — the KenLM/CCNet smoothing
+    // family: absolute discount + continuation-probability back-off
+    // ("how many contexts does w2 follow", not "how often does it
+    // occur"). Same fixed-point mean discipline and scale shape as
+    // tx_lm_score; all counts exact integers, the log-prob expression
+    // associated identically in both engines.
+    "tx_lm_kn" -> ((s, d) =>
+      graft.text.TextFunctions.bigramLmScoresKn(
+        t(s, d, "documents"), col("doc_id"), col("text"))),
+
     // X19: token-budget selection — the greedy quality knapsack: rank by
     // (n_chars DESC, doc_id) and keep docs while the inclusive token
     // cumsum fits the budget. Runs through the two-phase distributed
@@ -1461,6 +1471,39 @@ object QText {
                                (CAST(c1 AS DOUBLE) + 0.5 * v)), 6) AS lp6
                       FROM i2 JOIN c12 USING (bigram)
                       JOIN c1 USING (w1) CROSS JOIN v)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
+                   (count(*) * 1e6), 6) AS avg_logp
+          FROM lp GROUP BY doc_id""",
+    "tx_lm_kn" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+                     WHERE len($toksSql) >= 2),
+               i2 AS (SELECT doc_id, bigram,
+                             string_split(bigram, '_')[1] AS w1,
+                             string_split(bigram, '_')[2] AS w2
+                      FROM (SELECT doc_id,
+                              unnest(list_transform(range(1, len(toks)),
+                                i -> toks[CAST(i AS INT)] || '_' ||
+                                     toks[CAST(i AS INT) + 1])) AS bigram
+                            FROM t)),
+               c12 AS (SELECT bigram,
+                              string_split(bigram, '_')[1] AS w1,
+                              string_split(bigram, '_')[2] AS w2,
+                              count(*) AS c12
+                       FROM i2 GROUP BY 1),
+               c1 AS (SELECT w1, count(*) AS c1 FROM i2 GROUP BY 1),
+               fwd AS (SELECT w1, count(*) AS n1p_fwd FROM c12 GROUP BY 1),
+               rev AS (SELECT w2, count(*) AS n1p_rev FROM c12 GROUP BY 1),
+               tt AS (SELECT count(*) AS tt FROM c12),
+               lp AS (SELECT doc_id,
+                             round(ln(
+                               greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / c1 +
+                               (0.75 * n1p_fwd / c1) * (n1p_rev / tt)), 6)
+                               AS lp6
+                      FROM i2
+                      JOIN (SELECT bigram, c12 FROM c12) USING (bigram)
+                      JOIN c1 USING (w1) JOIN fwd USING (w1)
+                      JOIN rev USING (w2) CROSS JOIN tt)
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                  round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
                    (count(*) * 1e6), 6) AS avg_logp

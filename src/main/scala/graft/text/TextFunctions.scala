@@ -289,4 +289,60 @@ object TextFunctions {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("__s6") / (col("n_bigrams") * 1e6), 6).as("avg_logp"))
   }
+
+  /** Interpolated KNESER-NEY bigram scoring — the smoothing family
+    * KenLM (and hence CCNet's real perplexity gate) uses, vs
+    * [[bigramLmScores]]' add-α:
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + (D · N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··)
+    *
+    * — absolute discount D (0.75, engine policy) on the bigram count,
+    * the freed mass backing off to the CONTINUATION probability: how
+    * many distinct contexts w2 follows, not how often it occurs — the
+    * fix for "Francisco is frequent but only ever follows San". All
+    * counts are exact integers from two aggregates over the bigram-type
+    * relation; the per-instance log-prob is written with IDENTICAL
+    * float association in the DuckDB oracle, rounds to 6dp, and sums as
+    * exact longs (the [[bigramLmScores]] fixed-point discipline), so
+    * the doc mean is hash-exact cross-engine. Same scale shape as the
+    * add-α form: one token explode + equi-joins against ≪-corpus count
+    * tables + one doc aggregate; the N1+(··) total rides the
+    * allowlisted one-row broadcast cross. P > 0 always (c12 ≥ 1 ⇒ the
+    * continuation term alone is positive), so ln never sees zero.
+    */
+  def bigramLmScoresKn(docs: DataFrame, id: Column, text: Column,
+                       discount: Double = 0.75): DataFrame = {
+    val t0 = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint(false)
+    val inst = t0.select(col("doc_id"),
+        explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), "_")(0))
+      .withColumn("w2", split(col("bigram"), "_")(1))
+      .localCheckpoint(false)
+    // the bigram-TYPE relation feeds four readers (the c12 join, both
+    // N1+ aggregates, and the type total) — pin it once
+    val c12 = inst.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bigram"), "_")(0))
+      .withColumn("w2", split(col("bigram"), "_")(1))
+      .localCheckpoint(false)
+    val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val fwd = c12.groupBy("w1").agg(count(lit(1)).as("n1p_fwd"))
+    val rev = c12.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
+    val tt = c12.agg(count(lit(1)).as("tt"))
+    val d = lit(discount)
+    inst.join(c12.select("bigram", "c12"), "bigram")
+      .join(c1, "w1").join(fwd, "w1").join(rev, "w2")
+      .crossJoin(broadcast(tt))
+      .withColumn("lp6", round(log(
+        greatest(col("c12").cast("double") - d, lit(0.0)) / col("c1") +
+          (d * col("n1p_fwd") / col("c1")) * (col("n1p_rev") / col("tt"))),
+        6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(col("lp6") * 1e6).cast("long")).as("__s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s6") / (col("n_bigrams") * 1e6), 6).as("avg_logp"))
+  }
 }

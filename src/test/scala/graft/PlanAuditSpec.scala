@@ -120,7 +120,10 @@ class PlanAuditSpec extends SparkSpec {
       // BPE: each of the 8 merge rounds crosses the vocab relation with
       // the one-row argmax winner (broadcast); vocab-sized, never the
       // corpus
-      "tx_bpe_merges", "tx_bpe_doc_tokens")
+      "tx_bpe_merges", "tx_bpe_doc_tokens",
+      // KN scoring: the one-row bigram-type total rides the same
+      // broadcast cross as tx_lm_score's vocabulary
+      "tx_lm_kn")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||

@@ -161,4 +161,46 @@ class TextFunctionsSpec extends SparkSpec {
     // mean of 6dp-rounded instance log-probs stays in a sane range
     assert(got(4L)._2 < 0.0 && got(4L)._2 > -15.0)
   }
+
+  test("bigramLmScoresKn: driver replay of the interpolated-KN formula") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "zq xv wk jn"),
+      (4L, "one"))
+    val docs = rows.toDF("doc_id", "text")
+    val got = TextFunctions.bigramLmScoresKn(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // replay on the driver: counts over the same corpus, D = 0.75
+    val insts = rows.filter(_._2.split(" ").length >= 2).flatMap { case (id, t) =>
+      val toks = t.split(" ").toSeq
+      toks.zip(toks.tail).map { case (a, b) => (id, a, b) }
+    }
+    val c12 = insts.groupBy(x => (x._2, x._3)).map { case (k, v) => k -> v.size.toLong }
+    val c1 = insts.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val fwd = c12.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val rev = c12.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val tt = c12.size.toDouble
+    def lp6(a: String, b: String): Long = {
+      val p = math.max(c12((a, b)) - 0.75, 0.0) / c1(a) +
+        (0.75 * fwd(a) / c1(a)) * (rev(b) / tt)
+      math.round(BigDecimal(math.log(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }
+    rows.filter(_._2.split(" ").length >= 2).foreach { case (id, t) =>
+      val toks = t.split(" ").toSeq
+      val pairs = toks.zip(toks.tail)
+      val want = BigDecimal(pairs.map { case (a, b) => lp6(a, b) }.sum /
+          (pairs.size * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 === pairs.size.toLong, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._2 - want) < 1e-9, s"doc $id: ${got(id)._2} vs $want")
+    }
+    // the KN signature: "the mat"'s probability leans on mat's
+    // continuation count, so a doc of singleton bigrams over FREQUENT
+    // prefixes still scores below the in-distribution docs
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(3L)._2)
+  }
 }
