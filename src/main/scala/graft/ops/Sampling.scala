@@ -220,6 +220,18 @@ object Sampling {
     shufflePositionDistributedBy(df,
       Determinism.detHash(Determinism.detHash(key) + lit(epoch)), key, partitions)
 
+  /** Generic two-phase distributed rank: `pos` = 1-based position under
+    * (`order` ASC, `key` ASC) — the [[shufflePositionDistributed]]
+    * machinery with a caller-supplied order column instead of the
+    * deterministic hash (for DESC, pass the negated column — exact for
+    * doubles). No single-task stage at any size; `key` must be unique.
+    * The CCNet perplexity-bucketing path ([[graft.text.TextFunctions]]
+    * ccnetBuckets) ranks corpus-wide on this.
+    */
+  def rankByDistributed(df: DataFrame, order: Column, key: Column,
+                        partitions: Int = 0): DataFrame =
+    shufflePositionDistributedBy(df, order, key, partitions)
+
   /** Shared rank machinery: positions by the caller-supplied total order
     * (`hash`, then `key` as tie-break; `key` must be unique).
     */

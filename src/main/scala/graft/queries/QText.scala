@@ -782,6 +782,20 @@ object QText {
       graft.text.TextFunctions.bigramLmScoresKn(
         t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    // CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): the
+    // KN LM is trained on the TARGET slice (lang='en' stands in for
+    // wiki), scores the WHOLE corpus with the OOV back-off branches,
+    // and docs cut into perplexity terciles by exact integer arithmetic
+    // over the two-phase distributed rank (no corpus-wide single-task
+    // window). The oracle replays scorer, back-off, rank, and cuts.
+    "tx_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.TextFunctions.ccnetBuckets(
+        graft.text.TextFunctions.bigramLmScoresKnAgainst(
+          docs, col("doc_id"), col("text"),
+          docs.filter(col("lang") === "en"), col("text")))
+    }),
+
     // X19: token-budget selection — the greedy quality knapsack: rank by
     // (n_chars DESC, doc_id) and keep docs while the inclusive token
     // cumsum fits the budget. Runs through the two-phase distributed
@@ -1508,6 +1522,57 @@ object QText {
                  round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
                    (count(*) * 1e6), 6) AS avg_logp
           FROM lp GROUP BY doc_id""",
+    "tx_ccnet_buckets" -> {
+      val cont = "coalesce(CAST(n1p_rev AS DOUBLE), 0.5) / tt"
+      s"""WITH kt AS (SELECT $toksSql AS toks FROM documents
+                      WHERE lang = 'en' AND len($toksSql) >= 2),
+               kti AS (SELECT bigram, string_split(bigram, '_')[1] AS w1
+                       FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[CAST(i AS INT)] || '_' ||
+                                    toks[CAST(i AS INT) + 1])) AS bigram
+                             FROM kt)),
+               kc12 AS (SELECT bigram,
+                               string_split(bigram, '_')[1] AS w1,
+                               string_split(bigram, '_')[2] AS w2,
+                               count(*) AS c12
+                        FROM kti GROUP BY 1),
+               kc1 AS (SELECT w1, count(*) AS c1 FROM kti GROUP BY 1),
+               kfwd AS (SELECT w1, count(*) AS n1p_fwd FROM kc12 GROUP BY 1),
+               krev AS (SELECT w2, count(*) AS n1p_rev FROM kc12 GROUP BY 1),
+               ktt AS (SELECT count(*) AS tt FROM kc12),
+               ki AS (SELECT doc_id, bigram,
+                             string_split(bigram, '_')[1] AS w1,
+                             string_split(bigram, '_')[2] AS w2
+                      FROM (SELECT doc_id,
+                              unnest(list_transform(range(1, len($toksSql)),
+                                i -> ($toksSql)[CAST(i AS INT)] || '_' ||
+                                     ($toksSql)[CAST(i AS INT) + 1])) AS bigram
+                            FROM documents WHERE len($toksSql) >= 2)),
+               klp AS (SELECT doc_id,
+                              round(ln(CASE WHEN c1 IS NOT NULL THEN
+                                greatest(CAST(coalesce(c12, 0) AS DOUBLE)
+                                  - 0.75, 0.0) / c1 +
+                                (0.75 * n1p_fwd / c1) * ($cont)
+                              ELSE $cont END), 6) AS lp6
+                       FROM ki
+                       LEFT JOIN (SELECT bigram, c12 FROM kc12) USING (bigram)
+                       LEFT JOIN kc1 USING (w1) LEFT JOIN kfwd USING (w1)
+                       LEFT JOIN krev USING (w2) CROSS JOIN ktt),
+               ks AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                             round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
+                               (count(*) * 1e6), 6) AS avg_logp
+                      FROM klp GROUP BY doc_id),
+               kr AS (SELECT *, CAST(row_number() OVER (
+                               ORDER BY avg_logp DESC, doc_id) AS BIGINT)
+                               AS pos,
+                             CAST(count(*) OVER () AS BIGINT) AS n
+                      FROM ks)
+          SELECT doc_id, n_bigrams, avg_logp, pos,
+                 CASE WHEN pos * 3 <= n THEN 'head'
+                      WHEN pos * 3 <= n * 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM kr"""
+    },
     // the plain window-form cumsum: distributed ≡ window on the hook
     "x19_token_budget" ->
       s"""WITH q AS (SELECT doc_id, n_chars,

@@ -345,4 +345,84 @@ object TextFunctions {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("__s6") / (col("n_bigrams") * 1e6), 6).as("avg_logp"))
   }
+
+  /** [[bigramLmScoresKn]] with a SEPARATE training corpus — the deployed
+    * CCNet shape: the LM is fit on the TARGET set (wiki-quality text) and
+    * scores the raw corpus, so out-of-vocabulary back-off must be
+    * defined. Deterministic OOV policy, every branch ln-safe:
+    *
+    *  - bigram unseen, prefix seen: c12 → 0, the discounted term
+    *    vanishes, the continuation term carries;
+    *  - prefix w1 unseen in training: pure continuation P = cont(w2);
+    *  - w2 never a continuation in training: cont floors at 0.5/N1+(··)
+    *    (half a type — below every seen continuation, still positive).
+    *
+    * Scale shape unchanged (train-side count tables ≪ corpus, LEFT
+    * equi-joins, one-row type-total broadcast cross); same fixed-point
+    * 6dp mean; the oracle restates every branch with identical float
+    * association.
+    */
+  def bigramLmScoresKnAgainst(docs: DataFrame, id: Column, text: Column,
+                              train: DataFrame, trainText: Column,
+                              discount: Double = 0.75): DataFrame = {
+    val tr = train.select(tokens(trainText).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint(false)
+    val ti = tr.select(explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), "_")(0))
+      .localCheckpoint(false)
+    val c12 = ti.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bigram"), "_")(0))
+      .withColumn("w2", split(col("bigram"), "_")(1))
+      .localCheckpoint(false)
+    val c1 = ti.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val fwd = c12.groupBy("w1").agg(count(lit(1)).as("n1p_fwd"))
+    val rev = c12.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
+    val tt = c12.agg(count(lit(1)).as("tt"))
+    val d = lit(discount)
+    val inst = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), "_")(0))
+      .withColumn("w2", split(col("bigram"), "_")(1))
+    inst.join(c12.select("bigram", "c12"), Seq("bigram"), "left")
+      .join(c1, Seq("w1"), "left").join(fwd, Seq("w1"), "left")
+      .join(rev, Seq("w2"), "left")
+      .crossJoin(broadcast(tt))
+      .withColumn("__cont",
+        coalesce(col("n1p_rev").cast("double"), lit(0.5)) / col("tt"))
+      .withColumn("__p", when(col("c1").isNotNull,
+          greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) /
+            col("c1") +
+            (d * col("n1p_fwd") / col("c1")) * col("__cont"))
+        .otherwise(col("__cont")))
+      .withColumn("lp6", round(log(col("__p")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(col("lp6") * 1e6).cast("long")).as("__s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s6") / (col("n_bigrams") * 1e6), 6).as("avg_logp"))
+  }
+
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    * §4.3) over a scored corpus ([[bigramLmScoresKnAgainst]] output):
+    * rank by model-likeness (avg_logp DESC — low perplexity first,
+    * doc_id tie-break) and cut into terciles by EXACT integer
+    * arithmetic (3·pos vs n, 2n), so the labels are engine-portable.
+    * The rank runs the two-phase distributed machinery
+    * ([[graft.ops.Sampling.rankByDistributed]]) — no corpus-wide
+    * single-task window, the x19/x16 discipline — and n rides a one-row
+    * broadcast cross. Output: scored columns + (pos, bucket).
+    */
+  def ccnetBuckets(scored: DataFrame): DataFrame = {
+    val ranked = graft.ops.Sampling.rankByDistributed(
+      scored, negate(col("avg_logp")), col("doc_id"))
+    ranked.crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+      .withColumn("bucket",
+        when(col("pos") * 3 <= col("__n"), "head")
+          .when(col("pos") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail"))
+      .drop("__n")
+  }
 }

@@ -123,7 +123,9 @@ class PlanAuditSpec extends SparkSpec {
       "tx_bpe_merges", "tx_bpe_doc_tokens",
       // KN scoring: the one-row bigram-type total rides the same
       // broadcast cross as tx_lm_score's vocabulary
-      "tx_lm_kn")
+      "tx_lm_kn",
+      // CCNet buckets: the type-total AND corpus-count one-row crosses
+      "tx_ccnet_buckets")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||

@@ -83,6 +83,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("rankByDistributed: arbitrary order column == window row_number, ties by key") {
+    val input = df.filter(col("k") <= 300)
+      .select(col("k"), (col("k") % 7).cast("double").as("v")) // heavy ties
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("k"))
+    val window = input
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("k", "pos").as[(Long, Long)].collect().toMap
+    Seq(1, 4, 8).foreach { p =>
+      val dist = Sampling.rankByDistributed(input.repartition(5), col("v"),
+          col("k"), p)
+        .select("k", "pos").as[(Long, Long)].collect().toMap
+      assert(dist === window, s"partitions=$p")
+    }
+  }
+
   test("shufflePosition is a stable 1..n permutation") {
     val sampled = df.filter(col("k") <= 50)
     val pos = Sampling.shufflePosition(sampled, col("k"))

@@ -203,4 +203,71 @@ class TextFunctionsSpec extends SparkSpec {
     // prefixes still scores below the in-distribution docs
     assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(3L)._2)
   }
+
+  test("bigramLmScoresKnAgainst: every OOV branch replays exactly") {
+    val train = Seq("the cat sat on the mat", "the cat sat on the rug")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat"),       // all bigrams seen
+      (2L, "the dog sat"),       // "the dog": prefix seen, bigram unseen, "dog" never a continuation; "dog sat": prefix unseen
+      (3L, "zq xv"))             // fully out of vocabulary
+      .toDF("doc_id", "text")
+    val got = TextFunctions.bigramLmScoresKnAgainst(docs, col("doc_id"),
+        col("text"), train, col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // driver replay over the TRAIN counts
+    val ti = train.as[String].collect().toSeq.flatMap { t =>
+      val toks = t.split(" ").toSeq; toks.zip(toks.tail)
+    }
+    val c12 = ti.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = ti.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val fwd = c12.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val rev = c12.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val tt = c12.size.toDouble
+    def lp6(a: String, b: String): Long = {
+      val cont = rev.get(b).map(_.toDouble).getOrElse(0.5) / tt
+      val p =
+        if (c1.contains(a))
+          math.max(c12.getOrElse((a, b), 0L) - 0.75, 0.0) / c1(a) +
+            (0.75 * fwd(a) / c1(a)) * cont
+        else cont
+      math.round(BigDecimal(math.log(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }
+    Seq(1L -> "the cat sat", 2L -> "the dog sat", 3L -> "zq xv").foreach {
+      case (id, t) =>
+        val toks = t.split(" ").toSeq
+        val pairs = toks.zip(toks.tail)
+        val want = BigDecimal(pairs.map { case (a, b) => lp6(a, b) }.sum /
+            (pairs.size * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(id)._1 === pairs.size.toLong, s"doc $id")
+        assert(math.abs(got(id)._2 - want) < 1e-9, s"doc $id: ${got(id)._2} vs $want")
+    }
+    // in-vocabulary text outscores OOV text under the target model
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
+  test("ccnetBuckets: terciles by exact arithmetic over the distributed rank") {
+    val scored = (1 to 10).map(i => (i.toLong, 5L, -i.toDouble / 10))
+      .toDF("doc_id", "n_bigrams", "avg_logp")
+    val got = TextFunctions.ccnetBuckets(scored)
+      .select("doc_id", "pos", "bucket")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // avg_logp DESC == doc_id ASC here; n=10: head pos 1-3 (3pos<=10),
+    // middle 4-6 (3pos<=20), tail 7-10
+    (1 to 10).foreach { i =>
+      assert(got(i.toLong)._1 === i.toLong, s"pos of $i")
+      val want = if (i * 3 <= 10) "head" else if (i * 3 <= 20) "middle" else "tail"
+      assert(got(i.toLong)._2 === want, s"bucket of $i")
+    }
+    // ties on avg_logp break by doc_id, deterministically
+    val tied = Seq((5L, 1L, -0.5), (2L, 1L, -0.5), (9L, 1L, -0.5))
+      .toDF("doc_id", "n_bigrams", "avg_logp")
+    val pos = TextFunctions.ccnetBuckets(tied)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(pos === Map(2L -> 1L, 5L -> 2L, 9L -> 3L))
+  }
 }
