@@ -1624,7 +1624,10 @@ object Dedup {
     * form.
     *
     * Output: (doc_id, clean_text, n_kept, n_dropped) — every input doc
-    * appears; a doc whose every segment is boilerplate keeps an empty
+    * WITH at least one segment appears (a null/empty `segments` array
+    * produces no posexplode rows, so such docs are absent — callers that
+    * must keep them left-join back, as the dedupCorpus line-scrub stage
+    * does); a doc whose every segment is boilerplate keeps an empty
     * clean_text, and the kept/dropped counts make the recall spend
     * visible per document (the no-silent-caps rule).
     */

@@ -432,9 +432,15 @@ object Pipelines {
             split(pcText, "\n"), lineScrubDf)
           .select(col("doc_id").as("__ls_id"),
             col("clean_text").as("__ls_clean"))
-        (pcSrc.join(scrubbed, id.cast("long") === col("__ls_id"))
-          .drop(textColName, "__ls_id")
-          .withColumnRenamed("__ls_clean", textColName), col(textColName))
+        // LEFT join from pcSrc: a null-text doc produces no segment rows
+        // at posexplode, so an inner join here would silently drop it
+        // from the whole pipeline, unattributed in the stage funnel
+        // (round-11 ADVICE) — keep the row, coalesce its text through
+        // unchanged, and let the quality gate account for it downstream
+        (pcSrc.join(scrubbed, id.cast("long") === col("__ls_id"), "left")
+          .withColumn("__ls_clean2", coalesce(col("__ls_clean"), pcText))
+          .drop(textColName, "__ls_id", "__ls_clean")
+          .withColumnRenamed("__ls_clean2", textColName), col(textColName))
       }
     if (lineScrubDf > 0) stages += ("line_scrub" -> cleanSrc)
     val quality = cleanSrc.filter(

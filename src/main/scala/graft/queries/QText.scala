@@ -323,7 +323,7 @@ object QText {
     // tx_classifier: IN-ENGINE quality-classifier training + corpus
     // scoring — the classifier-based filtering step of modern curation
     // (train a small logistic model on a labeled seed, score everything).
-    // Full-batch GD, 3 fixed iterations from w = 0, entirely as Spark
+    // Full-batch GD from w = 0, entirely as Spark
     // aggregates; the v9 unroll discipline puts the WHOLE trainer under
     // the DuckDB oracle. Exactness contract: features and weights
     // re-round to 6dp, per-row gradient contributions round to fixed-

@@ -406,11 +406,18 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val segs = split(col("text"), "\n")
-        val priorDirs = Option(new java.io.File(countsDir).listFiles())
-          .map(_.toSeq).getOrElse(Seq.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-            f.getName != s"batch=$id")
-          .map(_.getPath)
+        // Hadoop FS listing, not java.io.File: on an HDFS/S3 countsDir a
+        // local listing returns null, silently treating every prior batch
+        // as empty — cross-batch boilerplate would escape the scrub with
+        // no error (the Scratch/TarShards resolution pattern)
+        val cPath = new org.apache.hadoop.fs.Path(countsDir)
+        val cFs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          (if (cFs.exists(cPath)) cFs.listStatus(cPath).toSeq else Seq.empty)
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("batch=") &&
+              s.getPath.getName != s"batch=$id")
+            .map(_.getPath.toString)
         val prior =
           if (priorDirs.isEmpty)
             spark.range(0).select(col("id").as("seg_hash"), col("id").as("n"))
