@@ -122,7 +122,15 @@ object Main {
             opt(args, "--line-scrub-df").map(_.toInt).getOrElse(0),
           // Gopher per-rule gate on top of the scored quality gate;
           // tx_gopher_funnel is the audit for what each rule costs
-          gopherGate = args.contains("--gopher-gate"))
+          gopherGate = args.contains("--gopher-gate"),
+          // URL-level curation: --url-col names the corpus URL column;
+          // --domain-gate points at a parquet deny list (one `domain`
+          // column of registrable domains). Together they drop denied
+          // domains before any text stage, and --max-per-source caps by
+          // registrable domain instead of --source-col.
+          urlCol = opt(args, "--url-col"),
+          domainDeny = opt(args, "--domain-gate")
+            .map(spark.read.parquet(_)))
         val kept = stages.last._2
         // funnel audit: per-stage surviving-doc counts — the curation
         // run's QA report ("gate dropped N, decontamination M, ...")

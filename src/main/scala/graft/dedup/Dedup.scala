@@ -39,6 +39,28 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
+  /** [[exactDedup]] WITHOUT shuffling the payload — the 100-TB form. The
+    * window form above moves every text byte through the fingerprint
+    * exchange; here the winners are decided on a THIN (fingerprint, id)
+    * projection (map-side partial `min` collapses duplicate groups
+    * before the shuffle, so ~32 bytes/doc cross the wire) and survivors
+    * come back via a left-semi join on the id alone. That join
+    * broadcasts when the winner set is small, stays exchange-free on an
+    * id-bucketed corpus, and otherwise shuffles the corpus once on its
+    * OWN key (reusable by downstream id-keyed stages) instead of on a
+    * throwaway fingerprint. Requires globally unique ids (the
+    * engine-wide doc_id contract; [[exactDedup]]'s min-id winner is
+    * only well-defined under the same assumption). Result ≡
+    * [[exactDedup]] row-for-row — ScalaCheck-asserted in DedupSpec;
+    * the A/B at 1M/10M docs lives in MaintProbe `sections=exactdedup`.
+    */
+  def exactDedupThin(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val winners = docs.select(fingerprint(text).as("__fp"), id.as("__wid"))
+      .groupBy("__fp").agg(min("__wid").as("__keep"))
+      .select(col("__keep"))
+    docs.join(winners, id === col("__keep"), "left_semi")
+  }
+
   /** Long-format MinHash signatures: (id, seed, minhash) for seeds 0..k-1
     * over distinct word shingles.
     *
@@ -1299,11 +1321,14 @@ object Dedup {
   def tfidfUnitWeights(docs: DataFrame, id: Column, terms: Column,
                        maxDf: Int = Int.MaxValue): DataFrame = {
     // one explode pass: df, N, weights, and norms all re-read this
-    // relation — without the checkpoint each derivation re-explodes and
-    // re-aggregates the corpus
-    val tf0 = docs.select(id.as("doc_id"), explode(terms).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    // relation — without the materialization each derivation re-explodes
+    // and re-aggregates the corpus. COLUMNAR scratch, not localCheckpoint:
+    // one thin row per (doc, term) type is corpus-token scale, the tier
+    // where object blocks hit the measured 40M-row cliff (§6.3 budgetdiag)
+    val tf0 = graft.core.Scratch.materialize(
+      docs.select(id.as("doc_id"), explode(terms).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      "tfidf_w")
     val dfr = tf0.groupBy("term").agg(count(lit(1)).as("df"))
       // stop-TERM removal at the vocabulary level (maxDf): ubiquitous
       // terms carry ~zero idf signal but quadratic join cost; dropping
@@ -1342,8 +1367,12 @@ object Dedup {
   def cosineTfidfPairs(docs: DataFrame, id: Column, terms: Column,
                        minCos: Double, pruned: Boolean = true,
                        maxDf: Int = Int.MaxValue): DataFrame = {
-    val weights = tfidfUnitWeights(docs, id, terms, maxDf)
-      .localCheckpoint(false)
+    // the unit-weight relation ((doc, term, u) — corpus-token scale)
+    // feeds the prefix index, both join sides, and the stats aggregate:
+    // materialize once, to columnar scratch (the §6.3 object-block cliff
+    // rule; localCheckpoint here pinned the whole sparse matrix on-heap)
+    val weights = graft.core.Scratch.materialize(
+      tfidfUnitWeights(docs, id, terms, maxDf), "d23_weights")
     val cands: DataFrame =
       if (!pruned)
         weights.as("a").join(weights.as("b"),

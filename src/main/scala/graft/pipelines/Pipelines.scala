@@ -214,10 +214,27 @@ object Pipelines {
                   weights: DataFrame, nTok: Column,
                   budget: Long, windowsPerShard: Long, outDir: String,
                   curate: DataFrame => DataFrame = identity,
-                  epoch: Option[Long] = None): DataFrame = {
-    val narrow = graft.core.Scratch.materialize(curate(docs)
-      .select(col(idCol), col(sourceCol), nTok.cast("long").as("__ntok")),
-      "feednarrow")
+                  epoch: Option[Long] = None,
+                  tokenCounts: Option[DataFrame] = None): DataFrame = {
+    // `tokenCounts` ((idCol, n_tok) relation) overrides the `nTok`
+    // expression — the hook that runs the WHOLE packing arithmetic in
+    // learned-model units (x22): pass Bpe.docSubwordCounts' n_bpe and
+    // every downstream number — mixture fractions, window budgets, shard
+    // manifests — is measured by the tokenizer the model will train
+    // with, not the regex word count. The count relation is thin
+    // (id, long) and joins the narrow projection by id before the
+    // scratch materialization, so the scale shape is unchanged; docs
+    // absent from the relation (token-less under the tokenizer) drop,
+    // matching docSubwordCounts' own gate.
+    val curated = curate(docs)
+    val withTok = tokenCounts match {
+      case Some(tc) => curated.select(col(idCol), col(sourceCol))
+        .join(tc.select(col(idCol), col("n_tok").cast("long").as("__ntok")),
+          Seq(idCol))
+      case None => curated
+        .select(col(idCol), col(sourceCol), nTok.cast("long").as("__ntok"))
+    }
+    val narrow = graft.core.Scratch.materialize(withTok, "feednarrow")
     val per = narrow.groupBy(col(sourceCol).as("source"))
       .agg(sum(col("__ntok")).as("src_tokens"))
       .join(weights.select(col(sourceCol).as("source"), col("w")), "source")
@@ -289,6 +306,13 @@ object Pipelines {
     *    one crawled domain cannot dominate the corpus AND every later
     *    stage (signatures, pair joins, CC) shrinks with it. Windows are
     *    per-source, never corpus-global.
+    *  - `urlCol` + `domainDeny`: URL-level curation (the CCNet/
+    *    RefinedWeb first stage) — docs whose registrable domain
+    *    ([[graft.text.Urls.registrableDomain]]) appears in the deny
+    *    relation (`domain` column) are dropped BEFORE any text-derived
+    *    stage, via a broadcast anti-join; and with `maxPerSource` set,
+    *    the cap key becomes the registrable domain instead of
+    *    `sourceCol` — the unit a web corpus is actually skewed by.
     *  - `minContainment`: a CONTAINMENT pass alongside Jaccard
     *    verification — doc-in-doc near-superset duplicates (|A∩B| /
     *    min(|A|,|B|), Broder) whose Jaccard stays low join the pair
@@ -360,14 +384,16 @@ object Pipelines {
                   protoPruneFraction: Double = 0.0,
                   keepBy: Option[Column] = None,
                   lineScrubDf: Int = 0,
-                  gopherGate: Boolean = false): DataFrame =
+                  gopherGate: Boolean = false,
+                  urlCol: Option[String] = None,
+                  domainDeny: Option[DataFrame] = None): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
       imageCol, imageGridRows, imageBandBits, maxImageHamming,
       audioCol, videoCol, embeddingCol, semCells, minCosine,
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
-      gopherGate).last._2
+      gopherGate, urlCol, domainDeny).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -406,17 +432,32 @@ object Pipelines {
                         protoPruneFraction: Double = 0.0,
                         keepBy: Option[Column] = None,
                         lineScrubDf: Int = 0,
-                        gopherGate: Boolean = false): Seq[(String, DataFrame)] = {
+                        gopherGate: Boolean = false,
+                        urlCol: Option[String] = None,
+                        domainDeny: Option[DataFrame] = None)
+      : Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     val stages = Seq.newBuilder[(String, DataFrame)]
     stages += ("input" -> docs)
+    // DOMAIN GATE (urlCol + domainDeny): the classic FIRST stage of
+    // web-corpus curation — registrable-domain blocklist before any
+    // text-derived stage spends a cycle on a doc from a denied site.
+    // Broadcast anti-join on the domain (graft.text.Urls.domainGate):
+    // map-side at any corpus scale. Denying an apex drops subdomains.
+    val docs0 = (urlCol, domainDeny) match {
+      case (Some(u), Some(deny)) =>
+        graft.text.Urls.domainGate(docs, col(u), deny)
+      case _ => docs
+    }
+    if (urlCol.isDefined && domainDeny.isDefined)
+      stages += ("domain_gate" -> docs0)
     // pre-clean rewrites the text column IN PLACE so every later stage —
     // gate, signatures, verification, scrub — and the returned corpus see
     // only the cleaned form
     val (pcSrc, pcText) =
-      if (!preClean) (docs, text)
-      else (docs.withColumn(textColName, graft.text.TextFunctions.redactPii(
+      if (!preClean) (docs0, text)
+      else (docs0.withColumn(textColName, graft.text.TextFunctions.redactPii(
         graft.text.TextFunctions.stripMarkup(text))), col(textColName))
     if (preClean) stages += ("pre_clean" -> pcSrc)
     // CCNet line scrub (lineScrubDf > 0): drop \n-lines whose corpus df
@@ -454,9 +495,15 @@ object Pipelines {
       if (!gopherGate) quality
       else quality.filter(graft.text.GopherRules.keepExpr(cleanText))
     if (gopherGate) stages += ("gopher_gate" -> gated)
+    // with a urlCol, the cap key is the REGISTRABLE DOMAIN — the unit a
+    // web corpus is actually skewed by — not a pre-supplied source label
     val capped0 =
       if (maxPerSource <= 0) gated
-      else graft.ops.Sampling.domainCap(gated, col(sourceCol), id, maxPerSource)
+      else graft.ops.Sampling.domainCap(gated,
+        urlCol.map(u => graft.text.Urls.registrableDomain(
+          graft.text.Urls.normalizedHost(col(u))))
+          .getOrElse(col(sourceCol)),
+        id, maxPerSource)
     if (maxPerSource > 0) stages += ("domain_cap" -> capped0)
     val capped = evalDocs match {
       case None => capped0
@@ -478,7 +525,21 @@ object Pipelines {
           "left_anti")
     }
     if (evalDocs.isDefined) stages += ("decontaminated" -> capped)
-    val exact = Dedup.exactDedup(capped, id, cleanText).localCheckpoint(false)
+    // the exact-dedup survivor set (WITH its text column) feeds every
+    // later stage — signatures, verify, containment, perceptual
+    // fingerprints, the semantic quantizer, and the final survivor
+    // filter. COLUMNAR scratch, not localCheckpoint: pinning corpus text
+    // as deserialized object blocks is precisely the executor-storage
+    // pattern curatedFeed's narrow-relation discipline exists to avoid
+    // (round-11 verdict); a parquet scratch write is one columnar pass,
+    // pins zero storage memory, and every re-read runs at scan speed.
+    // THIN form, not the fingerprint window: winners decided on a
+    // (fp, id) projection so corpus text never crosses the fingerprint
+    // exchange — measured better at 10M docs (MaintProbe exactdedup)
+    // and structurally better at 100 TB. Requires unique doc ids (the
+    // pipeline's standing contract).
+    val exact = graft.core.Scratch.materialize(
+      Dedup.exactDedupThin(capped, id, cleanText), "dedup_exact")
     stages += ("exact_dedup" -> exact)
     val cands = Dedup.lshCandidatePairs(
       Dedup.minhashSignatures(exact, id, cleanText, minhashK), bandSize)

@@ -3,7 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.text.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis and deduplication queries over the documents table —
@@ -68,6 +68,50 @@ object QText {
     s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
         + (1.0 - least(($punctSql) * 5.0, 1.0)) * 0.3
         + least(($stopSql) * 4.0, 1.0) * 0.3"""
+
+  // Deterministic URL synthesis for the p10/tx_domain_gate surface: the
+  // documents table carries no URL column, so (the p8 discipline) the
+  // queries derive one from driver data — doc_id % 8 picks the shape,
+  // `source` seeds the host — and the oracle rebuilds the identical
+  // string. One Spark + one SQL definition, used by both queries.
+  private def synthUrl(docId: Column, source: Column): Column = {
+    val m = pmod(docId, lit(8L))
+    when(m === 0, concat(lit("https://www."), source, lit(".com/a/"),
+        docId.cast("string")))
+      .when(m === 1, concat(lit("http://"), source, lit(".co.uk/x?q="),
+        docId.cast("string")))
+      .when(m === 2, concat(source, lit(".org/p")))
+      .when(m === 3, concat(lit("https://blog."), source, lit(".com:8080/a#frag")))
+      .when(m === 4, concat(lit("ftp://user:pw@files."), source, lit(".net/f.bin")))
+      .when(m === 5, concat(lit("https://"), source, lit(".gov.au/q?a=1&b=2")))
+      .when(m === 6, concat(lit("HTTPS://WWW."), upper(source), lit(".COM/CAPS")))
+      .otherwise(lit("localhost:9000/dev"))
+  }
+  private val synthUrlSql: String =
+    """CASE CAST(doc_id % 8 AS INT)
+         WHEN 0 THEN 'https://www.' || source || '.com/a/' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN 'http://' || source || '.co.uk/x?q=' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN source || '.org/p'
+         WHEN 3 THEN 'https://blog.' || source || '.com:8080/a#frag'
+         WHEN 4 THEN 'ftp://user:pw@files.' || source || '.net/f.bin'
+         WHEN 5 THEN 'https://' || source || '.gov.au/q?a=1&b=2'
+         WHEN 6 THEN 'HTTPS://WWW.' || upper(source) || '.COM/CAPS'
+         ELSE 'localhost:9000/dev' END"""
+  // DuckDB twins of Urls.normalizedHost / Urls.registrableDomain (the
+  // regexes and the PSL-subset IN-list restated byte-for-byte).
+  private val hostSql: String =
+    """regexp_replace(regexp_extract(lower(url),
+       '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1),
+       '^www\.', '')"""
+  private val domainSql: String = {
+    val inList = graft.text.Urls.multiPartSuffixes
+      .map(sfx => s"'$sfx'").mkString(", ")
+    s"""CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
+             WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) IN ($inList)
+                  AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+               THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+             ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END"""
+  }
 
   // DuckDB twin of GopherRules.ruleFlags, ending in a CTE `fl` with the
   // per-doc rule booleans. Same integer-exact threshold arithmetic; the
@@ -318,6 +362,42 @@ object QText {
       graft.text.Bpe.docSubwordCounts(docs, col("doc_id"), col("text"),
         graft.text.Bpe.learnMerges(
           graft.text.Bpe.wordFreq(docs, col("text")), 8)._2)
+    }),
+
+    // P10: URL canonicalization — the first stage of web-corpus curation
+    // (CCNet/RefinedWeb parse → normalize → registrable domain). The
+    // synthesized URLs cover every shape the parser must survive:
+    // scheme/scheme-less, www, subdomain, port, userinfo, query,
+    // fragment, multi-part ccTLD suffix, upper-case, bare host. All
+    // map-only regex over codegen'd built-ins (graft.text.Urls); the
+    // oracle restates each regex and the PSL-subset CASE verbatim.
+    "p10_url_parse" -> ((s, d) => {
+      val url = synthUrl(col("doc_id"), col("source"))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"),
+        graft.text.Urls.normalizedHost(url).as("host"),
+        graft.text.Urls.registrableDomain(
+          graft.text.Urls.normalizedHost(url)).as("domain"))
+    }),
+
+    // The DOMAIN GATE over those URLs: a deny list (here derived
+    // deterministically from the corpus — every registrable domain some
+    // doc_id % 11 == 0 doc resolves to) anti-joins the corpus on the
+    // registrable domain, so denying an apex drops its subdomains too.
+    // The deny relation is list-sized → broadcast anti-join, map-side at
+    // any corpus scale; output is the per-domain survivor profile.
+    "tx_domain_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          synthUrl(col("doc_id"), col("source")).as("url"))
+      val deny = docs.filter(col("doc_id") % 11 === 0)
+        .select(graft.text.Urls.registrableDomain(
+          graft.text.Urls.normalizedHost(col("url"))).as("domain"))
+        .distinct()
+      graft.text.Urls.domainGate(docs, col("url"), deny)
+        .select(col("doc_id"), graft.text.Urls.registrableDomain(
+          graft.text.Urls.normalizedHost(col("url"))).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
     }),
 
     // tx_classifier: IN-ENGINE quality-classifier training + corpus
@@ -808,6 +888,26 @@ object QText {
             tokenCount(col("text")).cast("long").as("n_tok")),
         "doc_id", "n_chars", "n_tok", budget = 8000L)),
 
+    // X22: the learned tokenizer FEEDING the packing arithmetic (round-11
+    // verdict: the engine trained a BPE it never used for budgets) —
+    // token-budget selection where the per-doc count is
+    // Bpe.docSubwordCounts' n_bpe under the 8 learned merges, so "train
+    // on the best B tokens" is measured in MODEL units, not regex-word
+    // units. Same two-phase distributed cumsum as x19; the oracle chains
+    // the full BPE-trainer CTEs into the plain window form, putting
+    // trainer + segmentation + knapsack under one hash.
+    "x22_bpe_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bpe = graft.text.Bpe.docSubwordCounts(docs, col("doc_id"),
+        col("text"),
+        graft.text.Bpe.learnMerges(
+          graft.text.Bpe.wordFreq(docs, col("text")), 8)._2)
+      graft.ops.Planners.tokenBudgetSelect(
+        docs.select(col("doc_id"), col("n_chars"))
+          .join(bpe.select(col("doc_id"), col("n_bpe")), Seq("doc_id")),
+        "doc_id", "n_chars", "n_bpe", budget = 12000L)
+    }),
+
     // D25: leakage-safe train/val/test split — whole near-dup clusters
     // (the d7 star-CC closure) assigned to one side via the cross-engine
     // PRF, singletons riding their own doc_id. Fractions 0.75/0.125/0.125
@@ -1050,6 +1150,18 @@ object QText {
                          AS BIGINT) AS n_syms
                 FROM bw$bpeRounds) v USING (word)
           GROUP BY doc_id""",
+    "p10_url_parse" ->
+      s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+              h AS (SELECT doc_id, url, $hostSql AS host FROM u)
+          SELECT doc_id, url, host, $domainSql AS domain FROM h""",
+    "tx_domain_gate" ->
+      s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+              h AS (SELECT doc_id, url, $hostSql AS host FROM u),
+              dm AS (SELECT doc_id, $domainSql AS domain FROM h),
+              deny AS (SELECT DISTINCT domain FROM dm WHERE doc_id % 11 = 0)
+          SELECT domain, count(*) AS n_docs, min(doc_id) AS min_doc
+          FROM dm WHERE domain NOT IN (SELECT domain FROM deny)
+          GROUP BY domain""",
     "tx_gopher_rules" ->
       s"""WITH $gopherFlagsSql
           SELECT doc_id, n_tok, r_wc, r_mwl, r_alpha, r_stop, r_top, r_dup,
@@ -1573,6 +1685,28 @@ object QText {
                       ELSE 'tail' END AS bucket
           FROM kr"""
     },
+    // BPE trainer CTEs chained into the plain window-form cumsum:
+    // trainer + segmentation + knapsack under one hash
+    "x22_bpe_budget" ->
+      s"""WITH $bpeSql,
+              xbt AS (SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_bpe
+                      FROM (SELECT doc_id, unnest($toksSql) AS word
+                            FROM documents) u
+                      JOIN (SELECT word,
+                                   CAST(len(list_filter(string_split(w, '  '),
+                                     x -> x != '')) AS BIGINT) AS n_syms
+                            FROM bw$bpeRounds) v USING (word)
+                      GROUP BY doc_id),
+              xbq AS (SELECT d.doc_id, d.n_chars, xbt.n_bpe
+                      FROM documents d JOIN xbt USING (doc_id)),
+              xbc AS (SELECT doc_id, n_chars, n_bpe,
+                             CAST(sum(n_bpe) OVER (
+                               ORDER BY n_chars DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                               AS cum_tokens
+                      FROM xbq)
+          SELECT doc_id, n_chars, n_bpe, cum_tokens
+          FROM xbc WHERE cum_tokens <= 12000""",
     // the plain window-form cumsum: distributed ≡ window on the hook
     "x19_token_budget" ->
       s"""WITH q AS (SELECT doc_id, n_chars,

@@ -217,15 +217,20 @@ object TextFunctions {
     * by (ROUNDED score desc, token asc) — ordering on the rounded score so
     * a 1e-17 float tie cannot rank differently across engines. The
     * (doc, token) count relation feeds three branches (tf, doc length,
-    * document frequency), so it is checkpointed once. Output:
-    * (doc_id, top_term, tfidf). Shared by the tx_tfidf query and the scale
-    * probe — one implementation to keep benched and probed code identical.
+    * document frequency), so it is materialized once — to COLUMNAR
+    * scratch, not localCheckpoint: it has one thin row per (doc, token)
+    * TYPE, i.e. corpus-vocabulary-instance scale, exactly the tier where
+    * object-block pinning hit the measured 40M-row cliff (SURVEY §6.3
+    * budgetdiag). Output: (doc_id, top_term, tfidf). Shared by the
+    * tx_tfidf query and the scale probe — one implementation to keep
+    * benched and probed code identical.
     */
   def tfidfTopTerm(docs: org.apache.spark.sql.DataFrame, id: Column,
                    text: Column, roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
-    val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+    val tf = graft.core.Scratch.materialize(
+      docs.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt")),
+      "tfidf_tf")
     val len = tf.groupBy("doc_id").agg(sum("cnt").as("len"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -262,22 +267,34 @@ object TextFunctions {
     * vocabulary scalar broadcasts. Docs with < 2 tokens have no bigram
     * and drop out (document the gate before the score).
     *
+    * The instance relation (one row per bigram OCCURRENCE — corpus-token
+    * scale; the LM trains on the corpus it scores, so at 10M docs this
+    * is ~10⁹ rows) feeds the two count aggregates AND the scoring join:
+    * it is materialized ONCE, to COLUMNAR scratch — localCheckpoint here
+    * would pin the whole tokenized corpus as deserialized object blocks,
+    * the engine's own measured 40M-row cliff (SURVEY §6.3 budgetdiag,
+    * 88.6→17.4 s when moved to scratch). The vocabulary is counted off
+    * the SAME materialization: every token of a ≥2-token doc appears as
+    * some bigram's w1 or w2, so distinct(w1 ∪ w2) ≡ distinct tokens of
+    * the gated docs — no second corpus scan, identical value.
+    *
     * Output: (doc_id, n_bigrams, avg_logp).
     */
   def bigramLmScores(docs: DataFrame, id: Column, text: Column,
                      alpha: Double = 0.5): DataFrame = {
-    val t0 = docs.select(id.as("doc_id"), tokens(text).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .localCheckpoint(false)
     // tokens never contain '_' (the tokenizer strips non-[a-z0-9]), so
     // the joined bigram string splits back losslessly
-    val inst = t0.select(col("doc_id"),
-        explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
-      .withColumn("w1", split(col("bigram"), "_")(0))
-      .localCheckpoint(false)
+    val inst = graft.core.Scratch.materialize(
+      docs.select(id.as("doc_id"), tokens(text).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
+        .withColumn("w1", split(col("bigram"), "_")(0)),
+      "lm_inst")
     val c12 = inst.groupBy("bigram").agg(count(lit(1)).as("c12"))
     val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = t0.select(explode(col("toks")).as("tok"))
+    val v = inst.select(col("w1").as("tok"))
+      .union(inst.select(split(col("bigram"), "_")(1).as("tok")))
       .agg(countDistinct(col("tok")).as("v"))
     inst.join(c12, "bigram").join(c1, "w1").crossJoin(broadcast(v))
       .withColumn("lp6", round(
@@ -313,20 +330,28 @@ object TextFunctions {
     */
   def bigramLmScoresKn(docs: DataFrame, id: Column, text: Column,
                        discount: Double = 0.75): DataFrame = {
-    val t0 = docs.select(id.as("doc_id"), tokens(text).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .localCheckpoint(false)
-    val inst = t0.select(col("doc_id"),
-        explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
-      .withColumn("w1", split(col("bigram"), "_")(0))
-      .withColumn("w2", split(col("bigram"), "_")(1))
-      .localCheckpoint(false)
+    // the instance relation (one row per bigram occurrence — corpus-token
+    // scale, since this form trains on the corpus it scores) feeds the
+    // count aggregates AND the scoring join: one COLUMNAR scratch
+    // materialization, never object blocks (the [[bigramLmScores]]
+    // rationale — §6.3's measured 40M-row localCheckpoint cliff)
+    val inst = graft.core.Scratch.materialize(
+      docs.select(id.as("doc_id"), tokens(text).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
+        .withColumn("w1", split(col("bigram"), "_")(0))
+        .withColumn("w2", split(col("bigram"), "_")(1)),
+      "lmkn_inst")
     // the bigram-TYPE relation feeds four readers (the c12 join, both
-    // N1+ aggregates, and the type total) — pin it once
-    val c12 = inst.groupBy("bigram").agg(count(lit(1)).as("c12"))
-      .withColumn("w1", split(col("bigram"), "_")(0))
-      .withColumn("w2", split(col("bigram"), "_")(1))
-      .localCheckpoint(false)
+    // N1+ aggregates, and the type total) — materialize it once too:
+    // types ≪ occurrences but still corpus-vocabulary² scale, well past
+    // the object-block-safe tier at 10M docs
+    val c12 = graft.core.Scratch.materialize(
+      inst.groupBy("bigram").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", split(col("bigram"), "_")(0))
+        .withColumn("w2", split(col("bigram"), "_")(1)),
+      "lmkn_c12")
     val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
     val fwd = c12.groupBy("w1").agg(count(lit(1)).as("n1p_fwd"))
     val rev = c12.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
@@ -365,16 +390,24 @@ object TextFunctions {
   def bigramLmScoresKnAgainst(docs: DataFrame, id: Column, text: Column,
                               train: DataFrame, trainText: Column,
                               discount: Double = 0.75): DataFrame = {
-    val tr = train.select(tokens(trainText).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .localCheckpoint(false)
-    val ti = tr.select(explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
-      .withColumn("w1", split(col("bigram"), "_")(0))
-      .localCheckpoint(false)
-    val c12 = ti.groupBy("bigram").agg(count(lit(1)).as("c12"))
-      .withColumn("w1", split(col("bigram"), "_")(0))
-      .withColumn("w2", split(col("bigram"), "_")(1))
-      .localCheckpoint(false)
+    // train-side relations are "target-slice-sized" ONLY when the target
+    // is a small reference set; CCNet's actual target is Wikipedia-scale,
+    // and the lm MaintProbe measured the object-block pin going 15×
+    // superlinear at a 2M-doc train slice (the §6.3 cliff, caught live).
+    // COLUMNAR scratch for the instance relation, and the count tables
+    // derive from it; the token-array relation is folded away entirely
+    // (bigram instances are the only consumer).
+    val ti = graft.core.Scratch.materialize(
+      train.select(tokens(trainText).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
+        .withColumn("w1", split(col("bigram"), "_")(0)),
+      "lmkn_ti")
+    val c12 = graft.core.Scratch.materialize(
+      ti.groupBy("bigram").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", split(col("bigram"), "_")(0))
+        .withColumn("w2", split(col("bigram"), "_")(1)),
+      "lmkn_tc12")
     val c1 = ti.groupBy("w1").agg(count(lit(1)).as("c1"))
     val fwd = c12.groupBy("w1").agg(count(lit(1)).as("n1p_fwd"))
     val rev = c12.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
@@ -415,7 +448,11 @@ object TextFunctions {
     * single-task window, the x19/x16 discipline — and n rides a one-row
     * broadcast cross. Output: scored columns + (pos, bucket).
     */
-  def ccnetBuckets(scored: DataFrame): DataFrame = {
+  def ccnetBuckets(scored0: DataFrame): DataFrame = {
+    // two consumers (the rank and the one-row count) would otherwise each
+    // re-run the whole scoring chain behind `scored0` — one columnar
+    // materialization of the thin scored relation
+    val scored = graft.core.Scratch.materialize(scored0, "ccnet_scored")
     val ranked = graft.ops.Sampling.rankByDistributed(
       scored, negate(col("avg_logp")), col("doc_id"))
     ranked.crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))

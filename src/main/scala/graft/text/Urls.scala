@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registrable-domain extraction — the classic
+  * FIRST stage of CCNet/RefinedWeb-style web curation (parse each doc's
+  * URL, normalize the host, reduce to the registrable domain, gate
+  * against an allow/deny relation, and cap per DOMAIN rather than per
+  * raw source string). The reference's nearest surface is its s3-path
+  * parsing (checkpoints/download.py:53 basename split — the engine's
+  * P8); this module is the web-corpus generalization the LLM-pipeline
+  * mandate calls for.
+  *
+  * Everything is plain `regexp_extract`/`regexp_replace`/CASE over
+  * codegen'd built-ins — map-only, no UDF, no shuffle — and every rule
+  * is restated verbatim in the DuckDB oracle (p10_url_parse /
+  * tx_domain_gate), so the whole canonicalization sits under the hash
+  * gate. That is also why host parsing is a REGEX, not `parse_url`:
+  * Spark's ParseUrl delegates to java.net.URI, whose acceptance corners
+  * (bare hosts, missing schemes, userinfo) no other engine reproduces
+  * exactly — the regex is engine-portable by construction.
+  *
+  * Registrable-domain policy: last two host labels, or last three when
+  * the two-label suffix is a multi-part public suffix (an embedded
+  * subset of the Public Suffix List covering the common ccTLD
+  * second-level registries — publicsuffix.org; the full list is a data
+  * file a deployment can swap in via [[registrableDomainWith]]'s
+  * suffix relation without touching query shape). A host with no dot
+  * (localhost, intranet names) is its own domain.
+  */
+object Urls {
+
+  /** Multi-part public suffixes recognized by [[registrableDomain]] —
+    * the embedded PSL subset. Kept deliberately small and SORTED so the
+    * oracle's IN-list is stable.
+    */
+  val multiPartSuffixes: Seq[String] = Seq(
+    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
+    "com.au", "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
+    "gov.au", "gov.uk", "ne.jp", "net.au", "or.jp", "org.au", "org.uk")
+
+  /** Lowercased host of a URL: optional scheme, optional userinfo, host
+    * ends at the first `:`, `/`, `?`, or `#`. Handles scheme-less
+    * inputs ("example.com/path") and bare hosts with ports
+    * ("localhost:9000"). Empty string when nothing host-like leads the
+    * value; null propagates.
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(lower(url),
+      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1)
+
+  /** [[urlHost]] with the `www.` prefix stripped — the normalized host
+    * used for domain grouping (www/apex serve one site).
+    */
+  def normalizedHost(url: Column): Column =
+    regexp_replace(urlHost(url), "^www\\.", "")
+
+  /** Registrable domain of a HOST (not a URL — compose with
+    * [[normalizedHost]]): last two labels, last three over a
+    * multi-part suffix, the host itself when it has no dot.
+    */
+  def registrableDomain(host: Column): Column = {
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last2 === "", host)
+      .when(last2.isin(multiPartSuffixes: _*) && last3 =!= "", last3)
+      .otherwise(last2)
+  }
+
+  /** [[registrableDomain]] against a caller-supplied suffix RELATION
+    * (one `suffix` string column — e.g. the full Public Suffix List's
+    * multi-part entries loaded as a table) instead of the embedded
+    * subset. The suffix table is list-sized — it broadcasts; the corpus
+    * side stays map-only around one broadcast left join.
+    */
+  def withRegistrableDomain(docs: DataFrame, url: Column,
+                            suffixes: DataFrame, as: String): DataFrame = {
+    val host = normalizedHost(url)
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    docs.withColumn("__l2", last2).withColumn("__l3", last3)
+      .withColumn("__h", host)
+      .join(broadcast(suffixes.select(col("suffix").as("__l2"),
+        lit(true).as("__multi"))), Seq("__l2"), "left")
+      .withColumn(as,
+        when(col("__l2") === "", col("__h"))
+          .when(col("__multi") && col("__l3") =!= "", col("__l3"))
+          .otherwise(col("__l2")))
+      .drop("__l2", "__l3", "__h", "__multi")
+  }
+
+  /** Domain gate: keep docs whose registrable domain is NOT in `deny`
+    * (one `domain` string column). Deny lists are list-sized next to a
+    * corpus — the anti-join broadcasts, so the gate is a map-side
+    * filter at any corpus scale. Matching is on the registrable domain,
+    * so denying "spamfarm.com" also drops "cdn.spamfarm.com" and
+    * "www.spamfarm.com" — the CCNet blocklist semantics.
+    */
+  def domainGate(docs: DataFrame, url: Column, deny: DataFrame): DataFrame =
+    docs.withColumn("__dom", registrableDomain(normalizedHost(url)))
+      .join(broadcast(deny.select(col("domain").as("__dom"))),
+        Seq("__dom"), "left_anti")
+      .drop("__dom")
+}

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,exactdedup}
   * (default: all but stream; stream runs streaming-ingest rate A/Bs).
   */
 object MaintProbe {
@@ -393,6 +393,59 @@ object MaintProbe {
         }
         time(s"bpe/learnMerges k=8 over the vocab ($n docs behind it)") {
           Bpe.learnMerges(vf, 8)._1.count()
+        }
+      }
+      spark.catalog.clearCache()
+    }
+    // ---- lm: the KN/CCNet scoring family's scale evidence (round-11
+    // verdict gap): the chain materializes the corpus-token-scale bigram
+    // instance relation to COLUMNAR scratch, so its cost must scale
+    // LINEARLY with the corpus across two decades — the DSIR probe
+    // discipline applied to the one family that had none.
+    if (sections("lm")) locally {
+      import graft.text.TextFunctions
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      for (copies <- Seq(20, 200, 2000)) {
+        val docs = amplify(docs0, "doc_id", copies, 10000000L)
+          .localCheckpoint()
+        val n = docs.count()
+        time(s"lm/KN self-trained score, $n docs") {
+          TextFunctions.bigramLmScoresKn(docs, col("doc_id"), col("text"))
+            .agg(count(lit(1)), sum("n_bigrams")).collect()
+        }
+        time(s"lm/CCNet terciles (train-on-en + score + rank), $n docs") {
+          TextFunctions.ccnetBuckets(
+            TextFunctions.bigramLmScoresKnAgainst(docs, col("doc_id"),
+              col("text"), docs.filter(col("lang") === "en"), col("text")))
+            .groupBy("bucket").agg(count(lit(1))).collect()
+        }
+        graft.core.Scratch.cleanupNow()
+      }
+      spark.catalog.clearCache()
+    }
+    // ---- exactdedup: window form (full payload through the fingerprint
+    // exchange) vs thin form (winner ids on a (fp,id) projection + semi
+    // join) — keep whichever measures better at 10M docs (round-11
+    // verdict item 6). Consumers force the payload (sum of text lengths)
+    // so both forms pay for delivering survivors, not just deciding them.
+    if (sections("exactdedup")) locally {
+      import graft.dedup.Dedup
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      for (copies <- Seq(200, 2000)) {
+        // amplified copies are exact duplicates by construction — the
+        // worst-case duplication profile for both forms
+        val docs = amplify(docs0, "doc_id", copies, 10000000L)
+          .localCheckpoint()
+        val n = docs.count()
+        for (run <- 1 to 2) {
+          time(s"exactdedup/window form, $n docs, run $run") {
+            Dedup.exactDedup(docs, col("doc_id"), col("text"))
+              .agg(count(lit(1)), sum(length(col("text")))).collect()
+          }
+          time(s"exactdedup/thin form, $n docs, run $run") {
+            Dedup.exactDedupThin(docs, col("doc_id"), col("text"))
+              .agg(count(lit(1)), sum(length(col("text")))).collect()
+          }
         }
       }
       spark.catalog.clearCache()

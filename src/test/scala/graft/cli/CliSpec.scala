@@ -43,6 +43,26 @@ class CliSpec extends SparkSpec {
     assert(kept(1L).contains("<EMAIL>"))
   }
 
+  test("dedup subcommand: --url-col/--domain-gate drop denied registrable domains first") {
+    val docsDir = tmpDir("cli_dg_docs")
+    val denyDir = tmpDir("cli_dg_deny")
+    val outDir = tmpDir("cli_dg_out") + "/kept"
+    Seq(
+      (1L, "https://www.spamfarm.com/offer", "one alpha beta gamma delta"),
+      (2L, "https://cdn.spamfarm.com/asset", "two epsilon zeta eta theta"),
+      (3L, "https://example.org/fine", "three iota kappa lambda mu"))
+      .toDF("doc_id", "url", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    Seq("spamfarm.com").toDF("domain")
+      .write.mode("overwrite").parquet(denyDir)
+    Main.run(spark, Array("dedup", "--docs", docsDir,
+      "--min-quality", "0.0", "--url-col", "url",
+      "--domain-gate", denyDir, "--output", outDir))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L), s"got $kept")
+  }
+
   test("dedup subcommand: --keep-by length keeps the longest cluster member") {
     val near = "the quick brown fox jumps over the lazy dog near the " +
       "riverbank every single morning before the sun rises over the hills"

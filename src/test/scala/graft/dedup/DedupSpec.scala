@@ -20,6 +20,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("exactDedupThin is row-identical to the window form (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // heavy duplication on purpose: few distinct texts over many ids,
+    // plus empty/null-ish shapes
+    val textGen = Gen.oneOf("aaa bbb", "aaa bbb", "ccc", "", "x y z", "aaa  bbb")
+    val prop = Prop.forAll(Gen.listOfN(10, textGen)) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val win = Dedup.exactDedup(d, col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSet
+      val thin = Dedup.exactDedupThin(d, col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSet
+      win == thin
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhashBits matches a driver-side brute-force computation") {
     // Reference computation: same tokens, same md5-digit voting rule.
     def md5hex(s: String): String =

@@ -213,6 +213,62 @@ class PipelinesSpec extends SparkSpec {
     assert(windowTotals === Set(64L), windowTotals.toString)
   }
 
+  test("curatedFeed tokenCounts: packing arithmetic runs in learned-token units") {
+    val docs = (1 to 120).map { i =>
+      (i.toLong, Seq("web", "code")(i % 2),
+        s"alpha bravo charlie delta echo number$i tail words here now")
+    }.toDF("doc_id", "source", "text")
+    val weights = Seq(("web", 1), ("code", 1)).toDF("source", "w")
+    val vocab = graft.text.Bpe.learnMerges(
+      graft.text.Bpe.wordFreq(docs, col("text")), 4)._2
+    val counts = graft.text.Bpe.docSubwordCounts(docs, col("doc_id"),
+        col("text"), vocab)
+      .select(col("doc_id"), col("n_bpe").as("n_tok"))
+    val out = Files.createTempDirectory("bpefeed").toString
+    val manifest = Pipelines.curatedFeed(docs, "doc_id", "source", weights,
+      lit(-1L), // the expression MUST be ignored when tokenCounts is set
+      budget = 64, windowsPerShard = 4, outDir = out,
+      tokenCounts = Some(counts))
+    val back = spark.read.parquet(out)
+    // per sampled doc, the span lengths tile exactly the TOKENIZER's
+    // count — proof the budget/pack chain consumed n_bpe, not the
+    // (poisoned) nTok expression
+    val bpeById = counts.as[(Long, Long)].collect().toMap
+    val perDoc = back.groupBy("doc_id").agg(sum("len").as("t"))
+      .as[(Long, Long)].collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (id, t) =>
+      assert(t === bpeById(id), s"doc $id packed $t, tokenizer says ${bpeById(id)}")
+    }
+    // and the manifest's accounting sums to the same model-unit total
+    val manTot = manifest.agg(sum("shard_tokens")).as[Long].collect().head
+    assert(manTot === perDoc.map(_._2).sum)
+  }
+
+  test("dedupCorpus urlCol+domainDeny: denied apex vanishes first; the cap keys on registrable domain") {
+    val docs = Seq(
+      (1L, "https://www.spamfarm.com/a", "alpha beta gamma delta one"),
+      (2L, "https://cdn.spamfarm.com/b", "epsilon zeta eta theta two"),
+      (3L, "https://www.example.com/c", "iota kappa lambda mu three"),
+      (4L, "https://blog.example.com/d", "nu xi omicron pi four"),
+      (5L, "https://keep.org/e", "rho sigma tau upsilon five"))
+      .toDF("doc_id", "url", "text")
+    val deny = Seq("spamfarm.com").toDF("domain")
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      minQuality = 0.0, urlCol = Some("url"), domainDeny = Some(deny),
+      maxPerSource = 1)
+    val m = stages.toMap
+    // the deny gate runs FIRST and takes the subdomain down with the apex
+    assert(m.contains("domain_gate"))
+    assert(m("domain_gate").select("doc_id").as[Long].collect().toSet
+      === Set(3L, 4L, 5L))
+    // the domain cap groups www./blog. under one registrable domain —
+    // no `source` column exists on this corpus at all
+    val kept = stages.last._2.select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(5L))
+    assert(kept.size === 2 && (kept - 5L).subsetOf(Set(3L, 4L)), kept.toString)
+  }
+
   test("curatedFeed epochs: same sampled docs, decorrelated deterministic layouts, doc ids carried") {
     val docs = (1 to 200).map { i =>
       (i.toLong, Seq("web", "code")(i % 2), (i % 37 + 38).toLong)

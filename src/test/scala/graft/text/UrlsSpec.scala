@@ -1,0 +1,74 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def hostAndDomain(urls: Seq[String]): Map[String, (String, String)] =
+    urls.toDF("url")
+      .select(col("url"), Urls.normalizedHost(col("url")).as("h"))
+      .withColumn("d", Urls.registrableDomain(col("h")))
+      .as[(String, String, String)].collect()
+      .map { case (u, h, d) => u -> (h, d) }.toMap
+
+  test("normalizedHost + registrableDomain cover every URL shape") {
+    val got = hostAndDomain(Seq(
+      "https://www.example.com/a/b?q=1",
+      "http://example.co.uk/x?q=3",
+      "example.org/p",
+      "https://blog.example.com:8080/a#frag",
+      "ftp://user:pw@files.example.net/f.bin",
+      "https://sub.example.gov.au/q?a=1&b=2",
+      "HTTPS://WWW.EXAMPLE.COM/CAPS",
+      "localhost:9000/dev",
+      "co.uk",
+      "nodots"))
+    assert(got("https://www.example.com/a/b?q=1") === ("example.com", "example.com"))
+    assert(got("http://example.co.uk/x?q=3") === ("example.co.uk", "example.co.uk"))
+    assert(got("example.org/p") === ("example.org", "example.org"))
+    assert(got("https://blog.example.com:8080/a#frag") === ("blog.example.com", "example.com"))
+    assert(got("ftp://user:pw@files.example.net/f.bin") === ("files.example.net", "example.net"))
+    assert(got("https://sub.example.gov.au/q?a=1&b=2") === ("sub.example.gov.au", "example.gov.au"))
+    // case-normalized
+    assert(got("HTTPS://WWW.EXAMPLE.COM/CAPS") === ("example.com", "example.com"))
+    // bare host with port: its own domain
+    assert(got("localhost:9000/dev") === ("localhost", "localhost"))
+    // a bare multi-part suffix is returned as-is (not registrable, but
+    // never empty), and a dot-less name is its own domain
+    assert(got("co.uk") === ("co.uk", "co.uk"))
+    assert(got("nodots") === ("nodots", "nodots"))
+  }
+
+  test("domainGate drops denied apex domains including their subdomains") {
+    val docs = Seq(
+      (1L, "https://www.spamfarm.com/offer"),
+      (2L, "https://cdn.spamfarm.com/asset"),
+      (3L, "https://example.org/fine"),
+      (4L, "http://keep.co.uk/page")).toDF("doc_id", "url")
+    val deny = Seq("spamfarm.com").toDF("domain")
+    val kept = Urls.domainGate(docs, col("url"), deny)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L))
+    // gate preserves the input columns untouched
+    assert(Urls.domainGate(docs, col("url"), deny).columns.toSeq
+      === Seq("doc_id", "url"))
+  }
+
+  test("withRegistrableDomain matches the embedded-subset function when fed the same suffixes") {
+    val docs = Seq(
+      (1L, "https://www.a.co.uk/x"),
+      (2L, "https://b.example.com/y"),
+      (3L, "localhost/z")).toDF("doc_id", "url")
+    val suffixes = Urls.multiPartSuffixes.toDF("suffix")
+    val viaRelation = Urls.withRegistrableDomain(docs, col("url"),
+        suffixes, "domain")
+      .select("doc_id", "domain").as[(Long, String)].collect().toMap
+    val viaEmbedded = docs.select(col("doc_id"),
+        Urls.registrableDomain(Urls.normalizedHost(col("url"))).as("domain"))
+      .as[(Long, String)].collect().toMap
+    assert(viaRelation === viaEmbedded)
+  }
+}
