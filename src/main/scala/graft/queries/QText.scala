@@ -1044,10 +1044,14 @@ object QText {
     "tx_pmi" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("pmi").desc, col("bigram"))
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .localCheckpoint(false)
+      // columnar scratch, not localCheckpoint: the token-array relation
+      // is corpus-text scale (the r12 sweep rule); `uni` is vocab-sized —
+      // object blocks are the right tool there
+      val toks = graft.core.Scratch.materialize(
+        t(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2),
+        "pmi_toks")
       val uni = toks.select(explode(col("toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("u"))
         .localCheckpoint(false)
