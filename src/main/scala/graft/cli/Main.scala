@@ -205,6 +205,16 @@ object Main {
                 opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3))
           else identity
         val outDir = opt(args, "--out-shards").get
+        // --bpe-merges K: train a K-merge BPE on the corpus and run the
+        // ENTIRE packing arithmetic (mixture fractions, window budgets,
+        // shard manifest) in learned-token units instead of the regex
+        // word count — the x22 composition at the CLI surface
+        val tokCounts = opt(args, "--bpe-merges").map { k =>
+          graft.text.Bpe.docSubwordCounts(docs, col("doc_id"), col("text"),
+              graft.text.Bpe.learnMerges(
+                graft.text.Bpe.wordFreq(docs, col("text")), k.toInt)._2)
+            .select(col("doc_id"), col("n_bpe").as("n_tok"))
+        }
         val manifest = Pipelines.curatedFeed(docs, "doc_id", srcCol, weights,
           graft.text.TextFunctions.tokenCountNative(col("text")),
           budget = opt(args, "--budget").map(_.toLong).getOrElse(4096L),
@@ -213,7 +223,8 @@ object Main {
           outDir = outDir, curate = curate,
           // --epoch N repacks under that epoch's deterministic permutation
           // (same sampled docs, decorrelated window neighborhoods)
-          epoch = opt(args, "--epoch").map(_.toLong))
+          epoch = opt(args, "--epoch").map(_.toLong),
+          tokenCounts = tokCounts)
         opt(args, "--output") match {
           case Some(out) => manifest.write.mode("overwrite").parquet(out)
           case None      => manifest.show(50, truncate = false)

@@ -54,6 +54,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1)"), p)
   }
 
+  test("p10_url_parse: URL canonicalization is one map-only codegen stage — no exchange, no UDF") {
+    val p = plan("p10_url_parse")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // regex host/domain extraction rides whole-stage codegen
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("tx_domain_gate: the deny list broadcasts — the gate is a map-side anti-join") {
+    val p = plan("tx_domain_gate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // the corpus side never sort-merge-joins against the list-sized deny
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("sweep: no unintentional product joins anywhere in the query surface") {
     // Queries where a product is BY DESIGN (bounded side, deliberate):
     //  - j8_cross: the cross-join operator itself

@@ -711,6 +711,39 @@ class CliSpec extends SparkSpec {
     assert(manTok === dirTok)
   }
 
+  test("feed --bpe-merges: packing arithmetic runs in learned-token units end-to-end") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val docsDir = tmpDir("cli_bpefeed_docs")
+    val rows = (1 to 40).map(i => (i.toLong, s"src${i % 2}",
+      ("alpha bravo charlie " * (i % 5 + 1)).trim + s" unique$i"))
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val outDir = tmpDir("cli_bpefeed_out") + "/shards"
+    val manDir = tmpDir("cli_bpefeed_man") + "/manifest"
+    Main.run(spark, Array("feed", "--docs", docsDir,
+      "--budget", "48", "--windows-per-shard", "4",
+      "--bpe-merges", "4",
+      "--out-shards", outDir, "--output", manDir))
+    val back = spark.read.parquet(outDir)
+    // per packed doc, span lengths tile the TOKENIZER's subword count,
+    // not the regex word count — the CLI flag reached the arithmetic
+    val docs = spark.read.parquet(docsDir)
+    val bpe = graft.text.Bpe.docSubwordCounts(docs, col("doc_id"),
+        col("text"),
+        graft.text.Bpe.learnMerges(
+          graft.text.Bpe.wordFreq(docs, col("text")), 4)._2)
+      .select("doc_id", "n_bpe").as[(Long, Long)].collect().toMap
+    val perDoc = back.groupBy("doc_id").agg(sum("len").as("t"))
+      .as[(Long, Long)].collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (id, t) => assert(t === bpe(id), s"doc $id") }
+    // and n_bpe > regex n_tok for multi-char words at 4 merges, so the
+    // totals could not coincide by accident
+    val manTok = spark.read.parquet(manDir).agg(sum("shard_tokens"))
+      .head().getLong(0)
+    assert(manTok === perDoc.map(_._2).sum)
+  }
+
   test("ingest-daily first-ever run: band/fp/sem indices bootstrap from an empty catalog") {
     import graft.ann.Vectors
     import graft.core.Bucketing
