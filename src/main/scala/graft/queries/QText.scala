@@ -400,6 +400,22 @@ object QText {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
     }),
 
+    // X15b: the x15 domain cap keyed on the REGISTRABLE DOMAIN derived
+    // from the URL — the unit a web corpus is actually skewed by (www/
+    // blog/cdn subdomains of one site count against ONE cap) instead of
+    // a pre-supplied source label. Same deterministic hash-rank window,
+    // per-domain partitions (bounded-cardinality key), never global.
+    "x15b_url_domain_cap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          synthUrl(col("doc_id"), col("source")).as("url"))
+      graft.ops.Sampling.domainCap(
+        docs.withColumn("domain", graft.text.Urls.registrableDomain(
+          graft.text.Urls.normalizedHost(col("url")))),
+        col("domain"), col("doc_id"), 10)
+        .select(col("doc_id"), col("domain"))
+    }),
+
     // tx_classifier: IN-ENGINE quality-classifier training + corpus
     // scoring — the classifier-based filtering step of modern curation
     // (train a small logistic model on a labeled seed, score everything).
@@ -1166,6 +1182,16 @@ object QText {
           SELECT domain, count(*) AS n_docs, min(doc_id) AS min_doc
           FROM dm WHERE domain NOT IN (SELECT domain FROM deny)
           GROUP BY domain""",
+    "x15b_url_domain_cap" ->
+      s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+              h AS (SELECT doc_id, url, $hostSql AS host FROM u),
+              dm AS (SELECT doc_id, $domainSql AS domain FROM h),
+              cap AS (SELECT doc_id, domain,
+                             row_number() OVER (PARTITION BY domain
+                               ORDER BY ${graft.ops.Determinism.detHashSql("doc_id")},
+                                 doc_id) AS rn
+                      FROM dm)
+          SELECT doc_id, domain FROM cap WHERE rn <= 10""",
     "tx_gopher_rules" ->
       s"""WITH $gopherFlagsSql
           SELECT doc_id, n_tok, r_wc, r_mwl, r_alpha, r_stop, r_top, r_dup,

@@ -186,6 +186,37 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && got === Set(1L, 3L), s"got $got want $want")
   }
 
+  test("streaming domain gate == batch: Urls.domainGate is stateless, stream-safe as-is") {
+    // the gate is a broadcast (stream-static) anti-join over map-only
+    // regex projections — no aggregate, no watermark, no state store —
+    // so the BATCH operator applies to a streaming relation unchanged:
+    // the point of the test is that no streaming twin is NEEDED
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("domgatestream")
+    Seq((1L, "https://www.spamfarm.com/a"), (2L, "https://keep.org/b"))
+      .toDF("doc_id", "url")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    Seq((3L, "https://cdn.spamfarm.com/c"), (4L, "http://fine.co.uk/d"))
+      .toDF("doc_id", "url")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val deny = Seq("spamfarm.com").toDF("domain")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = graft.text.Urls.domainGate(stream, col("url"), deny)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    val want = graft.text.Urls.domainGate(
+        spark.read.parquet(s"$dir/in"), col("url"), deny)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want && got === Set(2L, 4L), s"got $got")
+  }
+
   test("streaming line scrub == incremental batch chain: later batches see earlier counts") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = tmp("linescrubstream")
