@@ -983,8 +983,11 @@ object Vectors {
                            maxCell: Int = 512,
                            roundTo: Int = 6): DataFrame = {
     // four consumers (centroid derivation, assignment, both join sides) —
-    // materialize the normalized corpus once and derive everything from it
-    val c = normalized(corpus, idCol, vecCol).localCheckpoint(false)
+    // materialize the normalized corpus once and derive everything from
+    // it. COLUMNAR scratch, not localCheckpoint: corpus × dim doubles
+    // as deserialized object blocks is the §6.3 cliff shape (r12 sweep)
+    val c = graft.core.Scratch.materialize(
+      normalized(corpus, idCol, vecCol), "semdedup_norm")
     semanticNearDupPairsImpl(c, centroidsOf(c, step), minCosine, maxCell, roundTo)
   }
 
@@ -998,7 +1001,9 @@ object Vectors {
                                cents: DataFrame, minCosine: Double,
                                maxCell: Int = 512,
                                roundTo: Int = 6): DataFrame = {
-    val c = normalized(corpus, idCol, vecCol).localCheckpoint(false)
+    // corpus-scale: columnar scratch, same rationale as above
+    val c = graft.core.Scratch.materialize(
+      normalized(corpus, idCol, vecCol), "semdedup_norm")
     semanticNearDupPairsImpl(c, cents, minCosine, maxCell, roundTo)
   }
 

@@ -204,7 +204,11 @@ object Dedup {
     // truncates lineage with unreplicated blocks, so an executor loss
     // mid-job fails the job instead of recomputing (acceptable here: the
     // checkpoint lives for one job; long multi-round jobs get a reliable-
-    // checkpoint knob, see connectedComponents.checkpointDir).
+    // checkpoint knob, see connectedComponents.checkpointDir). Scale
+    // boundary: this relation is corpus-row × bands THIN rows — near the
+    // Scratch.objectBlockSafeRows tier at ~10M docs; a 100 TB deployment
+    // should run dedup through dedupCorpus/ingest-daily, whose band
+    // indexes live in bucketed tables, not through this one-shot form.
     val small = banded
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
@@ -1535,16 +1539,18 @@ object Dedup {
     */
   def duplicateNgramPositions(docs: DataFrame, id: Column, text: Column,
                               n: Int, hashGrams: Boolean = false): DataFrame = {
-    val grams = docs
+    // feeds the doc-frequency aggregate AND the semi-join probe —
+    // materialize once instead of re-tokenizing the corpus per branch.
+    // COLUMNAR scratch, not localCheckpoint: one row per gram OCCURRENCE
+    // is corpus-token scale, the §6.3 object-block cliff shape (r12 sweep)
+    val grams = graft.core.Scratch.materialize(docs
       .select(id.as("doc_id"), tokens(text).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         posexplode(wordNgramsFromTokens(col("toks"), n)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"),
-        (if (hashGrams) xxhash64(col("g")) else col("g")).as("g"))
-      // feeds the doc-frequency aggregate AND the semi-join probe —
-      // materialize once instead of re-tokenizing the corpus per branch
-      .localCheckpoint(false)
+        (if (hashGrams) xxhash64(col("g")) else col("g")).as("g")),
+      "d10_grams")
     val shared = grams.groupBy(col("g"))
       .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
       .filter(col("__mn") =!= col("__mx"))

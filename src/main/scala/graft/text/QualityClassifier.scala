@@ -57,10 +57,15 @@ object QualityClassifier {
                     iters: Int = 3, lr: Double = 1.0): Array[Double] = {
     val k = featureCols.length
     val xs = (0 until k).map(i => col(s"__x$i"))
-    val f = docs.select(
+    // the features relation is thin but CORPUS-ROW scale and read once
+    // per GD iteration — exactly the thin-40M-row shape the budgetdiag
+    // probe measured hitting the object-block cliff (§6.3); columnar
+    // scratch reads at scan speed for all `iters` passes (r12 sweep)
+    val f = graft.core.Scratch.materialize(
+      docs.select(
         featureCols.zipWithIndex.map { case (c, i) => c.as(s"__x$i") } :+
-          label.cast("double").as("__y"): _*)
-      .localCheckpoint(false)
+          label.cast("double").as("__y"): _*),
+      "clf_features")
     val n = f.count().toDouble
     require(n > 0, "logisticTrain: empty training set")
     var w = Array.fill(k)(0.0)
