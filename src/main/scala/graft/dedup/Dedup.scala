@@ -1209,7 +1209,11 @@ object Dedup {
       maxIter: Int = 20): Unit = {
     val gone = ids.select(col("doc_id").cast("long").as("__gone")).distinct()
       .localCheckpoint(false)
-    val live = readClusterAssignment(spark, table).localCheckpoint(false)
+    // two consumers read the resolved live assignment — thin but
+    // CORPUS-ROW scale, so columnar scratch, not object blocks (r12
+    // sweep rule); every other pin here is request/affected-sized
+    val live = graft.core.Scratch.materialize(
+      readClusterAssignment(spark, table), "forget_live")
     // labels of every component containing a forgotten doc (tiny)
     val affectedLabels = live
       .join(broadcast(gone), col("doc_id") === col("__gone"), "left_semi")
