@@ -45,6 +45,27 @@ object QSources {
         .select(col("person_id"), col("garment_id"), col("c_name"))
     }),
 
+    // S17: JSONL round-trip — THE LLM-data interchange format (every
+    // public corpus ships as line-delimited JSON). Write a documents
+    // slice as JSONL, read it back with an EXPLICIT schema (inference
+    // is an extra full pass and type-nondeterministic at scale — never
+    // infer on a 100 TB corpus), hash the text through the round-trip.
+    // JSONL is splittable line-by-line, so the read parallelizes like
+    // any file source; the oracle reads the original table, putting the
+    // writer's escaping AND the reader's parsing on the hash hook.
+    "s17_jsonl_roundtrip" -> ((s, d) => {
+      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/jsonl"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .write.json(dir)
+      s.read.schema("doc_id LONG, lang STRING, n_chars LONG, text STRING")
+        .json(dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+    }),
+
     // J2 (pairsJoin form): the dead-code-no-more fan-out — pairs rows
     // left-joined to per-directory asset manifests through
     // ManifestOps.pairsJoin (person dir + garment dir).
@@ -219,6 +240,9 @@ object QSources {
                        delim=' ', header=false,
                        columns={'person_id': 'BIGINT', 'garment_id': 'BIGINT'})
          JOIN customer ON person_id = c_custkey""",
+    "s17_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+         FROM documents WHERE doc_id < 200""",
     "j2b_pairs_fanout" ->
       """WITH pairs AS (
            SELECT o_custkey AS person_id, o_orderkey % 100 + 1 AS garment_id
