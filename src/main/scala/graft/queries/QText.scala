@@ -902,6 +902,16 @@ object QText {
       graft.text.TextFunctions.bigramLmScoresKn(
         t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    // Trigram interpolated KN — the Chen & Goodman recursion one order
+    // up: discounted trigram ML backing off to a continuation-count
+    // bigram layer backing off to the pair-type continuation unigram.
+    // The oracle unrolls every count table and restates the two-layer
+    // formula with identical float association, so the whole recursion
+    // is under the hash.
+    "tx_lm_kn3" -> ((s, d) =>
+      graft.text.TextFunctions.trigramLmScoresKn(
+        t(s, d, "documents"), col("doc_id"), col("text"))),
+
     // CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): the
     // KN LM is trained on the TARGET slice (lang='en' stands in for
     // wiki), scores the WHOLE corpus with the OOV back-off branches,
@@ -1703,6 +1713,46 @@ object QText {
                       JOIN c1 USING (w1) JOIN fwd USING (w1)
                       JOIN rev USING (w2) CROSS JOIN tt)
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
+                   (count(*) * 1e6), 6) AS avg_logp
+          FROM lp GROUP BY doc_id""",
+    "tx_lm_kn3" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+                     WHERE len($toksSql) >= 3),
+               i3 AS (SELECT doc_id,
+                             string_split(trigram, '_')[1] AS w1,
+                             string_split(trigram, '_')[2] AS w2,
+                             string_split(trigram, '_')[3] AS w3
+                      FROM (SELECT doc_id,
+                              unnest(list_transform(range(1, len(toks) - 1),
+                                i -> toks[CAST(i AS INT)] || '_' ||
+                                     toks[CAST(i AS INT) + 1] || '_' ||
+                                     toks[CAST(i AS INT) + 2])) AS trigram
+                            FROM t)),
+               t3 AS (SELECT w1, w2, w3, count(*) AS c123
+                      FROM i3 GROUP BY 1, 2, 3),
+               c12 AS (SELECT w1, w2, count(*) AS c12 FROM i3 GROUP BY 1, 2),
+               npfx AS (SELECT w1, w2, count(*) AS npfx FROM t3 GROUP BY 1, 2),
+               mid AS (SELECT w2, w3, count(*) AS n1a FROM t3 GROUP BY 1, 2),
+               w2a AS (SELECT w2, CAST(sum(n1a) AS BIGINT) AS n1mid,
+                              count(*) AS nu2
+                       FROM mid GROUP BY 1),
+               rv AS (SELECT w3, count(*) AS rev3,
+                             (SELECT count(*) FROM mid) AS tt
+                      FROM mid GROUP BY 1),
+               lp AS (SELECT doc_id,
+                             round(ln(
+                               greatest(CAST(c123 AS DOUBLE) - 0.75, 0.0) / c12 +
+                               (0.75 * npfx / c12) *
+                                 (greatest(CAST(n1a AS DOUBLE) - 0.75, 0.0) / n1mid +
+                                  (0.75 * nu2 / n1mid) * (rev3 / tt))), 6)
+                               AS lp6
+                      FROM i3
+                      JOIN t3 USING (w1, w2, w3)
+                      JOIN c12 USING (w1, w2) JOIN npfx USING (w1, w2)
+                      JOIN mid USING (w2, w3) JOIN w2a USING (w2)
+                      JOIN rv USING (w3))
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
                  round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
                    (count(*) * 1e6), 6) AS avg_logp
           FROM lp GROUP BY doc_id""",

@@ -371,6 +371,79 @@ object TextFunctions {
         round(col("__s6") / (col("n_bigrams") * 1e6), 6).as("avg_logp"))
   }
 
+  /** TRIGRAM interpolated Kneser-Ney scoring — one more order of context
+    * than [[bigramLmScoresKn]] (KenLM's production gates run 5-gram; the
+    * trigram form shows the recursion, and each further order is the
+    * same pattern again):
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+    *              + (D · N1+(w1w2·)/c(w1w2·)) · P₂(w3|w2)
+    *   P₂(w3|w2)  = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+    *              + (D · N1u(w2)/N1+(·w2·)) · N1+(··w3)/N1+(···)
+    *
+    * — the middle and bottom layers run entirely on CONTINUATION (type)
+    * counts derived from the trigram-type relation (Chen & Goodman's
+    * interpolated KN): N1+(·w2w3) = distinct left-contexts of (w2,w3),
+    * N1+(·w2·) their per-w2 total, N1u(w2) = distinct (w2,·) continuation
+    * pairs, N1+(··w3)/N1+(···) the pair-type continuation unigram.
+    * Self-trained (the [[bigramLmScoresKn]] deployment shape), so every
+    * scored instance has c123 ≥ 1 ⇒ N1+(·w2w3) ≥ 1 ⇒ P₂ > 0 ⇒ P > 0 —
+    * ln never sees zero, no OOV branch needed. Docs need ≥ 3 tokens.
+    *
+    * Exactness: the oracle restates the formula with IDENTICAL float
+    * association; instance log-probs round to 6dp and sum as exact longs
+    * (the family's fixed-point discipline). Scale shape: the instance
+    * and type relations are corpus-token / vocabulary³-type scale and
+    * materialize to COLUMNAR scratch (the r12 sweep rule); everything
+    * else is equi-joins against ≪-corpus count tables + one doc
+    * aggregate; the one-row type total rides the allowlisted broadcast
+    * cross. Output: (doc_id, n_trigrams, avg_logp).
+    */
+  def trigramLmScoresKn(docs: DataFrame, id: Column, text: Column,
+                        discount: Double = 0.75): DataFrame = {
+    val inst = graft.core.Scratch.materialize(
+      docs.select(id.as("doc_id"), tokens(text).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(wordNgramsFromTokens(col("toks"), 3)).as("trigram"))
+        .withColumn("w1", split(col("trigram"), "_")(0))
+        .withColumn("w2", split(col("trigram"), "_")(1))
+        .withColumn("w3", split(col("trigram"), "_")(2)),
+      "lmkn3_inst")
+    // trigram TYPE relation — every continuation count derives from it
+    val t3 = graft.core.Scratch.materialize(
+      inst.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
+      "lmkn3_t3")
+    // continuation-pair relation (one row per distinct (w2,w3) with its
+    // distinct-left-context count) — three readers
+    val mid = graft.core.Scratch.materialize(
+      t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1a")),
+      "lmkn3_mid")
+    val c12 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val npfx = t3.groupBy("w1", "w2").agg(count(lit(1)).as("npfx"))
+    val w2agg = mid.groupBy("w2")
+      .agg(sum("n1a").as("n1mid"), count(lit(1)).as("nu2"))
+    val rev = mid.groupBy("w3").agg(count(lit(1)).as("rev3"))
+    val tt = mid.agg(count(lit(1)).as("tt"))
+    val d = lit(discount)
+    inst.join(t3, Seq("w1", "w2", "w3"))
+      .join(c12, Seq("w1", "w2")).join(npfx, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3")).join(w2agg, Seq("w2"))
+      .join(rev, Seq("w3"))
+      .crossJoin(broadcast(tt))
+      .withColumn("__p2",
+        greatest(col("n1a").cast("double") - d, lit(0.0)) / col("n1mid") +
+          (d * col("nu2") / col("n1mid")) * (col("rev3") / col("tt")))
+      .withColumn("lp6", round(log(
+        greatest(col("c123").cast("double") - d, lit(0.0)) / col("c12") +
+          (d * col("npfx") / col("c12")) * col("__p2")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(round(col("lp6") * 1e6).cast("long")).as("__s6"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("__s6") / (col("n_trigrams") * 1e6), 6).as("avg_logp"))
+  }
+
   /** [[bigramLmScoresKn]] with a SEPARATE training corpus — the deployed
     * CCNet shape: the LM is fit on the TARGET set (wiki-quality text) and
     * scores the raw corpus, so out-of-vocabulary back-off must be

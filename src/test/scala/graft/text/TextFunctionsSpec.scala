@@ -204,6 +204,53 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(3L)._2)
   }
 
+  test("trigramLmScoresKn: driver replay of the two-layer interpolated-KN recursion") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "zq xv wk jn qp"),
+      (4L, "too short"))
+    val docs = rows.toDF("doc_id", "text")
+    val got = TextFunctions.trigramLmScoresKn(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 4 has 2 tokens — no trigram, gated out
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // replay on the driver: all counts from the same corpus, D = 0.75
+    val tris = rows.filter(_._2.split(" ").length >= 3).flatMap { case (id, t) =>
+      val k = t.split(" ").toSeq
+      k.indices.dropRight(2).map(i => (id, k(i), k(i + 1), k(i + 2)))
+    }
+    val c123 = tris.groupBy(x => (x._2, x._3, x._4)).map { case (k, v) => k -> v.size.toLong }
+    val c12 = tris.groupBy(x => (x._2, x._3)).map { case (k, v) => k -> v.size.toLong }
+    val t3k = c123.keys.toSeq
+    val npfx = t3k.groupBy(k => (k._1, k._2)).map { case (k, v) => k -> v.size.toLong }
+    val mid = t3k.groupBy(k => (k._2, k._3)).map { case (k, v) => k -> v.size.toLong }
+    val n1mid = mid.toSeq.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val nu2 = mid.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val rev3 = mid.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val tt = mid.size.toDouble
+    def lp6(a: String, b: String, c: String): Long = {
+      val p2 = math.max(mid((b, c)) - 0.75, 0.0) / n1mid(b) +
+        (0.75 * nu2(b) / n1mid(b)) * (rev3(c) / tt)
+      val p = math.max(c123((a, b, c)) - 0.75, 0.0) / c12((a, b)) +
+        (0.75 * npfx((a, b)) / c12((a, b))) * p2
+      math.round(BigDecimal(math.log(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }
+    rows.filter(_._2.split(" ").length >= 3).foreach { case (id, t) =>
+      val k = t.split(" ").toSeq
+      val ts = k.indices.dropRight(2).map(i => (k(i), k(i + 1), k(i + 2)))
+      val want = BigDecimal(ts.map { case (a, b, c) => lp6(a, b, c) }.sum /
+          (ts.size * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 === ts.size.toLong, s"doc $id n_trigrams")
+      assert(math.abs(got(id)._2 - want) < 1e-9, s"doc $id: ${got(id)._2} vs $want")
+    }
+    // shared-context docs outscore the all-singleton gibberish doc
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
   test("bigramLmScoresKnAgainst: every OOV branch replays exactly") {
     val train = Seq("the cat sat on the mat", "the cat sat on the rug")
       .toDF("text")

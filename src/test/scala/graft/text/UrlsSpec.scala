@@ -42,6 +42,29 @@ class UrlsSpec extends SparkSpec {
     assert(got("nodots") === ("nodots", "nodots"))
   }
 
+  test("parser is total: arbitrary junk never throws, invariants hold (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val junkGen = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(':', '/', '.', '@', '?', '#', '%', ' ', '\t')))
+      .map(_.mkString)
+    val prop = Prop.forAll(Gen.listOfN(8, junkGen)) { urls =>
+      val rows = urls.toDF("url")
+        .select(Urls.normalizedHost(col("url")).as("h"))
+        .withColumn("d", Urls.registrableDomain(col("h")))
+        .as[(String, String)].collect()
+      rows.forall { case (h, dm) =>
+        // host never carries a www. prefix, never contains a separator
+        // the regex stops at, and the domain is a suffix of the host
+        // (or the host itself for dot-less names)
+        !h.startsWith("www.") &&
+          !h.exists(c => c == '/' || c == ':' || c == '?' || c == '#') &&
+          (h.isEmpty || h.endsWith(dm))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("domainGate drops denied apex domains including their subdomains") {
     val docs = Seq(
       (1L, "https://www.spamfarm.com/offer"),
