@@ -195,25 +195,20 @@ object Dedup {
     val banded = bandedSignatures(signatures, bandSize)
     // `small` feeds BOTH sides of the self-join — unshared, the entire
     // upstream MinHash chain (explode × seeds × md5) is recomputed per
-    // branch (observed 3× cost at a 500k-doc probe). localCheckpoint, not
-    // cache(): it materializes eagerly for the same sharing win, but the
-    // blocks are RDD-level persists that the ContextCleaner releases when
-    // the result goes out of scope — cache() pins the relation in the
-    // CacheManager for the session lifetime with no handle for library
-    // callers to unpersist (round-2 ADVICE). Trade-off: localCheckpoint
-    // truncates lineage with unreplicated blocks, so an executor loss
-    // mid-job fails the job instead of recomputing (acceptable here: the
-    // checkpoint lives for one job; long multi-round jobs get a reliable-
-    // checkpoint knob, see connectedComponents.checkpointDir). Scale
-    // boundary: this relation is corpus-row × bands THIN rows — near the
-    // Scratch.objectBlockSafeRows tier at ~10M docs; a 100 TB deployment
-    // should run dedup through dedupCorpus/ingest-daily, whose band
-    // indexes live in bucketed tables, not through this one-shot form.
-    val small = banded
+    // branch (observed 3× cost at a 500k-doc probe). COLUMNAR scratch,
+    // not localCheckpoint: this relation is corpus-rows × bands — object
+    // blocks cross the Scratch.objectBlockSafeRows spill cliff at ~10M
+    // docs (the 15×-superlinear regime MaintProbe `lm` measured for the
+    // same pattern, SURVEY §6.3), while a single-shot multi-consumer
+    // share is exactly Scratch.materialize's case: one eager columnar
+    // write, both self-join branches read at scan speed, zero executor
+    // storage pinned. (100 TB deployments still prefer dedupCorpus /
+    // ingest-daily, whose band indexes live in bucketed tables — but
+    // this one-shot form no longer cliffs if used directly.)
+    val small = graft.core.Scratch.materialize(banded
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
-      .filter(col("bn") <= maxBucket)
-      .localCheckpoint()
+      .filter(col("bn") <= maxBucket), "lshpairs")
     small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -544,10 +539,17 @@ object Dedup {
     val cands = candidates.dropDuplicates("doc_a", "doc_b").localCheckpoint()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val grams = docs.select(id.as("doc_id"),
-        explode(array_distinct(charNgrams(text, n))).as("g"))
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    // grams is candidate-DOC-TOKEN scale, and on the corpora dedup exists
+    // for (heavy duplication ⇒ candidates ≈ corpus) that is corpus-token
+    // scale — the object-block cliff the r12 sweep removed elsewhere
+    // (15× superlinear at 1M→10M, SURVEY §6.3). COLUMNAR scratch: one
+    // eager write, the three consumers (sizes + both join sides) read at
+    // scan speed with zero executor storage pinned. cands stays on
+    // localCheckpoint — it is pair-scale (bounded by the LSH caps).
+    val grams = graft.core.Scratch.materialize(
+      docs.select(id.as("doc_id"),
+          explode(array_distinct(charNgrams(text, n))).as("g"))
+        .join(candDocs, Seq("doc_id"), "left_semi"), "verifygrams")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = guardedBroadcast(cands, maxBroadcastPairs)
       .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
@@ -1799,10 +1801,15 @@ object Dedup {
   def scrubShardSegments(shard: DataFrame, id: Column, segments: Column,
                          index: DataFrame, maxDf: Int,
                          joiner: String = "\n"): DataFrame = {
-    val seg = shard.select(id.as("doc_id"),
-        posexplode(segments).as(Seq("pos", "seg")))
-      .withColumn("seg_hash", xxhash64(col("seg")))
-      .localCheckpoint(false)
+    // seg is shard-SEGMENT scale with the segment text inline — a day
+    // shard of a 100 TB crawl is ~1 TB of segment text, far past what
+    // object blocks hold on-heap. COLUMNAR scratch: one eager write
+    // shared by the own-count aggregate and the reassembly join, zero
+    // executor storage pinned (same fix as the r12 corpus-scale sweep).
+    val seg = graft.core.Scratch.materialize(
+      shard.select(id.as("doc_id"),
+          posexplode(segments).as(Seq("pos", "seg")))
+        .withColumn("seg_hash", xxhash64(col("seg"))), "scrubseg")
     val own = seg.groupBy(col("seg_hash")).agg(count(lit(1)).as("__n_own"))
     val idx = index.groupBy(col("seg_hash")).agg(sum(col("n")).as("__n_idx"))
     val tot = own.join(idx, Seq("seg_hash"), "left")
