@@ -373,6 +373,44 @@ object Streaming {
       }
       .start()
 
+  /** Streaming LM-PERPLEXITY scoring sink — the day-2 deployment of the
+    * CCNet gate at trigram order: the KN model is FIT ONCE in batch on
+    * the target slice ([[graft.text.TextFunctions.fitTrigramKn]] — its
+    * count tables live on columnar scratch, reusable across
+    * micro-batches at read-only cost), and every incoming shard is
+    * scored per-document with the EXACT batch operator
+    * ([[graft.text.TextFunctions.scoreTrigramsKn]]) inside foreachBatch.
+    * Scoring is per-document with a frozen model — no cross-batch
+    * state — so micro-batch composition is exact: the union of scored
+    * micro-batches equals scoring the union (asserted in StreamingSpec).
+    * Tercile CUTS stay a batch/nightly concern: head/middle/tail are
+    * corpus-global ranks, not per-shard properties — a deployment
+    * thresholds on avg_logp per batch (the frozen-cutoff form) or
+    * re-buckets the accumulated scores with
+    * [[graft.text.TextFunctions.ccnetBuckets]] on its snapshot cadence.
+    *
+    * IDEMPOTENT per micro-batch (the [[decontaminateStreamSink]]
+    * device): each batch overwrites its own `batch=<id>` subdirectory,
+    * so an at-least-once replay REPLACES its prior scores instead of
+    * duplicating rows.
+    */
+  def scoreLmKn3StreamSink(docsStream: DataFrame,
+                           model: graft.text.TextFunctions.TrigramKnModel,
+                           outDir: String, checkpointDir: String,
+                           discount: Double = 0.75,
+                           trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.text.TextFunctions.scoreTrigramsKn(batch, col("doc_id"),
+            col("text"), model, discount)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+
   /** Streaming twin of the day-2 line scrub ([[graft.dedup.Dedup
     * .scrubShardSegments]]): each micro-batch is scrubbed against the
     * accumulated corpus line counts (global df = prior batches' counts +
@@ -554,8 +592,12 @@ object Streaming {
                     outDir: String, checkpointDir: String): DataFrame = {
     val q = foreachBatchParquetSink(aggregated, outDir, checkpointDir)
     q.awaitTermination()
-    val last = new java.io.File(outDir).listFiles()
-      .filter(_.getName.startsWith("batch=")).map(_.getName)
+    // Hadoop-FS listing, not java.io.File: outDir may be any scheme the
+    // session writes to (the Streaming.scala:414 scrub-listing lesson)
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
       .maxBy(n => n.stripPrefix("batch=").toLong)
     spark.read.parquet(s"$outDir/$last")
   }

@@ -511,6 +511,129 @@ object TextFunctions {
         round(col("__s6") / (col("n_bigrams") * 1e6), 6).as("avg_logp"))
   }
 
+  /** [[trigramLmScoresKn]] with a SEPARATE training corpus — the
+    * deployed CCNet shape at (closer to) KenLM order: the KN model is
+    * fit on the TARGET set and scores the raw corpus, so out-of-model
+    * back-off must be defined at EVERY layer of the Chen & Goodman
+    * recursion. Deterministic policy, each layer falling through to the
+    * next exactly like [[bigramLmScoresKnAgainst]]'s:
+    *
+    *  - trigram unseen, prefix (w1,w2) seen: c123 → 0, the discounted
+    *    term vanishes, the interpolation weight carries into P₂;
+    *  - prefix (w1,w2) never a trigram prefix in training: P = P₂(w3|w2);
+    *  - continuation pair (w2,w3) unseen but w2 seen as a middle
+    *    context: N1+(·w2w3) → 0, P₂'s continuation term carries;
+    *  - w2 never a middle context: P₂ = cont(w3);
+    *  - w3 never a continuation: cont floors at 0.5/N1+(···) (half a
+    *    type — below every seen continuation, still positive).
+    *
+    * Every branch ends in a strictly positive term, so ln never sees
+    * zero (driver-replayed per branch in TextFunctionsSpec). Scale
+    * shape: train-side instance/type relations on COLUMNAR scratch
+    * (CCNet's target is Wikipedia-scale — the measured §6.3 cliff, same
+    * as the bigram form); prefix counts derive from the trigram-TYPE
+    * relation (c(w1w2·) = Σ_w3 c123), so no second instance aggregate;
+    * the scored side stays lazy (one consumer); LEFT equi-joins against
+    * ≪-corpus count tables; the one-row pair-type total rides the
+    * allowlisted broadcast cross. Same fixed-point 6dp mean; the oracle
+    * restates every branch with identical float association.
+    * Output: (doc_id, n_trigrams, avg_logp).
+    */
+  def trigramLmScoresKnAgainst(docs: DataFrame, id: Column, text: Column,
+                               train: DataFrame, trainText: Column,
+                               discount: Double = 0.75): DataFrame =
+    scoreTrigramsKn(docs, id, text, fitTrigramKn(train, trainText), discount)
+
+  /** Frozen trigram-KN count tables fit on a training corpus — the
+    * fit-once artifact behind [[trigramLmScoresKnAgainst]], exposed so
+    * "fit once, score many" deployments (daily shards, the streaming
+    * twin) never re-derive the trainer per scoring pass. Every relation
+    * is backed by columnar scratch or derives from one with a single
+    * aggregate, so a model instance is reusable across any number of
+    * [[scoreTrigramsKn]] calls (and micro-batches) at read-only cost.
+    * All counts are ≪-corpus (type-relation scale); a deployment that
+    * wants the model DURABLE across drivers writes the six relations as
+    * parquet and reopens them — they are plain DataFrames.
+    */
+  final case class TrigramKnModel(t3: DataFrame, pfx: DataFrame,
+                                  mid: DataFrame, w2agg: DataFrame,
+                                  rev: DataFrame, tt: DataFrame)
+
+  /** Fit the [[TrigramKnModel]] count tables on `train` (the CCNet
+    * target slice). Scale shape: the train-side instance relation is
+    * Wikipedia-scale in deployment — COLUMNAR scratch (the measured
+    * §6.3 cliff); every count table derives from the trigram-TYPE
+    * relation, incl. the instance-prefix count (c(w1w2·) = Σ_w3 c123 —
+    * no second instance aggregate).
+    */
+  def fitTrigramKn(train: DataFrame, trainText: Column): TrigramKnModel = {
+    val ti = graft.core.Scratch.materialize(
+      train.select(tokens(trainText).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(explode(wordNgramsFromTokens(col("toks"), 3)).as("trigram"))
+        .withColumn("w1", split(col("trigram"), "_")(0))
+        .withColumn("w2", split(col("trigram"), "_")(1))
+        .withColumn("w3", split(col("trigram"), "_")(2)),
+      "lmkn3_ti")
+    val t3 = graft.core.Scratch.materialize(
+      ti.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
+      "lmkn3_tt3")
+    val pfx = t3.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("npfx"))
+    val mid = graft.core.Scratch.materialize(
+      t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1a")),
+      "lmkn3_tmid")
+    val w2agg = mid.groupBy("w2")
+      .agg(sum("n1a").as("n1mid"), count(lit(1)).as("nu2"))
+    val rev = mid.groupBy("w3").agg(count(lit(1)).as("rev3"))
+    val tt = mid.agg(count(lit(1)).as("tt"))
+    TrigramKnModel(t3, pfx, mid, w2agg, rev, tt)
+  }
+
+  /** Score `docs` against a frozen [[TrigramKnModel]] — the per-shard /
+    * per-micro-batch half of the Against form. Purely per-document:
+    * LEFT equi-joins against the ≪-corpus count tables, the one-row
+    * type-total broadcast cross, one doc-keyed aggregate — no state
+    * across calls, so the batch operator is the streaming operator
+    * ([[graft.streaming.Streaming.scoreLmKn3StreamSink]]).
+    */
+  def scoreTrigramsKn(docs: DataFrame, id: Column, text: Column,
+                      model: TrigramKnModel,
+                      discount: Double = 0.75): DataFrame = {
+    val d = lit(discount)
+    val inst = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(wordNgramsFromTokens(col("toks"), 3)).as("trigram"))
+      .withColumn("w1", split(col("trigram"), "_")(0))
+      .withColumn("w2", split(col("trigram"), "_")(1))
+      .withColumn("w3", split(col("trigram"), "_")(2))
+    inst.join(model.t3, Seq("w1", "w2", "w3"), "left")
+      .join(model.pfx, Seq("w1", "w2"), "left")
+      .join(model.mid, Seq("w2", "w3"), "left")
+      .join(model.w2agg, Seq("w2"), "left")
+      .join(model.rev, Seq("w3"), "left")
+      .crossJoin(broadcast(model.tt))
+      .withColumn("__cont",
+        coalesce(col("rev3").cast("double"), lit(0.5)) / col("tt"))
+      .withColumn("__p2", when(col("n1mid").isNotNull,
+          greatest(coalesce(col("n1a"), lit(0L)).cast("double") - d, lit(0.0)) /
+            col("n1mid") +
+            (d * col("nu2") / col("n1mid")) * col("__cont"))
+        .otherwise(col("__cont")))
+      .withColumn("__p", when(col("c12").isNotNull,
+          greatest(coalesce(col("c123"), lit(0L)).cast("double") - d, lit(0.0)) /
+            col("c12") +
+            (d * col("npfx") / col("c12")) * col("__p2"))
+        .otherwise(col("__p2")))
+      .withColumn("lp6", round(log(col("__p")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(round(col("lp6") * 1e6).cast("long")).as("__s6"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("__s6") / (col("n_trigrams") * 1e6), 6).as("avg_logp"))
+  }
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3) over a scored corpus ([[bigramLmScoresKnAgainst]] output):
     * rank by model-likeness (avg_logp DESC — low perplexity first,

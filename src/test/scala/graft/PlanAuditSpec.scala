@@ -139,8 +139,14 @@ class PlanAuditSpec extends SparkSpec {
       // KN scoring: the one-row bigram-type total rides the same
       // broadcast cross as tx_lm_score's vocabulary
       "tx_lm_kn",
+      // trigram KN: the same one-row pair-type-total broadcast cross
+      // (TextFunctions.trigramLmScoresKn attaches tt exactly like tx_lm_kn)
+      "tx_lm_kn3",
       // CCNet buckets: the type-total AND corpus-count one-row crosses
-      "tx_ccnet_buckets")
+      "tx_ccnet_buckets",
+      // trigram CCNet: the same two one-row crosses (trigram pair-type
+      // total in the scorer + corpus count in the tercile cut)
+      "tx_ccnet_kn3")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||

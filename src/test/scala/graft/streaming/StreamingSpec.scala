@@ -186,6 +186,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && got === Set(1L, 3L), s"got $got want $want")
   }
 
+  test("streaming KN3 scoring == batch: fit once, score micro-batches with the frozen model") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.text.TextFunctions
+    val dir = tmp("lmkn3stream")
+    val train = Seq("the cat sat on the mat", "the cat sat on the rug")
+      .toDF("text")
+    // two files -> two micro-batches; seen, partly-OOV, and fully-OOV docs
+    Seq((1L, "the cat sat on"), (2L, "the cat ran on the mat"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    Seq((3L, "zq xv wk"), (4L, "on the mat"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val model = TextFunctions.fitTrigramKn(train, col("text"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Streaming.scoreLmKn3StreamSink(stream, model,
+      s"$dir/out", s"$dir/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_trigrams", "avg_logp")
+      .as[(Long, Long, Double)].collect().toSet
+    // batch twin over the full input, same frozen model — and the
+    // one-shot Against form must agree with the fit/score split
+    val all = spark.read.parquet(s"$dir/in")
+    val want = TextFunctions.scoreTrigramsKn(all, col("doc_id"),
+      col("text"), model).as[(Long, Long, Double)].collect().toSet
+    val oneShot = TextFunctions.trigramLmScoresKnAgainst(all, col("doc_id"),
+      col("text"), train, col("text")).as[(Long, Long, Double)].collect().toSet
+    assert(got === want, s"stream $got vs batch $want")
+    assert(got === oneShot, s"split $got vs one-shot $oneShot")
+    assert(got.map(_._1) === Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming domain gate == batch: Urls.domainGate is stateless, stream-safe as-is") {
     // the gate is a broadcast (stream-static) anti-join over map-only
     // regex projections — no aggregate, no watermark, no state store —

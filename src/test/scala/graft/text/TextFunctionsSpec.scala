@@ -296,6 +296,67 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
   }
 
+  test("trigramLmScoresKnAgainst: every layer's OOV branch replays exactly") {
+    val train = Seq("the cat sat on the mat", "the cat sat on the rug")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on"),        // all trigrams seen
+      // "the cat ran": prefix seen, trigram unseen, "ran" never a
+      // continuation; "cat ran on": prefix unseen, "ran" never a middle
+      // context; "ran on the": prefix unseen, (on,the) pair seen;
+      // "on the mat": fully seen
+      (2L, "the cat ran on the mat"),
+      (3L, "zq xv wk"),              // every layer falls through to the floor
+      (4L, "too short"))             // < 3 tokens — gated out
+      .toDF("doc_id", "text")
+    val got = TextFunctions.trigramLmScoresKnAgainst(docs, col("doc_id"),
+        col("text"), train, col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // driver replay over the TRAIN counts, every back-off branch explicit
+    val tris = train.as[String].collect().toSeq.flatMap { t =>
+      val k = t.split(" ").toSeq
+      k.indices.dropRight(2).map(i => (k(i), k(i + 1), k(i + 2)))
+    }
+    val c123 = tris.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c12 = tris.groupBy(x => (x._1, x._2)).map { case (k, v) => k -> v.size.toLong }
+    val t3k = c123.keys.toSeq
+    val npfx = t3k.groupBy(k => (k._1, k._2)).map { case (k, v) => k -> v.size.toLong }
+    val mid = t3k.groupBy(k => (k._2, k._3)).map { case (k, v) => k -> v.size.toLong }
+    val n1mid = mid.toSeq.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val nu2 = mid.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val rev3 = mid.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val tt = mid.size.toDouble
+    def lp6(a: String, b: String, c: String): Long = {
+      val cont = rev3.get(c).map(_.toDouble).getOrElse(0.5) / tt
+      val p2 =
+        if (n1mid.contains(b))
+          math.max(mid.getOrElse((b, c), 0L) - 0.75, 0.0) / n1mid(b) +
+            (0.75 * nu2(b) / n1mid(b)) * cont
+        else cont
+      val p =
+        if (c12.contains((a, b)))
+          math.max(c123.getOrElse((a, b, c), 0L) - 0.75, 0.0) / c12((a, b)) +
+            (0.75 * npfx((a, b)) / c12((a, b))) * p2
+        else p2
+      math.round(BigDecimal(math.log(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }
+    Seq(1L -> "the cat sat on", 2L -> "the cat ran on the mat",
+        3L -> "zq xv wk").foreach { case (id, t) =>
+      val k = t.split(" ").toSeq
+      val ts = k.indices.dropRight(2).map(i => (k(i), k(i + 1), k(i + 2)))
+      val want = BigDecimal(ts.map { case (a, b, c) => lp6(a, b, c) }.sum /
+          (ts.size * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 === ts.size.toLong, s"doc $id n_trigrams")
+      assert(math.abs(got(id)._2 - want) < 1e-9, s"doc $id: ${got(id)._2} vs $want")
+    }
+    // in-model text outscores partly-OOV text outscores full gibberish
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
   test("ccnetBuckets: terciles by exact arithmetic over the distributed rank") {
     val scored = (1 to 10).map(i => (i.toLong, 5L, -i.toDouble / 10))
       .toDF("doc_id", "n_bigrams", "avg_logp")
