@@ -130,7 +130,13 @@ object Main {
           // registrable domain instead of --source-col.
           urlCol = opt(args, "--url-col"),
           domainDeny = opt(args, "--domain-gate")
-            .map(spark.read.parquet(_)))
+            .map(spark.read.parquet(_)),
+          // --psl <file>: swap the embedded multi-part-suffix subset for
+          // a full Public Suffix List (publicsuffix.org format) — ccTLD
+          // registries (com.ar, co.il, ...) then key the domain gate and
+          // per-domain cap correctly; requires --url-col
+          pslSuffixes = opt(args, "--psl")
+            .map(graft.text.Urls.loadPslMultiPart(spark, _)))
         val kept = stages.last._2
         // funnel audit: per-stage surviving-doc counts — the curation
         // run's QA report ("gate dropped N, decontamination M, ...")

@@ -313,6 +313,17 @@ object Pipelines {
     *    stage, via a broadcast anti-join; and with `maxPerSource` set,
     *    the cap key becomes the registrable domain instead of
     *    `sourceCol` — the unit a web corpus is actually skewed by.
+    *    `pslSuffixes` swaps the embedded multi-part-suffix subset for a
+    *    full Public Suffix List ([[graft.text.Urls.loadPslMultiPart]];
+    *    CLI `--psl`) so ccTLD registries like `com.ar`/`co.il` key the
+    *    gate and cap correctly; default stays the embedded subset.
+    *
+    * `id` contract: the exact-dedup stage runs the THIN winner form
+    * ([[graft.dedup.Dedup.exactDedupThin]]), which assumes `id` values
+    * are globally unique — with duplicate ids its survivor semi-join can
+    * keep more than one row per fingerprint (every row whose id matches
+    * a winner), where the window form keeps exactly one. Synthetic or
+    * hash ids must be collision-free before entering the pipeline.
     *  - `minContainment`: a CONTAINMENT pass alongside Jaccard
     *    verification — doc-in-doc near-superset duplicates (|A∩B| /
     *    min(|A|,|B|), Broder) whose Jaccard stays low join the pair
@@ -386,14 +397,15 @@ object Pipelines {
                   lineScrubDf: Int = 0,
                   gopherGate: Boolean = false,
                   urlCol: Option[String] = None,
-                  domainDeny: Option[DataFrame] = None): DataFrame =
+                  domainDeny: Option[DataFrame] = None,
+                  pslSuffixes: Option[Seq[String]] = None): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
       imageCol, imageGridRows, imageBandBits, maxImageHamming,
       audioCol, videoCol, embeddingCol, semCells, minCosine,
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
-      gopherGate, urlCol, domainDeny).last._2
+      gopherGate, urlCol, domainDeny, pslSuffixes).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -434,10 +446,26 @@ object Pipelines {
                         lineScrubDf: Int = 0,
                         gopherGate: Boolean = false,
                         urlCol: Option[String] = None,
-                        domainDeny: Option[DataFrame] = None)
+                        domainDeny: Option[DataFrame] = None,
+                        pslSuffixes: Option[Seq[String]] = None)
       : Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
+    // loud failure, not silent ignore (round-12 ADVICE): a deny list can
+    // only key on a URL column. The reverse combo (urlCol alone) stays
+    // legal — it re-keys the maxPerSource cap by registrable domain.
+    require(domainDeny.isEmpty || urlCol.isDefined,
+      "domainDeny requires urlCol: the deny list matches registrable " +
+        "domains parsed from a URL column — pass urlCol (CLI: --url-col) " +
+        "alongside the deny relation (CLI: --domain-gate)")
+    require(pslSuffixes.isEmpty || urlCol.isDefined,
+      "pslSuffixes without urlCol has no effect — pass urlCol (CLI: " +
+        "--url-col) so the suffix list can key the domain gate/cap")
+    // registrable-domain policy for BOTH url-keyed stages (gate + cap):
+    // the embedded PSL subset unless the caller loaded a full list
+    // (graft.text.Urls.loadPslMultiPart; CLI --psl) — still a map-only
+    // InSet predicate either way, never a join
+    val sfx = pslSuffixes.getOrElse(graft.text.Urls.multiPartSuffixes)
     val stages = Seq.newBuilder[(String, DataFrame)]
     stages += ("input" -> docs)
     // DOMAIN GATE (urlCol + domainDeny): the classic FIRST stage of
@@ -447,7 +475,7 @@ object Pipelines {
     // map-side at any corpus scale. Denying an apex drops subdomains.
     val docs0 = (urlCol, domainDeny) match {
       case (Some(u), Some(deny)) =>
-        graft.text.Urls.domainGate(docs, col(u), deny)
+        graft.text.Urls.domainGate(docs, col(u), deny, sfx)
       case _ => docs
     }
     if (urlCol.isDefined && domainDeny.isDefined)
@@ -501,7 +529,7 @@ object Pipelines {
       if (maxPerSource <= 0) gated
       else graft.ops.Sampling.domainCap(gated,
         urlCol.map(u => graft.text.Urls.registrableDomain(
-          graft.text.Urls.normalizedHost(col(u))))
+          graft.text.Urls.normalizedHost(col(u)), sfx))
           .getOrElse(col(sourceCol)),
         id, maxPerSource)
     if (maxPerSource > 0) stages += ("domain_cap" -> capped0)

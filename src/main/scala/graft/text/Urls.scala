@@ -60,13 +60,58 @@ object Urls {
     * [[normalizedHost]]): last two labels, last three over a
     * multi-part suffix, the host itself when it has no dot.
     */
-  def registrableDomain(host: Column): Column = {
+  def registrableDomain(host: Column): Column =
+    registrableDomain(host, multiPartSuffixes)
+
+  /** [[registrableDomain]] against a caller-supplied suffix SET — e.g.
+    * the full Public Suffix List via [[loadPslMultiPart]]. Still a pure
+    * map-only Column (the list folds into an `InSet` predicate inside
+    * codegen — no join, no shuffle, no broadcast; a few thousand string
+    * literals is well inside expression limits). Two-label suffixes
+    * extend the domain to three labels, three-label suffixes to four;
+    * rarer shapes (4+-label PSL rules) are ignored by the matcher —
+    * the documented approximation boundary.
+    */
+  def registrableDomain(host: Column, suffixes: Seq[String]): Column = {
+    val (sfx2, rest) = suffixes.partition(_.count(_ == '.') == 1)
+    val sfx3 = rest.filter(_.count(_ == '.') == 2)
     val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(last2 === "", host)
-      .when(last2.isin(multiPartSuffixes: _*) && last3 =!= "", last3)
+    val base = when(last2 === "", host)
+      .when(last2.isin(sfx2: _*) && last3 =!= "", last3)
       .otherwise(last2)
+    if (sfx3.isEmpty) base
+    else {
+      val last4 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
+      when(last3 =!= "" && last3.isin(sfx3: _*) && last4 =!= "", last4)
+        .otherwise(base)
+    }
   }
+
+  /** Parse a Public Suffix List file (publicsuffix.org/list format) into
+    * the multi-part suffix set [[registrableDomain]] consumes. Read
+    * through the session (any Hadoop scheme — the PSL is a ~240 KB data
+    * file, collected to the driver once and folded into the map-only
+    * predicate). Rules applied:
+    *
+    *  - comment (`//`) and blank lines dropped;
+    *  - exception rules (`!city.kobe.jp`) SKIPPED — the affected hosts
+    *    fall back to the plain rule one level up (conservative);
+    *  - wildcard rules (`*.ck`) approximate to their parent: the `*.`
+    *    strips, and the remainder is kept only if still multi-part;
+    *  - single-label rules (`com`, `uk`) dropped — the last-two-labels
+    *    default already handles them.
+    *
+    * Output is lowercased, distinct, sorted (stable plans and oracles).
+    */
+  def loadPslMultiPart(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[String] =
+    spark.read.textFile(path).collect().toSeq
+      .map(_.trim.toLowerCase)
+      .filter(l => l.nonEmpty && !l.startsWith("//") && !l.startsWith("!"))
+      .map(l => if (l.startsWith("*.")) l.drop(2) else l)
+      .filter(_.contains("."))
+      .distinct.sorted
 
   /** [[registrableDomain]] against a caller-supplied suffix RELATION
     * (one `suffix` string column — e.g. the full Public Suffix List's
@@ -97,8 +142,9 @@ object Urls {
     * so denying "spamfarm.com" also drops "cdn.spamfarm.com" and
     * "www.spamfarm.com" — the CCNet blocklist semantics.
     */
-  def domainGate(docs: DataFrame, url: Column, deny: DataFrame): DataFrame =
-    docs.withColumn("__dom", registrableDomain(normalizedHost(url)))
+  def domainGate(docs: DataFrame, url: Column, deny: DataFrame,
+                 suffixes: Seq[String] = multiPartSuffixes): DataFrame =
+    docs.withColumn("__dom", registrableDomain(normalizedHost(url), suffixes))
       .join(broadcast(deny.select(col("domain").as("__dom"))),
         Seq("__dom"), "left_anti")
       .drop("__dom")

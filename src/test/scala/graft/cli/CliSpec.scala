@@ -63,6 +63,47 @@ class CliSpec extends SparkSpec {
     assert(kept === Set(3L), s"got $kept")
   }
 
+  test("dedup subcommand: --psl re-keys the domain gate by the full suffix list") {
+    val docsDir = tmpDir("cli_psl_docs")
+    val denyDir = tmpDir("cli_psl_deny")
+    val pslFile = tmpDir("cli_psl") + "/psl.dat"
+    val outDir = tmpDir("cli_psl_out") + "/kept"
+    Seq(
+      (1L, "https://www.spamfarm.com.ar/offer", "one alpha beta gamma delta"),
+      (2L, "https://cdn.spamfarm.com.ar/asset", "two epsilon zeta eta theta"),
+      (3L, "https://fine.com.ar/ok", "three iota kappa lambda mu"))
+      .toDF("doc_id", "url", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    // deny the REGISTRABLE domain under the full list; without --psl the
+    // parsed domain would be "com.ar" for every doc and the deny entry
+    // could never match just the spam site
+    Seq("spamfarm.com.ar").toDF("domain")
+      .write.mode("overwrite").parquet(denyDir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(pslFile),
+      "// psl\ncom.ar\n")
+    Main.run(spark, Array("dedup", "--docs", docsDir,
+      "--min-quality", "0.0", "--url-col", "url",
+      "--domain-gate", denyDir, "--psl", pslFile, "--output", outDir))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L), s"got $kept")
+  }
+
+  test("dedup subcommand: --domain-gate without --url-col fails loudly") {
+    val docsDir = tmpDir("cli_req_docs")
+    val denyDir = tmpDir("cli_req_deny")
+    Seq((1L, "https://a.example.com/x", "alpha beta gamma delta"))
+      .toDF("doc_id", "url", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    Seq("example.com").toDF("domain")
+      .write.mode("overwrite").parquet(denyDir)
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Array("dedup", "--docs", docsDir,
+        "--min-quality", "0.0", "--domain-gate", denyDir))
+    }
+    assert(e.getMessage.contains("--url-col"), e.getMessage)
+  }
+
   test("dedup subcommand: --keep-by length keeps the longest cluster member") {
     val near = "the quick brown fox jumps over the lazy dog near the " +
       "riverbank every single morning before the sun rises over the hills"

@@ -80,6 +80,41 @@ class UrlsSpec extends SparkSpec {
       === Seq("doc_id", "url"))
   }
 
+  test("loadPslMultiPart: full list DIVERGES from the embedded subset where the subset is blind") {
+    // a miniature publicsuffix.org-format file: comments, single-label
+    // rules, plain multi-part rules (incl. one the embedded subset lacks:
+    // com.ar), a 3-label rule, a wildcard, and an exception rule
+    val psl = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(psl, Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "com", "uk", "co.uk", "COM.AR", "com.pk", "co.il",
+      "city.kawasaki.jp", "*.ck", "!www.ck", "").mkString("\n"))
+    val full = Urls.loadPslMultiPart(spark, psl.toString)
+    // parsed: lowercased, single-label + exception dropped, wildcard
+    // reduced to its parent ("ck" — single-label, dropped), sorted
+    assert(full === Seq("city.kawasaki.jp", "co.il", "co.uk", "com.ar", "com.pk"))
+    val urls = Seq("https://www.shop.com.ar/x", "http://news.co.il/y",
+      "https://sub.city.kawasaki.jp/z", "https://blog.example.co.uk/w")
+    def doms(sfx: Seq[String]): Map[String, String] = urls.toDF("url")
+      .select(col("url"),
+        Urls.registrableDomain(Urls.normalizedHost(col("url")), sfx).as("d"))
+      .as[(String, String)].collect().toMap
+    val embedded = doms(Urls.multiPartSuffixes)
+    val loaded = doms(full)
+    // the subset mis-keys com.ar / co.il hosts at the suffix itself;
+    // the full list recovers the true registrable domain
+    assert(embedded("https://www.shop.com.ar/x") === "com.ar")
+    assert(loaded("https://www.shop.com.ar/x") === "shop.com.ar")
+    assert(embedded("http://news.co.il/y") === "co.il")
+    assert(loaded("http://news.co.il/y") === "news.co.il")
+    // 3-label rule extends to four labels under the full list
+    assert(embedded("https://sub.city.kawasaki.jp/z") === "kawasaki.jp")
+    assert(loaded("https://sub.city.kawasaki.jp/z") === "sub.city.kawasaki.jp")
+    // where both lists carry the rule, they agree
+    assert(embedded("https://blog.example.co.uk/w") === "example.co.uk")
+    assert(loaded("https://blog.example.co.uk/w") === "example.co.uk")
+  }
+
   test("withRegistrableDomain matches the embedded-subset function when fed the same suffixes") {
     val docs = Seq(
       (1L, "https://www.a.co.uk/x"),
