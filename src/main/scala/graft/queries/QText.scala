@@ -112,6 +112,31 @@ object QText {
                THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
              ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END"""
   }
+  // A "loaded full PSL" stand-in for the p10b query: the embedded subset
+  // plus two 2-label ccTLD registries the subset lacks and one 3-label
+  // registry rule — sorted like loadPslMultiPart's output, so the query
+  // is exactly what a --psl deployment computes.
+  private val pslFullSample: Seq[String] =
+    (graft.text.Urls.multiPartSuffixes ++
+      Seq("com.ar", "co.il", "city.kawasaki.jp")).sorted
+  // DuckDB twin of Urls.registrableDomain(host, pslFullSample): the
+  // 3-label branch wraps the 2-label CASE (identical structure to the
+  // Scala matcher).
+  private val domainFullSql: String = {
+    val in2 = pslFullSample.filter(_.count(_ == '.') == 1)
+      .map(sfx => s"'$sfx'").mkString(", ")
+    val in3 = pslFullSample.filter(_.count(_ == '.') == 2)
+      .map(sfx => s"'$sfx'").mkString(", ")
+    s"""CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+              AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) IN ($in3)
+              AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+           THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$$', 1)
+           WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
+           WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) IN ($in2)
+                AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+             THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+           ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END"""
+  }
 
   // DuckDB twin of GopherRules.ruleFlags, ending in a CTE `fl` with the
   // per-doc rule booleans. Same integer-exact threshold arithmetic; the
@@ -379,17 +404,48 @@ object QText {
           graft.text.Urls.normalizedHost(url)).as("domain"))
     }),
 
+    // P10b: registrable domains under a FULL Public Suffix List (the
+    // loadPslMultiPart path, --psl in the CLI) side by side with the
+    // embedded subset — ccTLD second-level registries (com.ar, co.il)
+    // and a THREE-label registry rule (city.kawasaki.jp) where the two
+    // policies DIVERGE, plus a plain .com where they agree. Both the
+    // 2-label and the 3-label branch of the generalized matcher sit
+    // under the hash; still pure map-only InSet CASE logic, no join.
+    "p10b_psl_domains" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(4L))
+      val url = when(m === 0, concat(lit("https://www.shop."),
+          col("source"), lit(".com.ar/x")))
+        .when(m === 1, concat(lit("http://news."), col("source"),
+          lit(".co.il/y?q=1")))
+        .when(m === 2, concat(lit("https://sub."), col("source"),
+          lit(".city.kawasaki.jp/z")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".com/plain")))
+      val host = graft.text.Urls.normalizedHost(col("url"))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .withColumn("host", host)
+        .withColumn("domain_subset",
+          graft.text.Urls.registrableDomain(col("host")))
+        .withColumn("domain_full",
+          graft.text.Urls.registrableDomain(col("host"), pslFullSample))
+    }),
+
     // The DOMAIN GATE over those URLs: a deny list (here derived
-    // deterministically from the corpus — every registrable domain some
-    // doc_id % 11 == 0 doc resolves to) anti-joins the corpus on the
-    // registrable domain, so denying an apex drops its subdomains too.
-    // The deny relation is list-sized → broadcast anti-join, map-side at
-    // any corpus scale; output is the per-domain survivor profile.
+    // deterministically from the corpus — the registrable domains of the
+    // doc_id % 11 == 0 docs in the `.com` URL class) anti-joins the
+    // corpus on the registrable domain. Denying apex source.com drops
+    // the blog./WWW. subdomain classes of the same source too — the
+    // collapse IS what the hash verifies — while the co.uk/org/net/
+    // gov.au/localhost classes survive, so the output is a NON-EMPTY
+    // survivor profile (round-12 ADVICE: the old %11-only deny covered
+    // every domain class and gated everything, hashing an empty
+    // relation). The deny relation is list-sized → broadcast anti-join,
+    // map-side at any corpus scale.
     "tx_domain_gate" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"),
           synthUrl(col("doc_id"), col("source")).as("url"))
-      val deny = docs.filter(col("doc_id") % 11 === 0)
+      val deny = docs.filter(col("doc_id") % 11 === 0 &&
+          pmod(col("doc_id"), lit(8L)) === 0)
         .select(graft.text.Urls.registrableDomain(
           graft.text.Urls.normalizedHost(col("url"))).as("domain"))
         .distinct()
@@ -926,6 +982,21 @@ object QText {
           docs.filter(col("lang") === "en"), col("text")))
     }),
 
+    // CCNet bucketing at TRIGRAM order — the deployed shape one order
+    // closer to KenLM: interpolated KN trained on the target slice, the
+    // full two-layer OOV back-off (trigram → continuation bigram →
+    // continuation unigram → 0.5-type floor), terciles over the
+    // distributed rank. The oracle unrolls every train-side count table
+    // and restates each back-off branch with identical float
+    // association, so trainer + scorer + rank + cuts sit under one hash.
+    "tx_ccnet_kn3" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.TextFunctions.ccnetBuckets(
+        graft.text.TextFunctions.trigramLmScoresKnAgainst(
+          docs, col("doc_id"), col("text"),
+          docs.filter(col("lang") === "en"), col("text")))
+    }),
+
     // X19: token-budget selection — the greedy quality knapsack: rank by
     // (n_chars DESC, doc_id) and keep docs while the inclusive token
     // cumsum fits the budget. Runs through the two-phase distributed
@@ -1208,11 +1279,24 @@ object QText {
       s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
               h AS (SELECT doc_id, url, $hostSql AS host FROM u)
           SELECT doc_id, url, host, $domainSql AS domain FROM h""",
+    "p10b_psl_domains" ->
+      s"""WITH u AS (SELECT doc_id,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'https://www.shop.' || source || '.com.ar/x'
+                   WHEN 1 THEN 'http://news.' || source || '.co.il/y?q=1'
+                   WHEN 2 THEN 'https://sub.' || source || '.city.kawasaki.jp/z'
+                   ELSE 'https://' || source || '.com/plain' END AS url
+               FROM documents),
+              h AS (SELECT doc_id, url, $hostSql AS host FROM u)
+          SELECT doc_id, url, host, $domainSql AS domain_subset,
+                 $domainFullSql AS domain_full
+          FROM h""",
     "tx_domain_gate" ->
       s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
               h AS (SELECT doc_id, url, $hostSql AS host FROM u),
               dm AS (SELECT doc_id, $domainSql AS domain FROM h),
-              deny AS (SELECT DISTINCT domain FROM dm WHERE doc_id % 11 = 0)
+              deny AS (SELECT DISTINCT domain FROM dm
+                       WHERE doc_id % 11 = 0 AND doc_id % 8 = 0)
           SELECT domain, count(*) AS n_docs, min(doc_id) AS min_doc
           FROM dm WHERE domain NOT IN (SELECT domain FROM deny)
           GROUP BY domain""",
@@ -1806,6 +1890,71 @@ object QText {
                       WHEN pos * 3 <= n * 2 THEN 'middle'
                       ELSE 'tail' END AS bucket
           FROM kr"""
+    },
+    "tx_ccnet_kn3" -> {
+      val cont3 = "coalesce(CAST(rev3 AS DOUBLE), 0.5) / tt"
+      val p2 = s"""CASE WHEN n1mid IS NOT NULL THEN
+                     greatest(CAST(coalesce(n1a, 0) AS DOUBLE)
+                       - 0.75, 0.0) / n1mid +
+                     (0.75 * nu2 / n1mid) * ($cont3)
+                   ELSE $cont3 END"""
+      s"""WITH gt AS (SELECT $toksSql AS toks FROM documents
+                      WHERE lang = 'en' AND len($toksSql) >= 3),
+               gi AS (SELECT string_split(trigram, '_')[1] AS w1,
+                             string_split(trigram, '_')[2] AS w2,
+                             string_split(trigram, '_')[3] AS w3
+                      FROM (SELECT unnest(list_transform(range(1, len(toks) - 1),
+                              i -> toks[CAST(i AS INT)] || '_' ||
+                                   toks[CAST(i AS INT) + 1] || '_' ||
+                                   toks[CAST(i AS INT) + 2])) AS trigram
+                            FROM gt)),
+               gt3 AS (SELECT w1, w2, w3, count(*) AS c123
+                       FROM gi GROUP BY 1, 2, 3),
+               gpfx AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+                               count(*) AS npfx
+                        FROM gt3 GROUP BY 1, 2),
+               gmid AS (SELECT w2, w3, count(*) AS n1a FROM gt3 GROUP BY 1, 2),
+               gw2a AS (SELECT w2, CAST(sum(n1a) AS BIGINT) AS n1mid,
+                               count(*) AS nu2
+                        FROM gmid GROUP BY 1),
+               grv AS (SELECT w3, count(*) AS rev3 FROM gmid GROUP BY 1),
+               gtt AS (SELECT count(*) AS tt FROM gmid),
+               si AS (SELECT doc_id,
+                             string_split(trigram, '_')[1] AS w1,
+                             string_split(trigram, '_')[2] AS w2,
+                             string_split(trigram, '_')[3] AS w3
+                      FROM (SELECT doc_id,
+                              unnest(list_transform(range(1, len($toksSql) - 1),
+                                i -> ($toksSql)[CAST(i AS INT)] || '_' ||
+                                     ($toksSql)[CAST(i AS INT) + 1] || '_' ||
+                                     ($toksSql)[CAST(i AS INT) + 2])) AS trigram
+                            FROM documents WHERE len($toksSql) >= 3)),
+               slp AS (SELECT doc_id,
+                              round(ln(CASE WHEN c12 IS NOT NULL THEN
+                                greatest(CAST(coalesce(c123, 0) AS DOUBLE)
+                                  - 0.75, 0.0) / c12 +
+                                (0.75 * npfx / c12) * ($p2)
+                              ELSE $p2 END), 6) AS lp6
+                       FROM si
+                       LEFT JOIN gt3 USING (w1, w2, w3)
+                       LEFT JOIN gpfx USING (w1, w2)
+                       LEFT JOIN gmid USING (w2, w3)
+                       LEFT JOIN gw2a USING (w2)
+                       LEFT JOIN grv USING (w3) CROSS JOIN gtt),
+               ss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                             round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
+                               (count(*) * 1e6), 6) AS avg_logp
+                      FROM slp GROUP BY doc_id),
+               sr AS (SELECT *, CAST(row_number() OVER (
+                              ORDER BY avg_logp DESC, doc_id) AS BIGINT)
+                              AS pos,
+                            CAST(count(*) OVER () AS BIGINT) AS n
+                      FROM ss)
+          SELECT doc_id, n_trigrams, avg_logp, pos,
+                 CASE WHEN pos * 3 <= n THEN 'head'
+                      WHEN pos * 3 <= n * 2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM sr"""
     },
     // BPE trainer CTEs chained into the plain window-form cumsum:
     // trainer + segmentation + knapsack under one hash
