@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,exactdedup}
-  * (default: all but stream; stream runs streaming-ingest rate A/Bs).
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup}
+  * (default: {x8,v15,compact,decont} — the original three claims; every
+  * other section must be named explicitly, so a scale-evidence run names
+  * the section it is collecting for).
   */
 object MaintProbe {
 
@@ -418,6 +420,50 @@ object MaintProbe {
             TextFunctions.bigramLmScoresKnAgainst(docs, col("doc_id"),
               col("text"), docs.filter(col("lang") === "en"), col("text")))
             .groupBy("bucket").agg(count(lit(1))).collect()
+        }
+        // trigram chain (round-12 verdict: the kn3 instance/type
+        // relations are ~1.5-3× the bigram's on the same scratch
+        // discipline — no probe, no trust)
+        time(s"lm/KN3 self-trained score, $n docs") {
+          TextFunctions.trigramLmScoresKn(docs, col("doc_id"), col("text"))
+            .agg(count(lit(1)), sum("n_trigrams")).collect()
+        }
+        time(s"lm/KN3 CCNet terciles (train-on-en + score + rank), $n docs") {
+          TextFunctions.ccnetBuckets(
+            TextFunctions.trigramLmScoresKnAgainst(docs, col("doc_id"),
+              col("text"), docs.filter(col("lang") === "en"), col("text")))
+            .groupBy("bucket").agg(count(lit(1))).collect()
+        }
+        graft.core.Scratch.cleanupNow()
+      }
+      spark.catalog.clearCache()
+    }
+    // ---- verify: LSH candidate proposal + n-gram verification on an
+    // ALL-DUP corpus — every doc is half of a 2-copy duplicate group, so
+    // candidate docs ≈ THE WHOLE CORPUS: the adversarial case for the
+    // verifyCandidates grams relation and the lshCandidatePairs banded
+    // relation (both corpus-scale shares, swept to columnar scratch in
+    // r13). Synthetic 30-token docs from a 100k-token vocabulary keep
+    // groups hash-distinct, so buckets stay size 2 and the pair count
+    // tracks the corpus instead of exploding quadratically.
+    if (sections("verify")) locally {
+      import graft.dedup.Dedup
+      for (n <- Seq(100000L, 1000000L, 10000000L)) {
+        val docs = spark.range(0, n / 2).toDF("gid")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(29)),
+              i => concat(lit("w"),
+                pmod(hash(col("gid") * 31 + i), lit(99991))))))
+          .crossJoin(broadcast(spark.range(0, 2).toDF("__c")))
+          .select((col("gid") * 2 + col("__c")).as("doc_id"), col("text"))
+          .repartition(cpus.toInt)
+          .localCheckpoint()
+        val nn = docs.count()
+        time(s"verify/lsh propose + ngram verify, all-dup, $nn docs") {
+          val cands = Dedup.lshCandidatePairs(
+            Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+          Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
+            .agg(count(lit(1)), avg("jaccard")).collect()
         }
         graft.core.Scratch.cleanupNow()
       }
