@@ -136,7 +136,13 @@ object Main {
           // registries (com.ar, co.il, ...) then key the domain gate and
           // per-domain cap correctly; requires --url-col
           pslSuffixes = opt(args, "--psl")
-            .map(graft.text.Urls.loadPslMultiPart(spark, _)))
+            .map(graft.text.Urls.loadPslMultiPart(spark, _)),
+          // CCNet LM gate: --lm-target points at the parquet target
+          // slice the trigram-KN model fits on; --lm-min-logp is the
+          // avg_logp cutoff (docs scoring below it drop). Both or
+          // neither — the pipeline fails loudly on one alone.
+          lmTarget = opt(args, "--lm-target").map(spark.read.parquet(_)),
+          lmMinAvgLogp = opt(args, "--lm-min-logp").map(_.toDouble))
         val kept = stages.last._2
         // funnel audit: per-stage surviving-doc counts — the curation
         // run's QA report ("gate dropped N, decontamination M, ...")

@@ -317,6 +317,16 @@ object Pipelines {
     *    full Public Suffix List ([[graft.text.Urls.loadPslMultiPart]];
     *    CLI `--psl`) so ccTLD registries like `com.ar`/`co.il` key the
     *    gate and cap correctly; default stays the embedded subset.
+    *  - `lmTarget` + `lmMinAvgLogp`: the CCNet LM-PERPLEXITY GATE — a
+    *    trigram interpolated-KN model fit once on the target slice
+    *    ([[graft.text.TextFunctions.fitTrigramKn]]) scores every
+    *    surviving doc with full OOV back-off, and docs below the
+    *    avg_logp cutoff (= −ln perplexity; derive it from
+    *    [[graft.text.TextFunctions.ccnetBuckets]]' tercile boundary on
+    *    a reference corpus) are dropped before decontamination and all
+    *    signature work. Docs too short to score pass through — the
+    *    gate drops on evidence, shortness is `minQuality`'s
+    *    jurisdiction.
     *
     * `id` contract: the exact-dedup stage runs the THIN winner form
     * ([[graft.dedup.Dedup.exactDedupThin]]), which assumes `id` values
@@ -398,14 +408,17 @@ object Pipelines {
                   gopherGate: Boolean = false,
                   urlCol: Option[String] = None,
                   domainDeny: Option[DataFrame] = None,
-                  pslSuffixes: Option[Seq[String]] = None): DataFrame =
+                  pslSuffixes: Option[Seq[String]] = None,
+                  lmTarget: Option[DataFrame] = None,
+                  lmMinAvgLogp: Option[Double] = None): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
       imageCol, imageGridRows, imageBandBits, maxImageHamming,
       audioCol, videoCol, embeddingCol, semCells, minCosine,
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
-      gopherGate, urlCol, domainDeny, pslSuffixes).last._2
+      gopherGate, urlCol, domainDeny, pslSuffixes,
+      lmTarget, lmMinAvgLogp).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -447,7 +460,9 @@ object Pipelines {
                         gopherGate: Boolean = false,
                         urlCol: Option[String] = None,
                         domainDeny: Option[DataFrame] = None,
-                        pslSuffixes: Option[Seq[String]] = None)
+                        pslSuffixes: Option[Seq[String]] = None,
+                        lmTarget: Option[DataFrame] = None,
+                        lmMinAvgLogp: Option[Double] = None)
       : Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
@@ -461,6 +476,10 @@ object Pipelines {
     require(pslSuffixes.isEmpty || urlCol.isDefined,
       "pslSuffixes without urlCol has no effect — pass urlCol (CLI: " +
         "--url-col) so the suffix list can key the domain gate/cap")
+    require(lmTarget.isDefined == lmMinAvgLogp.isDefined,
+      "the LM gate needs BOTH a target corpus to fit the KN model on " +
+        "(CLI: --lm-target) AND a score cutoff (CLI: --lm-min-logp) — " +
+        "one without the other would silently skip the gate")
     // registrable-domain policy for BOTH url-keyed stages (gate + cap):
     // the embedded PSL subset unless the caller loaded a full list
     // (graft.text.Urls.loadPslMultiPart; CLI --psl) — still a map-only
@@ -533,8 +552,37 @@ object Pipelines {
           .getOrElse(col(sourceCol)),
         id, maxPerSource)
     if (maxPerSource > 0) stages += ("domain_cap" -> capped0)
+    // LM-PERPLEXITY GATE (lmTarget + lmMinAvgLogp): CCNet's deployed
+    // quality filter — a trigram interpolated-KN model is fit ONCE on
+    // the target slice (graft.text.TextFunctions.fitTrigramKn; count
+    // tables ≪ corpus, on columnar scratch) and every surviving doc is
+    // scored with full OOV back-off; docs whose avg_logp (= −ln ppl)
+    // falls below the cutoff are dropped — the frozen-cutoff form of
+    // the head/middle/tail cut (a deployment derives the cutoff from
+    // ccnetBuckets' tercile boundaries on a reference corpus, then
+    // gates shards against it without a corpus-global rank). Docs too
+    // short to score (< 3 tokens) pass through: the gate drops on
+    // EVIDENCE of high perplexity, and shortness is the quality gate's
+    // jurisdiction. Runs after the cheap map gates and the domain cap
+    // (fewer docs pay the scoring joins), before decontamination and
+    // all signature work.
+    val lmGated = (lmTarget, lmMinAvgLogp) match {
+      case (Some(tgt), Some(minLp)) =>
+        val model = graft.text.TextFunctions.fitTrigramKn(
+          tgt, col(textColName))
+        val scores = graft.text.TextFunctions.scoreTrigramsKn(
+            capped0, id, cleanText, model)
+          .select(col("doc_id").as("__lm_id"),
+            col("avg_logp").as("__lm_lp"))
+        capped0.join(scores, id.cast("long") === col("__lm_id"), "left")
+          .filter(col("__lm_lp").isNull || col("__lm_lp") >= minLp)
+          .drop("__lm_id", "__lm_lp")
+      case _ => capped0
+    }
+    if (lmTarget.isDefined && lmMinAvgLogp.isDefined)
+      stages += ("lm_gate" -> lmGated)
     val capped = evalDocs match {
-      case None => capped0
+      case None => lmGated
       case Some(ev) =>
         // compare in the SAME text space: with preClean on, the train side
         // is markup-stripped + PII-redacted, so the eval side must get the
@@ -546,10 +594,10 @@ object Pipelines {
           if (!preClean) ev
           else ev.withColumn(textColName, graft.text.TextFunctions.redactPii(
             graft.text.TextFunctions.stripMarkup(col(textColName))))
-        val dirty = Dedup.contaminatedIds(capped0, id, cleanText,
+        val dirty = Dedup.contaminatedIds(lmGated, id, cleanText,
             evClean, col(textColName), decontN, decontMinShared)
           .select(col("doc_id").as("__dirty_id"))
-        capped0.join(broadcast(dirty), id.cast("long") === col("__dirty_id"),
+        lmGated.join(broadcast(dirty), id.cast("long") === col("__dirty_id"),
           "left_anti")
     }
     if (evalDocs.isDefined) stages += ("decontaminated" -> capped)

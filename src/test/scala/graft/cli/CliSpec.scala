@@ -89,6 +89,33 @@ class CliSpec extends SparkSpec {
     assert(kept === Set(3L), s"got $kept")
   }
 
+  test("dedup subcommand: --lm-target/--lm-min-logp run the CCNet perplexity gate") {
+    val docsDir = tmpDir("cli_lm_docs")
+    val tgtDir = tmpDir("cli_lm_tgt")
+    val outDir = tmpDir("cli_lm_out") + "/kept"
+    val target = Seq("the cat sat on the mat", "the cat sat on the rug",
+      "the dog sat on the mat").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zq xv wk jn qp mm ll"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(docsDir)
+    target.write.mode("overwrite").parquet(tgtDir)
+    // cutoff halfway between the two scores, derived from the scorer
+    val s = graft.text.TextFunctions.trigramLmScoresKnAgainst(
+        docs, org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"), target,
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val cut = (s(1L) + s(2L)) / 2
+    Main.run(spark, Array("dedup", "--docs", docsDir,
+      "--min-quality", "0.0", "--lm-target", tgtDir,
+      "--lm-min-logp", cut.toString, "--output", outDir))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L), s"got $kept")
+  }
+
   test("dedup subcommand: --domain-gate without --url-col fails loudly") {
     val docsDir = tmpDir("cli_req_docs")
     val denyDir = tmpDir("cli_req_deny")

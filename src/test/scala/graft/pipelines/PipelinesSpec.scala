@@ -269,6 +269,39 @@ class PipelinesSpec extends SparkSpec {
     assert(kept.size === 2 && (kept - 5L).subsetOf(Set(3L, 4L)), kept.toString)
   }
 
+  test("dedupCorpus lmTarget+lmMinAvgLogp: the CCNet perplexity gate drops gibberish, spares short docs") {
+    val target = Seq("the cat sat on the mat", "the cat sat on the rug",
+      "the dog sat on the mat").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // in-distribution
+      (2L, "the dog sat on the rug"),   // recombines seen context
+      (3L, "zq xv wk jn qp mm ll"),     // gibberish — every layer OOV
+      (4L, "too short"))                // < 3 tokens: unscorable, passes
+      .toDF("doc_id", "text")
+    // derive the cutoff from the scorer itself (no hand-tuned float):
+    // halfway between the worst in-distribution doc and the gibberish
+    val scored = graft.text.TextFunctions.trigramLmScoresKnAgainst(
+        docs, col("doc_id"), col("text"), target, col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(1L) > scored(3L) && scored(2L) > scored(3L))
+    val cut = (math.min(scored(1L), scored(2L)) + scored(3L)) / 2
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      minQuality = 0.0, lmTarget = Some(target), lmMinAvgLogp = Some(cut))
+    val m = stages.toMap
+    assert(m.contains("lm_gate"))
+    assert(m("lm_gate").select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 4L))
+    // the gate's verdicts survive to the kept corpus
+    assert(stages.last._2.select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 4L))
+    // one knob without the other fails loudly, never silently skips
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+        lmTarget = Some(target))
+    }
+    assert(e.getMessage.contains("--lm-min-logp"), e.getMessage)
+  }
+
   test("curatedFeed epochs: same sampled docs, decorrelated deterministic layouts, doc ids carried") {
     val docs = (1 to 200).map { i =>
       (i.toLong, Seq("web", "code")(i % 2), (i % 37 + 38).toLong)
