@@ -394,10 +394,21 @@ object TextFunctions {
     * association; instance log-probs round to 6dp and sum as exact longs
     * (the family's fixed-point discipline). Scale shape: the instance
     * and type relations are corpus-token / vocabulary³-type scale and
-    * materialize to COLUMNAR scratch (the r12 sweep rule); everything
-    * else is equi-joins against ≪-corpus count tables + one doc
-    * aggregate; the one-row type total rides the allowlisted broadcast
-    * cross. Output: (doc_id, n_trigrams, avg_logp).
+    * materialize to COLUMNAR scratch (the r12 sweep rule); the log-prob
+    * depends only on the trigram TYPE, so it is computed on the TYPE
+    * relation (type-scale joins only) and the instance relation joins
+    * the finished per-type lp6 ONCE — one instance-scale exchange for
+    * scoring instead of the five the naive join chain pays (keys
+    * (w1,w2,w3)/(w1,w2)/(w2,w3)/(w2)/(w3); A/B at the 10M-doc tier:
+    * five-shuffle 294.2 s, this form 207.9 s, §6.3 lm r13; the
+    * self-trained model tables are corpus-derived — at 10M docs the
+    * type relation is past broadcast size, so unlike the Against form
+    * the join chain cannot collapse to broadcasts); c(w1w2·) = Σ_w3
+    * c123 off the type relation, so the instance relation feeds
+    * exactly two exchanges total (type aggregate + scoring join) plus
+    * the map-side-combined doc aggregate. The one-row type total rides
+    * the allowlisted broadcast cross.
+    * Output: (doc_id, n_trigrams, avg_logp).
     */
   def trigramLmScoresKn(docs: DataFrame, id: Column, text: Column,
                         discount: Double = 0.75): DataFrame = {
@@ -406,11 +417,12 @@ object TextFunctions {
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),
           explode(wordNgramsFromTokens(col("toks"), 3)).as("trigram"))
-        .withColumn("w1", split(col("trigram"), "_")(0))
-        .withColumn("w2", split(col("trigram"), "_")(1))
-        .withColumn("w3", split(col("trigram"), "_")(2)),
+        .select(col("doc_id"),
+          split(col("trigram"), "_")(0).as("w1"),
+          split(col("trigram"), "_")(1).as("w2"),
+          split(col("trigram"), "_")(2).as("w3")),
       "lmkn3_inst")
-    // trigram TYPE relation — every continuation count derives from it
+    // trigram TYPE relation — every count AND the log-prob derive from it
     val t3 = graft.core.Scratch.materialize(
       inst.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
       "lmkn3_t3")
@@ -419,15 +431,19 @@ object TextFunctions {
     val mid = graft.core.Scratch.materialize(
       t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1a")),
       "lmkn3_mid")
-    val c12 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val npfx = t3.groupBy("w1", "w2").agg(count(lit(1)).as("npfx"))
+    // instance-prefix count AND prefix-type count off the TYPE relation:
+    // c(w1w2·) = Σ_w3 c123 — the instance relation never re-shuffles
+    val pfx = t3.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("npfx"))
     val w2agg = mid.groupBy("w2")
       .agg(sum("n1a").as("n1mid"), count(lit(1)).as("nu2"))
     val rev = mid.groupBy("w3").agg(count(lit(1)).as("rev3"))
     val tt = mid.agg(count(lit(1)).as("tt"))
     val d = lit(discount)
-    inst.join(t3, Seq("w1", "w2", "w3"))
-      .join(c12, Seq("w1", "w2")).join(npfx, Seq("w1", "w2"))
+    // per-TYPE log-prob: every term is a function of the type's counts,
+    // so the whole formula evaluates on the type relation
+    val typed = t3
+      .join(pfx, Seq("w1", "w2"))
       .join(mid, Seq("w2", "w3")).join(w2agg, Seq("w2"))
       .join(rev, Seq("w3"))
       .crossJoin(broadcast(tt))
@@ -437,6 +453,8 @@ object TextFunctions {
       .withColumn("lp6", round(log(
         greatest(col("c123").cast("double") - d, lit(0.0)) / col("c12") +
           (d * col("npfx") / col("c12")) * col("__p2")), 6))
+      .select("w1", "w2", "w3", "lp6")
+    inst.join(typed, Seq("w1", "w2", "w3"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         sum(round(col("lp6") * 1e6).cast("long")).as("__s6"))
@@ -571,9 +589,9 @@ object TextFunctions {
       train.select(tokens(trainText).as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(explode(wordNgramsFromTokens(col("toks"), 3)).as("trigram"))
-        .withColumn("w1", split(col("trigram"), "_")(0))
-        .withColumn("w2", split(col("trigram"), "_")(1))
-        .withColumn("w3", split(col("trigram"), "_")(2)),
+        .select(split(col("trigram"), "_")(0).as("w1"),
+          split(col("trigram"), "_")(1).as("w2"),
+          split(col("trigram"), "_")(2).as("w3")),
       "lmkn3_ti")
     val t3 = graft.core.Scratch.materialize(
       ti.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
@@ -592,10 +610,19 @@ object TextFunctions {
 
   /** Score `docs` against a frozen [[TrigramKnModel]] — the per-shard /
     * per-micro-batch half of the Against form. Purely per-document:
-    * LEFT equi-joins against the ≪-corpus count tables, the one-row
-    * type-total broadcast cross, one doc-keyed aggregate — no state
-    * across calls, so the batch operator is the streaming operator
-    * ([[graft.streaming.Streaming.scoreLmKn3StreamSink]]).
+    * no state across calls, so the batch operator is the streaming
+    * operator ([[graft.streaming.Streaming.scoreLmKn3StreamSink]]).
+    *
+    * Scale shape — deliberately DIFFERENT from the self-trained form's
+    * type-level scoring: here the model tables derive from the TARGET
+    * corpus, which is the small side next to the scored crawl, so the
+    * direct left-join chain lets Spark broadcast them and the whole
+    * scoring pass stays instance-shuffle-free. The A/B at the 10M-doc
+    * tier measured this chain at 100.3 s vs 404.4 s for a
+    * distinct-types-then-join restructure (the extra instance-scale
+    * distinct + sort-merge join cost far more than the broadcast
+    * chain; §6.3 lm r13) — the opposite verdict from the self-trained
+    * form, whose corpus-derived count tables cannot broadcast.
     */
   def scoreTrigramsKn(docs: DataFrame, id: Column, text: Column,
                       model: TrigramKnModel,
@@ -605,9 +632,10 @@ object TextFunctions {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(wordNgramsFromTokens(col("toks"), 3)).as("trigram"))
-      .withColumn("w1", split(col("trigram"), "_")(0))
-      .withColumn("w2", split(col("trigram"), "_")(1))
-      .withColumn("w3", split(col("trigram"), "_")(2))
+      .select(col("doc_id"),
+        split(col("trigram"), "_")(0).as("w1"),
+        split(col("trigram"), "_")(1).as("w2"),
+        split(col("trigram"), "_")(2).as("w3"))
     inst.join(model.t3, Seq("w1", "w2", "w3"), "left")
       .join(model.pfx, Seq("w1", "w2"), "left")
       .join(model.mid, Seq("w2", "w3"), "left")
