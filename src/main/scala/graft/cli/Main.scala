@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -330,8 +330,32 @@ object Main {
               .localCheckpoint() // feeds banding AND verification
           case _ => docs
         }
+        // optional CCNet LM-PERPLEXITY GATE on today's shard (the dedup
+        // command's --lm-target/--lm-min-logp at day-2 parity): the KN
+        // model fits on the target slice (small — one fit per ingest),
+        // the shard is scored AFTER the line scrub (score the cleaned
+        // text, CCNet's order) and BEFORE any signature or index work —
+        // a high-perplexity doc is never folded in as tomorrow's match
+        // source. Unscorable < 3-token docs pass (drop on evidence).
+        val docsG = (opt(args, "--lm-target"), opt(args, "--lm-min-logp")) match {
+          case (Some(tDir), Some(minLp)) =>
+            val model = graft.text.TextFunctions.fitTrigramKn(
+              spark.read.parquet(tDir), col("text"))
+            val sc = graft.text.TextFunctions.scoreTrigramsKn(docsS,
+                col("doc_id"), col("text"), model)
+              .select(col("doc_id").as("__lm_id"),
+                col("avg_logp").as("__lm_lp"))
+            docsS.join(sc, col("doc_id") === col("__lm_id"), "left")
+              .filter(col("__lm_lp").isNull ||
+                col("__lm_lp") >= minLp.toDouble)
+              .drop("__lm_id", "__lm_lp")
+          case (None, None) => docsS
+          case _ => throw new IllegalArgumentException(
+            "--lm-target and --lm-min-logp must be passed together — one " +
+              "alone would silently skip the perplexity gate")
+        }
         val shardBanded = Dedup.bandedSignatures(
-            Dedup.minhashSignatures(docsS, col("doc_id"), col("text"), k),
+            Dedup.minhashSignatures(docsG, col("doc_id"), col("text"), k),
             bandSize)
           .localCheckpoint() // feeds pairs AND the index append
         // FIRST-EVER-RUN bootstrap: when the catalog lacks an index table,
@@ -358,8 +382,8 @@ object Main {
         val lookup = (opt(args, "--corpus") match {
           case Some(c) => spark.read.parquet(c)
             .select(col("doc_id"), col("text"))
-            .union(docsS.select(col("doc_id"), col("text")))
-          case None => docsS.select(col("doc_id"), col("text"))
+            .union(docsG.select(col("doc_id"), col("text")))
+          case None => docsG.select(col("doc_id"), col("text"))
         }).dropDuplicates("doc_id")
         val verified = Dedup.verifyCandidates(lookup, cands,
             col("doc_id"), col("text"),
@@ -384,12 +408,19 @@ object Main {
           } else None
         Dedup.appendBandIndex(shardBanded, bandTable, buckets)
         // fold today's RAW line counts in (post-decont, PRE-scrub: the
-        // table tracks the corpus as ingested, the batch-contract df) —
+        // table tracks the corpus as ingested, the batch-contract df;
+        // LM-gated docs do NOT fold — like decont drops, they never
+        // enter the corpus, so their boilerplate must not inflate df) —
         // inside the guarded body, so a replayed shard cannot double-count
         lineFreqTable.foreach { lt =>
-          if (lineScrubDf > 0)
-            Dedup.appendLineFreq(docs, col("doc_id"),
+          if (lineScrubDf > 0) {
+            val folded =
+              if (opt(args, "--lm-target").isDefined)
+                docs.join(docsG.select("doc_id"), Seq("doc_id"), "left_semi")
+              else docs
+            Dedup.appendLineFreq(folded, col("doc_id"),
               split(col("text"), "\n"), lt, buckets)
+          }
         }
         val vecAppend = opt(args, "--vectors").map { vdir =>
           val vecTable = opt(args, "--vec-table").get
@@ -539,6 +570,8 @@ object Main {
           println(f"[ingest-daily] shard_docs       ${docs.count()}%d")
           if (opt(args, "--decontaminate").isDefined)
             println(f"[ingest-daily] decont_dropped   ${docs0.count() - docs.count()}%d")
+          if (opt(args, "--lm-target").isDefined)
+            println(f"[ingest-daily] lm_gate_dropped  ${docsS.count() - docsG.count()}%d")
           println(f"[ingest-daily] shard_band_rows  ${shardBanded.count()}%d")
           capDropped.foreach { case (sh, ix) =>
             println(f"[ingest-daily] cap_dropped_slots shard=$sh%d index=$ix%d") }

@@ -289,6 +289,39 @@ class CliSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS cli_lf"); spark.sql("DROP TABLE IF EXISTS cli_lf_band")
   }
 
+  test("ingest-daily --lm-target/--lm-min-logp: gated docs never reach the band index") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS cli_lmg_band")
+    val target = Seq("the cat sat on the mat", "the cat sat on the rug",
+      "the dog sat on the mat").toDF("text")
+    val shard = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zq xv wk jn qp mm ll"))
+      .toDF("doc_id", "text")
+    val docsDir = tmpDir("cli_lmg_docs"); shard.write.mode("overwrite").parquet(docsDir)
+    val tgtDir = tmpDir("cli_lmg_tgt"); target.write.mode("overwrite").parquet(tgtDir)
+    val s = graft.text.TextFunctions.trigramLmScoresKnAgainst(
+        shard, col("doc_id"), col("text"), target, col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val cut = (s(1L) + s(2L)) / 2
+    Main.run(spark, Array("ingest-daily", "--docs", docsDir,
+      "--band-table", "cli_lmg_band", "--buckets", "4",
+      "--lm-target", tgtDir, "--lm-min-logp", cut.toString))
+    // the gibberish doc was gated BEFORE signature work: the folded index
+    // carries doc 1's bands only — doc 2 can never be tomorrow's match
+    val idxDocs = Dedup.readBandIndex(spark, "cli_lmg_band")
+      .select("doc_id").as[Long].collect().toSet
+    assert(idxDocs === Set(1L), s"got $idxDocs")
+    // one flag without the other fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Array("ingest-daily", "--docs", docsDir,
+        "--band-table", "cli_lmg_band", "--lm-target", tgtDir))
+    }
+    assert(e.getMessage.contains("--lm-min-logp"), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS cli_lmg_band")
+  }
+
   test("ingest-daily --cluster-table: multi-day delta maintenance equals batch clusters") {
     import graft.core.Bucketing
     import graft.dedup.Dedup
