@@ -357,6 +357,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
   }
 
+  test("scoreTrigramsKn: broadcast-sized model tables keep the scoring chain free of sort-merge joins") {
+    // the §6.3 r13 A/B pinned structurally: the Against scorer's model
+    // tables are target-sized, so every count join must plan as a
+    // broadcast hash join — an SMJ here means the instance relation is
+    // being shuffled per count table, the 4×-slower shape the probe
+    // refuted (404.4 vs 104.8 s at 10M docs)
+    val train = Seq("the cat sat on the mat", "the cat sat on the rug")
+      .toDF("text")
+    val docs = Seq((1L, "the cat sat on"), (2L, "zq xv wk"))
+      .toDF("doc_id", "text")
+    val model = TextFunctions.fitTrigramKn(train, col("text"))
+    val plan = TextFunctions.scoreTrigramsKn(docs, col("doc_id"),
+      col("text"), model).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("ccnetBuckets: terciles by exact arithmetic over the distributed rank") {
     val scored = (1 to 10).map(i => (i.toLong, 5L, -i.toDouble / 10))
       .toDF("doc_id", "n_bigrams", "avg_logp")
