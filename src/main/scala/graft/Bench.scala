@@ -46,11 +46,17 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
         false
-      } finally
+      } finally {
         // Isolate queries: cached intermediates (d5, x3) otherwise
         // accumulate across 83×2 executions, storage steals execution
         // memory, and unrelated queries inherit the slowdown.
         spark.catalog.clearCache()
+        // Scratch-parquet dirs are deleteOnExit-scoped — across 200+
+        // queries × warmup + 3 passes the tmpdir otherwise accumulates
+        // every materialized intermediate of the whole run; each
+        // query's scratch is dead once its checksum is collected.
+        graft.core.Scratch.cleanupNow()
+      }
     // Untimed warm-up at the smallest SF: plan structures are identical
     // across SF dirs, so this populates the whole-stage-codegen class cache
     // and JIT once per query shape. The timed pass then measures

@@ -34,10 +34,13 @@ object Verify {
       catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally
+      } finally {
         // queries that cache intermediates (d5, x3) must not pin storage
-        // memory for the rest of the 80+-query run
+        // memory for the rest of the 80+-query run; scratch dirs are
+        // dead once the query's parquet dump is written
         spark.catalog.clearCache()
+        graft.core.Scratch.cleanupNow()
+      }
     }
     if (failed.nonEmpty)
       // loud, unmissable: a failed query means the board shrinks
