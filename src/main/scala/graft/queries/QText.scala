@@ -138,6 +138,72 @@ object QText {
            ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END"""
   }
 
+  // Shared CTE chain for the target-trained trigram-KN family
+  // (tx_ccnet_kn3 / tx_ccnet_cut): train-side count tables on the
+  // lang='en' slice, per-instance two-layer back-off log-probs,
+  // per-doc fixed-point means (ss), and the avg_logp-DESC rank with
+  // the corpus count (sr). Consumers SELECT from sr.
+  private val kn3CtesSql: String = {
+    val cont3 = "coalesce(CAST(rev3 AS DOUBLE), 0.5) / tt"
+    val p2 = s"""CASE WHEN n1mid IS NOT NULL THEN
+                   greatest(CAST(coalesce(n1a, 0) AS DOUBLE)
+                     - 0.75, 0.0) / n1mid +
+                   (0.75 * nu2 / n1mid) * ($cont3)
+                 ELSE $cont3 END"""
+    s"""gt AS (SELECT $toksSql AS toks FROM documents
+               WHERE lang = 'en' AND len($toksSql) >= 3),
+        gi AS (SELECT string_split(trigram, '_')[1] AS w1,
+                      string_split(trigram, '_')[2] AS w2,
+                      string_split(trigram, '_')[3] AS w3
+               FROM (SELECT unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[CAST(i AS INT)] || '_' ||
+                            toks[CAST(i AS INT) + 1] || '_' ||
+                            toks[CAST(i AS INT) + 2])) AS trigram
+                     FROM gt)),
+        gt3 AS (SELECT w1, w2, w3, count(*) AS c123
+                FROM gi GROUP BY 1, 2, 3),
+        gpfx AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+                        count(*) AS npfx
+                 FROM gt3 GROUP BY 1, 2),
+        gmid AS (SELECT w2, w3, count(*) AS n1a FROM gt3 GROUP BY 1, 2),
+        gw2a AS (SELECT w2, CAST(sum(n1a) AS BIGINT) AS n1mid,
+                        count(*) AS nu2
+                 FROM gmid GROUP BY 1),
+        grv AS (SELECT w3, count(*) AS rev3 FROM gmid GROUP BY 1),
+        gtt AS (SELECT count(*) AS tt FROM gmid),
+        si AS (SELECT doc_id,
+                      string_split(trigram, '_')[1] AS w1,
+                      string_split(trigram, '_')[2] AS w2,
+                      string_split(trigram, '_')[3] AS w3
+               FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len($toksSql) - 1),
+                         i -> ($toksSql)[CAST(i AS INT)] || '_' ||
+                              ($toksSql)[CAST(i AS INT) + 1] || '_' ||
+                              ($toksSql)[CAST(i AS INT) + 2])) AS trigram
+                     FROM documents WHERE len($toksSql) >= 3)),
+        slp AS (SELECT doc_id,
+                       round(ln(CASE WHEN c12 IS NOT NULL THEN
+                         greatest(CAST(coalesce(c123, 0) AS DOUBLE)
+                           - 0.75, 0.0) / c12 +
+                         (0.75 * npfx / c12) * ($p2)
+                       ELSE $p2 END), 6) AS lp6
+                FROM si
+                LEFT JOIN gt3 USING (w1, w2, w3)
+                LEFT JOIN gpfx USING (w1, w2)
+                LEFT JOIN gmid USING (w2, w3)
+                LEFT JOIN gw2a USING (w2)
+                LEFT JOIN grv USING (w3) CROSS JOIN gtt),
+        ss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                      round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
+                        (count(*) * 1e6), 6) AS avg_logp
+               FROM slp GROUP BY doc_id),
+        sr AS (SELECT *, CAST(row_number() OVER (
+                       ORDER BY avg_logp DESC, doc_id) AS BIGINT)
+                       AS pos,
+                     CAST(count(*) OVER () AS BIGINT) AS n
+               FROM ss)"""
+  }
+
   // DuckDB twin of GopherRules.ruleFlags, ending in a CTE `fl` with the
   // per-doc rule booleans. Same integer-exact threshold arithmetic; the
   // top-token multiplicity comes from an unnest + two-level aggregate
@@ -992,6 +1058,20 @@ object QText {
     "tx_ccnet_kn3" -> ((s, d) => {
       val docs = t(s, d, "documents")
       graft.text.TextFunctions.ccnetBuckets(
+        graft.text.TextFunctions.trigramLmScoresKnAgainst(
+          docs, col("doc_id"), col("text"),
+          docs.filter(col("lang") === "en"), col("text")))
+    }),
+
+    // The FROZEN-CUTOFF export over the same chain: the avg_logp at
+    // each tercile boundary of the reference rank — the value a
+    // deployment passes to the per-shard gates (--lm-min-logp) so
+    // day-2 shards reproduce the corpus-global head cut without a
+    // corpus-global rank. Exact integer boundary positions
+    // (floor(n/3), floor(2n/3)); ≤ 2 rows, fully under the hash.
+    "tx_ccnet_cut" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.TextFunctions.ccnetCutoffs(
         graft.text.TextFunctions.trigramLmScoresKnAgainst(
           docs, col("doc_id"), col("text"),
           docs.filter(col("lang") === "en"), col("text")))
@@ -1891,71 +1971,23 @@ object QText {
                       ELSE 'tail' END AS bucket
           FROM kr"""
     },
-    "tx_ccnet_kn3" -> {
-      val cont3 = "coalesce(CAST(rev3 AS DOUBLE), 0.5) / tt"
-      val p2 = s"""CASE WHEN n1mid IS NOT NULL THEN
-                     greatest(CAST(coalesce(n1a, 0) AS DOUBLE)
-                       - 0.75, 0.0) / n1mid +
-                     (0.75 * nu2 / n1mid) * ($cont3)
-                   ELSE $cont3 END"""
-      s"""WITH gt AS (SELECT $toksSql AS toks FROM documents
-                      WHERE lang = 'en' AND len($toksSql) >= 3),
-               gi AS (SELECT string_split(trigram, '_')[1] AS w1,
-                             string_split(trigram, '_')[2] AS w2,
-                             string_split(trigram, '_')[3] AS w3
-                      FROM (SELECT unnest(list_transform(range(1, len(toks) - 1),
-                              i -> toks[CAST(i AS INT)] || '_' ||
-                                   toks[CAST(i AS INT) + 1] || '_' ||
-                                   toks[CAST(i AS INT) + 2])) AS trigram
-                            FROM gt)),
-               gt3 AS (SELECT w1, w2, w3, count(*) AS c123
-                       FROM gi GROUP BY 1, 2, 3),
-               gpfx AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
-                               count(*) AS npfx
-                        FROM gt3 GROUP BY 1, 2),
-               gmid AS (SELECT w2, w3, count(*) AS n1a FROM gt3 GROUP BY 1, 2),
-               gw2a AS (SELECT w2, CAST(sum(n1a) AS BIGINT) AS n1mid,
-                               count(*) AS nu2
-                        FROM gmid GROUP BY 1),
-               grv AS (SELECT w3, count(*) AS rev3 FROM gmid GROUP BY 1),
-               gtt AS (SELECT count(*) AS tt FROM gmid),
-               si AS (SELECT doc_id,
-                             string_split(trigram, '_')[1] AS w1,
-                             string_split(trigram, '_')[2] AS w2,
-                             string_split(trigram, '_')[3] AS w3
-                      FROM (SELECT doc_id,
-                              unnest(list_transform(range(1, len($toksSql) - 1),
-                                i -> ($toksSql)[CAST(i AS INT)] || '_' ||
-                                     ($toksSql)[CAST(i AS INT) + 1] || '_' ||
-                                     ($toksSql)[CAST(i AS INT) + 2])) AS trigram
-                            FROM documents WHERE len($toksSql) >= 3)),
-               slp AS (SELECT doc_id,
-                              round(ln(CASE WHEN c12 IS NOT NULL THEN
-                                greatest(CAST(coalesce(c123, 0) AS DOUBLE)
-                                  - 0.75, 0.0) / c12 +
-                                (0.75 * npfx / c12) * ($p2)
-                              ELSE $p2 END), 6) AS lp6
-                       FROM si
-                       LEFT JOIN gt3 USING (w1, w2, w3)
-                       LEFT JOIN gpfx USING (w1, w2)
-                       LEFT JOIN gmid USING (w2, w3)
-                       LEFT JOIN gw2a USING (w2)
-                       LEFT JOIN grv USING (w3) CROSS JOIN gtt),
-               ss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-                             round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
-                               (count(*) * 1e6), 6) AS avg_logp
-                      FROM slp GROUP BY doc_id),
-               sr AS (SELECT *, CAST(row_number() OVER (
-                              ORDER BY avg_logp DESC, doc_id) AS BIGINT)
-                              AS pos,
-                            CAST(count(*) OVER () AS BIGINT) AS n
-                      FROM ss)
+    "tx_ccnet_kn3" ->
+      s"""WITH $kn3CtesSql
           SELECT doc_id, n_trigrams, avg_logp, pos,
                  CASE WHEN pos * 3 <= n THEN 'head'
                       WHEN pos * 3 <= n * 2 THEN 'middle'
                       ELSE 'tail' END AS bucket
-          FROM sr"""
-    },
+          FROM sr""",
+    // the frozen-cutoff export: the avg_logp at each tercile boundary
+    // of the sr rank — what a deployment passes to --lm-min-logp
+    "tx_ccnet_cut" ->
+      s"""WITH $kn3CtesSql
+          SELECT CASE WHEN pos * 3 <= n THEN 'head_cut'
+                      ELSE 'middle_cut' END AS boundary,
+                 pos, avg_logp
+          FROM sr
+          WHERE n >= 3 AND (pos = CAST(floor(n / 3) AS BIGINT)
+                         OR pos = CAST(floor(n * 2 / 3) AS BIGINT))""",
     // BPE trainer CTEs chained into the plain window-form cumsum:
     // trainer + segmentation + knapsack under one hash
     "x22_bpe_budget" ->

@@ -686,4 +686,32 @@ object TextFunctions {
           .otherwise("tail"))
       .drop("__n")
   }
+
+  /** The FROZEN-CUTOFF export closing the loop between
+    * [[ccnetBuckets]]' corpus-global terciles and the per-shard gates
+    * ([[graft.pipelines.Pipelines.dedupCorpus]] `lmMinAvgLogp`, the
+    * ingest-daily `--lm-min-logp` flag, [[graft.streaming.Streaming
+    * .scoreLmKn3StreamSink]] thresholding): the avg_logp value at each
+    * tercile boundary of a scored REFERENCE corpus. `head_cut` is the
+    * last head doc's score (gate `avg_logp >= head_cut` keeps CCNet's
+    * head, modulo exact-tie docs which the rank splits by doc_id);
+    * `middle_cut` the last middle doc's. Boundary positions are exact
+    * integer arithmetic (floor(n/3), floor(2n/3) — the bucket rule's
+    * own cut points), so the exported rows are engine-portable and the
+    * whole export sits under the oracle hash. Corpora with < 3 docs
+    * have no boundary and return empty. Output: (boundary, pos,
+    * avg_logp), ≤ 2 rows.
+    */
+  def ccnetCutoffs(scored0: DataFrame): DataFrame = {
+    val b = graft.core.Scratch.materialize(ccnetBuckets(scored0),
+      "ccnet_cuts")
+    b.crossJoin(broadcast(b.agg(count(lit(1)).as("__n"))))
+      .filter(col("__n") >= 3 &&
+        (col("pos") === floor(col("__n") / 3) ||
+          col("pos") === floor(col("__n") * 2 / 3)))
+      .withColumn("boundary",
+        when(col("pos") * 3 <= col("__n"), lit("head_cut"))
+          .otherwise(lit("middle_cut")))
+      .select(col("boundary"), col("pos"), col("avg_logp"))
+  }
 }

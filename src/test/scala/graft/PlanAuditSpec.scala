@@ -146,7 +146,10 @@ class PlanAuditSpec extends SparkSpec {
       "tx_ccnet_buckets",
       // trigram CCNet: the same two one-row crosses (trigram pair-type
       // total in the scorer + corpus count in the tercile cut)
-      "tx_ccnet_kn3")
+      "tx_ccnet_kn3",
+      // the cutoff export rides the same chain plus one more one-row
+      // count cross for the boundary positions
+      "tx_ccnet_cut")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||

@@ -395,4 +395,30 @@ class TextFunctionsSpec extends SparkSpec {
       .select("doc_id", "pos").as[(Long, Long)].collect().toMap
     assert(pos === Map(2L -> 1L, 5L -> 2L, 9L -> 3L))
   }
+
+  test("ccnetCutoffs: boundary scores reproduce the head bucket as a frozen per-shard gate") {
+    val scored = (1 to 10).map(i => (i.toLong, 5L, -i.toDouble / 10))
+      .toDF("doc_id", "n_bigrams", "avg_logp")
+    val cuts = TextFunctions.ccnetCutoffs(scored)
+      .select("boundary", "pos", "avg_logp")
+      .as[(String, Long, Double)].collect().map(c => c._1 -> ((c._2, c._3)))
+      .toMap
+    // n=10: head = pos 1-3, so head_cut is pos 3's score; middle ends
+    // at pos 6
+    assert(cuts === Map("head_cut" -> ((3L, -0.3)),
+      "middle_cut" -> ((6L, -0.6))))
+    // the frozen-cutoff contract: gating any shard on
+    // avg_logp >= head_cut reproduces exactly the reference head bucket
+    // (distinct scores here — ties split by the rank, documented)
+    val head = TextFunctions.ccnetBuckets(scored)
+      .filter(col("bucket") === "head")
+      .select("doc_id").as[Long].collect().toSet
+    val gated = scored.filter(col("avg_logp") >= cuts("head_cut")._2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated === head)
+    // corpora too small for a boundary return empty, never a bad cut
+    val tiny = Seq((1L, 1L, -0.1), (2L, 1L, -0.2))
+      .toDF("doc_id", "n_bigrams", "avg_logp")
+    assert(TextFunctions.ccnetCutoffs(tiny).count() === 0L)
+  }
 }
