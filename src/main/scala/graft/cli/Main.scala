@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--audit]
+  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--lm-target <parquet> --lm-min-logp X] [--keep-by length|<col>] [--proto-prune 0.2] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
@@ -339,16 +339,18 @@ object Main {
         // source. Unscorable < 3-token docs pass (drop on evidence).
         val docsG = (opt(args, "--lm-target"), opt(args, "--lm-min-logp")) match {
           case (Some(tDir), Some(minLp)) =>
-            val model = graft.text.TextFunctions.fitTrigramKn(
-              spark.read.parquet(tDir), col("text"))
-            val sc = graft.text.TextFunctions.scoreTrigramsKn(docsS,
-                col("doc_id"), col("text"), model)
-              .select(col("doc_id").as("__lm_id"),
-                col("avg_logp").as("__lm_lp"))
-            docsS.join(sc, col("doc_id") === col("__lm_id"), "left")
-              .filter(col("__lm_lp").isNull ||
-                col("__lm_lp") >= minLp.toDouble)
-              .drop("__lm_id", "__lm_lp")
+            // ONE gate definition shared with dedupCorpus's lm_gate
+            // stage (TextFunctions.lmGate) — day-2 and batch gating
+            // cannot diverge. localCheckpoint: the gated relation feeds
+            // banding, the verification lookup, the line-freq fold-in
+            // semi-join, and the audit count — unshared, each consumer
+            // would re-run the whole scoring pass (the docsS discipline)
+            graft.text.TextFunctions.lmGate(docsS, col("doc_id"),
+                col("text"),
+                graft.text.TextFunctions.fitTrigramKn(
+                  spark.read.parquet(tDir), col("text")),
+                minLp.toDouble)
+              .localCheckpoint()
           case (None, None) => docsS
           case _ => throw new IllegalArgumentException(
             "--lm-target and --lm-min-logp must be passed together — one " +

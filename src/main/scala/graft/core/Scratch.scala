@@ -110,4 +110,32 @@ object Scratch {
       e = live.poll()
     }
   }
+
+  /** Run `f`, then reclaim ONLY the scratch dirs registered DURING it —
+    * the per-micro-batch cleanup for streaming foreachBatch bodies whose
+    * operators materialize scratch (a continuous-trigger stream would
+    * otherwise accumulate one dir per micro-batch until JVM exit, and
+    * the global [[cleanupNow]] would tear other live queries' scratch
+    * out from under them). The block must fully CONSUME what it
+    * materializes (foreachBatch bodies do — they end in a write).
+    * Not safe against another thread materializing scratch concurrently
+    * with the block (its dirs would be reclaimed too): Spark runs one
+    * foreachBatch invocation at a time per query, the intended scope.
+    */
+  def scopedCleanup[A](f: => A): A = {
+    val before = new java.util.HashSet[org.apache.hadoop.fs.Path]()
+    live.forEach(e => { before.add(e._2); () })
+    try f
+    finally {
+      val it = live.iterator()
+      while (it.hasNext) {
+        val (fs, p) = it.next()
+        if (!before.contains(p)) {
+          it.remove()
+          try { fs.cancelDeleteOnExit(p); fs.delete(p, true); () }
+          catch { case _: java.io.IOException => () }
+        }
+      }
+    }
+  }
 }

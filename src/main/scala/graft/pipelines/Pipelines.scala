@@ -568,15 +568,20 @@ object Pipelines {
     // all signature work.
     val lmGated = (lmTarget, lmMinAvgLogp) match {
       case (Some(tgt), Some(minLp)) =>
-        val model = graft.text.TextFunctions.fitTrigramKn(
-          tgt, col(textColName))
-        val scores = graft.text.TextFunctions.scoreTrigramsKn(
-            capped0, id, cleanText, model)
-          .select(col("doc_id").as("__lm_id"),
-            col("avg_logp").as("__lm_lp"))
-        capped0.join(scores, id.cast("long") === col("__lm_id"), "left")
-          .filter(col("__lm_lp").isNull || col("__lm_lp") >= minLp)
-          .drop("__lm_id", "__lm_lp")
+        // model and corpus must meet in the SAME text space (the
+        // decontamination stage's rule below): with preClean on, the
+        // corpus side is markup-stripped + PII-redacted before scoring,
+        // so the target gets the identical rewrite — a markup-bearing
+        // target would otherwise train on tokens the cleaned corpus can
+        // never produce, depressing every score via OOV back-off
+        val tgtClean =
+          if (!preClean) tgt
+          else tgt.withColumn(textColName,
+            graft.text.TextFunctions.redactPii(
+              graft.text.TextFunctions.stripMarkup(col(textColName))))
+        graft.text.TextFunctions.lmGate(capped0, id, cleanText,
+          graft.text.TextFunctions.fitTrigramKn(tgtClean, col(textColName)),
+          minLp)
       case _ => capped0
     }
     if (lmTarget.isDefined && lmMinAvgLogp.isDefined)

@@ -460,11 +460,17 @@ object Streaming {
           if (priorDirs.isEmpty)
             spark.range(0).select(col("id").as("seg_hash"), col("id").as("n"))
           else spark.read.parquet(priorDirs: _*)
-        graft.dedup.Dedup.scrubShardSegments(batch, col("doc_id"), segs,
-            prior, maxDf)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
-        graft.dedup.Dedup.segmentCounts(batch, col("doc_id"), segs)
-          .write.mode("overwrite").parquet(s"$countsDir/batch=$id")
+        // scopedCleanup: scrubShardSegments materializes its exploded
+        // segments to scratch parquet (the r13 sweep); without a
+        // per-batch reclaim a continuous stream accumulates one
+        // shard-text-sized dir per micro-batch until JVM exit
+        graft.core.Scratch.scopedCleanup {
+          graft.dedup.Dedup.scrubShardSegments(batch, col("doc_id"), segs,
+              prior, maxDf)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          graft.dedup.Dedup.segmentCounts(batch, col("doc_id"), segs)
+            .write.mode("overwrite").parquet(s"$countsDir/batch=$id")
+        }
       }
       .start()
 

@@ -422,31 +422,18 @@ object TextFunctions {
           split(col("trigram"), "_")(1).as("w2"),
           split(col("trigram"), "_")(2).as("w3")),
       "lmkn3_inst")
-    // trigram TYPE relation — every count AND the log-prob derive from it
-    val t3 = graft.core.Scratch.materialize(
-      inst.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
-      "lmkn3_t3")
-    // continuation-pair relation (one row per distinct (w2,w3) with its
-    // distinct-left-context count) — three readers
-    val mid = graft.core.Scratch.materialize(
-      t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1a")),
-      "lmkn3_mid")
-    // instance-prefix count AND prefix-type count off the TYPE relation:
-    // c(w1w2·) = Σ_w3 c123 — the instance relation never re-shuffles
-    val pfx = t3.groupBy("w1", "w2")
-      .agg(sum("c123").as("c12"), count(lit(1)).as("npfx"))
-    val w2agg = mid.groupBy("w2")
-      .agg(sum("n1a").as("n1mid"), count(lit(1)).as("nu2"))
-    val rev = mid.groupBy("w3").agg(count(lit(1)).as("rev3"))
-    val tt = mid.agg(count(lit(1)).as("tt"))
+    // the six count tables — ONE definition shared with fitTrigramKn
+    // (knTablesFromInstances), so the self-trained and Against forms
+    // cannot drift
+    val m = knTablesFromInstances(inst, "lmkn3_s")
     val d = lit(discount)
     // per-TYPE log-prob: every term is a function of the type's counts,
     // so the whole formula evaluates on the type relation
-    val typed = t3
-      .join(pfx, Seq("w1", "w2"))
-      .join(mid, Seq("w2", "w3")).join(w2agg, Seq("w2"))
-      .join(rev, Seq("w3"))
-      .crossJoin(broadcast(tt))
+    val typed = m.t3
+      .join(m.pfx, Seq("w1", "w2"))
+      .join(m.mid, Seq("w2", "w3")).join(m.w2agg, Seq("w2"))
+      .join(m.rev, Seq("w3"))
+      .crossJoin(broadcast(m.tt))
       .withColumn("__p2",
         greatest(col("n1a").cast("double") - d, lit(0.0)) / col("n1mid") +
           (d * col("nu2") / col("n1mid")) * (col("rev3") / col("tt")))
@@ -593,19 +580,56 @@ object TextFunctions {
           split(col("trigram"), "_")(1).as("w2"),
           split(col("trigram"), "_")(2).as("w3")),
       "lmkn3_ti")
+    val model = knTablesFromInstances(ti, "lmkn3_t")
+    // an empty/all-short target yields tt = 0, and 0.5/0 = Infinity
+    // would give EVERY scored doc a garbage positive avg_logp that
+    // passes any cutoff — a silently-vacuous gate. Fail loudly (cheap:
+    // t3 is scratch-backed, isEmpty is a limit-1 scan).
+    require(!model.t3.isEmpty,
+      "fitTrigramKn: the training corpus has no trigrams (empty target, " +
+        "or every doc < 3 tokens) — the KN model would be vacuous and " +
+        "the perplexity gate a silent no-op")
+    model
+  }
+
+  /** The six KN count tables off an already-exploded (w1,w2,w3)
+    * instance relation — ONE definition shared by [[fitTrigramKn]] and
+    * the self-trained [[trigramLmScoresKn]], so the two forms cannot
+    * drift (c(w1w2·) = Σ_w3 c123 off the type relation in both).
+    */
+  private def knTablesFromInstances(inst: DataFrame,
+                                    tag: String): TrigramKnModel = {
     val t3 = graft.core.Scratch.materialize(
-      ti.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
-      "lmkn3_tt3")
+      inst.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123")),
+      s"${tag}3")
     val pfx = t3.groupBy("w1", "w2")
       .agg(sum("c123").as("c12"), count(lit(1)).as("npfx"))
     val mid = graft.core.Scratch.materialize(
       t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1a")),
-      "lmkn3_tmid")
+      s"${tag}mid")
     val w2agg = mid.groupBy("w2")
       .agg(sum("n1a").as("n1mid"), count(lit(1)).as("nu2"))
     val rev = mid.groupBy("w3").agg(count(lit(1)).as("rev3"))
     val tt = mid.agg(count(lit(1)).as("tt"))
     TrigramKnModel(t3, pfx, mid, w2agg, rev, tt)
+  }
+
+  /** The LM-perplexity GATE both curation surfaces share
+    * ([[graft.pipelines.Pipelines.dedupCorpus]]'s lm_gate stage and the
+    * ingest-daily CLI): score `docs` against the frozen model and keep
+    * rows whose avg_logp clears the cutoff. Docs too short to score
+    * (< 3 tokens — no trigram, no score) PASS: the gate drops on
+    * evidence of high perplexity; shortness is the quality gate's
+    * jurisdiction. One definition so batch and day-2 gating can never
+    * diverge.
+    */
+  def lmGate(docs: DataFrame, id: Column, text: Column,
+             model: TrigramKnModel, minAvgLogp: Double): DataFrame = {
+    val scores = scoreTrigramsKn(docs, id, text, model)
+      .select(col("doc_id").as("__lm_id"), col("avg_logp").as("__lm_lp"))
+    docs.join(scores, id.cast("long") === col("__lm_id"), "left")
+      .filter(col("__lm_lp").isNull || col("__lm_lp") >= minAvgLogp)
+      .drop("__lm_id", "__lm_lp")
   }
 
   /** Score `docs` against a frozen [[TrigramKnModel]] — the per-shard /

@@ -357,6 +357,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
   }
 
+  test("fitTrigramKn: an empty or all-short target fails loudly, never a vacuous gate") {
+    // with zero training trigrams tt = 0 and the continuation floor
+    // 0.5/tt is Infinity — every doc would score +inf and pass any
+    // cutoff, a silently-disabled gate; the fit refuses instead
+    val e = intercept[IllegalArgumentException] {
+      TextFunctions.fitTrigramKn(Seq("too short").toDF("text"), col("text"))
+    }
+    assert(e.getMessage.contains("no trigrams"), e.getMessage)
+  }
+
   test("scoreTrigramsKn: broadcast-sized model tables keep the scoring chain free of sort-merge joins") {
     // the §6.3 r13 A/B pinned structurally: the Against scorer's model
     // tables are target-sized, so every count join must plan as a
