@@ -317,6 +317,11 @@ object Pipelines {
     *    full Public Suffix List ([[graft.text.Urls.loadPslMultiPart]];
     *    CLI `--psl`) so ccTLD registries like `com.ar`/`co.il` key the
     *    gate and cap correctly; default stays the embedded subset.
+    *    `urlExactDedup` (CLI `--url-dedup`) adds the Dolma stage-0
+    *    pass right after the gate: one survivor (min id) per CANONICAL
+    *    URL ([[graft.text.Urls.canonicalUrl]] — fragment/tracking-param
+    *    strip, authority normalization), so re-crawls of one page never
+    *    pay cleaning, scoring, or signature cost.
     *  - `lmTarget` + `lmMinAvgLogp`: the CCNet LM-PERPLEXITY GATE — a
     *    trigram interpolated-KN model fit once on the target slice
     *    ([[graft.text.TextFunctions.fitTrigramKn]]) scores every
@@ -410,7 +415,8 @@ object Pipelines {
                   domainDeny: Option[DataFrame] = None,
                   pslSuffixes: Option[Seq[String]] = None,
                   lmTarget: Option[DataFrame] = None,
-                  lmMinAvgLogp: Option[Double] = None): DataFrame =
+                  lmMinAvgLogp: Option[Double] = None,
+                  urlExactDedup: Boolean = false): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
@@ -418,7 +424,7 @@ object Pipelines {
       audioCol, videoCol, embeddingCol, semCells, minCosine,
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
       gopherGate, urlCol, domainDeny, pslSuffixes,
-      lmTarget, lmMinAvgLogp).last._2
+      lmTarget, lmMinAvgLogp, urlExactDedup).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -462,7 +468,8 @@ object Pipelines {
                         domainDeny: Option[DataFrame] = None,
                         pslSuffixes: Option[Seq[String]] = None,
                         lmTarget: Option[DataFrame] = None,
-                        lmMinAvgLogp: Option[Double] = None)
+                        lmMinAvgLogp: Option[Double] = None,
+                        urlExactDedup: Boolean = false)
       : Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
@@ -480,6 +487,9 @@ object Pipelines {
       "the LM gate needs BOTH a target corpus to fit the KN model on " +
         "(CLI: --lm-target) AND a score cutoff (CLI: --lm-min-logp) — " +
         "one without the other would silently skip the gate")
+    require(!urlExactDedup || urlCol.isDefined,
+      "urlExactDedup requires urlCol: exact-URL dedup keys on the " +
+        "canonical form of a URL column (CLI: --url-col)")
     // registrable-domain policy for BOTH url-keyed stages (gate + cap):
     // the embedded PSL subset unless the caller loaded a full list
     // (graft.text.Urls.loadPslMultiPart; CLI --psl) — still a map-only
@@ -499,12 +509,23 @@ object Pipelines {
     }
     if (urlCol.isDefined && domainDeny.isDefined)
       stages += ("domain_gate" -> docs0)
+    // EXACT-URL DEDUP (urlExactDedup + urlCol): Dolma/RefinedWeb stage
+    // 0 — one survivor (min id, crawl order) per canonical URL
+    // (fragment/tracking-param strip, authority normalization), BEFORE
+    // any text-derived work: re-crawls of one page never pay cleaning,
+    // quality scoring, or signature cost. Thin-winner shape — the doc
+    // text never crosses the fingerprint exchange.
+    val docsU =
+      if (!urlExactDedup) docs0
+      else graft.text.Urls.dedupByCanonicalUrl(docs0,
+        col(urlCol.get), id)
+    if (urlExactDedup) stages += ("url_dedup" -> docsU)
     // pre-clean rewrites the text column IN PLACE so every later stage —
     // gate, signatures, verification, scrub — and the returned corpus see
     // only the cleaned form
     val (pcSrc, pcText) =
-      if (!preClean) (docs0, text)
-      else (docs0.withColumn(textColName, graft.text.TextFunctions.redactPii(
+      if (!preClean) (docsU, text)
+      else (docsU.withColumn(textColName, graft.text.TextFunctions.redactPii(
         graft.text.TextFunctions.stripMarkup(text))), col(textColName))
     if (preClean) stages += ("pre_clean" -> pcSrc)
     // CCNet line scrub (lineScrubDf > 0): drop \n-lines whose corpus df

@@ -138,6 +138,53 @@ object QText {
            ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END"""
   }
 
+  // The p11 URL-variant synthesis (six shapes of one logical page) and
+  // the canonical-URL CTE chain — DuckDB twins of the p11 queries' url
+  // expression and Urls.canonicalUrl. Every regexp_replace carries 'g'
+  // (Spark's regexp_replace replaces ALL occurrences) and the
+  // backreference is DuckDB's \1 (Spark's $1) — same semantics.
+  private val p11UrlSql: String =
+    """CASE CAST(doc_id % 6 AS INT)
+         WHEN 0 THEN 'https://www.' || source || '.com/a/b'
+         WHEN 1 THEN 'https://' || source || '.com/a/b#frag'
+         WHEN 2 THEN 'HTTPS://' || upper(source) || '.COM:443/a/b'
+         WHEN 3 THEN 'https://' || source || '.com/a/b?utm_source=x&utm_medium=y'
+         WHEN 4 THEN 'https://' || source || '.com/a/b?q=1&fbclid=zzz'
+         ELSE 'https://' || source || '.com/' END"""
+  // ends in a CTE `cc` with (doc_id, url, canonical); prefix with a
+  // `u` CTE providing (doc_id, url)
+  private val canonCtesSql: String =
+    """cq AS (SELECT doc_id, url,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(url, '#.*$', '', 'g'),
+                '([?&])(?:utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
+                '\1', 'g'),
+                '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g')
+                AS q
+            FROM u),
+       cp AS (SELECT doc_id, url, q,
+              lower(regexp_extract(q, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                AS scheme,
+              regexp_replace(regexp_extract(lower(q),
+                '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1),
+                '^www\.', '', 'g') AS host,
+              regexp_extract(lower(q),
+                '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1)
+                AS port,
+              regexp_extract(q,
+                '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?[^/?#]*([/?].*)?$', 1)
+                AS pathq
+            FROM cq),
+       cc AS (SELECT doc_id, url,
+              (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END) ||
+              host ||
+              (CASE WHEN port <> ''
+                     AND NOT (port = '80' AND (scheme = 'http' OR scheme = ''))
+                     AND NOT (port = '443' AND scheme = 'https')
+                THEN ':' || port ELSE '' END) ||
+              (CASE WHEN pathq = '/' THEN '' ELSE pathq END) AS canonical
+            FROM cp)"""
+
   // Shared CTE chain for the target-trained trigram-KN family
   // (tx_ccnet_kn3 / tx_ccnet_cut): train-side count tables on the
   // lang='en' slice, per-instance two-layer back-off log-probs,
@@ -493,6 +540,50 @@ object QText {
           graft.text.Urls.registrableDomain(col("host")))
         .withColumn("domain_full",
           graft.text.Urls.registrableDomain(col("host"), pslFullSample))
+    }),
+
+    // P11: CANONICAL-URL normalization — the stage-0 exact-URL-dedup
+    // key (fragment/tracking-param strip, authority normalization,
+    // default-port and root-slash drop). Six deterministic variants of
+    // the SAME logical page per source (www, fragment, upper+:443,
+    // utm params, mixed params, bare root) so the collision counts are
+    // themselves under the hash; every regex restated verbatim in the
+    // oracle ('g'-flagged — Spark replaces all occurrences).
+    "p11_url_canon" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(6L))
+      val base = concat(col("source"), lit(".com"))
+      val url = when(m === 0, concat(lit("https://www."), base, lit("/a/b")))
+        .when(m === 1, concat(lit("https://"), base, lit("/a/b#frag")))
+        .when(m === 2, concat(lit("HTTPS://"), upper(base), lit(":443/a/b")))
+        .when(m === 3, concat(lit("https://"), base,
+          lit("/a/b?utm_source=x&utm_medium=y")))
+        .when(m === 4, concat(lit("https://"), base, lit("/a/b?q=1&fbclid=zzz")))
+        .otherwise(concat(lit("https://"), base, lit("/")))
+      t(s, d, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canonical", graft.text.Urls.canonicalUrl(col("url")))
+        .withColumn("n_same", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("canonical")))
+    }),
+
+    // P11b: the dedup that key exists for — one survivor (min doc_id,
+    // crawl order) per canonical URL, thin-winner shape (winners on a
+    // (fingerprint, id) projection, survivors semi-joined back). The
+    // oracle groups by the canonical directly, so the md5-fingerprint
+    // path must reproduce exactly the canonical-equality classes.
+    "p11b_url_dedup" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(6L))
+      val base = concat(col("source"), lit(".com"))
+      val url = when(m === 0, concat(lit("https://www."), base, lit("/a/b")))
+        .when(m === 1, concat(lit("https://"), base, lit("/a/b#frag")))
+        .when(m === 2, concat(lit("HTTPS://"), upper(base), lit(":443/a/b")))
+        .when(m === 3, concat(lit("https://"), base,
+          lit("/a/b?utm_source=x&utm_medium=y")))
+        .when(m === 4, concat(lit("https://"), base, lit("/a/b?q=1&fbclid=zzz")))
+        .otherwise(concat(lit("https://"), base, lit("/")))
+      graft.text.Urls.dedupByCanonicalUrl(
+        t(s, d, "documents").select(col("doc_id"), url.as("url")),
+        col("url"), col("doc_id"))
     }),
 
     // The DOMAIN GATE over those URLs: a deny list (here derived
@@ -1359,6 +1450,20 @@ object QText {
       s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
               h AS (SELECT doc_id, url, $hostSql AS host FROM u)
           SELECT doc_id, url, host, $domainSql AS domain FROM h""",
+    "p11_url_canon" ->
+      s"""WITH u AS (SELECT doc_id, $p11UrlSql AS url FROM documents),
+              $canonCtesSql
+          SELECT doc_id, url, canonical,
+                 CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+                   AS n_same
+          FROM cc""",
+    "p11b_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, $p11UrlSql AS url FROM documents),
+              $canonCtesSql,
+              w AS (SELECT canonical, min(doc_id) AS keep
+                    FROM cc GROUP BY 1)
+          SELECT doc_id, url FROM cc
+          JOIN w ON cc.doc_id = w.keep""",
     "p10b_psl_domains" ->
       s"""WITH u AS (SELECT doc_id,
                  CASE CAST(doc_id % 4 AS INT)

@@ -135,6 +135,61 @@ object Urls {
       .drop("__l2", "__l3", "__h", "__multi")
   }
 
+  /** CANONICAL URL for exact-URL deduplication — the stage-0 pass of
+    * Dolma/RefinedWeb-style curation (the same page crawled as
+    * `http://www.x.com/a?utm_source=feed#top` and `https://x.com/a`
+    * must collide BEFORE any text work). Deterministic rule set, each a
+    * codegen'd regex both engines restate verbatim:
+    *
+    *  1. fragment stripped (`#...`);
+    *  2. tracking query params removed wherever they appear (`utm_*`,
+    *     `fbclid`, `gclid`, `msclkid`, `mc_eid`), separators collapsed,
+    *     a left-over trailing `?`/`&` dropped;
+    *  3. authority normalized: scheme lowercased, userinfo dropped,
+    *     host lowercased with `www.` stripped ([[normalizedHost]]);
+    *  4. default ports dropped (`:80` on http/scheme-less, `:443` on
+    *     https); non-default ports kept;
+    *  5. a bare root path `/` dropped (`x.com/` ≡ `x.com`); deeper
+    *     trailing slashes are kept (semantic on many sites).
+    *
+    * Path case and non-tracking query params are preserved; http and
+    * https remain DISTINCT canonicals (folding them is a policy call a
+    * deployment makes via its own post-map). Null propagates.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(?:utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid)=[^&#]*", "$1")
+    val tidy = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&"),
+      "[?&]+$", "")
+    val scheme = lower(regexp_extract(tidy,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = normalizedHost(tidy)
+    val port = regexp_extract(lower(tidy),
+      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !(port === "80" && (scheme === "http" || scheme === "")) &&
+      !(port === "443" && scheme === "https")
+    val pathq = regexp_extract(tidy,
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?[^/?#]*([/?].*)?$", 1)
+    concat(
+      when(scheme === "", lit("")).otherwise(concat(scheme, lit("://"))),
+      host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(pathq === "/", lit("")).otherwise(pathq))
+  }
+
+  /** Exact-URL dedup: one surviving doc per [[canonicalUrl]] (min id —
+    * crawl order), the Dolma stage-0 pass. Thin-winner shape
+    * ([[graft.dedup.Dedup.exactDedupThin]]): winners decided on a
+    * (fingerprint, id) projection, survivors semi-joined back — doc
+    * text never crosses the exchange. Ids must be globally unique (the
+    * pipeline's standing contract).
+    */
+  def dedupByCanonicalUrl(docs: DataFrame, url: Column, id: Column): DataFrame =
+    graft.dedup.Dedup.exactDedupThin(docs, id, canonicalUrl(url))
+
   /** Domain gate: keep docs whose registrable domain is NOT in `deny`
     * (one `domain` string column). Deny lists are list-sized next to a
     * corpus — the anti-join broadcasts, so the gate is a map-side

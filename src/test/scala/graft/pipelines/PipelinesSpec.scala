@@ -269,6 +269,30 @@ class PipelinesSpec extends SparkSpec {
     assert(kept.size === 2 && (kept - 5L).subsetOf(Set(3L, 4L)), kept.toString)
   }
 
+  test("dedupCorpus urlExactDedup: re-crawls of one canonical URL collapse before any text work") {
+    val docs = Seq(
+      (5L, "https://www.x.com/a/b", "alpha beta gamma delta one"),
+      (2L, "https://x.com/a/b#frag", "epsilon zeta eta theta two"),
+      (9L, "https://x.com/a/b?utm_source=f", "iota kappa lambda mu three"),
+      (7L, "https://y.org/other", "nu xi omicron pi four"))
+      .toDF("doc_id", "url", "text")
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      minQuality = 0.0, urlCol = Some("url"), urlExactDedup = true)
+    val m = stages.toMap
+    assert(m.contains("url_dedup"))
+    // min id per canonical: the three x.com/a/b variants keep doc 2
+    assert(m("url_dedup").select("doc_id").as[Long].collect().toSet
+      === Set(2L, 7L))
+    assert(stages.last._2.select("doc_id").as[Long].collect().toSet
+      === Set(2L, 7L))
+    // without a url column the flag fails loudly, never silently no-ops
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+        urlExactDedup = true)
+    }
+    assert(e.getMessage.contains("--url-col"), e.getMessage)
+  }
+
   test("dedupCorpus lmTarget+lmMinAvgLogp: the CCNet perplexity gate drops gibberish, spares short docs") {
     val target = Seq("the cat sat on the mat", "the cat sat on the rug",
       "the dog sat on the mat").toDF("text")

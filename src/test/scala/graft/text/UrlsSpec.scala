@@ -80,6 +80,55 @@ class UrlsSpec extends SparkSpec {
       === Seq("doc_id", "url"))
   }
 
+  test("canonicalUrl: every normalization rule, one shape each") {
+    val got = Seq(
+      "https://www.X.com/a?utm_source=f#t",
+      "http://user@x.com:80/p?utm_a=1&q=2&utm_b=3",
+      "x.com:8080/P",
+      "https://x.com:443/",
+      "x.com:80",
+      "https://x.com/dir/",
+      "https://x.com/?utm_a=1",
+      "https://x.com/a?fbclid=1&gclid=2&q=3")
+      .toDF("url")
+      .select(col("url"), Urls.canonicalUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    // fragment + tracking params + www + case, all at once
+    assert(got("https://www.X.com/a?utm_source=f#t") === "https://x.com/a")
+    // userinfo dropped, default http port dropped, inner tracking param
+    // removed with separators re-collapsed
+    assert(got("http://user@x.com:80/p?utm_a=1&q=2&utm_b=3")
+      === "http://x.com/p?q=2")
+    // non-default port and path CASE preserved
+    assert(got("x.com:8080/P") === "x.com:8080/P")
+    // https default port + bare root slash dropped
+    assert(got("https://x.com:443/") === "https://x.com")
+    // scheme-less default http port dropped
+    assert(got("x.com:80") === "x.com")
+    // deep trailing slash is semantic — kept
+    assert(got("https://x.com/dir/") === "https://x.com/dir/")
+    // tracking-only query collapses away entirely, then the root slash
+    assert(got("https://x.com/?utm_a=1") === "https://x.com")
+    // consecutive tracking params collapse their separators
+    assert(got("https://x.com/a?fbclid=1&gclid=2&q=3")
+      === "https://x.com/a?q=3")
+  }
+
+  test("dedupByCanonicalUrl: variants of one page collapse to the min-id survivor") {
+    val docs = Seq(
+      (5L, "https://www.x.com/a/b"),
+      (2L, "https://x.com/a/b#frag"),
+      (9L, "HTTPS://X.COM:443/a/b?utm_source=f"),
+      (7L, "https://y.org/other"))
+      .toDF("doc_id", "url")
+    val kept = Urls.dedupByCanonicalUrl(docs, col("url"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 7L))
+    // survivors keep their original columns untouched
+    assert(Urls.dedupByCanonicalUrl(docs, col("url"), col("doc_id"))
+      .columns.toSeq === Seq("doc_id", "url"))
+  }
+
   test("loadPslMultiPart: full list DIVERGES from the embedded subset where the subset is blind") {
     // a miniature publicsuffix.org-format file: comments, single-label
     // rules, plain multi-part rules (incl. one the embedded subset lacks:
