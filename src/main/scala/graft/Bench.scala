@@ -37,15 +37,21 @@ object Bench {
     // would time "scan + count" instead of the expressions the oracle
     // actually checks. bit_xor, not sum: summing hashes overflows Long
     // under ANSI mode.
-    def force(name: String, dir: String): Boolean =
+    // Returns elapsed seconds, or -1.0 on failure. The timed window closes
+    // BEFORE the finally block: cache-clear and scratch-dir deletion are
+    // inter-query isolation housekeeping, not query work — folding their
+    // filesystem time into scratch-heavy queries' numbers was a
+    // systematic bias vs pre-r13 BENCHDETAIL records (r13 ADVICE).
+    def force(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, dir)
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
           .agg(bit_xor(col("__h"))).collect()
-        true
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage.take(200)}")
-        false
+        -1.0
       } finally {
         // Isolate queries: cached intermediates (d5, x3) otherwise
         // accumulate across 83×2 executions, storage steals execution
@@ -57,6 +63,7 @@ object Bench {
         // query's scratch is dead once its checksum is collected.
         graft.core.Scratch.cleanupNow()
       }
+    }
     // Untimed warm-up at the smallest SF: plan structures are identical
     // across SF dirs, so this populates the whole-stage-codegen class cache
     // and JIT once per query shape. The timed pass then measures
@@ -65,19 +72,15 @@ object Bench {
     // e.g. d3_simhash 7.5 s cold vs 1.2 s warm on identical data).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.keys.foreach(force(_, warmDir))
+      SparkEntry.queries.keys.foreach { n => force(n, warmDir); () }
     // Best-of-3 timed passes, round-robin: single-shot numbers on a shared
     // host carry 3-5x noise, and back-to-back repeats of one query share
     // any transient host stall — full passes decorrelate the stall from
     // the query; min is the steady-state estimator.
     val names = SparkEntry.queries.keys.toSeq
     val passes = (1 to 3).map { _ =>
-      names.map { name =>
-        val t0 = System.nanoTime()
-        val ok = force(name, sfDir)
-        // a failed query must read as FAILURE (-1), never as a fast time
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }.toMap
+      // a failed query reads as FAILURE (-1), never as a fast time
+      names.map { name => name -> force(name, sfDir) }.toMap
     }
     val results = names.map { n =>
       val ts = passes.map(_(n)).filter(_ >= 0)

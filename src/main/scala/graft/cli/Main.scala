@@ -132,11 +132,12 @@ object Main {
           domainDeny = opt(args, "--domain-gate")
             .map(spark.read.parquet(_)),
           // --psl <file>: swap the embedded multi-part-suffix subset for
-          // a full Public Suffix List (publicsuffix.org format) — ccTLD
-          // registries (com.ar, co.il, ...) then key the domain gate and
-          // per-domain cap correctly; requires --url-col
-          pslSuffixes = opt(args, "--psl")
-            .map(graft.text.Urls.loadPslMultiPart(spark, _)),
+          // a full Public Suffix List (publicsuffix.org format) under
+          // FULL rule semantics — literals at any depth, wildcards
+          // (*.ck), exceptions (!www.ck) — so ccTLD registries key the
+          // domain gate and per-domain cap correctly; requires --url-col
+          psl = opt(args, "--psl")
+            .map(graft.text.Urls.loadPsl(spark, _)),
           // CCNet LM gate: --lm-target points at the parquet target
           // slice the trigram-KN model fits on; --lm-min-logp is the
           // avg_logp cutoff (docs scoring below it drop). Both or

@@ -58,6 +58,15 @@ object Scratch {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[
     (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]()
 
+  // Per-thread ownership list for [[scopedCleanup]]: while a thread is
+  // inside a scoped block, its materializations are ALSO recorded here, so
+  // the block's cleanup reclaims exactly what the block itself created —
+  // never scratch registered concurrently by another query's thread
+  // (two streaming sinks in one JVM would otherwise delete each other's
+  // in-flight dirs; r13 ADVICE).
+  private val scopedOwned = new ThreadLocal[java.util.ArrayList[
+    (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]]()
+
   /** Early-release handle for one scratch dir — for iterative operators
     * (CC rounds) whose per-round relation is dead as soon as the next
     * round is materialized; without it a 20-round job over TB-scale
@@ -92,6 +101,8 @@ object Scratch {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.deleteOnExit(path)
     live.add((fs, path))
+    val owned = scopedOwned.get()
+    if (owned != null) { owned.add((fs, path)); () }
     df.write.mode("overwrite").parquet(dir)
     (spark.read.schema(df.schema).parquet(dir), new Handle(fs, path))
   }
@@ -111,30 +122,35 @@ object Scratch {
     }
   }
 
-  /** Run `f`, then reclaim ONLY the scratch dirs registered DURING it —
-    * the per-micro-batch cleanup for streaming foreachBatch bodies whose
-    * operators materialize scratch (a continuous-trigger stream would
-    * otherwise accumulate one dir per micro-batch until JVM exit, and
-    * the global [[cleanupNow]] would tear other live queries' scratch
-    * out from under them). The block must fully CONSUME what it
-    * materializes (foreachBatch bodies do — they end in a write).
-    * Not safe against another thread materializing scratch concurrently
-    * with the block (its dirs would be reclaimed too): Spark runs one
-    * foreachBatch invocation at a time per query, the intended scope.
+  /** Run `f`, then reclaim ONLY the scratch dirs `f` itself materialized
+    * (on this thread) — the per-micro-batch cleanup for streaming
+    * foreachBatch bodies whose operators materialize scratch (a
+    * continuous-trigger stream would otherwise accumulate one dir per
+    * micro-batch until JVM exit, and the global [[cleanupNow]] would tear
+    * other live queries' scratch out from under them). Ownership is a
+    * ThreadLocal registration list, NOT a before/after snapshot of the
+    * global queue, so two concurrent scoped blocks (two streaming sinks
+    * in one JVM, or a sink plus a batch job) can never reclaim each
+    * other's in-flight dirs. The block must fully CONSUME what it
+    * materializes (foreachBatch bodies do — they end in a write), and
+    * must materialize on its own thread (foreachBatch bodies do — the
+    * driver-side block runs synchronously; only the launched JOBS fan
+    * out to executors). Nesting is supported: the inner scope owns (and
+    * reclaims) its dirs; the outer scope keeps its own list.
     */
   def scopedCleanup[A](f: => A): A = {
-    val before = new java.util.HashSet[org.apache.hadoop.fs.Path]()
-    live.forEach(e => { before.add(e._2); () })
+    val outer = scopedOwned.get()
+    val mine = new java.util.ArrayList[
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]()
+    scopedOwned.set(mine)
     try f
     finally {
-      val it = live.iterator()
-      while (it.hasNext) {
-        val (fs, p) = it.next()
-        if (!before.contains(p)) {
-          it.remove()
-          try { fs.cancelDeleteOnExit(p); fs.delete(p, true); () }
-          catch { case _: java.io.IOException => () }
-        }
+      if (outer != null) scopedOwned.set(outer) else scopedOwned.remove()
+      mine.forEach { e =>
+        val (fs, p) = e
+        live.remove(e)
+        try { fs.cancelDeleteOnExit(p); fs.delete(p, true); () }
+        catch { case _: java.io.IOException => () }
       }
     }
   }

@@ -313,10 +313,12 @@ object Pipelines {
     *    stage, via a broadcast anti-join; and with `maxPerSource` set,
     *    the cap key becomes the registrable domain instead of
     *    `sourceCol` — the unit a web corpus is actually skewed by.
-    *    `pslSuffixes` swaps the embedded multi-part-suffix subset for a
-    *    full Public Suffix List ([[graft.text.Urls.loadPslMultiPart]];
-    *    CLI `--psl`) so ccTLD registries like `com.ar`/`co.il` key the
-    *    gate and cap correctly; default stays the embedded subset.
+    *    `psl` swaps the embedded multi-part-suffix subset for a full
+    *    Public Suffix List ([[graft.text.Urls.loadPsl]]; CLI `--psl`)
+    *    under FULL rule semantics — literals at any depth, wildcards,
+    *    exceptions ([[graft.text.Urls.registrableDomainPsl]]) — so ccTLD
+    *    registries like `com.ar`/`*.ck` key the gate and cap correctly;
+    *    default stays the embedded subset.
     *    `urlExactDedup` (CLI `--url-dedup`) adds the Dolma stage-0
     *    pass right after the gate: one survivor (min id) per CANONICAL
     *    URL ([[graft.text.Urls.canonicalUrl]] — fragment/tracking-param
@@ -413,7 +415,7 @@ object Pipelines {
                   gopherGate: Boolean = false,
                   urlCol: Option[String] = None,
                   domainDeny: Option[DataFrame] = None,
-                  pslSuffixes: Option[Seq[String]] = None,
+                  psl: Option[graft.text.Urls.PslRules] = None,
                   lmTarget: Option[DataFrame] = None,
                   lmMinAvgLogp: Option[Double] = None,
                   urlExactDedup: Boolean = false): DataFrame =
@@ -423,7 +425,7 @@ object Pipelines {
       imageCol, imageGridRows, imageBandBits, maxImageHamming,
       audioCol, videoCol, embeddingCol, semCells, minCosine,
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
-      gopherGate, urlCol, domainDeny, pslSuffixes,
+      gopherGate, urlCol, domainDeny, psl,
       lmTarget, lmMinAvgLogp, urlExactDedup).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
@@ -466,7 +468,7 @@ object Pipelines {
                         gopherGate: Boolean = false,
                         urlCol: Option[String] = None,
                         domainDeny: Option[DataFrame] = None,
-                        pslSuffixes: Option[Seq[String]] = None,
+                        psl: Option[graft.text.Urls.PslRules] = None,
                         lmTarget: Option[DataFrame] = None,
                         lmMinAvgLogp: Option[Double] = None,
                         urlExactDedup: Boolean = false)
@@ -480,9 +482,9 @@ object Pipelines {
       "domainDeny requires urlCol: the deny list matches registrable " +
         "domains parsed from a URL column — pass urlCol (CLI: --url-col) " +
         "alongside the deny relation (CLI: --domain-gate)")
-    require(pslSuffixes.isEmpty || urlCol.isDefined,
-      "pslSuffixes without urlCol has no effect — pass urlCol (CLI: " +
-        "--url-col) so the suffix list can key the domain gate/cap")
+    require(psl.isEmpty || urlCol.isDefined,
+      "psl without urlCol has no effect — pass urlCol (CLI: " +
+        "--url-col) so the suffix rules can key the domain gate/cap")
     require(lmTarget.isDefined == lmMinAvgLogp.isDefined,
       "the LM gate needs BOTH a target corpus to fit the KN model on " +
         "(CLI: --lm-target) AND a score cutoff (CLI: --lm-min-logp) — " +
@@ -492,9 +494,13 @@ object Pipelines {
         "canonical form of a URL column (CLI: --url-col)")
     // registrable-domain policy for BOTH url-keyed stages (gate + cap):
     // the embedded PSL subset unless the caller loaded a full list
-    // (graft.text.Urls.loadPslMultiPart; CLI --psl) — still a map-only
-    // InSet predicate either way, never a join
-    val sfx = pslSuffixes.getOrElse(graft.text.Urls.multiPartSuffixes)
+    // (graft.text.Urls.loadPsl; CLI --psl) — full wildcard/exception/
+    // any-depth rule semantics when loaded, and still a map-only
+    // InSet-predicate when-chain either way, never a join
+    val domainOf: Column => Column = psl match {
+      case Some(r) => h => graft.text.Urls.registrableDomainPsl(h, r)
+      case None    => h => graft.text.Urls.registrableDomain(h)
+    }
     val stages = Seq.newBuilder[(String, DataFrame)]
     stages += ("input" -> docs)
     // DOMAIN GATE (urlCol + domainDeny): the classic FIRST stage of
@@ -503,8 +509,10 @@ object Pipelines {
     // Broadcast anti-join on the domain (graft.text.Urls.domainGate):
     // map-side at any corpus scale. Denying an apex drops subdomains.
     val docs0 = (urlCol, domainDeny) match {
-      case (Some(u), Some(deny)) =>
-        graft.text.Urls.domainGate(docs, col(u), deny, sfx)
+      case (Some(u), Some(deny)) => psl match {
+        case Some(r) => graft.text.Urls.domainGate(docs, col(u), deny, r)
+        case None    => graft.text.Urls.domainGate(docs, col(u), deny)
+      }
       case _ => docs
     }
     if (urlCol.isDefined && domainDeny.isDefined)
@@ -568,8 +576,8 @@ object Pipelines {
     val capped0 =
       if (maxPerSource <= 0) gated
       else graft.ops.Sampling.domainCap(gated,
-        urlCol.map(u => graft.text.Urls.registrableDomain(
-          graft.text.Urls.normalizedHost(col(u)), sfx))
+        urlCol.map(u => domainOf(
+          graft.text.Urls.normalizedHost(col(u))))
           .getOrElse(col(sourceCol)),
         id, maxPerSource)
     if (maxPerSource > 0) stages += ("domain_cap" -> capped0)

@@ -138,6 +138,42 @@ object QText {
            ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END"""
   }
 
+  // Driver-side PslRules sample for p10c: the embedded subset plus a
+  // 3-label literal, a 4-label literal, 1- and 3-label WILDCARD parents,
+  // and an EXCEPTION — one rule of every kind and depth the full matcher
+  // (Urls.registrableDomainPsl) dispatches on.
+  private val p10cRules = graft.text.Urls.PslRules(
+    literals = (graft.text.Urls.multiPartSuffixes ++
+      Seq("city.kawasaki.jp", "s3.cn-north-1.amazonaws.cn")).sorted,
+    wildcards = Seq("ck", "compute.example.com"),
+    exceptions = Seq("www.ck"))
+  // DuckDB twin of Urls.registrableDomainPsl over a `host` column: the
+  // same branch order (exceptions longest-first, then effective suffix
+  // length descending, then the last-2-labels default), generated from
+  // the same rules instance so the two engines cannot drift.
+  private def pslFullCaseSql(rules: graft.text.Urls.PslRules): String = {
+    def lastK(k: Int): String =
+      "regexp_extract(host, '((?:[^.]+\\.){" + (k - 1) + "}[^.]+)$', 1)"
+    def labelCount(r: String): Int = r.count(_ == '.') + 1
+    def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
+    val exc = rules.exceptions.groupBy(labelCount).toSeq.sortBy(-_._1).map {
+      case (e, set) => s"WHEN ${lastK(e)} IN (${inList(set)}) THEN ${lastK(e)}"
+    }
+    val litByLen = rules.literals.groupBy(labelCount)
+    val wildByLen = rules.wildcards.groupBy(labelCount)
+    val lens = (litByLen.keySet ++ wildByLen.keySet.map(_ + 1)).toSeq.sortBy(-_)
+    val suf = lens.map { sLen =>
+      val conds =
+        litByLen.get(sLen).map(l => s"${lastK(sLen)} IN (${inList(l)})").toSeq ++
+          wildByLen.get(sLen - 1).map(w =>
+            s"${lastK(sLen - 1)} IN (${inList(w)})").toSeq
+      s"WHEN (${conds.mkString(" OR ")}) AND ${lastK(sLen + 1)} <> '' " +
+        s"THEN ${lastK(sLen + 1)}"
+    }
+    val dflt = s"CASE WHEN ${lastK(2)} = '' THEN host ELSE ${lastK(2)} END"
+    s"CASE ${(exc ++ suf).mkString(" ")} ELSE $dflt END"
+  }
+
   // The p11 URL-variant synthesis (six shapes of one logical page) and
   // the canonical-URL CTE chain — DuckDB twins of the p11 queries' url
   // expression and Urls.canonicalUrl. Every regexp_replace carries 'g'
@@ -148,17 +184,22 @@ object QText {
          WHEN 0 THEN 'https://www.' || source || '.com/a/b'
          WHEN 1 THEN 'https://' || source || '.com/a/b#frag'
          WHEN 2 THEN 'HTTPS://' || upper(source) || '.COM:443/a/b'
-         WHEN 3 THEN 'https://' || source || '.com/a/b?utm_source=x&utm_medium=y'
-         WHEN 4 THEN 'https://' || source || '.com/a/b?q=1&fbclid=zzz'
+         WHEN 3 THEN 'https://' || source || '.com/a/b?UTM_SOURCE=x&utm_medium=y'
+         WHEN 4 THEN 'https://' || source || '.com/a/b?q=1&fbclid'
          ELSE 'https://' || source || '.com/' END"""
   // ends in a CTE `cc` with (doc_id, url, canonical); prefix with a
   // `u` CTE providing (doc_id, url)
   private val canonCtesSql: String =
     """cq AS (SELECT doc_id, url,
               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(
                 regexp_replace(url, '#.*$', '', 'g'),
-                '([?&])(?:utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
+                '(?i)([?&])(?:utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
                 '\1', 'g'),
+                '(?i)([?&])(?:utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid)([&#]|$)',
+                '\1\2', 'g'),
+                '(?i)([?&])(?:utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid)([&#]|$)',
+                '\1\2', 'g'),
                 '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g')
                 AS q
             FROM u),
@@ -542,13 +583,45 @@ object QText {
           graft.text.Urls.registrableDomain(col("host"), pslFullSample))
     }),
 
+    // P10c: registrable domains under FULL PSL semantics — the
+    // registrableDomainPsl matcher (loadPsl; CLI --psl), whose branch
+    // kinds the literal-only matchers cannot express: a WILDCARD rule
+    // (*.ck — every child of .ck is a public suffix), an EXCEPTION
+    // (!www.ck — the exception itself is the registrable domain), a
+    // 4-label literal registry rule, and a 3-label wildcard parent
+    // (*.compute.example.com). Seven host shapes hit every branch plus
+    // the defaults; the subset column shows exactly where the
+    // approximation was blind (r13 ADVICE). Still one map-only
+    // when-chain of InSet tests — no join, no shuffle; the oracle CASE
+    // is GENERATED from the same rules instance (pslFullCaseSql).
+    "p10c_psl_full" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(7L))
+      val host = when(m === 0, concat(col("source"), lit(".com")))
+        .when(m === 1, concat(lit("a."), col("source"), lit(".ck")))
+        .when(m === 2, concat(col("source"), lit(".www.ck")))
+        .when(m === 3, concat(lit("sub."), col("source"),
+          lit(".city.kawasaki.jp")))
+        .when(m === 4, concat(lit("x."), col("source"),
+          lit(".s3.cn-north-1.amazonaws.cn")))
+        .when(m === 5, concat(lit("vm."), col("source"),
+          lit(".compute.example.com")))
+        .otherwise(concat(col("source"), lit(".co.uk")))
+      t(s, d, "documents").select(col("doc_id"), host.as("host"))
+        .withColumn("domain_full",
+          graft.text.Urls.registrableDomainPsl(col("host"), p10cRules))
+        .withColumn("domain_subset",
+          graft.text.Urls.registrableDomain(col("host")))
+    }),
+
     // P11: CANONICAL-URL normalization — the stage-0 exact-URL-dedup
     // key (fragment/tracking-param strip, authority normalization,
     // default-port and root-slash drop). Six deterministic variants of
     // the SAME logical page per source (www, fragment, upper+:443,
-    // utm params, mixed params, bare root) so the collision counts are
-    // themselves under the hash; every regex restated verbatim in the
-    // oracle ('g'-flagged — Spark replaces all occurrences).
+    // UPPER-case utm params, valueless fbclid, bare root — the last two
+    // exercise the case-insensitive and optional-value tracking strip,
+    // r13 ADVICE) so the collision counts are themselves under the hash;
+    // every regex restated verbatim in the oracle ('g'-flagged — Spark
+    // replaces all occurrences).
     "p11_url_canon" -> ((s, d) => {
       val m = pmod(col("doc_id"), lit(6L))
       val base = concat(col("source"), lit(".com"))
@@ -556,8 +629,8 @@ object QText {
         .when(m === 1, concat(lit("https://"), base, lit("/a/b#frag")))
         .when(m === 2, concat(lit("HTTPS://"), upper(base), lit(":443/a/b")))
         .when(m === 3, concat(lit("https://"), base,
-          lit("/a/b?utm_source=x&utm_medium=y")))
-        .when(m === 4, concat(lit("https://"), base, lit("/a/b?q=1&fbclid=zzz")))
+          lit("/a/b?UTM_SOURCE=x&utm_medium=y")))
+        .when(m === 4, concat(lit("https://"), base, lit("/a/b?q=1&fbclid")))
         .otherwise(concat(lit("https://"), base, lit("/")))
       t(s, d, "documents")
         .select(col("doc_id"), url.as("url"))
@@ -578,8 +651,8 @@ object QText {
         .when(m === 1, concat(lit("https://"), base, lit("/a/b#frag")))
         .when(m === 2, concat(lit("HTTPS://"), upper(base), lit(":443/a/b")))
         .when(m === 3, concat(lit("https://"), base,
-          lit("/a/b?utm_source=x&utm_medium=y")))
-        .when(m === 4, concat(lit("https://"), base, lit("/a/b?q=1&fbclid=zzz")))
+          lit("/a/b?UTM_SOURCE=x&utm_medium=y")))
+        .when(m === 4, concat(lit("https://"), base, lit("/a/b?q=1&fbclid")))
         .otherwise(concat(lit("https://"), base, lit("/")))
       graft.text.Urls.dedupByCanonicalUrl(
         t(s, d, "documents").select(col("doc_id"), url.as("url")),
@@ -1476,6 +1549,21 @@ object QText {
           SELECT doc_id, url, host, $domainSql AS domain_subset,
                  $domainFullSql AS domain_full
           FROM h""",
+    "p10c_psl_full" ->
+      s"""WITH u AS (SELECT doc_id,
+                 CASE CAST(doc_id % 7 AS INT)
+                   WHEN 0 THEN source || '.com'
+                   WHEN 1 THEN 'a.' || source || '.ck'
+                   WHEN 2 THEN source || '.www.ck'
+                   WHEN 3 THEN 'sub.' || source || '.city.kawasaki.jp'
+                   WHEN 4 THEN 'x.' || source || '.s3.cn-north-1.amazonaws.cn'
+                   WHEN 5 THEN 'vm.' || source || '.compute.example.com'
+                   ELSE source || '.co.uk' END AS host
+               FROM documents)
+          SELECT doc_id, host,
+                 ${pslFullCaseSql(p10cRules)} AS domain_full,
+                 $domainSql AS domain_subset
+          FROM u""",
     "tx_domain_gate" ->
       s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
               h AS (SELECT doc_id, url, $hostSql AS host FROM u),

@@ -35,12 +35,24 @@ object Streaming {
   def eventsFileStream(spark: SparkSession, path: String): DataFrame = {
     // FileStreamSource requires a directory; test fixtures are single
     // parquet FILES — stage those into a temp dir (tiny, test-only; real
-    // deployments point at directories and skip this branch).
-    val f = new java.io.File(path)
+    // deployments point at directories and skip this branch). Stat and
+    // copy through the Hadoop FileSystem API, not java.io.File — the
+    // same bug class was fixed in runToSnapshot (r12) and the r11 sync
+    // path: a java.io probe of an object-store URI answers "not a file"
+    // and the branch silently misroutes.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(conf)
     val dir =
-      if (f.isFile) {
-        val d = java.nio.file.Files.createTempDirectory("events_stream")
-        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+      if (fs.getFileStatus(src).isFile) {
+        val d = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
+          s"events_stream_${java.util.UUID.randomUUID.toString.take(13)}")
+        val dfs = d.getFileSystem(conf)
+        dfs.mkdirs(d)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, src, dfs, new org.apache.hadoop.fs.Path(d, src.getName),
+          false, conf)
         d.toString
       } else path
     val batch = spark.read.parquet(dir)

@@ -627,7 +627,13 @@ object TextFunctions {
              model: TrigramKnModel, minAvgLogp: Double): DataFrame = {
     val scores = scoreTrigramsKn(docs, id, text, model)
       .select(col("doc_id").as("__lm_id"), col("avg_logp").as("__lm_lp"))
-    docs.join(scores, id.cast("long") === col("__lm_id"), "left")
+    // join on the RAW id expression — scoreTrigramsKn keys its output by
+    // `id` as-is, so no cast is needed, and none is safe: a cast("long")
+    // on a non-numeric id yields null, every row misses the join, and the
+    // isNull pass-branch would wave the whole corpus through — a silently
+    // fail-open gate (r13 ADVICE). The isNull branch is ONLY for docs too
+    // short to score (< 3 tokens — no trigram, no evidence).
+    docs.join(scores, id === col("__lm_id"), "left")
       .filter(col("__lm_lp").isNull || col("__lm_lp") >= minAvgLogp)
       .drop("__lm_id", "__lm_lp")
   }

@@ -69,8 +69,9 @@ object Urls {
     * codegen — no join, no shuffle, no broadcast; a few thousand string
     * literals is well inside expression limits). Two-label suffixes
     * extend the domain to three labels, three-label suffixes to four;
-    * rarer shapes (4+-label PSL rules) are ignored by the matcher —
-    * the documented approximation boundary.
+    * rarer shapes (4+-label rules, wildcards, exceptions) are ignored
+    * by THIS matcher — [[registrableDomainPsl]] + [[loadPsl]] is the
+    * full-fidelity path.
     */
   def registrableDomain(host: Column, suffixes: Seq[String]): Column = {
     val (sfx2, rest) = suffixes.partition(_.count(_ == '.') == 1)
@@ -113,6 +114,90 @@ object Urls {
       .filter(_.contains("."))
       .distinct.sorted
 
+  /** The THREE rule kinds of the Public Suffix List, parsed losslessly
+    * ([[loadPsl]]) for the full-fidelity matcher [[registrableDomainPsl]]:
+    *
+    *  - `literals`: plain multi-label rules (`co.uk`, `city.kawasaki.jp`,
+    *    4+-label registry rules) — the public suffix is the rule itself,
+    *    so the registrable domain is the rule plus one host label;
+    *  - `wildcards`: the PARENTS of `*.`-rules (`*.ck` → `ck`) — every
+    *    direct child label of the parent is a public suffix, so the
+    *    registrable domain is the parent plus TWO host labels;
+    *  - `exceptions`: `!`-rules minus the `!` (`!www.ck` → `www.ck`) —
+    *    the exception itself IS the registrable domain for any host at
+    *    or under it (PSL: an exception rule's public suffix is the rule
+    *    minus its leftmost label).
+    *
+    * Single-label literals are dropped at parse (the last-two-labels
+    * default already realizes them). All sets lowercased/distinct/sorted
+    * (stable plans and oracles).
+    */
+  final case class PslRules(literals: Seq[String], wildcards: Seq[String],
+                            exceptions: Seq[String])
+
+  /** Parse a Public Suffix List file (publicsuffix.org/list format) into
+    * [[PslRules]] — the LOSSLESS counterpart of [[loadPslMultiPart]]
+    * (which approximates wildcards and drops exceptions). Same read
+    * path: any Hadoop scheme, ~240 KB collected to the driver once and
+    * folded into a map-only predicate by [[registrableDomainPsl]].
+    */
+  def loadPsl(spark: org.apache.spark.sql.SparkSession,
+              path: String): PslRules = {
+    val lines = spark.read.textFile(path).collect().toSeq
+      .map(_.trim.toLowerCase)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+    val (exc, rest) = lines.partition(_.startsWith("!"))
+    val (wild, plain) = rest.partition(_.startsWith("*."))
+    PslRules(
+      literals = plain.filter(_.contains(".")).distinct.sorted,
+      wildcards = wild.map(_.drop(2)).filter(_.nonEmpty).distinct.sorted,
+      exceptions = exc.map(_.drop(1)).filter(_.contains(".")).distinct.sorted)
+  }
+
+  /** Registrable domain of a HOST under FULL Public Suffix List
+    * semantics — exception rules beat wildcards beat literals, and among
+    * suffix rules the LONGEST match wins (the PSL algorithm), all label
+    * depths supported (branches are generated at driver time from the
+    * label counts actually present in `rules`). Still one pure map-only
+    * Column: a when-chain of `InSet` membership tests over
+    * regexp-extracted label tails — no join, no shuffle.
+    *
+    * Graceful boundary (shared with [[registrableDomain]]): a host that
+    * IS a public suffix (e.g. the host `co.uk` itself) has no
+    * registrable domain under the PSL; this matcher falls through to the
+    * last-two-labels default instead of returning null, so downstream
+    * gate/cap keys stay non-null. A host with no dot is its own domain.
+    */
+  def registrableDomainPsl(host: Column, rules: PslRules): Column = {
+    def labelCount(r: String): Int = r.count(_ == '.') + 1
+    def lastK(k: Int): Column =
+      regexp_extract(host, "((?:[^.]+\\.){" + (k - 1) + "}[^.]+)$", 1)
+    // exceptions first, longest first: the match IS the domain
+    val excBranches: Seq[(Column, Column)] =
+      rules.exceptions.groupBy(labelCount).toSeq.sortBy(-_._1).map {
+        case (e, set) => (lastK(e).isin(set: _*), lastK(e))
+      }
+    // suffix rules by EFFECTIVE suffix length s, longest first: literal
+    // rules of s labels and wildcard parents of s-1 labels both make the
+    // last s host labels a public suffix → domain = last s+1 labels
+    val litByLen = rules.literals.groupBy(labelCount)
+    val wildByLen = rules.wildcards.groupBy(labelCount)
+    val sufLens = (litByLen.keySet ++ wildByLen.keySet.map(_ + 1))
+      .toSeq.sortBy(-_)
+    val sufBranches: Seq[(Column, Column)] = sufLens.map { s =>
+      val lit = litByLen.getOrElse(s, Nil)
+      val wild = wildByLen.getOrElse(s - 1, Nil)
+      val conds =
+        (if (lit.nonEmpty) Seq(lastK(s).isin(lit: _*)) else Nil) ++
+          (if (wild.nonEmpty) Seq(lastK(s - 1).isin(wild: _*)) else Nil)
+      (conds.reduceLeft(_ || _) && lastK(s + 1) =!= "", lastK(s + 1))
+    }
+    val default = when(lastK(2) === "", host).otherwise(lastK(2))
+    (excBranches ++ sufBranches).foldRight(default) {
+      case ((c, v), acc) => when(c, v).otherwise(acc)
+    }
+  }
+
   /** [[registrableDomain]] against a caller-supplied suffix RELATION
     * (one `suffix` string column — e.g. the full Public Suffix List's
     * multi-part entries loaded as a table) instead of the embedded
@@ -143,8 +228,16 @@ object Urls {
     *
     *  1. fragment stripped (`#...`);
     *  2. tracking query params removed wherever they appear (`utm_*`,
-    *     `fbclid`, `gclid`, `msclkid`, `mc_eid`), separators collapsed,
-    *     a left-over trailing `?`/`&` dropped;
+    *     `fbclid`, `gclid`, `msclkid`, `mc_eid`) — case-insensitively
+    *     (`?UTM_SOURCE=x`) and whether or not they carry a value (a bare
+    *     `?fbclid` counts); separators collapsed, a left-over trailing
+    *     `?`/`&` dropped. The valueless form is matched by consuming the
+    *     FOLLOWING separator/end (`([&#]|$)`) and re-emitting it — RE2
+    *     has no lookahead, and a bare name-prefix match would false-
+    *     positive on params like `fbclid2`. Because the consumed
+    *     separator is not rescanned, the rule runs twice: a run of two
+    *     consecutive valueless tracking params still collapses (longer
+    *     runs do not occur in practice);
     *  3. authority normalized: scheme lowercased, userinfo dropped,
     *     host lowercased with `www.` stripped ([[normalizedHost]]);
     *  4. default ports dropped (`:80` on http/scheme-less, `:443` on
@@ -158,8 +251,11 @@ object Urls {
     */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val noTrack = regexp_replace(noFrag,
-      "([?&])(?:utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid)=[^&#]*", "$1")
+    val noTrackVal = regexp_replace(noFrag,
+      "(?i)([?&])(?:utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid)=[^&#]*", "$1")
+    def stripBare(c: Column): Column = regexp_replace(c,
+      "(?i)([?&])(?:utm_[^=&#]*|fbclid|gclid|msclkid|mc_eid)([&#]|$)", "$1$2")
+    val noTrack = stripBare(stripBare(noTrackVal))
     val tidy = regexp_replace(
       regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&"),
       "[?&]+$", "")
@@ -199,7 +295,19 @@ object Urls {
     */
   def domainGate(docs: DataFrame, url: Column, deny: DataFrame,
                  suffixes: Seq[String] = multiPartSuffixes): DataFrame =
-    docs.withColumn("__dom", registrableDomain(normalizedHost(url), suffixes))
+    domainGateBy(docs, registrableDomain(normalizedHost(url), suffixes), deny)
+
+  /** [[domainGate]] under FULL PSL semantics ([[registrableDomainPsl]];
+    * CLI `--psl`) — wildcard/exception/deep-registry hosts key the gate
+    * by their true registrable domain. Same broadcast anti-join shape.
+    */
+  def domainGate(docs: DataFrame, url: Column, deny: DataFrame,
+                 rules: PslRules): DataFrame =
+    domainGateBy(docs, registrableDomainPsl(normalizedHost(url), rules), deny)
+
+  private def domainGateBy(docs: DataFrame, dom: Column,
+                           deny: DataFrame): DataFrame =
+    docs.withColumn("__dom", dom)
       .join(broadcast(deny.select(col("domain").as("__dom"))),
         Seq("__dom"), "left_anti")
       .drop("__dom")

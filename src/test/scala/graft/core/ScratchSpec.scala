@@ -70,6 +70,67 @@ class ScratchSpec extends SparkSpec {
     } finally spark.conf.unset("graft.scratch.dir")
   }
 
+  test("scopedCleanup reclaims exactly the block's own dirs — not pre-existing ones") {
+    val base = java.nio.file.Files.createTempDirectory("scratchscope").toString
+    spark.conf.set("graft.scratch.dir", base)
+    try {
+      val before = Scratch.materialize(spark.range(3).toDF(), "pre")
+      Scratch.scopedCleanup {
+        val inner = Scratch.materialize(spark.range(4).toDF(), "inn")
+        assert(inner.count() === 4L)
+      }
+      val left = new java.io.File(base).listFiles().map(_.getName)
+      assert(!left.exists(_.startsWith("graft_inn")))
+      assert(left.exists(_.startsWith("graft_pre")))
+      assert(before.count() === 3L)
+      Scratch.cleanupNow()
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
+  test("scopedCleanup is OWNERSHIP-scoped: a concurrent thread's scratch survives the block") {
+    // r13 ADVICE: the old before/after snapshot reclaimed EVERY dir
+    // registered during the block — two concurrent streaming queries (or
+    // a sink plus a batch job) would delete each other's in-flight
+    // scratch. Ownership is per-thread now: a dir materialized by another
+    // thread while the block runs must still exist afterwards.
+    val base = java.nio.file.Files.createTempDirectory("scratchown").toString
+    spark.conf.set("graft.scratch.dir", base)
+    try {
+      @volatile var otherDf: org.apache.spark.sql.DataFrame = null
+      Scratch.scopedCleanup {
+        val t = new Thread(() => {
+          otherDf = Scratch.materialize(spark.range(6).toDF(), "oth")
+        })
+        t.start(); t.join()
+        val mine = Scratch.materialize(spark.range(4).toDF(), "own")
+        assert(mine.count() === 4L)
+      }
+      val left = new java.io.File(base).listFiles().map(_.getName)
+      assert(!left.exists(_.startsWith("graft_own")), "block's own dir reclaimed")
+      assert(left.exists(_.startsWith("graft_oth")), "concurrent thread's dir survives")
+      assert(otherDf.count() === 6L) // still readable — not torn down mid-flight
+      Scratch.cleanupNow()
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
+  test("scopedCleanup nests: inner block reclaims its dirs, outer keeps its own list") {
+    val base = java.nio.file.Files.createTempDirectory("scratchnest").toString
+    spark.conf.set("graft.scratch.dir", base)
+    try {
+      Scratch.scopedCleanup {
+        Scratch.materialize(spark.range(2).toDF(), "outr")
+        Scratch.scopedCleanup {
+          Scratch.materialize(spark.range(3).toDF(), "innr")
+        }
+        val mid = new java.io.File(base).listFiles().map(_.getName)
+        assert(!mid.exists(_.startsWith("graft_innr")))
+        assert(mid.exists(_.startsWith("graft_outr")))
+      }
+      val left = new java.io.File(base).listFiles().map(_.getName)
+      assert(!left.exists(_.startsWith("graft_outr")))
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
   test("cleanupNow deletes every scratch dir written so far") {
     val base = java.nio.file.Files.createTempDirectory("scratchclean").toString
     spark.conf.set("graft.scratch.dir", base)

@@ -164,6 +164,109 @@ class UrlsSpec extends SparkSpec {
     assert(loaded("https://blog.example.co.uk/w") === "example.co.uk")
   }
 
+  test("canonicalUrl tracking strip is case-insensitive and value-optional (r13 ADVICE)") {
+    val got = Seq(
+      "https://x.com/a?UTM_SOURCE=f",     // upper-case name
+      "https://x.com/a?fbclid",           // valueless, only param
+      "https://x.com/a?fbclid&q=1",       // valueless then real param
+      "https://x.com/a?q=1&fbclid",       // real param then valueless
+      "https://x.com/a?fbclid&gclid",     // two consecutive valueless
+      "https://x.com/a?fbclid2=x",        // NOT a tracking param (suffix)
+      "https://x.com/a?FbClId=1&q=2")     // mixed case with value
+      .toDF("url")
+      .select(col("url"), Urls.canonicalUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    assert(got("https://x.com/a?UTM_SOURCE=f") === "https://x.com/a")
+    assert(got("https://x.com/a?fbclid") === "https://x.com/a")
+    assert(got("https://x.com/a?fbclid&q=1") === "https://x.com/a?q=1")
+    assert(got("https://x.com/a?q=1&fbclid") === "https://x.com/a?q=1")
+    assert(got("https://x.com/a?fbclid&gclid") === "https://x.com/a")
+    // a name that merely STARTS with a tracking name is not stripped —
+    // the valueless rule anchors on the following separator/end
+    assert(got("https://x.com/a?fbclid2=x") === "https://x.com/a?fbclid2=x")
+    assert(got("https://x.com/a?FbClId=1&q=2") === "https://x.com/a?q=2")
+  }
+
+  test("registrableDomainPsl: full PSL semantics — wildcards, exceptions, any depth") {
+    val rules = Urls.PslRules(
+      literals = (Urls.multiPartSuffixes ++
+        Seq("city.kawasaki.jp", "s3.cn-north-1.amazonaws.cn")).sorted,
+      wildcards = Seq("ck", "compute.example.com"),
+      exceptions = Seq("www.ck"))
+    def doms(hosts: Seq[String]): Map[String, String] = hosts.toDF("h")
+      .select(col("h"), Urls.registrableDomainPsl(col("h"), rules).as("d"))
+      .as[(String, String)].collect().toMap
+    val got = doms(Seq(
+      "example.com", "a.shop.ck", "x.www.ck", "www.ck",
+      "sub.site.city.kawasaki.jp", "b.s3.cn-north-1.amazonaws.cn",
+      "vm.zone.compute.example.com", "deep.vm.zone.compute.example.com",
+      "blog.example.co.uk", "shop.ck", "nodots", "co.uk"))
+    // default last-2
+    assert(got("example.com") === "example.com")
+    // wildcard *.ck: suffix = shop.ck, domain = a.shop.ck
+    assert(got("a.shop.ck") === "a.shop.ck")
+    // exception !www.ck beats the wildcard: the exception IS the domain,
+    // for hosts under it and for the exception host itself
+    assert(got("x.www.ck") === "www.ck")
+    assert(got("www.ck") === "www.ck")
+    // 3-label literal
+    assert(got("sub.site.city.kawasaki.jp") === "site.city.kawasaki.jp")
+    // 4-label literal
+    assert(got("b.s3.cn-north-1.amazonaws.cn")
+      === "b.s3.cn-north-1.amazonaws.cn")
+    // 3-label wildcard parent: suffix = zone.compute.example.com
+    assert(got("vm.zone.compute.example.com")
+      === "vm.zone.compute.example.com")
+    assert(got("deep.vm.zone.compute.example.com")
+      === "vm.zone.compute.example.com")
+    // embedded-subset literals still work
+    assert(got("blog.example.co.uk") === "example.co.uk")
+    // graceful boundaries: host IS a public suffix → last-2 fallback;
+    // dot-less host is its own domain
+    assert(got("shop.ck") === "shop.ck")
+    assert(got("co.uk") === "co.uk")
+    assert(got("nodots") === "nodots")
+  }
+
+  test("loadPsl parses all three rule kinds losslessly; literal-only rules match registrableDomain") {
+    val psl = java.nio.file.Files.createTempFile("pslfull", ".dat")
+    java.nio.file.Files.writeString(psl, Seq(
+      "// comments dropped",
+      "com", "uk", "co.uk", "COM.AR", "city.kawasaki.jp",
+      "*.ck", "*.compute.example.com", "!www.ck", "!city.kobe.jp",
+      "").mkString("\n"))
+    val rules = Urls.loadPsl(spark, psl.toString)
+    assert(rules.literals === Seq("city.kawasaki.jp", "co.uk", "com.ar"))
+    assert(rules.wildcards === Seq("ck", "compute.example.com"))
+    assert(rules.exceptions === Seq("city.kobe.jp", "www.ck"))
+    // on hosts touched only by literal rules, the full matcher agrees
+    // with the Seq-based matcher fed loadPslMultiPart of the same file
+    val lits = Urls.loadPslMultiPart(spark, psl.toString)
+    val hosts = Seq("a.b.co.uk", "x.shop.com.ar", "s.city.kawasaki.jp",
+      "plain.org")
+    val viaFull = hosts.toDF("h")
+      .select(col("h"), Urls.registrableDomainPsl(col("h"), rules).as("d"))
+      .as[(String, String)].collect().toMap
+    val viaSeq = hosts.toDF("h")
+      .select(col("h"), Urls.registrableDomain(col("h"), lits).as("d"))
+      .as[(String, String)].collect().toMap
+    assert(viaFull === viaSeq)
+  }
+
+  test("domainGate under PslRules keys on the true wildcard/exception domains") {
+    val rules = Urls.PslRules(literals = Urls.multiPartSuffixes,
+      wildcards = Seq("ck"), exceptions = Seq("www.ck"))
+    val docs = Seq(
+      (1L, "https://a.spam.ck/x"),   // domain a.spam.ck — denied
+      (2L, "https://b.spam.ck/y"),   // domain b.spam.ck — NOT denied
+      (3L, "https://x.www.ck/z"),    // exception: domain www.ck — denied
+      (4L, "https://ok.org/w")).toDF("doc_id", "url")
+    val deny = Seq("a.spam.ck", "www.ck").toDF("domain")
+    val kept = Urls.domainGate(docs, col("url"), deny, rules)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+  }
+
   test("withRegistrableDomain matches the embedded-subset function when fed the same suffixes") {
     val docs = Seq(
       (1L, "https://www.a.co.uk/x"),
