@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X] [--keep-by length|<col>] [--proto-prune 0.2] [--audit]
+  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--keep-by length|<col>] [--proto-prune 0.2] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -139,11 +139,13 @@ object Main {
           psl = opt(args, "--psl")
             .map(graft.text.Urls.loadPsl(spark, _)),
           // CCNet LM gate: --lm-target points at the parquet target
-          // slice the trigram-KN model fits on; --lm-min-logp is the
+          // slice the KN model fits on (--lm-order picks the model
+          // order: 3 default, 5 = KenLM parity); --lm-min-logp is the
           // avg_logp cutoff (docs scoring below it drop). Both or
           // neither — the pipeline fails loudly on one alone.
           lmTarget = opt(args, "--lm-target").map(spark.read.parquet(_)),
           lmMinAvgLogp = opt(args, "--lm-min-logp").map(_.toDouble),
+          lmOrder = opt(args, "--lm-order").map(_.toInt).getOrElse(3),
           // --url-dedup: Dolma stage 0 — one survivor per CANONICAL url
           // (fragment/tracking-param strip, authority normalization)
           // before any text work; requires --url-col
@@ -341,7 +343,9 @@ object Main {
         // the shard is scored AFTER the line scrub (score the cleaned
         // text, CCNet's order) and BEFORE any signature or index work —
         // a high-perplexity doc is never folded in as tomorrow's match
-        // source. Unscorable < 3-token docs pass (drop on evidence).
+        // source. Unscorable < order-token docs pass (drop on
+        // evidence). --lm-order picks the KN order (3 default, 5 =
+        // KenLM parity; order 3 keeps the measured trigram path).
         val docsG = (opt(args, "--lm-target"), opt(args, "--lm-min-logp")) match {
           case (Some(tDir), Some(minLp)) =>
             // ONE gate definition shared with dedupCorpus's lm_gate
@@ -350,12 +354,20 @@ object Main {
             // banding, the verification lookup, the line-freq fold-in
             // semi-join, and the audit count — unshared, each consumer
             // would re-run the whole scoring pass (the docsS discipline)
-            graft.text.TextFunctions.lmGate(docsS, col("doc_id"),
-                col("text"),
-                graft.text.TextFunctions.fitTrigramKn(
-                  spark.read.parquet(tDir), col("text")),
-                minLp.toDouble)
-              .localCheckpoint()
+            (opt(args, "--lm-order").map(_.toInt).getOrElse(3) match {
+              case 3 =>
+                graft.text.TextFunctions.lmGate(docsS, col("doc_id"),
+                  col("text"),
+                  graft.text.TextFunctions.fitTrigramKn(
+                    spark.read.parquet(tDir), col("text")),
+                  minLp.toDouble)
+              case o =>
+                graft.text.TextFunctions.lmGateKn(docsS, col("doc_id"),
+                  col("text"),
+                  graft.text.TextFunctions.fitKn(
+                    spark.read.parquet(tDir), col("text"), o),
+                  minLp.toDouble)
+            }).localCheckpoint()
           case (None, None) => docsS
           case _ => throw new IllegalArgumentException(
             "--lm-target and --lm-min-logp must be passed together — one " +

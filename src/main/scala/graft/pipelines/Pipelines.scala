@@ -418,6 +418,7 @@ object Pipelines {
                   psl: Option[graft.text.Urls.PslRules] = None,
                   lmTarget: Option[DataFrame] = None,
                   lmMinAvgLogp: Option[Double] = None,
+                  lmOrder: Int = 3,
                   urlExactDedup: Boolean = false): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
@@ -426,7 +427,7 @@ object Pipelines {
       audioCol, videoCol, embeddingCol, semCells, minCosine,
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
       gopherGate, urlCol, domainDeny, psl,
-      lmTarget, lmMinAvgLogp, urlExactDedup).last._2
+      lmTarget, lmMinAvgLogp, lmOrder, urlExactDedup).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -471,6 +472,7 @@ object Pipelines {
                         psl: Option[graft.text.Urls.PslRules] = None,
                         lmTarget: Option[DataFrame] = None,
                         lmMinAvgLogp: Option[Double] = None,
+                        lmOrder: Int = 3,
                         urlExactDedup: Boolean = false)
       : Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
@@ -582,19 +584,21 @@ object Pipelines {
         id, maxPerSource)
     if (maxPerSource > 0) stages += ("domain_cap" -> capped0)
     // LM-PERPLEXITY GATE (lmTarget + lmMinAvgLogp): CCNet's deployed
-    // quality filter — a trigram interpolated-KN model is fit ONCE on
-    // the target slice (graft.text.TextFunctions.fitTrigramKn; count
-    // tables ≪ corpus, on columnar scratch) and every surviving doc is
-    // scored with full OOV back-off; docs whose avg_logp (= −ln ppl)
-    // falls below the cutoff are dropped — the frozen-cutoff form of
-    // the head/middle/tail cut (a deployment derives the cutoff from
-    // ccnetBuckets' tercile boundaries on a reference corpus, then
-    // gates shards against it without a corpus-global rank). Docs too
-    // short to score (< 3 tokens) pass through: the gate drops on
-    // EVIDENCE of high perplexity, and shortness is the quality gate's
-    // jurisdiction. Runs after the cheap map gates and the domain cap
-    // (fewer docs pay the scoring joins), before decontamination and
-    // all signature work.
+    // quality filter — an interpolated-KN model of order `lmOrder`
+    // (default 3; 5 = KenLM parity, CLI --lm-order) is fit ONCE on the
+    // target slice (fitTrigramKn / fitKn; count tables ≪ corpus, on
+    // columnar scratch) and every surviving doc is scored with full OOV
+    // back-off; docs whose avg_logp (= −ln ppl) falls below the cutoff
+    // are dropped — the frozen-cutoff form of the head/middle/tail cut
+    // (a deployment derives the cutoff from ccnetBuckets' tercile
+    // boundaries on a reference corpus, then gates shards against it
+    // without a corpus-global rank). Docs too short to score (< lmOrder
+    // tokens) pass through: the gate drops on EVIDENCE of high
+    // perplexity, and shortness is the quality gate's jurisdiction.
+    // Runs after the cheap map gates and the domain cap (fewer docs pay
+    // the scoring joins), before decontamination and all signature
+    // work. Order 3 keeps the measured trigram path (scoreKn at order 3
+    // is bit-exact with it — TextFunctionsSpec parity test).
     val lmGated = (lmTarget, lmMinAvgLogp) match {
       case (Some(tgt), Some(minLp)) =>
         // model and corpus must meet in the SAME text space (the
@@ -608,9 +612,16 @@ object Pipelines {
           else tgt.withColumn(textColName,
             graft.text.TextFunctions.redactPii(
               graft.text.TextFunctions.stripMarkup(col(textColName))))
-        graft.text.TextFunctions.lmGate(capped0, id, cleanText,
-          graft.text.TextFunctions.fitTrigramKn(tgtClean, col(textColName)),
-          minLp)
+        if (lmOrder == 3)
+          graft.text.TextFunctions.lmGate(capped0, id, cleanText,
+            graft.text.TextFunctions.fitTrigramKn(tgtClean,
+              col(textColName)),
+            minLp)
+        else
+          graft.text.TextFunctions.lmGateKn(capped0, id, cleanText,
+            graft.text.TextFunctions.fitKn(tgtClean, col(textColName),
+              lmOrder),
+            minLp)
       case _ => capped0
     }
     if (lmTarget.isDefined && lmMinAvgLogp.isDefined)

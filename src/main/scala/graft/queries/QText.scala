@@ -52,6 +52,76 @@ object QText {
              ELSE 'und' END"""
   }
 
+  // DuckDB twin of the TRAINED language-ID chain (tx_langid_trained):
+  // hashed char-trigram bucket features (engine-portable code-point
+  // hash), then ONE-VS-REST fixed-point GD per language — the clsSql
+  // unroll discipline, five heads sharing one materialized feature
+  // relation. Ends in `lpr` (doc_id, lang, p_<lang>..., predicted).
+  private val lidK = 12
+  private val lidIters = 8
+  private val lidLr = "8.0"
+  private val lidLangs = Seq("de", "en", "es", "fr", "zh")
+  private val lidGramsSql =
+    "list_filter(list_transform(range(1, CAST(greatest(length(text) - 1, 2) AS BIGINT)), " +
+      "i -> substring(text, CAST(i AS INT), 3)), g -> length(g) = 3)"
+  private def lidBucketSql(g: String): String =
+    s"(CAST(ascii(substring($g, 1, 1)) AS BIGINT) * 961 + " +
+      s"CAST(ascii(substring($g, 2, 1)) AS BIGINT) * 31 + " +
+      s"CAST(ascii(substring($g, 3, 1)) AS BIGINT)) % $lidK"
+  private val lidFeatSql: String = {
+    val xs = (0 until lidK).map { j =>
+      s"round(CASE WHEN len(gs) > 0 THEN " +
+        s"CAST(len(list_filter(gs, g -> ${lidBucketSql("g")} = $j)) AS DOUBLE)" +
+        s" / len(gs) ELSE 0.0 END, 6) AS x${j + 1}"
+    }.mkString(",\n               ")
+    val ys = lidLangs.zipWithIndex.map { case (l, i) =>
+      s"CASE WHEN lang = '$l' THEN 1.0 ELSE 0.0 END AS yc$i"
+    }.mkString(", ")
+    s"""SELECT doc_id, lang, 1.0 AS x0,
+               $xs,
+               $ys
+        FROM (SELECT doc_id, lang, $lidGramsSql AS gs FROM documents)"""
+  }
+  private def lidZ(w: String): String =
+    (0 to lidK).map(j => s"$w.w$j*x$j").mkString("(", " + ", ")")
+  private def lidP(w: String): String = s"(1.0 / (1.0 + exp(-${lidZ(w)})))"
+  // MATERIALIZED is load-bearing (the clsGradCte lesson): inlined, each
+  // iteration's expression expands the whole prior chain per head
+  private def lidGradCte(g: String, w: String, yc: String): String =
+    s"""$g AS MATERIALIZED (SELECT ${(0 to lidK).map(j =>
+      s"sum(CAST(round((${lidP(w)} - $yc) * x$j * 1e6) AS BIGINT)) AS s$j")
+      .mkString(", ")} FROM lf, $w)"""
+  private def lidStepCte(wN: String, wP: String, g: String): String =
+    s"""$wN AS MATERIALIZED (SELECT ${(0 to lidK).map(j =>
+      s"round($wP.w$j - $lidLr * $g.s$j / lnn.c / 1e6, 6) AS w$j")
+      .mkString(", ")} FROM $wP, $g, lnn)"""
+  private val lidCtesSql: String = {
+    val heads = lidLangs.indices.map { c =>
+      (1 to lidIters).map { i =>
+        val wPrev = if (i == 1) "lwz" else s"lw${c}_${i - 1}"
+        s"${lidGradCte(s"lg${c}_$i", wPrev, s"yc$c")},\n             " +
+          lidStepCte(s"lw${c}_$i", wPrev, s"lg${c}_$i")
+      }.mkString(",\n             ")
+    }.mkString(",\n             ")
+    val ps = lidLangs.zipWithIndex.map { case (l, c) =>
+      s"round(${lidP(s"lw${c}_$lidIters")}, 6) AS p_$l"
+    }.mkString(",\n                    ")
+    val joins = lidLangs.indices.map(c => s"lw${c}_$lidIters").mkString(", ")
+    val best = s"greatest(${lidLangs.map(l => s"p_$l").mkString(", ")})"
+    val pred = lidLangs.map(l => s"WHEN p_$l = $best THEN '$l'").mkString(" ")
+    s"""lf AS MATERIALIZED ($lidFeatSql),
+        lnn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM lf),
+        lwz AS (SELECT ${(0 to lidK).map(j => s"0.0 AS w$j").mkString(", ")}),
+        $heads,
+        lsc AS (SELECT doc_id, lang,
+                    $ps
+                FROM lf, $joins),
+        lpr AS (SELECT doc_id, lang,
+                       ${lidLangs.map(l => s"p_$l").mkString(", ")},
+                       CASE $pred ELSE 'und' END AS predicted
+                FROM lsc)"""
+  }
+
   // DuckDB fragments mirroring TextFunctions punctRatio / stopwordRatio /
   // qualityScore (zero-token and empty-text guards match the Spark
   // otherwise(0.0) branches so the oracle never divides by zero).
@@ -290,6 +360,85 @@ object QText {
                        AS pos,
                      CAST(count(*) OVER () AS BIGINT) AS n
                FROM ss)"""
+  }
+
+  // DuckDB twin of the ORDER-5 target-trained KN chain (tx_ccnet_kn5):
+  // the kn3CtesSql discipline with two more back-off layers, generated
+  // structurally — count tables k5g..k5tt on the lang='en' slice, the
+  // scored-side join fan k5j, then one CTE per back-off level (k5s1..k5s4
+  // — chained CTEs instead of inline nesting so the expression does not
+  // blow up exponentially with order), identical float association to
+  // TextFunctions.scoreKn. Ends in k5ss (doc_id, n_ngrams, avg_logp).
+  private val kn5CtesSql: String = {
+    val n = 5
+    val selSplit = (1 to n).map(i => s"string_split(g, '_')[$i] AS w$i")
+      .mkString(",\n                      ")
+    val gram = (0 until n).map(j =>
+      if (j == 0) "toks[CAST(i AS INT)]" else s"toks[CAST(i AS INT) + $j]")
+      .mkString(" || '_' || ")
+    def lvl(k: Int): String = {
+      // back-off level k: p_k from (n_k, d_k, nu_k) and p_{k-1}
+      s"""k5s$k AS (SELECT *, CASE WHEN d$k IS NOT NULL THEN
+                 greatest(CAST(coalesce(n$k, 0) AS DOUBLE) - 0.75, 0.0)
+                   / d$k + (0.75 * nu$k / d$k) * p${k - 1}
+               ELSE p${k - 1} END AS p$k FROM k5s${k - 1})"""
+    }
+    s"""k5t AS (SELECT $toksSql AS toks FROM documents
+               WHERE lang = 'en' AND len($toksSql) >= 5),
+        k5i AS (SELECT $selSplit
+                FROM (SELECT unnest(list_transform(range(1, len(toks) - 3),
+                        i -> $gram)) AS g
+                      FROM k5t)),
+        k5g AS (SELECT w1, w2, w3, w4, w5, count(*) AS c5
+                FROM k5i GROUP BY 1, 2, 3, 4, 5),
+        k5p AS (SELECT w1, w2, w3, w4, CAST(sum(c5) AS BIGINT) AS d5,
+                       count(*) AS nu5
+                FROM k5g GROUP BY 1, 2, 3, 4),
+        k5m4 AS (SELECT w2, w3, w4, w5, count(*) AS n4
+                 FROM k5g GROUP BY 1, 2, 3, 4),
+        k5a4 AS (SELECT w2, w3, w4, CAST(sum(n4) AS BIGINT) AS d4,
+                        count(*) AS nu4
+                 FROM k5m4 GROUP BY 1, 2, 3),
+        k5m3 AS (SELECT w3, w4, w5, count(*) AS n3
+                 FROM k5m4 GROUP BY 1, 2, 3),
+        k5a3 AS (SELECT w3, w4, CAST(sum(n3) AS BIGINT) AS d3,
+                        count(*) AS nu3
+                 FROM k5m3 GROUP BY 1, 2),
+        k5m2 AS (SELECT w4, w5, count(*) AS n2 FROM k5m3 GROUP BY 1, 2),
+        k5a2 AS (SELECT w4, CAST(sum(n2) AS BIGINT) AS d2,
+                        count(*) AS nu2
+                 FROM k5m2 GROUP BY 1),
+        k5rv AS (SELECT w5, count(*) AS revn FROM k5m2 GROUP BY 1),
+        k5tt AS (SELECT count(*) AS tt FROM k5m2),
+        k5si AS (SELECT doc_id, $selSplit
+                 FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(toks) - 3),
+                           i -> $gram)) AS g
+                       FROM (SELECT doc_id, $toksSql AS toks FROM documents
+                             WHERE len($toksSql) >= 5))),
+        k5j AS (SELECT * FROM k5si
+                LEFT JOIN k5g USING (w1, w2, w3, w4, w5)
+                LEFT JOIN k5p USING (w1, w2, w3, w4)
+                LEFT JOIN k5m4 USING (w2, w3, w4, w5)
+                LEFT JOIN k5a4 USING (w2, w3, w4)
+                LEFT JOIN k5m3 USING (w3, w4, w5)
+                LEFT JOIN k5a3 USING (w3, w4)
+                LEFT JOIN k5m2 USING (w4, w5)
+                LEFT JOIN k5a2 USING (w4)
+                LEFT JOIN k5rv USING (w5) CROSS JOIN k5tt),
+        k5s1 AS (SELECT *, coalesce(CAST(revn AS DOUBLE), 0.5) / tt AS p1
+                 FROM k5j),
+        ${lvl(2)},
+        ${lvl(3)},
+        ${lvl(4)},
+        k5lp AS (SELECT doc_id, round(ln(CASE WHEN d5 IS NOT NULL THEN
+                   greatest(CAST(coalesce(c5, 0) AS DOUBLE) - 0.75, 0.0)
+                     / d5 + (0.75 * nu5 / d5) * p4
+                 ELSE p4 END), 6) AS lp6 FROM k5s4),
+        k5ss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                        round(sum(CAST(round(lp6 * 1e6) AS BIGINT)) /
+                          (count(*) * 1e6), 6) AS avg_logp
+                 FROM k5lp GROUP BY doc_id)"""
   }
 
   // DuckDB twin of GopherRules.ruleFlags, ending in a CTE `fl` with the
@@ -797,6 +946,42 @@ object QText {
           round(avg(when(col("guess") === col("lang"), 1.0).otherwise(0.0)), 6)
             .as("accuracy"))),
 
+    // TRAINED language ID (r13 verdict gap #2): one-vs-rest logistic
+    // heads over hashed char-trigram frequencies, trained in-engine by
+    // the tx_classifier fixed-point GD machinery — the fastText shape.
+    // The testdata's lang label is synthetic (uncorrelated with its
+    // English-ish text), so accuracy here is the base rate BY
+    // CONSTRUCTION — the hash gate pins trainer + predictor exactly;
+    // real multilingual discrimination is asserted in
+    // LangIdClassifierSpec on diacritic-bearing text. Argmax compares
+    // 6dp-ROUNDED probabilities (ties → language code ascending), so
+    // cross-engine agreement needs only 6dp sigma agreement.
+    "tx_langid_trained" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val models = graft.text.LangIdClassifier.train(
+        docs, col("text"), col("lang"), langs)
+      graft.text.LangIdClassifier.predict(docs, col("text"), models)
+        .select(col("doc_id") +: col("lang") +:
+          langs.map(l => col(s"p_$l")) :+ col("predicted"): _*)
+    }),
+
+    // The QA gate over the trained heads — per-language confusion
+    // profile, the tx_langid_eval twin for the trained model.
+    "tx_langid_trained_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val models = graft.text.LangIdClassifier.train(
+        docs, col("text"), col("lang"), langs)
+      graft.text.LangIdClassifier.predict(docs, col("text"), models)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("predicted") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct"),
+          round(avg(when(col("predicted") === col("lang"), 1.0)
+            .otherwise(0.0)), 6).as("accuracy"))
+    }),
+
     // Document fingerprint (normalized md5) per doc.
     "tx_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
@@ -1241,6 +1426,20 @@ object QText {
           docs.filter(col("lang") === "en"), col("text")))
     }),
 
+    // ORDER-5 KN — KenLM parity (r13 verdict gap #1): the same
+    // target-trained Against form at the order CCNet's deployed scorer
+    // actually uses, through the generic fitKn/scoreKn machinery (one
+    // count-table pair per back-off layer; scoreKn at order 3 is
+    // bit-exact with the trigram form — TextFunctionsSpec). All model
+    // tables are target-sized → every scoring join broadcasts; the
+    // oracle unrolls the full four-layer recursion in chained CTEs.
+    "tx_ccnet_kn5" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.TextFunctions.scoreKn(docs, col("doc_id"), col("text"),
+        graft.text.TextFunctions.fitKn(
+          docs.filter(col("lang") === "en"), col("text"), 5))
+    }),
+
     // X19: token-budget selection — the greedy quality knapsack: rank by
     // (n_chars DESC, doc_id) and keep docs while the inclusive token
     // cumsum fits the budget. Runs through the two-phase distributed
@@ -1648,6 +1847,19 @@ object QText {
                  round(avg(CASE WHEN guess = lang THEN 1.0 ELSE 0.0 END), 6)
                    AS accuracy
           FROM g GROUP BY lang""",
+    "tx_langid_trained" ->
+      s"""WITH $lidCtesSql
+          SELECT doc_id, lang, ${lidLangs.map(l => s"p_$l").mkString(", ")},
+                 predicted
+          FROM lpr""",
+    "tx_langid_trained_eval" ->
+      s"""WITH $lidCtesSql
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_correct,
+                 round(avg(CASE WHEN predicted = lang THEN 1.0 ELSE 0.0 END),
+                   6) AS accuracy
+          FROM lpr GROUP BY lang""",
     "tx_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
     "tx_novelty" ->
@@ -2181,6 +2393,9 @@ object QText {
           FROM sr
           WHERE n >= 3 AND (pos = CAST(floor(n / 3) AS BIGINT)
                          OR pos = CAST(floor(n * 2 / 3) AS BIGINT))""",
+    "tx_ccnet_kn5" ->
+      s"""WITH $kn5CtesSql
+          SELECT doc_id, n_ngrams, avg_logp FROM k5ss""",
     // BPE trainer CTEs chained into the plain window-form cumsum:
     // trainer + segmentation + knapsack under one hash
     "x22_bpe_budget" ->

@@ -41,8 +41,9 @@ object QualityClassifier {
     round(least(length(text).cast("double") / 500.0, lit(1.0)), 6))
 
   /** σ(x·w) under the exact literal weight vector — addition order is the
-    * feature order, matching the SQL twin term for term. */
-  private def prob(xs: Seq[Column], w: Array[Double]): Column = {
+    * feature order, matching the SQL twin term for term. Shared with the
+    * one-vs-rest language-ID composition ([[LangIdClassifier]]). */
+  private[text] def prob(xs: Seq[Column], w: Array[Double]): Column = {
     val z = xs.zip(w).map { case (x, wi) => x * lit(wi) }
       .reduceLeft(_ + _)
     lit(1.0) / (lit(1.0) + exp(-z))
@@ -55,8 +56,6 @@ object QualityClassifier {
     */
   def logisticTrain(docs: DataFrame, featureCols: Seq[Column], label: Column,
                     iters: Int = 3, lr: Double = 1.0): Array[Double] = {
-    val k = featureCols.length
-    val xs = (0 until k).map(i => col(s"__x$i"))
     // the features relation is thin but CORPUS-ROW scale and read once
     // per GD iteration — exactly the thin-40M-row shape the budgetdiag
     // probe measured hitting the object-block cliff (§6.3); columnar
@@ -66,6 +65,18 @@ object QualityClassifier {
         featureCols.zipWithIndex.map { case (c, i) => c.as(s"__x$i") } :+
           label.cast("double").as("__y"): _*),
       "clf_features")
+    logisticTrainOn(f, featureCols.length, iters, lr)
+  }
+
+  /** The GD loop over an ALREADY-materialized features relation (columns
+    * `__x0..__x{k-1}`, `__y`) — split out so multi-head trainers
+    * ([[LangIdClassifier]]'s one-vs-rest heads) pay the corpus-scale
+    * feature projection ONCE and run each head's `iters` passes against
+    * the shared columnar scratch.
+    */
+  def logisticTrainOn(f: DataFrame, k: Int, iters: Int,
+                      lr: Double): Array[Double] = {
+    val xs = (0 until k).map(i => col(s"__x$i"))
     val n = f.count().toDouble
     require(n > 0, "logisticTrain: empty training set")
     var w = Array.fill(k)(0.0)

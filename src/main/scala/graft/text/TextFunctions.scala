@@ -744,4 +744,145 @@ object TextFunctions {
           .otherwise(lit("middle_cut")))
       .select(col("boundary"), col("pos"), col("avg_logp"))
   }
+
+  // ---- order-N Kneser-Ney (KenLM parity) ------------------------------
+  // CCNet's deployed scorer is a 5-gram KenLM; the trigram machinery above
+  // tops out at order 3 (r13 verdict gap #1). This is the SAME recursion
+  // generalized over the order: one count-table pair per back-off layer on
+  // the identical type-relation discipline, fit-once/score-many, with the
+  // same fixed-point 6dp contract so the whole thing sits under a DuckDB
+  // oracle. scoreKn at order 3 reproduces scoreTrigramsKn BIT-EXACTLY
+  // (asserted in TextFunctionsSpec) — the trigram forms remain as the
+  // settled oracle surface; new deployments pick the order here.
+
+  /** Frozen order-N KN count tables ([[fitKn]]); the generalization of
+    * [[TrigramKnModel]]. `top` is the n-gram type relation (w1..wn, cn);
+    * `pfx` its prefix aggregate (dn = Σcn, nun = distinct continuations);
+    * `mids(i)`/`aggs(i)` are the continuation-count table and its
+    * context aggregate for back-off layer k = n-1-i (k runs n-1 down to
+    * 2); `rev`/`tt` the unigram continuation counts. Every relation is
+    * scratch-backed or one aggregate away from one — reusable across any
+    * number of [[scoreKn]] calls at read-only cost, and all of them are
+    * TYPE-relation sized (≪ corpus), so the Against-form scoring chain
+    * broadcasts every join (the §6.3 r13 A/B verdict, unchanged by
+    * order: more layers = more broadcast joins, never a shuffle).
+    */
+  final case class KnModel(order: Int, top: DataFrame, pfx: DataFrame,
+                           mids: Seq[DataFrame], aggs: Seq[DataFrame],
+                           rev: DataFrame, tt: DataFrame)
+
+  /** Fit an order-`order` KN model on `train` — [[fitTrigramKn]]'s shape
+    * at any order 2..8 (8 is a sanity bound, not a design limit; KenLM
+    * deployments use 5). The train-side instance relation goes to
+    * columnar scratch (the §6.3 cliff); every count table derives from
+    * the n-gram TYPE relation — the instance is aggregated exactly once.
+    */
+  def fitKn(train: DataFrame, trainText: Column, order: Int): KnModel = {
+    require(order >= 2 && order <= 8,
+      s"fitKn: order must be in [2, 8], got $order")
+    val ti = graft.core.Scratch.materialize(
+      train.select(tokens(trainText).as("toks"))
+        .filter(size(col("toks")) >= order)
+        .select(explode(wordNgramsFromTokens(col("toks"), order)).as("g"))
+        .select((1 to order).map(i =>
+          split(col("g"), "_")(i - 1).as(s"w$i")): _*),
+      s"lmkn${order}_ti")
+    val n = order
+    val top = graft.core.Scratch.materialize(
+      ti.groupBy((1 to n).map(i => col(s"w$i")): _*)
+        .agg(count(lit(1)).as("cn")),
+      s"lmkn${order}_top")
+    // same vacuous-gate guard as fitTrigramKn: tt = 0 would float every
+    // scored doc to +inf and silently disable any gate built on this
+    require(!top.isEmpty,
+      s"fitKn: the training corpus has no $order-grams (empty target, " +
+        s"or every doc < $order tokens) — the KN model would be vacuous " +
+        "and a perplexity gate a silent no-op")
+    val pfx = top.groupBy((1 until n).map(i => col(s"w$i")): _*)
+      .agg(sum("cn").as("dn"), count(lit(1)).as("nun"))
+    var cur = top
+    val mids = Seq.newBuilder[DataFrame]
+    val aggs = Seq.newBuilder[DataFrame]
+    for (k <- (n - 1) to 2 by -1) {
+      // continuation counts of the last k words: distinct extensions of
+      // the previous level, grouped one word shorter on the left
+      val keys = (n - k + 1 to n).map(i => s"w$i")
+      val mid = graft.core.Scratch.materialize(
+        cur.groupBy(keys.map(col): _*).agg(count(lit(1)).as(s"n$k")),
+        s"lmkn${order}_m$k")
+      val agg = mid.groupBy(keys.init.map(col): _*)
+        .agg(sum(s"n$k").as(s"d$k"), count(lit(1)).as(s"nu$k"))
+      mids += mid
+      aggs += agg
+      cur = mid
+    }
+    val rev = cur.groupBy(col(s"w$n")).agg(count(lit(1)).as("revn"))
+    val tt = cur.agg(count(lit(1)).as("tt"))
+    KnModel(order, top, pfx, mids.result(), aggs.result(), rev, tt)
+  }
+
+  /** Score `docs` against a frozen [[KnModel]] — [[scoreTrigramsKn]]'s
+    * chain at any order: instance n-grams LEFT-join every count table
+    * (all type-relation sized → broadcast; §6.3), then the back-off
+    * recursion evaluates bottom-up as one codegen'd CASE nest, with the
+    * identical float association and fixed-point 6dp mean as the trigram
+    * form. Docs with < order tokens produce no row (no n-gram, no
+    * evidence — the [[lmGate]] pass-through discipline). Output:
+    * (doc_id, n_ngrams, avg_logp).
+    */
+  def scoreKn(docs: DataFrame, id: Column, text: Column, model: KnModel,
+              discount: Double = 0.75): DataFrame = {
+    val n = model.order
+    val d = lit(discount)
+    val inst = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(wordNgramsFromTokens(col("toks"), n)).as("g"))
+      .select(col("doc_id") +:
+        (1 to n).map(i => split(col("g"), "_")(i - 1).as(s"w$i")): _*)
+    var joined = inst
+      .join(model.top, (1 to n).map(i => s"w$i"), "left")
+      .join(model.pfx, (1 until n).map(i => s"w$i"), "left")
+    for ((mid, idx) <- model.mids.zipWithIndex) {
+      val k = n - 1 - idx
+      joined = joined.join(mid, (n - k + 1 to n).map(i => s"w$i"), "left")
+        .join(model.aggs(idx), (n - k + 1 until n).map(i => s"w$i"), "left")
+    }
+    joined = joined.crossJoin(broadcast(model.tt))
+    var p: Column =
+      coalesce(col("revn").cast("double"), lit(0.5)) / col("tt")
+    for (k <- 2 to (n - 1)) {
+      p = when(col(s"d$k").isNotNull,
+        greatest(coalesce(col(s"n$k"), lit(0L)).cast("double") - d,
+          lit(0.0)) / col(s"d$k") +
+          (d * col(s"nu$k") / col(s"d$k")) * p)
+        .otherwise(p)
+    }
+    p = when(col("dn").isNotNull,
+      greatest(coalesce(col("cn"), lit(0L)).cast("double") - d,
+        lit(0.0)) / col("dn") +
+        (d * col("nun") / col("dn")) * p)
+      .otherwise(p)
+    joined
+      .join(model.rev, Seq(s"w$n"), "left")
+      .withColumn("lp6", round(log(p), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(round(col("lp6") * 1e6).cast("long")).as("__s6"))
+      .select(col("doc_id"), col("n_ngrams"),
+        round(col("__s6") / (col("n_ngrams") * 1e6), 6).as("avg_logp"))
+  }
+
+  /** [[lmGate]] against an order-N [[KnModel]] — identical pass/drop
+    * semantics (docs with < order tokens pass: no n-gram, no evidence;
+    * raw-id join, never a cast that can fail open).
+    */
+  def lmGateKn(docs: DataFrame, id: Column, text: Column,
+               model: KnModel, minAvgLogp: Double): DataFrame = {
+    val scores = scoreKn(docs, id, text, model)
+      .select(col("doc_id").as("__lm_id"), col("avg_logp").as("__lm_lp"))
+    docs.join(scores, id === col("__lm_id"), "left")
+      .filter(col("__lm_lp").isNull || col("__lm_lp") >= minAvgLogp)
+      .drop("__lm_id", "__lm_lp")
+  }
 }

@@ -149,7 +149,11 @@ class PlanAuditSpec extends SparkSpec {
       "tx_ccnet_kn3",
       // the cutoff export rides the same chain plus one more one-row
       // count cross for the boundary positions
-      "tx_ccnet_cut")
+      "tx_ccnet_cut",
+      // order-5 KN: the identical one-row type-total broadcast cross
+      // (TextFunctions.scoreKn attaches tt exactly like the trigram
+      // form); all count joins stay equi on the w1..w5 tails
+      "tx_ccnet_kn5")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val p = try plan(q) catch { case e: Throwable => s"PLAN_FAIL ${e.getMessage}" }
       val bad = (p.contains("CartesianProduct") ||

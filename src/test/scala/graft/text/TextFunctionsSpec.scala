@@ -357,6 +357,147 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
   }
 
+  test("scoreKn at orders 2 and 3 is value-exact with the settled bigram/trigram forms") {
+    // the generic order-N machinery must be a strict generalization: at
+    // order 3 it re-derives scoreTrigramsKn's exact count tables and
+    // float association, at order 2 the bigram Against form's — so the
+    // oracle-settled forms pin the generic one
+    val train = Seq("the cat sat on the mat", "the cat sat on the rug",
+      "a dog ran fast today").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on"), (2L, "the cat ran on the mat"),
+      (3L, "zq xv wk"), (4L, "a dog ran")).toDF("doc_id", "text")
+    val via3 = TextFunctions.trigramLmScoresKnAgainst(docs, col("doc_id"),
+        col("text"), train, col("text"))
+      .as[(Long, Long, Double)].collect().toSet
+    val viaN3 = TextFunctions.scoreKn(docs, col("doc_id"), col("text"),
+        TextFunctions.fitKn(train, col("text"), 3))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaN3 === via3)
+    val via2 = TextFunctions.bigramLmScoresKnAgainst(docs, col("doc_id"),
+        col("text"), train, col("text"))
+      .as[(Long, Long, Double)].collect().toSet
+    val viaN2 = TextFunctions.scoreKn(docs, col("doc_id"), col("text"),
+        TextFunctions.fitKn(train, col("text"), 2))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaN2 === via2)
+  }
+
+  test("scoreKn order 5: every back-off layer's OOV branch replays exactly") {
+    val train = Seq("the cat sat on the mat today",
+      "the cat sat on the rug today").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the"),         // full 5-gram seen
+      // "the cat sat on a": prefix seen, gram unseen, then every lower
+      // context seen but gram unseen down to the OOV floor ('a' never a
+      // continuation); "sat on a mat today": prefix unseen at 5/4/3,
+      // (mat,today) pair seen at level 2 — real continuation counts
+      (2L, "the cat sat on a mat today"),
+      (3L, "zq xv wk yy zz"),             // floor at every layer
+      (4L, "four tokens only here"))      // < 5 tokens — no row
+      .toDF("doc_id", "text")
+    val got = TextFunctions.scoreKn(docs, col("doc_id"), col("text"),
+        TextFunctions.fitKn(train, col("text"), 5))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // driver replay: the full four-layer recursion over generic maps
+    val grams = train.as[String].collect().toSeq.flatMap { t =>
+      val k = t.split(" ").toVector
+      (0 to k.size - 5).map(i => k.slice(i, i + 5).toList)
+    }
+    val c5 = grams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val types5 = c5.keys.toSeq
+    val d5 = grams.groupBy(_.take(4)).map { case (k, v) => k -> v.size.toLong }
+    val nu5 = types5.groupBy(_.take(4)).map { case (k, v) => k -> v.size.toLong }
+    val m4 = types5.groupBy(_.drop(1)).map { case (k, v) => k -> v.size.toLong }
+    val d4 = m4.toSeq.groupBy(_._1.take(3)).map { case (k, v) => k -> v.map(_._2).sum }
+    val nu4 = m4.keys.toSeq.groupBy(_.take(3)).map { case (k, v) => k -> v.size.toLong }
+    val m3 = m4.keys.toSeq.groupBy(_.drop(1)).map { case (k, v) => k -> v.size.toLong }
+    val d3 = m3.toSeq.groupBy(_._1.take(2)).map { case (k, v) => k -> v.map(_._2).sum }
+    val nu3 = m3.keys.toSeq.groupBy(_.take(2)).map { case (k, v) => k -> v.size.toLong }
+    val m2 = m3.keys.toSeq.groupBy(_.drop(1)).map { case (k, v) => k -> v.size.toLong }
+    val d2 = m2.toSeq.groupBy(_._1.take(1)).map { case (k, v) => k -> v.map(_._2).sum }
+    val nu2 = m2.keys.toSeq.groupBy(_.take(1)).map { case (k, v) => k -> v.size.toLong }
+    val rev = m2.keys.toSeq.groupBy(_.drop(1)).map { case (k, v) => k -> v.size.toLong }
+    val tt = m2.size.toDouble
+    def layer(ctx: Map[List[String], Long], num: Map[List[String], Long],
+              nu: Map[List[String], Long], key: List[String],
+              below: Double): Double =
+      ctx.get(key.init) match {
+        case Some(den) =>
+          math.max(num.getOrElse(key, 0L) - 0.75, 0.0) / den +
+            (0.75 * nu(key.init) / den) * below
+        case None => below
+      }
+    def lp6(g: List[String]): Long = {
+      val cont = rev.get(g.drop(4)).map(_.toDouble).getOrElse(0.5) / tt
+      val p2 = layer(d2, m2, nu2, g.drop(3), cont)
+      val p3 = layer(d3, m3, nu3, g.drop(2), p2)
+      val p4 = layer(d4, m4, nu4, g.drop(1), p3)
+      val p = layer(d5, c5, nu5, g, p4)
+      math.round(BigDecimal(math.log(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    }
+    Seq(1L -> "the cat sat on the", 2L -> "the cat sat on a mat today",
+        3L -> "zq xv wk yy zz").foreach { case (id, t) =>
+      val k = t.split(" ").toVector
+      val gs = (0 to k.size - 5).map(i => k.slice(i, i + 5).toList)
+      val want = BigDecimal(gs.map(lp6).sum / (gs.size * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 === gs.size.toLong, s"doc $id n_ngrams")
+      assert(math.abs(got(id)._2 - want) < 1e-9, s"doc $id: ${got(id)._2} vs $want")
+    }
+    // in-model text outscores partly-OOV text outscores full gibberish
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+  }
+
+  test("fitKn: vacuous targets fail loudly; order bounds enforced") {
+    val e = intercept[IllegalArgumentException] {
+      TextFunctions.fitKn(Seq("only four words here").toDF("text"),
+        col("text"), 5)
+    }
+    assert(e.getMessage.contains("no 5-grams"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TextFunctions.fitKn(Seq("a b c").toDF("text"), col("text"), 1)
+    }
+    assert(e2.getMessage.contains("order"), e2.getMessage)
+  }
+
+  test("scoreKn order 5: model tables broadcast — no sort-merge join in the scoring chain") {
+    // same structural pin as the trigram Against form (§6.3 r13 A/B):
+    // target-sized count tables must plan as broadcast hash joins at
+    // every one of the 4×2+2 join sites; an SMJ means the instance
+    // relation is shuffled per count table
+    val train = Seq("the cat sat on the mat today",
+      "the cat sat on the rug today").toDF("text")
+    val docs = Seq((1L, "the cat sat on the"), (2L, "zq xv wk yy zz"))
+      .toDF("doc_id", "text")
+    val model = TextFunctions.fitKn(train, col("text"), 5)
+    val plan = TextFunctions.scoreKn(docs, col("doc_id"), col("text"), model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("lmGateKn drops below-cutoff docs, passes unscorable-short docs — raw-id join") {
+    val train = Seq("the cat sat on the mat today",
+      "the cat sat on the rug today").toDF("text")
+    val model = TextFunctions.fitKn(train, col("text"), 5)
+    // STRING ids: the cast("long") form would null every join key and
+    // fail open (r13 ADVICE on the trigram gate — same contract here)
+    val docs = Seq(
+      ("a", "the cat sat on the mat today"), // in-model, high score
+      ("b", "zq xv wk yy zz"),               // gibberish, low score
+      ("c", "too short")).toDF("id", "text") // unscorable — passes
+    val scores = TextFunctions.scoreKn(docs, col("id"), col("text"), model)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val cut = (scores("a") + scores("b")) / 2
+    val kept = TextFunctions.lmGateKn(docs, col("id"), col("text"), model, cut)
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("a", "c"))
+  }
+
   test("fitTrigramKn: an empty or all-short target fails loudly, never a vacuous gate") {
     // with zero training trigrams tt = 0 and the continuation floor
     // 0.5/tt is Infinity — every doc would score +inf and pass any
