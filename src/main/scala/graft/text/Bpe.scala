@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   * segmentation of each DISTINCT word is computed exactly once, never
   * per occurrence.
   *
+  * Practical depth boundary (measured, SURVEY §6.3 bpe): each merge round
+  * is one aggregate job + one materialization job, driver-sequenced, so
+  * per-round cost has a FIXED floor (~0.6 s on local[32] regardless of
+  * vocab size at the probed tiers) on top of the vocab-linear work. That
+  * makes in-engine training practical to k ≈ 1-4k merges (minutes); a
+  * full 32k-merge production tokenizer at ~0.6 s/round is ~5-6 h of
+  * driver-sequenced rounds — at that depth, export [[wordFreq]]'s
+  * (word, freq) relation (the ONE corpus pass — vocabulary-sized, cheap
+  * to ship) and train off-engine, then bring the merge table back for
+  * [[docSubwordCounts]]. The engine's value is the corpus pass and the
+  * corpus-scale application, not racing a single-process trainer through
+  * 32k tiny rounds.
+  *
   * Exactness contract (cross-engine oracle): the spaced-symbol form makes
   * greedy merge application a plain string replace with IDENTICAL
   * semantics in any engine. A word is `"  s1  s2  …  sk  "` (double-space
@@ -60,17 +73,40 @@ object Bpe {
     *  - vocab:  (word, freq, w, n_syms) — each word's final spaced
     *    segmentation and subword count under all k merges.
     * Stops early (fewer than k rows) if a round has no pair left to
-    * merge. Each round materializes the vocab relation (object blocks —
-    * vocabulary-sized, the k-round plan must not inline).
+    * merge.
+    *
+    * Scale shape per ROUND (r13 verdict gap #3 — realistic merge counts,
+    * probed at k=1024 in MaintProbe `bpe`, SURVEY §6.3): one vocab-sized
+    * pair-count aggregate whose argmax row is COLLECTED (one row — the
+    * winner was always driver-visible; the old one-row localCheckpoint +
+    * broadcast-cross was two extra jobs per round), then one map-side
+    * literal replace, then the vocab relation re-materializes. The merge
+    * table itself accumulates on the driver (k rows) — the previous
+    * k-way DataFrame union built a plan tree whose ANALYSIS cost grew
+    * with k. Materialization: object blocks (localCheckpoint) at k ≤ 64
+    * — measured faster for thin vocab relations — and columnar scratch
+    * with eager previous-round reclaim above that, where k×vocab object
+    * blocks would otherwise pin executor storage for the whole run.
     */
   def learnMerges(vocab: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    require(k >= 1 && k <= 64,
-      s"learnMerges: k must be in [1, 64] (each round is a full pass " +
-        s"over the vocabulary relation), got $k")
-    var words = vocab
-      .select(col("word"), col("freq"), spaced(col("word")).as("w"))
-      .localCheckpoint(false)
-    val merges = Seq.newBuilder[DataFrame]
+    require(k >= 1 && k <= 32768,
+      s"learnMerges: k must be in [1, 32768], got $k")
+    val spark = vocab.sparkSession
+    val scratchRounds = k > 64
+    var prevHandle: Option[graft.core.Scratch.Handle] = None
+    def materialize(df: DataFrame, round: Int): DataFrame =
+      if (!scratchRounds) df.localCheckpoint(false)
+      else {
+        val (m, h) = graft.core.Scratch.materializeWithHandle(
+          df, s"bpe_r$round")
+        // round r-1's files are dead the moment round r is on disk
+        prevHandle.foreach(_.drop())
+        prevHandle = Some(h)
+        m
+      }
+    var words = materialize(vocab
+      .select(col("word"), col("freq"), spaced(col("word")).as("w")), 0)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
@@ -91,27 +127,22 @@ object Bpe {
           split(col("pair"), " ").getItem(0).as("sym_a"),
           split(col("pair"), " ").getItem(1).as("sym_b"),
           col("cnt"))
-        .localCheckpoint(false)
+        .collect()
       if (top.isEmpty) exhausted = true
       else {
-        merges += top.select(lit(r).as("round"), col("sym_a"), col("sym_b"),
-          concat(col("sym_a"), col("sym_b")).as("merged"), col("cnt"))
-        words = words.crossJoin(broadcast(top))
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, a + b, cnt))
+        words = materialize(words
           .select(col("word"), col("freq"),
             call_function("replace", col("w"),
-              concat(lit(" "), col("sym_a"), lit("  "), col("sym_b"), lit(" ")),
-              concat(lit(" "), col("sym_a"), col("sym_b"), lit(" "))).as("w"))
-          .localCheckpoint(false)
+              lit(s" $a  $b "), lit(s" $a$b ")).as("w")), r)
         r += 1
       }
     }
-    val mergeTable = merges.result() match {
-      case Seq() => // every word already one symbol (single-char vocab)
-        vocab.sparkSession.range(0).select(lit(0).as("round"),
-          lit("").as("sym_a"), lit("").as("sym_b"), lit("").as("merged"),
-          lit(0L).as("cnt"))
-      case nonEmpty => nonEmpty.reduce(_ union _)
-    }
+    import spark.implicits._
+    val mergeTable = merges.result()
+      .toDF("round", "sym_a", "sym_b", "merged", "cnt")
     (mergeTable,
       words.withColumn("n_syms", size(symsOf(col("w"))).cast("long")))
   }

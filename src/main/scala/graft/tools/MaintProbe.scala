@@ -397,6 +397,42 @@ object MaintProbe {
           Bpe.learnMerges(vf, 8)._1.count()
         }
       }
+      // realistic merge counts (r13 verdict gap #3): production
+      // tokenizers train k=32k merges; each round is vocab-sized, so
+      // per-round time must stay FLAT as k grows — t(4×k) ≈ 4×t(k), no
+      // superlinear plan/storage creep (the scratch-backed round path
+      // above k=64). The testdata vocabulary is 31 words (89 merges to
+      // exhaustion — too shallow to probe ANY realistic k), so merge
+      // depth comes from a deterministic synthetic vocabulary: 8000
+      // distinct tri-syllable words (~40k merges available), Zipf-ish
+      // frequencies. Per-round numbers divide by the merges actually
+      // LEARNED (the merge-table row count), never by the requested k.
+      locally {
+        val syll = Seq("ba", "be", "bi", "bo", "bu", "da", "de", "di",
+          "do", "du", "ka", "ke", "ki", "ko", "ku", "ma", "me", "mi",
+          "mo", "mu")
+        val sArr = array(syll.map(lit): _*)
+        val vf = spark.range(8000).select(
+          concat(
+            element_at(sArr, (col("id") / 400).cast("int") + 1),
+            element_at(sArr, ((col("id") / 20) % 20).cast("int") + 1),
+            element_at(sArr, (col("id") % 20).cast("int") + 1))
+            .as("word"),
+          (col("id") % 97 + 1).as("freq"))
+          .localCheckpoint(false)
+        println(s"[probe] bpe deep-merge vocab size: ${vf.count()}")
+        val results = Seq(256, 1024).map { kk =>
+          val (learned, s) = time(s"bpe/learnMerges k=$kk") {
+            Bpe.learnMerges(vf, kk)._1.count()
+          }
+          println(f"[probe] bpe k=$kk: $learned merges learned, " +
+            f"${s / learned * 1000}%.0f ms/round")
+          (kk, learned, s)
+        }
+        val perRound = results.map { case (_, n, s) => s / n }
+        println(f"[probe] bpe per-round ratio k=1024/k=256: " +
+          f"${perRound(1) / perRound(0)}%.2f (≈1.0 ⇒ flat, linear in k)")
+      }
       spark.catalog.clearCache()
     }
     // ---- lm: the KN/CCNet scoring family's scale evidence (round-11
@@ -433,6 +469,16 @@ object MaintProbe {
             TextFunctions.trigramLmScoresKnAgainst(docs, col("doc_id"),
               col("text"), docs.filter(col("lang") === "en"), col("text")))
             .groupBy("bucket").agg(count(lit(1))).collect()
+        }
+        // order-5 Against chain (r14: KenLM parity) — same broadcast
+        // shape as the kn3 Against form with two more layers; the pin is
+        // that per-decade cost stays linear and tracks kn3's, not the
+        // 4×-worse distinct-types restructure the r13 A/B rejected
+        time(s"lm/KN5 Against score (train-on-en), $n docs") {
+          TextFunctions.scoreKn(docs, col("doc_id"), col("text"),
+            TextFunctions.fitKn(docs.filter(col("lang") === "en"),
+              col("text"), 5))
+            .agg(count(lit(1)), sum("n_ngrams")).collect()
         }
         graft.core.Scratch.cleanupNow()
       }

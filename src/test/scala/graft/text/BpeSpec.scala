@@ -62,6 +62,24 @@ class BpeSpec extends SparkSpec {
     assert(seg.collect().head.getLong(3) === 1L)
   }
 
+  test("deep-merge (scratch-backed) rounds produce the identical merge sequence and segmentation") {
+    // k > 64 switches the per-round materialization from object blocks to
+    // columnar scratch with eager previous-round reclaim (the realistic-
+    // merge-count path, probed at k=1024 in MaintProbe `bpe`); the
+    // trained artifact must be byte-identical to the small-k path on the
+    // same vocabulary
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("newer", 4L)).toDF("word", "freq")
+    val (mSmall, segSmall) = Bpe.learnMerges(vocab, 64)
+    val (mDeep, segDeep) = Bpe.learnMerges(vocab, 100)
+    assert(mDeep.collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+      .toSeq.sortBy(_._1) ===
+      mSmall.collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+        .toSeq.sortBy(_._1))
+    assert(segDeep.orderBy("word").collect().toSeq ===
+      segSmall.orderBy("word").collect().toSeq)
+  }
+
   test("docSubwordCounts: per-doc word and subword totals under the vocab join") {
     val docs = Seq(
       (1L, "low lower"),
