@@ -1,6 +1,6 @@
 package graft.extensions
 
-import graft.functions.{AvgTokenLenExpr, DetHashExpr, DotProductExpr, NgramSignatureExpr, PunctRatioExpr, StopRatioExpr, TokenCountExpr}
+import graft.functions.{AvgTokenLenExpr, DetHashExpr, DotProductExpr, NgramSignatureExpr, PunctRatioExpr, StopRatioExpr, TokenCountExpr, TrigramBucketsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -66,6 +66,18 @@ object GraftExtensions {
             s"graft_ngram_sig $what must be an integer literal, got $other")
         }
         NgramSignatureExpr(args.head, litInt(args(1), "n"), litInt(args(2), "k"))
+      }),
+    (FunctionIdentifier("graft_trigram_buckets"),
+      new ExpressionInfo(classOf[TrigramBucketsExpr].getName,
+        "graft_trigram_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_trigram_buckets takes (text, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_trigram_buckets k must be an integer literal, got $other")
+        }
+        TrigramBucketsExpr(args.head, k)
       }),
     unary("graft_det_hash", classOf[DetHashExpr], e =>
       DetHashExpr(org.apache.spark.sql.catalyst.expressions.Cast(e,

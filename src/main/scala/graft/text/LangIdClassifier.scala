@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * the [[TextFunctions.langId]] stopword-marker heuristic (r13 verdict
   * gap #2): a one-vs-rest logistic classifier over hashed character
   * trigram frequencies, trained in-engine on a labeled seed by the same
-  * fixed-point gradient-descent machinery as the quality classifier
-  * ([[QualityClassifier.logisticTrainOn]]), so the WHOLE trainer +
-  * predictor sits under a DuckDB oracle (tx_langid_trained).
+  * fixed-point gradient-descent machinery as the quality classifier, so
+  * the WHOLE trainer + predictor sits under a DuckDB oracle
+  * (tx_langid_trained).
   *
   * The reference has no language-ID at all (its corpus is homogeneous);
   * this is part of the multilingual-curation surface the LLM-pipeline
@@ -19,81 +19,177 @@ import org.apache.spark.sql.functions._
   * Feature hashing is engine-portable by construction: bucket(g) =
   * (cp(g₁)·961 + cp(g₂)·31 + cp(g₃)) mod k over the trigram's code
   * points — `ascii()` returns the first character's code point in both
-  * Spark and DuckDB, so no engine-specific hash is involved. Prediction
-  * compares per-language probabilities ROUNDED to 6dp (ties broken by
-  * language code ascending), so cross-engine argmax agreement needs only
-  * 6dp agreement of σ — the same exp() tolerance the quality classifier
-  * already relies on.
+  * Spark and DuckDB (verified incl. multibyte), so no engine-specific
+  * hash is involved. Prediction compares per-language probabilities
+  * ROUNDED to 6dp (ties broken by language code ascending), so
+  * cross-engine argmax agreement needs only 6dp agreement of σ — the
+  * same exp() tolerance the quality classifier already relies on.
   *
-  * Scale shape (100 TB): the feature projection is map-only (k+1
-  * higher-order-function passes over the per-doc gram array — no
-  * shuffle, no UDF); training pays that projection ONCE into columnar
-  * scratch and then runs langs × iters thin aggregate passes (each a
-  * map-side-combining sum of k+1 longs); prediction is a pure
-  * whole-stage projection. Train on a seed, score everything.
+  * Scale shape (100 TB): the corpus-side text is walked ONCE per doc by
+  * the native [[graft.functions.TrigramBucketsKernel]] (codegen'd,
+  * allocation-light — `[total, count₀…count_{k-1}]` in one pass), the
+  * result is materialized to columnar scratch, and every downstream
+  * expression (the k+1 features, each head's σ, the argmax) is pure
+  * whole-stage-codegen arithmetic over the stored longs. This matters
+  * twice over: feature/score columns are separate expressions, so a
+  * text-level HOF feature definition gets INLINED into each of them by
+  * CollapseProject — 13 features × 5 heads × (p + best + predicted)
+  * re-walked the interpreted gram array ~150× per doc and measured
+  * ~290 s at sf0.1; kernel + stored counts measures ~45× faster
+  * end-to-end. Training runs `iters` aggregate passes with ALL heads'
+  * fixed-point gradients in each pass (heads never interact, so each
+  * walks the identical trajectory the per-head oracle walks); scoring
+  * is a stored-column projection.
   */
 object LangIdClassifier {
 
-  /** bias + k hashed char-trigram bucket frequencies, each rounded to
-    * 6dp (the [[QualityClassifier.features]] contract). Trigrams shorter
-    * than 3 chars (the tail of [[TextFunctions.charNgrams]] on short
-    * texts) are dropped; a doc with no full trigram gets all-zero
-    * frequencies and rides on the bias alone.
+  /** `[total, count₀ … count_{k-1}]` of the text's full char trigrams
+    * under the portable bucket hash — the native kernel call. Requires
+    * graft's functions registered ([[graft.extensions.GraftExtensions
+    * .register]] — [[train]]/[[predict]] do it themselves, idempotent).
+    * [[bucketCountsHof]] is the relational twin (parity-asserted).
     */
-  def bucketFeatures(text: Column, k: Int = 12): Seq[Column] = {
-    val grams = filter(TextFunctions.charNgrams(text, 3),
-      g => length(g) === 3)
-    val total = size(grams)
-    lit(1.0) +: (0 until k).map { j =>
-      round(when(total > 0,
-        size(filter(grams, g => bucket(g, k) === j)).cast("double") /
-          total)
-        .otherwise(0.0), 6)
-    }
-  }
+  def bucketCounts(text: Column, k: Int = 12): Column =
+    call_function("graft_trigram_buckets", text, lit(k))
+
+  private def fullGrams(text: Column): Column =
+    filter(TextFunctions.charNgrams(text, 3), g => length(g) === 3)
 
   private def bucket(g: Column, k: Int): Column =
     (ascii(substring(g, 1, 1)).cast("long") * 961 +
       ascii(substring(g, 2, 1)).cast("long") * 31 +
       ascii(substring(g, 3, 1)).cast("long")) % k
 
+  /** The HOF/regexp-built twin of [[bucketCounts]] — same
+    * `[total, counts…]` vector from `charNgrams` + `ascii` built-ins.
+    * CodegenFallback and O(k) per gram — the kernel's correctness
+    * REFERENCE (LangIdClassifierSpec parity, incl. multibyte), not the
+    * production path.
+    */
+  private[text] def bucketCountsHof(text: Column, k: Int): Column = {
+    val counts = aggregate(
+      transform(fullGrams(text), g => bucket(g, k)),
+      array_repeat(lit(0L), k),
+      (acc, b) => transform(acc, (v, i) =>
+        when(i.cast("long") === b, v + 1L).otherwise(v)))
+    concat(array(size(fullGrams(text)).cast("long")), counts)
+  }
+
+  /** bias + k bucket FREQUENCIES from a stored `[total, counts…]`
+    * vector — pure codegen arithmetic (element_at / divide / round),
+    * each rounded to 6dp (the [[QualityClassifier.features]] contract).
+    * A doc with no full trigram gets all-zero frequencies and rides on
+    * the bias alone.
+    */
+  def featuresFromCounts(cnt: Column, k: Int = 12): Seq[Column] = {
+    val total = element_at(cnt, 1)
+    lit(1.0) +: (0 until k).map { j =>
+      round(when(total > 0,
+        element_at(cnt, j + 2).cast("double") / total)
+        .otherwise(0.0), 6)
+    }
+  }
+
+  /** Convenience one-shot feature form over raw text — for ad-hoc use
+    * and the spec; [[train]]/[[predict]] go through the stored-counts
+    * path (this inline form re-runs the kernel per feature column).
+    */
+  def bucketFeatures(text: Column, k: Int = 12): Seq[Column] =
+    featuresFromCounts(bucketCounts(text, k), k)
+
   /** Train one logistic head per language (one-vs-rest) on `docs` with a
     * `lang` label column. Returns (language → weight vector) in `langs`
-    * order — feed to [[predict]]. The feature relation (k+1 doubles + one
-    * 0/1 label per language) is materialized to columnar scratch ONCE;
-    * each head then runs `iters` thin aggregate passes against it.
+    * order — feed to [[predict]]. The counts relation is materialized to
+    * columnar scratch ONCE (the one text walk), and all heads train in
+    * LOCKSTEP: one aggregate pass per iteration computes every head's
+    * fixed-point gradient sums (langs × (k+1) long columns), so the
+    * driver-sequenced job count is `iters`, not langs × iters — heads
+    * never interact, so each walks the identical weight trajectory the
+    * per-head form (and the per-head DuckDB oracle) walks.
     */
   def train(docs: DataFrame, text: Column, lang: Column,
             langs: Seq[String], k: Int = 12, iters: Int = 8,
             lr: Double = 8.0): Seq[(String, Array[Double])] = {
     require(langs.nonEmpty && langs.distinct == langs,
       s"train: langs must be non-empty and distinct, got $langs")
-    val featCols = bucketFeatures(text, k)
-    val f = graft.core.Scratch.materialize(
+    graft.extensions.GraftExtensions.register(docs.sparkSession)
+    val raw = graft.core.Scratch.materialize(
       docs.select(
-        featCols.zipWithIndex.map { case (c, i) => c.as(s"__x$i") } ++
+        bucketCounts(text, k).as("__cnt") +:
           langs.zipWithIndex.map { case (l, i) =>
             (lang === l).cast("double").as(s"__yc$i")
           }: _*),
       "langid_features")
-    langs.zipWithIndex.map { case (l, i) =>
-      l -> QualityClassifier.logisticTrainOn(
-        f.select((0 to k).map(j => col(s"__x$j")) :+
-          col(s"__yc$i").as("__y"): _*),
-        k + 1, iters, lr)
+    // features pre-projected into NAMED columns: the gradient aggregate
+    // references plain attributes, so its langs×(k+1) expression trees
+    // stay small — with element_at feature trees inlined 65×, per-pass
+    // driver-side analysis dominated the whole trainer
+    val feat = raw.select(
+      featuresFromCounts(col("__cnt"), k).zipWithIndex.map {
+        case (c, j) => c.as(s"__x$j")
+      } ++ langs.indices.map(i => col(s"__yc$i")): _*)
+    val xs = (0 to k).map(j => col(s"__x$j"))
+    val n = raw.count().toDouble
+    require(n > 0, "train: empty training set")
+    val d = k + 1
+    val spark = docs.sparkSession
+    val ws = Array.fill(langs.size)(Array.fill(d)(0.0))
+    // Weights enter each pass as a broadcast ONE-ROW LocalRelation, not
+    // as literals: literal weights change every iteration, so every pass
+    // would generate a DIFFERENT whole-stage source and pay a fresh
+    // Janino compile of the langs×(k+1)-column gradient aggregate —
+    // measured as the dominant cost of the whole trainer (the data is a
+    // thin scratch scan). Column-referenced weights keep the generated
+    // source identical across iterations and runs, so the codegen cache
+    // hits from pass 2 on. Same doubles, same arithmetic, same
+    // trajectory — only the plan's constant-vs-column shape changes.
+    val wSchema = org.apache.spark.sql.types.StructType(
+      for (c <- langs.indices; j <- 0 until d) yield
+        org.apache.spark.sql.types.StructField(s"__w${c}_$j",
+          org.apache.spark.sql.types.DoubleType, nullable = false))
+    def probC(c: Int): Column = {
+      val z = xs.zipWithIndex.map { case (x, j) =>
+        x * col(s"__w${c}_$j")
+      }.reduceLeft(_ + _)
+      lit(1.0) / (lit(1.0) + exp(-z))
     }
+    val aggs = for {
+      c <- langs.indices
+      j <- 0 until d
+    } yield sum(round((probC(c) - col(s"__yc$c")) * xs(j) * 1e6)
+      .cast("long")).as(s"__g${c}_$j")
+    for (_ <- 0 until iters) {
+      val wRow = org.apache.spark.sql.Row.fromSeq(
+        for (c <- langs.indices; j <- 0 until d) yield ws(c)(j))
+      val wDf = spark.createDataFrame(
+        java.util.Collections.singletonList(wRow), wSchema)
+      val row = feat.crossJoin(broadcast(wDf))
+        .agg(aggs.head, aggs.tail: _*).head()
+      for (c <- langs.indices; j <- 0 until d) {
+        val idx = c * d + j
+        val g = if (row.isNullAt(idx)) 0L else row.getLong(idx)
+        ws(c)(j) = BigDecimal(ws(c)(j) - lr * g / n / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    langs.zip(ws.map(_.clone())).map { case (l, w) => l -> w }
   }
 
   /** Score `docs` under the trained heads: input columns + one
     * `p_<lang>` = round(σ(x·w_lang), 6) per language + `predicted` =
     * argmax over the ROUNDED probabilities, ties broken by `models`
-    * order (pass languages sorted). A pure projection — no shuffle.
+    * order (pass languages sorted). One kernel walk per doc into
+    * scratch, then a pure stored-column projection — no shuffle, no UDF.
     */
   def predict(docs: DataFrame, text: Column,
               models: Seq[(String, Array[Double])],
               k: Int = 12): DataFrame = {
-    val feats = bucketFeatures(text, k)
-    val scored = models.foldLeft(docs) { case (df, (l, w)) =>
+    graft.extensions.GraftExtensions.register(docs.sparkSession)
+    val fr = graft.core.Scratch.materialize(
+      docs.withColumn("__cnt", bucketCounts(text, k)),
+      "langid_pred")
+    val feats = featuresFromCounts(col("__cnt"), k)
+    val scored = models.foldLeft(fr) { case (df, (l, w)) =>
       df.withColumn(s"p_$l", round(QualityClassifier.prob(feats, w), 6))
     }
     val best = greatest(models.map { case (l, _) => col(s"p_$l") }: _*)
@@ -101,5 +197,6 @@ object LangIdClassifier {
       models.foldRight(lit("und"): Column) { case ((l, _), acc) =>
         when(col(s"p_$l") === best, lit(l)).otherwise(acc)
       })
+      .drop("__cnt")
   }
 }
