@@ -555,8 +555,12 @@ object Pipelines {
         // at posexplode, so an inner join here would silently drop it
         // from the whole pipeline, unattributed in the stage funnel
         // (round-11 ADVICE) — keep the row, coalesce its text through
-        // unchanged, and let the quality gate account for it downstream
-        (pcSrc.join(scrubbed, id.cast("long") === col("__ls_id"), "left")
+        // unchanged, and let the quality gate account for it downstream.
+        // Raw-id join (the r13 lmGate lesson): scrubFrequentSegments
+        // keys its output by `id` as-is, and a cast("long") on a
+        // non-numeric id would null every key — the whole scrub stage
+        // silently no-ops through the coalesce fallback
+        (pcSrc.join(scrubbed, id === col("__ls_id"), "left")
           .withColumn("__ls_clean2", coalesce(col("__ls_clean"), pcText))
           .drop(textColName, "__ls_id", "__ls_clean")
           .withColumnRenamed("__ls_clean2", textColName), col(textColName))
@@ -642,7 +646,11 @@ object Pipelines {
         val dirty = Dedup.contaminatedIds(lmGated, id, cleanText,
             evClean, col(textColName), decontN, decontMinShared)
           .select(col("doc_id").as("__dirty_id"))
-        lmGated.join(broadcast(dirty), id.cast("long") === col("__dirty_id"),
+        // raw-id anti-join (the r13 lmGate lesson): contaminatedIds keys
+        // by `id` as-is; a cast("long") on non-numeric ids would null
+        // every key and the decontamination stage would silently PASS
+        // every contaminated doc — a fail-open gate
+        lmGated.join(broadcast(dirty), id === col("__dirty_id"),
           "left_anti")
     }
     if (evalDocs.isDefined) stages += ("decontaminated" -> capped)

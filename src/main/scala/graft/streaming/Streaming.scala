@@ -423,6 +423,30 @@ object Streaming {
       }
       .start()
 
+  /** [[scoreLmKn3StreamSink]] at ANY KN order — the streaming twin of
+    * the generic [[graft.text.TextFunctions.scoreKn]] (r14: order 5 =
+    * KenLM parity). Identical deployment shape: fit once in batch
+    * ([[graft.text.TextFunctions.fitKn]]), score each shard per-document
+    * with the frozen model, idempotent `batch=<id>` overwrite; no
+    * cross-batch state, so stream ≡ batch exactly (StreamingSpec).
+    */
+  def scoreKnStreamSink(docsStream: DataFrame,
+                        model: graft.text.TextFunctions.KnModel,
+                        outDir: String, checkpointDir: String,
+                        discount: Double = 0.75,
+                        trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.text.TextFunctions.scoreKn(batch, col("doc_id"),
+            col("text"), model, discount)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+
   /** Streaming twin of the day-2 line scrub ([[graft.dedup.Dedup
     * .scrubShardSegments]]): each micro-batch is scrubbed against the
     * accumulated corpus line counts (global df = prior batches' counts +

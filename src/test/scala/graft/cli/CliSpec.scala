@@ -116,6 +116,35 @@ class CliSpec extends SparkSpec {
     assert(kept === Set(1L), s"got $kept")
   }
 
+  test("dedup subcommand: --lm-order 5 routes the gate through the generic KN path") {
+    val docsDir = tmpDir("cli_lm5_docs")
+    val tgtDir = tmpDir("cli_lm5_tgt")
+    val outDir = tmpDir("cli_lm5_out") + "/kept"
+    val target = Seq("the cat sat on the mat today here",
+      "the cat sat on the rug today here").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "zq xv wk jn qp mm ll"),
+      (3L, "four token doc here"))  // < 5 tokens — unscorable, passes
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(docsDir)
+    target.write.mode("overwrite").parquet(tgtDir)
+    val s = graft.text.TextFunctions.scoreKn(docs,
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        graft.text.TextFunctions.fitKn(target,
+          org.apache.spark.sql.functions.col("text"), 5))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val cut = (s(1L) + s(2L)) / 2
+    Main.run(spark, Array("dedup", "--docs", docsDir,
+      "--min-quality", "0.0", "--lm-target", tgtDir,
+      "--lm-min-logp", cut.toString, "--lm-order", "5",
+      "--output", outDir))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L), s"got $kept")
+  }
+
   test("dedup subcommand: --domain-gate without --url-col fails loudly") {
     val docsDir = tmpDir("cli_req_docs")
     val denyDir = tmpDir("cli_req_deny")

@@ -326,6 +326,64 @@ class PipelinesSpec extends SparkSpec {
     assert(e.getMessage.contains("--lm-min-logp"), e.getMessage)
   }
 
+  test("dedupCorpus lmOrder=5: the KenLM-parity gate branch gates like lmGateKn directly") {
+    val target = Seq("the cat sat on the mat today here",
+      "the cat sat on the rug today here",
+      "the dog sat on the mat today here").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),  // in-distribution
+      (2L, "zq xv wk jn qp mm ll"),          // gibberish — every layer OOV
+      (3L, "four token doc here"))           // < 5 tokens: unscorable, passes
+      .toDF("doc_id", "text")
+    val model = graft.text.TextFunctions.fitKn(target, col("text"), 5)
+    val scored = graft.text.TextFunctions.scoreKn(
+        docs, col("doc_id"), col("text"), model)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(1L) > scored(2L))
+    val cut = (scored(1L) + scored(2L)) / 2
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      minQuality = 0.0, lmTarget = Some(target), lmMinAvgLogp = Some(cut),
+      lmOrder = 5)
+    val m = stages.toMap
+    assert(m.contains("lm_gate"))
+    assert(m("lm_gate").select("doc_id").as[Long].collect().toSet
+      === Set(1L, 3L))
+    // ≡ the gate operator called directly with the same model + cutoff
+    val direct = graft.text.TextFunctions.lmGateKn(docs, col("doc_id"),
+        col("text"), model, cut)
+      .select("doc_id").as[Long].collect().toSet
+    assert(direct === Set(1L, 3L))
+  }
+
+  test("STRING doc ids: line scrub, LM gate, and decontamination all key correctly (no fail-open cast)") {
+    // the r13 lmGate ADVICE generalized: every id-keyed curation join in
+    // the chain must use the raw id expression — a cast("long") on these
+    // ids yields null, every join misses, and each stage silently
+    // no-ops (scrub/gate) or passes contamination through (decont)
+    val boiler = "nav bar boilerplate line"
+    val docs = Seq(
+      ("a", s"$boiler\nthe cat sat on the mat"),
+      ("b", s"$boiler\nthe dog sat on the rug"),
+      ("c", s"$boiler\nzq xv wk jn qp mm ll"),       // gibberish
+      ("d", s"$boiler\nthe eval passage leaks here verbatim now")) // contaminated
+      .toDF("doc_id", "text")
+    val eval = Seq("the eval passage leaks here verbatim now").toDF("text")
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      minQuality = 0.0, lineScrubDf = 3, evalDocs = Some(eval), decontN = 5)
+    val m = stages.toMap
+    // scrub actually fired: the shared boilerplate line is gone
+    val cleaned = m("line_scrub").select("doc_id", "text")
+      .as[(String, String)].collect().toMap
+    assert(!cleaned("a").contains(boiler), cleaned("a"))
+    assert(cleaned("a").contains("the cat sat"))
+    // decontamination dropped the leaked doc (and ONLY it — with the old
+    // cast("long") join every string key nulled and doc d sailed through)
+    assert(m("decontaminated").select("doc_id").as[String].collect().toSet
+      === Set("a", "b", "c"))
+    // the string-id LM gate itself is pinned in TextFunctionsSpec
+    // ("lmGateKn ... raw-id join")
+  }
+
   test("curatedFeed epochs: same sampled docs, decorrelated deterministic layouts, doc ids carried") {
     val docs = (1 to 200).map { i =>
       (i.toLong, Seq("web", "code")(i % 2), (i % 37 + 38).toLong)

@@ -221,6 +221,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) === Set(1L, 2L, 3L, 4L))
   }
 
+  test("streaming KN5 scoring == batch: the generic-order sink with the frozen order-5 model") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.text.TextFunctions
+    val dir = tmp("lmkn5stream")
+    val train = Seq("the cat sat on the mat today",
+      "the cat sat on the rug today").toDF("text")
+    Seq((1L, "the cat sat on the"), (2L, "the cat sat on a mat today"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    Seq((3L, "zq xv wk yy zz"), (4L, "too short here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val model = TextFunctions.fitKn(train, col("text"), 5)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = Streaming.scoreKnStreamSink(stream, model,
+      s"$dir/out", s"$dir/ckpt", trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "n_ngrams", "avg_logp")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = TextFunctions.scoreKn(spark.read.parquet(s"$dir/in"),
+      col("doc_id"), col("text"), model)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, s"stream $got vs batch $want")
+    // doc 4 (< 5 tokens) is unscorable in BOTH forms — absent, not wrong
+    assert(got.map(_._1) === Set(1L, 2L, 3L))
+  }
+
   test("streaming domain gate == batch: Urls.domainGate is stateless, stream-safe as-is") {
     // the gate is a broadcast (stream-static) anti-join over map-only
     // regex projections — no aggregate, no watermark, no state store —
