@@ -494,6 +494,22 @@ object Pipelines {
     require(!urlExactDedup || urlCol.isDefined,
       "urlExactDedup requires urlCol: exact-URL dedup keys on the " +
         "canonical form of a URL column (CLI: --url-col)")
+    // the near-dup cluster machinery (connectedComponentsStar's label
+    // arithmetic, the ANN vec_id contract) is LONG-keyed; a non-integral
+    // id would throw at the CC cast MID-chain under ANSI (and pre-ANSI
+    // silently nulled keys). Loud and early instead. Operators outside
+    // this chain (lmGate/lmGateKn, scrubFrequentSegments,
+    // contaminatedIds, exactDedupThin) take any id type — and every
+    // id-keyed join in here uses the RAW id expression, never a cast
+    // that could fail open.
+    val idType = docs.select(id).schema.head.dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"dedupCorpus: doc ids must be an integral type (the near-dup " +
+        s"cluster machinery is long-keyed), got $idType")
     // registrable-domain policy for BOTH url-keyed stages (gate + cap):
     // the embedded PSL subset unless the caller loaded a full list
     // (graft.text.Urls.loadPsl; CLI --psl) — full wildcard/exception/
@@ -765,8 +781,10 @@ object Pipelines {
         clusters.filter(col("doc_id") =!= col("cluster"))
           .select(col("doc_id").as("__drop_id"))
       case Some(score) =>
+        // raw id: clusters' doc_id carries the corpus id type as-is
+        // (pairs/CC never cast); only the ANN vec paths contract long ids
         val scored = clusters.join(
-          exact.select(id.cast("long").as("doc_id"), score.as("__kb")),
+          exact.select(id.as("doc_id"), score.as("__kb")),
           "doc_id")
         val keepers = scored.groupBy("cluster")
           .agg(max_by(col("doc_id"),
@@ -775,7 +793,10 @@ object Pipelines {
           .filter(col("doc_id") =!= col("__keep_id"))
           .select(col("doc_id").as("__drop_id"))
     }
-    val kept = exact.join(dropIds, id.cast("long") === col("__drop_id"), "left_anti")
+    // raw-id anti-join: under ANSI a cast("long") on a non-numeric id
+    // THROWS mid-pipeline (and pre-ANSI it nulled every key, keeping
+    // every duplicate) — the r13 lmGate lesson again
+    val kept = exact.join(dropIds, id === col("__drop_id"), "left_anti")
     stages += ("cluster_representatives" -> kept)
     // opt-in PROTOTYPICALITY prune (the D4 recipe, Tirumala et al. 2023:
     // dedup THEN density-prune): after near-duplicate clusters collapsed,
@@ -803,8 +824,11 @@ object Pipelines {
       val cleaned = Dedup.scrubbedText(protoKept, id, cleanText, n,
           textOutCol = "__graft_clean_text")
         .withColumnRenamed("doc_id", "__scrub_id")
+      // raw-id join (the r13 lmGate lesson): scrubbedText keys by `id`
+      // as-is, and this one is INNER — a cast("long") on non-numeric ids
+      // would null every key and silently EMPTY the surviving corpus
       stages += ("substring_scrub" ->
-        protoKept.join(cleaned, id.cast("long") === col("__scrub_id"))
+        protoKept.join(cleaned, id === col("__scrub_id"))
           .drop(textColName, "__scrub_id")
           .withColumnRenamed("__graft_clean_text", textColName))
     }

@@ -355,33 +355,46 @@ class PipelinesSpec extends SparkSpec {
     assert(direct === Set(1L, 3L))
   }
 
-  test("STRING doc ids: line scrub, LM gate, and decontamination all key correctly (no fail-open cast)") {
-    // the r13 lmGate ADVICE generalized: every id-keyed curation join in
-    // the chain must use the raw id expression — a cast("long") on these
-    // ids yields null, every join misses, and each stage silently
-    // no-ops (scrub/gate) or passes contamination through (decont)
+  test("non-integral doc ids fail LOUDLY at entry; the id-keyed stage joins key raw") {
+    // the near-dup cluster machinery is long-keyed (CC label arithmetic),
+    // so a string-id corpus must be refused up front — under ANSI the old
+    // behavior was a CAST_INVALID_INPUT crash deep inside the CC rounds,
+    // and pre-ANSI the id.cast("long") joins silently nulled every key
+    // (scrub/decont no-oped, the dedup drop set missed everything)
+    val docsStr = Seq(("a", "the cat sat"), ("b", "the dog sat"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.dedupCorpusStages(docsStr, col("doc_id"), col("text"))
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // the raw-join shape itself, end-to-end with integral ids: scrub,
+    // decont, and substring scrub all fire on the docs they should
     val boiler = "nav bar boilerplate line"
+    val rep = "copy copy copy copy copy copy copy copy copy copy"
     val docs = Seq(
-      ("a", s"$boiler\nthe cat sat on the mat"),
-      ("b", s"$boiler\nthe dog sat on the rug"),
-      ("c", s"$boiler\nzq xv wk jn qp mm ll"),       // gibberish
-      ("d", s"$boiler\nthe eval passage leaks here verbatim now")) // contaminated
+      (1L, s"$boiler\nthe cat sat on the mat"),
+      (2L, s"$boiler\nthe dog sat on the rug"),
+      (3L, s"$boiler\n$rep"),                                    // internal repeats
+      (4L, s"$boiler\nthe eval passage leaks here verbatim now")) // contaminated
       .toDF("doc_id", "text")
     val eval = Seq("the eval passage leaks here verbatim now").toDF("text")
     val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
-      minQuality = 0.0, lineScrubDf = 3, evalDocs = Some(eval), decontN = 5)
+      minQuality = 0.0, lineScrubDf = 3, evalDocs = Some(eval), decontN = 5,
+      substrN = Some(5))
     val m = stages.toMap
     // scrub actually fired: the shared boilerplate line is gone
     val cleaned = m("line_scrub").select("doc_id", "text")
-      .as[(String, String)].collect().toMap
-    assert(!cleaned("a").contains(boiler), cleaned("a"))
-    assert(cleaned("a").contains("the cat sat"))
-    // decontamination dropped the leaked doc (and ONLY it — with the old
-    // cast("long") join every string key nulled and doc d sailed through)
-    assert(m("decontaminated").select("doc_id").as[String].collect().toSet
-      === Set("a", "b", "c"))
-    // the string-id LM gate itself is pinned in TextFunctionsSpec
-    // ("lmGateKn ... raw-id join")
+      .as[(Long, String)].collect().toMap
+    assert(!cleaned(1L).contains(boiler), cleaned(1L))
+    assert(cleaned(1L).contains("the cat sat"))
+    // decontamination dropped the leaked doc
+    assert(m("decontaminated").select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+    // substring scrub kept every surviving doc — the INNER join keyed
+    // right (with a nulled cast key this stage returned an EMPTY corpus)
+    val sub = m("substring_scrub").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(sub.keySet === Set(1L, 2L, 3L))
   }
 
   test("curatedFeed epochs: same sampled docs, decorrelated deterministic layouts, doc ids carried") {
