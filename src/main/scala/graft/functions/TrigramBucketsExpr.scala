@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Bit-identical to the HOF twin (`charNgrams(text, 3)` filtered to full
   * trigrams, bucketed by `ascii(substring(g, i, 1))` code points —
-  * parity asserted in LangIdClassifierSpec including multibyte text):
+  * parity asserted in LangIdClassifierSpec including multibyte AND
+  * supplementary-plane text; Spark 4's `ascii()` returns the full code
+  * point for 4-byte chars, e.g. 128512 for U+1F600, so the twin does
+  * not fall back to a UTF-16 surrogate):
   * Spark's `length`/`substring`/`ascii` are all code-point based, and so
   * is this walk (1-4 byte UTF-8 sequences decode to one code point; a
   * 4-byte supplementary character is ONE trigram position, exactly as in

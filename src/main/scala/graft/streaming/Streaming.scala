@@ -43,8 +43,15 @@ object Streaming {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(conf)
+    // a GLOB input (dir/*.parquet) has no file status of its own —
+    // getFileStatus throws FileNotFoundException even though the reader
+    // accepts the pattern fine; treat "not statable" as "not a single
+    // file" and pass the path through untouched (r14 ADVICE)
+    val isSingleFile =
+      try fs.getFileStatus(src).isFile
+      catch { case _: java.io.FileNotFoundException => false }
     val dir =
-      if (fs.getFileStatus(src).isFile) {
+      if (isSingleFile) {
         val d = new org.apache.hadoop.fs.Path(
           new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
           s"events_stream_${java.util.UUID.randomUUID.toString.take(13)}")

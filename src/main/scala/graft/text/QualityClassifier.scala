@@ -69,12 +69,15 @@ object QualityClassifier {
   }
 
   /** The GD loop over an ALREADY-materialized features relation (columns
-    * `__x0..__x{k-1}`, `__y`) — split out so multi-head trainers
-    * ([[LangIdClassifier]]'s one-vs-rest heads) pay the corpus-scale
-    * feature projection ONCE and run each head's `iters` passes against
-    * the shared columnar scratch.
+    * `__x0..__x{k-1}`, `__y`) — the single-head trainer body behind
+    * [[logisticTrain]]. NOTE: [[LangIdClassifier.train]] does NOT run
+    * through this — its one-vs-rest heads need every head's gradient in
+    * ONE aggregate pass per iteration (lockstep, iteration-stable
+    * codegen via a broadcast weight row), a shape this per-head loop
+    * cannot express; it reuses only [[prob]] and the fixed-point step
+    * rule. Package-private until an external multi-pass caller exists.
     */
-  def logisticTrainOn(f: DataFrame, k: Int, iters: Int,
+  private[text] def logisticTrainOn(f: DataFrame, k: Int, iters: Int,
                       lr: Double): Array[Double] = {
     val xs = (0 until k).map(i => col(s"__x$i"))
     val n = f.count().toDouble
