@@ -149,7 +149,30 @@ object Main {
           // --url-dedup: Dolma stage 0 — one survivor per CANONICAL url
           // (fragment/tracking-param strip, authority normalization)
           // before any text work; requires --url-col
-          urlExactDedup = args.contains("--url-dedup"))
+          urlExactDedup = args.contains("--url-dedup"),
+          // TRAINED LANGUAGE GATE (CCNet stage 1): --lang-seed points at
+          // a labeled seed parquet with (text, lang) columns — the
+          // one-vs-rest trigram classifier trains on it in-engine
+          // (LangIdClassifier.train, seed-sized, langs sorted for a
+          // deterministic head order) — and --lang-keep lists the
+          // language codes to keep (e.g. en,fr); docs predicted outside
+          // the set drop before the domain cap and every scoring join.
+          // Both flags or neither — the lmGate discipline.
+          langKeep = (opt(args, "--lang-seed"), opt(args, "--lang-keep")) match {
+            case (Some(seedDir), Some(keep)) =>
+              val seed = spark.read.parquet(seedDir)
+              val langs = seed.select("lang").distinct()
+                .orderBy("lang").collect().map(_.getString(0)).toSeq
+              Some((graft.text.LangIdClassifier.train(seed, col("text"),
+                col("lang"), langs,
+                k = opt(args, "--lang-k").map(_.toInt).getOrElse(12)),
+                keep.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+            case (None, None) => None
+            case _ => throw new IllegalArgumentException(
+              "--lang-seed and --lang-keep must be passed together — one " +
+                "alone would silently skip the language gate")
+          },
+          langK = opt(args, "--lang-k").map(_.toInt).getOrElse(12))
         val kept = stages.last._2
         // funnel audit: per-stage surviving-doc counts — the curation
         // run's QA report ("gate dropped N, decontamination M, ...")

@@ -801,6 +801,34 @@ object Dedup {
     * Input pairs need columns (aCol, bCol); self-pairs are ignored. Output:
     * (doc_id, cluster) for every vertex that appears in a pair.
     */
+  /** CC key normalization: numeric keys flatten to LONG (the historical
+    * contract - mixed int/long inputs compare and label identically);
+    * any OTHER type (string stems/URLs/UUIDs - the keys real corpora
+    * use) passes through RAW, because the whole cluster machinery is
+    * comparison-only (min/least/greatest/coalesce + an xxhash64
+    * signature), never arithmetic. Both endpoint columns must agree on
+    * numeric-ness - a mixed pair relation is a caller bug surfaced
+    * loudly, not coerced.
+    */
+  /** Single-column form of the [[ccKeyNorm]] rule for id relations
+    * (forget requests, pair logs): numeric → long, anything else raw.
+    */
+  private def idKeyNorm(df: DataFrame, c: String): Column => Column =
+    if (df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]) _.cast("long")
+    else identity
+
+  private def ccKeyNorm(pairs: DataFrame, aCol: String,
+                        bCol: String): Column => Column = {
+    import org.apache.spark.sql.types.NumericType
+    val aNum = pairs.schema(aCol).dataType.isInstanceOf[NumericType]
+    val bNum = pairs.schema(bCol).dataType.isInstanceOf[NumericType]
+    require(aNum == bNum,
+      s"connected components: endpoint columns $aCol/$bCol mix numeric " +
+        "and non-numeric key types - re-key one side")
+    if (aNum) _.cast("long") else identity
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None): DataFrame = {
@@ -826,9 +854,10 @@ object Dedup {
     // materialize the input FIRST: both union branches below read it, and
     // without it the caller's whole upstream pipeline (e.g. the d5
     // minhash->band->verify chain) would execute once per branch
+    val ccNorm = ccKeyNorm(pairs, aCol, bCol)
     val (half, dropHalf) = persistRound(
-      pairs.select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst")).filter(col("src") =!= col("dst")))
+      pairs.select(ccNorm(col(aCol)).as("src"),
+        ccNorm(col(bCol)).as("dst")).filter(col("src") =!= col("dst")))
     // Right-size the iteration's parallelism to the working set: the dedup
     // graph after LSH + verify is orders of magnitude smaller than the
     // corpus, and a min-label round over a few thousand edges spread
@@ -916,8 +945,9 @@ object Dedup {
         val (m, h) = graft.core.Scratch.materializeWithHandle(df, "ccstar")
         (m, () => h.drop())
       } else (df.localCheckpoint(false), () => ())
+    val ccNorm = ccKeyNorm(pairs, aCol, bCol)
     val (base, _) = persistRound( // read again after the loop — never drop
-      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      pairs.select(ccNorm(col(aCol)).as("a"), ccNorm(col(bCol)).as("b"))
         .filter(col("a") =!= col("b")))
     // canonical orientation: hi > lo
     var (edges, dropEdges) = persistRound(
@@ -1010,10 +1040,14 @@ object Dedup {
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None,
                           deltaOnly: Boolean = false): DataFrame = {
-    val asg = assignment.select(col("doc_id").cast("long").as("doc_id"),
-      col("cluster").cast("long").as("cluster"))
-    val pairs = newPairs.select(col(aCol).cast("long").as("pa"),
-        col(bCol).cast("long").as("pb"))
+    // the ccKeyNorm contract: numeric keys flatten to long, string keys
+    // pass raw; assignment and pairs share one id space, so the pair
+    // columns decide for both relations
+    val ccNorm = ccKeyNorm(newPairs, aCol, bCol)
+    val asg = assignment.select(ccNorm(col("doc_id")).as("doc_id"),
+      ccNorm(col("cluster")).as("cluster"))
+    val pairs = newPairs.select(ccNorm(col(aCol)).as("pa"),
+        ccNorm(col(bCol)).as("pb"))
       .filter(col("pa") =!= col("pb")).localCheckpoint(false)
     // shard endpoints → existing rep; the broadcast keeps the corpus-sized
     // assignment scan map-side (endpoints are shard-bounded)
@@ -1067,8 +1101,11 @@ object Dedup {
   def writeClusterAssignment(assignment: DataFrame, table: String,
                              buckets: Int = 64): Unit =
     graft.core.Bucketing.writeBucketed(
-      assignment.select(col("doc_id").cast("long").as("doc_id"),
-        col("cluster").cast("long").as("cluster"), lit(0L).as("epoch")),
+      assignment.select(
+        ccKeyNorm(assignment, "doc_id", "cluster")(col("doc_id"))
+          .as("doc_id"),
+        ccKeyNorm(assignment, "doc_id", "cluster")(col("cluster"))
+          .as("cluster"), lit(0L).as("epoch")),
       table, "doc_id", buckets)
 
   /** The LIVE `(doc_id, cluster)` view of a maintained cluster table:
@@ -1135,7 +1172,8 @@ object Dedup {
     */
   def forgetFromBandIndex(spark: org.apache.spark.sql.SparkSession,
                           table: String, ids: DataFrame): Unit = {
-    val gone = ids.select(col("doc_id").cast("long").as("__gone")).distinct()
+    val gone = ids.select(idKeyNorm(ids, "doc_id")(col("doc_id"))
+      .as("__gone")).distinct()
     graft.core.Bucketing.compactBucketed(spark, table,
       t => t.join(broadcast(gone), t("doc_id") === col("__gone"), "left_anti"))
   }
@@ -1148,14 +1186,18 @@ object Dedup {
     */
   def writePairLog(pairs: DataFrame, table: String, buckets: Int = 64): Unit =
     graft.core.Bucketing.writeBucketed(
-      pairs.select(col("doc_a").cast("long").as("doc_a"),
-        col("doc_b").cast("long").as("doc_b")), table, "doc_a", buckets)
+      pairs.select(ccKeyNorm(pairs, "doc_a", "doc_b")(col("doc_a"))
+          .as("doc_a"),
+        ccKeyNorm(pairs, "doc_a", "doc_b")(col("doc_b")).as("doc_b")),
+      table, "doc_a", buckets)
 
   /** Append a shard's verified pairs to the pair log (cost ∝ the shard). */
   def appendPairLog(pairs: DataFrame, table: String, buckets: Int = 64): Unit =
     graft.core.Bucketing.appendBucketed(
-      pairs.select(col("doc_a").cast("long").as("doc_a"),
-        col("doc_b").cast("long").as("doc_b")), table, "doc_a", buckets)
+      pairs.select(ccKeyNorm(pairs, "doc_a", "doc_b")(col("doc_a"))
+          .as("doc_a"),
+        ccKeyNorm(pairs, "doc_a", "doc_b")(col("doc_b")).as("doc_b")),
+      table, "doc_a", buckets)
 
   /** FORGET documents from a maintained cluster table, with LABEL REPAIR:
     * dropping a doc that was its cluster's REPRESENTATIVE (label = its own
@@ -1174,7 +1216,8 @@ object Dedup {
     */
   def forgetFromClusterAssignment(spark: org.apache.spark.sql.SparkSession,
                                   table: String, ids: DataFrame): Unit = {
-    val gone = ids.select(col("doc_id").cast("long").as("__gone")).distinct()
+    val gone = ids.select(idKeyNorm(ids, "doc_id")(col("doc_id"))
+      .as("__gone")).distinct()
       .localCheckpoint(false)
     val live = readClusterAssignment(spark, table)
     // clusters whose label is forgotten → new label = min surviving member
@@ -1209,7 +1252,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       table: String, pairLogTable: String, ids: DataFrame,
       maxIter: Int = 20): Unit = {
-    val gone = ids.select(col("doc_id").cast("long").as("__gone")).distinct()
+    val gone = ids.select(idKeyNorm(ids, "doc_id")(col("doc_id"))
+      .as("__gone")).distinct()
       .localCheckpoint(false)
     // two consumers read the resolved live assignment — thin but
     // CORPUS-ROW scale, so columnar scratch, not object blocks (r12

@@ -46,6 +46,24 @@ object Determinism {
   def detHashSql(keyExpr: String): String =
     s"CAST('0x' || substring(md5(CAST(CAST($keyExpr AS BIGINT) AS VARCHAR)), 1, 15) AS BIGINT)"
 
+  /** STRING-keyed form of [[detHash]] — the same md5 → first-15-hex-digits
+    * fold over the key's string bytes, so for an integral key k,
+    * `detHashStr(cast(k as string)) == detHash(k)` (the long form hashes
+    * the decimal rendering). Built from codegen'd built-ins
+    * (`conv(substring(md5(x), 1, 15), 16, 10)`) — one md5 per row, no
+    * registration needed. This is the dedup chain's internal SURROGATE id
+    * for non-integral doc ids ([[graft.pipelines.Pipelines
+    * .dedupCorpusStages]]): 60 bits, oracle-expressible via
+    * [[detHashStrSql]], collision-checked by the caller at entry
+    * (expected collisions at 10^9 string keys: ~4·10^-4).
+    */
+  def detHashStr(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB-SQL fragment for [[detHashStr]] (expects a VARCHAR expr). */
+  def detHashStrSql(keyExpr: String): String =
+    s"CAST('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT)"
+
   /** Deterministic stand-in for `rand(seed)` in [0, 1). */
   def detRand(key: Column): Column = detHash(key) / lit(Space.toDouble)
 

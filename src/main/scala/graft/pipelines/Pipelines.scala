@@ -335,12 +335,22 @@ object Pipelines {
     *    gate drops on evidence, shortness is `minQuality`'s
     *    jurisdiction.
     *
-    * `id` contract: the exact-dedup stage runs the THIN winner form
-    * ([[graft.dedup.Dedup.exactDedupThin]]), which assumes `id` values
-    * are globally unique — with duplicate ids its survivor semi-join can
-    * keep more than one row per fingerprint (every row whose id matches
-    * a winner), where the window form keeps exactly one. Synthetic or
-    * hash ids must be collision-free before entering the pipeline.
+    * `id` contract: ids must be globally UNIQUE and NON-NULL — the
+    * exact-dedup stage runs the THIN winner form
+    * ([[graft.dedup.Dedup.exactDedupThin]]), whose survivor semi-join
+    * can keep more than one row per fingerprint under duplicate ids.
+    * Any id TYPE is accepted (r15; the r14 integral-only `require` is
+    * gone): integral ids key the chain directly; string / UUID / URL /
+    * decimal ids — the shapes real corpora key on, like the reference's
+    * string stems (common/dataset.py:112-159) — get an internal 64-bit
+    * surrogate ([[graft.ops.Determinism.detHashStr]]) at entry, run the
+    * long-keyed cluster machinery on it, and come back out untouched;
+    * uniqueness and non-nullness are enforced eagerly on that path (one
+    * column-pruned aggregate), so the contract fails loudly at entry
+    * instead of corrupting clusters mid-chain. Under a surrogate the
+    * default min-id representative is the min-SURROGATE member
+    * (deterministic, but not the lexicographic min) — pass `keepBy` for
+    * a corpus-stated policy.
     *  - `minContainment`: a CONTAINMENT pass alongside Jaccard
     *    verification — doc-in-doc near-superset duplicates (|A∩B| /
     *    min(|A|,|B|), Broder) whose Jaccard stays low join the pair
@@ -419,7 +429,9 @@ object Pipelines {
                   lmTarget: Option[DataFrame] = None,
                   lmMinAvgLogp: Option[Double] = None,
                   lmOrder: Int = 3,
-                  urlExactDedup: Boolean = false): DataFrame =
+                  urlExactDedup: Boolean = false,
+                  langKeep: Option[(Seq[(String, Array[Double])], Set[String])] = None,
+                  langK: Int = 12): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
@@ -427,7 +439,8 @@ object Pipelines {
       audioCol, videoCol, embeddingCol, semCells, minCosine,
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
       gopherGate, urlCol, domainDeny, psl,
-      lmTarget, lmMinAvgLogp, lmOrder, urlExactDedup).last._2
+      lmTarget, lmMinAvgLogp, lmOrder, urlExactDedup,
+      langKeep, langK).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -473,7 +486,9 @@ object Pipelines {
                         lmTarget: Option[DataFrame] = None,
                         lmMinAvgLogp: Option[Double] = None,
                         lmOrder: Int = 3,
-                        urlExactDedup: Boolean = false)
+                        urlExactDedup: Boolean = false,
+                        langKeep: Option[(Seq[(String, Array[Double])], Set[String])] = None,
+                        langK: Int = 12)
       : Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
@@ -495,21 +510,58 @@ object Pipelines {
       "urlExactDedup requires urlCol: exact-URL dedup keys on the " +
         "canonical form of a URL column (CLI: --url-col)")
     // the near-dup cluster machinery (connectedComponentsStar's label
-    // arithmetic, the ANN vec_id contract) is LONG-keyed; a non-integral
-    // id would throw at the CC cast MID-chain under ANSI (and pre-ANSI
-    // silently nulled keys). Loud and early instead. Operators outside
-    // this chain (lmGate/lmGateKn, scrubFrequentSegments,
-    // contaminatedIds, exactDedupThin) take any id type — and every
-    // id-keyed join in here uses the RAW id expression, never a cast
-    // that could fail open.
+    // arithmetic, the ANN vec_id contract) is LONG-keyed. Integral ids
+    // run the chain directly (zero overhead). ANY other id type — string
+    // stems (the reference keys every sample dict by one,
+    // common/dataset.py:112-159), URLs/UUIDs, DecimalType — gets an
+    // internal 64-bit SURROGATE at entry: sid = detHashStr(id) (60-bit
+    // md5 fold, oracle-expressible — d26_string_ids pins the whole
+    // string-keyed chain against DuckDB), the chain runs long-keyed on
+    // it, and every emitted stage drops the column, so callers see their
+    // own id untouched end-to-end. The surrogate is UNIQUENESS-CHECKED
+    // eagerly (one aggregate over the column-pruned (sid, id)
+    // projection — the chain's standing unique-id contract, now enforced
+    // rather than assumed): a hash collision (~n²/2^61) or a NULL id
+    // fails loudly HERE, never as a silently-merged cluster mid-chain.
+    // Under a surrogate, the default "min id" representative means min
+    // SURROGATE — deterministic and seed-free, but not the
+    // lexicographically-min original id; pass `keepBy` for a policy
+    // stated in corpus terms. Every id-keyed join below uses the chain
+    // id expression RAW (never a cast that could fail open — the r13
+    // lmGate lesson); the only casts left are the ANN vec_id paths,
+    // where the chain id is already long by construction.
     val idType = docs.select(id).schema.head.dataType
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.ByteType).contains(idType),
-      s"dedupCorpus: doc ids must be an integral type (the near-dup " +
-        s"cluster machinery is long-keyed), got $idType")
+    val idIsIntegral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType).contains(idType)
+    val sidCol = "__graft_sid"
+    val (chainSrc, cid) =
+      if (idIsIntegral) (docs, id)
+      else {
+        require(!docs.columns.contains(sidCol),
+          s"dedupCorpus: input already carries a $sidCol column — rename " +
+            "it; the name is reserved for the internal surrogate id")
+        val withSid = docs.withColumn(sidCol,
+          graft.ops.Determinism.detHashStr(id))
+        val bad = withSid
+          .groupBy(col(sidCol))
+          .agg(countDistinct(id).as("__n"),
+            count(when(id.isNull, 1)).as("__nulls"))
+          .agg(max(col("__n")).as("__maxn"),
+            sum(col("__nulls")).as("__nulls"))
+          .head()
+        val nulls = if (bad.isNullAt(1)) 0L else bad.getLong(1)
+        require(nulls == 0L,
+          s"dedupCorpus: $nulls NULL doc ids — every chain contract " +
+            "(unique ids, surrogate hashing) needs each doc keyed")
+        val maxN = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+        require(maxN <= 1L,
+          "dedupCorpus: surrogate-id collision across distinct doc ids " +
+            "(60-bit space) — re-key the corpus with a dense id column")
+        (withSid, col(sidCol))
+      }
     // registrable-domain policy for BOTH url-keyed stages (gate + cap):
     // the embedded PSL subset unless the caller loaded a full list
     // (graft.text.Urls.loadPsl; CLI --psl) — full wildcard/exception/
@@ -520,7 +572,11 @@ object Pipelines {
       case None    => h => graft.text.Urls.registrableDomain(h)
     }
     val stages = Seq.newBuilder[(String, DataFrame)]
-    stages += ("input" -> docs)
+    // stage emission strips the internal surrogate so the funnel audit
+    // and the returned corpus carry exactly the caller's columns
+    def emit(name: String, df: DataFrame): Unit =
+      stages += (name -> (if (idIsIntegral) df else df.drop(sidCol)))
+    emit("input", docs)
     // DOMAIN GATE (urlCol + domainDeny): the classic FIRST stage of
     // web-corpus curation — registrable-domain blocklist before any
     // text-derived stage spends a cycle on a doc from a denied site.
@@ -528,13 +584,13 @@ object Pipelines {
     // map-side at any corpus scale. Denying an apex drops subdomains.
     val docs0 = (urlCol, domainDeny) match {
       case (Some(u), Some(deny)) => psl match {
-        case Some(r) => graft.text.Urls.domainGate(docs, col(u), deny, r)
-        case None    => graft.text.Urls.domainGate(docs, col(u), deny)
+        case Some(r) => graft.text.Urls.domainGate(chainSrc, col(u), deny, r)
+        case None    => graft.text.Urls.domainGate(chainSrc, col(u), deny)
       }
-      case _ => docs
+      case _ => chainSrc
     }
     if (urlCol.isDefined && domainDeny.isDefined)
-      stages += ("domain_gate" -> docs0)
+      emit("domain_gate", docs0)
     // EXACT-URL DEDUP (urlExactDedup + urlCol): Dolma/RefinedWeb stage
     // 0 — one survivor (min id, crawl order) per canonical URL
     // (fragment/tracking-param strip, authority normalization), BEFORE
@@ -544,8 +600,8 @@ object Pipelines {
     val docsU =
       if (!urlExactDedup) docs0
       else graft.text.Urls.dedupByCanonicalUrl(docs0,
-        col(urlCol.get), id)
-    if (urlExactDedup) stages += ("url_dedup" -> docsU)
+        col(urlCol.get), cid)
+    if (urlExactDedup) emit("url_dedup", docsU)
     // pre-clean rewrites the text column IN PLACE so every later stage —
     // gate, signatures, verification, scrub — and the returned corpus see
     // only the cleaned form
@@ -553,7 +609,7 @@ object Pipelines {
       if (!preClean) (docsU, text)
       else (docsU.withColumn(textColName, graft.text.TextFunctions.redactPii(
         graft.text.TextFunctions.stripMarkup(text))), col(textColName))
-    if (preClean) stages += ("pre_clean" -> pcSrc)
+    if (preClean) emit("pre_clean", pcSrc)
     // CCNet line scrub (lineScrubDf > 0): drop \n-lines whose corpus df
     // exceeds the cap — boilerplate removal BEFORE the quality gate, so
     // nav-bar/footer text neither props up a doc's quality score nor
@@ -563,7 +619,7 @@ object Pipelines {
     val (cleanSrc, cleanText) =
       if (lineScrubDf <= 0) (pcSrc, pcText)
       else {
-        val scrubbed = Dedup.scrubFrequentSegments(pcSrc, id,
+        val scrubbed = Dedup.scrubFrequentSegments(pcSrc, cid,
             split(pcText, "\n"), lineScrubDf)
           .select(col("doc_id").as("__ls_id"),
             col("clean_text").as("__ls_clean"))
@@ -576,15 +632,15 @@ object Pipelines {
         // keys its output by `id` as-is, and a cast("long") on a
         // non-numeric id would null every key — the whole scrub stage
         // silently no-ops through the coalesce fallback
-        (pcSrc.join(scrubbed, id === col("__ls_id"), "left")
+        (pcSrc.join(scrubbed, cid === col("__ls_id"), "left")
           .withColumn("__ls_clean2", coalesce(col("__ls_clean"), pcText))
           .drop(textColName, "__ls_id", "__ls_clean")
           .withColumnRenamed("__ls_clean2", textColName), col(textColName))
       }
-    if (lineScrubDf > 0) stages += ("line_scrub" -> cleanSrc)
+    if (lineScrubDf > 0) emit("line_scrub", cleanSrc)
     val quality = cleanSrc.filter(
       round(graft.text.TextFunctions.qualityScoreNative(cleanText), 6) >= minQuality)
-    stages += ("quality_gate" -> quality)
+    emit("quality_gate", quality)
     // Gopher per-rule gate (opt-in): the named-rule filter on top of the
     // scored gate — one more map-only predicate (keepExpr let-binds the
     // token array, so the six rules cost one tokenization), no shuffle;
@@ -592,17 +648,30 @@ object Pipelines {
     val gated =
       if (!gopherGate) quality
       else quality.filter(graft.text.GopherRules.keepExpr(cleanText))
-    if (gopherGate) stages += ("gopher_gate" -> gated)
+    if (gopherGate) emit("gopher_gate", gated)
+    // LANGUAGE GATE (langKeep): CCNet's stage 1 — drop docs whose
+    // TRAINED-classifier language ([[graft.text.LangIdClassifier]]) is
+    // outside the target set, BEFORE the domain cap and the scoring
+    // joins (lm gate, decontamination, signatures) spend anything on
+    // them. One thin (id, trigram-counts) scratch pass + a raw-id
+    // semi-join; ≡ predict-then-filter by construction.
+    val langGated = langKeep match {
+      case Some((models, keepLangs)) =>
+        graft.text.LangIdClassifier.langGate(gated, cid, cleanText,
+          models, keepLangs, langK)
+      case None => gated
+    }
+    if (langKeep.isDefined) emit("lang_gate", langGated)
     // with a urlCol, the cap key is the REGISTRABLE DOMAIN — the unit a
     // web corpus is actually skewed by — not a pre-supplied source label
     val capped0 =
-      if (maxPerSource <= 0) gated
-      else graft.ops.Sampling.domainCap(gated,
+      if (maxPerSource <= 0) langGated
+      else graft.ops.Sampling.domainCap(langGated,
         urlCol.map(u => domainOf(
           graft.text.Urls.normalizedHost(col(u))))
           .getOrElse(col(sourceCol)),
-        id, maxPerSource)
-    if (maxPerSource > 0) stages += ("domain_cap" -> capped0)
+        cid, maxPerSource)
+    if (maxPerSource > 0) emit("domain_cap", capped0)
     // LM-PERPLEXITY GATE (lmTarget + lmMinAvgLogp): CCNet's deployed
     // quality filter — an interpolated-KN model of order `lmOrder`
     // (default 3; 5 = KenLM parity, CLI --lm-order) is fit ONCE on the
@@ -633,19 +702,19 @@ object Pipelines {
             graft.text.TextFunctions.redactPii(
               graft.text.TextFunctions.stripMarkup(col(textColName))))
         if (lmOrder == 3)
-          graft.text.TextFunctions.lmGate(capped0, id, cleanText,
+          graft.text.TextFunctions.lmGate(capped0, cid, cleanText,
             graft.text.TextFunctions.fitTrigramKn(tgtClean,
               col(textColName)),
             minLp)
         else
-          graft.text.TextFunctions.lmGateKn(capped0, id, cleanText,
+          graft.text.TextFunctions.lmGateKn(capped0, cid, cleanText,
             graft.text.TextFunctions.fitKn(tgtClean, col(textColName),
               lmOrder),
             minLp)
       case _ => capped0
     }
     if (lmTarget.isDefined && lmMinAvgLogp.isDefined)
-      stages += ("lm_gate" -> lmGated)
+      emit("lm_gate", lmGated)
     val capped = evalDocs match {
       case None => lmGated
       case Some(ev) =>
@@ -659,17 +728,17 @@ object Pipelines {
           if (!preClean) ev
           else ev.withColumn(textColName, graft.text.TextFunctions.redactPii(
             graft.text.TextFunctions.stripMarkup(col(textColName))))
-        val dirty = Dedup.contaminatedIds(lmGated, id, cleanText,
+        val dirty = Dedup.contaminatedIds(lmGated, cid, cleanText,
             evClean, col(textColName), decontN, decontMinShared)
           .select(col("doc_id").as("__dirty_id"))
         // raw-id anti-join (the r13 lmGate lesson): contaminatedIds keys
         // by `id` as-is; a cast("long") on non-numeric ids would null
         // every key and the decontamination stage would silently PASS
         // every contaminated doc — a fail-open gate
-        lmGated.join(broadcast(dirty), id === col("__dirty_id"),
+        lmGated.join(broadcast(dirty), cid === col("__dirty_id"),
           "left_anti")
     }
-    if (evalDocs.isDefined) stages += ("decontaminated" -> capped)
+    if (evalDocs.isDefined) emit("decontaminated", capped)
     // the exact-dedup survivor set (WITH its text column) feeds every
     // later stage — signatures, verify, containment, perceptual
     // fingerprints, the semantic quantizer, and the final survivor
@@ -684,18 +753,18 @@ object Pipelines {
     // and structurally better at 100 TB. Requires unique doc ids (the
     // pipeline's standing contract).
     val exact = graft.core.Scratch.materialize(
-      Dedup.exactDedupThin(capped, id, cleanText), "dedup_exact")
-    stages += ("exact_dedup" -> exact)
+      Dedup.exactDedupThin(capped, cid, cleanText), "dedup_exact")
+    emit("exact_dedup", exact)
     val cands = Dedup.lshCandidatePairs(
-      Dedup.minhashSignatures(exact, id, cleanText, minhashK), bandSize)
-    val verified = Dedup.verifyCandidates(exact, cands, id, cleanText, ngram,
+      Dedup.minhashSignatures(exact, cid, cleanText, minhashK), bandSize)
+    val verified = Dedup.verifyCandidates(exact, cands, cid, cleanText, ngram,
         minJaccard)
       .select(col("doc_a"), col("doc_b"))
     val pairs = minContainment match {
       case None => verified
       case Some(minC) =>
         verified.union(
-          Dedup.ngramContainmentPairs(exact, id, cleanText, ngram, minC)
+          Dedup.ngramContainmentPairs(exact, cid, cleanText, ngram, minC)
             .select(col("doc_a"), col("doc_b")))
     }
     // perceptual modes: near-dup pairs over each enabled binary column
@@ -708,15 +777,15 @@ object Pipelines {
     // share the Hamming banding/verify machinery.
     val perceptual: Seq[DataFrame] =
       imageCol.map { ic =>
-        graft.multimodal.Multimodal.imageDHashById(exact, id, col(ic),
+        graft.multimodal.Multimodal.imageDHashById(exact, cid, col(ic),
           imageGridRows).withColumnRenamed("dhash", "__fp")
       }.toSeq ++
       audioCol.map { ac =>
-        graft.multimodal.Multimodal.audioFingerprintById(exact, id, col(ac),
+        graft.multimodal.Multimodal.audioFingerprintById(exact, cid, col(ac),
           imageGridRows).withColumnRenamed("afp", "__fp")
       } ++
       videoCol.map { vc =>
-        graft.multimodal.Multimodal.videoFingerprintById(exact, id, col(vc),
+        graft.multimodal.Multimodal.videoFingerprintById(exact, cid, col(vc),
           imageGridRows).withColumnRenamed("vfp", "__fp")
       }
     val perceptualPairs = perceptual.foldLeft(pairs) { (acc, hashes) =>
@@ -744,14 +813,14 @@ object Pipelines {
     // (zero semantic pairs, no prune) instead of tripping
     // kmeansCentroids' loud k = 0 refusal.
     val semCents: Option[DataFrame] = embeddingCol.flatMap { ec =>
-      val vecs = exact.select(id.cast("long").as("vec_id"), col(ec))
+      val vecs = exact.select(cid.cast("long").as("vec_id"), col(ec))
       val k = vecs.limit(semCells).count().toInt
       if (k == 0) None
       else Some(graft.ann.Vectors.kmeansCentroids(vecs, "vec_id", ec, k))
     }
     val allPairs = (embeddingCol, semCents) match {
       case (Some(ec), Some(cents)) =>
-        val vecs = exact.select(id.cast("long").as("vec_id"), col(ec))
+        val vecs = exact.select(cid.cast("long").as("vec_id"), col(ec))
         perceptualPairs.union(
           graft.ann.Vectors.semanticNearDupPairsWith(vecs, "vec_id", ec,
             cents, minCosine, semMaxCell)
@@ -784,7 +853,7 @@ object Pipelines {
         // raw id: clusters' doc_id carries the corpus id type as-is
         // (pairs/CC never cast); only the ANN vec paths contract long ids
         val scored = clusters.join(
-          exact.select(id.as("doc_id"), score.as("__kb")),
+          exact.select(cid.as("doc_id"), score.as("__kb")),
           "doc_id")
         val keepers = scored.groupBy("cluster")
           .agg(max_by(col("doc_id"),
@@ -796,8 +865,8 @@ object Pipelines {
     // raw-id anti-join: under ANSI a cast("long") on a non-numeric id
     // THROWS mid-pipeline (and pre-ANSI it nulled every key, keeping
     // every duplicate) — the r13 lmGate lesson again
-    val kept = exact.join(dropIds, id === col("__drop_id"), "left_anti")
-    stages += ("cluster_representatives" -> kept)
+    val kept = exact.join(dropIds, cid === col("__drop_id"), "left_anti")
+    emit("cluster_representatives", kept)
     // opt-in PROTOTYPICALITY prune (the D4 recipe, Tirumala et al. 2023:
     // dedup THEN density-prune): after near-duplicate clusters collapsed,
     // drop the per-cell most-prototypical fraction of the SURVIVORS —
@@ -807,13 +876,13 @@ object Pipelines {
     // broadcast of the drop set (it is pruneFraction × corpus).
     val protoKept = (embeddingCol, semCents) match {
       case (Some(ec), Some(cents)) if protoPruneFraction > 0 =>
-        val keptVecs = kept.select(id.cast("long").as("vec_id"), col(ec))
+        val keptVecs = kept.select(cid.cast("long").as("vec_id"), col(ec))
         val drops = graft.ann.Vectors.prototypicalityPrune(keptVecs,
             "vec_id", ec, cents, protoPruneFraction)
           .filter(col("pruned")).select(col("vec_id").as("__proto_drop"))
-        val p = kept.join(drops, id.cast("long") === col("__proto_drop"),
+        val p = kept.join(drops, cid.cast("long") === col("__proto_drop"),
           "left_anti")
-        stages += ("proto_prune" -> p)
+        emit("proto_prune", p)
         p
       case _ => kept
     }
@@ -821,14 +890,14 @@ object Pipelines {
       // internal output name: an input that already carries a
       // "clean_text" column (or textColName == "clean_text") would make
       // the join ambiguous with the default name (round-5 ADVICE)
-      val cleaned = Dedup.scrubbedText(protoKept, id, cleanText, n,
+      val cleaned = Dedup.scrubbedText(protoKept, cid, cleanText, n,
           textOutCol = "__graft_clean_text")
         .withColumnRenamed("doc_id", "__scrub_id")
       // raw-id join (the r13 lmGate lesson): scrubbedText keys by `id`
       // as-is, and this one is INNER — a cast("long") on non-numeric ids
       // would null every key and silently EMPTY the surviving corpus
-      stages += ("substring_scrub" ->
-        protoKept.join(cleaned, id === col("__scrub_id"))
+      emit("substring_scrub",
+        protoKept.join(cleaned, cid === col("__scrub_id"))
           .drop(textColName, "__scrub_id")
           .withColumnRenamed("__graft_clean_text", textColName))
     }

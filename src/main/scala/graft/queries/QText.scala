@@ -69,8 +69,13 @@ object QText {
       s"CAST(ascii(substring($g, 2, 1)) AS BIGINT) * 31 + " +
       s"CAST(ascii(substring($g, 3, 1)) AS BIGINT)) % $lidK"
   private val lidFeatSql: String = {
+    // NULL-text rows: Spark's kernel returns NULL counts, so features, σ,
+    // and every gradient contribution are NULL and the row drops out of
+    // the sums (and predicts 'und'). Mirror that exactly — gs IS NULL →
+    // NULL feature, never the ELSE 0.0 bias-only branch (r14 ADVICE: the
+    // bias-only row would keep contributing to the twin's gradients)
     val xs = (0 until lidK).map { j =>
-      s"round(CASE WHEN len(gs) > 0 THEN " +
+      s"round(CASE WHEN gs IS NULL THEN NULL WHEN len(gs) > 0 THEN " +
         s"CAST(len(list_filter(gs, g -> ${lidBucketSql("g")} = $j)) AS DOUBLE)" +
         s" / len(gs) ELSE 0.0 END, 6) AS x${j + 1}"
     }.mkString(",\n               ")
@@ -554,8 +559,12 @@ object QText {
   // The full d5 pipeline (minhash -> banding -> candidates -> exact-Jaccard
   // verify) as one SQL string: the d5 oracle itself, and a CTE inside the
   // d7 connected-components oracle.
-  private val d5Sql =
-    s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM documents),
+  // The d5 chain over an arbitrary (doc_id, text) relation name — the
+  // d26 string-id oracle runs it over a surrogate-keyed CTE; `d5Sql`
+  // below is the classic `documents` instance. `WITH` at the head makes
+  // the whole block embeddable as a CTE body (DuckDB nests WITH fine).
+  private def d5SqlOn(tbl: String): String =
+    s"""WITH w AS (SELECT doc_id, unnest($dtoksSql) AS shingle FROM $tbl),
              sig AS (
                SELECT doc_id, seed,
                       min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
@@ -580,7 +589,7 @@ object QText {
                SELECT doc_id,
                       unnest(list_transform(range(1, CAST(greatest(length(text) - 1, 2) AS BIGINT)),
                         i -> substring(text, CAST(i AS INT), 3))) AS g
-               FROM documents WHERE doc_id IN (SELECT doc_id FROM cd))),
+               FROM $tbl WHERE doc_id IN (SELECT doc_id FROM cd))),
              sz AS (SELECT doc_id, count(*) AS sz FROM g0 GROUP BY doc_id),
              inter AS (
                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -594,8 +603,10 @@ object QText {
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.3"""
 
-  private val d7Sql =
-    s"""WITH RECURSIVE verified AS ($d5Sql),
+  private val d5Sql = d5SqlOn("documents")
+
+  private def d7SqlOn(tbl: String): String =
+    s"""WITH RECURSIVE verified AS (${d5SqlOn(tbl)}),
              e AS (SELECT doc_a AS a, doc_b AS b FROM verified
                    UNION SELECT doc_b, doc_a FROM verified),
              reach(v, r) AS (
@@ -603,6 +614,8 @@ object QText {
                UNION
                SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.v)
         SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v"""
+
+  private val d7Sql = d7SqlOn("documents")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token statistics: count, distinct, type-token ratio.
@@ -1547,6 +1560,28 @@ object QText {
       val docs = t(s, d, "documents")
         .filter(round(qualityScoreNative(col("text")), 6) >= 0.5)
       Dedup.exactGroups(docs, col("doc_id"), col("text"))
+    }),
+
+    // D26: the STRING-ID curation chain end-to-end — quality gate → exact
+    // dedup → MinHash/LSH → Jaccard verify → CC → representative filter,
+    // keyed by a string doc id. Real corpora key on stems/URLs/UUIDs (the
+    // reference keys every sample by a string stem, common/dataset.py:
+    // 112-159); the chain assigns an internal 64-bit surrogate at entry
+    // (Determinism.detHashStr — oracle-expressible md5 fold), runs the
+    // long-keyed cluster machinery on it, and hands back the caller's
+    // string ids untouched. The oracle rebuilds the identical surrogate
+    // in DuckDB and replays the whole chain over it, so representative
+    // selection (min surrogate) is pinned cross-engine, not just row
+    // counts. lpad makes the string order ≠ numeric order — the test
+    // would pass accidentally under 'doc-1' < 'doc-2' lexicographics.
+    "d26_string_ids" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      val docs = t(s, d, "documents").select(
+        concat(lit("doc-"), lpad(col("doc_id").cast("string"), 6, "0"))
+          .as("doc_id"),
+        col("text"))
+      graft.pipelines.Pipelines.dedupCorpus(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"))
     }),
 
     // Repetition quality signals (gopher-style): top-token dominance and
@@ -2521,6 +2556,27 @@ object QText {
           FROM documents
           WHERE round($qualitySql, 6) >= 0.5
           GROUP BY 1""",
+    "d26_string_ids" ->
+      s"""WITH sdocs AS (
+               SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS sid,
+                      text
+               FROM documents),
+           hq AS (SELECT ${graft.ops.Determinism.detHashStrSql("sid")}
+                           AS doc_id,
+                         sid, text
+                  FROM sdocs
+                  WHERE round($qualitySql, 6) >= 0.5),
+           ex AS MATERIALIZED (
+             SELECT doc_id, sid, text FROM (
+               SELECT doc_id, sid, text,
+                      min(doc_id) OVER (PARTITION BY
+                        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+                        AS keep
+               FROM hq) WHERE doc_id = keep),
+           clus AS (${d7SqlOn("ex")}),
+           drops AS (SELECT doc_id FROM clus WHERE doc_id <> cluster)
+       SELECT sid AS doc_id FROM ex
+       WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
     "tx_repetition" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
                c AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2)

@@ -175,6 +175,44 @@ object LangIdClassifier {
     langs.zip(ws.map(_.clone())).map { case (l, w) => l -> w }
   }
 
+  /** LANGUAGE GATE — keep exactly the docs whose [[predict]]ed language
+    * is in `keep` (CCNet stage 1: drop non-target-language docs before
+    * any scoring join or signature work spends a cycle on them). BY
+    * CONSTRUCTION ≡ predict-then-filter (same σ rounding, same
+    * models-order argmax, ties and the trigram-less 'und' fallback
+    * included — asserted in LangIdClassifierSpec), but shaped for the
+    * pipeline: ONE kernel walk per doc into a THIN (id, counts) scratch
+    * relation — never a corpus-payload copy — the keep decision is pure
+    * stored-column arithmetic over it, and survivors come back via a
+    * raw-id left-semi join (the lmGate shape; a cast here could fail
+    * open — the r13 lesson). Docs with no full trigram predict 'und'
+    * and are kept only if 'und' ∈ `keep` — the gate drops on EVIDENCE
+    * of a foreign language, and 'und' is an explicit caller choice.
+    */
+  def langGate(docs: DataFrame, id: Column, text: Column,
+               models: Seq[(String, Array[Double])], keep: Set[String],
+               k: Int = 12): DataFrame = {
+    require(models.nonEmpty, "langGate: no trained heads")
+    require(keep.nonEmpty,
+      "langGate: empty keep set would silently drop the whole corpus — " +
+        "pass the language codes to keep (CLI: --lang-keep en,fr)")
+    graft.extensions.GraftExtensions.register(docs.sparkSession)
+    val fr = graft.core.Scratch.materialize(
+      docs.select(id.as("__lg_id"), bucketCounts(text, k).as("__cnt")),
+      "langid_gate")
+    val feats = featuresFromCounts(col("__cnt"), k)
+    val scored = models.foldLeft(fr) { case (df, (l, w)) =>
+      df.withColumn(s"__p_$l", round(QualityClassifier.prob(feats, w), 6))
+    }
+    val best = greatest(models.map { case (l, _) => col(s"__p_$l") }: _*)
+    val predicted = models.foldRight(lit("und"): Column) {
+      case ((l, _), acc) => when(col(s"__p_$l") === best, lit(l)).otherwise(acc)
+    }
+    val keepIds = scored.filter(predicted.isin(keep.toSeq: _*))
+      .select(col("__lg_id"))
+    docs.join(keepIds, id === col("__lg_id"), "left_semi")
+  }
+
   /** Score `docs` under the trained heads: input columns + one
     * `p_<lang>` = round(σ(x·w_lang), 6) per language + `predicted` =
     * argmax over the ROUNDED probabilities, ties broken by `models`

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid}
   * (default: {x8,v15,compact,decont} — the original three claims; every
   * other section must be named explicitly, so a scale-evidence run names
   * the section it is collecting for).
@@ -432,6 +432,31 @@ object MaintProbe {
         val perRound = results.map { case (_, n, s) => s / n }
         println(f"[probe] bpe per-round ratio k=1024/k=256: " +
           f"${perRound(1) / perRound(0)}%.2f (≈1.0 ⇒ flat, linear in k)")
+      }
+      spark.catalog.clearCache()
+    }
+    // ---- langid: trained language-ID CAPACITY probe (r14 verdict
+    // missing #4): the oracle fixture is k=12 buckets × 5 heads, but
+    // production fastText-style models use orders more features. The
+    // lockstep trainer's gradient aggregate is langs×(k+1) sum columns
+    // in ONE pass — this measures per-pass cost as k grows (20 heads,
+    // ~1M docs) to locate the in-engine boundary (the honest-BPE
+    // discipline: probe, then document where the export point is).
+    if (sections("langid")) locally {
+      import graft.text.LangIdClassifier
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = amplify(docs0, "doc_id", 200, 10000000L)
+        .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(20L))))
+        .localCheckpoint()
+      val n = docs.count()
+      val langs = (0 until 20).map(i => s"l$i")
+      for (k <- Seq(64, 256, 1024)) {
+        val (_, s) = time(s"langid/train k=$k, 20 heads, 2 passes, $n docs") {
+          LangIdClassifier.train(docs, col("text"), col("lang"), langs,
+            k = k, iters = 2)
+        }
+        println(f"[probe] langid k=$k: ${s / 2}%.1f s/pass " +
+          f"(${langs.size * (k + 1)} gradient columns)")
       }
       spark.catalog.clearCache()
     }

@@ -145,6 +145,41 @@ class CliSpec extends SparkSpec {
     assert(kept === Set(1L, 3L), s"got $kept")
   }
 
+  test("dedup subcommand: --lang-seed/--lang-keep train and run the language gate") {
+    val docsDir = tmpDir("cli_lang_docs")
+    val seedDir = tmpDir("cli_lang_seed")
+    val outDir = tmpDir("cli_lang_out") + "/kept"
+    // 4-language seed (the LangIdClassifierSpec set — a 2-head model is
+    // too weak for deterministic held-out assertions); docs drawn from
+    // the seed so the gate decision is pinned by train-set accuracy
+    Seq(
+      ("the quick brown fox jumps over the lazy dog and the cat sleeps", "en"),
+      ("she said that this is the best thing with the right words", "en"),
+      ("der schnelle braune fuchs springt über den faulen hund und die katze", "de"),
+      ("sie sagte daß dies das beste ding mit den richtigen wörtern ist", "de"),
+      ("el rápido zorro marrón salta sobre el perro perezoso y el niño", "es"),
+      ("ella dijo que esto es lo mejor con las palabras señaladas así", "es"),
+      ("le renard brun rapide saute par dessus le chien paresseux déjà", "fr"),
+      ("elle a dit que c'était la meilleure chose avec les bons mots", "fr"))
+      .toDF("text", "lang").write.mode("overwrite").parquet(seedDir)
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the cat sleeps"),
+      (2L, "der schnelle braune fuchs springt über den faulen hund und die katze"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    Main.run(spark, Array("dedup", "--docs", docsDir,
+      "--min-quality", "0.0", "--lang-seed", seedDir,
+      "--lang-keep", "en", "--output", outDir))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L), s"got $kept")
+    // one flag without the other fails loudly (the lmGate discipline)
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Array("dedup", "--docs", docsDir,
+        "--min-quality", "0.0", "--lang-keep", "en"))
+    }
+    assert(e.getMessage.contains("--lang-seed"), e.getMessage)
+  }
+
   test("dedup subcommand: --domain-gate without --url-col fails loudly") {
     val docsDir = tmpDir("cli_req_docs")
     val denyDir = tmpDir("cli_req_deny")
@@ -420,6 +455,59 @@ class CliSpec extends SparkSpec {
     val logged = spark.table("clc_pairs").as[(Long, Long)].collect().toSet
     assert(logged === Set((2L, 101L), (2L, 201L), (101L, 201L), (3L, 202L),
       (7L, 202L)), s"got $logged")
+  }
+
+  test("ingest-daily accepts STRING doc ids end-to-end (band index + cluster table + pair log)") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS clis_band")
+    spark.sql("DROP TABLE IF EXISTS clis_clusters")
+    spark.sql("DROP TABLE IF EXISTS clis_pairs")
+    // string keys end-to-end: stems and URLs, the shapes real corpora
+    // key on — the whole day-2 loop (band index, candidates, verify,
+    // cluster fold-in, pair log) must run without a long cast anywhere
+    val corpus = Seq(
+      "stem-a"  -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "stem-b"  -> "the quick brown fox jumps over the lazy dog near the river bank",
+      "stem-c"  -> "spark shuffles partition data across executors during wide stages",
+      "stem-c2" -> "spark shuffles partition data across executors during wide stages")
+      .toDF("doc_id", "text")
+    val day1 = Seq(
+      "url://x1" -> "the quick brown fox jumps over the lazy dog near the river bank",
+      "url://x2" -> "subway platforms echo with late night maintenance announcements")
+      .toDF("doc_id", "text")
+    val corpusDir = tmpDir("clis_corpus")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    val day1Dir = tmpDir("clis_day1")
+    day1.write.mode("overwrite").parquet(day1Dir)
+    Dedup.writeBandIndex(Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4),
+      "clis_band", buckets = 4)
+    val cands0 = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4)
+    val seed = Dedup.connectedComponentsStar(
+      Dedup.verifyCandidates(corpus, cands0, col("doc_id"), col("text"),
+        3, 0.5),
+      "doc_a", "doc_b")
+    Dedup.writeClusterAssignment(seed, "clis_clusters", buckets = 4)
+    assert(Dedup.readClusterAssignment(spark, "clis_clusters")
+      .as[(String, String)].collect().toMap
+      === Map("stem-c" -> "stem-c", "stem-c2" -> "stem-c"))
+    Main.run(spark, Array("ingest-daily",
+      "--docs", day1Dir, "--corpus", corpusDir,
+      "--band-table", "clis_band", "--buckets", "4",
+      "--min-jaccard", "0.5", "--cluster-table", "clis_clusters",
+      "--pair-log", "clis_pairs", "--audit"))
+    val live = Dedup.readClusterAssignment(spark, "clis_clusters")
+      .as[(String, String)].collect().toMap
+    assert(live === Map("stem-c" -> "stem-c", "stem-c2" -> "stem-c",
+      "stem-b" -> "stem-b", "url://x1" -> "stem-b"), s"got $live")
+    val logged = spark.table("clis_pairs")
+      .select("doc_a", "doc_b").as[(String, String)].collect().toSet
+    assert(logged === Set(("stem-b", "url://x1")), s"got $logged")
+    spark.sql("DROP TABLE IF EXISTS clis_band")
+    spark.sql("DROP TABLE IF EXISTS clis_clusters")
+    spark.sql("DROP TABLE IF EXISTS clis_pairs")
   }
 
   test("forget: deletion request propagates across band index, semantic index, and cluster table") {

@@ -503,6 +503,46 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("CC machinery is comparison-only: STRING keys cluster like their order-isomorphic longs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // "v%03d" is order-isomorphic to the long id, so min-labels map 1:1 —
+    // the string-keyed output must be exactly the long output renamed.
+    // This is the contract the dedup chain's surrogate path and string-id
+    // cluster tables (ingest-daily day-2 maintenance) stand on.
+    def sid(v: Long): String = f"v$v%03d"
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)))
+    val prop = Prop.forAll(edgeGen) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      if (real.isEmpty) true
+      else {
+        val dfL = real.toDF("doc_a", "doc_b")
+        val dfS = real.map { case (a, b) => (sid(a), sid(b)) }
+          .toDF("doc_a", "doc_b")
+        val longCC = Dedup.connectedComponentsStar(dfL, "doc_a", "doc_b")
+          .as[(Long, Long)].collect().toMap
+          .map { case (v, c) => sid(v) -> sid(c) }
+        val strCC = Dedup.connectedComponentsStar(dfS, "doc_a", "doc_b")
+          .as[(String, String)].collect().toMap
+        val oldS = dfS.filter(length($"doc_a") === 4 && $"doc_a" < "v020" &&
+          $"doc_b" < "v020")
+        val newS = dfS.filter($"doc_a" >= "v020" || $"doc_b" >= "v020")
+        val asgS = Dedup.connectedComponentsStar(oldS, "doc_a", "doc_b")
+        val incS = Dedup.incrementalClusters(asgS, newS)
+          .as[(String, String)].collect().toMap
+        strCC == longCC && incS == strCC
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+    // mixed numeric/string endpoints fail loudly, never coerce
+    val mixed = Seq((1L, "a"), (2L, "b")).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStar(mixed, "doc_a", "doc_b")
+    }
+    assert(e.getMessage.contains("mix numeric"), e.getMessage)
+  }
+
   test("incrementalClusters: fold-in equals batch CC on random old/new splits (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // vertices < 20 are "day 1"; any edge touching >= 20 is the new shard.

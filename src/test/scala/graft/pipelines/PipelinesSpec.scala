@@ -355,18 +355,102 @@ class PipelinesSpec extends SparkSpec {
     assert(direct === Set(1L, 3L))
   }
 
-  test("non-integral doc ids fail LOUDLY at entry; the id-keyed stage joins key raw") {
-    // the near-dup cluster machinery is long-keyed (CC label arithmetic),
-    // so a string-id corpus must be refused up front — under ANSI the old
-    // behavior was a CAST_INVALID_INPUT crash deep inside the CC rounds,
-    // and pre-ANSI the id.cast("long") joins silently nulled every key
-    // (scrub/decont no-oped, the dedup drop set missed everything)
-    val docsStr = Seq(("a", "the cat sat"), ("b", "the dog sat"))
+  test("lang gate: trained classifier drops off-language docs before the scoring stages") {
+    // the 4-language seed whose TRAIN-set accuracy (8/8) is pinned in
+    // LangIdClassifierSpec; the pipeline docs are drawn from it so the
+    // gate decision is deterministic-correct, not held-out luck (a
+    // 2-head model trains to mirror weights w_en = -w_de and sits at
+    // σ≈0.51 on held-out text — too weak to assert memberships on)
+    val seed = Seq(
+      ("the quick brown fox jumps over the lazy dog and the cat sleeps", "en"),
+      ("she said that this is the best thing with the right words", "en"),
+      ("der schnelle braune fuchs springt über den faulen hund und die katze", "de"),
+      ("sie sagte daß dies das beste ding mit den richtigen wörtern ist", "de"),
+      ("el rápido zorro marrón salta sobre el perro perezoso y el niño", "es"),
+      ("ella dijo que esto es lo mejor con las palabras señaladas así", "es"),
+      ("le renard brun rapide saute par dessus le chien paresseux déjà", "fr"),
+      ("elle a dit que c'était la meilleure chose avec les bons mots", "fr"))
+      .toDF("text", "lang")
+    val models = graft.text.LangIdClassifier.train(seed, col("text"),
+      col("lang"), Seq("de", "en", "es", "fr"))
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the cat sleeps"),
+      (2L, "der schnelle braune fuchs springt über den faulen hund und die katze"),
+      (3L, "she said that this is the best thing with the right words"))
       .toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException] {
-      Pipelines.dedupCorpusStages(docsStr, col("doc_id"), col("text"))
+    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+      minQuality = 0.0, langKeep = Some((models, Set("en"))))
+    val m = stages.toMap
+    assert(m.contains("lang_gate"))
+    val kept = m("lang_gate").select("doc_id").as[Long].collect().toSet
+    // the gate IS predict-then-filter (the contract the stage states)
+    val direct = graft.text.LangIdClassifier.predict(docs, col("text"), models)
+      .filter(col("predicted") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === direct)
+    // real discrimination: the German doc drops, the English docs stay
+    assert(kept === Set(1L, 3L), kept)
+    // the funnel shrinks monotonically through the gate
+    val counts = stages.map { case (_, df) => df.count() }
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts)
+    // and the dropped doc never reaches the chain's end
+    assert(!stages.last._2.select("doc_id").as[Long].collect().toSet
+      .contains(2L))
+  }
+
+  test("string doc ids run the WHOLE chain via the internal surrogate; raw-keyed stage joins") {
+    // the near-dup cluster machinery is long-keyed (CC label arithmetic),
+    // so a non-integral-id corpus gets a 64-bit surrogate at entry
+    // (detHashStr, collision-checked) and the caller's ids come back out
+    // untouched — real corpora key on string stems/URLs/UUIDs, and the
+    // r14 integral-only refusal died on them at the front door
+    val rep10 = Seq.fill(10)("copy").mkString(" ")
+    val docsStr = Seq(
+      ("stem-alpha", "the cat sat on the mat and purred quietly today ok"),
+      ("stem-beta",  "the cat sat on the mat and purred quietly today ok"),
+      ("url://c?x",  "the quick brown fox jumped over the lazy dog today"),
+      ("url://c2&y", "the quick brown fox jumped over the lazy dog there"),
+      ("uuid-dddd",  s"an entirely different document $rep10 about stars"))
+      .toDF("doc_id", "text")
+    val stages = Pipelines.dedupCorpusStages(docsStr, col("doc_id"),
+      col("text"), minQuality = 0.0, minJaccard = 0.3)
+    // no internal surrogate column leaks out of ANY emitted stage
+    stages.foreach { case (n, df) =>
+      assert(!df.columns.contains("__graft_sid"), s"stage $n leaks sid")
     }
-    assert(e.getMessage.contains("integral"), e.getMessage)
+    val kept = stages.last._2.select("doc_id").as[String].collect().toSet
+    // exact dups collapse to ONE of the stems; the near-dup url pair to
+    // ONE of the urls; the distinct doc survives — all original ids
+    assert(kept.subsetOf(Set("stem-alpha", "stem-beta", "url://c?x",
+      "url://c2&y", "uuid-dddd")))
+    assert(kept.count(Set("stem-alpha", "stem-beta")) === 1, kept)
+    assert(kept.count(Set("url://c?x", "url://c2&y")) === 1, kept)
+    assert(kept.contains("uuid-dddd"))
+    // ≡ the integral-id chain on the same corpus: identical surviving
+    // TEXT set (representative ids may differ — surrogate vs raw order)
+    val docsLong = docsStr.withColumn("doc_id",
+      xxhash64(col("doc_id")))
+    val keptLong = Pipelines.dedupCorpus(docsLong, col("doc_id"),
+      col("text"), minQuality = 0.0, minJaccard = 0.3)
+      .select("text").as[String].collect().toSet
+    val keptTexts = stages.last._2.select("text").as[String].collect().toSet
+    // near-dup clusters have equal-text members only for the exact pair,
+    // so compare cluster-invariant structure: survivor counts per group
+    assert(keptLong.size === keptTexts.size)
+    // keepBy states the policy in corpus terms and is surrogate-independent
+    val keptBest = Pipelines.dedupCorpus(docsStr, col("doc_id"),
+        col("text"), minQuality = 0.0, minJaccard = 0.3,
+        keepBy = Some(length(col("text")).cast("long")))
+      .select("doc_id").as[String].collect().toSet
+    assert(keptBest.contains("uuid-dddd"))
+    assert(keptBest.count(Set("stem-alpha", "stem-beta")) === 1)
+    // NULL ids fail loudly at entry on the surrogate path
+    val withNull = Seq((null.asInstanceOf[String], "some text here"),
+      ("ok-id", "other text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.dedupCorpusStages(withNull, col("doc_id"), col("text"))
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
     // the raw-join shape itself, end-to-end with integral ids: scrub,
     // decont, and substring scrub all fire on the docs they should
     val boiler = "nav bar boilerplate line"
@@ -378,10 +462,10 @@ class PipelinesSpec extends SparkSpec {
       (4L, s"$boiler\nthe eval passage leaks here verbatim now")) // contaminated
       .toDF("doc_id", "text")
     val eval = Seq("the eval passage leaks here verbatim now").toDF("text")
-    val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
+    val stages2 = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
       minQuality = 0.0, lineScrubDf = 3, evalDocs = Some(eval), decontN = 5,
       substrN = Some(5))
-    val m = stages.toMap
+    val m = stages2.toMap
     // scrub actually fired: the shared boilerplate line is gone
     val cleaned = m("line_scrub").select("doc_id", "text")
       .as[(Long, String)].collect().toMap
