@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      --docs <parquet> --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--keep-by length|<col>] [--proto-prune 0.2] [--audit]
+  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12]] [--keep-by length|<col>] [--proto-prune 0.2] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
@@ -86,7 +86,23 @@ object Main {
         val pending = Pipelines.sync(remote, local, "key", transfer)
         println(s"[sync] pending: ${pending.count()} objects")
       case "dedup" =>
-        val docs = spark.read.parquet(opt(args, "--docs").get)
+        // --wet ingests Common Crawl WET shards directly (graft.sources
+        // .Wet.readWet): docs arrive as (url, record_ts, text) with the
+        // URL as the doc id — string ids ride the chain's internal
+        // surrogate, and --url-col defaults to the url column so the
+        // domain gate / cap / url-dedup stages key correctly out of the
+        // box. --docs stays the parquet path.
+        val docs = (opt(args, "--docs"), opt(args, "--wet")) match {
+          case (Some(d), None) => spark.read.parquet(d)
+          case (None, Some(w)) =>
+            graft.sources.Wet.readWet(spark, w)
+              .select(col("url").as("doc_id"), col("url"),
+                col("record_ts"), col("text"))
+          case _ => throw new IllegalArgumentException(
+            "dedup: pass exactly one of --docs <parquet> or --wet <dir>")
+        }
+        val defaultUrlCol =
+          if (opt(args, "--wet").isDefined) Some("url") else None
         val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
           minQuality = opt(args, "--min-quality").map(_.toDouble).getOrElse(0.5),
           minJaccard = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3),
@@ -128,7 +144,7 @@ object Main {
           // column of registrable domains). Together they drop denied
           // domains before any text stage, and --max-per-source caps by
           // registrable domain instead of --source-col.
-          urlCol = opt(args, "--url-col"),
+          urlCol = opt(args, "--url-col").orElse(defaultUrlCol),
           domainDeny = opt(args, "--domain-gate")
             .map(spark.read.parquet(_)),
           // --psl <file>: swap the embedded multi-part-suffix subset for

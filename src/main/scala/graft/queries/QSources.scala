@@ -66,6 +66,34 @@ object QSources {
           md5(col("text")).as("text_md5"))
     }),
 
+    // S18: WET (WARC conversion) round-trip — the Common Crawl
+    // interchange format web curation starts from (CCNet/RefinedWeb
+    // stage 0). A documents slice is serialized as 4 deterministic WET
+    // shards (warcinfo + conversion records, CRLF headers, payloads
+    // sliced by Content-Length — the s16 tar discipline applied to the
+    // crawl format), read back through the per-file record walk, and
+    // hashed. URL, WARC-Date, and text all survive the oracle hash, so
+    // the writer's wire format AND the reader's boundary parse are both
+    // on the hook; gzip/member handling and the text-contains-"WARC/1.0"
+    // boundary case are WetSpec's.
+    "s18_wet_roundtrip" -> ((s, d) => {
+      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/wet"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Wet.writeWetShards(
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(concat(lit("https://example.com/doc/"),
+              col("doc_id").cast("string")).as("url"),
+            expr("timestampadd(SECOND, CAST(doc_id AS INT), " +
+              "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+            col("text")),
+        "url", "ts", "text", dir, numShards = 4)
+      graft.sources.Wet.readWet(s, dir)
+        .select(col("url"), col("record_ts"),
+          length(col("text")).cast("long").as("n_chars_txt"),
+          md5(col("text")).as("text_md5"))
+    }),
+
     // J2 (pairsJoin form): the dead-code-no-more fan-out — pairs rows
     // left-joined to per-directory asset manifests through
     // ManifestOps.pairsJoin (person dir + garment dir).
@@ -240,6 +268,13 @@ object QSources {
                        delim=' ', header=false,
                        columns={'person_id': 'BIGINT', 'garment_id': 'BIGINT'})
          JOIN customer ON person_id = c_custkey""",
+    "s18_wet_roundtrip" ->
+      """SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                TIMESTAMP '2024-01-01 00:00:00'
+                  + to_seconds(CAST(doc_id AS BIGINT)) AS record_ts,
+                CAST(length(text) AS BIGINT) AS n_chars_txt,
+                md5(text) AS text_md5
+         FROM documents WHERE doc_id < 200""",
     "s17_jsonl_roundtrip" ->
       """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
          FROM documents WHERE doc_id < 200""",

@@ -59,6 +59,16 @@ object Urls {
   /** Registrable domain of a HOST (not a URL — compose with
     * [[normalizedHost]]): last two labels, last three over a
     * multi-part suffix, the host itself when it has no dot.
+    *
+    * BOUNDARY (explicit): this default uses the EMBEDDED 20-entry
+    * two-label suffix subset above — an approximation. Hosts under
+    * suffixes outside it (e.g. `com.ar`, `pvt.k12.ma.us`), 4+-label
+    * rules, wildcard rules (`*.ck`), and exceptions (`!www.ck`) all
+    * fall back to last-two-labels, which can over-group distinct
+    * registrants under one "domain". Production web curation should
+    * load the full Public Suffix List and use the full-fidelity path:
+    * [[loadPsl]] + [[registrableDomainPsl]] (CLI `--psl`), which
+    * handles every rule shape with real precedence.
     */
   def registrableDomain(host: Column): Column =
     registrableDomain(host, multiPartSuffixes)

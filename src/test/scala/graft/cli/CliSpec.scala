@@ -180,6 +180,37 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--lang-seed"), e.getMessage)
   }
 
+  test("dedup subcommand: --wet ingests WET shards, url as doc id, url stages keyed by default") {
+    import org.apache.spark.sql.functions._
+    val wetDir = tmpDir("cli_wet_in")
+    val outDir = tmpDir("cli_wet_out") + "/kept"
+    // two re-crawls of one canonical page (tracking param / fragment
+    // differ) + one distinct page: --url-dedup must collapse the pair
+    // with NO --url-col flag — the wet source wires it
+    val rows = Seq(
+      ("https://site-a.com/page?utm_source=x", "2024-01-01 00:00:01",
+        "the cat sat on the mat and purred quietly today ok fine"),
+      ("https://site-a.com/page#frag", "2024-01-01 00:00:02",
+        "the cat sat on the mat and purred quietly today ok fine"),
+      ("https://site-b.com/other", "2024-01-01 00:00:03",
+        "an entirely different page about spark pipelines and scale"))
+      .toDF("url", "ts", "text")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    graft.sources.Wet.writeWetShards(rows, "url", "ts", "text", wetDir, 2)
+    Main.run(spark, Array("dedup", "--wet", wetDir,
+      "--min-quality", "0.0", "--url-dedup", "--output", outDir))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept.size === 2, kept)
+    assert(kept.contains("https://site-b.com/other"))
+    assert(kept.count(_.startsWith("https://site-a.com/page")) === 1, kept)
+    // --docs and --wet together (or neither) fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Array("dedup", "--output", outDir))
+    }
+    assert(e.getMessage.contains("--wet"), e.getMessage)
+  }
+
   test("dedup subcommand: --domain-gate without --url-col fails loudly") {
     val docsDir = tmpDir("cli_req_docs")
     val denyDir = tmpDir("cli_req_deny")
