@@ -69,13 +69,16 @@ object QText {
       s"CAST(ascii(substring($g, 2, 1)) AS BIGINT) * 31 + " +
       s"CAST(ascii(substring($g, 3, 1)) AS BIGINT)) % $lidK"
   private val lidFeatSql: String = {
-    // NULL-text rows: Spark's kernel returns NULL counts, so features, σ,
-    // and every gradient contribution are NULL and the row drops out of
-    // the sums (and predicts 'und'). Mirror that exactly — gs IS NULL →
-    // NULL feature, never the ELSE 0.0 bias-only branch (r14 ADVICE: the
-    // bias-only row would keep contributing to the twin's gradients)
+    // NULL-text rows are BIAS-ONLY rows on the Spark side, not dropped:
+    // the kernel returns NULL counts, but featuresFromCounts'
+    // `when(total > 0, …).otherwise(0.0)` absorbs the NULL — features
+    // come out 0.0, the bias stays 1.0, and the row contributes to every
+    // gradient sum (verified numerically against the trainer in r15; the
+    // r14 ADVICE claim that such rows drop out misread the otherwise
+    // branch). The ELSE 0.0 here mirrors that exactly: gs IS NULL falls
+    // through the false-on-NULL len(gs) > 0 test into the same 0.0.
     val xs = (0 until lidK).map { j =>
-      s"round(CASE WHEN gs IS NULL THEN NULL WHEN len(gs) > 0 THEN " +
+      s"round(CASE WHEN len(gs) > 0 THEN " +
         s"CAST(len(list_filter(gs, g -> ${lidBucketSql("g")} = $j)) AS DOUBLE)" +
         s" / len(gs) ELSE 0.0 END, 6) AS x${j + 1}"
     }.mkString(",\n               ")

@@ -109,10 +109,31 @@ object LangIdClassifier {
     */
   def train(docs: DataFrame, text: Column, lang: Column,
             langs: Seq[String], k: Int = 12, iters: Int = 8,
-            lr: Double = 8.0): Seq[(String, Array[Double])] = {
+            lr: Double = 8.0,
+            wideGradMaxCols: Int = 512): Seq[(String, Array[Double])] = {
     require(langs.nonEmpty && langs.distinct == langs,
       s"train: langs must be non-empty and distinct, got $langs")
     graft.extensions.GraftExtensions.register(docs.sparkSession)
+    // Two trainer shapes, IDENTICAL trajectories (bit-exact, asserted
+    // in LangIdClassifierSpec): below `wideGradMaxCols` total gradient
+    // columns, the lockstep WIDE aggregate below — the oracle-pinned
+    // form (tx_langid_trained). Above it, the wide form's generated
+    // code goes QUADRATIC in k (each of the langs×(k+1) sum columns
+    // re-expands its head's whole σ dot product — measured 87 MB task
+    // binaries and 254 s/pass at 20 heads × k=64 × 1M docs, MaintProbe
+    // langid r15; and any (k+1)-wide feature projection additionally
+    // falls out of whole-stage codegen past spark.sql.codegen.maxFields
+    // at k≈100+, going interpreted-row-bound), so the capacity path is
+    // the FUSED native kernel ([[trainKernel]]): a two-column scan and
+    // one O(heads×k)-per-row aggregate.
+    if (langs.size * (k + 1) > wideGradMaxCols)
+      trainKernel(docs, text, lang, langs, k, iters, lr)
+    else trainWide(docs, text, lang, langs, k, iters, lr)
+  }
+
+  private def trainWide(docs: DataFrame, text: Column, lang: Column,
+                        langs: Seq[String], k: Int, iters: Int,
+                        lr: Double): Seq[(String, Array[Double])] = {
     val raw = graft.core.Scratch.materialize(
       docs.select(
         bucketCounts(text, k).as("__cnt") +:
@@ -175,6 +196,62 @@ object LangIdClassifier {
     langs.zip(ws.map(_.clone())).map { case (l, w) => l -> w }
   }
 
+  /** The CAPACITY trainer — the [[graft.functions.LogisticGradKernel]]
+    * fused pass: the scan carries exactly (counts vector, label index),
+    * weights ride a broadcast ONE-ROW array relation (iteration-stable
+    * plan, the trainWide codegen-cache rationale), and one aggregate
+    * returns every head's fixed-point gradient. Bit-exact with
+    * [[trainWide]] (the kernel's exactness contract); probed at 20
+    * heads × 1M docs in MaintProbe `langid`.
+    */
+  private def trainKernel(docs: DataFrame, text: Column, lang: Column,
+                          langs: Seq[String], k: Int, iters: Int,
+                          lr: Double): Seq[(String, Array[Double])] = {
+    val d = k + 1
+    val spark = docs.sparkSession
+    // label INDEX, not one-hot columns: -2 = null lang (the row must
+    // contribute nothing, matching the wide form's null-propagating
+    // sums), -1 = unknown lang (y=0 for every head, matching
+    // `lang === l` false everywhere)
+    val yIdx = when(lang.isNull, lit(-2)).otherwise(
+      langs.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((l, i), acc) => when(lang === l, lit(i)).otherwise(acc)
+      }).cast("int")
+    val raw = graft.core.Scratch.materialize(
+      docs.select(bucketCounts(text, k).as("__cnt"), yIdx.as("__yi")),
+      "langid_features")
+    val n = raw.count().toDouble
+    require(n > 0, "train: empty training set")
+    val ws = Array.fill(langs.size)(Array.fill(d)(0.0))
+    val gradFn = org.apache.spark.sql.functions.udaf(
+      new graft.functions.LogisticGradKernel(langs.size, k))
+    val wSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__w",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    // a NULL counts vector (null text) reaches the kernel as an EMPTY
+    // array — primitive array decode rejects null, and empty is the
+    // kernel's contribute-nothing sentinel
+    val cntSafe = coalesce(col("__cnt"),
+      expr("CAST(array() AS ARRAY<BIGINT>)"))
+    for (_ <- 0 until iters) {
+      val flat: Seq[Double] =
+        for (c <- langs.indices; j <- 0 until d) yield ws(c)(j)
+      val wDf = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(flat)), wSchema)
+      val g = raw.crossJoin(broadcast(wDf))
+        .agg(gradFn(cntSafe, col("__yi"), col("__w"))).head()
+        .getSeq[Long](0)
+      for (c <- langs.indices; j <- 0 until d) {
+        ws(c)(j) = BigDecimal(ws(c)(j) - lr * g(c * d + j) / n / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    langs.zip(ws.map(_.clone())).map { case (l, w) => l -> w }
+  }
+
   /** LANGUAGE GATE — keep exactly the docs whose [[predict]]ed language
     * is in `keep` (CCNet stage 1: drop non-target-language docs before
     * any scoring join or signature work spends a cycle on them). BY
@@ -185,9 +262,11 @@ object LangIdClassifier {
     * relation — never a corpus-payload copy — the keep decision is pure
     * stored-column arithmetic over it, and survivors come back via a
     * raw-id left-semi join (the lmGate shape; a cast here could fail
-    * open — the r13 lesson). Docs with no full trigram predict 'und'
-    * and are kept only if 'und' ∈ `keep` — the gate drops on EVIDENCE
-    * of a foreign language, and 'und' is an explicit caller choice.
+    * open — the r13 lesson). Docs with no full trigram (or null text)
+    * are BIAS-ONLY rows — featuresFromCounts' otherwise(0.0) absorbs
+    * the null — so they predict the argmax of the bias weights σ(w₀_c),
+    * exactly like [[predict]]; the 'und' fold base is unreachable for
+    * non-empty models.
     */
   def langGate(docs: DataFrame, id: Column, text: Column,
                models: Seq[(String, Array[Double])], keep: Set[String],
