@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12]] [--keep-by length|<col>] [--proto-prune 0.2] [--audit]
+  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
@@ -188,7 +188,12 @@ object Main {
               "--lang-seed and --lang-keep must be passed together — one " +
                 "alone would silently skip the language gate")
           },
-          langK = opt(args, "--lang-k").map(_.toInt).getOrElse(12))
+          langK = opt(args, "--lang-k").map(_.toInt).getOrElse(12),
+          // --lang-min-prob: CCNet's confidence rule — drop docs whose
+          // best head is below the threshold even when the argmax lands
+          // in the keep set (0 = argmax-only)
+          langMinProb =
+            opt(args, "--lang-min-prob").map(_.toDouble).getOrElse(0.0))
         val kept = stages.last._2
         // funnel audit: per-stage surviving-doc counts — the curation
         // run's QA report ("gate dropped N, decontamination M, ...")

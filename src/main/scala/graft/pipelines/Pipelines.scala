@@ -431,7 +431,8 @@ object Pipelines {
                   lmOrder: Int = 3,
                   urlExactDedup: Boolean = false,
                   langKeep: Option[(Seq[(String, Array[Double])], Set[String])] = None,
-                  langK: Int = 12): DataFrame =
+                  langK: Int = 12,
+                  langMinProb: Double = 0.0): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
@@ -440,7 +441,7 @@ object Pipelines {
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
       gopherGate, urlCol, domainDeny, psl,
       lmTarget, lmMinAvgLogp, lmOrder, urlExactDedup,
-      langKeep, langK).last._2
+      langKeep, langK, langMinProb).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -488,7 +489,8 @@ object Pipelines {
                         lmOrder: Int = 3,
                         urlExactDedup: Boolean = false,
                         langKeep: Option[(Seq[(String, Array[Double])], Set[String])] = None,
-                        langK: Int = 12)
+                        langK: Int = 12,
+                        langMinProb: Double = 0.0)
       : Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
@@ -658,7 +660,7 @@ object Pipelines {
     val langGated = langKeep match {
       case Some((models, keepLangs)) =>
         graft.text.LangIdClassifier.langGate(gated, cid, cleanText,
-          models, keepLangs, langK)
+          models, keepLangs, langK, langMinProb)
       case None => gated
     }
     if (langKeep.isDefined) emit("lang_gate", langGated)

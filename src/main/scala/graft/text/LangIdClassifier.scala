@@ -97,6 +97,25 @@ object LangIdClassifier {
   def bucketFeatures(text: Column, k: Int = 12): Seq[Column] =
     featuresFromCounts(bucketCounts(text, k), k)
 
+  /** One fused-kernel call scoring EVERY head: `[round(σ(x·w_c), 6)]`
+    * per row ([[graft.functions.SigmoidHeadsExpr]]) — the capacity form
+    * of the per-head σ columns (which go interpreted past
+    * `spark.sql.codegen.maxFields` at large k; SURVEY §6.3 langid). The
+    * coalesce-to-empty keeps null text on the BIAS-ONLY contract.
+    */
+  private def sigmoidHeads(cnt: Column,
+                           models: Seq[(String, Array[Double])],
+                           k: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    require(models.forall(_._2.length == k + 1),
+      s"sigmoidHeads: every weight vector must have k+1 = ${k + 1} entries")
+    ColumnShim.column(graft.functions.SigmoidHeadsExpr(
+      ColumnShim.expression(coalesce(cnt,
+        expr("CAST(array() AS ARRAY<BIGINT>)"))),
+      ColumnShim.expression(lit(models.flatMap(_._2.toSeq).toArray)),
+      models.size))
+  }
+
   /** Train one logistic head per language (one-vs-rest) on `docs` with a
     * `lang` label column. Returns (language → weight vector) in `langs`
     * order — feed to [[predict]]. The counts relation is materialized to
@@ -270,24 +289,43 @@ object LangIdClassifier {
     */
   def langGate(docs: DataFrame, id: Column, text: Column,
                models: Seq[(String, Array[Double])], keep: Set[String],
-               k: Int = 12): DataFrame = {
+               k: Int = 12, minProb: Double = 0.0,
+               wideScoreMaxCols: Int = 512): DataFrame = {
     require(models.nonEmpty, "langGate: no trained heads")
     require(keep.nonEmpty,
       "langGate: empty keep set would silently drop the whole corpus — " +
         "pass the language codes to keep (CLI: --lang-keep en,fr)")
+    require(minProb <= 1.0,
+      s"langGate: minProb $minProb > 1.0 would drop every doc (σ ≤ 1)")
     graft.extensions.GraftExtensions.register(docs.sparkSession)
+    // same capacity switch as [[predict]]: past ~512 score terms the
+    // thin scratch row stores the fused kernel's σ array, not the counts
+    val useKernel = models.size * (k + 1) > wideScoreMaxCols
     val fr = graft.core.Scratch.materialize(
-      docs.select(id.as("__lg_id"), bucketCounts(text, k).as("__cnt")),
+      if (useKernel)
+        docs.select(id.as("__lg_id"),
+          sigmoidHeads(bucketCounts(text, k), models, k).as("__p"))
+      else docs.select(id.as("__lg_id"), bucketCounts(text, k).as("__cnt")),
       "langid_gate")
     val feats = featuresFromCounts(col("__cnt"), k)
-    val scored = models.foldLeft(fr) { case (df, (l, w)) =>
-      df.withColumn(s"__p_$l", round(QualityClassifier.prob(feats, w), 6))
-    }
+    val scored =
+      if (useKernel)
+        models.zipWithIndex.foldLeft(fr) { case (df, ((l, _), i)) =>
+          df.withColumn(s"__p_$l", element_at(col("__p"), i + 1))
+        }
+      else models.foldLeft(fr) { case (df, (l, w)) =>
+        df.withColumn(s"__p_$l", round(QualityClassifier.prob(feats, w), 6))
+      }
     val best = greatest(models.map { case (l, _) => col(s"__p_$l") }: _*)
     val predicted = models.foldRight(lit("und"): Column) {
       case ((l, _), acc) => when(col(s"__p_$l") === best, lit(l)).otherwise(acc)
     }
-    val keepIds = scored.filter(predicted.isin(keep.toSeq: _*))
+    // CCNet's confidence rule: a doc whose BEST head is uncertain is
+    // dropped even when the argmax lands in the keep set (minProb 0
+    // disables the test — the default gate is argmax-only)
+    val confident =
+      if (minProb <= 0.0) lit(true) else best >= lit(minProb)
+    val keepIds = scored.filter(predicted.isin(keep.toSeq: _*) && confident)
       .select(col("__lg_id"))
     docs.join(keepIds, id === col("__lg_id"), "left_semi")
   }
@@ -300,20 +338,36 @@ object LangIdClassifier {
     */
   def predict(docs: DataFrame, text: Column,
               models: Seq[(String, Array[Double])],
-              k: Int = 12): DataFrame = {
+              k: Int = 12,
+              wideScoreMaxCols: Int = 512): DataFrame = {
     graft.extensions.GraftExtensions.register(docs.sparkSession)
+    // capacity switch (the train() rationale on the inference side): per-
+    // head σ columns over (k+1) element_at terms fall out of whole-stage
+    // codegen past maxFields at large heads×k — above the threshold the
+    // scratch row stores the fused kernel's σ ARRAY instead of the
+    // counts, and every output column is a stored-array element_at.
+    // Identical values (the kernel's rounding contract; parity asserted
+    // in LangIdClassifierSpec incl. null text).
+    val useKernel = models.size * (k + 1) > wideScoreMaxCols
     val fr = graft.core.Scratch.materialize(
-      docs.withColumn("__cnt", bucketCounts(text, k)),
+      if (useKernel)
+        docs.withColumn("__p", sigmoidHeads(bucketCounts(text, k), models, k))
+      else docs.withColumn("__cnt", bucketCounts(text, k)),
       "langid_pred")
     val feats = featuresFromCounts(col("__cnt"), k)
-    val scored = models.foldLeft(fr) { case (df, (l, w)) =>
-      df.withColumn(s"p_$l", round(QualityClassifier.prob(feats, w), 6))
-    }
+    val scored =
+      if (useKernel)
+        models.zipWithIndex.foldLeft(fr) { case (df, ((l, _), i)) =>
+          df.withColumn(s"p_$l", element_at(col("__p"), i + 1))
+        }
+      else models.foldLeft(fr) { case (df, (l, w)) =>
+        df.withColumn(s"p_$l", round(QualityClassifier.prob(feats, w), 6))
+      }
     val best = greatest(models.map { case (l, _) => col(s"p_$l") }: _*)
     scored.withColumn("predicted",
       models.foldRight(lit("und"): Column) { case ((l, _), acc) =>
         when(col(s"p_$l") === best, lit(l)).otherwise(acc)
       })
-      .drop("__cnt")
+      .drop("__cnt", "__p")
   }
 }

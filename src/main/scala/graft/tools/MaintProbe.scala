@@ -451,12 +451,18 @@ object MaintProbe {
       val n = docs.count()
       val langs = (0 until 20).map(i => s"l$i")
       for (k <- Seq(64, 256, 1024)) {
-        val (_, s) = time(s"langid/train k=$k, 20 heads, 2 passes, $n docs") {
+        val (models, s) = time(s"langid/train k=$k, 20 heads, 2 passes, $n docs") {
           LangIdClassifier.train(docs, col("text"), col("lang"), langs,
             k = k, iters = 2)
         }
         println(f"[probe] langid k=$k: ${s / 2}%.1f s/pass " +
           f"(${langs.size * (k + 1)} gradient columns)")
+        // inference capacity: one fused-kernel pass scoring every head
+        // (predict auto-switches past 512 score terms)
+        time(s"langid/predict k=$k, 20 heads, $n docs") {
+          LangIdClassifier.predict(docs, col("text"), models, k = k)
+            .agg(count(when(col("predicted") === langs.head, 1))).head()
+        }
       }
       spark.catalog.clearCache()
     }

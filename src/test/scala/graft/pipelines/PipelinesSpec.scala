@@ -396,6 +396,22 @@ class PipelinesSpec extends SparkSpec {
     // and the dropped doc never reaches the chain's end
     assert(!stages.last._2.select("doc_id").as[Long].collect().toSet
       .contains(2L))
+    // CCNet's confidence rule: with minProb between the two English
+    // docs' best-head probabilities, only the more-confident one
+    // survives — and the gate stays ≡ predict-then-filter
+    val ps = graft.text.LangIdClassifier.predict(docs, col("text"), models)
+      .filter(col("predicted") === "en")
+      .select(col("doc_id"), greatest(col("p_de"), col("p_en"),
+        col("p_es"), col("p_fr")).as("best"))
+      .as[(Long, Double)].collect().toMap
+    assert(ps.keySet === Set(1L, 3L))
+    val tau = (ps(1L) + ps(3L)) / 2
+    val confident = graft.text.LangIdClassifier.langGate(docs,
+        col("doc_id"), col("text"), models, Set("en"), minProb = tau)
+      .select("doc_id").as[Long].collect().toSet
+    val expectConf = ps.filter(_._2 >= tau).keySet
+    assert(confident === expectConf, s"tau=$tau ps=$ps")
+    assert(confident.size === 1, s"tau=$tau ps=$ps")
   }
 
   test("string doc ids run the WHOLE chain via the internal surrogate; raw-keyed stage joins") {
