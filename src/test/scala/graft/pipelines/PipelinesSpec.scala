@@ -497,6 +497,27 @@ class PipelinesSpec extends SparkSpec {
     assert(sub.keySet === Set(1L, 2L, 3L))
   }
 
+  test("DecimalType(p,0) doc ids ride the surrogate path end-to-end") {
+    // parquet unsigned-64 columns commonly read as DECIMAL(20,0) — the
+    // r14 ADVICE case the integral-only require broke; they take the
+    // surrogate path (any non-integral type) and come back out untouched
+    val docsDec = Seq(
+      ("101", "the cat sat on the mat and purred quietly today ok"),
+      ("102", "the cat sat on the mat and purred quietly today ok"),
+      ("103", "an entirely different document about spark and scale"))
+      .toDF("doc_id", "text")
+      .withColumn("doc_id", col("doc_id").cast("decimal(20,0)"))
+    val kept = Pipelines.dedupCorpus(docsDec, col("doc_id"), col("text"),
+      minQuality = 0.0)
+    assert(kept.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    val ids = kept.select(col("doc_id").cast("string"))
+      .as[String].collect().toSet
+    assert(ids.size === 2, ids)
+    assert(ids.contains("103"))
+    assert(ids.count(Set("101", "102")) === 1, ids)
+  }
+
   test("curatedFeed epochs: same sampled docs, decorrelated deterministic layouts, doc ids carried") {
     val docs = (1 to 200).map { i =>
       (i.toLong, Seq("web", "code")(i % 2), (i % 37 + 38).toLong)
