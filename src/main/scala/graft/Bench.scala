@@ -64,6 +64,44 @@ object Bench {
         graft.core.Scratch.cleanupNow()
       }
     }
+    // ── HOST-DRIFT SENTINELS (r15 verdict #2) ──────────────────────────
+    // Two fixed-work probes timed at bench open / middle / close; their
+    // round-over-round ratio separates host drift from code regressions.
+    // The driver-close totals moved 172.6 → 197.6 → 238.5 s across three
+    // rounds on median-uniform per-query ratios — "host drift" was
+    // narrative; these are instrumentation. cpu = single-thread 2^28
+    // splitmix64 steps (pure ALU, no allocation — raw core speed);
+    // scan = full checksum scan of the sfDir's lineitem.parquet (fixed
+    // bytes of I/O + parquet decode through the same force() shape the
+    // queries use). Normalize same-query ratios by the matching sentinel
+    // ratio before calling anything a regression (SURVEY §6.1).
+    def sentinelCpu(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < (1 << 28)) {
+        x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+        x ^= x >>> 27; x *= 0x94d049bb133111ebL
+        x ^= x >>> 31; i += 1
+      }
+      // data dependency keeps the loop un-eliminable by the JIT
+      if (x == 42L) System.err.println("sentinel collision")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinelScan(): Double = {
+      val t0 = System.nanoTime()
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
+        .agg(bit_xor(col("__h"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sentScan = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleSentinels(): Unit = {
+      sentCpu += sentinelCpu(); sentScan += sentinelScan()
+    }
+    // JIT/codegen warm both probes once, untimed, before the first sample
+    sentinelCpu(); sentinelScan()
     // Untimed warm-up at the smallest SF: plan structures are identical
     // across SF dirs, so this populates the whole-stage-codegen class cache
     // and JIT once per query shape. The timed pass then measures
@@ -78,10 +116,14 @@ object Bench {
     // any transient host stall — full passes decorrelate the stall from
     // the query; min is the steady-state estimator.
     val names = SparkEntry.queries.keys.toSeq
-    val passes = (1 to 3).map { _ =>
+    sampleSentinels() // OPEN: host state entering the timed window
+    val passes = (1 to 3).map { p =>
       // a failed query reads as FAILURE (-1), never as a fast time
-      names.map { name => name -> force(name, sfDir) }.toMap
+      val m = names.map { name => name -> force(name, sfDir) }.toMap
+      if (p == 2) sampleSentinels() // MIDDLE: after pass 2 of 3
+      m
     }
+    sampleSentinels() // CLOSE: host state leaving the timed window
     val results = names.map { n =>
       val ts = passes.map(_(n)).filter(_ >= 0)
       n -> (if (ts.nonEmpty) ts.min else -1.0)
@@ -103,8 +145,14 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (reported -1): ${failed.mkString(", ")}")
     val total = results.values.filter(_ >= 0).sum
+    // sentinel summary: min = steady-state host capability this run; the
+    // full open/middle/close arrays go to BENCHDETAIL for drift-shape
+    // reads (a stall mid-run shows as one outlier sample)
+    def arr(v: Seq[Double]): String = v.map(f3).mkString("[", ",", "]")
+    val sentinels =
+      s""""sentinel_cpu":${f3(sentCpu.min)},"sentinel_scan":${f3(sentScan.min)}"""
     val detail =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","nqueries":${names.size},"failed":${failed.size},"queries":$qs}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","nqueries":${names.size},"failed":${failed.size},$sentinels,"sentinels":{"cpu":${arr(sentCpu.toSeq)},"scan":${arr(sentScan.toSeq)}},"queries":$qs}"""
     // Durable full record: every per-query timing, every round, regression-
     // diffable with plain git. Written before spark.stop() so a hung
     // executor shutdown can't lose it.
@@ -118,6 +166,6 @@ object Bench {
     // the result object must be the FINAL stdout line, alone, AFTER
     // spark.stop(): the driver parses the captured tail as JSON. Compact on
     // purpose — the full per-query map is in BENCHDETAIL.json.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","nqueries":${names.size},"failed":${failed.size},"detail":"BENCHDETAIL.json"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","nqueries":${names.size},"failed":${failed.size},$sentinels,"detail":"BENCHDETAIL.json"}""")
   }
 }

@@ -3,6 +3,7 @@ package graft.cli
 import graft.core.GraftSession
 import graft.pipelines.Pipelines
 import graft.queries.QSampling
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Thin CLI over the pipelines, mirroring the reference's arg surface
@@ -16,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--audit]
+  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir> | --warc <warcdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--no-nfc] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
@@ -87,22 +88,44 @@ object Main {
         println(s"[sync] pending: ${pending.count()} objects")
       case "dedup" =>
         // --wet ingests Common Crawl WET shards directly (graft.sources
-        // .Wet.readWet): docs arrive as (url, record_ts, text) with the
-        // URL as the doc id — string ids ride the chain's internal
-        // surrogate, and --url-col defaults to the url column so the
-        // domain gate / cap / url-dedup stages key correctly out of the
-        // box. --docs stays the parquet path.
-        val docs = (opt(args, "--docs"), opt(args, "--wet")) match {
-          case (Some(d), None) => spark.read.parquet(d)
-          case (None, Some(w)) =>
+        // .Wet.readWet); --warc ingests RAW crawl WARCs one step earlier
+        // (response records, charset-sniffed HTML → stripMarkup). In both
+        // forms the doc id is url#file:record_ix, NOT the bare URL: real
+        // crawls repeat WARC-Target-URI across recrawls/segments, and a
+        // duplicate id violates the chain's unique-id contract (it now
+        // fails loudly at entry — r15 ADVICE; the uniquifier keeps every
+        // record a doc, and --url-dedup collapses recrawls as an explicit
+        // stage). String ids ride the chain's internal 128-bit surrogate;
+        // --url-col defaults to the url column so the domain gate / cap /
+        // url-dedup stages key correctly out of the box. --docs stays the
+        // parquet path.
+        def crawlId(fileCol: String): Column =
+          concat(col("url"), lit("#"),
+            regexp_extract(col(fileCol), "([^/]+)$", 1), lit(":"),
+            col("record_ix").cast("string"))
+        val docs = (opt(args, "--docs"), opt(args, "--wet"),
+            opt(args, "--warc")) match {
+          case (Some(d), None, None) => spark.read.parquet(d)
+          case (None, Some(w), None) =>
             graft.sources.Wet.readWet(spark, w)
-              .select(col("url").as("doc_id"), col("url"),
+              .select(crawlId("wet_file").as("doc_id"), col("url"),
                 col("record_ts"), col("text"))
+          case (None, None, Some(w)) =>
+            // markup is stripped AT INGEST (html is not text — raw tags
+            // would poison the quality gate and dedup signatures);
+            // --pre-clean additionally redacts PII downstream
+            graft.sources.Wet.readWarc(spark, w)
+              .select(crawlId("warc_file").as("doc_id"), col("url"),
+                col("record_ts"),
+                graft.text.TextFunctions.stripMarkup(col("html")).as("text"))
           case _ => throw new IllegalArgumentException(
-            "dedup: pass exactly one of --docs <parquet> or --wet <dir>")
+            "dedup: pass exactly one of --docs <parquet>, --wet <dir>, " +
+              "or --warc <dir>")
         }
         val defaultUrlCol =
-          if (opt(args, "--wet").isDefined) Some("url") else None
+          if (opt(args, "--wet").isDefined || opt(args, "--warc").isDefined)
+            Some("url")
+          else None
         val stages = Pipelines.dedupCorpusStages(docs, col("doc_id"), col("text"),
           minQuality = opt(args, "--min-quality").map(_.toDouble).getOrElse(0.5),
           minJaccard = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3),
@@ -193,7 +216,12 @@ object Main {
           // best head is below the threshold even when the argmax lands
           // in the keep set (0 = argmax-only)
           langMinProb =
-            opt(args, "--lang-min-prob").map(_.toDouble).getOrElse(0.0))
+            opt(args, "--lang-min-prob").map(_.toDouble).getOrElse(0.0),
+          // Unicode NFC recomposition at entry is DEFAULT-ON (composed vs
+          // decomposed duplicates are invisible to every dedup stage
+          // without it); --no-nfc opts out for corpora with a byte-exact
+          // downstream contract
+          nfc = !args.contains("--no-nfc"))
         val kept = stages.last._2
         // funnel audit: per-stage surviving-doc counts — the curation
         // run's QA report ("gate dropped N, decontamination M, ...")

@@ -82,6 +82,8 @@ object GraftExtensions {
     unary("graft_det_hash", classOf[DetHashExpr], e =>
       DetHashExpr(org.apache.spark.sql.catalyst.expressions.Cast(e,
         org.apache.spark.sql.types.LongType))),
+    unary("graft_nfc", classOf[graft.functions.NfcNormalizeExpr],
+      graft.functions.NfcNormalizeExpr(_)),
     unary("graft_punct_ratio", classOf[PunctRatioExpr], PunctRatioExpr(_)),
     unary("graft_avg_token_len", classOf[AvgTokenLenExpr], AvgTokenLenExpr(_)),
     unary("graft_stop_ratio", classOf[StopRatioExpr], StopRatioExpr(_)))

@@ -51,11 +51,16 @@ object Determinism {
     * `detHashStr(cast(k as string)) == detHash(k)` (the long form hashes
     * the decimal rendering). Built from codegen'd built-ins
     * (`conv(substring(md5(x), 1, 15), 16, 10)`) — one md5 per row, no
-    * registration needed. This is the dedup chain's internal SURROGATE id
-    * for non-integral doc ids ([[graft.pipelines.Pipelines
-    * .dedupCorpusStages]]): 60 bits, oracle-expressible via
-    * [[detHashStrSql]], collision-checked by the caller at entry
-    * (expected collisions at 10^9 string keys: ~4·10^-4).
+    * registration needed.
+    *
+    * COLLISION MATH (60-bit space): expected collisions over n distinct
+    * keys ≈ n²/2⁶¹ — ~4·10⁻⁴ at n = 3·10⁷ but **~0.43 at n = 10⁹** (one
+    * URL-keyed crawl snapshot), i.e. a ~35% chance of at least one
+    * collision. That is why this is NOT the dedup-chain surrogate anymore
+    * ([[detHash128]] is, since round 16); this 60-bit fold remains for
+    * (a) arithmetic-seeded paths that need a LONG (k-means seeding,
+    * sampling folds — where a collision only perturbs a seed choice,
+    * never correctness) and (b) detRand-style uniform draws.
     */
   def detHashStr(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
@@ -63,6 +68,36 @@ object Determinism {
   /** DuckDB-SQL fragment for [[detHashStr]] (expects a VARCHAR expr). */
   def detHashStrSql(keyExpr: String): String =
     s"CAST('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  /** 128-bit string surrogate — the FULL md5 hex rendering (32 lowercase
+    * hex chars) of the key's string form. This is the dedup chain's
+    * internal surrogate id for non-integral doc ids
+    * ([[graft.pipelines.Pipelines.dedupCorpusStages]]): expected
+    * collisions over n distinct keys ≈ n²/2¹²⁹ — ~1.5·10⁻²¹ at n = 10⁹
+    * and still ~1.5·10⁻¹⁵ at n = 10¹² — so the chain's eager collision
+    * check never aborts a real corpus (the 60-bit fold aborted ~35% of
+    * 10⁹-key runs; see [[detHashStr]]).
+    *
+    * Fixed-length lowercase hex means LEXICOGRAPHIC order ≡ numeric
+    * order of the underlying 128-bit value, identically in Spark (UTF-8
+    * binary comparison) and DuckDB (codepoint collation) — every
+    * comparison-only consumer (min-representative, CC label election,
+    * `a < b` pair orientation) is cross-engine deterministic.
+    */
+  def detHash128(key: Column): Column = md5(key.cast("string"))
+
+  /** DuckDB-SQL fragment for [[detHash128]] (expects a VARCHAR expr). */
+  def detHash128Sql(keyExpr: String): String =
+    s"md5(CAST($keyExpr AS VARCHAR))"
+
+  /** 60-bit LONG fold of a [[detHash128]] surrogate — the first 15 hex
+    * digits re-parsed, so `detHash128Fold(detHash128(k)) ==
+    * detHashStr(k)`. For the chain's arithmetic-seeded sub-paths
+    * (k-means init) that need a numeric id derived from the string
+    * surrogate; collisions here only perturb seeding, never identity.
+    */
+  def detHash128Fold(sid: Column): Column =
+    conv(substring(sid, 1, 15), 16, 10).cast("long")
 
   /** Deterministic stand-in for `rand(seed)` in [0, 1). */
   def detRand(key: Column): Column = detHash(key) / lit(Space.toDouble)

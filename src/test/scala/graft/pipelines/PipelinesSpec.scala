@@ -415,11 +415,11 @@ class PipelinesSpec extends SparkSpec {
   }
 
   test("string doc ids run the WHOLE chain via the internal surrogate; raw-keyed stage joins") {
-    // the near-dup cluster machinery is long-keyed (CC label arithmetic),
-    // so a non-integral-id corpus gets a 64-bit surrogate at entry
-    // (detHashStr, collision-checked) and the caller's ids come back out
-    // untouched — real corpora key on string stems/URLs/UUIDs, and the
-    // r14 integral-only refusal died on them at the front door
+    // a non-integral-id corpus gets a 128-bit md5-hex surrogate at entry
+    // (detHash128, NULL/duplicate/collision-checked) and the caller's ids
+    // come back out untouched — real corpora key on string stems/URLs/
+    // UUIDs, and the r14 integral-only refusal died on them at the front
+    // door; the r15 60-bit fold aborted ~35% of 10⁹-key runs
     val rep10 = Seq.fill(10)("copy").mkString(" ")
     val docsStr = Seq(
       ("stem-alpha", "the cat sat on the mat and purred quietly today ok"),
@@ -467,6 +467,29 @@ class PipelinesSpec extends SparkSpec {
       Pipelines.dedupCorpusStages(withNull, col("doc_id"), col("text"))
     }
     assert(e.getMessage.contains("NULL"), e.getMessage)
+    // DUPLICATE ids fail loudly too (r15 ADVICE: the per-sid countDistinct
+    // check could never see two rows carrying the SAME key — exactDedupThin's
+    // winner semi-join would then keep every row sharing the winner id)
+    val withDup = Seq(("u://a", "some text here"), ("u://a", "same key!"),
+      ("u://b", "other text here")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Pipelines.dedupCorpusStages(withDup, col("doc_id"), col("text"))
+    }
+    assert(e2.getMessage.contains("unique-id"), e2.getMessage)
+    // the SEMANTIC stage rides the string surrogate raw (comparison-only
+    // pair/prune; only k-means seeding folds it to a long): two docs with
+    // near-identical embeddings and distinct text collapse to one
+    val docsEmb = Seq(
+      ("em-a", "first version of the paraphrased passage entirely", Seq(1.0, 0.0, 0.2)),
+      ("em-b", "a rewording that shares no shingle with the first", Seq(0.999, 0.001, 0.2)),
+      ("em-c", "a genuinely orthogonal document about other topics", Seq(0.0, 1.0, 0.0)))
+      .toDF("doc_id", "text", "emb")
+    val keptEmb = Pipelines.dedupCorpus(docsEmb, col("doc_id"), col("text"),
+        minQuality = 0.0, embeddingCol = Some("emb"), semCells = 2,
+        minCosine = 0.99)
+      .select("doc_id").as[String].collect().toSet
+    assert(keptEmb.contains("em-c"), keptEmb)
+    assert(keptEmb.count(Set("em-a", "em-b")) === 1, keptEmb)
     // the raw-join shape itself, end-to-end with integral ids: scrub,
     // decont, and substring scrub all fire on the docs they should
     val boiler = "nav bar boilerplate line"

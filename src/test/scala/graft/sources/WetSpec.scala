@@ -93,6 +93,145 @@ class WetSpec extends SparkSpec {
     assert(urls === Set("https://x/1", "https://x/2"))
   }
 
+  test("WARC response round-trip: header-declared and meta-declared charsets both sniff; envelope fields survive") {
+    val rows = Seq(
+      ("https://w.example/1", "2024-03-01 00:00:10",
+        "<html><head><meta charset=\"utf-8\"/></head><body>héllo ünïcode</body></html>",
+        "utf-8"),
+      ("https://w.example/2", "2024-03-01 00:00:20",
+        "<html><head><meta charset=\"utf-8\"/></head><body>meta-only page</body></html>",
+        null.asInstanceOf[String]))
+      .toDF("url", "ts", "html", "cs")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = tmp("warc_rt")
+    Wet.writeWarcShards(rows, "url", "ts", "html", Some("cs"), dir, 2)
+    val back = Wet.readWarc(spark, dir)
+      .select("url", "http_status", "content_type", "charset", "html")
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(back.keySet === Set("https://w.example/1", "https://w.example/2"))
+    val (st1, ct1, cs1, h1) = back("https://w.example/1")
+    assert(st1 === 200 && ct1 === "text/html; charset=utf-8" && cs1 === "UTF-8")
+    assert(h1.contains("héllo ünïcode"))
+    val (_, ct2, cs2, _) = back("https://w.example/2")
+    assert(ct2 === "text/html" && cs2 === "UTF-8") // sniffed from <meta>
+    // determinism: byte-identical shards on rewrite
+    val dir2 = tmp("warc_rt2")
+    Wet.writeWarcShards(rows, "url", "ts", "html", Some("cs"), dir2, 2)
+    def shardBytes(d: String): Map[String, Seq[Byte]] =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".warc"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(shardBytes(dir) === shardBytes(dir2))
+  }
+
+  test("WARC response: NON-UTF-8 pages decode correctly (header ISO-8859-1, meta windows-1252, BOM beats both)") {
+    // a Latin-1 page: 'é' is the single byte 0xE9 — as UTF-8 it would be
+    // malformed and become U+FFFD soup (the r15 gap this sniffer closes)
+    val latin1Body = "<html><body>café crème</body></html>"
+      .getBytes("ISO-8859-1")
+    val r1 = Wet.responseRecord("http://l1.example/", "2019-08-17T04:12:32Z",
+      "text/html; charset=ISO-8859-1", latin1Body)
+    // meta-declared windows-1252 with a 0x97 em-dash (undefined in
+    // ISO-8859-1 proper, so the label matters)
+    val cp1252Body = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"></head>" +
+      "<body>dash — here</body></html>").getBytes("windows-1252")
+    val r2 = Wet.responseRecord("http://w2.example/", "2019-08-17T04:12:33Z",
+      "text/html", cp1252Body)
+    // UTF-8 BOM wins over a LYING header that claims ISO-8859-1
+    val bomBody = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "<html><body>真のUTF-8</body></html>".getBytes("UTF-8")
+    val r3 = Wet.responseRecord("http://b3.example/", "2019-08-17T04:12:34Z",
+      "text/html; charset=ISO-8859-1", bomBody)
+    val parsed = Wet.parseWarcResponseBytes("t.warc",
+      Wet.warcinfoRecord("t.warc", "2019-08-17T04:00:00Z") ++ r1 ++ r2 ++ r3)
+    assert(parsed.length === 3)
+    val byUrl = parsed.map(p => p._1 -> p).toMap
+    assert(byUrl("http://l1.example/")._5 === "ISO-8859-1")
+    assert(byUrl("http://l1.example/")._6.contains("café crème"))
+    assert(byUrl("http://w2.example/")._5 === "windows-1252")
+    assert(byUrl("http://w2.example/")._6.contains("dash — here"))
+    assert(byUrl("http://b3.example/")._5 === "UTF-8")
+    assert(byUrl("http://b3.example/")._6.contains("真のUTF-8"))
+    // an unknown charset label falls through to the meta/default chain,
+    // never throws; malformed bytes surface as U+FFFD, never an abort
+    val junk = Wet.responseRecord("http://j.example/", "2019-08-17T04:12:35Z",
+      "text/html; charset=klingon-8", Array[Byte](0x41, 0xe9.toByte, 0x42))
+    val pj = Wet.parseWarcResponseBytes("j.warc", junk)
+    assert(pj.head._5 === "UTF-8")
+    assert(pj.head._6 === "A�B")
+  }
+
+  test("WARC response: chunked transfer-encoding and gzip content-encoding unwrap; real-shape record parses") {
+    // chunked body: 2 chunks + terminal
+    val chunked = ("5\r\nhello\r\n7\r\n, world\r\n0\r\n\r\n").getBytes("ISO-8859-1")
+    assert(new String(Wet.dechunk(chunked), "UTF-8") === "hello, world")
+    val http = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n" +
+      "\r\n").getBytes("ISO-8859-1") ++ chunked
+    val (st, hdrs, body) = Wet.parseHttpResponse(http)
+    assert(st === 200 && hdrs("content-type") === "text/plain")
+    assert(new String(body, "UTF-8") === "hello, world")
+    // gzip content-encoding
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write("compressed page body".getBytes("UTF-8")); g.close()
+    val http2 = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes("ISO-8859-1") ++ bo.toByteArray
+    val (_, _, body2) = Wet.parseHttpResponse(http2)
+    assert(new String(body2, "UTF-8") === "compressed page body")
+    // real crawl record shape: extra WARC headers are inert; request
+    // records are skipped by type; fractional WARC 1.1 dates parse in
+    // readWarc (try_to_timestamp fallback arm)
+    val payload = ("HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: http://example.com/new\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n\r\n" +
+      "<html><body>moved</body></html>").getBytes("ISO-8859-1")
+    val rec = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://example.com/old\r\n" +
+      "WARC-Date: 2019-08-17T04:12:32.123Z\r\n" +
+      "WARC-Record-ID: <urn:uuid:5a5e6f92-3cf8-45a1-9b0c-1c3b2e6a0003>\r\n" +
+      "WARC-Payload-Digest: sha1:XXXXYYYY\r\n" +
+      "WARC-IP-Address: 93.184.216.34\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n").getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    val req = ("WARC/1.0\r\n" +
+      "WARC-Type: request\r\n" +
+      "WARC-Target-URI: http://example.com/old\r\n" +
+      "Content-Length: 0\r\n" +
+      "\r\n\r\n\r\n").getBytes("UTF-8")
+    val dir = tmp("warc_real")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "crawl.warc"), req ++ rec)
+    val rows = Wet.readWarc(spark, dir)
+      .select("url", "record_ts", "http_status", "html")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "http://example.com/old")
+    assert(rows.head.getInt(2) === 301)
+    assert(!rows.head.isNullAt(1), "fractional WARC 1.1 date must parse")
+    assert(rows.head.getString(3).contains("moved"))
+  }
+
+  test("WET/WARC dates: malformed WARC-Date yields a NULL ts under ANSI, never an ingest abort") {
+    // r15 ADVICE: to_timestamp under Spark 4 ANSI throws on pattern
+    // mismatch, contradicting the docstring's null-ts promise
+    val rec = Wet.conversionRecord("https://bad-date.example/",
+      "not-a-date-at-all", "body text".getBytes("UTF-8"))
+    val dir = tmp("wet_baddate")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "bad.warc.wet"), rec)
+    val rows = Wet.readWet(spark, dir)
+      .select("url", "record_ts", "record_ix").collect()
+    assert(rows.length === 1)
+    assert(rows.head.isNullAt(1), "malformed date must be null, not throw")
+    assert(rows.head.getInt(2) === 0)
+  }
+
   test("malformed records fail loudly with file context, never desynchronize silently") {
     val noLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n\r\n").getBytes("UTF-8")
     val e = intercept[IllegalArgumentException] {
