@@ -1586,14 +1586,49 @@ object Dedup {
     * a missed duplicate), and a ~10⁸-distinct-gram corpus expects ~10⁻³
     * colliding pairs per 2⁶⁴ space. Kept OFF for the d10 oracle rows so
     * DuckDB reproduces the decision exactly; ScaleProbe measures both.
+    *
+    * WHERE THE GRAM FORM DIVERGES FROM SUFFIX-ARRAY ExactSubstr (Lee et
+    * al. 2022 build a suffix array and take duplicated substrings of
+    * length ≥ L):
+    *  1. Minimum-match-length semantics: with L = n tokens the marked
+    *     POSITION set is identical — every position inside a ≥n-token
+    *     cross-doc verbatim repeat has its n-gram shared, and every
+    *     shared n-gram IS such a repeat. The divergence is in the merged
+    *     RUNS ([[duplicateNgramRuns]]): consecutive marked grams chain
+    *     even when shared with DIFFERENT partner docs, so a reported
+    *     span need not appear verbatim anywhere else as a whole
+    *     ("chimeric" runs) — runs can only over-merge, never miss. A
+    *     suffix array answers any L from one build; re-running the gram
+    *     pass per n re-tokenizes, so sweep n outside the hot path.
+    *  2. Within-document repeats are invisible by construction (the
+    *     shared test is min(doc) ≠ max(doc) ACROSS docs); intra-doc
+    *     repetition is [[scrubFrequentSegments]]/tx_scrub_repeats
+    *     jurisdiction.
+    *  3. Copy policy: this marks EVERY occurrence, so
+    *     [[scrubDuplicateRuns]] removes the passage from the whole
+    *     corpus. ExactSubstr's deployed form keeps one canonical copy —
+    *     [[duplicateNgramPositionsKeepFirst]] (d10c) closes that gap.
     */
   def duplicateNgramPositions(docs: DataFrame, id: Column, text: Column,
                               n: Int, hashGrams: Boolean = false): DataFrame = {
-    // feeds the doc-frequency aggregate AND the semi-join probe —
-    // materialize once instead of re-tokenizing the corpus per branch.
-    // COLUMNAR scratch, not localCheckpoint: one row per gram OCCURRENCE
-    // is corpus-token scale, the §6.3 object-block cliff shape (r12 sweep)
-    val grams = graft.core.Scratch.materialize(docs
+    val grams = d10Grams(docs, id, text, n, hashGrams)
+    val shared = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("g"))
+    grams.join(shared, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+  }
+
+  /** The (doc_id, pos, g) gram-occurrence relation both D10 position
+    * markers derive from — feeds the doc-frequency aggregate AND the
+    * join-back probe, so it is materialized once instead of re-tokenizing
+    * the corpus per branch. COLUMNAR scratch, not localCheckpoint: one
+    * row per gram OCCURRENCE is corpus-token scale, the §6.3
+    * object-block cliff shape (r12 sweep).
+    */
+  private def d10Grams(docs: DataFrame, id: Column, text: Column,
+                       n: Int, hashGrams: Boolean): DataFrame =
+    graft.core.Scratch.materialize(docs
       .select(id.as("doc_id"), tokens(text).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
@@ -1601,11 +1636,30 @@ object Dedup {
       .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"),
         (if (hashGrams) xxhash64(col("g")) else col("g")).as("g")),
       "d10_grams")
-    val shared = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+
+  /** [[duplicateNgramPositions]] under ExactSubstr's KEEP-ONE-COPY
+    * policy: the corpus-FIRST occurrence of each shared gram — min
+    * (doc_id, pos), deterministic and oracle-expressible — is left
+    * unmarked, so the scrubbed corpus retains each duplicated passage
+    * exactly once (Lee et al.'s deployed semantics; the default variant
+    * removes every copy, which deletes the content from the corpus
+    * entirely). Same single gram-key shuffle: the first-occurrence
+    * election rides the doc-frequency aggregate as one extra
+    * min(struct) — comparison-only, so any orderable id type works.
+    */
+  def duplicateNgramPositionsKeepFirst(docs: DataFrame, id: Column,
+                                       text: Column, n: Int,
+                                       hashGrams: Boolean = false): DataFrame = {
+    val grams = d10Grams(docs, id, text, n, hashGrams)
+    val firsts = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
+        min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("__first"))
       .filter(col("__mn") =!= col("__mx"))
-      .select(col("g"))
-    grams.join(shared, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+      .select(col("g"), col("__first"))
+    grams.join(firsts, Seq("g"))
+      .filter(col("doc_id") =!= col("__first.d") ||
+        col("pos") =!= col("__first.p"))
+      .select(col("doc_id"), col("pos"))
   }
 
   /** D10 stage 2: merge marked gram-start positions into MAXIMAL duplicated
@@ -1616,10 +1670,21 @@ object Dedup {
     * never corpus-sized.
     */
   def duplicateNgramRuns(docs: DataFrame, id: Column, text: Column,
-                         n: Int): DataFrame = {
+                         n: Int): DataFrame =
+    mergeGramRuns(duplicateNgramPositions(docs, id, text, n), n)
+
+  /** [[duplicateNgramRuns]] under the keep-one-copy marking
+    * ([[duplicateNgramPositionsKeepFirst]]) — the spans a
+    * canonical-copy-preserving scrub would remove (d10c).
+    */
+  def duplicateNgramRunsKeepFirst(docs: DataFrame, id: Column, text: Column,
+                                  n: Int): DataFrame =
+    mergeGramRuns(duplicateNgramPositionsKeepFirst(docs, id, text, n), n)
+
+  private def mergeGramRuns(positions: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    duplicateNgramPositions(docs, id, text, n)
+    positions
       .withColumn("__grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("__grp"))
       .agg(min(col("pos")).as("start_tok"),

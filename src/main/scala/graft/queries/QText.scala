@@ -1244,6 +1244,18 @@ object QText {
     "d10b_dup_spans" -> ((s, d) =>
       Dedup.duplicateNgramRuns(t(s, d, "documents"), col("doc_id"), col("text"), 5)),
 
+    // D10c: the same spans under ExactSubstr's deployed KEEP-ONE-COPY
+    // policy (Lee et al. 2022 keep one occurrence of each duplicated
+    // passage; d10/d10b's default marking removes every copy, deleting
+    // the content from the corpus entirely). The corpus-first occurrence
+    // of each shared gram — min (doc_id, pos) — stays unmarked, so the
+    // span set here is a strict subset of d10b's and the min-id doc
+    // keeps its passage. Same single gram-key shuffle; the election is
+    // one extra min(struct) on the doc-frequency aggregate.
+    "d10c_keep_first_spans" -> ((s, d) =>
+      Dedup.duplicateNgramRunsKeepFirst(t(s, d, "documents"),
+        col("doc_id"), col("text"), 5)),
+
     // D7: duplicate CLUSTERS from the verified pairs — connected components
     // (iterative min-label propagation), cluster id = min member doc_id.
     // The at-scale dedup decision is then `doc_id === cluster` (keep the
@@ -2164,6 +2176,26 @@ object QText {
                         FROM f)),
                dup AS (SELECT g FROM gl GROUP BY g HAVING min(doc_id) <> max(doc_id)),
                m AS (SELECT gl.doc_id, gl.pos FROM gl SEMI JOIN dup USING (g)),
+               r AS (SELECT doc_id, pos,
+                            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                     FROM m)
+          SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+                 CAST(max(pos) + 4 AS INT) AS end_tok,
+                 count(*) AS n_gram_starts
+          FROM r GROUP BY doc_id, grp""",
+    "d10c_keep_first_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+               f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+               gl AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+                        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+                          i -> {$d10GramStruct})) AS u
+                        FROM f)),
+               dupf AS (SELECT g, min({'d': doc_id, 'p': pos}) AS first
+                        FROM gl GROUP BY g
+                        HAVING min(doc_id) <> max(doc_id)),
+               m AS (SELECT gl.doc_id, gl.pos FROM gl JOIN dupf USING (g)
+                     WHERE NOT (gl.doc_id = dupf.first.d
+                                AND gl.pos = dupf.first.p)),
                r AS (SELECT doc_id, pos,
                             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
                      FROM m)

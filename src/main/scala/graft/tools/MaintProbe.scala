@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,stringid}
   * (default: {x8,v15,compact,decont} — the original three claims; every
   * other section must be named explicitly, so a scale-evidence run names
   * the section it is collecting for).
@@ -570,6 +570,61 @@ object MaintProbe {
               .agg(count(lit(1)), sum(length(col("text")))).collect()
           }
         }
+      }
+      spark.catalog.clearCache()
+    }
+    // ---- stringid: the 128-bit surrogate at crawl-key scale (r16) ----
+    // (a) the entry-contract aggregate (NULL + duplicate-id + collision
+    //     check, the exact shape dedupCorpusStages runs eagerly) over
+    //     2·10⁸ synthetic URL keys — the r15 60-bit surrogate expected
+    //     ~0.43 collisions at 10⁹ keys (~35% abort odds); the md5-128
+    //     path must sail through, and this times what the check costs a
+    //     crawl-scale ingest (one column-pruned aggregate).
+    // (b) the string-keyed chain's decades: the full dedupCorpus at
+    //     1M / 10M docs keyed by strings vs the same corpus long-keyed —
+    //     the surrogate's end-to-end overhead is the delta, and each
+    //     keying must hold its decade (≈10× cost 1M→10M).
+    if (sections("stringid")) locally {
+      import graft.pipelines.Pipelines
+      val keys = spark.range(0, 200000000L)
+        .select(concat(lit("https://example.com/"),
+            pmod(hash(col("id")), lit(1000000)), lit("/page/"),
+            col("id")).as("doc_id"))
+        .repartition(cpus.toInt)
+      val ((tot, nonNull, nid, nsid), _) =
+        time("stringid/entry agg (null+dup+collision check), 2e8 string keys") {
+          val sidd = keys.withColumn("__sid",
+            graft.ops.Determinism.detHash128(col("doc_id")))
+          val r = sidd.agg(count(lit(1)), count(col("doc_id")),
+            countDistinct(col("doc_id")), countDistinct(col("__sid"))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+      println(s"[probe] stringid/check: total=$tot nonnull=$nonNull " +
+        s"distinct_id=$nid distinct_sid=$nsid " +
+        s"abort=${nid != nsid || nid != nonNull || tot != nonNull}")
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      for (copies <- Seq(200, 2000)) {
+        // unique text per copy: the chain pays real signature/verify/CC
+        // work instead of collapsing at exact dedup
+        val longDocs = amplify(docs0, "doc_id", copies, 10000000L)
+          .withColumn("text", concat(col("text"), lit(" #"), col("doc_id")))
+          .localCheckpoint()
+        val n = longDocs.count()
+        val strDocs = longDocs.withColumn("doc_id",
+          concat(lit("doc-"), lpad(col("doc_id").cast("string"), 12, "0")))
+          .localCheckpoint()
+        time(s"stringid/chain LONG-keyed, $n docs") {
+          Pipelines.dedupCorpus(longDocs, col("doc_id"), col("text"),
+            minQuality = 0.0).agg(count(lit(1))).collect()
+        }
+        graft.core.Scratch.cleanupNow()
+        time(s"stringid/chain STRING-keyed (128-bit surrogate), $n docs") {
+          Pipelines.dedupCorpus(strDocs, col("doc_id"), col("text"),
+            minQuality = 0.0).agg(count(lit(1))).collect()
+        }
+        graft.core.Scratch.cleanupNow()
+        longDocs.unpersist(); strDocs.unpersist()
       }
       spark.catalog.clearCache()
     }

@@ -780,6 +780,28 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Int)].collect().toSet)
   }
 
+  test("keep-first substring dedup: the corpus-first copy survives, later copies are marked (ExactSubstr policy)") {
+    val passage = "pack my box with five dozen liquor jugs" // 8 tokens
+    val d = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"), // corpus-first copy
+      (2L, s"one two three four five6 $passage"),
+      (3L, s"$passage closing words"),
+      (4L, "totally unrelated prose with no shared five gram runs here"))
+      .toDF("doc_id", "text")
+    // default marking: every copy's span is located (docs 1, 2, 3)
+    val all = Dedup.duplicateNgramRuns(d, col("doc_id"), col("text"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all === Set(1L, 2L, 3L))
+    // keep-first: doc 1 holds the min-(doc,pos) occurrence of every
+    // shared gram, so ONLY docs 2 and 3 are marked — the corpus keeps
+    // exactly one copy of the passage, Lee et al.'s deployed semantics
+    val kf = Dedup.duplicateNgramRunsKeepFirst(d, col("doc_id"), col("text"), 5)
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1)
+    assert(kf.map(_._1).toSet === Set(2L, 3L), kf.toSeq)
+    // marked spans still cover the whole passage in the later copies
+    assert(kf.toSeq === Seq((2L, 6, 13, 4L), (3L, 1, 8, 4L)), kf.toSeq)
+  }
+
   test("contaminatedIdsBloom equals the exact operator, including with an undersized filter") {
     // synthetic corpus: 60 train docs, 8 eval docs, planted overlaps —
     // train doc 3k shares eval doc k's passage verbatim
