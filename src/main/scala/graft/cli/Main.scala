@@ -111,13 +111,16 @@ object Main {
               .select(crawlId("wet_file").as("doc_id"), col("url"),
                 col("record_ts"), col("text"))
           case (None, None, Some(w)) =>
-            // markup is stripped AT INGEST (html is not text — raw tags
-            // would poison the quality gate and dedup signatures);
-            // --pre-clean additionally redacts PII downstream
+            // HTML becomes text AT INGEST via the FULL extraction
+            // (extractHtmlText: script/style/head content and comments
+            // removed, entities decoded — stripMarkup alone would leak
+            // JavaScript/CSS bodies into the corpus text); --pre-clean
+            // additionally redacts PII downstream
             graft.sources.Wet.readWarc(spark, w)
               .select(crawlId("warc_file").as("doc_id"), col("url"),
                 col("record_ts"),
-                graft.text.TextFunctions.stripMarkup(col("html")).as("text"))
+                graft.text.TextFunctions.extractHtmlText(col("html"))
+                  .as("text"))
           case _ => throw new IllegalArgumentException(
             "dedup: pass exactly one of --docs <parquet>, --wet <dir>, " +
               "or --warc <dir>")

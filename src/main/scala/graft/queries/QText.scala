@@ -1025,6 +1025,32 @@ object QText {
         md5(nfcNormalize(dec)).as("nfc_fp"))
     }),
 
+    // FULL HTML → text extraction (the --warc ingest scrub): stripMarkup
+    // drops tags but keeps what was BETWEEN them — script/style bodies
+    // leaked JavaScript and CSS into the corpus text. extractHtmlText
+    // removes script/style/head WITH content, strips comments, drops
+    // remaining tags, decodes the named entities (+ &#39;, &nbsp; —
+    // &amp; last, so double-escaped text stays text), collapses
+    // whitespace. Every doc's text is wrapped in a hostile page (script
+    // with code, style, comment, entity soup, a double-escaped literal)
+    // and the oracle replays the identical RE2-compatible chain —
+    // script_leaked pins that no code survived into any doc.
+    "tx_html_extract" -> ((s, d) => {
+      val page = concat(
+        lit("<html><head><title>T</title><style>p {color: red}</style>" +
+          "</head><body><script type=\"text/javascript\">var x = 1 && 2;" +
+          "</script><p>"),
+        col("text"),
+        lit("</p><!-- tracking --><div>Tom &amp; Jerry &lt;3 " +
+          "&quot;quoted&quot; it&#39;s&nbsp;fine &amp;lt;escaped&amp;gt;" +
+          "</div></body></html>"))
+      val clean = extractHtmlText(page)
+      t(s, d, "documents").select(col("doc_id"),
+        md5(clean).as("clean_md5"),
+        length(clean).cast("long").as("n_chars_clean"),
+        clean.contains("var x").as("script_leaked"))
+    }),
+
     // NOVELTY score — per document, the fraction of its distinct word
     // 3-grams that first appear in THIS document (first-seen = min
     // doc_id over the corpus; ingest order at scale). The dedup-aware
@@ -1937,6 +1963,42 @@ object QText {
           FROM lpr GROUP BY lang""",
     "tx_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "tx_html_extract" ->
+      """WITH v AS (
+           SELECT doc_id,
+                  '<html><head><title>T</title><style>p {color: red}</style></head><body><script type="text/javascript">var x = 1 && 2;</script><p>'
+                  || text ||
+                  '</p><!-- tracking --><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&#39;s&nbsp;fine &amp;lt;escaped&amp;gt;</div></body></html>'
+                    AS page
+           FROM documents),
+         e AS (
+           SELECT doc_id,
+                  trim(regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                    regexp_replace(
+                      regexp_replace(page,
+                        '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<head[^>]*>.*?</head>',
+                        ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '<[^>]+>', ' ', 'g'),
+                      '&lt;', '<', 'g'),
+                      '&gt;', '>', 'g'),
+                      '&quot;', '"', 'g'),
+                      '&#39;|&apos;', '''', 'g'),
+                      '&nbsp;', ' ', 'g'),
+                      '&amp;', '&', 'g'),
+                      '\s+', ' ', 'g')) AS clean
+           FROM v)
+       SELECT doc_id, md5(clean) AS clean_md5,
+              CAST(length(clean) AS BIGINT) AS n_chars_clean,
+              clean LIKE '%var x%' AS script_leaked
+       FROM e""",
     "tx_nfc_fingerprint" ->
       """WITH v AS (
            SELECT doc_id,

@@ -135,6 +135,46 @@ object TextFunctions {
   def stripMarkup(html: Column): Column =
     trim(regexp_replace(regexp_replace(html, "<[^>]+>", " "), "\\s+", " "))
 
+  /** FULL HTML → text extraction for raw-crawl ingest ([[stripMarkup]]
+    * drops tags but keeps whatever was BETWEEN them — including
+    * `<script>`/`<style>` bodies, so JavaScript and CSS leaked into the
+    * corpus text on the `--warc` path). Pass order is part of the
+    * contract (the oracle applies the same chain):
+    *  1. script/style/head elements removed WITH their content
+    *     (`(?is)` — case-insensitive, dot-matches-newline; non-greedy,
+    *     so one unclosed tag can't eat the document);
+    *  2. HTML comments removed;
+    *  3. block-level tag boundaries become spaces ([[stripMarkup]]'s
+    *     rule — inline-vs-block fidelity is a DOM concern, not a
+    *     regex one);
+    *  4. the XML named entities (&lt; &gt; &quot; &apos; &amp;), the
+    *     numeric apostrophe &#39;, and &nbsp; decode (AFTER tag
+    *     removal, so `&lt;script&gt;` in prose cannot conjure an
+    *     element; &amp; LAST, so `&amp;lt;` decodes to the literal
+    *     text `&lt;`, not `<`);
+    *  5. whitespace collapses.
+    * All constructs are RE2- and Java-compatible (no lookaround, no
+    * backreferences — the element alternation is spelled out because
+    * RE2 has no `\\1`), so DuckDB reproduces the decision
+    * byte-for-byte (tx_html_extract). Not a DOM parser by design — the
+    * cheap relational-side scrub; a browser-grade extraction is a
+    * decode-stage concern (§7.5).
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|" +
+        "<head[^>]*>.*?</head>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent1 = regexp_replace(noTags, "&lt;", "<")
+    val ent2 = regexp_replace(ent1, "&gt;", ">")
+    val ent3 = regexp_replace(ent2, "&quot;", "\"")
+    val ent4 = regexp_replace(ent3, "&#39;|&apos;", "'")
+    val ent5 = regexp_replace(ent4, "&nbsp;", " ")
+    val ent6 = regexp_replace(ent5, "&amp;", "&")
+    trim(regexp_replace(ent6, "\\s+", " "))
+  }
+
   /** Document fingerprint: md5 of the normalized text (stable across engines). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 

@@ -180,19 +180,25 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("--lang-seed"), e.getMessage)
   }
 
-  test("dedup subcommand: --wet ingests WET shards, url as doc id, url stages keyed by default") {
+  test("dedup subcommand: --wet ingests WET shards, uniquified doc ids, url stages keyed by default") {
     import org.apache.spark.sql.functions._
     val wetDir = tmpDir("cli_wet_in")
     val outDir = tmpDir("cli_wet_out") + "/kept"
     // two re-crawls of one canonical page (tracking param / fragment
-    // differ) + one distinct page: --url-dedup must collapse the pair
-    // with NO --url-col flag — the wet source wires it
+    // differ) + one distinct page CRAWLED TWICE under the IDENTICAL url
+    // (real WET shards repeat WARC-Target-URI — with the bare URL as doc
+    // id the chain's unique-id contract broke undetectably, r15 ADVICE;
+    // ids are now url#file:record_ix, so the exact recrawl enters as two
+    // docs and exact-text dedup collapses it). --url-dedup must collapse
+    // the canonical pair with NO --url-col flag — the wet source wires it
     val rows = Seq(
       ("https://site-a.com/page?utm_source=x", "2024-01-01 00:00:01",
         "the cat sat on the mat and purred quietly today ok fine"),
       ("https://site-a.com/page#frag", "2024-01-01 00:00:02",
         "the cat sat on the mat and purred quietly today ok fine"),
       ("https://site-b.com/other", "2024-01-01 00:00:03",
+        "an entirely different page about spark pipelines and scale"),
+      ("https://site-b.com/other", "2024-01-01 00:00:04",
         "an entirely different page about spark pipelines and scale"))
       .toDF("url", "ts", "text")
       .withColumn("ts", col("ts").cast("timestamp"))
@@ -202,13 +208,52 @@ class CliSpec extends SparkSpec {
     val kept = spark.read.parquet(outDir)
       .select("doc_id").as[String].collect().toSet
     assert(kept.size === 2, kept)
-    assert(kept.contains("https://site-b.com/other"))
+    assert(kept.count(_.startsWith("https://site-b.com/other#")) === 1, kept)
     assert(kept.count(_.startsWith("https://site-a.com/page")) === 1, kept)
+    // the original url column rides through for provenance
+    val urls = spark.read.parquet(outDir).select("url")
+      .as[String].collect().toSet
+    assert(urls.forall(!_.contains("#shard")), urls)
     // --docs and --wet together (or neither) fail loudly
     val e = intercept[IllegalArgumentException] {
       Main.run(spark, Array("dedup", "--output", outDir))
     }
     assert(e.getMessage.contains("--wet"), e.getMessage)
+  }
+
+  test("dedup subcommand: --warc ingests raw-crawl responses, extracts text, script bodies never reach the corpus") {
+    import org.apache.spark.sql.functions._
+    val warcDir = tmpDir("cli_warc_in")
+    val outDir = tmpDir("cli_warc_out") + "/kept"
+    def page(body: String): String =
+      "<html><head><style>p{color:red}</style></head><body>" +
+        "<script>var tracker = 1;</script><p>" + body + "</p></body></html>"
+    // two near-dup pages (same prose, one extra word) + one distinct —
+    // dedup must collapse the pair on the EXTRACTED text, and no
+    // script/style body may survive extraction into the kept corpus
+    val rows = Seq(
+      ("https://w1.example/a", "2024-01-01 00:00:01",
+        page("the cat sat on the mat and purred quietly today ok fine"),
+        "utf-8"),
+      ("https://w2.example/b", "2024-01-01 00:00:02",
+        page("the cat sat on the mat and purred quietly today ok fine now"),
+        null.asInstanceOf[String]),
+      ("https://w3.example/c", "2024-01-01 00:00:03",
+        page("an entirely different page about spark pipelines and scale"),
+        "utf-8"))
+      .toDF("url", "ts", "html", "cs")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    graft.sources.Wet.writeWarcShards(rows, "url", "ts", "html", Some("cs"),
+      warcDir, 2)
+    Main.run(spark, Array("dedup", "--warc", warcDir,
+      "--min-quality", "0.0", "--min-jaccard", "0.3", "--output", outDir))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id", "text").as[(String, String)].collect()
+    assert(kept.length === 2, kept.toSeq)
+    assert(kept.count(_._1.startsWith("https://w3.example/c#")) === 1)
+    assert(kept.forall(r => !r._2.contains("var tracker")), kept.toSeq)
+    assert(kept.forall(r => !r._2.contains("color:red")), kept.toSeq)
+    assert(kept.forall(r => !r._2.contains("<p>")), kept.toSeq)
   }
 
   test("dedup subcommand: --domain-gate without --url-col fails loudly") {
