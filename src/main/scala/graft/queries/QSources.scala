@@ -128,6 +128,34 @@ object QSources {
           md5(col("html")).as("html_md5"))
     }),
 
+    // S19b: BINARY WARC response round-trip — a raw crawl carries
+    // images/audio/PDFs alongside HTML, and charset-decoding those
+    // corrupts them; readWarcBinary returns the HTTP body as raw bytes
+    // that drop straight into the multimodal family (u1 magic sniff,
+    // dHash, perceptual banding). Bodies here are deterministic 16-byte
+    // blobs (unhex of the text md5) so DuckDB can rebuild them; the hex
+    // of the bytes survives the oracle hash, pinning the HTTP envelope
+    // parse + the fact that NO charset decode touched the payload.
+    "s19b_warc_binary" -> ((s, d) => {
+      val dir = s"/root/repo/target/fixtures/${new java.io.File(d).getName}/warcbin"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Wet.writeWarcBinaryShards(
+        t(s, d, "documents").filter(col("doc_id") < 200)
+          .select(concat(lit("https://img.example/"),
+              col("doc_id").cast("string")).as("url"),
+            expr("timestampadd(SECOND, CAST(doc_id AS INT), " +
+              "TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+            unhex(md5(col("text"))).as("body"),
+            lit("image/png").as("ct")),
+        "url", "ts", "body", "ct", dir, numShards = 4)
+      graft.sources.Wet.readWarcBinary(s, dir)
+        .select(col("url"), col("record_ts"), col("http_status"),
+          col("content_type"),
+          length(col("content")).cast("long").as("n_bytes"),
+          hex(col("content")).as("body_hex"))
+    }),
+
     // J2 (pairsJoin form): the dead-code-no-more fan-out — pairs rows
     // left-joined to per-directory asset manifests through
     // ManifestOps.pairsJoin (person dir + garment dir).
@@ -322,6 +350,15 @@ object QSources {
                 'UTF-8' AS charset,
                 md5('<html><head><meta charset="utf-8"/></head><body><p>'
                     || text || '</p></body></html>') AS html_md5
+         FROM documents WHERE doc_id < 200""",
+    "s19b_warc_binary" ->
+      """SELECT 'https://img.example/' || CAST(doc_id AS VARCHAR) AS url,
+                TIMESTAMP '2024-01-01 00:00:00'
+                  + to_seconds(CAST(doc_id AS BIGINT)) AS record_ts,
+                200 AS http_status,
+                'image/png' AS content_type,
+                CAST(16 AS BIGINT) AS n_bytes,
+                upper(md5(text)) AS body_hex
          FROM documents WHERE doc_id < 200""",
     "j2b_pairs_fanout" ->
       """WITH pairs AS (

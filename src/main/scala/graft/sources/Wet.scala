@@ -461,6 +461,94 @@ object Wet {
         col("charset"), col("html"))
   }
 
+  /** Per-file task body of [[readWarcBinary]]: every `response` record's
+    * RAW body bytes after transfer/content decoding — no charset decode
+    * (the payload may be an image/audio/any blob, not text).
+    */
+  private[sources] def parseWarcBinaryBytes(path: String,
+                                            bytes: Array[Byte])
+      : Seq[(String, String, Int, String, Array[Byte])] =
+    walkWarcRecords(path, bytes).collect {
+      case (fields, payload)
+          if fields.get("warc-type").exists(_.equalsIgnoreCase("response")) =>
+        val (status, headers, body) = parseHttpResponse(payload)
+        (fields.getOrElse("warc-target-uri", ""),
+          fields.getOrElse("warc-date", ""),
+          status, headers.getOrElse("content-type", ""), body)
+    }
+
+  /** [[readWarc]]'s BINARY sibling: `(warc_file, record_ix, url,
+    * record_ts, http_status, content_type, content)` with the response
+    * body as raw bytes — the ingest for NON-TEXT crawl payloads (a raw
+    * crawl carries images, audio, PDFs alongside HTML; charset-decoding
+    * those corrupts them). The `content` column drops straight into the
+    * engine's multimodal family: magic-byte sniff (u1), dHash / audio /
+    * video fingerprints, perceptual near-dup banding — crawl → decode →
+    * fingerprint → cluster without leaving the engine. Same per-file
+    * task shape; same chunked/gzip HTTP unwrapping as the text reader.
+    */
+  def readWarcBinary(spark: SparkSession, dir: String,
+                     glob: String = "*.warc*"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, raw) =>
+        val bytes = if (path.endsWith(".gz")) gunzipAll(raw) else raw
+        parseWarcBinaryBytes(path, bytes).zipWithIndex.map {
+          case ((u, d, st, ct, b), i) => (path, i, u, d, st, ct, b) }
+      }
+      .toDF("warc_file", "record_ix", "url", "__date", "http_status",
+        "content_type", "content")
+      .withColumn("record_ts", parseWarcDate(col("__date")))
+      .select(col("warc_file"), col("record_ix"), col("url"),
+        col("record_ts"), col("http_status"), col("content_type"),
+        col("content"))
+  }
+
+  /** Fixture writer for BINARY `response` records — [[writeWarcShards]]
+    * with a bytes body and a caller-supplied Content-Type (image/png,
+    * application/pdf, …). Deterministic like every fixture writer here.
+    */
+  def writeWarcBinaryShards(df: DataFrame, urlCol: String, tsCol: String,
+                            bodyCol: String, contentTypeCol: String,
+                            dir: String, numShards: Int): Unit = {
+    require(numShards >= 1, s"numShards $numShards < 1")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(urlCol).cast("string").as("__u"),
+        col(tsCol).cast("timestamp").as("__d"),
+        col(bodyCol).cast("binary").as("__b"),
+        col(contentTypeCol).cast("string").as("__ct"))
+      .withColumn("__shard", pmod(xxhash64(col("__u")), lit(numShards.toLong)))
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions("__shard", "__u")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(conf.value)
+        var cur = -1L
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        def close(): Unit = if (out != null) { out.close(); out = null }
+        rows.foreach { r =>
+          val shard = r.getLong(4)
+          if (shard != cur) {
+            close(); cur = shard
+            val name = f"shard-$shard%05d.warc"
+            out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+            out.write(warcinfoRecord(name, "2024-01-01T00:00:00Z"))
+          }
+          require(r.getString(0) != null && !r.isNullAt(1) &&
+            !r.isNullAt(2) && r.getString(3) != null,
+            "writeWarcBinaryShards: null url, ts, body, or content type")
+          out.write(responseRecord(r.getString(0),
+            ZuluFmt.format(r.getTimestamp(1).toInstant),
+            r.getString(3), r.getAs[Array[Byte]](2)))
+        }
+        close()
+      }
+  }
+
   /** One serialized WARC `response` record for the fixture writer: the
     * payload is a full HTTP/1.1 envelope + body bytes (encoded by the
     * caller in the page's charset — the reader must sniff it back).

@@ -217,6 +217,29 @@ class WetSpec extends SparkSpec {
     assert(rows.head.getString(3).contains("moved"))
   }
 
+  test("WARC binary responses: raw bytes survive untouched — no charset decode corrupts a blob payload") {
+    // 0x89 (PNG magic byte 0) is malformed as UTF-8 lead byte: a text
+    // decode would turn it to U+FFFD and the image would be garbage
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a)
+    val body = pngMagic ++ Array.tabulate(64)(i => (i * 7 % 251).toByte)
+    val rows = Seq(("https://img.example/x", "2024-01-01 00:00:01"))
+      .toDF("url", "ts").withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("body", lit(body)).withColumn("ct", lit("image/png"))
+    val dir = tmp("warc_bin")
+    Wet.writeWarcBinaryShards(rows, "url", "ts", "body", "ct", dir, 1)
+    val got = Wet.readWarcBinary(spark, dir)
+      .select("url", "content_type", "content").collect()
+    assert(got.length === 1)
+    assert(got.head.getString(1) === "image/png")
+    assert(got.head.getAs[Array[Byte]](2).toSeq === body.toSeq)
+    // the multimodal magic sniff composes directly on the ingested bytes
+    val sniffed = Wet.readWarcBinary(spark, dir)
+      .select(graft.multimodal.Multimodal.magicFormat(col("content"))
+        .as("fmt")).as[String].collect()
+    assert(sniffed.toSeq === Seq("png"))
+  }
+
   test("WET/WARC dates: malformed WARC-Date yields a NULL ts under ANSI, never an ingest abort") {
     // r15 ADVICE: to_timestamp under Spark 4 ANSI throws on pattern
     // mismatch, contradicting the docstring's null-ts promise
