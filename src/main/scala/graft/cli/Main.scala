@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily --docs <shardparquet> --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily {--docs <shardparquet> | --wet <wetdir> | --warc <warcdir>} --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -33,6 +33,45 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main forget     --ids <parquet> [--band-table t] [--line-freq-table t (ids must carry text)] [--fp-table t] [--sem-table t] [--vec-table t] [--cluster-table t] [--pair-log t] [--id-col vec_id]  (deletion-request propagation across every maintained artifact)
   */
 object Main {
+
+  /** Crawl-record doc id: url#file:record_ix — unique BY CONSTRUCTION
+    * (real crawls repeat WARC-Target-URI across recrawls/segments; the
+    * bare URL violated the chain's unique-id contract undetectably).
+    * The raw url column rides alongside for the url-keyed stages.
+    */
+  private def crawlId(fileCol: String): Column =
+    concat(col("url"), lit("#"),
+      regexp_extract(col(fileCol), "([^/]+)$", 1), lit(":"),
+      col("record_ix").cast("string"))
+
+  /** The three-way corpus source shared by `dedup` and `ingest-daily`:
+    * --docs parquet, --wet WET shards, or --warc raw-crawl responses
+    * (sniffed HTML through the full text extraction). Exactly one must
+    * be given.
+    */
+  private def corpusSource(spark: org.apache.spark.sql.SparkSession,
+                           args: Array[String],
+                           cmd: String): org.apache.spark.sql.DataFrame =
+    (opt(args, "--docs"), opt(args, "--wet"), opt(args, "--warc")) match {
+      case (Some(d), None, None) => spark.read.parquet(d)
+      case (None, Some(w), None) =>
+        graft.sources.Wet.readWet(spark, w)
+          .select(crawlId("wet_file").as("doc_id"), col("url"),
+            col("record_ts"), col("text"))
+      case (None, None, Some(w)) =>
+        // HTML becomes text AT INGEST via the FULL extraction
+        // (extractHtmlText: script/style/head content and comments
+        // removed, entities decoded — stripMarkup alone would leak
+        // JavaScript/CSS bodies into the corpus text)
+        graft.sources.Wet.readWarc(spark, w)
+          .select(crawlId("warc_file").as("doc_id"), col("url"),
+            col("record_ts"),
+            graft.text.TextFunctions.extractHtmlText(col("html"))
+              .as("text"))
+      case _ => throw new IllegalArgumentException(
+        s"$cmd: pass exactly one of --docs <parquet>, --wet <dir>, " +
+          "or --warc <dir>")
+    }
 
   private def opt(args: Array[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Array(`name`, v) => v }
@@ -99,32 +138,7 @@ object Main {
         // --url-col defaults to the url column so the domain gate / cap /
         // url-dedup stages key correctly out of the box. --docs stays the
         // parquet path.
-        def crawlId(fileCol: String): Column =
-          concat(col("url"), lit("#"),
-            regexp_extract(col(fileCol), "([^/]+)$", 1), lit(":"),
-            col("record_ix").cast("string"))
-        val docs = (opt(args, "--docs"), opt(args, "--wet"),
-            opt(args, "--warc")) match {
-          case (Some(d), None, None) => spark.read.parquet(d)
-          case (None, Some(w), None) =>
-            graft.sources.Wet.readWet(spark, w)
-              .select(crawlId("wet_file").as("doc_id"), col("url"),
-                col("record_ts"), col("text"))
-          case (None, None, Some(w)) =>
-            // HTML becomes text AT INGEST via the FULL extraction
-            // (extractHtmlText: script/style/head content and comments
-            // removed, entities decoded — stripMarkup alone would leak
-            // JavaScript/CSS bodies into the corpus text); --pre-clean
-            // additionally redacts PII downstream
-            graft.sources.Wet.readWarc(spark, w)
-              .select(crawlId("warc_file").as("doc_id"), col("url"),
-                col("record_ts"),
-                graft.text.TextFunctions.extractHtmlText(col("html"))
-                  .as("text"))
-          case _ => throw new IllegalArgumentException(
-            "dedup: pass exactly one of --docs <parquet>, --wet <dir>, " +
-              "or --warc <dir>")
-        }
+        val docs = corpusSource(spark, args, "dedup")
         val defaultUrlCol =
           if (opt(args, "--wet").isDefined || opt(args, "--warc").isDefined)
             Some("url")
@@ -357,7 +371,12 @@ object Main {
         val shardId = opt(args, "--shard-id")
         val bandTableForLedger = opt(args, "--band-table").get
         def ingestDailyBody(): Unit = {
-        val docs0 = spark.read.parquet(opt(args, "--docs").get)
+        // --docs parquet OR today's crawl dump directly (--wet / --warc):
+        // the production loop ingests each day's WET/WARC drop against
+        // the maintained band index without a pre-conversion step —
+        // uniquified url#file:ix ids, sniffed/extracted text, the same
+        // shard shape as a parquet shard from there on
+        val docs0 = corpusSource(spark, args, "ingest-daily")
         // optional DECONTAMINATION of today's shard BEFORE any signature
         // or index work — without it, a contaminated document is folded
         // into the band index and survives as tomorrow's match source

@@ -365,6 +365,55 @@ class CliSpec extends SparkSpec {
     assert(cands2.contains((2L, 101L)))
   }
 
+  test("ingest-daily --warc: a day's raw-crawl drop ingests against the maintained index, string-keyed") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS cli_warc_band")
+    // day-0 corpus and band index, URL-string-keyed (the ids a crawl
+    // pipeline actually carries)
+    val corpus = Seq(
+      ("u://day0/a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("u://day0/b", "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val corpusDir = tmpDir("cli_warc_corpus")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    Dedup.writeBandIndex(Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4),
+      "cli_warc_band", buckets = 4)
+    // day-1 arrives as a raw WARC drop: one page whose EXTRACTED text
+    // re-crawls day-0 doc b, one genuinely new page — both script-laden
+    val warcDir = tmpDir("cli_warc_daily")
+    def page(b: String): String =
+      "<html><head><style>x{}</style></head><body>" +
+        "<script>var t = 9;</script><p>" + b + "</p></body></html>"
+    val rows = Seq(
+      ("https://crawl.example/dup", "2024-02-01 00:00:01",
+        page("the quick brown fox jumps over the lazy dog near the river bank"),
+        "utf-8"),
+      ("https://crawl.example/new", "2024-02-01 00:00:02",
+        page("subway platforms echo with late night maintenance announcements"),
+        "utf-8"))
+      .toDF("url", "ts", "html", "cs")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    graft.sources.Wet.writeWarcShards(rows, "url", "ts", "html", Some("cs"),
+      warcDir, 1)
+    val outDir = tmpDir("cli_warc_daily_out") + "/pairs"
+    Main.run(spark, Array("ingest-daily", "--warc", warcDir,
+      "--corpus", corpusDir, "--band-table", "cli_warc_band",
+      "--buckets", "4", "--min-jaccard", "0.5", "--output", outDir))
+    val pairs = spark.read.parquet(outDir).select("doc_a", "doc_b")
+      .as[(String, String)].collect().toSet
+    assert(pairs.exists(p => Set(p._1, p._2).contains("u://day0/b") &&
+      (p._1 + p._2).contains("https://crawl.example/dup#")), pairs)
+    assert(!pairs.exists(p => (p._1 + p._2).contains("/new#")), pairs)
+    // the crawl's uniquified ids were folded into the maintained index
+    val idx = Dedup.readBandIndex(spark, "cli_warc_band")
+    assert(idx.filter(col("doc_id")
+      .startsWith("https://crawl.example/dup#")).count() === 2)
+    assert(idx.filter(col("doc_id")
+      .startsWith("https://crawl.example/new#")).count() === 2)
+  }
+
   test("ingest-daily --line-freq-table: day-2 banner scrubbed via persisted counts; shard counts fold in") {
     import graft.core.Bucketing
     import graft.dedup.Dedup
