@@ -411,6 +411,27 @@ object Wet {
     dec.decode(java.nio.ByteBuffer.wrap(body)).toString
   }
 
+  /** Drop a leading byte-order mark matching `charsetName` — the JDK's
+    * UTF-8/UTF-16BE/UTF-16LE decoders do NOT strip BOMs (only the
+    * auto-detecting "UTF-16" does), so a BOM-sniffed page would
+    * otherwise carry a stray U+FEFF as its first text character,
+    * polluting fingerprints and token stats.
+    */
+  private[sources] def stripBom(body: Array[Byte],
+                                charsetName: String): Array[Byte] =
+    charsetName match {
+      case "UTF-8" if body.length >= 3 && (body(0) & 0xff) == 0xef &&
+          (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf =>
+        java.util.Arrays.copyOfRange(body, 3, body.length)
+      case "UTF-16BE" if body.length >= 2 && (body(0) & 0xff) == 0xfe &&
+          (body(1) & 0xff) == 0xff =>
+        java.util.Arrays.copyOfRange(body, 2, body.length)
+      case "UTF-16LE" if body.length >= 2 && (body(0) & 0xff) == 0xff &&
+          (body(1) & 0xff) == 0xfe =>
+        java.util.Arrays.copyOfRange(body, 2, body.length)
+      case _ => body
+    }
+
   /** Per-file task body of [[readWarc]]: every `response` record parsed
     * to (uri, dateStr, httpStatus, contentType, charset, html).
     */
@@ -425,7 +446,7 @@ object Wet {
         val cs = sniffCharset(headers.get("content-type"), body)
         (fields.getOrElse("warc-target-uri", ""),
           fields.getOrElse("warc-date", ""),
-          status, ct, cs, decodeWith(body, cs))
+          status, ct, cs, decodeWith(stripBom(body, cs), cs))
     }
 
   /** Read raw-crawl WARC files under `dir` as `(warc_file, record_ix,

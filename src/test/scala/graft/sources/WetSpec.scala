@@ -154,6 +154,19 @@ class WetSpec extends SparkSpec {
     assert(byUrl("http://w2.example/")._6.contains("dash — here"))
     assert(byUrl("http://b3.example/")._5 === "UTF-8")
     assert(byUrl("http://b3.example/")._6.contains("真のUTF-8"))
+    // the BOM itself is STRIPPED, not decoded into a stray U+FEFF first
+    // char (the JDK's fixed-endian decoders keep it; fingerprints and
+    // token stats would silently diverge from the BOM-less twin)
+    assert(!byUrl("http://b3.example/")._6.contains("\ufeff"))
+    assert(byUrl("http://b3.example/")._6.startsWith("<html>"))
+    // UTF-16LE BOM: sniffed, stripped, decoded
+    val u16Body = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      "<html><body>utf sixteen page</body></html>".getBytes("UTF-16LE")
+    val r4 = Wet.responseRecord("http://u16.example/",
+      "2019-08-17T04:12:36Z", "text/html", u16Body)
+    val p4 = Wet.parseWarcResponseBytes("u16.warc", r4)
+    assert(p4.head._5 === "UTF-16LE")
+    assert(p4.head._6 === "<html><body>utf sixteen page</body></html>")
     // an unknown charset label falls through to the meta/default chain,
     // never throws; malformed bytes surface as U+FFFD, never an abort
     val junk = Wet.responseRecord("http://j.example/", "2019-08-17T04:12:35Z",
