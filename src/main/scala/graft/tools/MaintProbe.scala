@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,stringid}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,stringid,warc}
   * (default: {x8,v15,compact,decont} — the original three claims; every
   * other section must be named explicitly, so a scale-evidence run names
   * the section it is collecting for).
@@ -626,6 +626,45 @@ object MaintProbe {
         graft.core.Scratch.cleanupNow()
         longDocs.unpersist(); strDocs.unpersist()
       }
+      spark.catalog.clearCache()
+    }
+    // ---- warc: crawl-ingest throughput (r16) ----
+    // The WET/WARC readers are one-task-per-file record walks; ingest
+    // throughput should scale with the file count (= task count) and be
+    // parse-bound, not framework-bound. 200k synthetic pages (realistic
+    // ~2 KB HTML bodies) across 32 shards, read back through the full
+    // response path (HTTP envelope + charset sniff + decode) and through
+    // extractHtmlText into text — the `dedup --warc` stage-0 cost.
+    if (sections("warc")) locally {
+      val nPages = 200000L
+      val dir = java.nio.file.Files.createTempDirectory("probe_warc").toString
+      val body = ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
+        "sed do eiusmod tempor incididunt ut labore et dolore magna ") * 20
+      val pages = spark.range(0, nPages)
+        .select(concat(lit("https://probe.example/"), col("id")).as("url"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+          concat(lit("<html><head><meta charset=\"utf-8\"/>" +
+              "<style>p{x:1}</style></head><body><script>var t=1;</script><p>"),
+            lit(body), lit(" page "), col("id"),
+            lit("</p></body></html>")).as("html"),
+          when(col("id") % 2 === 0, lit("utf-8")).as("cs"))
+      val (_, tw) = time(s"warc/write $nPages pages, 32 shards") {
+        graft.sources.Wet.writeWarcShards(pages, "url", "ts", "html",
+          Some("cs"), dir, 32)
+      }
+      val mb = new java.io.File(dir).listFiles().map(_.length()).sum / 1e6
+      println(f"[probe] warc/corpus size: $mb%.0f MB (${mb / tw}%.0f MB/s write)")
+      val (_, tr) = time(s"warc/read+decode $nPages responses") {
+        graft.sources.Wet.readWarc(spark, dir).agg(
+          count(lit(1)), sum(length(col("html")))).collect()
+      }
+      println(f"[probe] warc/ingest: ${mb / tr}%.0f MB/s, ${nPages / tr}%.0f pages/s")
+      val (_, tx) = time(s"warc/read + extractHtmlText $nPages pages") {
+        graft.sources.Wet.readWarc(spark, dir).agg(
+          sum(length(graft.text.TextFunctions.extractHtmlText(col("html")))))
+          .collect()
+      }
+      println(f"[probe] warc/ingest+extract: ${mb / tx}%.0f MB/s, ${nPages / tx}%.0f pages/s")
       spark.catalog.clearCache()
     }
     // ---- budgetdiag: stage-by-stage timing of the two-phase cumsum at
