@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir> | --warc <warcdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--no-nfc] [--audit]
+  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir> | --warc <warcdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--no-nfc] [--no-verify-ids] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
@@ -59,11 +59,22 @@ object Main {
           .select(crawlId("wet_file").as("doc_id"), col("url"),
             col("record_ts"), col("text"))
       case (None, None, Some(w)) =>
-        // HTML becomes text AT INGEST via the FULL extraction
-        // (extractHtmlText: script/style/head content and comments
-        // removed, entities decoded — stripMarkup alone would leak
-        // JavaScript/CSS bodies into the corpus text)
+        // STAGE-0 RESPONSE POLICY: only 200s whose Content-Type is
+        // text-ish (or absent — the sniff handles those) become corpus
+        // documents. A raw crawl interleaves images/PDFs (binary —
+        // charset-decoding them yields U+FFFD soup docs; they belong on
+        // the readWarcBinary → multimodal path) and 3xx/4xx stubs
+        // (redirect/error boilerplate) with the pages; without this
+        // filter that garbage enters the corpus and, on ingest-daily,
+        // the persisted band index as tomorrow's match source. HTML
+        // then becomes text via the FULL extraction (extractHtmlText:
+        // script/style/head content and comments removed, entities
+        // decoded — stripMarkup alone would leak JavaScript/CSS bodies
+        // into the corpus text).
         graft.sources.Wet.readWarc(spark, w)
+          .filter(col("http_status") === 200 &&
+            (col("content_type") === "" ||
+              col("content_type").startsWith("text/")))
           .select(crawlId("warc_file").as("doc_id"), col("url"),
             col("record_ts"),
             graft.text.TextFunctions.extractHtmlText(col("html"))
@@ -238,7 +249,11 @@ object Main {
           // decomposed duplicates are invisible to every dedup stage
           // without it); --no-nfc opts out for corpora with a byte-exact
           // downstream contract
-          nfc = !args.contains("--no-nfc"))
+          nfc = !args.contains("--no-nfc"),
+          // the eager NULL/duplicate/collision id check is default-on;
+          // --no-verify-ids skips the extra corpus pass for upstreams
+          // that already guarantee dense unique keys
+          verifyIds = !args.contains("--no-verify-ids"))
         val kept = stages.last._2
         // funnel audit: per-stage surviving-doc counts — the curation
         // run's QA report ("gate dropped N, decontamination M, ...")
@@ -376,13 +391,29 @@ object Main {
         // the maintained band index without a pre-conversion step —
         // uniquified url#file:ix ids, sniffed/extracted text, the same
         // shard shape as a parquet shard from there on
-        val docs0 = corpusSource(spark, args, "ingest-daily")
+        val docsRaw = corpusSource(spark, args, "ingest-daily")
+        // NFC the shard's text like the BATCH chain does (default-on,
+        // --no-nfc opt-out): the maintained index holds signatures of
+        // NFC text, so a decomposed recrawl of an indexed page would
+        // otherwise shingle differently, miss every band bucket, and be
+        // folded in as a "new" doc — the exact composed/decomposed gap
+        // NFC exists to close, re-opened on the daily path
+        val docs0 =
+          if (args.contains("--no-nfc")) docsRaw
+          else docsRaw.withColumn("text",
+            graft.text.TextFunctions.nfcNormalize(col("text")))
         // optional DECONTAMINATION of today's shard BEFORE any signature
         // or index work — without it, a contaminated document is folded
         // into the band index and survives as tomorrow's match source
         // even if a later batch decontamination scrubs the corpus
         val docsPre = opt(args, "--decontaminate").map { evalDir =>
-          val eval = spark.read.parquet(evalDir)
+          // the eval side compares in the SAME text space as the shard
+          // (the batch chain's rule): NFC'd unless --no-nfc
+          val evalRaw = spark.read.parquet(evalDir)
+          val eval =
+            if (args.contains("--no-nfc")) evalRaw
+            else evalRaw.withColumn("text",
+              graft.text.TextFunctions.nfcNormalize(col("text")))
           val n = opt(args, "--decont-ngram").map(_.toInt).getOrElse(5)
           val dirty = Dedup.contaminatedIds(docs0, col("doc_id"), col("text"),
               eval, col("text"), n)

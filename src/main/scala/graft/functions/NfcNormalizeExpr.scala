@@ -18,17 +18,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * it to the text column at entry (default-on, `nfc = false` to opt
   * out), and the DuckDB oracle reproduces it with `nfc_normalize()`.
   *
-  * FAST PATH: `Normalizer.isNormalized` runs the NFC quick-check first —
-  * for ASCII/already-composed text (the overwhelming majority of any
-  * corpus) the input UTF8String is returned AS-IS, no String round-trip,
-  * no allocation. Only rows that actually need recomposition pay the
-  * normalize + re-encode cost.
+  * FAST PATHS, in cost order: (1) pure-ASCII input (numBytes ==
+  * numChars) returns AS-IS with no String materialization at all — the
+  * overwhelming majority of any corpus; (2) non-ASCII but already-NFC
+  * input passes `Normalizer.isNormalized`'s quick check and returns
+  * the original UTF8String (one transient String for the check). Only
+  * rows that actually need recomposition pay normalize + re-encode.
   */
 object NfcKernel {
 
   def nfc(s: UTF8String): UTF8String = {
-    // pure-ASCII bytes are NFC by construction — skip even the quick
-    // check's char iteration (numBytes == numChars ⇒ all code units < 0x80)
+    // pure-ASCII bytes are NFC by construction — numBytes == numChars
+    // ⇔ every code unit < 0x80 (UTF-8), so the overwhelmingly common
+    // row returns without even a String materialization
+    if (s.numBytes == s.numChars) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str,
         java.text.Normalizer.Form.NFC)) s

@@ -347,10 +347,11 @@ object Pipelines {
     * r16 — the previous 60-bit fold expected ~0.43 collisions at 10⁹
     * URL keys and aborted ~35% of crawl-scale runs) at entry, run the
     * comparison-keyed cluster machinery on it, and come back out
-    * untouched; NULLs, DUPLICATE ids, and surrogate collisions are all
-    * enforced eagerly on that path (one column-pruned aggregate), so
-    * the contract fails loudly at entry instead of corrupting clusters
-    * mid-chain. Under a surrogate the default min-id representative is
+    * untouched; NULLs, DUPLICATE ids, and (surrogate path) hash
+    * collisions are all enforced eagerly on BOTH key paths (one
+    * column-pruned aggregate; `verifyIds = false` opts out for trusted
+    * dense-keyed upstreams), so the contract fails loudly at entry
+    * instead of corrupting clusters mid-chain. Under a surrogate the default min-id representative is
     * the min-SURROGATE member (deterministic, but not the lexicographic
     * min) — pass `keepBy` for a corpus-stated policy.
     *  - `minContainment`: a CONTAINMENT pass alongside Jaccard
@@ -435,7 +436,8 @@ object Pipelines {
                   langKeep: Option[(Seq[(String, Array[Double])], Set[String])] = None,
                   langK: Int = 12,
                   langMinProb: Double = 0.0,
-                  nfc: Boolean = true): DataFrame =
+                  nfc: Boolean = true,
+                  verifyIds: Boolean = true): DataFrame =
     dedupCorpusStages(docs, id, text, minQuality, minhashK, bandSize, ngram,
       minJaccard, substrN, textColName, minContainment, maxPerSource,
       sourceCol, preClean, evalDocs, decontN, decontMinShared,
@@ -444,7 +446,7 @@ object Pipelines {
       semMaxCell, protoPruneFraction, keepBy, lineScrubDf,
       gopherGate, urlCol, domainDeny, psl,
       lmTarget, lmMinAvgLogp, lmOrder, urlExactDedup,
-      langKeep, langK, langMinProb, nfc).last._2
+      langKeep, langK, langMinProb, nfc, verifyIds).last._2
 
   /** The [[dedupCorpus]] chain with every ACTIVE stage's output exposed as
     * (stageName, relation) — the FUNNEL AUDIT a production curation run
@@ -494,7 +496,8 @@ object Pipelines {
                         langKeep: Option[(Seq[(String, Array[Double])], Set[String])] = None,
                         langK: Int = 12,
                         langMinProb: Double = 0.0,
-                        nfc: Boolean = true)
+                        nfc: Boolean = true,
+                        verifyIds: Boolean = true)
       : Seq[(String, DataFrame)] = {
     import graft.dedup.Dedup
     graft.extensions.GraftExtensions.register(docs.sparkSession)
@@ -519,7 +522,7 @@ object Pipelines {
     // (CC label election, min-representative, pair orientation) — but
     // some sub-paths still do id ARITHMETIC (k-means seeding) and the
     // original id type must survive the chain intact. Integral ids run
-    // the chain directly (zero overhead). ANY other id type — string
+    // the chain directly. ANY other id type — string
     // stems (the reference keys every sample dict by one,
     // common/dataset.py:112-159), URLs/UUIDs, DecimalType — gets an
     // internal 128-BIT SURROGATE at entry: sid = detHash128(id) (the
@@ -533,11 +536,11 @@ object Pipelines {
     // ~0.43 collisions — a ~35% chance of aborting the run — while
     // 2¹²⁸ expects ~10⁻²¹ (round-15 verdict #1).
     // The entry aggregate enforces the chain's standing id contract
-    // EAGERLY and COMPLETELY: NULL ids, DUPLICATE ids (two rows carrying
-    // the same key — the r15 ADVICE gap: per-sid countDistinct alone
-    // cannot see them), and surrogate collisions across distinct ids
-    // all fail loudly HERE, never as a silently-merged cluster
-    // mid-chain. Under a surrogate, the default "min id" representative
+    // EAGERLY on BOTH key paths (verifyIds, default on): NULL ids,
+    // DUPLICATE ids (two rows carrying the same key — the r15 ADVICE
+    // gap: per-sid countDistinct alone cannot see them), and surrogate
+    // collisions across distinct ids all fail loudly HERE, never as a
+    // silently-merged cluster mid-chain. Under a surrogate, the default "min id" representative
     // means min SURROGATE — deterministic and seed-free, but not the
     // lexicographically-min original id; pass `keepBy` for a policy
     // stated in corpus terms. Every id-keyed join below uses the chain
@@ -556,36 +559,45 @@ object Pipelines {
         require(!docs.columns.contains(sidCol),
           s"dedupCorpus: input already carries a $sidCol column — rename " +
             "it; the name is reserved for the internal surrogate id")
-        val withSid = docs.withColumn(sidCol,
-          graft.ops.Determinism.detHash128(id))
-        // ONE corpus-wide aggregate over the column-pruned (id, sid)
-        // projection — no groupBy shuffle key skew, exact countDistinct
-        // (two-stage expand): total rows vs non-null ids catches NULLs,
-        // non-null vs distinct ids catches DUPLICATE keys, distinct ids
-        // vs distinct sids catches hash collisions (kept for defense —
-        // at 128 bits it cannot fire on any physical corpus)
-        val chk = withSid.agg(
-          count(lit(1)).as("__total"),
-          count(id).as("__nonnull"),
-          countDistinct(id).as("__nid"),
-          countDistinct(col(sidCol)).as("__nsid")).head()
-        val nulls = chk.getLong(0) - chk.getLong(1)
-        require(nulls == 0L,
-          s"dedupCorpus: $nulls NULL doc ids — every chain contract " +
-            "(unique ids, surrogate hashing) needs each doc keyed")
-        val dups = chk.getLong(1) - chk.getLong(2)
-        require(dups == 0L,
-          s"dedupCorpus: ${chk.getLong(1) - chk.getLong(2)} rows carry a " +
-            "doc id another row also carries — the chain's unique-id " +
-            "contract is violated at entry (WET ingest: recrawled URLs; " +
-            "uniquify the id, e.g. url + record ordinal, or " +
-            "dropDuplicates first)")
+        (docs.withColumn(sidCol, graft.ops.Determinism.detHash128(id)),
+          col(sidCol))
+      }
+    // ID-CONTRACT ENFORCEMENT — BOTH key paths (r16; the r15 form only
+    // checked the surrogate path, so integral-keyed corpora with
+    // duplicate or NULL ids still corrupted clusters silently — the
+    // exact failure the check exists to prevent). ONE corpus-wide
+    // aggregate over the column-pruned id projection — no groupBy key
+    // skew, exact countDistinct (two-stage expand): total vs non-null
+    // catches NULLs, non-null vs distinct catches DUPLICATE keys, and
+    // on the surrogate path distinct ids vs distinct sids catches hash
+    // collisions (kept for defense — at 128 bits it cannot fire on any
+    // physical corpus). `verifyIds = false` opts out for pipelines
+    // whose upstream already guarantees dense unique keys and cannot
+    // afford the extra corpus pass.
+    if (verifyIds) {
+      val aggs = Seq(count(lit(1)).as("__total"),
+        count(id).as("__nonnull"),
+        countDistinct(id).as("__nid")) ++
+        (if (idIsIntegral) Nil
+         else Seq(countDistinct(col(sidCol)).as("__nsid")))
+      val chk = chainSrc.agg(aggs.head, aggs.tail: _*).head()
+      val nulls = chk.getLong(0) - chk.getLong(1)
+      require(nulls == 0L,
+        s"dedupCorpus: $nulls NULL doc ids — every chain contract " +
+          "(unique ids, surrogate hashing) needs each doc keyed")
+      val dups = chk.getLong(1) - chk.getLong(2)
+      require(dups == 0L,
+        s"dedupCorpus: $dups rows carry a " +
+          "doc id another row also carries — the chain's unique-id " +
+          "contract is violated at entry (WET ingest: recrawled URLs; " +
+          "uniquify the id, e.g. url + record ordinal, or " +
+          "dropDuplicates first)")
+      if (!idIsIntegral)
         require(chk.getLong(2) == chk.getLong(3),
           "dedupCorpus: surrogate-id collision across distinct doc ids " +
             "(md5 128-bit space) — this cannot happen on a physical " +
             "corpus; the id column is likely adversarial")
-        (withSid, col(sidCol))
-      }
+    }
     // ANN vec-id expressions. The semantic PAIR/PRUNE stages are
     // comparison-only on the id (assignCells groups, pairsImpl orients
     // with `<`, the prune window orders) — the string surrogate rides

@@ -140,7 +140,11 @@ object Wet {
           }
           require(r.getString(0) != null && !r.isNullAt(1) &&
             r.getString(2) != null,
-            "writeWetShards: null url, ts, or text")
+            "writeWetShards: null url, ts, or text — WARC-Date is " +
+              "mandatory on the wire; rows that came back from readWet " +
+              "with an unparseable date carry a null record_ts, so " +
+              "filter them (p7 null-drop) or fill a date before " +
+              "re-sharding")
           out.write(conversionRecord(r.getString(0),
             ZuluFmt.format(r.getTimestamp(1).toInstant),
             r.getString(2).getBytes("UTF-8")))
@@ -151,13 +155,18 @@ object Wet {
 
   /** Walk one in-memory WARC byte stream: every record's (lowercased
     * header field map, payload byte slice), any WARC-Type. The shared
-    * record walk under [[parseWetBytes]] (WET `conversion`) and
-    * [[parseWarcResponses]] (raw-crawl `response`). Payloads are sliced
-    * by Content-Length ONLY; malformed records (no blank line, missing
-    * Content-Length) fail loudly with the file context rather than
-    * desynchronizing the walk.
+    * record walk under [[parseWetBytes]] (WET `conversion`) and the
+    * response collectors. Payloads are sliced by Content-Length ONLY;
+    * malformed records (no blank line, missing Content-Length) fail
+    * loudly with the file context rather than desynchronizing the walk.
+    * `wanted` gates the payload COPY: raw crawls interleave
+    * request/metadata records with responses, and materializing a byte
+    * copy the collector immediately discards would double the ingest's
+    * allocation — an unwanted record costs only its header parse.
     */
-  private[sources] def walkWarcRecords(path: String, bytes: Array[Byte])
+  private[sources] def walkWarcRecords(path: String, bytes: Array[Byte],
+                                       wanted: Map[String, String] => Boolean =
+                                         _ => true)
       : Seq[(Map[String, String], Array[Byte])] = {
     val out = Seq.newBuilder[(Map[String, String], Array[Byte])]
     var off = 0
@@ -194,8 +203,9 @@ object Wet {
         val pStart = hEnd + 4
         require(pStart + len <= n,
           s"readWarc: truncated payload at offset $off in $path")
-        out += ((fields, java.util.Arrays.copyOfRange(bytes, pStart,
-          pStart + len.toInt)))
+        if (wanted(fields))
+          out += ((fields, java.util.Arrays.copyOfRange(bytes, pStart,
+            pStart + len.toInt)))
         off = pStart + len.toInt
       }
     }
@@ -208,7 +218,8 @@ object Wet {
     */
   private[sources] def parseWetBytes(path: String, bytes: Array[Byte])
       : Seq[(String, String, String)] =
-    walkWarcRecords(path, bytes).collect {
+    walkWarcRecords(path, bytes,
+      _.get("warc-type").exists(_.equalsIgnoreCase("conversion"))).collect {
       case (fields, payload)
           if fields.get("warc-type").exists(_.equalsIgnoreCase("conversion")) =>
         (fields.getOrElse("warc-target-uri", ""),
@@ -230,17 +241,19 @@ object Wet {
     out.toByteArray
   }
 
-  /** WARC-Date → timestamp, ANSI-safe: `try_to_timestamp`, never
-    * `to_timestamp` — under Spark 4's default ANSI mode the latter THROWS
-    * on any date missing the exact pattern (fractional-second WARC 1.1
-    * dates, malformed records) and kills the whole ingest (r15 ADVICE).
-    * The fallback arm is the bare ISO-8601 cast, which accepts the
-    * WARC 1.1 fractional form (`...:32.123Z`); anything else is null.
+  /** WARC-Date → timestamp, ANSI-safe AND session-timezone-safe:
+    * `try_to_timestamp` with NO pattern — the bare ISO-8601 parse
+    * honors the `Z` as a UTC offset and accepts WARC 1.1 fractional
+    * seconds; a malformed date is null, never a throw (under Spark 4's
+    * default ANSI mode `to_timestamp` THROWS on pattern mismatch and
+    * kills the whole ingest — r15 ADVICE). A pattern arm with a
+    * LITERAL 'Z' ("yyyy-MM-dd'T'HH:mm:ss'Z'") would re-introduce on
+    * the read side the session-tz bug [[ZuluFmt]] fixes on the write
+    * side: the wall clock would parse in the session zone with the Z
+    * ignored — readWet/readWarc are public API and only this repo's
+    * own entry points pin UTC sessions.
     */
-  private def parseWarcDate(c: Column): Column =
-    coalesce(
-      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-      try_to_timestamp(c))
+  private def parseWarcDate(c: Column): Column = try_to_timestamp(c)
 
   /** Read WET files under `dir` as `(wet_file, record_ix, url,
     * record_ts, text)` — one row per `conversion` record, `record_ix`
@@ -306,8 +319,13 @@ object Wet {
     if (split < 0) return (0, Map.empty, payload)
     val head = new String(payload, 0, split, "ISO-8859-1") // bytes 1:1
     val lines = head.split("\r\n")
+    // tolerant status parse: an empty token (double space in the status
+    // line) passes a vacuous forall, and an over-long digit run overflows
+    // toInt — either would throw in an executor and abort the whole
+    // ingest for one sloppy server; both degrade to 0 instead
     val status = lines.head.split(" ") match {
-      case a if a.length >= 2 && a(1).forall(_.isDigit) => a(1).toInt
+      case a if a.length >= 2 && a(1).nonEmpty && a(1).length <= 9 &&
+          a(1).forall(_.isDigit) => a(1).toInt
       case _ => 0
     }
     val headers = lines.drop(1).flatMap { l =>
@@ -438,7 +456,8 @@ object Wet {
   private[sources] def parseWarcResponseBytes(path: String,
                                               bytes: Array[Byte])
       : Seq[(String, String, Int, String, String, String)] =
-    walkWarcRecords(path, bytes).collect {
+    walkWarcRecords(path, bytes,
+      _.get("warc-type").exists(_.equalsIgnoreCase("response"))).collect {
       case (fields, payload)
           if fields.get("warc-type").exists(_.equalsIgnoreCase("response")) =>
         val (status, headers, body) = parseHttpResponse(payload)
@@ -489,7 +508,8 @@ object Wet {
   private[sources] def parseWarcBinaryBytes(path: String,
                                             bytes: Array[Byte])
       : Seq[(String, String, Int, String, Array[Byte])] =
-    walkWarcRecords(path, bytes).collect {
+    walkWarcRecords(path, bytes,
+      _.get("warc-type").exists(_.equalsIgnoreCase("response"))).collect {
       case (fields, payload)
           if fields.get("warc-type").exists(_.equalsIgnoreCase("response")) =>
         val (status, headers, body) = parseHttpResponse(payload)

@@ -476,6 +476,19 @@ class PipelinesSpec extends SparkSpec {
       Pipelines.dedupCorpusStages(withDup, col("doc_id"), col("text"))
     }
     assert(e2.getMessage.contains("unique-id"), e2.getMessage)
+    // INTEGRAL ids are checked too (r16): duplicate long ids previously
+    // passed the entry unchecked and corrupted clusters silently —
+    // exactly the failure the surrogate path's check prevents
+    val withDupL = Seq((7L, "first text body here"),
+      (7L, "second text body here"), (8L, "third text body here"))
+      .toDF("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException] {
+      Pipelines.dedupCorpusStages(withDupL, col("doc_id"), col("text"))
+    }
+    assert(e3.getMessage.contains("unique-id"), e3.getMessage)
+    // verifyIds = false restores the trusted-upstream zero-check path
+    assert(Pipelines.dedupCorpusStages(withDupL, col("doc_id"),
+      col("text"), minQuality = 0.0, verifyIds = false).nonEmpty)
     // the SEMANTIC stage rides the string surrogate raw (comparison-only
     // pair/prune; only k-means seeding folds it to a long): two docs with
     // near-identical embeddings and distinct text collapse to one

@@ -268,6 +268,34 @@ class WetSpec extends SparkSpec {
     assert(rows.head.getInt(2) === 0)
   }
 
+  test("WARC dates parse as UTC instants regardless of the session timezone") {
+    // readWet/readWarc are public API; a pattern arm with a LITERAL 'Z'
+    // would parse the wall clock in the SESSION zone (the read-side twin
+    // of the r15 writer bug) — the bare ISO-8601 parse honors the offset
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val rec = Wet.conversionRecord("https://tz.example/",
+        "2024-01-01T12:00:00Z", "body".getBytes("UTF-8"))
+      val dir = tmp("wet_tz")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "tz.warc.wet"), rec)
+      val ts = Wet.readWet(spark, dir).select("record_ts")
+        .head().getTimestamp(0)
+      assert(ts.toInstant === java.time.Instant.parse("2024-01-01T12:00:00Z"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("malformed HTTP status lines degrade to 0, never abort the ingest") {
+    // double space → empty token; oversized digit run → would overflow
+    val httpDouble = ("HTTP/1.1  200 OK\r\n\r\nbody").getBytes("ISO-8859-1")
+    assert(Wet.parseHttpResponse(httpDouble)._1 === 0)
+    val httpHuge = ("HTTP/1.1 99999999999 OK\r\n\r\nbody").getBytes("ISO-8859-1")
+    assert(Wet.parseHttpResponse(httpHuge)._1 === 0)
+    val httpOk = ("HTTP/1.1 404 Not Found\r\n\r\nbody").getBytes("ISO-8859-1")
+    assert(Wet.parseHttpResponse(httpOk)._1 === 404)
+  }
+
   test("malformed records fail loudly with file context, never desynchronize silently") {
     val noLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n\r\n").getBytes("UTF-8")
     val e = intercept[IllegalArgumentException] {
