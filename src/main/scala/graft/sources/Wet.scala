@@ -267,11 +267,43 @@ object Wet {
     * explicit choice) — [[parseWarcDate]] keeps that promise under ANSI.
     */
   def readWet(spark: SparkSession, dir: String,
-              glob: String = "*.wet*"): DataFrame = {
+              glob: String = "*.wet*"): DataFrame =
+    wetRowsOf(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir))
+
+  /** STREAMING twin of [[readWet]]: watch `dir` as a file stream — each
+    * newly-landed WET shard becomes rows of the micro-batch that saw it,
+    * through the SAME per-file record walk (a stateless flatMap is
+    * stream-safe; no state store, no batch/stream fork). Compose with
+    * [[graft.streaming.Streaming.ingestCandidates]] for continuous
+    * crawl-drop dedup against the persisted band index — candidates
+    * surface within the micro-batch that landed the shard.
+    */
+  def readWetStream(spark: SparkSession, dir: String,
+                    glob: String = "*.wet*"): DataFrame =
+    wetRowsOf(spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", glob).load(dir))
+
+  /** The fixed schema of the binaryFile source (streaming reads must
+    * declare it up front; the batch source infers the identical one).
+    */
+  private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** (path, content) → WET rows — the transform shared by [[readWet]]
+    * and [[readWetStream]]. */
+  private def wetRowsOf(loaded: DataFrame): DataFrame = {
+    val spark = loaded.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(dir)
-      .select(col("path"), col("content"))
+    loaded.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, raw) =>
         val bytes = if (path.endsWith(".gz")) gunzipAll(raw) else raw
@@ -482,11 +514,26 @@ object Wet {
     * and decodes in-loader, common/dataset.py:271-281).
     */
   def readWarc(spark: SparkSession, dir: String,
-               glob: String = "*.warc*"): DataFrame = {
+               glob: String = "*.warc*"): DataFrame =
+    warcRowsOf(spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir))
+
+  /** STREAMING twin of [[readWarc]] — the raw-crawl drop-directory
+    * watcher ([[readWetStream]]'s rationale; same stateless per-file
+    * walk, envelope parse, and charset sniff).
+    */
+  def readWarcStream(spark: SparkSession, dir: String,
+                     glob: String = "*.warc*"): DataFrame =
+    warcRowsOf(spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", glob).load(dir))
+
+  /** (path, content) → response rows — shared by [[readWarc]] and
+    * [[readWarcStream]]. */
+  private def warcRowsOf(loaded: DataFrame): DataFrame = {
+    val spark = loaded.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(dir)
-      .select(col("path"), col("content"))
+    loaded.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, raw) =>
         val bytes = if (path.endsWith(".gz")) gunzipAll(raw) else raw

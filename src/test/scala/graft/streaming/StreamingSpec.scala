@@ -767,4 +767,63 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
     assert(got === want)
   }
+
+  test("streaming WET crawl drop: readWetStream rows == batch; ingestCandidates surfaces the recrawl in-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.dedup.Dedup
+    import graft.sources.Wet
+    spark.sql("DROP TABLE IF EXISTS stream_wet_band")
+    // day-0 corpus + persisted band index (url-string-keyed)
+    val corpus = Seq(
+      ("u://c/1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("u://c/2", "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandIndex(Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4),
+      "stream_wet_band", buckets = 4)
+    // a WET shard lands in the watched drop dir: one recrawl of c/2 +
+    // one new page
+    val dir = tmp("wetdrop")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val rows = Seq(
+      ("https://drop.example/dup", "2024-02-01 00:00:01",
+        "the quick brown fox jumps over the lazy dog near the river bank"),
+      ("https://drop.example/new", "2024-02-01 00:00:02",
+        "subway platforms echo with late night maintenance announcements"))
+      .toDF("url", "ts", "text")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    Wet.writeWetShards(rows, "url", "ts", "text", s"$dir/in", 1)
+    // the SAME parse runs on the stream; doc id = url (unique here)
+    val docsStream = Wet.readWetStream(spark, s"$dir/in")
+      .select(col("url").as("doc_id"), col("text"))
+    val q = Streaming.ingestCandidates(docsStream,
+        Dedup.readBandIndex(spark, "stream_wet_band"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$dir/out").start()
+    q.awaitTermination()
+    val pairs = spark.read.parquet(s"$dir/out")
+      .select("new_doc", "matched_doc").as[(String, String)]
+      .collect().toSet
+    assert(pairs.contains(("https://drop.example/dup", "u://c/2")), pairs)
+    assert(!pairs.exists(_._1 == "https://drop.example/new"), pairs)
+    // stream rows == the batch reader on the same drop dir
+    val gotStreamRows = {
+      val q2 = Wet.readWetStream(spark, s"$dir/in")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt2")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$dir/rows").start()
+      q2.awaitTermination()
+      spark.read.parquet(s"$dir/rows")
+        .select("url", "record_ts", "text")
+        .as[(String, java.sql.Timestamp, String)].collect().toSet
+    }
+    val batchRows = Wet.readWet(spark, s"$dir/in")
+      .select("url", "record_ts", "text")
+      .as[(String, java.sql.Timestamp, String)].collect().toSet
+    assert(gotStreamRows === batchRows)
+    assert(batchRows.size === 2)
+  }
 }
