@@ -71,10 +71,28 @@ object Main {
         // script/style/head content and comments removed, entities
         // decoded — stripMarkup alone would leak JavaScript/CSS bodies
         // into the corpus text).
+        // Media types compare case-INSENSITIVELY (RFC 9110 — legacy
+        // servers emit 'Text/HTML'; readWarc lowercases header keys,
+        // not values). application/xhtml+xml is real HTML (a few
+        // percent of any crawl); everything else (images, PDFs,
+        // octet-streams) is binary and belongs on the readWarcBinary →
+        // multimodal path. A 200 with NO Content-Type is kept (the
+        // sniff + downstream gates judge it), but status 0 — a payload
+        // with no HTTP envelope or an unparseable status line — needs a
+        // DECLARED text-ish type: a bare body carries no evidence of
+        // being text, and ingest-daily has no quality gate between this
+        // filter and the persisted band index, so U+FFFD-decoded binary
+        // must not get that far (readWarc itself still returns such
+        // records — the parser never drops silently; this is stage-0
+        // corpus policy).
+        val ctL = lower(col("content_type"))
+        val textish = ctL.startsWith("text/") ||
+          ctL.startsWith("application/xhtml")
         graft.sources.Wet.readWarc(spark, w)
-          .filter(col("http_status") === 200 &&
-            (col("content_type") === "" ||
-              col("content_type").startsWith("text/")))
+          .filter(
+            (col("http_status") === 200 &&
+              (col("content_type") === "" || textish)) ||
+            (col("http_status") === 0 && textish))
           .select(crawlId("warc_file").as("doc_id"), col("url"),
             col("record_ts"),
             graft.text.TextFunctions.extractHtmlText(col("html"))
@@ -475,22 +493,29 @@ object Main {
           case (Some(tDir), Some(minLp)) =>
             // ONE gate definition shared with dedupCorpus's lm_gate
             // stage (TextFunctions.lmGate) — day-2 and batch gating
-            // cannot diverge. localCheckpoint: the gated relation feeds
-            // banding, the verification lookup, the line-freq fold-in
-            // semi-join, and the audit count — unshared, each consumer
-            // would re-run the whole scoring pass (the docsS discipline)
+            // cannot diverge. The target fits in the SAME text space as
+            // the NFC'd shard (the batch chain's rule): a decomposed-
+            // bytes target would make every accented n-gram OOV at
+            // scoring time and wrongly depress non-ASCII docs' scores.
+            // localCheckpoint: the gated relation feeds banding, the
+            // verification lookup, the line-freq fold-in semi-join, and
+            // the audit count — unshared, each consumer would re-run
+            // the whole scoring pass (the docsS discipline)
+            val tgtRaw = spark.read.parquet(tDir)
+            val tgt =
+              if (args.contains("--no-nfc")) tgtRaw
+              else tgtRaw.withColumn("text",
+                graft.text.TextFunctions.nfcNormalize(col("text")))
             (opt(args, "--lm-order").map(_.toInt).getOrElse(3) match {
               case 3 =>
                 graft.text.TextFunctions.lmGate(docsS, col("doc_id"),
                   col("text"),
-                  graft.text.TextFunctions.fitTrigramKn(
-                    spark.read.parquet(tDir), col("text")),
+                  graft.text.TextFunctions.fitTrigramKn(tgt, col("text")),
                   minLp.toDouble)
               case o =>
                 graft.text.TextFunctions.lmGateKn(docsS, col("doc_id"),
                   col("text"),
-                  graft.text.TextFunctions.fitKn(
-                    spark.read.parquet(tDir), col("text"), o),
+                  graft.text.TextFunctions.fitKn(tgt, col("text"), o),
                   minLp.toDouble)
             }).localCheckpoint()
           case (None, None) => docsS

@@ -218,14 +218,20 @@ object Wet {
     */
   private[sources] def parseWetBytes(path: String, bytes: Array[Byte])
       : Seq[(String, String, String)] =
-    walkWarcRecords(path, bytes,
-      _.get("warc-type").exists(_.equalsIgnoreCase("conversion"))).collect {
-      case (fields, payload)
-          if fields.get("warc-type").exists(_.equalsIgnoreCase("conversion")) =>
+    walkWarcRecords(path, bytes, isType("conversion")).map {
+      case (fields, payload) =>
         (fields.getOrElse("warc-target-uri", ""),
           fields.getOrElse("warc-date", ""),
           new String(payload, "UTF-8"))
     }
+
+  /** One WARC-Type predicate definition per collector — the walker
+    * pre-filters on it (so unwanted payloads are never byte-copied) and
+    * the collector trusts that filter; duplicating the predicate in a
+    * collect guard invited the two copies drifting apart.
+    */
+  private def isType(t: String): Map[String, String] => Boolean =
+    _.get("warc-type").exists(_.equalsIgnoreCase(t))
 
   /** Gunzip a whole stream, multi-member aware (Common Crawl gzips each
     * record as its own member; the JDK stream reads across members).
@@ -488,10 +494,8 @@ object Wet {
   private[sources] def parseWarcResponseBytes(path: String,
                                               bytes: Array[Byte])
       : Seq[(String, String, Int, String, String, String)] =
-    walkWarcRecords(path, bytes,
-      _.get("warc-type").exists(_.equalsIgnoreCase("response"))).collect {
-      case (fields, payload)
-          if fields.get("warc-type").exists(_.equalsIgnoreCase("response")) =>
+    walkWarcRecords(path, bytes, isType("response")).map {
+      case (fields, payload) =>
         val (status, headers, body) = parseHttpResponse(payload)
         val ct = headers.getOrElse("content-type", "")
         val cs = sniffCharset(headers.get("content-type"), body)
@@ -555,10 +559,8 @@ object Wet {
   private[sources] def parseWarcBinaryBytes(path: String,
                                             bytes: Array[Byte])
       : Seq[(String, String, Int, String, Array[Byte])] =
-    walkWarcRecords(path, bytes,
-      _.get("warc-type").exists(_.equalsIgnoreCase("response"))).collect {
-      case (fields, payload)
-          if fields.get("warc-type").exists(_.equalsIgnoreCase("response")) =>
+    walkWarcRecords(path, bytes, isType("response")).map {
+      case (fields, payload) =>
         val (status, headers, body) = parseHttpResponse(payload)
         (fields.getOrElse("warc-target-uri", ""),
           fields.getOrElse("warc-date", ""),
