@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily {--docs <shardparquet> | --wet <wetdir> | --warc <warcdir>} --band-table <tbl> [--corpus <parquet>] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily {--docs <shardparquet> | --wet <wetdir> | --warc <warcdir>} --band-table <tbl> [--corpus <parquet>] [--min-quality 0.5] [--no-nfc] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -480,6 +480,23 @@ object Main {
               .localCheckpoint() // feeds banding AND verification
           case _ => docs
         }
+        // optional QUALITY GATE on today's shard (the dedup command's
+        // --min-quality at day-2 parity — r16; previously a garbage page
+        // the batch chain would gate out could be folded straight into
+        // the persisted band index as tomorrow's match source, because
+        // the daily loop had NO quality stage at all). Same scored gate
+        // as the batch chain (qualityScoreNative, identical rounding),
+        // applied AFTER the line scrub (score the cleaned text) and
+        // before the LM gate and all signature/index work. Off by
+        // default (0.0 keeps everything — the historical behavior; pass
+        // the same threshold as the batch run for parity).
+        val minQualityDaily =
+          opt(args, "--min-quality").map(_.toDouble).getOrElse(0.0)
+        val docsQ =
+          if (minQualityDaily <= 0.0) docsS
+          else docsS.filter(
+            round(graft.text.TextFunctions.qualityScoreNative(col("text")),
+              6) >= minQualityDaily)
         // optional CCNet LM-PERPLEXITY GATE on today's shard (the dedup
         // command's --lm-target/--lm-min-logp at day-2 parity): the KN
         // model fits on the target slice (small — one fit per ingest),
@@ -508,17 +525,17 @@ object Main {
                 graft.text.TextFunctions.nfcNormalize(col("text")))
             (opt(args, "--lm-order").map(_.toInt).getOrElse(3) match {
               case 3 =>
-                graft.text.TextFunctions.lmGate(docsS, col("doc_id"),
+                graft.text.TextFunctions.lmGate(docsQ, col("doc_id"),
                   col("text"),
                   graft.text.TextFunctions.fitTrigramKn(tgt, col("text")),
                   minLp.toDouble)
               case o =>
-                graft.text.TextFunctions.lmGateKn(docsS, col("doc_id"),
+                graft.text.TextFunctions.lmGateKn(docsQ, col("doc_id"),
                   col("text"),
                   graft.text.TextFunctions.fitKn(tgt, col("text"), o),
                   minLp.toDouble)
             }).localCheckpoint()
-          case (None, None) => docsS
+          case (None, None) => docsQ
           case _ => throw new IllegalArgumentException(
             "--lm-target and --lm-min-logp must be passed together — one " +
               "alone would silently skip the perplexity gate")
@@ -739,8 +756,10 @@ object Main {
           println(f"[ingest-daily] shard_docs       ${docs.count()}%d")
           if (opt(args, "--decontaminate").isDefined)
             println(f"[ingest-daily] decont_dropped   ${docs0.count() - docs.count()}%d")
+          if (opt(args, "--min-quality").isDefined)
+            println(f"[ingest-daily] quality_dropped  ${docsS.count() - docsQ.count()}%d")
           if (opt(args, "--lm-target").isDefined)
-            println(f"[ingest-daily] lm_gate_dropped  ${docsS.count() - docsG.count()}%d")
+            println(f"[ingest-daily] lm_gate_dropped  ${docsQ.count() - docsG.count()}%d")
           println(f"[ingest-daily] shard_band_rows  ${shardBanded.count()}%d")
           capDropped.foreach { case (sh, ix) =>
             println(f"[ingest-daily] cap_dropped_slots shard=$sh%d index=$ix%d") }

@@ -414,6 +414,30 @@ class CliSpec extends SparkSpec {
       .startsWith("https://crawl.example/new#")).count() === 2)
   }
 
+  test("ingest-daily --min-quality: a garbage shard doc never reaches the band index (day-2 batch-gate parity)") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS cli_q_band")
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    Dedup.writeBandIndex(Dedup.bandedSignatures(
+      Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), 8), 4),
+      "cli_q_band", buckets = 4)
+    val shardDir = tmpDir("cli_q_shard")
+    Seq(
+      (100L, "harbor cranes unload container ships beneath sodium lamps"),
+      (101L, "#### !!!! %%%% ;;;; @@@@ ^^^^ &&&& ****")) // punct soup
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(shardDir)
+    Main.run(spark, Array("ingest-daily", "--docs", shardDir,
+      "--band-table", "cli_q_band", "--buckets", "4",
+      "--min-quality", "0.3"))
+    val idx = Dedup.readBandIndex(spark, "cli_q_band")
+    assert(idx.filter(col("doc_id") === 100L).count() === 2)
+    // previously the daily loop had NO quality stage: the garbage doc's
+    // signatures would have been folded in as tomorrow's match source
+    assert(idx.filter(col("doc_id") === 101L).count() === 0)
+  }
+
   test("ingest-daily --line-freq-table: day-2 banner scrubbed via persisted counts; shard counts fold in") {
     import graft.core.Bucketing
     import graft.dedup.Dedup
