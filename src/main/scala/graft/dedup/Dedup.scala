@@ -98,6 +98,58 @@ object Dedup {
       .select(col("doc_id"), expr(s"stack($k, $unpivot) AS (seed, minhash)"))
   }
 
+  /** LSH BAND PLANNING — choose (bandSize r, bands b) for a MinHash
+    * index from a TARGET Jaccard threshold, the knob every deployment
+    * actually has in mind ("catch pairs above ~0.3"). The standard LSH
+    * S-curve: a pair with true Jaccard s collides in at least one band
+    * with probability p(s) = 1 − (1 − s^r)^b, whose 50%-crossing sits
+    * near (1/b)^(1/r). For each target threshold this picks, among the
+    * band sizes r dividing k (the [[bandedSignaturesProjected]]
+    * contract), the one whose crossing lands closest to the target —
+    * ties broken toward SMALLER r (more bands = higher recall at equal
+    * crossing, the curation-side preference) — and reports the plan
+    * plus the curve at the pair-qualifying points a tuner inspects.
+    *
+    * Pure arithmetic over a divisors × targets grid (rows = |divisors|
+    * × |targets|, driver-trivial, broadcast-safe at any scale) — the
+    * plan is decided BEFORE any corpus pass, which is the point:
+    * re-banding a 100-TB index because r was guessed wrong is the
+    * expensive mistake this relation exists to prevent.
+    * Output: (target, r, b, threshold, p_at_target, p_below, p_above)
+    * — p(s) at the target itself, at 0.8× target (false-positive
+    * exposure), and at 1.25× target (recall at the band edge).
+    */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession, k: Int,
+                  targets: Seq[Double], roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"lshBandPlan: k $k < 1")
+    require(targets.nonEmpty && targets.forall(t => t > 0 && t < 1),
+      "lshBandPlan: targets must lie in (0, 1)")
+    import spark.implicits._
+    val divisors = (1 to k).filter(k % _ == 0)
+    def pCollide(s: Column, r: Column, b: Column): Column =
+      lit(1.0) - pow(lit(1.0) - pow(s, r), b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("target")
+      .orderBy(abs(col("threshold") - col("target")), col("r"))
+    // the grid is |divisors| × |targets| in-memory constants — built
+    // driver-side (no cross join in the plan; the board-wide
+    // product-join sweep stays clean)
+    (for (t <- targets; r <- divisors) yield (t, r, k / r))
+      .toDF("target", "r", "b")
+      .withColumn("threshold",
+        pow(lit(1.0) / col("b"), lit(1.0) / col("r")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("target"), col("r"), col("b"),
+        round(col("threshold"), roundTo).as("threshold"),
+        round(pCollide(col("target"), col("r"), col("b")), roundTo)
+          .as("p_at_target"),
+        round(pCollide(col("target") * 0.8, col("r"), col("b")), roundTo)
+          .as("p_below"),
+        round(pCollide(least(col("target") * 1.25, lit(1.0)), col("r"),
+          col("b")), roundTo).as("p_above"))
+  }
+
   /** (doc_id, band, band_sig) banded signatures — the LSH index ARTIFACT.
     * This is the relation a production pipeline persists (bucketed by
     * band_sig) so that tomorrow's ingest joins against it without touching

@@ -1282,6 +1282,17 @@ object QText {
       Dedup.duplicateNgramRunsKeepFirst(t(s, d, "documents"),
         col("doc_id"), col("text"), 5)),
 
+    // D27: LSH BAND PLANNING — (r, b) chosen from a TARGET Jaccard
+    // threshold, the knob a deployment actually has ("catch pairs above
+    // ~0.3"): the S-curve p(s) = 1 − (1 − s^r)^b crosses 50% near
+    // (1/b)^(1/r); per target the divisor-of-k band size whose crossing
+    // lands closest wins (ties toward smaller r = more bands = recall).
+    // The plan is decided BEFORE any corpus pass — re-banding a 100-TB
+    // index because r was guessed wrong is the expensive mistake this
+    // prevents. Oracle replays the argmin + curve in SQL.
+    "d27_lsh_plan" -> ((s, d) =>
+      Dedup.lshBandPlan(s, 8, (1 to 9).map(_ / 10.0))),
+
     // D7: duplicate CLUSTERS from the verified pairs — connected components
     // (iterative min-label propagation), cluster id = min member doc_id.
     // The at-scale dedup decision is then `doc_id === cluster` (keep the
@@ -2245,6 +2256,24 @@ object QText {
                  CAST(max(pos) + 4 AS INT) AS end_tok,
                  count(*) AS n_gram_starts
           FROM r GROUP BY doc_id, grp""",
+    "d27_lsh_plan" ->
+      """WITH t AS (SELECT CAST(i AS DOUBLE) / 10 AS target
+                    FROM range(1, 10) tr(i)),
+              d AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS r),
+              g AS (SELECT target, r, CAST(8 / r AS INT) AS b,
+                           pow(CAST(1 AS DOUBLE) / (8 / r),
+                               CAST(1 AS DOUBLE) / r) AS threshold
+                    FROM t CROSS JOIN d),
+              rk AS (SELECT *, row_number() OVER (
+                       PARTITION BY target
+                       ORDER BY abs(threshold - target), r) AS rn
+                     FROM g)
+         SELECT target, r, b, round(threshold, 6) AS threshold,
+                round(1 - pow(1 - pow(target, r), b), 6) AS p_at_target,
+                round(1 - pow(1 - pow(target * 0.8, r), b), 6) AS p_below,
+                round(1 - pow(1 - pow(least(target * 1.25, 1.0), r), b), 6)
+                  AS p_above
+         FROM rk WHERE rn = 1""",
     "d10c_keep_first_spans" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
                f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
