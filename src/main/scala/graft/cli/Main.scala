@@ -85,8 +85,17 @@ object Main {
         // must not get that far (readWarc itself still returns such
         // records — the parser never drops silently; this is stage-0
         // corpus policy).
+        // PROSE types only (r16 ADVICE): a blanket text/* kept crawl
+        // files served as text/css or text/javascript — bare stylesheet
+        // and script bodies that extractHtmlText passes through verbatim
+        // (it only strips script/style CONTENT inside tags), i.e. the
+        // exact boilerplate leak the HTML extraction closed. Corpus
+        // documents are html/xhtml/plain; every other text/* subtype
+        // (css, javascript, csv, calendar, vtt, ...) is machine-format,
+        // not prose, and routes away from the corpus at stage 0.
         val ctL = lower(col("content_type"))
-        val textish = ctL.startsWith("text/") ||
+        val textish = ctL.startsWith("text/html") ||
+          ctL.startsWith("text/plain") ||
           ctL.startsWith("application/xhtml")
         graft.sources.Wet.readWarc(spark, w)
           .filter(

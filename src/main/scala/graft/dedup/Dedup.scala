@@ -1549,7 +1549,10 @@ object Dedup {
       struct(lit(b.toLong).as("band"),
         shiftright(fp, b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
     }: _*)
-    hashes.select(id.cast("long").as("doc_id"), explode(bands).as("bv"))
+    // the id is comparison-only here (band joins group on it) — it rides
+    // RAW so string surrogate keys work; casting to long threw under
+    // ANSI on md5-hex ids (r16 ADVICE)
+    hashes.select(id.as("doc_id"), explode(bands).as("bv"))
       .select(col("doc_id"), col("bv.band").as("band"),
         col("bv.band_val").as("band_val"))
   }
@@ -1578,7 +1581,9 @@ object Dedup {
     */
   def verifyHammingPairs(hashes: DataFrame, id: Column, fp: Column,
                          candidates: DataFrame, maxHamming: Int): DataFrame = {
-    val fps = hashes.select(id.cast("long").as("doc_id"),
+    // id rides raw (equi-join key only — string surrogates work); the
+    // fingerprint is genuinely numeric, so ITS cast stays
+    val fps = hashes.select(id.as("doc_id"),
       fp.cast("long").as("__fp"))
     candidates.select("doc_a", "doc_b")
       .join(fps.select(col("doc_id").as("doc_a"), col("__fp").as("__fa")), "doc_a")
@@ -1605,7 +1610,9 @@ object Dedup {
   def imageNearDupPairs(hashes: DataFrame, id: Column, fp: Column,
                         bits: Int, bandBits: Int, maxHamming: Int,
                         maxBucket: Int = 64): DataFrame = {
-    val fps = hashes.select(id.cast("long").as("doc_id"),
+    // id is comparison-only (band equi-join, `<` orientation, verify
+    // equi-join) — raw, so the 128-bit string surrogate rides unharmed
+    val fps = hashes.select(id.as("doc_id"),
       fp.cast("long").as("__fp"))
     val banded = fingerprintBands(fps, col("doc_id"), col("__fp"),
         bits, bandBits)

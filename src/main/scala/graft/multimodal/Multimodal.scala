@@ -194,8 +194,31 @@ object Multimodal {
       unhex(array_join(rowsHex, "")))
   }
 
-  /** Perceptual row-hash record produced by [[imageDHashById]]. */
-  case class ImageHash(doc_id: Long, width: Int, height: Int, dhash: Long)
+  /** Perceptual row-hash record produced by [[imageDHashById]]. The id
+    * travels as its string rendering inside the decode edge and is cast
+    * back to the caller's id type on the way out ([[keyedBytes]]).
+    */
+  case class ImageHash(doc_id: String, width: Int, height: Int, dhash: Long)
+
+  /** Shared id-keying for the three fingerprint decode edges: the dedup
+    * chain's id contract is COMPARISON-ONLY (group/join/orient), so the
+    * id must ride these functions raw — a cast("long") here threw under
+    * ANSI on the 128-bit md5-hex surrogate string-keyed corpora use
+    * (dedupCorpus, Pipelines.scala) and would silently NULL every
+    * perceptual pair with ANSI off. Long ids round-trip their decimal
+    * string rendering losslessly, so keying the typed decode edge by
+    * `cast(string)` and casting `doc_id` back to the input type keeps
+    * long-keyed outputs schema-identical (d13-d16 oracles) while string
+    * keys pass through untouched.
+    */
+  private def keyedBytes(files: DataFrame, id: Column, content: Column)
+      : (Dataset[(String, Array[Byte])], org.apache.spark.sql.types.DataType) = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val idType = files.select(id).schema.head.dataType
+    (files.select(id.cast("string"), content).as[(String, Array[Byte])],
+      idType)
+  }
 
   /** U1/D13: perceptual image fingerprint from REAL decoded pixels — the
     * vertical-gradient variant of dHash (difference hash): decode with
@@ -212,11 +235,13 @@ object Multimodal {
     * mapping — the fixture regime where the DuckDB oracle reproduces the
     * fingerprint arithmetically (d13_image_dhash).
     *
-    * Output is id-keyed (id cast to long — the dedup pipeline's id
-    * contract) so fingerprints join straight into the banding/verify/CC
-    * machinery ([[graft.dedup.Dedup.imageNearDupPairs]]). Undecodable
-    * payloads are dropped (the P7 null-drop convention). The relation is
-    * metadata-sized: one long per image, payloads never leave the scan.
+    * Output is keyed by the caller's id AS-IS (comparison-only — the
+    * dedup pipeline's id contract; see [[keyedBytes]] for why no long
+    * cast), so fingerprints join straight into the banding/verify/CC
+    * machinery ([[graft.dedup.Dedup.imageNearDupPairs]]) under long OR
+    * string (128-bit surrogate) keys. Undecodable payloads are dropped
+    * (the P7 null-drop convention). The relation is metadata-sized: one
+    * fingerprint per image, payloads never leave the scan.
     */
   def imageDHashById(files: DataFrame, id: Column, content: Column,
                      gridRows: Int = 16): DataFrame = {
@@ -224,7 +249,8 @@ object Multimodal {
       s"imageDHashById: gridRows must be in [2, 63], got $gridRows")
     val spark = files.sparkSession
     import spark.implicits._
-    files.select(id.cast("long"), content).as[(Long, Array[Byte])]
+    val (keyed, idType) = keyedBytes(files, id, content)
+    keyed
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
         it.flatMap { case (docId, bytes) =>
@@ -279,7 +305,7 @@ object Multimodal {
             }
           } catch { case _: Exception => None }
         }
-      }.toDF()
+      }.toDF().withColumn("doc_id", col("doc_id").cast(idType))
   }
 
   /** U1 (audio): serialize a canonical 44-byte RIFF/WAVE header — the
@@ -433,7 +459,7 @@ object Multimodal {
 
   /** Energy-envelope fingerprint record produced by
     * [[audioFingerprintById]]. */
-  case class AudioHash(doc_id: Long, sample_rate: Int, n_samples: Int,
+  case class AudioHash(doc_id: String, sample_rate: Int, n_samples: Int,
                        afp: Long)
 
   /** U2/D14: perceptual audio fingerprint from REAL decoded PCM — the
@@ -452,12 +478,13 @@ object Multimodal {
     * `frames` blocks is the identity regime the DuckDB oracle reproduces
     * arithmetically (d14_audio_fp).
     *
-    * Output is id-keyed (long — the dedup pipeline's id contract) so
-    * fingerprints feed straight into the Hamming-space banding/verify
-    * machinery ([[graft.dedup.Dedup.imageNearDupPairs]], which is
-    * fingerprint-agnostic). Undecodable payloads and zero-length clips
-    * are dropped (the P7 null-drop convention); the relation is
-    * metadata-sized — one long per clip, payloads never leave the scan.
+    * Output is keyed by the caller's id AS-IS (comparison-only contract;
+    * [[keyedBytes]]) so fingerprints feed straight into the Hamming-space
+    * banding/verify machinery ([[graft.dedup.Dedup.imageNearDupPairs]],
+    * which is fingerprint-agnostic) under long OR string surrogate keys.
+    * Undecodable payloads and zero-length clips are dropped (the P7
+    * null-drop convention); the relation is metadata-sized — one
+    * fingerprint per clip, payloads never leave the scan.
     */
   def audioFingerprintById(files: DataFrame, id: Column, content: Column,
                            frames: Int = 16): DataFrame = {
@@ -465,7 +492,8 @@ object Multimodal {
       s"audioFingerprintById: frames must be in [2, 63], got $frames")
     val spark = files.sparkSession
     import spark.implicits._
-    files.select(id.cast("long"), content).as[(Long, Array[Byte])]
+    val (keyed, idType) = keyedBytes(files, id, content)
+    keyed
       .flatMap { case (docId, bytes) =>
         parseWavRaw(bytes).flatMap { case (rate, ch, samples) =>
           val n = samples.length / math.max(ch, 1)
@@ -508,7 +536,7 @@ object Multimodal {
             Some(AudioHash(docId, rate, n, fp))
           }
         }
-      }.toDF()
+      }.toDF().withColumn("doc_id", col("doc_id").cast(idType))
   }
 
   /** Decoded-image record produced at the mapPartitions edge. */
@@ -779,7 +807,7 @@ object Multimodal {
   }
 
   /** Temporal fingerprint record produced by [[videoFingerprintById]]. */
-  case class VideoHash(doc_id: Long, width: Int, height: Int, n_frames: Int,
+  case class VideoHash(doc_id: String, width: Int, height: Int, n_frames: Int,
                        vfp: Long)
 
   /** U4/D15: perceptual video fingerprint from REALLY demuxed frames — the
@@ -799,11 +827,12 @@ object Multimodal {
     * reproduces arithmetically (d15_video_fp — constant-luma frames make
     * the mean luma monotone in the generating byte).
     *
-    * Output is id-keyed (long — the dedup pipeline's id contract) so
-    * fingerprints feed straight into the Hamming-space banding/verify
-    * machinery ([[graft.dedup.Dedup.imageNearDupPairs]], fingerprint-
-    * agnostic). Undecodable/empty containers are dropped (the P7
-    * null-drop convention); the relation is metadata-sized — one long per
+    * Output is keyed by the caller's id AS-IS (comparison-only contract;
+    * [[keyedBytes]]) so fingerprints feed straight into the Hamming-space
+    * banding/verify machinery ([[graft.dedup.Dedup.imageNearDupPairs]],
+    * fingerprint-agnostic) under long OR string surrogate keys.
+    * Undecodable/empty containers are dropped (the P7 null-drop
+    * convention); the relation is metadata-sized — one fingerprint per
     * clip, frame bytes never leave the scan.
     */
   def videoFingerprintById(files: DataFrame, id: Column, content: Column,
@@ -812,7 +841,8 @@ object Multimodal {
       s"videoFingerprintById: gridFrames must be in [2, 63], got $gridFrames")
     val spark = files.sparkSession
     import spark.implicits._
-    files.select(id.cast("long"), content).as[(Long, Array[Byte])]
+    val (keyed, idType) = keyedBytes(files, id, content)
+    keyed
       .flatMap { case (docId, bytes) =>
         val frames = y4mFrames(bytes)
         if (frames.isEmpty) None
@@ -855,7 +885,7 @@ object Multimodal {
           }
           Some(VideoHash(docId, frames.head.width, frames.head.height, n, fp))
         }
-      }.toDF()
+      }.toDF().withColumn("doc_id", col("doc_id").cast(idType))
   }
 
   /** U1 (video): frame sampling — the 1→N generator edge: each (path,

@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   *
   * The writer exists for DETERMINISTIC FIXTURE SYNTHESIS and shard export
   * (the s16 tar discipline): same rows → byte-identical shards (record
-  * ids are md5-derived from the URI, never random UUIDs), one sequential
-  * file per shard, records URI-sorted within it.
+  * ids are md5-derived from uri|date|per-file-ordinal, never random
+  * UUIDs — the ordinal keeps recrawled URLs' record ids DISTINCT, a
+  * WARC uniqueness requirement), one sequential file per shard, records
+  * URI-sorted within it.
   *
   * Encoding note: payloads decode as UTF-8 with malformed bytes replaced
   * by U+FFFD (the JVM String contract) — so text entering the engine
@@ -43,12 +45,16 @@ object Wet {
 
   /** One serialized `conversion` record (header block + payload + the
     * two-CRLF separator). `date` must already be ISO-8601 Zulu — the
-    * WARC-Date wire format.
+    * WARC-Date wire format. The record id folds date AND a per-record
+    * `ordinal` in (not the URI alone): recrawl fixtures carry the same
+    * URL more than once, and WARC requires record ids to be unique —
+    * a URI-only name-UUID would repeat (r16 ADVICE).
     */
   private[sources] def conversionRecord(uri: String, date: String,
-                                        payload: Array[Byte]): Array[Byte] = {
+                                        payload: Array[Byte],
+                                        ordinal: Long = 0L): Array[Byte] = {
     val recId = java.util.UUID.nameUUIDFromBytes(
-      uri.getBytes("UTF-8")).toString
+      (uri + "|" + date + "|" + ordinal).getBytes("UTF-8")).toString
     val header =
       s"WARC/1.0${Crlf}" +
         s"WARC-Type: conversion${Crlf}" +
@@ -128,12 +134,13 @@ object Wet {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(conf.value)
         var cur = -1L
+        var ordinal = 0L
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         def close(): Unit = if (out != null) { out.close(); out = null }
         rows.foreach { r =>
           val shard = r.getLong(3)
           if (shard != cur) {
-            close(); cur = shard
+            close(); cur = shard; ordinal = 0L
             val name = f"shard-$shard%05d.warc.wet"
             out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
             out.write(warcinfoRecord(name, "2024-01-01T00:00:00Z"))
@@ -147,70 +154,151 @@ object Wet {
               "re-sharding")
           out.write(conversionRecord(r.getString(0),
             ZuluFmt.format(r.getTimestamp(1).toInstant),
-            r.getString(2).getBytes("UTF-8")))
+            r.getString(2).getBytes("UTF-8"), ordinal))
+          ordinal += 1L
         }
         close()
       }
   }
 
-  /** Walk one in-memory WARC byte stream: every record's (lowercased
-    * header field map, payload byte slice), any WARC-Type. The shared
-    * record walk under [[parseWetBytes]] (WET `conversion`) and the
-    * response collectors. Payloads are sliced by Content-Length ONLY;
-    * malformed records (no blank line, missing Content-Length) fail
-    * loudly with the file context rather than desynchronizing the walk.
+  /** Walk a WARC byte STREAM as a record iterator: every record's
+    * (lowercased header field map, payload bytes), any WARC-Type. THE
+    * record walk — [[walkWarcRecords]] (the in-memory form the fixture
+    * specs exercise) delegates here over a ByteArrayInputStream, so
+    * file-backed and in-memory parsing are one code path by
+    * construction, not by a parity test.
+    *
+    * SCALE SHAPE (r16 verdict #1): the iterator holds at most ONE
+    * record's payload — the header block and the Content-Length-sliced
+    * payload are read incrementally off the stream, so a task's peak
+    * memory is max(record) regardless of file size. Real Common Crawl
+    * WARC segments (~1 GiB gzipped, 4-5 GiB raw) walk in constant
+    * memory; the previous whole-file materialization hit three stacked
+    * ceilings (gunzip presize Int overflow at ~512 MB gz, the 2 GiB
+    * byte-array/binaryFile content caps, and a 2-3× resident multiple).
+    *
+    * Payloads are sliced by Content-Length ONLY — never by scanning for
+    * the next `WARC/1.0` marker — so a payload containing such a line
+    * cannot split a record; malformed records (unterminated header,
+    * missing Content-Length, truncated payload) fail loudly with the
+    * file context and byte offset rather than desynchronizing the walk.
     * `wanted` gates the payload COPY: raw crawls interleave
-    * request/metadata records with responses, and materializing a byte
-    * copy the collector immediately discards would double the ingest's
-    * allocation — an unwanted record costs only its header parse.
+    * request/metadata records with responses, and an unwanted record
+    * costs only its header parse — its payload is skipped, not read.
+    * A single record's payload above ~2 GiB (no such record exists in
+    * practice — payloads are page-sized) fails loudly rather than
+    * overflowing the slice.
+    *
+    * The caller owns the stream's lifecycle; the iterator never closes
+    * it (executor tasks close via a completion listener, tests via
+    * try/finally).
+    */
+  private[sources] def walkWarcStream(path: String, in: java.io.InputStream,
+                                      wanted: Map[String, String] => Boolean =
+                                        _ => true)
+      : Iterator[(Map[String, String], Array[Byte])] =
+    new Iterator[(Map[String, String], Array[Byte])] {
+      private var off = 0L          // bytes consumed, for error context
+      private var pending: (Map[String, String], Array[Byte]) = null
+      private var exhausted = false
+
+      private def readByte(): Int = {
+        val b = in.read()
+        if (b >= 0) off += 1
+        b
+      }
+
+      private def readFully(len: Int, what: String): Array[Byte] = {
+        val buf = new Array[Byte](len)
+        var got = 0
+        while (got < len) {
+          val r = in.read(buf, got, len - got)
+          require(r >= 0,
+            s"readWarc: truncated $what at offset $off in $path")
+          got += r; off += r
+        }
+        buf
+      }
+
+      private def skipFully(len: Long): Unit = {
+        var left = len
+        val buf = new Array[Byte](math.min(left, 65536L).toInt)
+        while (left > 0) {
+          val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+          require(r >= 0,
+            s"readWarc: truncated payload at offset $off in $path")
+          left -= r; off += r
+        }
+      }
+
+      private def advance(): Unit = {
+        while (pending == null && !exhausted) {
+          // tolerate any number of inter-record CR/LF bytes (spec says
+          // exactly one blank line; real files vary)
+          var b = readByte()
+          while (b == '\r' || b == '\n') b = readByte()
+          if (b < 0) { exhausted = true }
+          else {
+            val recOff = off - 1
+            // header block: bytes to the first \r\n\r\n, read incrementally
+            val hdr = new java.io.ByteArrayOutputStream(512)
+            hdr.write(b)
+            var state = 0 // matched prefix of \r\n\r\n
+            while (state < 4) {
+              val c = readByte()
+              require(c >= 0,
+                s"readWarc: unterminated header block at offset $recOff " +
+                  s"in $path")
+              hdr.write(c)
+              state =
+                if (c == '\r') { if (state == 2) 3 else 1 }
+                else if (c == '\n') { if (state == 1) 2 else if (state == 3) 4 else 0 }
+                else 0
+            }
+            val header = new String(hdr.toByteArray, "UTF-8")
+            val lines = header.split("\r\n")
+            require(lines.headOption.exists(_.startsWith("WARC/")),
+              s"readWarc: record at offset $recOff in $path does not " +
+                s"start with a WARC version line " +
+                s"(got '${lines.headOption.getOrElse("")}')")
+            val fields = lines.drop(1).flatMap { l =>
+              val i = l.indexOf(':')
+              if (i < 0) None
+              else Some(l.substring(0, i).trim.toLowerCase ->
+                l.substring(i + 1).trim)
+            }.toMap
+            val len = fields.getOrElse("content-length",
+              throw new IllegalArgumentException(
+                s"readWarc: record at offset $recOff in $path has no " +
+                  "Content-Length — cannot find the record boundary")).toLong
+            if (wanted(fields)) {
+              require(len <= Int.MaxValue - 16,
+                s"readWarc: record payload of $len bytes at offset " +
+                  s"$recOff in $path exceeds the 2 GiB single-record " +
+                  "bound — no real crawl record is this large")
+              pending = (fields, readFully(len.toInt, "payload"))
+            } else skipFully(len)
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): (Map[String, String], Array[Byte]) = {
+        advance()
+        if (pending == null) throw new NoSuchElementException(path)
+        val r = pending; pending = null; r
+      }
+    }
+
+  /** In-memory form of [[walkWarcStream]] — fixture specs and the
+    * streaming-twin unit paths feed byte arrays; one walker serves both.
     */
   private[sources] def walkWarcRecords(path: String, bytes: Array[Byte],
                                        wanted: Map[String, String] => Boolean =
                                          _ => true)
-      : Seq[(Map[String, String], Array[Byte])] = {
-    val out = Seq.newBuilder[(Map[String, String], Array[Byte])]
-    var off = 0
-    val n = bytes.length
-    def isCrlfAt(i: Int): Boolean =
-      i + 1 < n && bytes(i) == '\r' && bytes(i + 1) == '\n'
-    while (off < n) {
-      // tolerate any number of inter-record CRLFs (spec says two)
-      while (off < n && (isCrlfAt(off) || bytes(off) == '\n'))
-        off += (if (isCrlfAt(off)) 2 else 1)
-      if (off < n) {
-        // header block: lines to the first empty line
-        var hEnd = off
-        while (hEnd < n && !(isCrlfAt(hEnd) &&
-            hEnd + 3 < n && bytes(hEnd + 2) == '\r' && bytes(hEnd + 3) == '\n'))
-          hEnd += 1
-        require(hEnd < n,
-          s"readWarc: unterminated header block at offset $off in $path")
-        val header = new String(bytes, off, hEnd + 2 - off, "UTF-8")
-        val lines = header.split("\r\n")
-        require(lines.headOption.exists(_.startsWith("WARC/")),
-          s"readWarc: record at offset $off in $path does not start with " +
-            s"a WARC version line (got '${lines.headOption.getOrElse("")}')")
-        val fields = lines.drop(1).flatMap { l =>
-          val i = l.indexOf(':')
-          if (i < 0) None
-          else Some(l.substring(0, i).trim.toLowerCase ->
-            l.substring(i + 1).trim)
-        }.toMap
-        val len = fields.getOrElse("content-length",
-          throw new IllegalArgumentException(
-            s"readWarc: record at offset $off in $path has no " +
-              "Content-Length — cannot find the record boundary")).toLong
-        val pStart = hEnd + 4
-        require(pStart + len <= n,
-          s"readWarc: truncated payload at offset $off in $path")
-        if (wanted(fields))
-          out += ((fields, java.util.Arrays.copyOfRange(bytes, pStart,
-            pStart + len.toInt)))
-        off = pStart + len.toInt
-      }
-    }
-    out.result()
-  }
+      : Seq[(Map[String, String], Array[Byte])] =
+    walkWarcStream(path, new java.io.ByteArrayInputStream(bytes), wanted)
+      .toSeq
 
   /** Parse one in-memory WET byte stream into (uri, dateStr, text) for
     * every `conversion` record — the per-file task body of [[readWet]],
@@ -219,10 +307,7 @@ object Wet {
   private[sources] def parseWetBytes(path: String, bytes: Array[Byte])
       : Seq[(String, String, String)] =
     walkWarcRecords(path, bytes, isType("conversion")).map {
-      case (fields, payload) =>
-        (fields.getOrElse("warc-target-uri", ""),
-          fields.getOrElse("warc-date", ""),
-          new String(payload, "UTF-8"))
+      case (f, p) => wetRecord(f, p)
     }
 
   /** One WARC-Type predicate definition per collector — the walker
@@ -233,13 +318,19 @@ object Wet {
   private def isType(t: String): Map[String, String] => Boolean =
     _.get("warc-type").exists(_.equalsIgnoreCase(t))
 
-  /** Gunzip a whole stream, multi-member aware (Common Crawl gzips each
-    * record as its own member; the JDK stream reads across members).
+  /** Gunzip a whole byte array, multi-member aware (Common Crawl gzips
+    * each record as its own member; the JDK stream reads across
+    * members). Used for RECORD-SIZED payloads only (HTTP gzip bodies,
+    * fixture round-trips) — file-level decompression streams through
+    * [[walkWarcStream]] and never materializes. The presize clamps to a
+    * long product: `bytes.length * 4` as an Int overflowed (negative)
+    * at ≥512 MB inputs and threw before decompressing a byte.
     */
   private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4L, 1L << 26).toInt)
     val buf = new Array[Byte](65536)
     var r = in.read(buf)
     while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
@@ -261,35 +352,116 @@ object Wet {
     */
   private def parseWarcDate(c: Column): Column = try_to_timestamp(c)
 
+  /** Driver-side manifest of files matching `glob` under `dir` — names
+    * only, never bytes (the Hadoop glob listing). The path-driven
+    * readers fan out over this: file count IS the read parallelism, the
+    * discipline the binaryFile source had, WITHOUT its whole-content
+    * materialization. A missing directory fails loudly (the binaryFile
+    * source's contract); an existing-but-empty match set is a valid
+    * empty read. Listing size is bounded by crawl layout (~64k files
+    * per crawl) — driver-safe by construction.
+    */
+  private def listFiles(spark: SparkSession, dir: String,
+                        glob: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(base), s"readWet/readWarc: path does not exist: $dir")
+    val stats = fs.globStatus(new org.apache.hadoop.fs.Path(base, glob))
+    if (stats == null) Seq.empty
+    else stats.toSeq.filter(_.isFile).map(_.getPath.toString).sorted
+  }
+
+  /** One task per file: the manifest becomes a Dataset with one path per
+    * partition, so each file walks in its own task (gzip members don't
+    * split; file count is the parallelism — the crawl-layout contract).
+    */
+  private def fileTasks(spark: SparkSession,
+                        paths: Seq[String]): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    if (paths.isEmpty) spark.emptyDataset[String]
+    else spark.createDataset(paths).repartition(paths.size)
+  }
+
+  /** Open `pathStr` as a RECORD-STREAMING input: a Hadoop FS stream,
+    * buffered, gunzipped in flight when the name says `.gz` (the JDK
+    * stream is multi-member aware — Common Crawl's member-per-record
+    * layout reads across members natively, no byte-array staging). Peak
+    * memory from here on is one record, whatever the file size.
+    */
+  private[sources] def openRecordStream(pathStr: String,
+      conf: org.apache.hadoop.conf.Configuration): java.io.InputStream = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val buf = new java.io.BufferedInputStream(
+      p.getFileSystem(conf).open(p), 1 << 16)
+    if (pathStr.endsWith(".gz"))
+      new java.util.zip.GZIPInputStream(buf, 1 << 16)
+    else buf
+  }
+
+  /** Close `in` when the running task completes (success or failure) —
+    * the flatMap iterator has no end-of-scope hook of its own.
+    */
+  private def closeOnTaskEnd(in: java.io.InputStream): Unit = {
+    val ctx = org.apache.spark.TaskContext.get()
+    if (ctx != null)
+      ctx.addTaskCompletionListener[Unit] { _ =>
+        try in.close() catch { case _: Exception => () }
+      }
+  }
+
   /** Read WET files under `dir` as `(wet_file, record_ix, url,
     * record_ts, text)` — one row per `conversion` record, `record_ix`
     * its 0-based position among the file's conversion records (with
     * `wet_file` a stable provenance key, and the uniquifier CLI ingest
     * composes into doc ids — real crawls repeat WARC-Target-URI across
     * recrawls); `warcinfo`/`request`/`response` records are skipped by
-    * type. `.gz` files are decompressed in-task. `record_ts` is the
-    * parsed WARC-Date; rows with an unparseable date carry a null ts
-    * rather than dropping (the p7 null-drop operator is the caller's
-    * explicit choice) — [[parseWarcDate]] keeps that promise under ANSI.
+    * type. `.gz` files are decompressed IN FLIGHT off the file stream —
+    * record-streaming tasks ([[walkWarcStream]]) hold one record, not
+    * the file, so production shard sizes (~1 GiB gz / 4-5 GiB raw WARC)
+    * ingest in flat memory (r16 verdict #1). `record_ts` is the parsed
+    * WARC-Date; rows with an unparseable date carry a null ts rather
+    * than dropping (the p7 null-drop operator is the caller's explicit
+    * choice) — [[parseWarcDate]] keeps that promise under ANSI.
     */
   def readWet(spark: SparkSession, dir: String,
               glob: String = "*.wet*"): DataFrame =
-    wetRowsOf(spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(dir))
+    wetRowsOfPaths(fileTasks(spark, listFiles(spark, dir, glob)),
+      serConf(spark))
 
   /** STREAMING twin of [[readWet]]: watch `dir` as a file stream — each
     * newly-landed WET shard becomes rows of the micro-batch that saw it,
-    * through the SAME per-file record walk (a stateless flatMap is
-    * stream-safe; no state store, no batch/stream fork). Compose with
+    * through the SAME per-path record walk (a stateless flatMap is
+    * stream-safe; no state store, no batch/stream fork). Only the PATH
+    * column leaves the file-stream source (binaryFile prunes unselected
+    * columns, so content bytes are never materialized here either —
+    * the record walk opens its own stream). Compose with
     * [[graft.streaming.Streaming.ingestCandidates]] for continuous
     * crawl-drop dedup against the persisted band index — candidates
     * surface within the micro-batch that landed the shard.
     */
   def readWetStream(spark: SparkSession, dir: String,
                     glob: String = "*.wet*"): DataFrame =
-    wetRowsOf(spark.readStream.format("binaryFile")
+    wetRowsOfPaths(streamPaths(spark, dir, glob), serConf(spark))
+
+  /** The path column of a binaryFile FILE STREAM over `dir` — the
+    * discovery half of the streaming twins (new-file watermarking,
+    * exactly-once per file) with the CONTENT half pruned away: the
+    * record walk re-opens each path itself, so the 2 GiB binaryFile
+    * content ceiling never applies.
+    */
+  private def streamPaths(spark: SparkSession, dir: String,
+                          glob: String): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
       .schema(BinaryFileSchema)
-      .option("pathGlobFilter", glob).load(dir))
+      .option("pathGlobFilter", glob).load(dir)
+      .select(col("path")).as[String]
+  }
+
+  private def serConf(spark: SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
 
   /** The fixed schema of the binaryFile source (streaming reads must
     * declare it up front; the batch source infers the identical one).
@@ -304,17 +476,29 @@ object Wet {
     org.apache.spark.sql.types.StructField("content",
       org.apache.spark.sql.types.BinaryType)))
 
-  /** (path, content) → WET rows — the transform shared by [[readWet]]
-    * and [[readWetStream]]. */
-  private def wetRowsOf(loaded: DataFrame): DataFrame = {
-    val spark = loaded.sparkSession
+  /** One WET `conversion` record → (uri, dateStr, text) — the record
+    * mapper under [[readWet]] and [[parseWetBytes]].
+    */
+  private def wetRecord(fields: Map[String, String],
+                        payload: Array[Byte]): (String, String, String) =
+    (fields.getOrElse("warc-target-uri", ""),
+      fields.getOrElse("warc-date", ""),
+      new String(payload, "UTF-8"))
+
+  /** paths → WET rows: the record-streaming transform shared by
+    * [[readWet]] and [[readWetStream]] — each path opens a Hadoop
+    * stream and walks records one at a time ([[walkWarcStream]]).
+    */
+  private def wetRowsOfPaths(paths: org.apache.spark.sql.Dataset[String],
+      conf: org.apache.spark.util.SerializableConfiguration): DataFrame = {
+    val spark = paths.sparkSession
     import spark.implicits._
-    loaded.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, raw) =>
-        val bytes = if (path.endsWith(".gz")) gunzipAll(raw) else raw
-        parseWetBytes(path, bytes).zipWithIndex.map {
-          case ((u, d, t), i) => (path, i, u, d, t) }
+    paths.flatMap { path =>
+        val in = openRecordStream(path, conf.value)
+        closeOnTaskEnd(in)
+        walkWarcStream(path, in, isType("conversion")).map {
+          case (f, p) => wetRecord(f, p)
+        }.zipWithIndex.map { case ((u, d, t), i) => (path, i, u, d, t) }
       }
       .toDF("wet_file", "record_ix", "url", "__date", "text")
       .withColumn("record_ts", parseWarcDate(col("__date")))
@@ -488,20 +672,27 @@ object Wet {
       case _ => body
     }
 
-  /** Per-file task body of [[readWarc]]: every `response` record parsed
-    * to (uri, dateStr, httpStatus, contentType, charset, html).
+  /** One `response` record → (uri, dateStr, httpStatus, contentType,
+    * charset, html) — the record mapper under [[readWarc]].
+    */
+  private def responseTextRecord(fields: Map[String, String],
+                                 payload: Array[Byte])
+      : (String, String, Int, String, String, String) = {
+    val (status, headers, body) = parseHttpResponse(payload)
+    val ct = headers.getOrElse("content-type", "")
+    val cs = sniffCharset(headers.get("content-type"), body)
+    (fields.getOrElse("warc-target-uri", ""),
+      fields.getOrElse("warc-date", ""),
+      status, ct, cs, decodeWith(stripBom(body, cs), cs))
+  }
+
+  /** In-memory record parse of [[readWarc]]'s task body — spec surface.
     */
   private[sources] def parseWarcResponseBytes(path: String,
                                               bytes: Array[Byte])
       : Seq[(String, String, Int, String, String, String)] =
     walkWarcRecords(path, bytes, isType("response")).map {
-      case (fields, payload) =>
-        val (status, headers, body) = parseHttpResponse(payload)
-        val ct = headers.getOrElse("content-type", "")
-        val cs = sniffCharset(headers.get("content-type"), body)
-        (fields.getOrElse("warc-target-uri", ""),
-          fields.getOrElse("warc-date", ""),
-          status, ct, cs, decodeWith(stripBom(body, cs), cs))
+      case (f, p) => responseTextRecord(f, p)
     }
 
   /** Read raw-crawl WARC files under `dir` as `(warc_file, record_ix,
@@ -512,36 +703,39 @@ object Wet {
     * bytes, sniffs the page charset (BOM → header → meta → UTF-8), and
     * hands back correctly-decoded HTML for
     * [[graft.text.TextFunctions.stripMarkup]] + the curation chain
-    * (CLI `dedup --warc`). Same scale shape as [[readWet]]: one task
-    * per file via binaryFile, in-task gunzip, Content-Length record
-    * slicing (reference analog: the pipeline ingests raw object bytes
-    * and decodes in-loader, common/dataset.py:271-281).
+    * (CLI `dedup --warc`). Same scale shape as [[readWet]]: one
+    * RECORD-STREAMING task per file ([[walkWarcStream]] over a Hadoop
+    * stream, in-flight gunzip) — peak task memory is one record, so
+    * real Common Crawl segments (~1 GiB gz / 4-5 GiB raw) ingest flat
+    * (r16 verdict #1; reference analog: the pipeline ingests raw object
+    * bytes and decodes in-loader, common/dataset.py:271-281).
     */
   def readWarc(spark: SparkSession, dir: String,
                glob: String = "*.warc*"): DataFrame =
-    warcRowsOf(spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(dir))
+    warcRowsOfPaths(fileTasks(spark, listFiles(spark, dir, glob)),
+      serConf(spark))
 
   /** STREAMING twin of [[readWarc]] — the raw-crawl drop-directory
-    * watcher ([[readWetStream]]'s rationale; same stateless per-file
-    * walk, envelope parse, and charset sniff).
+    * watcher ([[readWetStream]]'s rationale; same stateless per-path
+    * record walk, envelope parse, and charset sniff; only the path
+    * column leaves the file-stream source).
     */
   def readWarcStream(spark: SparkSession, dir: String,
                      glob: String = "*.warc*"): DataFrame =
-    warcRowsOf(spark.readStream.format("binaryFile")
-      .schema(BinaryFileSchema)
-      .option("pathGlobFilter", glob).load(dir))
+    warcRowsOfPaths(streamPaths(spark, dir, glob), serConf(spark))
 
-  /** (path, content) → response rows — shared by [[readWarc]] and
+  /** paths → response rows — shared by [[readWarc]] and
     * [[readWarcStream]]. */
-  private def warcRowsOf(loaded: DataFrame): DataFrame = {
-    val spark = loaded.sparkSession
+  private def warcRowsOfPaths(paths: org.apache.spark.sql.Dataset[String],
+      conf: org.apache.spark.util.SerializableConfiguration): DataFrame = {
+    val spark = paths.sparkSession
     import spark.implicits._
-    loaded.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, raw) =>
-        val bytes = if (path.endsWith(".gz")) gunzipAll(raw) else raw
-        parseWarcResponseBytes(path, bytes).zipWithIndex.map {
+    paths.flatMap { path =>
+        val in = openRecordStream(path, conf.value)
+        closeOnTaskEnd(in)
+        walkWarcStream(path, in, isType("response")).map {
+          case (f, p) => responseTextRecord(f, p)
+        }.zipWithIndex.map {
           case ((u, d, st, ct, cs, h), i) => (path, i, u, d, st, ct, cs, h) }
       }
       .toDF("warc_file", "record_ix", "url", "__date", "http_status",
@@ -552,19 +746,26 @@ object Wet {
         col("charset"), col("html"))
   }
 
-  /** Per-file task body of [[readWarcBinary]]: every `response` record's
-    * RAW body bytes after transfer/content decoding — no charset decode
-    * (the payload may be an image/audio/any blob, not text).
+  /** One `response` record → RAW body bytes after transfer/content
+    * decoding — no charset decode (the payload may be an image/audio/any
+    * blob, not text). The record mapper under [[readWarcBinary]].
     */
+  private def responseBinaryRecord(fields: Map[String, String],
+                                   payload: Array[Byte])
+      : (String, String, Int, String, Array[Byte]) = {
+    val (status, headers, body) = parseHttpResponse(payload)
+    (fields.getOrElse("warc-target-uri", ""),
+      fields.getOrElse("warc-date", ""),
+      status, headers.getOrElse("content-type", ""), body)
+  }
+
+  /** In-memory record parse of [[readWarcBinary]]'s task body — spec
+    * surface. */
   private[sources] def parseWarcBinaryBytes(path: String,
                                             bytes: Array[Byte])
       : Seq[(String, String, Int, String, Array[Byte])] =
     walkWarcRecords(path, bytes, isType("response")).map {
-      case (fields, payload) =>
-        val (status, headers, body) = parseHttpResponse(payload)
-        (fields.getOrElse("warc-target-uri", ""),
-          fields.getOrElse("warc-date", ""),
-          status, headers.getOrElse("content-type", ""), body)
+      case (f, p) => responseBinaryRecord(f, p)
     }
 
   /** [[readWarc]]'s BINARY sibling: `(warc_file, record_ix, url,
@@ -574,19 +775,21 @@ object Wet {
     * those corrupts them). The `content` column drops straight into the
     * engine's multimodal family: magic-byte sniff (u1), dHash / audio /
     * video fingerprints, perceptual near-dup banding — crawl → decode →
-    * fingerprint → cluster without leaving the engine. Same per-file
-    * task shape; same chunked/gzip HTTP unwrapping as the text reader.
+    * fingerprint → cluster without leaving the engine. Same
+    * record-streaming task shape ([[walkWarcStream]]); same chunked/gzip
+    * HTTP unwrapping as the text reader.
     */
   def readWarcBinary(spark: SparkSession, dir: String,
                      glob: String = "*.warc*"): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, raw) =>
-        val bytes = if (path.endsWith(".gz")) gunzipAll(raw) else raw
-        parseWarcBinaryBytes(path, bytes).zipWithIndex.map {
+    val conf = serConf(spark)
+    fileTasks(spark, listFiles(spark, dir, glob))
+      .flatMap { path =>
+        val in = openRecordStream(path, conf.value)
+        closeOnTaskEnd(in)
+        walkWarcStream(path, in, isType("response")).map {
+          case (f, p) => responseBinaryRecord(f, p)
+        }.zipWithIndex.map {
           case ((u, d, st, ct, b), i) => (path, i, u, d, st, ct, b) }
       }
       .toDF("warc_file", "record_ix", "url", "__date", "http_status",
@@ -618,12 +821,13 @@ object Wet {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(conf.value)
         var cur = -1L
+        var ordinal = 0L
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         def close(): Unit = if (out != null) { out.close(); out = null }
         rows.foreach { r =>
           val shard = r.getLong(4)
           if (shard != cur) {
-            close(); cur = shard
+            close(); cur = shard; ordinal = 0L
             val name = f"shard-$shard%05d.warc"
             out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
             out.write(warcinfoRecord(name, "2024-01-01T00:00:00Z"))
@@ -633,7 +837,8 @@ object Wet {
             "writeWarcBinaryShards: null url, ts, body, or content type")
           out.write(responseRecord(r.getString(0),
             ZuluFmt.format(r.getTimestamp(1).toInstant),
-            r.getString(3), r.getAs[Array[Byte]](2)))
+            r.getString(3), r.getAs[Array[Byte]](2), ordinal))
+          ordinal += 1L
         }
         close()
       }
@@ -645,14 +850,20 @@ object Wet {
     */
   private[sources] def responseRecord(uri: String, date: String,
                                       contentType: String,
-                                      body: Array[Byte]): Array[Byte] = {
+                                      body: Array[Byte],
+                                      ordinal: Long = 0L): Array[Byte] = {
     val http =
       (s"HTTP/1.1 200 OK${Crlf}" +
         s"Content-Type: $contentType${Crlf}" +
         s"Content-Length: ${body.length}${Crlf}" +
         Crlf).getBytes("ISO-8859-1") ++ body
+    // date + ordinal folded in (not URI alone): recrawled URLs must get
+    // DISTINCT WARC-Record-IDs — uniqueness is a WARC requirement, and
+    // the url#file:ix doc-id scheme exists exactly to ingest such
+    // fixtures (r16 ADVICE)
     val recId = java.util.UUID.nameUUIDFromBytes(
-      ("response|" + uri).getBytes("UTF-8")).toString
+      ("response|" + uri + "|" + date + "|" + ordinal).getBytes("UTF-8"))
+      .toString
     val header =
       s"WARC/1.0${Crlf}" +
         s"WARC-Type: response${Crlf}" +
@@ -702,12 +913,13 @@ object Wet {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(conf.value)
         var cur = -1L
+        var ordinal = 0L
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         def close(): Unit = if (out != null) { out.close(); out = null }
         rows.foreach { r =>
           val shard = r.getLong(4)
           if (shard != cur) {
-            close(); cur = shard
+            close(); cur = shard; ordinal = 0L
             val name = f"shard-$shard%05d.warc"
             out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
             out.write(warcinfoRecord(name, "2024-01-01T00:00:00Z"))
@@ -721,7 +933,8 @@ object Wet {
             .getOrElse("text/html")
           out.write(responseRecord(r.getString(0),
             ZuluFmt.format(r.getTimestamp(1).toInstant),
-            ct, r.getString(2).getBytes(enc)))
+            ct, r.getString(2).getBytes(enc), ordinal))
+          ordinal += 1L
         }
         close()
       }

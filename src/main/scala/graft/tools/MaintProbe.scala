@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,stringid,warc}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,stringid,warc,warcbig}
   * (default: {x8,v15,compact,decont} — the original three claims; every
   * other section must be named explicitly, so a scale-evidence run names
   * the section it is collecting for).
@@ -666,6 +666,69 @@ object MaintProbe {
       }
       println(f"[probe] warc/ingest+extract: ${mb / tx}%.0f MB/s, ${nPages / tx}%.0f pages/s")
       spark.catalog.clearCache()
+    }
+    // ---- warcbig: production-shard-size ingest (r17 verdict #1) ----
+    // One synthetic WARC file ABOVE the old whole-file ceilings: >2 GiB
+    // raw (the binaryFile content / byte-array cap that aborted the old
+    // read before this round's record-streaming walk), read back plain
+    // AND through the in-flight gunzip path. Success here is the
+    // constant-memory proof: the file cannot exist as one array, so the
+    // only way the counts come back is one-record-at-a-time walking.
+    if (sections("warcbig")) locally {
+      val nPages = 2200L
+      val dirPlain = java.nio.file.Files.createTempDirectory("probe_warcbig")
+        .toString
+      val dirGz = java.nio.file.Files.createTempDirectory("probe_warcbig_gz")
+        .toString
+      // ~1 MiB body per page -> one ~2.3 GiB shard
+      val line = "the quick brown fox jumps over the lazy dog 0123456789abc "
+      val body = line * (1048576 / line.length)
+      val pages = spark.range(0, nPages)
+        .select(concat(lit("https://big.example/"), col("id")).as("url"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+          concat(lit("<html><body><p>"), lit(body), lit(" page "),
+            col("id"), lit("</p></body></html>")).as("html"),
+          lit(null).cast("string").as("cs"))
+      val (_, tw) = time(s"warcbig/write $nPages x ~1MiB pages, 1 shard") {
+        graft.sources.Wet.writeWarcShards(pages, "url", "ts", "html",
+          Some("cs"), dirPlain, 1)
+      }
+      val plainFile = new java.io.File(dirPlain).listFiles()
+        .find(_.getName.endsWith(".warc")).get
+      val gb = plainFile.length() / 1e9
+      println(f"[probe] warcbig/file size: $gb%.2f GB (${gb * 1000 / tw}%.0f MB/s write)")
+      require(plainFile.length() > (Int.MaxValue.toLong + 1),
+        "warcbig: fixture must exceed the old 2 GiB whole-file ceiling " +
+          s"to prove the record-streaming walk, got ${plainFile.length()}")
+      val (_, tgz) = time("warcbig/gzip the shard (driver, streamed)") {
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(plainFile), 1 << 16)
+        val out = new java.util.zip.GZIPOutputStream(
+          new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+            new java.io.File(dirGz, "big.warc.gz")), 1 << 16))
+        val buf = new Array[Byte](1 << 16)
+        var r = in.read(buf)
+        while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+        in.close(); out.close()
+      }
+      println(f"[probe] warcbig/gz size: ${new java.io.File(dirGz, "big.warc.gz").length() / 1e6}%.0f MB (raw $gb%.2f GB)")
+      val (cPlain, tr) = time(s"warcbig/read $nPages x 1MiB (plain, >2GiB file)") {
+        graft.sources.Wet.readWarc(spark, dirPlain)
+          .agg(count(lit(1)), sum(length(col("html")))).collect()(0)
+      }
+      require(cPlain.getLong(0) == nPages,
+        s"warcbig: plain read returned ${cPlain.getLong(0)} of $nPages")
+      println(f"[probe] warcbig/plain ingest: ${gb * 1000 / tr}%.0f MB/s")
+      val (cGz, trz) = time(s"warcbig/read $nPages x 1MiB (gz, in-flight inflate)") {
+        graft.sources.Wet.readWarc(spark, dirGz)
+          .agg(count(lit(1)), sum(length(col("html")))).collect()(0)
+      }
+      require(cGz.getLong(0) == nPages && cGz.getLong(1) == cPlain.getLong(1),
+        s"warcbig: gz read mismatch (${cGz.getLong(0)} rows, " +
+          s"${cGz.getLong(1)} vs ${cPlain.getLong(1)} chars)")
+      println(f"[probe] warcbig/gz ingest: ${gb * 1000 / trz}%.0f MB/s decompressed")
+      new java.io.File(dirGz, "big.warc.gz").delete()
+      plainFile.delete()
     }
     // ---- budgetdiag: stage-by-stage timing of the two-phase cumsum at
     // the 40M cliff (both pack and budget jump superlinearly 10M→40M;

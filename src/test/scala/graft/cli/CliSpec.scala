@@ -245,6 +245,25 @@ class CliSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
     graft.sources.Wet.writeWarcShards(rows, "url", "ts", "html", Some("cs"),
       warcDir, 2)
+    // crawls also serve bare text/css and text/javascript files — the
+    // stage-0 type filter must route every non-prose text/* subtype away
+    // from the corpus (r16 ADVICE: a blanket text/* let stylesheet and
+    // script FILES through, the very leak extractHtmlText closed for
+    // inline content)
+    val machineDir = tmpDir("cli_warc_machine")
+    val machineRows = Seq(
+      ("https://w4.example/site.css", "2024-01-01 00:00:04", "text/css",
+        "body { margin: 0; } .banner { display: none; } /* sitewide */"),
+      ("https://w5.example/app.js", "2024-01-01 00:00:05", "text/javascript",
+        "function track(uid) { return uid + 1; } // analytics stub"))
+      .toDF("url", "ts", "ct", "body")
+      .select(col("url"), col("ts").cast("timestamp").as("ts"), col("ct"),
+        col("body").cast("binary").as("body"))
+    graft.sources.Wet.writeWarcBinaryShards(machineRows, "url", "ts",
+      "body", "ct", machineDir, 1)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(machineDir, "shard-00000.warc"),
+      java.nio.file.Paths.get(warcDir, "machine-types.warc"))
     Main.run(spark, Array("dedup", "--warc", warcDir,
       "--min-quality", "0.0", "--min-jaccard", "0.3", "--output", outDir))
     val kept = spark.read.parquet(outDir)
@@ -254,6 +273,9 @@ class CliSpec extends SparkSpec {
     assert(kept.forall(r => !r._2.contains("var tracker")), kept.toSeq)
     assert(kept.forall(r => !r._2.contains("color:red")), kept.toSeq)
     assert(kept.forall(r => !r._2.contains("<p>")), kept.toSeq)
+    // the css/js FILES never became documents
+    assert(kept.forall(r => !r._1.contains("w4.example") &&
+      !r._1.contains("w5.example")), kept.toSeq)
   }
 
   test("dedup subcommand: --domain-gate without --url-col fails loudly") {

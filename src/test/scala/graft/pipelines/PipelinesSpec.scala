@@ -620,6 +620,45 @@ class PipelinesSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("dedupCorpus string ids + imageCol: perceptual dedup rides the 128-bit surrogate") {
+    import graft.multimodal.Multimodal
+    // the r16 ADVICE regression: string-keyed corpora with a perceptual
+    // column threw under ANSI (fingerprint functions cast the md5-hex
+    // surrogate to long). Same geometry as the long-keyed imageCol test,
+    // keyed by URLs.
+    val texts = Map(
+      "https://a.example/one" ->
+        "alpine meadows under clear morning light with distant peaks",
+      "https://b.example/two" ->
+        "harbor cranes unload container ships beneath sodium lamps",
+      "https://c.example/three" ->
+        "desert winds carve long ridges into the orange dune field")
+    val grays = Map(
+      "https://a.example/one" ->
+        Seq(200, 150, 100, 50, 210, 160, 110, 60, 220, 170, 120, 70, 230, 180, 130, 80),
+      "https://b.example/two" ->
+        Seq(198, 150, 100, 50, 210, 160, 110, 60, 220, 170, 120, 70, 230, 180, 130, 80),
+      "https://c.example/three" ->
+        Seq(50, 100, 150, 200, 60, 110, 160, 210, 70, 120, 170, 220, 80, 130, 180, 230))
+    val docs = texts.keys.toSeq.sorted.map(k => (k, texts(k), grays(k)))
+      .toDF("doc_id", "text", "grays")
+      .select(col("doc_id"), col("text"),
+        Multimodal.bmpImageRows(lit(6), col("grays")).as("img"))
+      .localCheckpoint()
+    // fingerprint functions preserve the caller's id type end-to-end
+    val fpTyped = Multimodal.imageDHashById(docs, col("doc_id"), col("img"), 16)
+    assert(fpTyped.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(fpTyped.count() === 3)
+    val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minQuality = 0.0, imageCol = Some("img"))
+      .select("doc_id").as[String].collect().toSet
+    // a/b are pixel near-dups: exactly one survives; c is untouched
+    assert(kept.contains("https://c.example/three") && kept.size === 2)
+    assert((kept - "https://c.example/three").subsetOf(
+      Set("https://a.example/one", "https://b.example/two")))
+  }
+
   test("dedupCorpus keepBy: the best-scoring cluster member survives, not the min id") {
     val near = "the quick brown fox jumps over the lazy dog near the " +
       "riverbank every single morning before the sun rises over the hills"

@@ -71,6 +71,57 @@ class WetSpec extends SparkSpec {
       "2019-08-17T04:12:32Z", "Extracted page text.\nSecond line.")))
   }
 
+  test("recrawled URLs get DISTINCT WARC-Record-IDs (uniqueness is a WARC requirement)") {
+    // r16 ADVICE: record ids derived from the URI alone repeat when the
+    // same URL is serialized twice (recrawl fixtures — the url#file:ix
+    // doc-id scheme exists to ingest them). Date and per-file ordinal
+    // now fold in; same (uri, date, ordinal) stays deterministic.
+    def recIdOf(rec: Array[Byte]): String =
+      new String(rec, "UTF-8").linesIterator
+        .find(_.startsWith("WARC-Record-ID:")).get
+    val u = "https://re.example/crawled"
+    // same URL, different dates (two crawls)
+    val c1 = recIdOf(Wet.conversionRecord(u, "2024-01-01T00:00:00Z",
+      "day one".getBytes("UTF-8"), 0L))
+    val c2 = recIdOf(Wet.conversionRecord(u, "2024-01-02T00:00:00Z",
+      "day two".getBytes("UTF-8"), 1L))
+    assert(c1 !== c2)
+    val r1 = recIdOf(Wet.responseRecord(u, "2024-01-01T00:00:00Z",
+      "text/html", "<p>one</p>".getBytes("UTF-8"), 0L))
+    val r2 = recIdOf(Wet.responseRecord(u, "2024-01-02T00:00:00Z",
+      "text/html", "<p>two</p>".getBytes("UTF-8"), 1L))
+    assert(r1 !== r2)
+    // same URL, same date, different ordinal (two records in one file)
+    val s1 = recIdOf(Wet.responseRecord(u, "2024-01-01T00:00:00Z",
+      "text/html", "<p>a</p>".getBytes("UTF-8"), 0L))
+    val s2 = recIdOf(Wet.responseRecord(u, "2024-01-01T00:00:00Z",
+      "text/html", "<p>a</p>".getBytes("UTF-8"), 1L))
+    assert(s1 !== s2)
+    // determinism holds: identical inputs → identical id
+    assert(s1 === recIdOf(Wet.responseRecord(u, "2024-01-01T00:00:00Z",
+      "text/html", "<p>a</p>".getBytes("UTF-8"), 0L)))
+    // end-to-end: a recrawl fixture written through the shard writer
+    // serializes unique record ids across the whole output
+    val dir = tmp("warc_recrawl")
+    val rows = Seq(
+      (u, "2024-01-01 00:00:00", "<html><body>day one</body></html>"),
+      (u, "2024-01-02 00:00:00", "<html><body>day two</body></html>"),
+      ("https://other.example/x", "2024-01-01 00:00:00",
+        "<html><body>other</body></html>"))
+      .toDF("url", "ts", "html")
+      .select(col("url"), col("ts").cast("timestamp").as("ts"), col("html"))
+    Wet.writeWarcShards(rows, "url", "ts", "html", None, dir, 1)
+    val ids = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".warc"))
+      .flatMap { f =>
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "ISO-8859-1")
+          .linesIterator.filter(_.startsWith("WARC-Record-ID:")).toSeq
+      }
+    assert(ids.length === 4) // warcinfo + 3 responses
+    assert(ids.distinct.length === 4)
+  }
+
   test("gzip: multi-member streams (one member per record — the crawl layout) decompress whole") {
     def gz(b: Array[Byte]): Array[Byte] = {
       val bo = new java.io.ByteArrayOutputStream()
