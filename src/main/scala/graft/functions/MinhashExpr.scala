@@ -13,26 +13,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Bit-identical to the relational form it replaces —
   * `min(md5(concat(lit("i|"), shingle)))` per seed over
-  * `explode(distinctTokens(text))` — because: tokens are the same
-  * lowercased ASCII-alphanumeric byte runs the other text kernels use
-  * (every non-alphanumeric byte, including UTF-8 continuation bytes, is a
-  * separator — the [^a-z0-9]+ split); the digest input is the same
-  * "<seed>|<token>" bytes; and digests compare as raw unsigned bytes,
-  * which is exactly the hex-string ordering `min` uses (byte→hex is
-  * monotone).
+  * `explode(distinctTokens(text))` — because: tokens are the same r17
+  * Unicode normal form the other text kernels use ([[TokenClass]]:
+  * `\p{L}\p{N}` runs, no-space-script chars solo, per-token lowercase);
+  * the digest input is the same "<seed>|<token>" UTF-8 bytes; and
+  * digests compare as raw unsigned bytes, which is exactly the
+  * hex-string ordering `min` uses (byte→hex is monotone).
   *
-  * EQUIVALENCE CONTRACT — ASCII-ONLY CASE FOLDING. The byte walk folds
-  * only A-Z; the relational twin uses Unicode `lower()`. They agree on any
-  * text whose lowercase mapping stays within ASCII identity (all of ASCII,
-  * and all non-ASCII codepoints since both sides treat their bytes as
-  * separators) — but a codepoint whose UNICODE lowercase maps INTO ASCII
-  * (U+212A KELVIN SIGN → 'k', U+0130 İ → 'i̇') tokenizes differently:
-  * `lower()` turns it into a token byte, the kernel splits on it. This
-  * applies to every byte-walk kernel sharing [[distinctTokens]] /
-  * TextStatsKernel (graft_minhash, graft_simhash, graft_stop_ratio,
-  * graft_avg_token_len): the bit-identity guarantee is for ASCII-foldable
-  * corpora; TextFunctionsSpec documents the divergence on U+212A
-  * explicitly.
+  * EQUIVALENCE CONTRACT — CASE-FOLD ANOMALIES. Both sides now lowercase
+  * per TOKEN (after the split), so split boundaries are case-independent
+  * and the old U+212A-class divergence is gone. The remaining documented
+  * divergence class is codepoints whose JDK lowercase disagrees with the
+  * ORACLE engine's (DuckDB/utf8proc): context-sensitive Greek final
+  * sigma and locale anomalies (U+0130 İ). The kernel matches SPARK
+  * exactly (same JDK mapping); the oracle contract is for corpora
+  * outside those anomalies — TextFunctionsSpec asserts kernel↔HOF parity
+  * on Unicode generators.
   *
   * Why a kernel: the relational form explodes (doc × distinct-token) rows
   * through a shuffle into a k-column hash aggregate. This computes the
@@ -66,30 +62,56 @@ object MinhashKernel {
     a.length < b.length
   }
 
-  /** Distinct lowercased tokens (byte runs of [A-Za-z0-9], case-folded) —
-    * the byte-level twin of `array_distinct(filter(split(lower(s),
-    * "[^a-z0-9]+"), _ != ""))`, shared by the minhash and simhash kernels.
+  /** Distinct lowercased tokens under the r17 Unicode normal form — the
+    * byte-level twin of `array_distinct(TextFunctions.tokens(s))`: token
+    * runs are `\p{L}\p{N}` codepoints, no-space-script codepoints
+    * (Han/kana/Thai) emit alone, ASCII folds in place, and a run
+    * carrying any non-ASCII codepoint lowercases through the JDK (the
+    * same full mapping Spark's `lower` applies per token). Shared by the
+    * minhash and simhash kernels. UTF-8 token bytes feed the digest, so
+    * the hex minima equal the relational form's over the same tokens.
     */
   def distinctTokens(s: UTF8String): java.util.ArrayList[Array[Byte]] = {
     val bytes = s.getBytes
+    val n = bytes.length
     val seen = new java.util.HashSet[String]()
     val toks = new java.util.ArrayList[Array[Byte]]()
     val buf = new java.io.ByteArrayOutputStream(32)
-    var i = 0
-    while (i <= bytes.length) {
-      val b = if (i < bytes.length) bytes(i) else ' '.toByte
-      val isTok = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
-        (b >= '0' && b <= '9')
-      if (isTok) {
-        buf.write(if (b >= 'A' && b <= 'Z') b | 0x20 else b)
-      } else if (buf.size() > 0) {
-        val t = buf.toByteArray
-        buf.reset()
-        if (seen.add(new String(t, java.nio.charset.StandardCharsets.US_ASCII)))
-          toks.add(t)
+    var runAscii = true
+    def emit(): Unit = if (buf.size() > 0) {
+      var t = buf.toByteArray
+      buf.reset()
+      if (!runAscii) {
+        t = new String(t, java.nio.charset.StandardCharsets.UTF_8)
+          .toLowerCase.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        runAscii = true
       }
-      i += 1
+      if (seen.add(new String(t, java.nio.charset.StandardCharsets.UTF_8)))
+        toks.add(t)
     }
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0x80) == 0) {
+        val tok = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9')
+        if (tok) buf.write(if (b >= 'A' && b <= 'Z') b | 0x20 else b)
+        else emit()
+        i += 1
+      } else {
+        val cp = TokenClass.cpAt(bytes, i, n)
+        val len = TokenClass.cpLen(b)
+        if (TokenClass.isTokenCp(cp)) {
+          if (TokenClass.isSoloCp(cp)) {
+            emit()
+            buf.write(bytes, i, len); runAscii = false
+            emit()
+          } else { buf.write(bytes, i, len); runAscii = false }
+        } else emit()
+        i += len
+      }
+    }
+    emit()
     toks
   }
 

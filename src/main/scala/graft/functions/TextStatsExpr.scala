@@ -21,41 +21,61 @@ object TextStatsKernel {
   @inline private def low(b: Byte): Int =
     if (b >= 'A' && b <= 'Z') b + 32 else b.toInt
 
-  /** Punctuation ratio — `[^a-zA-Z0-9 ]` characters / characters
-    * (characters counted at codepoint granularity: every non-continuation
-    * byte starts one, matching Spark's `length`). Any non-ASCII codepoint
-    * is non-alphanumeric, exactly as in the regexp form.
+  /** Punctuation ratio — `[^\p{L}\p{N} ]` codepoints / codepoints
+    * (matching Spark's `length`), the Unicode class of the r17 token
+    * normal form: letters and numbers of every script are content, not
+    * punctuation. ASCII bytes classify without decoding.
     */
   def punctRatio(s: UTF8String): Double = {
-    val n = s.numBytes
+    val bytes = s.getBytes
+    val n = bytes.length
     var chars = 0
     var punct = 0
     var i = 0
     while (i < n) {
-      val b = s.getByte(i)
-      if ((b & 0xC0) != 0x80) { // codepoint start byte
+      val b = bytes(i)
+      if ((b & 0x80) == 0) {
         chars += 1
-        val keep = isTok(b) || b == ' '
-        if (!keep) punct += 1
+        if (!(isTok(b) || b == ' ')) punct += 1
+        i += 1
+      } else {
+        chars += 1
+        if (!TokenClass.isTokenCp(TokenClass.cpAt(bytes, i, n))) punct += 1
+        i += TokenClass.cpLen(b)
       }
-      i += 1
     }
     if (chars == 0) 0.0 else punct.toDouble / chars
   }
 
-  /** Mean token length over lowercased alphanumeric runs (tokens are pure
-    * ASCII runs, so byte length == char length). 0.0 when tokenless.
+  /** Mean token length in CODEPOINTS over the r17 Unicode token walk
+    * (solo-script codepoints are length-1 tokens; runs count their
+    * codepoints — matching `length()` over [[graft.text.TextFunctions
+    * .tokens]]' lowered tokens for every case-fold-length-stable corpus,
+    * the documented contract). 0.0 when tokenless.
     */
   def avgTokenLen(s: UTF8String): Double = {
-    val n = s.numBytes
+    val bytes = s.getBytes
+    val n = bytes.length
     var sum = 0L
     var cnt = 0
     var run = 0
     var i = 0
     while (i < n) {
-      if (isTok(s.getByte(i))) run += 1
-      else if (run > 0) { sum += run; cnt += 1; run = 0 }
-      i += 1
+      val b = bytes(i)
+      if ((b & 0x80) == 0) {
+        if (isTok(b)) run += 1
+        else if (run > 0) { sum += run; cnt += 1; run = 0 }
+        i += 1
+      } else {
+        val cp = TokenClass.cpAt(bytes, i, n)
+        if (TokenClass.isTokenCp(cp)) {
+          if (TokenClass.isSoloCp(cp)) {
+            if (run > 0) { sum += run; cnt += 1; run = 0 }
+            sum += 1; cnt += 1
+          } else run += 1
+        } else if (run > 0) { sum += run; cnt += 1; run = 0 }
+        i += TokenClass.cpLen(b)
+      }
     }
     if (run > 0) { sum += run; cnt += 1 }
     if (cnt == 0) 0.0 else sum.toDouble / cnt
@@ -92,26 +112,43 @@ object TextStatsKernel {
     false
   }
 
-  /** English stopword ratio among lowercased tokens. 0.0 when tokenless. */
+  /** English stopword ratio among lowercased tokens — the r17 Unicode
+    * token walk for COUNTING (every script's tokens enter the
+    * denominator; solo-script chars are tokens, never stopwords), with
+    * the stopword MATCH still byte-level: the list is pure ASCII, and no
+    * non-ASCII token can lowercase-fold onto it (a run containing any
+    * non-ASCII codepoint is disqualified before the compare). 0.0 when
+    * tokenless.
+    */
   def stopRatio(s: UTF8String): Double = {
-    val n = s.numBytes
+    val bytes = s.getBytes
+    val n = bytes.length
     var cnt = 0
     var stops = 0
     var runStart = -1
+    var runAscii = true
+    def endRun(end: Int): Unit = if (runStart >= 0) {
+      cnt += 1
+      if (runAscii && isStop(s, runStart, end - runStart)) stops += 1
+      runStart = -1; runAscii = true
+    }
     var i = 0
     while (i < n) {
-      if (isTok(s.getByte(i))) { if (runStart < 0) runStart = i }
-      else if (runStart >= 0) {
-        cnt += 1
-        if (isStop(s, runStart, i - runStart)) stops += 1
-        runStart = -1
+      val b = bytes(i)
+      if ((b & 0x80) == 0) {
+        if (isTok(b)) { if (runStart < 0) runStart = i }
+        else endRun(i)
+        i += 1
+      } else {
+        val cp = TokenClass.cpAt(bytes, i, n)
+        if (TokenClass.isTokenCp(cp)) {
+          if (TokenClass.isSoloCp(cp)) { endRun(i); cnt += 1 }
+          else { if (runStart < 0) runStart = i; runAscii = false }
+        } else endRun(i)
+        i += TokenClass.cpLen(b)
       }
-      i += 1
     }
-    if (runStart >= 0) {
-      cnt += 1
-      if (isStop(s, runStart, n - runStart)) stops += 1
-    }
+    endRun(n)
     if (cnt == 0) 0.0 else stops.toDouble / cnt
   }
 }

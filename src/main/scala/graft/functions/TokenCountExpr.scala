@@ -11,23 +11,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * Janino-generated Java).
   */
 object TokenCountKernel {
-  /** Number of maximal ASCII-alphanumeric runs — exactly
-    * `size(filter(split(lower(s), "[^a-z0-9]+"), _ != ""))`: every non-
-    * alphanumeric byte (including UTF-8 continuation bytes) is a separator,
-    * case folds because [A-Za-z] both count as token bytes.
+  /** Number of tokens under the Unicode word-token normal form (r17) —
+    * exactly `size(TextFunctions.tokens(s))`: maximal `\p{L}\p{N}` runs,
+    * with each no-space-script codepoint (Han/kana/Thai) its own token
+    * ([[TokenClass]]'s walk semantics). Codepoint-at-a-time walk with an
+    * ASCII fast path; still one pass, allocation-free.
     */
   def count(s: UTF8String): Int = {
-    val n = s.numBytes
+    val bytes = s.getBytes
+    val n = bytes.length
     var i = 0
     var c = 0
     var in = false
     while (i < n) {
-      val b = s.getByte(i)
-      val tok = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
-        (b >= '0' && b <= '9')
-      if (tok && !in) c += 1
-      in = tok
-      i += 1
+      val b = bytes(i)
+      if ((b & 0x80) == 0) { // ASCII fast path: never solo-script
+        val tok = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9')
+        if (tok && !in) c += 1
+        in = tok
+        i += 1
+      } else {
+        val cp = TokenClass.cpAt(bytes, i, n)
+        if (TokenClass.isTokenCp(cp)) {
+          if (TokenClass.isSoloCp(cp)) { c += 1; in = false }
+          else { if (!in) c += 1; in = true }
+        } else in = false
+        i += TokenClass.cpLen(b)
+      }
     }
     c
   }

@@ -304,11 +304,11 @@ object QSampling {
   // Shared DSIR oracle chain (x20/x21): md5-prefix feature bucketing
   // (unigrams + bigrams mod 64), Laplace-smoothed per-bucket λ in 6dp
   // fixed point, per-doc integer λ sums — the Dsir.scala arithmetic
-  // restated in DuckDB. `f` keeps zero-feature docs (a CJK doc has no
-  // [a-z0-9] token) via the LEFT JOIN at the end.
+  // restated in DuckDB. `f` keeps zero-feature docs (a punctuation-only
+  // doc has no \p{L}\p{N} token) via the LEFT JOIN at the end.
   private val dsirCtes: String = {
     val toks =
-      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+      "list_filter(list_transform(string_split_regex(regexp_replace(text, '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}])', ' \\1 ', 'g'), '[^\\p{L}\\p{N}]+'), x -> lower(x)), x -> x != '')"
     def bkt(g: String) =
       s"CAST('0x' || substring(md5($g), 1, 15) AS BIGINT) % 64"
     s"""t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
@@ -383,7 +383,7 @@ object QSampling {
       "x10_mixture_plan" ->
         """WITH per AS (
              SELECT source,
-                    CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    CAST(sum(len(list_filter(list_transform(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> lower(x)),
                       x -> x != ''))) AS BIGINT) AS src_tokens,
                     CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) + 1 AS w
              FROM documents GROUP BY source),
@@ -397,7 +397,7 @@ object QSampling {
       "x18_mixture_counts" ->
         """WITH per AS (
              SELECT source,
-                    CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    CAST(sum(len(list_filter(list_transform(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> lower(x)),
                       x -> x != ''))) AS BIGINT) AS src_tokens,
                     count(*) AS n_docs,
                     CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) + 1 AS w
@@ -422,7 +422,7 @@ object QSampling {
       "x12_pack_plan" ->
         """WITH tk AS (
              SELECT doc_id, lang,
-                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    CAST(len(list_filter(list_transform(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> lower(x)),
                       x -> x != '')) AS BIGINT) AS n_tok
              FROM documents),
                p AS (
@@ -437,7 +437,7 @@ object QSampling {
       "x16_packed_windows" ->
         """WITH tk AS (
              SELECT doc_id, lang,
-                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    CAST(len(list_filter(list_transform(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> lower(x)),
                       x -> x != '')) AS BIGINT) AS n_tok
              FROM documents),
                p AS (
@@ -461,7 +461,7 @@ object QSampling {
       "x17_shard_manifest" ->
         """WITH tk AS (
              SELECT doc_id, lang,
-                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    CAST(len(list_filter(list_transform(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> lower(x)),
                       x -> x != '')) AS BIGINT) AS n_tok
              FROM documents),
                p AS (
@@ -488,7 +488,7 @@ object QSampling {
       "x13_length_buckets" ->
         """WITH t AS (
              SELECT lang,
-                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    CAST(len(list_filter(list_transform(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> lower(x)),
                       x -> x != '')) AS BIGINT) AS n_tok
              FROM documents),
               b AS (

@@ -14,9 +14,14 @@ object QText {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  // DuckDB fragment for the lowercased, empty-filtered token list.
-  private val toksSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+  // DuckDB fragment for the lowercased, empty-filtered token list — the
+  // oracle twin of TextFunctions.tokens' r17 Unicode normal form (RE2
+  // spells the script classes \p{Han}; Java spells them \p{IsHan}).
+  private def toksSqlOf(c: String): String =
+    s"list_filter(list_transform(string_split_regex(regexp_replace($c, " +
+      "'([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}])', ' \\1 ', 'g'), " +
+      "'[^\\p{L}\\p{N}]+'), x -> lower(x)), x -> x != '')"
+  private val toksSql = toksSqlOf("text")
   private val dtoksSql = s"list_distinct($toksSql)"
 
   // DuckDB fragment: the {'pos', 'g'} struct for the word 5-gram starting
@@ -135,7 +140,7 @@ object QText {
   // otherwise(0.0) branches so the oracle never divides by zero).
   private val punctSql =
     "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
-      "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)" +
+      "CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)" +
       " / length(text) END"
   private val stopSql =
     s"CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE " +
@@ -460,7 +465,7 @@ object QText {
                  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
                    AS BIGINT) AS sum_len,
                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '\\p{L}')))
                    AS BIGINT) AS n_alpha,
                  CAST(len(list_intersect(list_distinct(toks),
                    ['the','a','and','of','to','in','is','that'])) AS BIGINT)
@@ -1023,6 +1028,43 @@ object QText {
         (md5(nfcNormalize(dec)) === md5(nfcNormalize(com)))
           .as("nfc_converges"),
         md5(nfcNormalize(dec)).as("nfc_fp"))
+    }),
+
+    // The r17 UNICODE word-token normal form, pinned end-to-end: every
+    // doc's ASCII text gets an accented-Latin + Cyrillic + CJK + Thai +
+    // digit tail, and the query emits (a) the token count by the HOF
+    // form AND the native kernel (graft_token_count — kernel parity
+    // under oracle, not just ScalaTest), (b) the md5 of the joined
+    // token list (pins every token's bytes: café keeps its accent,
+    // Cyrillic words survive, each Han/kana/Thai char is its own
+    // token), and (c) word-3-gram dedup over the CJK tail: docs share
+    // one of three tails by doc_id % 3, so identical tails produce
+    // identical gram fingerprints and the window count groups them —
+    // word-gram dedup machinery demonstrably works on text with no
+    // spaces and no ASCII. The tails deliberately include katakana ー
+    // (U+30FC, script Common): it tokenizes alone only through its
+    // NEIGHBORS' pre-split spaces — the subtle case where the Java and
+    // RE2 script tables must agree through different mechanisms.
+    "tx_unicode_tokens" -> ((s, d) => {
+      graft.extensions.GraftExtensions.register(s)
+      val cjkTails = array(lit("漢字の処理は高速です"),
+        lit("東京データ分析"), lit("自然言語の統計処理"))
+      val tail = element_at(cjkTails, (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val uni = concat(col("text"), lit(" Café réSumé Привет мир "),
+        tail, lit(" ภาษาไทย 42"))
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), tokens(uni).as("toks"),
+          tokenCountNative(uni).as("n_tokens_native"),
+          tokens(tail).as("ttoks"))
+      val withGrams = base.select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        col("n_tokens_native"),
+        md5(array_join(col("toks"), " ")).as("toks_md5"),
+        md5(array_join(wordNgramsFromTokens(col("ttoks"), 3), "|"))
+          .as("cjk_gram_md5"))
+      withGrams.withColumn("n_cjk_dups",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cjk_gram_md5"))).cast("long"))
     }),
 
     // FULL HTML → text extraction (the --warc ingest scrub): stripMarkup
@@ -2010,6 +2052,38 @@ object QText {
               CAST(length(clean) AS BIGINT) AS n_chars_clean,
               clean LIKE '%var x%' AS script_leaked
        FROM e""",
+    "tx_unicode_tokens" ->
+      s"""WITH base AS (
+           SELECT doc_id, text,
+                  (['漢字の処理は高速です','東京データ分析','自然言語の統計処理'])[CAST(doc_id % 3 AS INT) + 1] AS tail
+           FROM documents),
+             v AS (
+           SELECT doc_id,
+                  text || ' Café réSumé Привет мир ' || tail || ' ภาษาไทย 42' AS uni,
+                  tail
+           FROM base),
+             tv AS (
+           SELECT doc_id,
+                  ${toksSqlOf("uni")} AS toks,
+                  ${toksSqlOf("tail")} AS ttoks
+           FROM v),
+             g AS (
+           SELECT doc_id, toks,
+                  list_transform(range(1, len(ttoks) - 1), i ->
+                    ttoks[CAST(i AS INT)] || '_' ||
+                    ttoks[CAST(i AS INT) + 1] || '_' ||
+                    ttoks[CAST(i AS INT) + 2]) AS grams
+           FROM tv),
+             m AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS INT) AS n_tokens,
+                  CAST(len(toks) AS INT) AS n_tokens_native,
+                  md5(array_to_string(toks, ' ')) AS toks_md5,
+                  md5(array_to_string(grams, '|')) AS cjk_gram_md5
+           FROM g)
+         SELECT doc_id, n_tokens, n_tokens_native, toks_md5, cjk_gram_md5,
+                count(*) OVER (PARTITION BY cjk_gram_md5) AS n_cjk_dups
+         FROM m""",
     "tx_nfc_fingerprint" ->
       """WITH v AS (
            SELECT doc_id,

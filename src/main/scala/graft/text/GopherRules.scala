@@ -83,8 +83,11 @@ object GopherRules {
   // pipeline gate cannot drift (parity asserted in GopherRulesSpec)
   private def sumLenOf(toks: Column): Column =
     aggregate(toks, lit(0L), (a, t) => a + length(t))
+  // \p{L}, not [a-z]: under the r17 Unicode token form an "alphabetic"
+  // word must count in every script, or r_alpha would fail all CJK/
+  // Cyrillic/Arabic documents wholesale
   private def nAlphaOf(toks: Column): Column =
-    size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    size(filter(toks, t => t.rlike("\\p{L}"))).cast("long")
   private def nStopOf(toks: Column): Column =
     size(array_intersect(array_distinct(toks),
       array(Stopwords.map(lit): _*))).cast("long")

@@ -12,8 +12,49 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased word tokens, empties removed. */
+  /** The regex inserting token breaks around NO-SPACE-script characters
+    * (Han, Hiragana, Katakana, Thai): those scripts don't delimit words
+    * with spaces, so the "word" normal form there is the CHARACTER — the
+    * standard char-unit fallback (each such char becomes its own token).
+    * Java spells Unicode scripts `\p{IsHan}`; DuckDB's RE2 spells the
+    * same table `\p{Han}` ([[QText.toksSql]] is the oracle twin).
+    */
+  private[graft] val cjkSoloRe =
+    "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}])"
+
+  /** Lowercased word tokens, empties removed — the engine's WORD-TOKEN
+    * NORMAL FORM, Unicode-correct (r17; the previous `[^a-z0-9]+` split
+    * zeroed out every non-Latin-script document: CJK/Arabic/Cyrillic
+    * pages tokenized to an EMPTY array, so the quality gate dropped
+    * them, Gopher rules failed them, and word-gram dedup /
+    * decontamination / LM scoring saw nothing — while "café" lost its
+    * accent). Three steps, each oracle-expressible in DuckDB RE2:
+    *
+    *  1. no-space scripts pre-split to single-character tokens
+    *     ([[cjkSoloRe]]);
+    *  2. split on anything outside `\p{L}\p{N}` (so letters and digits
+    *     of EVERY script are token characters; `_` stays a separator —
+    *     it is Pc, not L/N — preserving the word-gram `'_'` join);
+    *  3. per-token lowercase (AFTER the split, so case anomalies like
+    *     U+0130 İ whose lowercase adds a combining mark cannot change
+    *     the split itself), empties dropped.
+    *
+    * On ASCII text this is byte-identical to the old form (A-Z fold into
+    * the same runs), so every existing oracle hash over the ASCII test
+    * tables is unchanged. Combining marks are separators (category Mn is
+    * not \p{L}) — text should be NFC-normalized first (the dedupCorpus
+    * entry default, [[graft.functions.NfcNormalizeExpr]]) so "café" is
+    * one codepoint, not e + U+0301.
+    */
   def tokens(text: Column): Column =
+    filter(transform(split(regexp_replace(text, cjkSoloRe, " $1 "),
+        "[^\\p{L}\\p{N}]+"), t => lower(t)), t => t =!= "")
+
+  /** The pre-r17 ASCII-only token form, kept for callers that need the
+    * legacy normal form (none in-engine — the curation chain runs the
+    * Unicode form above).
+    */
+  def tokensAscii(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -213,10 +254,15 @@ object TextFunctions {
       .otherwise(0.0)
   }
 
-  /** Punctuation ratio: non-alphanumeric, non-space chars / total chars. */
+  /** Punctuation ratio: non-letter/number, non-space chars / total chars
+    * — the Unicode class (`\p{L}\p{N}`), matching the [[tokens]] normal
+    * form (r17): under the old `[^a-zA-Z0-9 ]` every CJK/Cyrillic/accented
+    * character counted as punctuation, so any non-Latin page blew the
+    * qualityScore punct penalty even before its tokens were counted.
+    */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,
-      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+      (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N} ]", "")))
         .cast("double") / length(text))
       .otherwise(0.0)
 

@@ -659,6 +659,30 @@ class PipelinesSpec extends SparkSpec {
       Set("https://a.example/one", "https://b.example/two")))
   }
 
+  test("dedupCorpus on a CJK corpus: quality gate keeps non-Latin docs, word-gram dedup collapses them (r17 Unicode tokens)") {
+    // pre-r17 this corpus died at the quality gate (ASCII tokenizer →
+    // zero tokens → tokenless score) and deduped nothing; now each Han
+    // char is a token, so the MinHash/LSH word-gram chain sees shingles
+    val passage = "深層学習の訓練データは重複排除によって品質が大きく向上する" +
+      "ことが知られている統計的な言語モデルの評価では同一文書の繰り返しが" +
+      "指標を歪めるため除去が必要である"
+    val docs = Seq(
+      (1L, passage),
+      (2L, passage + "追加の一文がある"), // near-dup: shared shingles
+      (3L, "自然言語処理の検索基盤は転置索引と分散処理で構成されており" +
+        "大規模な文書集合に対して高速な問い合わせ応答を実現するものである"))
+      .toDF("doc_id", "text").localCheckpoint()
+    // tokens are non-empty (char-unit fallback), so the quality gate has
+    // signal instead of zeroes
+    val nToks = docs.select(
+      graft.text.TextFunctions.tokenCount(col("text")).as("n")).as[Int].collect()
+    assert(nToks.forall(_ > 30), nToks.toSeq)
+    val kept = Pipelines.dedupCorpus(docs, col("doc_id"), col("text"),
+        minQuality = 0.0, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L)) // 1-2 collapse to min id; 3 distinct
+  }
+
   test("dedupCorpus keepBy: the best-scoring cluster member survives, not the min id") {
     val near = "the quick brown fox jumps over the lazy dog near the " +
       "riverbank every single morning before the sun rises over the hills"

@@ -58,6 +58,36 @@ class GopherRulesSpec extends SparkSpec {
       b(6L, "r_top") && b(6L, "r_dup") && !b(6L, "keep"))
   }
 
+  test("non-Latin docs have token signal: r_alpha and the token rules see Unicode (r17)") {
+    // pre-r17 these tokenized to ZERO tokens (ASCII split) and died at
+    // r_wc with no signal; and r_alpha's old [a-z] test would have
+    // failed every token even once they existed
+    val uni = Seq(
+      // Cyrillic: 55 real words, stopwords absent -> r_stop is the only
+      // legitimately-failing rule (the list is English policy)
+      (10L, (1 to 55).map(i => s"слово$i").mkString(" ")),
+      // CJK: each char a token; char-unit tokens are length 1 -> r_mwl
+      // (mean in [3,10]) correctly fails, but NOT for lack of tokens
+      (11L, "深層学習の訓練データは重複排除によって品質が大きく向上する" * 2),
+      // accented Latin with English stopwords: a full keeper
+      (12L, "the café " + (1 to 22).map(i => s"wörd$i").mkString(" ") +
+        " a is that"))
+      .toDF("doc_id", "text")
+    val f = GopherRules.ruleFlags(uni, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = f(id).getBoolean(f(id).fieldIndex(c))
+    // token counts are REAL (n_tok is field 1)
+    assert(f(10L).getLong(1) === 55L)
+    assert(f(11L).getLong(1) === 58L) // 29 char-unit tokens x 2
+    // Cyrillic words are alphabetic under \p{L}
+    assert(b(10L, "r_alpha") && b(10L, "r_wc") && b(10L, "r_mwl"))
+    assert(!b(10L, "r_stop")) // English stopword policy, correctly absent
+    // CJK: alphabetic and counted; mean word length 1 trips r_mwl only
+    assert(b(11L, "r_alpha") && b(11L, "r_wc") && !b(11L, "r_mwl"))
+    // accented Latin keeper passes everything
+    assert(b(12L, "keep"), f(12L).toString)
+  }
+
   test("ruleFunnel: n_fail / n_sole_fail replay the flags exactly") {
     val rows = flags.collect()
     val rules = Seq("r_wc", "r_mwl", "r_alpha", "r_stop", "r_top", "r_dup")
