@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir> | --warc <warcdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--no-nfc] [--no-verify-ids] [--audit]
+  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir> | --warc <warcdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--no-nfc] [--no-verify-ids] [--no-block-filter (--warc: keep tag-level extraction instead of DOM-block boilerplate removal)] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily {--docs <shardparquet> | --wet <wetdir> | --warc <warcdir>} --band-table <tbl> [--corpus <parquet>] [--min-quality 0.5] [--no-nfc] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily {--docs <shardparquet> | --wet <wetdir> | --warc <warcdir>} --band-table <tbl> [--corpus <parquet>] [--min-quality 0.5] [--no-nfc] [--no-block-filter] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -97,15 +97,22 @@ object Main {
         val textish = ctL.startsWith("text/html") ||
           ctL.startsWith("text/plain") ||
           ctL.startsWith("application/xhtml")
+        // DOM-BLOCK boilerplate removal is the DEFAULT (r17): nav menus,
+        // cookie banners, and footers are per-PAGE boilerplate the
+        // corpus-frequency line scrub (d24) cannot see; jusText-shaped
+        // block scoring (extractMainContent) drops them at ingest.
+        // --no-block-filter opts out to the tag-level extraction.
+        val extract: Column => Column =
+          if (args.contains("--no-block-filter"))
+            graft.text.TextFunctions.extractHtmlText
+          else c => graft.text.TextFunctions.extractMainContent(c)
         graft.sources.Wet.readWarc(spark, w)
           .filter(
             (col("http_status") === 200 &&
               (col("content_type") === "" || textish)) ||
             (col("http_status") === 0 && textish))
           .select(crawlId("warc_file").as("doc_id"), col("url"),
-            col("record_ts"),
-            graft.text.TextFunctions.extractHtmlText(col("html"))
-              .as("text"))
+            col("record_ts"), extract(col("html")).as("text"))
       case _ => throw new IllegalArgumentException(
         s"$cmd: pass exactly one of --docs <parquet>, --wet <dir>, " +
           "or --warc <dir>")
@@ -255,8 +262,17 @@ object Main {
           langKeep = (opt(args, "--lang-seed"), opt(args, "--lang-keep")) match {
             case (Some(seedDir), Some(keep)) =>
               val seed = spark.read.parquet(seedDir)
-              val langs = seed.select("lang").distinct()
-                .orderBy("lang").collect().map(_.getString(0)).toSeq
+              // language count bounds the head count AND this driver
+              // collect — a hostile seed with millions of distinct
+              // labels must fail loud, not OOM the driver (r16
+              // What's-wrong #2). 512 >> CCNet's 176 languages.
+              val maxLangs = 512
+              val langRows = seed.select("lang").distinct()
+                .orderBy("lang").limit(maxLangs + 1).collect()
+              require(langRows.length <= maxLangs,
+                s"--lang-seed: more than $maxLangs distinct lang labels " +
+                  "— not a language-seed table")
+              val langs = langRows.map(_.getString(0)).toSeq
               Some((graft.text.LangIdClassifier.train(seed, col("text"),
                 col("lang"), langs,
                 k = opt(args, "--lang-k").map(_.toInt).getOrElse(12)),

@@ -94,10 +94,18 @@ object Snapshots {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_v="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("_v=").toInt).toOption)
-      .sorted
+    else {
+      val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      // driver-side listing is epoch-count-sized by design; a directory
+      // with an absurd entry count means something else is being pointed
+      // at — fail loud before materializing it (r16 What's-wrong #2)
+      require(names.size <= 100000,
+        s"versions: $dir lists ${names.size} entries — not an epoch " +
+          "directory (cap 100000); wrong --dir?")
+      names.filter(_.startsWith("_v="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("_v=").toInt).toOption)
+        .sorted
+    }
   }
 
   /** Compact history up to `version`: materialize [[readAsOf]](version)

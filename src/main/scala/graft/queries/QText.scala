@@ -1030,6 +1030,37 @@ object QText {
         md5(nfcNormalize(dec)).as("nfc_fp"))
     }),
 
+    // DOM-BLOCK boilerplate removal (extractMainContent, the --warc
+    // ingest default): every doc's text is planted as the body paragraph
+    // of a page carrying the classic boilerplate — nav menu, cookie
+    // banner, link-list aside, footer — and the query pins that the
+    // block filter drops ALL of it (menu_leaked false) while the
+    // paragraph survives verbatim (content_kept true, full md5). The
+    // oracle replays the identical sentinel/marker regexp chain in RE2.
+    "tx_block_extract" -> ((s, d) => {
+      val page = concat(
+        lit("<html><head><title>t</title></head><body>" +
+          "<nav><ul><li><a href=\"/\">Home</a></li>" +
+          "<li><a href=\"/about\">About us</a></li>" +
+          "<li><a href=\"/contact\">Contact</a></li></ul></nav>" +
+          "<div id=\"cookie\">We use cookies. " +
+          "<a href=\"#\">Accept all</a></div><article><p>"),
+        col("text"),
+        lit("</p></article><aside><ul>" +
+          "<li><a href=\"/p1\">Related post one</a></li>" +
+          "<li><a href=\"/p2\">Related post two</a></li></ul></aside>" +
+          "<footer><a href=\"/privacy\">Privacy</a> | " +
+          "<a href=\"/terms\">Terms</a></footer></body></html>"))
+      val main = extractMainContent(page)
+      t(s, d, "documents").select(col("doc_id"),
+        md5(main).as("main_md5"),
+        length(main).cast("int").as("n_kept_chars"),
+        (main.contains("Home") || main.contains("cookies") ||
+          main.contains("Related post") || main.contains("Privacy"))
+          .as("menu_leaked"),
+        main.contains(col("text")).as("content_kept"))
+    }),
+
     // The r17 UNICODE word-token normal form, pinned end-to-end: every
     // doc's ASCII text gets an accented-Latin + Cyrillic + CJK + Thai +
     // digit tail, and the query emits (a) the token count by the HOF
@@ -2052,6 +2083,62 @@ object QText {
               CAST(length(clean) AS BIGINT) AS n_chars_clean,
               clean LIKE '%var x%' AS script_leaked
        FROM e""",
+    "tx_block_extract" ->
+      """WITH pg AS (
+           SELECT doc_id, text,
+                  '<html><head><title>t</title></head><body>' ||
+                  '<nav><ul><li><a href="/">Home</a></li>' ||
+                  '<li><a href="/about">About us</a></li>' ||
+                  '<li><a href="/contact">Contact</a></li></ul></nav>' ||
+                  '<div id="cookie">We use cookies. ' ||
+                  '<a href="#">Accept all</a></div><article><p>' ||
+                  text ||
+                  '</p></article><aside><ul>' ||
+                  '<li><a href="/p1">Related post one</a></li>' ||
+                  '<li><a href="/p2">Related post two</a></li></ul></aside>' ||
+                  '<footer><a href="/privacy">Privacy</a> | ' ||
+                  '<a href="/terms">Terms</a></footer></body></html>' AS h
+           FROM documents),
+             s0 AS (SELECT doc_id, text,
+                  regexp_replace(h, '[\x01\x02\x03]', ' ', 'g') AS h FROM pg),
+             s1 AS (SELECT doc_id, text, regexp_replace(h,
+                  '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<head[^>]*>.*?</head>',
+                  ' ', 'g') AS h FROM s0),
+             s2 AS (SELECT doc_id, text,
+                  regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+             mk AS (SELECT doc_id, text, regexp_replace(h,
+                  '(?is)<a\b[^>]*>(.*?)</a>', chr(2) || '\1' || chr(3), 'g') AS h
+                  FROM s2),
+             bl AS (SELECT doc_id, text, regexp_replace(h,
+                  '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|form|fieldset|figure|figcaption|main|br|hr)\b[^>]*>',
+                  chr(1), 'g') AS h FROM mk),
+             nt AS (SELECT doc_id, text,
+                  regexp_replace(h, '<[^>]+>', ' ', 'g') AS h FROM bl),
+             de AS (SELECT doc_id, text,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(h,
+                    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                    '&#39;|&apos;', '''', 'g'), '&nbsp;', ' ', 'g'),
+                    '&amp;', '&', 'g') AS h FROM nt),
+             kp AS (SELECT doc_id, text, list_filter(string_split(h, chr(1)), b ->
+                  length(trim(regexp_replace(regexp_replace(b, '[\x02\x03]', '', 'g'), '\s+', ' ', 'g'))) >= 25
+                  AND coalesce(list_sum(list_transform(
+                        regexp_extract_all(b, '(?s)\x02(.*?)\x03', 1),
+                        s -> length(trim(regexp_replace(s, '\s+', ' ', 'g'))))), 0) * 3
+                      <= length(trim(regexp_replace(regexp_replace(b, '[\x02\x03]', '', 'g'), '\s+', ' ', 'g'))) * 1
+                ) AS ks FROM de),
+             mn AS (SELECT doc_id, text,
+                  trim(regexp_replace(array_to_string(list_transform(ks, b ->
+                    trim(regexp_replace(regexp_replace(b, '[\x02\x03]', '', 'g'), '\s+', ' ', 'g'))), ' '),
+                    '\s+', ' ', 'g')) AS main
+                  FROM kp)
+         SELECT doc_id, md5(main) AS main_md5,
+                CAST(length(main) AS INT) AS n_kept_chars,
+                (position('Home' IN main) > 0 OR position('cookies' IN main) > 0
+                 OR position('Related post' IN main) > 0
+                 OR position('Privacy' IN main) > 0) AS menu_leaked,
+                position(text IN main) > 0 AS content_kept
+         FROM mn""",
     "tx_unicode_tokens" ->
       s"""WITH base AS (
            SELECT doc_id, text,

@@ -202,18 +202,97 @@ object TextFunctions {
     * decode-stage concern (§7.5).
     */
   def extractHtmlText(html: Column): Column = {
-    val noScript = regexp_replace(html,
-      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|" +
-        "<head[^>]*>.*?</head>", " ")
-    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
-    val ent1 = regexp_replace(noTags, "&lt;", "<")
+    val noTags = regexp_replace(scrubHtmlElements(html), "<[^>]+>", " ")
+    trim(regexp_replace(decodeHtmlEntities(noTags), "\\s+", " "))
+  }
+
+  /** Steps 1-2 of the extraction contract: script/style/head elements
+    * removed WITH content, comments removed. Shared by
+    * [[extractHtmlText]] and [[extractMainContent]].
+    */
+  private def scrubHtmlElements(html: Column): Column =
+    regexp_replace(
+      regexp_replace(html,
+        "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|" +
+          "<head[^>]*>.*?</head>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Step 4 of the extraction contract: the named-entity decode chain
+    * (&amp; LAST so double-escaped text stays text). Shared by both
+    * extractors.
+    */
+  private def decodeHtmlEntities(c: Column): Column = {
+    val ent1 = regexp_replace(c, "&lt;", "<")
     val ent2 = regexp_replace(ent1, "&gt;", ">")
     val ent3 = regexp_replace(ent2, "&quot;", "\"")
     val ent4 = regexp_replace(ent3, "&#39;|&apos;", "'")
     val ent5 = regexp_replace(ent4, "&nbsp;", " ")
-    val ent6 = regexp_replace(ent5, "&amp;", "&")
-    trim(regexp_replace(ent6, "\\s+", " "))
+    regexp_replace(ent5, "&amp;", "&")
+  }
+
+  /** Block-level elements whose tags delimit DOM blocks for
+    * [[extractMainContent]] — the jusText/Boilerpipe segmentation unit.
+    */
+  private val blockTagRe =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "section|article|header|footer|nav|aside|blockquote|pre|form|" +
+      "fieldset|figure|figcaption|main|br|hr)\\b[^>]*>"
+
+  /** DOM-BLOCK boilerplate removal (r17 verdict #3) — the per-document
+    * stage RefinedWeb-class pipelines run at ingest, which the
+    * corpus-frequency line scrub (d24) cannot replace: nav menus,
+    * footers, and cookie banners are boilerplate on THIS page even when
+    * not frequent across the corpus. jusText-shaped, in pure
+    * RE2/Java-compatible regexp steps so DuckDB replays the decision
+    * exactly (tx_block_extract):
+    *
+    *  1. control sentinels scrubbed from the input (U+0001..U+0003 —
+    *     adversarial text cannot inject block/link markers);
+    *  2. script/style/head + comments removed ([[scrubHtmlElements]]);
+    *  3. anchor elements marked: `<a ...>X</a>` → `U+0002 X U+0003`
+    *     (the link-density signal; an anchor split across blocks by an
+    *     illegal block tag inside it loses its marker pair — that
+    *     block's link length under-counts, never crashes);
+    *  4. every block-level tag ([[blockTagRe]]) becomes a block
+    *     sentinel U+0001; remaining (inline) tags become spaces;
+    *     entities decode;
+    *  5. per block: `vis` = whitespace-collapsed text without link
+    *     markers, `link_len` = summed collapsed length of the marked
+    *     anchor spans. KEEP the block iff
+    *     `length(vis) >= minBlockChars` AND
+    *     `link_len * linkDen <= length(vis) * linkNum`
+    *     (integer cross-multiplication — no float can flip a block);
+    *  6. kept blocks join with a space and collapse.
+    *
+    * Defaults (25 chars, link fraction ≤ 1/3) are the jusText
+    * short-block / link-density spirit sized for extracted fixtures;
+    * navigation bars are link-dense short blocks and fail both tests,
+    * body paragraphs pass. The `--warc` ingest applies this by default
+    * (opt-out `--no-block-filter`, falling back to
+    * [[extractHtmlText]]).
+    */
+  def extractMainContent(html: Column, minBlockChars: Int = 25,
+                         linkNum: Int = 1, linkDen: Int = 3): Column = {
+    require(minBlockChars >= 0 && linkNum >= 0 && linkDen >= 1,
+      s"extractMainContent: bad thresholds ($minBlockChars, $linkNum/$linkDen)")
+    val clean0 = regexp_replace(html, "[\\x01\\x02\\x03]", " ")
+    val marked = regexp_replace(scrubHtmlElements(clean0),
+      "(?is)<a\\b[^>]*>(.*?)</a>", "\u0002$1\u0003")
+    val blocked = regexp_replace(marked, blockTagRe, "\u0001")
+    val noTags = regexp_replace(blocked, "<[^>]+>", " ")
+    val decoded = decodeHtmlEntities(noTags)
+    val blocks = split(decoded, "\\x01")
+    def visOf(b: Column): Column =
+      trim(regexp_replace(regexp_replace(b, "[\\x02\\x03]", ""), "\\s+", " "))
+    def linkLenOf(b: Column): Column =
+      aggregate(regexp_extract_all(b, lit("(?s)\\x02(.*?)\\x03"), lit(1)),
+        lit(0), (a, s) =>
+          a + length(trim(regexp_replace(s, "\\s+", " "))))
+    val kept = filter(blocks, b =>
+      length(visOf(b)) >= minBlockChars &&
+        linkLenOf(b) * linkDen <= length(visOf(b)) * linkNum)
+    trim(regexp_replace(array_join(transform(kept, b => visOf(b)), " "),
+      "\\s+", " "))
   }
 
   /** Document fingerprint: md5 of the normalized text (stable across engines). */

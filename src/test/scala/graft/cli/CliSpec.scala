@@ -227,7 +227,11 @@ class CliSpec extends SparkSpec {
     val outDir = tmpDir("cli_warc_out") + "/kept"
     def page(body: String): String =
       "<html><head><style>p{color:red}</style></head><body>" +
-        "<script>var tracker = 1;</script><p>" + body + "</p></body></html>"
+        "<nav><ul><li><a href=\"/\">HomeNav</a></li>" +
+        "<li><a href=\"/about\">AboutNav</a></li></ul></nav>" +
+        "<script>var tracker = 1;</script><p>" + body + "</p>" +
+        "<footer><a href=\"/privacy\">PrivacyFoot</a> | " +
+        "<a href=\"/terms\">TermsFoot</a></footer></body></html>"
     // two near-dup pages (same prose, one extra word) + one distinct —
     // dedup must collapse the pair on the EXTRACTED text, and no
     // script/style body may survive extraction into the kept corpus
@@ -276,6 +280,35 @@ class CliSpec extends SparkSpec {
     // the css/js FILES never became documents
     assert(kept.forall(r => !r._1.contains("w4.example") &&
       !r._1.contains("w5.example")), kept.toSeq)
+    // DOM-BLOCK boilerplate removal is the --warc default (r17): the
+    // planted nav menu and footer links never reach the kept corpus
+    assert(kept.forall(r => !r._2.contains("HomeNav") &&
+      !r._2.contains("AboutNav") && !r._2.contains("PrivacyFoot")),
+      kept.toSeq)
+    // --no-block-filter opts out to the tag-level extraction: menu text
+    // survives (proving the default actually did the removal)
+    val outDir2 = tmpDir("cli_warc_out2") + "/kept"
+    Main.run(spark, Array("dedup", "--warc", warcDir, "--no-block-filter",
+      "--min-quality", "0.0", "--min-jaccard", "0.3", "--output", outDir2))
+    val kept2 = spark.read.parquet(outDir2)
+      .select("doc_id", "text").as[(String, String)].collect()
+    assert(kept2.exists(_._2.contains("HomeNav")), kept2.toSeq)
+  }
+
+  test("--lang-seed with an absurd label count fails loudly before the driver collect (r17 guard)") {
+    val docsDir = tmpDir("cli_langguard_docs")
+    Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+    val seedDir = tmpDir("cli_langguard_seed")
+    spark.range(0, 600)
+      .selectExpr("'text for lang' AS text", "concat('l', id) AS lang")
+      .write.mode("overwrite").parquet(seedDir)
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Array("dedup", "--docs", docsDir,
+        "--min-quality", "0.0", "--lang-seed", seedDir,
+        "--lang-keep", "l1", "--output", tmpDir("cli_langguard_out") + "/k"))
+    }
+    assert(e.getMessage.contains("distinct lang labels"), e.getMessage)
   }
 
   test("dedup subcommand: --domain-gate without --url-col fails loudly") {

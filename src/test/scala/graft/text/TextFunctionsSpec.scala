@@ -87,6 +87,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("extractMainContent: nav/footer/cookie boilerplate blocks drop, body paragraphs survive (r17)") {
+    val para1 = "The measurement campaign ran for three weeks and collected " +
+      "over two million samples across the four instrumented sites."
+    val para2 = "Seasonal variation dominated the signal, with the largest " +
+      "swings recorded at the coastal stations during the storm period."
+    val page =
+      "<html><head><title>x</title></head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/a\">About" +
+        "</a></li><li><a href=\"/c\">Contact</a></li></ul></nav>" +
+        "<div class=\"cookie\">We use cookies. <a href=\"#\">Accept</a></div>" +
+        s"<article><p>$para1</p><p>$para2</p>" +
+        "<p>Read more in <a href=\"/r\">the full report</a> appendix that " +
+        "accompanies this long-form write-up of the campaign.</p></article>" +
+        "<footer><a href=\"/p\">Privacy</a> | <a href=\"/t\">Terms</a> | " +
+        "<a href=\"/i\">Imprint</a></footer></body></html>"
+    val got = Seq(page).toDF("html")
+      .select(TextFunctions.extractMainContent(col("html")).as("t"),
+        TextFunctions.extractHtmlText(col("html")).as("all"))
+      .as[(String, String)].head()
+    // boilerplate reached the naive extraction but not the block filter
+    assert(got._2.contains("Home") && got._2.contains("We use cookies"))
+    assert(!got._1.contains("Home") && !got._1.contains("About"))
+    assert(!got._1.contains("cookies") && !got._1.contains("Privacy"))
+    // content paragraphs survive, including one WITH a modest inline link
+    assert(got._1.contains(para1) && got._1.contains(para2))
+    assert(got._1.contains("the full report"))
+    // sentinel injection cannot fake a block or a link span
+    val hostile = "<p>before \u0001\u0002fake link\u0003 after — a real " +
+      "paragraph long enough to keep under every threshold we ship.</p>"
+    val h = Seq(hostile).toDF("html")
+      .select(TextFunctions.extractMainContent(col("html")).as("t"))
+      .as[String].head()
+    assert(h.contains("fake link") && h.contains("a real paragraph"))
+  }
+
   test("redactPii replaces emails and phones, leaves clean text alone") {
     val rows = Seq(
       "mail me at jane.doe+spam@sub.example.co.uk today",
