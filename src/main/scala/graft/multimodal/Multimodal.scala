@@ -211,7 +211,7 @@ object Multimodal {
     * long-keyed outputs schema-identical (d13-d16 oracles) while string
     * keys pass through untouched.
     */
-  private def keyedBytes(files: DataFrame, id: Column, content: Column)
+  private[multimodal] def keyedBytes(files: DataFrame, id: Column, content: Column)
       : (Dataset[(String, Array[Byte])], org.apache.spark.sql.types.DataType) = {
     val spark = files.sparkSession
     import spark.implicits._

@@ -359,9 +359,74 @@ object QMultimodal {
             .otherwise(concat(unhex(lit("00")), col("text").cast("binary"))))
         .select(col("doc_id"), col("lang"),
           magicFormat(col("content")).as("fmt"),
-          contentLength(col("content")).as("n_bytes"))))
+          contentLength(col("content")).as("n_bytes"))),
+
+    // DOCUMENT-format router (r17): a raw crawl's binary payloads carry
+    // pdf/zip/ole2/gzip/rtf alongside media — the router tags each blob
+    // from header bytes only and assigns its processing family
+    // (document → text extraction, archive → container handling,
+    // image/audio/array → the multimodal decode paths). Eight formats
+    // cycle by doc_id % 8; the oracle replays the same magic prefixes
+    // analytically.
+    "u7_format_router" -> ((s, d) => {
+      import graft.multimodal.DocFormats
+      val content =
+        when(pmod(col("doc_id"), lit(8)) === 0,
+          concat(unhex(lit("255044462D312E34")), col("text").cast("binary")))
+          .when(pmod(col("doc_id"), lit(8)) === 1,
+            concat(unhex(lit("504B030414000000")), col("text").cast("binary")))
+          .when(pmod(col("doc_id"), lit(8)) === 2,
+            concat(unhex(lit("D0CF11E0A1B11AE1")), col("text").cast("binary")))
+          .when(pmod(col("doc_id"), lit(8)) === 3,
+            concat(unhex(lit("1F8B0800")), col("text").cast("binary")))
+          .when(pmod(col("doc_id"), lit(8)) === 4,
+            concat(lit("{\\rtf1 ").cast("binary"), col("text").cast("binary")))
+          .when(pmod(col("doc_id"), lit(8)) === 5,
+            pngHeader(lit(64), lit(32)))
+          .when(pmod(col("doc_id"), lit(8)) === 6,
+            concat(lit("YUV4MPEG2 ").cast("binary"), col("text").cast("binary")))
+          .otherwise(concat(unhex(lit("00")), col("text").cast("binary")))
+      DocFormats.routeFormats(
+        t(s, d, "documents").withColumn("content", content),
+        col("doc_id"), col("content"))
+    }),
+
+    // Minimal in-engine PDF text pull (r17): every doc's text becomes a
+    // one-page PDF fixture — UNCOMPRESSED content stream for odd ids,
+    // FlateDecode (real zlib, java.util.zip) for even — and the
+    // extraction must return the exact text. The out-of-engine boundary
+    // (CID fonts, encrypted docs, office formats) is documented on
+    // DocFormats; text='' is the routing signal for blobs this pull
+    // cannot read.
+    "u8_pdf_text" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.DocFormats
+      val fixt = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, DocFormats.pdfFixture(s"Doc $id report body (draft).",
+            flate = id % 2 == 0))
+        }.toDF("doc_id", "content")
+      DocFormats.extractPdfText(fixt, col("doc_id"), col("content"))
+    }))
 
   def oracle: Map[String, String] = Map(
+    "u7_format_router" ->
+      """SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'pdf'  WHEN 1 THEN 'zip'
+                  WHEN 2 THEN 'ole2' WHEN 3 THEN 'gzip'
+                  WHEN 4 THEN 'rtf'  WHEN 5 THEN 'png'
+                  WHEN 6 THEN 'y4m'  ELSE 'unknown' END AS format,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'document' WHEN 1 THEN 'archive'
+                  WHEN 2 THEN 'document' WHEN 3 THEN 'archive'
+                  WHEN 4 THEN 'document' WHEN 5 THEN 'image'
+                  WHEN 6 THEN 'video'    ELSE 'unknown' END AS family
+         FROM documents""",
+    "u8_pdf_text" ->
+      """SELECT doc_id,
+                'Doc ' || doc_id || ' report body (draft).' AS text
+         FROM documents""",
     "s4_binary_md5" ->
       """SELECT doc_id, md5(text) AS content_md5,
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes

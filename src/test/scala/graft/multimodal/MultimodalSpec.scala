@@ -134,6 +134,41 @@ class MultimodalSpec extends SparkSpec {
     assert((0 until 4).forall(c => (img.getRGB(c, 1) & 0xff) === 200))
   }
 
+  test("DocFormats: router tags document/archive blobs; pdfText reads plain and FlateDecode streams, never throws") {
+    import graft.multimodal.DocFormats
+    // plain vs flate fixtures extract identical text
+    val text = "Quarterly results (draft) improved 12% over baseline."
+    val plain = DocFormats.pdfText(DocFormats.pdfFixture(text, flate = false))
+    val flate = DocFormats.pdfText(DocFormats.pdfFixture(text, flate = true))
+    assert(plain === text && flate === text)
+    // escapes round-trip through the PDF string syntax
+    val esc = "parens (nested) and back\\slash"
+    assert(DocFormats.pdfText(DocFormats.pdfFixture(esc, flate = false)) === esc)
+    // non-PDF, truncated, and corrupt-flate inputs yield "" (never throw)
+    assert(DocFormats.pdfText("not a pdf".getBytes) === "")
+    assert(DocFormats.pdfText(
+      DocFormats.pdfFixture(text, flate = false).take(40)) === "")
+    val corrupt = DocFormats.pdfFixture(text, flate = true)
+      .zipWithIndex.map { case (b, i) =>
+        if (i > 200 && i < 220) (b ^ 0x5a).toByte else b }
+    DocFormats.pdfText(corrupt) // must not throw
+    // router families over real fixture bytes
+    val rows = Seq(
+      (1L, DocFormats.pdfFixture(text, flate = true)),
+      (2L, "PK\u0003\u0004rest".getBytes("ISO-8859-1")),
+      (3L, "{\\rtf1 hi".getBytes("ISO-8859-1")),
+      (4L, "YUV4MPEG2 W2 H2".getBytes("ISO-8859-1")),
+      (5L, Array[Byte](0x1f, 0x8b.toByte, 8, 0)),
+      (6L, "plain prose".getBytes("ISO-8859-1")))
+      .toDF("doc_id", "content")
+    val got = DocFormats.routeFormats(rows, col("doc_id"), col("content"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "pdf", "document"), (2L, "zip", "archive"),
+      (3L, "rtf", "document"), (4L, "y4m", "video"),
+      (5L, "gzip", "archive"), (6L, "unknown", "unknown")))
+  }
+
   test("imageDHashById: gradient bits from real pixels; block-average and short-image paths") {
     // strictly decreasing 4-row profile at h == grid: bits 0..2 set (each
     // bin > its successor), wrap bit 3 clear (row 3 < row 0) → fp = 7
