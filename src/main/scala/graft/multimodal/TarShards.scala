@@ -103,48 +103,106 @@ object TarShards {
 
   /** Read tar shards back as (shard, name, content) — the consumer side
     * of [[writeTarShards]], and a reader for any plain ustar/GNU tar of
-    * regular files. One task per shard via the binaryFile source (a tar
-    * is a sequential format; the shard IS the split unit, which is the
-    * point of the layout), header walk per 512-byte block, zero-block
-    * terminated. Non-regular entries (directories, PAX/long-name
-    * extensions) are skipped, not errors.
+    * regular files. One ENTRY-STREAMING task per shard (a tar is a
+    * sequential format; the shard IS the split unit, which is the point
+    * of the layout): the path manifest fans out and each task walks
+    * 512-byte header blocks off a Hadoop stream ([[walkTarEntries]] —
+    * peak memory one entry, shards of any size; `.gz` names inflate in
+    * flight). Zero-block terminated; non-regular entries (directories,
+    * PAX/long-name extensions) are skipped UNREAD, not errors.
     */
   def readTarShards(spark: SparkSession, dir: String,
                     glob: String = "*.tar"): DataFrame = {
     import spark.implicits._
-    val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(dir)
-      .select(col("path"), col("content"))
-    bin.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
-      val entries = Seq.newBuilder[(String, String, Array[Byte])]
-      var off = 0
-      def str(o: Int, len: Int): String = {
-        var end = o
-        while (end < o + len && bytes(end) != 0) end += 1
-        new String(bytes, o, end - o, "US-ASCII")
+    val conf = graft.sources.Wet.serConf(spark)
+    graft.sources.Wet.fileTasks(spark,
+        graft.sources.Wet.listFiles(spark, dir, glob))
+      .flatMap { path =>
+        val in = graft.sources.Wet.openRecordStream(path, conf.value)
+        graft.sources.Wet.closeOnTaskEnd(in)
+        walkTarEntries(path, in)
+      }.toDF("shard", "name", "content")
+  }
+
+  /** ENTRY-STREAMING ustar walk (the r17 record-streaming discipline,
+    * [[graft.sources.Wet.walkWarcStream]]'s sibling): 512-byte header
+    * blocks read incrementally, one entry's bytes resident at a time —
+    * the previous binaryFile form held the whole shard PLUS every
+    * extracted entry simultaneously (2-3× shard residency and the 2 GiB
+    * content ceiling). Non-regular-file entries are SKIPPED unread.
+    * A single entry ≥2 GB still fails loudly (no such WebDataset entry
+    * exists; a silent Int narrow would corrupt every later offset).
+    */
+  private def walkTarEntries(path: String, in: java.io.InputStream)
+      : Iterator[(String, String, Array[Byte])] =
+    new Iterator[(String, String, Array[Byte])] {
+      private val hdr = new Array[Byte](512)
+      private var pending: (String, String, Array[Byte]) = null
+      private var exhausted = false
+
+      private def readFully(buf: Array[Byte], len: Int,
+                            what: String): Boolean = {
+        var got = 0
+        while (got < len) {
+          val r = in.read(buf, got, len - got)
+          if (r < 0) {
+            require(got == 0 || what != "header",
+              s"readTarShards: truncated $what in $path")
+            return false
+          }
+          got += r
+        }
+        true
       }
-      var done = false
-      while (!done && off + 512 <= bytes.length) {
-        val name = str(off, 100)
-        if (name.isEmpty) done = true // zero block: end of archive
-        else {
-          val size = java.lang.Long.parseLong(str(off + 124, 12).trim, 8)
-          // loud bound, not a silent Int narrow: a >=2 GB entry would
-          // corrupt every subsequent offset (the binaryFile source holds
-          // the whole shard on-heap anyway, so such shards are unreadable
-          // here by construction — say so instead of mis-parsing)
-          require(size >= 0 && size <= Int.MaxValue - 512,
-            s"readTarShards: entry '$name' in $path has size $size " +
-              "outside the supported [0, 2GB) range")
-          val typeflag = bytes(off + 156)
-          if (typeflag == '0' || typeflag == 0)
-            entries += ((path, name,
-              java.util.Arrays.copyOfRange(bytes, off + 512,
-                off + 512 + size.toInt)))
-          off += 512 + ((size.toInt + 511) / 512) * 512
+
+      private def skipFully(len: Long): Unit = {
+        var left = len
+        if (left > 0) {
+          val buf = new Array[Byte](math.min(left, 65536L).toInt)
+          while (left > 0) {
+            val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+            require(r >= 0, s"readTarShards: truncated entry in $path")
+            left -= r
+          }
         }
       }
-      entries.result()
-    }.toDF("shard", "name", "content")
-  }
+
+      private def str(o: Int, len: Int): String = {
+        var end = o
+        while (end < o + len && hdr(end) != 0) end += 1
+        new String(hdr, o, end - o, "US-ASCII")
+      }
+
+      private def advance(): Unit = {
+        while (pending == null && !exhausted) {
+          if (!readFully(hdr, 512, "header")) { exhausted = true }
+          else {
+            val name = str(0, 100)
+            if (name.isEmpty) exhausted = true // zero block: end of archive
+            else {
+              val size = java.lang.Long.parseLong(str(124, 12).trim, 8)
+              require(size >= 0 && size <= Int.MaxValue - 512,
+                s"readTarShards: entry '$name' in $path has size $size " +
+                  "outside the supported [0, 2GB) range")
+              val pad = ((size + 511) / 512) * 512 - size
+              val typeflag = hdr(156)
+              if (typeflag == '0' || typeflag == 0) {
+                val content = new Array[Byte](size.toInt)
+                require(readFully(content, size.toInt, "entry"),
+                  s"readTarShards: truncated entry '$name' in $path")
+                skipFully(pad)
+                pending = (path, name, content)
+              } else skipFully(size + pad)
+            }
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): (String, String, Array[Byte]) = {
+        advance()
+        if (pending == null) throw new NoSuchElementException(path)
+        val r = pending; pending = null; r
+      }
+    }
 }

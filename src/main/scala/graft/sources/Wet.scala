@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * WetSpec). Between records any number of CRLF separators is accepted
   * (the spec says exactly two; real files vary).
   *
-  * Scale shape: one task per WET file via the binaryFile source — the
-  * same split discipline as [[graft.multimodal.TarShards.readTarShards]]
-  * (a crawl ships ~64k files of ~150 MB; file count IS the read
-  * parallelism, and gzip members don't split anyway). `.gz` inputs are
-  * decompressed in-task; Common Crawl's member-per-record gzip
-  * concatenation is handled by the JDK stream (multi-member aware).
+  * Scale shape: one RECORD-STREAMING task per file (r17) — a path
+  * manifest fans out, each task walks records incrementally off a
+  * Hadoop stream ([[walkWarcStream]]), so peak task memory is one
+  * record and production shard sizes (~1 GiB gz / 4-5 GiB raw WARC)
+  * ingest flat; the same split discipline as
+  * [[graft.multimodal.TarShards.readTarShards]] (a crawl ships ~64k
+  * files; file count IS the read parallelism, and gzip members don't
+  * split anyway). `.gz` inputs inflate IN FLIGHT; Common Crawl's
+  * member-per-record gzip concatenation is handled by the JDK stream
+  * (multi-member aware).
   *
   * The writer exists for DETERMINISTIC FIXTURE SYNTHESIS and shard export
   * (the s16 tar discipline): same rows → byte-identical shards (record
@@ -361,7 +365,7 @@ object Wet {
     * empty read. Listing size is bounded by crawl layout (~64k files
     * per crawl) — driver-safe by construction.
     */
-  private def listFiles(spark: SparkSession, dir: String,
+  private[graft] def listFiles(spark: SparkSession, dir: String,
                         glob: String): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -375,7 +379,7 @@ object Wet {
     * partition, so each file walks in its own task (gzip members don't
     * split; file count is the parallelism — the crawl-layout contract).
     */
-  private def fileTasks(spark: SparkSession,
+  private[graft] def fileTasks(spark: SparkSession,
                         paths: Seq[String]): org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
     if (paths.isEmpty) spark.emptyDataset[String]
@@ -388,7 +392,7 @@ object Wet {
     * layout reads across members natively, no byte-array staging). Peak
     * memory from here on is one record, whatever the file size.
     */
-  private[sources] def openRecordStream(pathStr: String,
+  private[graft] def openRecordStream(pathStr: String,
       conf: org.apache.hadoop.conf.Configuration): java.io.InputStream = {
     val p = new org.apache.hadoop.fs.Path(pathStr)
     val buf = new java.io.BufferedInputStream(
@@ -401,7 +405,7 @@ object Wet {
   /** Close `in` when the running task completes (success or failure) —
     * the flatMap iterator has no end-of-scope hook of its own.
     */
-  private def closeOnTaskEnd(in: java.io.InputStream): Unit = {
+  private[graft] def closeOnTaskEnd(in: java.io.InputStream): Unit = {
     val ctx = org.apache.spark.TaskContext.get()
     if (ctx != null)
       ctx.addTaskCompletionListener[Unit] { _ =>
@@ -458,7 +462,7 @@ object Wet {
       .select(col("path")).as[String]
   }
 
-  private def serConf(spark: SparkSession)
+  private[graft] def serConf(spark: SparkSession)
       : org.apache.spark.util.SerializableConfiguration =
     new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)

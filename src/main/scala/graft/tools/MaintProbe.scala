@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,stringid,warc,warcbig}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,langid176,stringid,warc,warcbig}
   * (default: {x8,v15,compact,decont} — the original three claims; every
   * other section must be named explicitly, so a scale-evidence run names
   * the section it is collecting for).
@@ -463,6 +463,34 @@ object MaintProbe {
           LangIdClassifier.predict(docs, col("text"), models, k = k)
             .agg(count(when(col("predicted") === langs.head, 1))).head()
         }
+      }
+      spark.catalog.clearCache()
+    }
+    // ---- langid176: CCNet-deployment head count (r17 verdict #7). The
+    // 20-head tiers above measure the gradient kernel's k decade; a real
+    // CCNet deployment ships 176 languages, and head count multiplies
+    // BOTH the gradient-column width (train) and the score-term fanout
+    // (predict — the fused kernel auto-switches past 512 terms). One
+    // tier at 176 heads x k=1024 over a smaller amplified corpus (head
+    // count, not corpus size, is the variable under test).
+    if (sections("langid176")) locally {
+      import graft.text.LangIdClassifier
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = amplify(docs0, "doc_id", 40, 10000000L)
+        .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(176L))))
+        .localCheckpoint()
+      val n = docs.count()
+      val langs = (0 until 176).map(i => s"l$i")
+      val k = 1024
+      val (models, s) = time(s"langid176/train k=$k, 176 heads, 2 passes, $n docs") {
+        LangIdClassifier.train(docs, col("text"), col("lang"), langs,
+          k = k, iters = 2)
+      }
+      println(f"[probe] langid176 k=$k: ${s / 2}%.1f s/pass " +
+        f"(${langs.size * (k + 1)} gradient columns)")
+      time(s"langid176/predict k=$k, 176 heads, $n docs") {
+        LangIdClassifier.predict(docs, col("text"), models, k = k)
+          .agg(count(when(col("predicted") === langs.head, 1))).head()
       }
       spark.catalog.clearCache()
     }

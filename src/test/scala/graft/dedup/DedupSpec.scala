@@ -378,28 +378,25 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS fp_band_index")
   }
 
-  test("ASCII-only folding contract: kernels diverge from lower() on U+212A (documented)") {
-    // The byte-walk kernels fold only A-Z; the relational twins use Unicode
-    // lower(). U+212A KELVIN SIGN lowercases INTO ASCII 'k', so the twin
-    // fuses "xKy" into one token "xky" while the kernel splits on the
-    // non-ASCII bytes → tokens "x","y". This test DOCUMENTS the divergence
-    // the MinhashExpr scaladoc states; the equivalence contract is
-    // ASCII-foldable corpora only.
-    val docs = Seq((1L, "xKy")).toDF("doc_id", "text")
+  test("per-token case-fold contract: kernels MATCH lower() on U+212A and CJK (r17 — the old ASCII divergence is closed)") {
+    // Pre-r17 the byte-walk kernels folded only A-Z and SPLIT on every
+    // non-ASCII byte, so U+212A KELVIN SIGN (whose lowercase is ASCII
+    // 'k') tokenized differently between kernel and relational twin —
+    // a documented divergence. The r17 Unicode normal form lowercases
+    // per TOKEN after a case-independent split in BOTH forms, so they
+    // now agree on exactly the inputs that used to diverge.
+    val docs = Seq((1L, "x\u212ay"), (2L, "\u6f22\u5b57\u30c7\u30fc\u30bf Mixed CASE \u6848"))
+      .toDF("doc_id", "text")
     val native = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 4)
       .as[(Long, Long, String)].collect().toSet
     val exploded = Dedup.minhashSignaturesExploded(docs, col("doc_id"), col("text"), 4)
       .as[(Long, Long, String)].collect().toSet
-    assert(native !== exploded)
-    // and on the pre-folded ASCII equivalent the forms agree again
+    assert(native === exploded)
+    // and the Kelvin token equals the plain-ASCII spelling's token
     val folded = Seq((1L, "xky")).toDF("doc_id", "text")
     val nf = Dedup.minhashSignatures(folded, col("doc_id"), col("text"), 4)
       .as[(Long, Long, String)].collect().toSet
-    val ef = Dedup.minhashSignaturesExploded(folded, col("doc_id"), col("text"), 4)
-      .as[(Long, Long, String)].collect().toSet
-    assert(nf === ef)
-    // the Unicode twin sees exactly the fused token for the Kelvin input
-    assert(exploded === ef)
+    assert(nf === native.filter(_._1 == 1L))
   }
 
   test("connectedComponents with a reliable checkpointDir matches the default mode") {

@@ -10,14 +10,18 @@ class DsirSpec extends SparkSpec {
   private val B = 16
 
   // tiny two-population corpus: "target-ish" docs share the wiki-word
-  // vocabulary, raw noise docs don't; one CJK doc tokenizes to nothing
+  // vocabulary, raw noise docs don't; one CJK doc carries 4 char-unit
+  // tokens (the r17 Unicode token form — pre-r17 it tokenized to
+  // NOTHING and DSIR was blind to it), one punctuation-only doc is
+  // genuinely tokenless
   private val docs = Seq(
     (1L, "the solar system has planets", "en"),
     (2L, "planets orbit the sun", "en"),
     (3L, "buy cheap pills now now now", "xx"),
     (4L, "cheap cheap deals buy now", "xx"),
     (5L, "the sun is a star", "en"),
-    (6L, "中文文本", "zh") // no [a-z0-9] token at all
+    (6L, "中文文本", "zh"), // 4 Han chars -> 4 tokens, 7 features
+    (7L, "!!! ??? ---", "xx") // no \p{L}\p{N} token at all
   ).toDF("doc_id", "text", "lang")
 
   private def model = Dsir.importanceModel(
@@ -29,8 +33,9 @@ class DsirSpec extends SparkSpec {
     assert(m.map(_.getLong(0)).sorted.toSeq === (0L until B.toLong))
     val (tSum, rSum) = (m.map(_.getLong(1)).sum, m.map(_.getLong(2)).sum)
     // unigrams + bigrams: doc k tokens -> 2k-1 features (k >= 2); the
-    // CJK doc contributes zero
-    val featCount = Seq(5, 4, 6, 5, 5).map(k => 2 * k - 1).sum
+    // CJK doc contributes its 4 char-unit tokens (r17), the
+    // punctuation-only doc zero
+    val featCount = Seq(5, 4, 6, 5, 5, 4).map(k => 2 * k - 1).sum
     val targetCount = Seq(5, 4, 5).map(k => 2 * k - 1).sum
     assert(rSum === featCount.toLong)
     assert(tSum === targetCount.toLong)
@@ -51,13 +56,14 @@ class DsirSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     val w = Dsir.importanceWeights(docs, col("doc_id"), col("text"), model, B)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(w.size === 6)
+    assert(w.size === 7)
     feats.foreach { case (id, fb) =>
       assert(w(id).getInt(1) === fb.length, s"n_feats doc $id")
       assert(w(id).getLong(2) === fb.map(lam).sum, s"logw6 doc $id")
     }
-    assert(w(6L).getInt(1) === 0)
-    assert(w(6L).getLong(2) === 0L)
+    assert(w(6L).getInt(1) === 7) // CJK doc scores like any other (r17)
+    assert(w(7L).getInt(1) === 0) // tokenless doc scores zero
+    assert(w(7L).getLong(2) === 0L)
     // 6dp double mirrors the fixed-point sum
     w.values.foreach(r =>
       assert(math.abs(r.getDouble(3) - r.getLong(2) / 1e6) < 1e-9))
@@ -118,7 +124,7 @@ class DsirSpec extends SparkSpec {
     val m = mx.collect()
     assert(m.length === B)
     val (tSum, rSum) = (m.map(_.getLong(1)).sum, m.map(_.getLong(2)).sum)
-    val featCount = Seq(5, 4, 6, 5, 5).map(k => 2 * k - 1).sum
+    val featCount = Seq(5, 4, 6, 5, 5, 4).map(k => 2 * k - 1).sum
     assert(rSum === featCount.toLong)
     assert(tSum === Seq(5, 4, 5).map(k => 2 * k - 1).sum.toLong)
     m.foreach { r =>
@@ -130,10 +136,11 @@ class DsirSpec extends SparkSpec {
     val w = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
         mx, B, xxh = true)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(w.size === 6)
-    // n_feats is hash-independent; the empty doc still scores zero
-    assert(w(1L).getInt(1) === 9 && w(6L).getInt(1) === 0)
-    assert(w(6L).getLong(2) === 0L)
+    assert(w.size === 7)
+    // n_feats is hash-independent; the CJK doc scores (r17), the
+    // punctuation-only doc stays zero
+    assert(w(1L).getInt(1) === 9 && w(6L).getInt(1) === 7)
+    assert(w(7L).getInt(1) === 0 && w(7L).getLong(2) === 0L)
     val en = Seq(1L, 2L, 5L).map(id => w(id).getLong(2))
     val xx = Seq(3L, 4L).map(id => w(id).getLong(2))
     assert(en.min > xx.max,
