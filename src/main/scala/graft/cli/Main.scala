@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir> | --warc <warcdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--no-nfc] [--no-verify-ids] [--no-block-filter (--warc: keep tag-level extraction instead of DOM-block boilerplate removal)] [--audit]
+  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir> | --warc <warcdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--no-nfc] [--no-verify-ids] [--no-block-filter (--warc: keep tag-level extraction instead of DOM-block boilerplate removal)] [--warc-docs (--warc: also pull text from pdf/zip document payloads in-engine)] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
   *   runMain graft.cli.Main ingest     --docs <parquet> --index <parquet> [--output <dir>]  (incremental dedup candidates)
-  *   runMain graft.cli.Main ingest-daily {--docs <shardparquet> | --wet <wetdir> | --warc <warcdir>} --band-table <tbl> [--corpus <parquet>] [--min-quality 0.5] [--no-nfc] [--no-block-filter] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
+  *   runMain graft.cli.Main ingest-daily {--docs <shardparquet> | --wet <wetdir> | --warc <warcdir>} [--warc-docs] --band-table <tbl> [--corpus <parquet>] [--min-quality 0.5] [--no-nfc] [--no-block-filter] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
   *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
@@ -106,13 +106,52 @@ object Main {
           if (args.contains("--no-block-filter"))
             graft.text.TextFunctions.extractHtmlText
           else c => graft.text.TextFunctions.extractMainContent(c)
-        graft.sources.Wet.readWarc(spark, w)
+        val prose = graft.sources.Wet.readWarc(spark, w)
           .filter(
             (col("http_status") === 200 &&
               (col("content_type") === "" || textish)) ||
             (col("http_status") === 0 && textish))
           .select(crawlId("warc_file").as("doc_id"), col("url"),
             col("record_ts"), extract(col("html")).as("text"))
+        // --warc-docs (r17): a raw crawl also serves DOCUMENT payloads
+        // (PDF, office containers) the prose filter above routes away.
+        // With the flag, the binary response walk re-reads the crawl,
+        // keeps 200s whose MAGIC HEADER is pdf/zip (served types lie;
+        // DocFormats.docFormat reads bytes), pulls text with the
+        // in-engine extractors (documentText — magic-dispatched
+        // pdfText/docxText), and unions the non-empty results into the
+        // corpus; '' text = the document routes to the out-of-engine
+        // extractor (U3 boundary), not into the corpus as an empty doc.
+        // Doc ids carry a ':b' ordinal marker so a text and a binary
+        // record from the same URL+file can never collide.
+        if (!args.contains("--warc-docs")) prose
+        else {
+          import spark.implicits._
+          val binId = concat(col("url"), lit("#"),
+            regexp_extract(col("warc_file"), "([^/]+)$", 1), lit(":b"),
+            col("record_ix").cast("string"))
+          val docs = graft.sources.Wet.readWarcBinary(spark, w)
+            .filter(col("http_status") === 200 &&
+              graft.multimodal.DocFormats.docFormat(col("content"))
+                .isin("pdf", "zip"))
+            .select(binId.as("doc_id"), col("url"), col("record_ts"),
+              col("content"))
+            .as[(String, String, java.sql.Timestamp, Array[Byte])]
+            .map { case (id, url, ts, b) =>
+              val t = graft.multimodal.DocFormats.documentText(b)
+              // EPUBs carry HTML chapters, not final text: surface the
+              // spine markup and let the configured page extractor run
+              // below, so books get DOM-block boilerplate removal too
+              val h = if (t.isEmpty)
+                graft.multimodal.DocFormats.epubHtml(b) else ""
+              (id, url, ts, t, h) }
+            .toDF("doc_id", "url", "record_ts", "dtext", "dhtml")
+            .select(col("doc_id"), col("url"), col("record_ts"),
+              when(col("dtext") =!= "", col("dtext"))
+                .otherwise(extract(col("dhtml"))).as("text"))
+            .filter(col("text") =!= "")
+          prose.unionByName(docs)
+        }
       case _ => throw new IllegalArgumentException(
         s"$cmd: pass exactly one of --docs <parquet>, --wet <dir>, " +
           "or --warc <dir>")

@@ -170,6 +170,296 @@ object DocFormats {
       .withColumn("doc_id", col("doc_id").cast(idType))
   }
 
+  /** Member listing of a zip-family blob (docx/xlsx/epub/jar arrive as
+    * zip containers): (doc_id, member, n_bytes) via the JDK's streaming
+    * local-header walk — no central-directory random access, so it
+    * composes with record-streamed ingest where the blob is already the
+    * only resident record. Corrupt containers yield zero rows (the P7
+    * null-drop convention).
+    */
+  def zipMembers(files: DataFrame, id: Column, content: Column): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val (keyed, idType) = Multimodal.keyedBytes(files, id, content)
+    keyed.flatMap { case (docId, bytes) =>
+        val out = Seq.newBuilder[(String, String, Long)]
+        try {
+          val zin = new java.util.zip.ZipInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          var e = zin.getNextEntry
+          while (e != null) {
+            if (!e.isDirectory) {
+              var n = 0L
+              val buf = new Array[Byte](8192)
+              var r = zin.read(buf)
+              while (r >= 0) { n += r; r = zin.read(buf) }
+              out += ((docId, e.getName, n))
+            }
+            e = zin.getNextEntry
+          }
+          zin.close()
+        } catch { case _: Exception => () }
+        out.result()
+      }.toDF("doc_id", "member", "n_bytes")
+      .withColumn("doc_id", col("doc_id").cast(idType))
+  }
+
+  /** One zip member's bytes, or null. Streaming local-header walk. */
+  private def zipMember(bytes: Array[Byte], name: String): Array[Byte] =
+    try {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == name) {
+          val out = new java.io.ByteArrayOutputStream(8192)
+          val buf = new Array[Byte](8192)
+          var r = zin.read(buf)
+          while (r >= 0) { out.write(buf, 0, r); r = zin.read(buf) }
+          zin.close()
+          return out.toByteArray
+        }
+        e = zin.getNextEntry
+      }
+      zin.close(); null
+    } catch { case _: Exception => null }
+
+  /** Text of a DOCX (WordprocessingML) blob: the `word/document.xml`
+    * member's `<w:t>` runs, paragraphs (`</w:p>`) becoming single
+    * spaces after the whitespace collapse, the XML entities decoded
+    * (&amp; LAST — the HTML-extraction discipline). Minimal by design:
+    * tables/headers/footnotes live in other members and styling is
+    * ignored; documents this misses route out-of-engine like exotic
+    * PDFs (text = "" is the signal). Pure JDK.
+    */
+  def docxText(bytes: Array[Byte]): String = {
+    val doc = zipMember(bytes, "word/document.xml")
+    if (doc == null) return ""
+    val xml = new String(doc, java.nio.charset.StandardCharsets.UTF_8)
+    val out = new StringBuilder
+    var i = 0
+    while (i < xml.length) {
+      if (xml.startsWith("</w:p>", i)) { out.append(' '); i += 6 }
+      else if (xml.startsWith("<w:t", i) &&
+          (i + 4 < xml.length &&
+            (xml.charAt(i + 4) == '>' || xml.charAt(i + 4) == ' '))) {
+        val close = xml.indexOf('>', i)
+        if (close < 0) i = xml.length
+        else {
+          val end = xml.indexOf("</w:t>", close + 1)
+          if (end < 0) i = xml.length
+          else { out.append(xml.substring(close + 1, end)); i = end + 6 }
+        }
+      } else i += 1
+    }
+    val ent = out.toString
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&amp;", "&")
+    ent.replaceAll("\\s+", " ").trim
+  }
+
+  /** (doc_id, text) from a DOCX binary column — [[extractPdfText]]'s
+    * sibling; '' text is the out-of-engine routing signal.
+    */
+  def extractDocxText(files: DataFrame, id: Column, content: Column): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val (keyed, idType) = Multimodal.keyedBytes(files, id, content)
+    keyed.map { case (docId, bytes) => (docId, docxText(bytes)) }
+      .toDF("doc_id", "text")
+      .withColumn("doc_id", col("doc_id").cast(idType))
+  }
+
+  /** In-engine text for an arbitrary document blob, dispatched on the
+    * MAGIC HEADER — never the served Content-Type, which real crawls
+    * get wrong constantly: `%PDF-` → [[pdfText]], `PK` zip local header
+    * → [[docxText]] (the WordprocessingML member, if the container has
+    * one). Every other format — and every document the minimal pulls
+    * can't read — returns '', the explicit route-out-of-engine signal
+    * (the U3 boundary); nothing here throws on hostile bytes.
+    */
+  def documentText(bytes: Array[Byte]): String = {
+    def at(i: Int, b: Int): Boolean =
+      i < bytes.length && (bytes(i) & 0xff) == b
+    if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F') && at(4, '-'))
+      pdfText(bytes)
+    else if (at(0, 'P') && at(1, 'K') && at(2, 3) && at(3, 4))
+      docxText(bytes)
+    else ""
+  }
+
+  /** (doc_id, text) over mixed-format document blobs — the
+    * magic-dispatched union of [[extractPdfText]] and
+    * [[extractDocxText]]; '' rows are the caller's routing signal.
+    */
+  def extractDocumentText(files: DataFrame, id: Column, content: Column): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val (keyed, idType) = Multimodal.keyedBytes(files, id, content)
+    keyed.map { case (docId, bytes) => (docId, documentText(bytes)) }
+      .toDF("doc_id", "text")
+      .withColumn("doc_id", col("doc_id").cast(idType))
+  }
+
+  /** Concatenated XHTML payload of an EPUB container — '' unless the
+    * zip declares `application/epub+zip` in its `mimetype` member (the
+    * OCF signature; jars and office files also travel as zip and must
+    * not be mistaken for books). Spine members (`.xhtml`/`.html`/
+    * `.htm`) are joined in container order with a space. The HTML→text
+    * stage is deliberately the CALLER's: the ingest chain applies its
+    * configured extractor, so epub chapters get the same DOM-block
+    * boilerplate treatment as any crawled page. One streaming
+    * local-header walk; corrupt containers yield ''.
+    */
+  def epubHtml(bytes: Array[Byte]): String =
+    try {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var isEpub = false
+      val parts = Seq.newBuilder[String]
+      def readAll(): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream(8192)
+        val buf = new Array[Byte](8192)
+        var r = zin.read(buf)
+        while (r >= 0) { out.write(buf, 0, r); r = zin.read(buf) }
+        out.toByteArray
+      }
+      var e = zin.getNextEntry
+      while (e != null) {
+        val n = e.getName
+        if (n == "mimetype")
+          isEpub = new String(readAll(),
+            java.nio.charset.StandardCharsets.US_ASCII).trim ==
+            "application/epub+zip"
+        else if (!e.isDirectory && (n.endsWith(".xhtml") ||
+            n.endsWith(".html") || n.endsWith(".htm")))
+          parts += new String(readAll(),
+            java.nio.charset.StandardCharsets.UTF_8)
+        e = zin.getNextEntry
+      }
+      zin.close()
+      if (isEpub) parts.result().mkString(" ") else ""
+    } catch { case _: Exception => "" }
+
+  /** (doc_id, text) from an EPUB binary column: [[epubHtml]] spine
+    * concatenation through the standard tag-level HTML extraction —
+    * [[extractDocxText]]'s sibling for books; '' routes out-of-engine.
+    */
+  def extractEpubText(files: DataFrame, id: Column, content: Column): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val (keyed, idType) = Multimodal.keyedBytes(files, id, content)
+    keyed.map { case (docId, bytes) => (docId, epubHtml(bytes)) }
+      .toDF("doc_id", "html")
+      .select(col("doc_id").cast(idType),
+        graft.text.TextFunctions.extractHtmlText(col("html")).as("text"))
+  }
+
+  /** Deterministic minimal-EPUB fixture: OCF `mimetype` member (STORED,
+    * per spec, with a precomputed CRC), META-INF/container.xml, a
+    * minimal OPF, and `text` split across two XHTML chapters (the
+    * [[docxFixture]] split — the boundary decodes back to one space).
+    * Pinned entry mtimes + fixed deflate level → byte-identical
+    * containers for identical text.
+    */
+  def epubFixture(text: String): Array[Byte] = {
+    val mid = text.lastIndexOf(' ', text.length / 2)
+    val (p1, p2) =
+      if (mid <= 0) (text, "")
+      else (text.substring(0, mid), text.substring(mid + 1))
+    def esc(t: String): String =
+      t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def chapter(title: String, body: String): String =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "<html xmlns=\"http://www.w3.org/1999/xhtml\">" +
+        s"<head><title>$title</title></head>" +
+        s"<body><p>${esc(body)}</p></body></html>"
+    val containerXml =
+      "<?xml version=\"1.0\"?><container version=\"1.0\" " +
+        "xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\">" +
+        "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
+        "media-type=\"application/oebps-package+xml\"/></rootfiles>" +
+        "</container>"
+    val opf =
+      "<?xml version=\"1.0\"?><package version=\"3.0\" " +
+        "xmlns=\"http://www.idpf.org/2007/opf\"><manifest>" +
+        "<item id=\"c1\" href=\"ch1.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+        "<item id=\"c2\" href=\"ch2.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+        "</manifest><spine><itemref idref=\"c1\"/><itemref idref=\"c2\"/>" +
+        "</spine></package>"
+    val bos = new java.io.ByteArrayOutputStream(2048)
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    zout.setLevel(6)
+    val mt = "application/epub+zip".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val mte = new java.util.zip.ZipEntry("mimetype")
+    mte.setTime(1704067200000L)
+    mte.setMethod(java.util.zip.ZipOutputStream.STORED)
+    mte.setSize(mt.length.toLong)
+    val crc = new java.util.zip.CRC32
+    crc.update(mt)
+    mte.setCrc(crc.getValue)
+    zout.putNextEntry(mte)
+    zout.write(mt)
+    zout.closeEntry()
+    def put(name: String, body: String): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(1704067200000L)
+      zout.putNextEntry(e)
+      zout.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zout.closeEntry()
+    }
+    put("META-INF/container.xml", containerXml)
+    put("OEBPS/content.opf", opf)
+    put("OEBPS/ch1.xhtml", chapter("One", p1))
+    put("OEBPS/ch2.xhtml", chapter("Two", p2))
+    zout.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic minimal-DOCX fixture: [Content_Types].xml +
+    * word/document.xml with `text` split into two runs across two
+    * paragraphs. Entry timestamps pinned (zip headers embed mtimes —
+    * `new Date()` there would make fixture bytes nondeterministic) and
+    * a fixed deflate level, so same text → byte-identical container.
+    */
+  def docxFixture(text: String): Array[Byte] = {
+    // paragraph split lands on a SPACE (the paragraph boundary decodes
+    // back to exactly one space, so extraction round-trips the text);
+    // spaceless text stays one paragraph
+    val mid = text.lastIndexOf(' ', text.length / 2)
+    val (p1, p2) =
+      if (mid <= 0) (text, "")
+      else (text.substring(0, mid), text.substring(mid + 1))
+    def esc(t: String): String =
+      t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val docXml =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\">" +
+        s"<w:body><w:p><w:r><w:t xml:space=\"preserve\">${esc(p1)}</w:t>" +
+        s"</w:r></w:p><w:p><w:r><w:t xml:space=\"preserve\">${esc(p2)}</w:t>" +
+        "</w:r></w:p></w:body></w:document>"
+    val ctXml =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
+        "<Default Extension=\"xml\" ContentType=\"application/xml\"/></Types>"
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    zout.setLevel(6)
+    def put(name: String, body: String): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(1704067200000L) // 2024-01-01T00:00:00Z, pinned
+      zout.putNextEntry(e)
+      zout.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zout.closeEntry()
+    }
+    put("[Content_Types].xml", ctXml)
+    put("word/document.xml", docXml)
+    zout.close()
+    bos.toByteArray
+  }
+
   /** Deterministic minimal-PDF fixture: one page, one content stream
     * carrying `text` as a single Tj operand — optionally FlateDecode-
     * compressed (java.util.zip.Deflater, fixed level for byte-stable

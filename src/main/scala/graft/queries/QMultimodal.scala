@@ -391,6 +391,36 @@ object QMultimodal {
         col("doc_id"), col("content"))
     }),
 
+    // Zip-container member listing (r17): docx/xlsx/epub arrive as zip
+    // blobs; the streaming local-header walk lists members without
+    // central-directory random access. Fixture: per-doc minimal DOCX
+    // (two pinned-timestamp members), oracle analytic.
+    "u9_zip_members" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.DocFormats
+      val fixt = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, DocFormats.docxFixture(text)) }
+        .toDF("doc_id", "content")
+      DocFormats.zipMembers(fixt, col("doc_id"), col("content"))
+        .select(col("doc_id"), col("member"),
+          (col("n_bytes") > 0).as("non_empty"))
+    }),
+
+    // DOCX text extraction (r17): word/document.xml <w:t> runs with the
+    // paragraph boundary decoding to one space — per-doc fixture built
+    // from the doc's own text (split at a space so extraction
+    // round-trips exactly), real deflate through the JDK zip stream.
+    "u10_docx_text" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.DocFormats
+      val fixt = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, DocFormats.docxFixture(text)) }
+        .toDF("doc_id", "content")
+      DocFormats.extractDocxText(fixt, col("doc_id"), col("content"))
+    }),
+
     // Minimal in-engine PDF text pull (r17): every doc's text becomes a
     // one-page PDF fixture — UNCOMPRESSED content stream for odd ids,
     // FlateDecode (real zlib, java.util.zip) for even — and the
@@ -407,6 +437,43 @@ object QMultimodal {
             flate = id % 2 == 0))
         }.toDF("doc_id", "content")
       DocFormats.extractPdfText(fixt, col("doc_id"), col("content"))
+    }),
+
+    // Magic-dispatched document-text union (r17): a mixed blob corpus —
+    // even ids one-page PDFs (FlateDecode every fourth), odd ids DOCX
+    // containers carrying the doc's own text — through ONE extractor
+    // keyed on header bytes, the way `--warc-docs` consumes a raw
+    // crawl's binary responses (served Content-Types lie; magics don't).
+    "u11_document_text" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.DocFormats
+      val fixt = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val blob =
+            if (id % 2 == 0)
+              DocFormats.pdfFixture(s"Doc $id report body (draft).",
+                flate = id % 4 == 0)
+            else DocFormats.docxFixture(text)
+          (id, blob)
+        }.toDF("doc_id", "content")
+      DocFormats.extractDocumentText(fixt, col("doc_id"), col("content"))
+    }),
+
+    // EPUB extraction (r17): per-doc minimal OCF containers (STORED
+    // mimetype signature, container.xml + OPF + the doc's text across
+    // two XHTML chapters) — spine members concatenate and flow through
+    // the STANDARD HTML extraction, so books get the same text
+    // discipline as crawled pages. Titles live in <head> and must not
+    // leak (the extractor scrubs head content).
+    "u12_epub_text" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.DocFormats
+      val fixt = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, DocFormats.epubFixture(text)) }
+        .toDF("doc_id", "content")
+      DocFormats.extractEpubText(fixt, col("doc_id"), col("content"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -426,6 +493,26 @@ object QMultimodal {
     "u8_pdf_text" ->
       """SELECT doc_id,
                 'Doc ' || doc_id || ' report body (draft).' AS text
+         FROM documents""",
+    "u9_zip_members" ->
+      """SELECT doc_id, m.member, true AS non_empty
+         FROM documents
+         CROSS JOIN (VALUES ('[Content_Types].xml'), ('word/document.xml'))
+           AS m(member)""",
+    "u10_docx_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+         FROM documents""",
+    "u11_document_text" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'Doc ' || doc_id || ' report body (draft).'
+                     ELSE trim(regexp_replace(text, '\s+', ' ', 'g'))
+                END AS text
+         FROM documents""",
+    "u12_epub_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
          FROM documents""",
     "s4_binary_md5" ->
       """SELECT doc_id, md5(text) AS content_md5,

@@ -295,6 +295,79 @@ class CliSpec extends SparkSpec {
     assert(kept2.exists(_._2.contains("HomeNav")), kept2.toSeq)
   }
 
+  test("dedup --warc --warc-docs: pdf/docx payloads become corpus text in-engine; media blobs and unreadable documents route away") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.DocFormats
+    val warcDir = tmpDir("cli_warcdocs_in")
+    val pageRows = Seq(
+      ("https://wd.example/page", "2024-01-01 00:00:01",
+        "<html><body><p>an ordinary prose page about spark scale " +
+          "pipelines running fine</p></body></html>", "utf-8"))
+      .toDF("url", "ts", "html", "cs")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    graft.sources.Wet.writeWarcShards(pageRows, "url", "ts", "html",
+      Some("cs"), warcDir, 1)
+    val pdfText = "annual engineering report body with many plain words"
+    val docxText = "board meeting minutes body with several simple words"
+    val epubText = "the universal book of long prose chapters about engines"
+    val binDir = tmpDir("cli_warcdocs_bin")
+    val binRows = Seq(
+      ("https://wd.example/report.pdf", "2024-01-01 00:00:02",
+        "application/pdf", DocFormats.pdfFixture(pdfText, flate = true)),
+      ("https://wd.example/book.epub", "2024-01-01 00:00:06",
+        "application/epub+zip", DocFormats.epubFixture(epubText)),
+      ("https://wd.example/minutes.docx", "2024-01-01 00:00:03",
+        // real crawls serve office files under junk types — the magic
+        // header, not this string, must drive the routing
+        "application/octet-stream", DocFormats.docxFixture(docxText)),
+      ("https://wd.example/logo.png", "2024-01-01 00:00:04", "image/png",
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 0)),
+      ("https://wd.example/data.zip", "2024-01-01 00:00:05",
+        "application/zip", {
+          // a zip with no WordprocessingML member: extracts to '' and
+          // must route OUT (never enter the corpus as an empty doc)
+          val bos = new java.io.ByteArrayOutputStream()
+          val zo = new java.util.zip.ZipOutputStream(bos)
+          val ze = new java.util.zip.ZipEntry("data.csv"); ze.setTime(0L)
+          zo.putNextEntry(ze); zo.write("a,b\n1,2".getBytes("UTF-8"))
+          zo.closeEntry(); zo.close(); bos.toByteArray
+        }))
+      .toDF("url", "ts", "ct", "body")
+      .select(col("url"), col("ts").cast("timestamp").as("ts"), col("ct"),
+        col("body"))
+    graft.sources.Wet.writeWarcBinaryShards(binRows, "url", "ts", "body",
+      "ct", binDir, 1)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(binDir, "shard-00000.warc"),
+      java.nio.file.Paths.get(warcDir, "documents.warc"))
+    val outDir = tmpDir("cli_warcdocs_out") + "/kept"
+    Main.run(spark, Array("dedup", "--warc", warcDir, "--warc-docs",
+      "--min-quality", "0.0", "--min-jaccard", "0.3", "--output", outDir))
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id", "text").as[(String, String)].collect()
+    assert(kept.length === 4, kept.toSeq)
+    val byUrl = kept.map(r => r._1.takeWhile(_ != '#') -> r).toMap
+    assert(byUrl("https://wd.example/report.pdf")._2 === pdfText)
+    assert(byUrl("https://wd.example/minutes.docx")._2 === docxText)
+    // the epub's chapters ran through the PAGE extractor (DOM-block
+    // default): chapter text survives, <head> titles do not
+    assert(byUrl("https://wd.example/book.epub")._2 === epubText)
+    // binary-side ids carry the ':b' ordinal marker (collision-proof
+    // against the text walk's numbering)
+    assert(byUrl("https://wd.example/report.pdf")._1.contains(":b"))
+    // media blob and text-less zip never became documents
+    assert(!byUrl.contains("https://wd.example/logo.png"))
+    assert(!byUrl.contains("https://wd.example/data.zip"))
+    // without the flag, document payloads stay on the binary path
+    val outDir2 = tmpDir("cli_warcdocs_out2") + "/kept"
+    Main.run(spark, Array("dedup", "--warc", warcDir,
+      "--min-quality", "0.0", "--min-jaccard", "0.3", "--output", outDir2))
+    val kept2 = spark.read.parquet(outDir2)
+      .select("doc_id").as[String].collect()
+    assert(kept2.length === 1 &&
+      kept2.head.startsWith("https://wd.example/page#"), kept2.toSeq)
+  }
+
   test("--lang-seed with an absurd label count fails loudly before the driver collect (r17 guard)") {
     val docsDir = tmpDir("cli_langguard_docs")
     Seq((1L, "alpha beta gamma delta epsilon zeta"))

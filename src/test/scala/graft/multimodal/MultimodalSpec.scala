@@ -169,6 +169,73 @@ class MultimodalSpec extends SparkSpec {
       (5L, "gzip", "archive"), (6L, "unknown", "unknown")))
   }
 
+  test("DocFormats zip/docx: member walk streams, docx text round-trips incl. entities, corrupt input never throws") {
+    import graft.multimodal.DocFormats
+    val text = "Terms & conditions apply to <all> pending \"renewals\" today."
+    val docx = DocFormats.docxFixture(text)
+    // the container routes as zip and lists exactly its two members
+    val rows = Seq((7L, docx)).toDF("doc_id", "content")
+    assert(DocFormats.routeFormats(rows, col("doc_id"), col("content"))
+      .as[(Long, String, String)].head() === ((7L, "zip", "archive")))
+    val members = DocFormats.zipMembers(rows, col("doc_id"), col("content"))
+      .as[(Long, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(members.keySet === Set("[Content_Types].xml", "word/document.xml"))
+    assert(members.values.forall(_ > 0))
+    // extraction round-trips the text, XML entities decoded
+    assert(DocFormats.docxText(docx) === text)
+    // determinism: same text -> byte-identical container (pinned mtimes)
+    assert(DocFormats.docxFixture(text).toSeq === docx.toSeq)
+    // spaceless text stays one paragraph and round-trips
+    assert(DocFormats.docxText(DocFormats.docxFixture("unbroken")) === "unbroken")
+    // corrupt zip / non-docx zip yield empty, never throw
+    assert(DocFormats.docxText("PKjunk".getBytes("ISO-8859-1")) === "")
+    assert(DocFormats.zipMembers(
+      Seq((1L, "PKjunk".getBytes("ISO-8859-1"))).toDF("doc_id", "content"),
+      col("doc_id"), col("content")).count() === 0L)
+  }
+
+  test("DocFormats.documentText: magic-dispatched pdf/docx pull; non-documents and unreadable blobs yield ''") {
+    import graft.multimodal.DocFormats
+    val text = "Quarterly totals exceed plan & forecast."
+    assert(DocFormats.documentText(
+      DocFormats.pdfFixture(text, flate = true)) === text)
+    assert(DocFormats.documentText(
+      DocFormats.pdfFixture(text, flate = false)) === text)
+    assert(DocFormats.documentText(DocFormats.docxFixture(text)) === text)
+    // a zip that is not WordprocessingML routes out ('' — no throw)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    val ze = new java.util.zip.ZipEntry("data.txt"); ze.setTime(0L)
+    zo.putNextEntry(ze); zo.write("plain".getBytes("UTF-8"))
+    zo.closeEntry(); zo.close()
+    assert(DocFormats.documentText(bos.toByteArray) === "")
+    // non-document magics and hostile bytes
+    assert(DocFormats.documentText("GIF89a....".getBytes("ISO-8859-1")) === "")
+    assert(DocFormats.documentText(Array[Byte]()) === "")
+    assert(DocFormats.documentText("%PDF-corrupt".getBytes("UTF-8")) === "")
+  }
+
+  test("DocFormats epub: OCF-signed containers round-trip chapter text; head titles scrubbed; zip-without-signature routes out") {
+    import graft.multimodal.DocFormats
+    val text = "The study of distributed joins & shuffles, at length."
+    val epub = DocFormats.epubFixture(text)
+    // raw spine concatenation carries both chapters' markup
+    val html = DocFormats.epubHtml(epub)
+    assert(html.contains("<p>") && html.contains("xhtml"))
+    // through the standard extraction: text round-trips, no <title> leak
+    val got = DocFormats.extractEpubText(
+      Seq((3L, epub)).toDF("doc_id", "content"),
+      col("doc_id"), col("content")).as[(Long, String)].head()
+    assert(got === ((3L, text)))
+    assert(!got._2.contains("One") && !got._2.contains("Two"))
+    // determinism (pinned mtimes, STORED mimetype with precomputed CRC)
+    assert(DocFormats.epubFixture(text).toSeq === epub.toSeq)
+    // a docx (zip without the OCF signature) is NOT a book
+    assert(DocFormats.epubHtml(DocFormats.docxFixture(text)) === "")
+    // hostile bytes yield '', never a throw
+    assert(DocFormats.epubHtml("PKjunk".getBytes("ISO-8859-1")) === "")
+  }
+
   test("imageDHashById: gradient bits from real pixels; block-average and short-image paths") {
     // strictly decreasing 4-row profile at h == grid: bits 0..2 set (each
     // bin > its successor), wrap bit 3 clear (row 3 < row 0) → fp = 7
