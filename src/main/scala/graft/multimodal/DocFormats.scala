@@ -275,9 +275,10 @@ object DocFormats {
     * MAGIC HEADER — never the served Content-Type, which real crawls
     * get wrong constantly: `%PDF-` → [[pdfText]], `PK` zip local header
     * → [[docxText]] (the WordprocessingML member, if the container has
-    * one). Every other format — and every document the minimal pulls
-    * can't read — returns '', the explicit route-out-of-engine signal
-    * (the U3 boundary); nothing here throws on hostile bytes.
+    * one), `{\rtf` → [[rtfText]]. Every other format — and every
+    * document the minimal pulls can't read — returns '', the explicit
+    * route-out-of-engine signal (the U3 boundary); nothing here throws
+    * on hostile bytes.
     */
   def documentText(bytes: Array[Byte]): String = {
     def at(i: Int, b: Int): Boolean =
@@ -286,7 +287,137 @@ object DocFormats {
       pdfText(bytes)
     else if (at(0, 'P') && at(1, 'K') && at(2, 3) && at(3, 4))
       docxText(bytes)
+    else if (at(0, '{') && at(1, '\\') && at(2, 'r') && at(3, 't') &&
+        at(4, 'f'))
+      rtfText(bytes)
     else ""
+  }
+
+  /** Destination groups whose content is formatting metadata, never
+    * document text — `{\fonttbl …}`, `{\info …}`, `{\*\anything …}`.
+    */
+  private val rtfDestinations = Set("fonttbl", "colortbl", "stylesheet",
+    "info", "pict", "header", "footer", "generator")
+
+  /** Minimal RTF text pull: group-depth walk with destination-group
+    * suppression, control-word parse (optional signed numeric argument,
+    * one-space delimiter), `\'hh` hex and `\\ \{ \}` literal escapes,
+    * `\uN` Unicode (negative = the RTF signed-16-bit encoding; ONE
+    * fallback character consumed, the `\uc1` default), and
+    * par/line/sect/page/tab/cell/row rendered as spaces. Raw newlines
+    * are RTF file formatting, not content. Whitespace-collapsed like
+    * every extractor here. Unknown control words are ignored — styling
+    * is formatting, not text. Hostile input yields partial text or '',
+    * never a throw.
+    */
+  def rtfText(bytes: Array[Byte]): String = {
+    // RTF is 7-bit by design; 8-bit bytes only appear behind \'hh
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("{\\rtf")) return ""
+    def isHex(c: Char): Boolean = c.isDigit ||
+      ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F')
+    val out = new StringBuilder
+    var depth = 0
+    var skipAbove = Int.MaxValue // suppress while depth >= this
+    def skipping: Boolean = depth >= skipAbove
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '{' =>
+          depth += 1; i += 1
+          if (i + 1 < s.length && s.charAt(i) == '\\' && !skipping) {
+            if (s.charAt(i + 1) == '*') skipAbove = depth
+            else {
+              var j = i + 1
+              while (j < s.length && s.charAt(j).isLetter) j += 1
+              if (rtfDestinations.contains(s.substring(i + 1, j)))
+                skipAbove = depth
+            }
+          }
+        case '}' =>
+          depth -= 1; i += 1
+          if (depth < skipAbove) skipAbove = Int.MaxValue
+        case '\\' if i + 1 < s.length =>
+          val c1 = s.charAt(i + 1)
+          if (c1 == '\'') {
+            if (i + 3 < s.length && isHex(s.charAt(i + 2)) &&
+                isHex(s.charAt(i + 3))) {
+              if (!skipping) out.append(
+                Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar)
+              i += 4
+            } else i += 2
+          } else if (c1 == '\\' || c1 == '{' || c1 == '}') {
+            if (!skipping) out.append(c1); i += 2
+          } else if (c1 == '~') { if (!skipping) out.append(' '); i += 2 }
+          else if (c1 == '_') { if (!skipping) out.append('-'); i += 2 }
+          else if (c1.isLetter) {
+            var j = i + 1
+            while (j < s.length && s.charAt(j).isLetter) j += 1
+            val word = s.substring(i + 1, j)
+            var k = j
+            var neg = false
+            if (k < s.length && s.charAt(k) == '-') { neg = true; k += 1 }
+            var num = 0L
+            var hasNum = false
+            while (k < s.length && s.charAt(k).isDigit && num < 1000000L) {
+              num = num * 10 + (s.charAt(k) - '0'); hasNum = true; k += 1
+            }
+            if (k < s.length && s.charAt(k) == ' ') k += 1 // delimiter
+            if (!skipping) word match {
+              case "par" | "line" | "sect" | "page" | "tab" | "cell" |
+                   "row" => out.append(' ')
+              case "u" if hasNum =>
+                out.append((if (neg) 65536L - num else num).toChar)
+                // consume the one-character ANSI fallback (\uc1 form);
+                // it may itself be a \'hh escape
+                if (k + 3 < s.length && s.charAt(k) == '\\' &&
+                    s.charAt(k + 1) == '\'') k += 4
+                else if (k < s.length && s.charAt(k) != '\\' &&
+                    s.charAt(k) != '{' && s.charAt(k) != '}') k += 1
+              case _ => ()
+            }
+            i = k
+          } else i += 2 // unknown control symbol
+        case '\r' | '\n' => i += 1 // file formatting, not content
+        case ch =>
+          if (!skipping) out.append(ch)
+          i += 1
+      }
+    }
+    out.toString.replaceAll("\\s+", " ").trim
+  }
+
+  /** Deterministic minimal-RTF fixture: font table + info destination
+    * (both must be scrubbed), `text` across two `\par`-terminated runs,
+    * RTF-escaped (`\\ \{ \}`, non-ASCII as signed `\uN?` with the
+    * `\uc1` fallback, tabs/newlines as their control words).
+    */
+  def rtfFixture(text: String): Array[Byte] = {
+    val mid = text.lastIndexOf(' ', text.length / 2)
+    val (p1, p2) =
+      if (mid <= 0) (text, "")
+      else (text.substring(0, mid), text.substring(mid + 1))
+    def esc(t: String): String = {
+      val b = new StringBuilder
+      t.foreach {
+        case '\\' => b.append("\\\\")
+        case '{' => b.append("\\{")
+        case '}' => b.append("\\}")
+        case '\t' => b.append("\\tab ")
+        case '\n' => b.append("\\line ")
+        case '\r' => ()
+        case ch if ch < 128 => b.append(ch)
+        case ch =>
+          val v = ch.toInt
+          b.append("\\u").append(if (v > 32767) v - 65536 else v)
+            .append('?')
+      }
+      b.toString
+    }
+    ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0\\froman Times New Roman;}}" +
+      "{\\info{\\title fixture}}\\uc1\\f0\\fs24 " + esc(p1) +
+      "\\par " + esc(p2) + "\\par}")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
   /** (doc_id, text) over mixed-format document blobs — the

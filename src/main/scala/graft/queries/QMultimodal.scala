@@ -474,6 +474,20 @@ object QMultimodal {
         .map { case (id, text) => (id, DocFormats.epubFixture(text)) }
         .toDF("doc_id", "content")
       DocFormats.extractEpubText(fixt, col("doc_id"), col("content"))
+    }),
+
+    // RTF extraction (r17): per-doc fixtures carrying the doc's text
+    // RTF-escaped across two \par runs, with a font table and an info
+    // destination that must be scrubbed; dispatched through the SAME
+    // magic-keyed documentText as pdf/docx (the {\rtf header routes).
+    "u13_rtf_text" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.DocFormats
+      val fixt = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, DocFormats.rtfFixture(text)) }
+        .toDF("doc_id", "content")
+      DocFormats.extractDocumentText(fixt, col("doc_id"), col("content"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -511,6 +525,10 @@ object QMultimodal {
                 END AS text
          FROM documents""",
     "u12_epub_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+         FROM documents""",
+    "u13_rtf_text" ->
       """SELECT doc_id,
                 trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
          FROM documents""",

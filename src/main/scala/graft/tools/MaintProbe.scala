@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,langid176,stringid,warc,warcbig}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,langid176,stringid,warc,warcbig,docext}
   * (default: {x8,v15,compact,decont} — the original three claims; every
   * other section must be named explicitly, so a scale-evidence run names
   * the section it is collecting for).
@@ -493,6 +493,44 @@ object MaintProbe {
           .agg(count(when(col("predicted") === langs.head, 1))).head()
       }
       spark.catalog.clearCache()
+    }
+    // ---- docext: document-extraction throughput (r17 family — the
+    // --warc-docs ingest shape). Mixed pdf/docx/epub/rtf blobs built
+    // from the documents table (one format per id mod 4), materialized,
+    // then ONE magic-dispatched extraction pass (documentText + the
+    // epubHtml fallback — exactly the CLI's map). Decade tiers show the
+    // per-doc cost is flat: extraction is a map-side pass, so crawl
+    // ingest rate = per-core parse speed × cores, like the warc walk.
+    if (sections("docext")) locally {
+      import graft.multimodal.DocFormats
+      import spark.implicits._
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      for (mult <- Seq(2, 20)) {
+        val blobs = amplify(docs0, "doc_id", mult, 10000000L)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)].map { case (id, t) =>
+            val b = (id % 4) match {
+              case 0 => DocFormats.pdfFixture(
+                s"Doc $id report body (draft).", flate = true)
+              case 1 => DocFormats.docxFixture(t)
+              case 2 => DocFormats.epubFixture(t)
+              case _ => DocFormats.rtfFixture(t)
+            }
+            (id, b)
+          }.toDF("doc_id", "content").localCheckpoint()
+        val n = blobs.count()
+        val mb = blobs.agg(sum(length(col("content")))).head().getLong(0) /
+          1e6
+        val (chars, s) = time(f"docext/extract $n mixed blobs ($mb%.0f MB)") {
+          blobs.as[(Long, Array[Byte])].map { case (id, b) =>
+            val t = DocFormats.documentText(b)
+            (id, (if (t.isEmpty) DocFormats.epubHtml(b) else t).length)
+          }.toDF("doc_id", "n").agg(sum("n")).head().getLong(0)
+        }
+        println(f"[probe] docext x$mult: ${n / s / 1000}%.1f kdocs/s, " +
+          f"${mb / s}%.1f MB/s, $chars chars out")
+        spark.catalog.clearCache()
+      }
     }
     // ---- lm: the KN/CCNet scoring family's scale evidence (round-11
     // verdict gap): the chain materializes the corpus-token-scale bigram

@@ -310,12 +310,15 @@ class CliSpec extends SparkSpec {
     val pdfText = "annual engineering report body with many plain words"
     val docxText = "board meeting minutes body with several simple words"
     val epubText = "the universal book of long prose chapters about engines"
+    val rtfText = "legacy word processor notes body with distinct wording"
     val binDir = tmpDir("cli_warcdocs_bin")
     val binRows = Seq(
       ("https://wd.example/report.pdf", "2024-01-01 00:00:02",
         "application/pdf", DocFormats.pdfFixture(pdfText, flate = true)),
       ("https://wd.example/book.epub", "2024-01-01 00:00:06",
         "application/epub+zip", DocFormats.epubFixture(epubText)),
+      ("https://wd.example/notes.rtf", "2024-01-01 00:00:07",
+        "application/rtf", DocFormats.rtfFixture(rtfText)),
       ("https://wd.example/minutes.docx", "2024-01-01 00:00:03",
         // real crawls serve office files under junk types — the magic
         // header, not this string, must drive the routing
@@ -345,13 +348,14 @@ class CliSpec extends SparkSpec {
       "--min-quality", "0.0", "--min-jaccard", "0.3", "--output", outDir))
     val kept = spark.read.parquet(outDir)
       .select("doc_id", "text").as[(String, String)].collect()
-    assert(kept.length === 4, kept.toSeq)
+    assert(kept.length === 5, kept.toSeq)
     val byUrl = kept.map(r => r._1.takeWhile(_ != '#') -> r).toMap
     assert(byUrl("https://wd.example/report.pdf")._2 === pdfText)
     assert(byUrl("https://wd.example/minutes.docx")._2 === docxText)
     // the epub's chapters ran through the PAGE extractor (DOM-block
     // default): chapter text survives, <head> titles do not
     assert(byUrl("https://wd.example/book.epub")._2 === epubText)
+    assert(byUrl("https://wd.example/notes.rtf")._2 === rtfText)
     // binary-side ids carry the ':b' ordinal marker (collision-proof
     // against the text walk's numbering)
     assert(byUrl("https://wd.example/report.pdf")._1.contains(":b"))

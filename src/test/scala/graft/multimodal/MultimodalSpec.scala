@@ -236,6 +236,32 @@ class MultimodalSpec extends SparkSpec {
     assert(DocFormats.epubHtml("PKjunk".getBytes("ISO-8859-1")) === "")
   }
 
+  test("DocFormats rtf: destinations scrubbed, escapes and signed \\uN decode, hostile input never throws") {
+    import graft.multimodal.DocFormats
+    val text = "Budget {draft} 100% \\ final today, truly"
+    val rtf = DocFormats.rtfFixture(text)
+    assert(DocFormats.documentText(rtf) === text)
+    // fonttbl/info destination content never leaks
+    assert(!DocFormats.rtfText(rtf).contains("Times") &&
+      !DocFormats.rtfText(rtf).contains("fixture"))
+    // non-ASCII round-trips through signed \uN (incl. the >32767 wrap
+    // and an astral pair), fallback chars consumed
+    val uni = "café ￥ price 😀 ok"
+    assert(DocFormats.documentText(DocFormats.rtfFixture(uni)) === uni)
+    // hex escapes and literal control-word text parse
+    assert(DocFormats.rtfText(
+      "{\\rtf1 a\\'e9b \\tab c\\par}".getBytes("ISO-8859-1")) ===
+      "aéb c")
+    // \*-destinations are skipped wholesale
+    assert(DocFormats.rtfText(
+      "{\\rtf1{\\*\\secret hidden}shown\\par}".getBytes("ISO-8859-1")) ===
+      "shown")
+    // non-rtf and truncated input: '' / partial, never a throw
+    assert(DocFormats.rtfText("plain".getBytes("ISO-8859-1")) === "")
+    assert(DocFormats.rtfText("{\\rtf1 ab\\".getBytes("ISO-8859-1")) ===
+      "ab\\")
+  }
+
   test("imageDHashById: gradient bits from real pixels; block-average and short-image paths") {
     // strictly decreasing 4-row profile at h == grid: bits 0..2 set (each
     // bin > its successor), wrap bit 3 clear (row 3 < row 0) → fp = 7
