@@ -235,20 +235,36 @@ object DocFormats {
   def docxText(bytes: Array[Byte]): String = {
     val doc = zipMember(bytes, "word/document.xml")
     if (doc == null) return ""
-    val xml = new String(doc, java.nio.charset.StandardCharsets.UTF_8)
+    xmlRuns(new String(doc, java.nio.charset.StandardCharsets.UTF_8),
+      "w:t", "</w:p>")
+  }
+
+  /** Text runs of one OOXML part: the content of every `<tag …>…</tag>`
+    * element, `blockEnd` closers (paragraph / cell / shape-paragraph)
+    * becoming single spaces, XML entities decoded (&amp; LAST),
+    * whitespace collapsed. The shared walk behind the docx/xlsx/pptx
+    * pulls — OOXML keeps visible text in leaf run elements, so a leaf
+    * scan IS the text model (styling lives in sibling property
+    * elements that are simply never entered).
+    */
+  private def xmlRuns(xml: String, tag: String, blockEnd: String): String = {
+    val open = "<" + tag
+    val close = "</" + tag + ">"
     val out = new StringBuilder
     var i = 0
     while (i < xml.length) {
-      if (xml.startsWith("</w:p>", i)) { out.append(' '); i += 6 }
-      else if (xml.startsWith("<w:t", i) &&
-          (i + 4 < xml.length &&
-            (xml.charAt(i + 4) == '>' || xml.charAt(i + 4) == ' '))) {
-        val close = xml.indexOf('>', i)
-        if (close < 0) i = xml.length
+      if (xml.startsWith(blockEnd, i)) {
+        out.append(' '); i += blockEnd.length
+      } else if (xml.startsWith(open, i) &&
+          (i + open.length < xml.length &&
+            (xml.charAt(i + open.length) == '>' ||
+              xml.charAt(i + open.length) == ' '))) {
+        val c = xml.indexOf('>', i)
+        if (c < 0) i = xml.length
         else {
-          val end = xml.indexOf("</w:t>", close + 1)
-          if (end < 0) i = xml.length
-          else { out.append(xml.substring(close + 1, end)); i = end + 6 }
+          val e = xml.indexOf(close, c + 1)
+          if (e < 0) i = xml.length
+          else { out.append(xml.substring(c + 1, e)); i = e + close.length }
         }
       } else i += 1
     }
@@ -257,6 +273,115 @@ object DocFormats {
       .replace("&quot;", "\"").replace("&apos;", "'")
       .replace("&amp;", "&")
     ent.replaceAll("\\s+", " ").trim
+  }
+
+  /** Text of any OFFICE OOXML container in ONE streaming member walk:
+    * WordprocessingML (`word/document.xml`, `<w:t>` runs) wins over
+    * SpreadsheetML (`xl/sharedStrings.xml`, `<t>` cell strings, `</si>`
+    * boundaries become spaces) over PresentationML (`ppt/slides/
+    * slide*.xml` in name order, `<a:t>` runs) — a container declares at
+    * most one of the three. '' routes out-of-engine, never a throw.
+    */
+  def officeText(bytes: Array[Byte]): String =
+    try {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var doc: String = null
+      var shared: String = null
+      val slides = scala.collection.mutable.TreeMap.empty[String, String]
+      def readAll(): String = {
+        val out = new java.io.ByteArrayOutputStream(8192)
+        val buf = new Array[Byte](8192)
+        var r = zin.read(buf)
+        while (r >= 0) { out.write(buf, 0, r); r = zin.read(buf) }
+        new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      var e = zin.getNextEntry
+      while (e != null) {
+        val n = e.getName
+        if (n == "word/document.xml") doc = readAll()
+        else if (n == "xl/sharedStrings.xml") shared = readAll()
+        else if (n.startsWith("ppt/slides/slide") && n.endsWith(".xml"))
+          slides += n -> readAll()
+        e = zin.getNextEntry
+      }
+      zin.close()
+      if (doc != null) xmlRuns(doc, "w:t", "</w:p>")
+      else if (shared != null) xmlRuns(shared, "t", "</si>")
+      else if (slides.nonEmpty)
+        slides.values.map(xmlRuns(_, "a:t", "</a:p>"))
+          .filter(_.nonEmpty).mkString(" ")
+      else ""
+    } catch { case _: Exception => "" }
+
+  /** Deterministic minimal-XLSX fixture: `text` as two shared-string
+    * cells (the `</si>` boundary decodes back to one space). The
+    * [[docxFixture]] determinism discipline (pinned mtimes, fixed
+    * deflate level).
+    */
+  def xlsxFixture(text: String): Array[Byte] = {
+    val (p1, p2) = splitAtSpace(text)
+    def esc(t: String): String =
+      t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sst =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<sst xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" count=\"2\" uniqueCount=\"2\">" +
+        s"<si><t xml:space=\"preserve\">${esc(p1)}</t></si>" +
+        s"<si><t xml:space=\"preserve\">${esc(p2)}</t></si></sst>"
+    val ctXml =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
+        "<Default Extension=\"xml\" ContentType=\"application/xml\"/></Types>"
+    zipOf(Seq("[Content_Types].xml" -> ctXml, "xl/sharedStrings.xml" -> sst))
+  }
+
+  /** Deterministic minimal-PPTX fixture: `text` across two slides'
+    * `<a:t>` runs (slide boundary → space via the join).
+    */
+  def pptxFixture(text: String): Array[Byte] = {
+    val (p1, p2) = splitAtSpace(text)
+    def esc(t: String): String =
+      t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def slide(body: String): String =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<p:sld xmlns:p=\"http://schemas.openxmlformats.org/presentationml/2006/main\" " +
+        "xmlns:a=\"http://schemas.openxmlformats.org/drawingml/2006/main\">" +
+        s"<p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r><a:t>${esc(body)}" +
+        "</a:t></a:r></a:p></p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    val ctXml =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+        "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
+        "<Default Extension=\"xml\" ContentType=\"application/xml\"/></Types>"
+    zipOf(Seq("[Content_Types].xml" -> ctXml,
+      "ppt/slides/slide1.xml" -> slide(p1),
+      "ppt/slides/slide2.xml" -> slide(p2)))
+  }
+
+  /** The fixture split shared by every two-part container: the boundary
+    * lands on a space so extraction round-trips the text exactly.
+    */
+  private def splitAtSpace(text: String): (String, String) = {
+    val mid = text.lastIndexOf(' ', text.length / 2)
+    if (mid <= 0) (text, "") else (text.substring(0, mid), text.substring(mid + 1))
+  }
+
+  /** Deterministic deflated zip of (name, utf-8 body) members — the
+    * pinned-mtime discipline shared by the container fixtures.
+    */
+  private def zipOf(members: Seq[(String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(2048)
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    zout.setLevel(6)
+    members.foreach { case (name, body) =>
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(1704067200000L)
+      zout.putNextEntry(e)
+      zout.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zout.closeEntry()
+    }
+    zout.close()
+    bos.toByteArray
   }
 
   /** (doc_id, text) from a DOCX binary column — [[extractPdfText]]'s
@@ -274,8 +399,9 @@ object DocFormats {
   /** In-engine text for an arbitrary document blob, dispatched on the
     * MAGIC HEADER — never the served Content-Type, which real crawls
     * get wrong constantly: `%PDF-` → [[pdfText]], `PK` zip local header
-    * → [[docxText]] (the WordprocessingML member, if the container has
-    * one), `{\rtf` → [[rtfText]]. Every other format — and every
+    * → [[officeText]] (whichever of the WordprocessingML /
+    * SpreadsheetML / PresentationML members the container carries),
+    * `{\rtf` → [[rtfText]]. Every other format — and every
     * document the minimal pulls can't read — returns '', the explicit
     * route-out-of-engine signal (the U3 boundary); nothing here throws
     * on hostile bytes.
@@ -286,7 +412,7 @@ object DocFormats {
     if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F') && at(4, '-'))
       pdfText(bytes)
     else if (at(0, 'P') && at(1, 'K') && at(2, 3) && at(3, 4))
-      docxText(bytes)
+      officeText(bytes)
     else if (at(0, '{') && at(1, '\\') && at(2, 'r') && at(3, 't') &&
         at(4, 'f'))
       rtfText(bytes)

@@ -488,6 +488,28 @@ object QMultimodal {
         .map { case (id, text) => (id, DocFormats.rtfFixture(text)) }
         .toDF("doc_id", "content")
       DocFormats.extractDocumentText(fixt, col("doc_id"), col("content"))
+    }),
+
+    // OOXML office family (r17): ONE streaming member walk pulls text
+    // from whichever part the container carries — WordprocessingML
+    // <w:t> runs, SpreadsheetML sharedStrings <t> cells (</si> cell
+    // boundary → space), PresentationML <a:t> runs across slides in
+    // name order. Fixtures rotate all three per id mod 3; dispatch
+    // rides the same magic-keyed documentText as pdf/rtf.
+    "u14_office_text" -> ((s, d) => {
+      import s.implicits._
+      import graft.multimodal.DocFormats
+      val fixt = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val blob = (id % 3) match {
+            case 0 => DocFormats.docxFixture(text)
+            case 1 => DocFormats.xlsxFixture(text)
+            case _ => DocFormats.pptxFixture(text)
+          }
+          (id, blob)
+        }.toDF("doc_id", "content")
+      DocFormats.extractDocumentText(fixt, col("doc_id"), col("content"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -529,6 +551,10 @@ object QMultimodal {
                 trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
          FROM documents""",
     "u13_rtf_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+         FROM documents""",
+    "u14_office_text" ->
       """SELECT doc_id,
                 trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
          FROM documents""",

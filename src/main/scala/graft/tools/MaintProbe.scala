@@ -505,7 +505,7 @@ object MaintProbe {
       import graft.multimodal.DocFormats
       import spark.implicits._
       val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
-      for (mult <- Seq(2, 20)) {
+      for (mult <- Seq(20, 200)) {
         val blobs = amplify(docs0, "doc_id", mult, 10000000L)
           .select(col("doc_id"), col("text"))
           .as[(Long, String)].map { case (id, t) =>

@@ -262,6 +262,24 @@ class MultimodalSpec extends SparkSpec {
       "ab\\")
   }
 
+  test("DocFormats office: one walk dispatches docx/xlsx/pptx; cell and slide boundaries become spaces; entities decode") {
+    import graft.multimodal.DocFormats
+    val text = "Revenue & costs <net> for \"Q3\" by region and more"
+    assert(DocFormats.officeText(DocFormats.docxFixture(text)) === text)
+    assert(DocFormats.officeText(DocFormats.xlsxFixture(text)) === text)
+    assert(DocFormats.officeText(DocFormats.pptxFixture(text)) === text)
+    // documentText routes all three through the zip magic
+    assert(DocFormats.documentText(DocFormats.xlsxFixture(text)) === text)
+    assert(DocFormats.documentText(DocFormats.pptxFixture(text)) === text)
+    // determinism of the new fixtures
+    assert(DocFormats.xlsxFixture(text).toSeq ===
+      DocFormats.xlsxFixture(text).toSeq)
+    assert(DocFormats.pptxFixture(text).toSeq ===
+      DocFormats.pptxFixture(text).toSeq)
+    // a zip with none of the three parts routes out
+    assert(DocFormats.officeText("PKjunk".getBytes("ISO-8859-1")) === "")
+  }
+
   test("imageDHashById: gradient bits from real pixels; block-average and short-image paths") {
     // strictly decreasing 4-row profile at h == grid: bits 0..2 set (each
     // bin > its successor), wrap bit 3 clear (row 3 < row 0) → fp = 7
