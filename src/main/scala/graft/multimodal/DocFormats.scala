@@ -14,16 +14,21 @@ import org.apache.spark.sql.functions._
   *  - `document` (pdf/ole2/rtf/ps) → text extraction. PDF gets a
   *    minimal IN-ENGINE pull ([[extractPdfText]]): uncompressed and
   *    FlateDecode content streams (java.util.zip.Inflater is stock
-  *    JDK), BT..ET text blocks, `(string) Tj`/`TJ` operands. That
-  *    covers simple generated PDFs; anything further (CID fonts,
-  *    ToUnicode CMaps, encrypted documents, office/epub XML) is an
-  *    OUT-OF-ENGINE decode-stage concern — the U3 model-kernel
-  *    discipline (SURVEY §7.5): the engine routes and carries the
-  *    bytes, a specialized extractor container owns the decode, and
-  *    its text re-enters through the documents schema.
-  *  - `archive` (zip/gzip) → container handling (zip members are how
-  *    docx/epub arrive; the router deliberately tags the CONTAINER —
-  *    member sniffing is the extractor's job).
+  *    JDK), BT..ET text blocks, `(string) Tj`/`TJ` operands. RTF gets
+  *    [[rtfText]] (destination-suppressed control-word walk).
+  *  - `archive` (zip/gzip) → container handling: [[zipMembers]] lists,
+  *    [[officeText]] pulls OOXML text (docx `<w:t>` / xlsx
+  *    sharedStrings / pptx `<a:t>` in one streaming member walk), and
+  *    [[epubHtml]] surfaces an OCF book's spine for the standard HTML
+  *    extraction. [[documentText]] is the magic-dispatched union the
+  *    `--warc-docs` ingest consumes.
+  *
+  * What stays OUT-OF-ENGINE — the U3 model-kernel discipline (SURVEY
+  * §7.5): CID fonts / ToUnicode CMaps / encrypted PDFs, legacy ole2
+  * binary formats, PostScript. For those the engine routes and carries
+  * the bytes ('' from the pulls IS the routing signal), a specialized
+  * extractor container owns the decode, and its text re-enters through
+  * the documents schema.
   */
 object DocFormats {
 
@@ -531,7 +536,8 @@ object DocFormats {
         case '}' => b.append("\\}")
         case '\t' => b.append("\\tab ")
         case '\n' => b.append("\\line ")
-        case '\r' => ()
+        case '\r' => b.append("\\line ") // whitespace, not droppable:
+        // the extractor's collapse must see a break where one stood
         case ch if ch < 128 => b.append(ch)
         case ch =>
           val v = ch.toInt

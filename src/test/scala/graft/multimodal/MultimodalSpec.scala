@@ -280,6 +280,38 @@ class MultimodalSpec extends SparkSpec {
     assert(DocFormats.officeText("PKjunk".getBytes("ISO-8859-1")) === "")
   }
 
+  test("container fixtures round-trip arbitrary text through documentText (ScalaCheck, docx/xlsx/pptx/rtf + Latin-1 pdf)") {
+    import graft.multimodal.DocFormats
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // pieces stress every escape path: XML entities, RTF control chars,
+    // whitespace variants, CJK, accents, an astral pair
+    val piece = Gen.oneOf("word", "a1", "&", "<tag>", "\"q\"", "'", "{",
+      "}", "\\", "(", ")", " ", "\t", "\n", "\r\n", "café", "漢字",
+      "デー", "😀", ".", ",")
+    val textGen = Gen.listOf(piece).map(_.mkString)
+    def norm(t: String): String = t.replaceAll("\\s+", " ").trim
+    val prop = Prop.forAll(textGen) { t =>
+      val e = norm(t)
+      DocFormats.documentText(DocFormats.docxFixture(t)) == e &&
+        DocFormats.documentText(DocFormats.xlsxFixture(t)) == e &&
+        DocFormats.documentText(DocFormats.pptxFixture(t)) == e &&
+        DocFormats.documentText(DocFormats.rtfFixture(t)) == e
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+    // the PDF writer is Latin-1 (PDF string operands are byte strings);
+    // its property holds on the Latin-1 alphabet incl. paren nesting
+    val latin = Gen.listOf(Gen.oneOf("word", "a1", "(", ")", "((x))",
+      "\\", " ", "\t", "café", ".")).map(_.mkString)
+    val pdfProp = Prop.forAll(latin, Gen.oneOf(true, false)) { (t, flate) =>
+      DocFormats.documentText(DocFormats.pdfFixture(t, flate)) == norm(t)
+    }
+    val pdfRes = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), pdfProp)
+    assert(pdfRes.passed, pdfRes.status.toString)
+  }
+
   test("imageDHashById: gradient bits from real pixels; block-average and short-image paths") {
     // strictly decreasing 4-row profile at h == grid: bits 0..2 set (each
     // bin > its successor), wrap bit 3 clear (row 3 < row 0) → fp = 7
