@@ -45,7 +45,7 @@ object SparkEntry {
     * UPDATE THIS when adding or removing queries — that edit is the
     * explicit, reviewable act of changing the board.
     */
-  val declaredQueryCount: Int = 227
+  val declaredQueryCount: Int = 228
 
   /** Queries intentionally absent from `oracleSql` — engine-specific
     * semantics (HLL sketch internals) that DuckDB can't reproduce; the

@@ -106,6 +106,41 @@ object Planners {
     * span. Integer `div` arithmetic throughout, so the layout is exact at
     * any corpus size (no double rounding at 2^53 tokens).
     */
+  /** WITHIN-document sliding token windows — the context-window /
+    * embedding prep stage [[packedWindows]] deliberately is not (pack
+    * concatenates whole docs into budget spans; chunk SPLITS one long
+    * doc into `window`-token views every `stride` tokens, overlapping
+    * by window − stride). One row per (doc, win_ix): the window's token
+    * count and its text in the token normal form
+    * ([[graft.text.TextFunctions.tokens]] joined by single spaces — the
+    * form the dedup/LM stages already score, so chunk output feeds them
+    * directly). Tail windows shorter than `window` are EMITTED with
+    * their true n_tok (the consumer's drop threshold is policy, not
+    * layout); zero-token docs emit no rows (P7). Stateless map +
+    * explode — work ∝ docs + produced windows, no shuffle, no
+    * per-group serialization: the 100-TB shape is the scan itself.
+    */
+  def chunkWindows(docs: DataFrame, id: Column, text: Column,
+                   window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"chunkWindows: window must be positive, got $window")
+    require(stride >= 1 && stride <= window,
+      s"chunkWindows: stride must be in [1, window], got $stride")
+    docs.select(id.as("doc_id"),
+        graft.text.TextFunctions.tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          ((col("__n") + (stride - 1)) / stride).cast("int") - 1))
+          .as("win_ix"))
+      .select(col("doc_id"), col("win_ix"),
+        least(lit(window), col("__n") - col("win_ix") * stride)
+          .cast("int").as("n_tok"),
+        array_join(
+          slice(col("__toks"), col("win_ix") * stride + 1, lit(window)),
+          " ").as("window_text"))
+  }
+
   def packedWindows(docs: DataFrame, group: String, order: String,
                     nTok: String, budget: Long,
                     carry: Seq[String] = Nil): DataFrame = {

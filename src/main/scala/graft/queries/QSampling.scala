@@ -132,6 +132,17 @@ object QSampling {
         "lang", "doc_id", "n_tok", budget = 256)
     }),
 
+    // X23 (r17): WITHIN-document sliding token windows — the
+    // context-window / embedding prep stage (x16 packs whole docs;
+    // this SPLITS one doc into 8-token views every 4, overlap 4).
+    // Window text is in the token normal form, so chunk output feeds
+    // the dedup/LM stages directly; tail windows keep their true
+    // n_tok; zero-token docs emit nothing. Stateless map + explode.
+    "x23_chunk_windows" -> ((s, d) =>
+      graft.ops.Planners.chunkWindows(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        window = 8, stride = 4)),
+
     // X17: shard manifest — writePackedShards' addressing arithmetic
     // (shard = seq div 8) summarized per (group, shard): the relation a
     // resumable trainer reads to name shard dirs and budget work,
@@ -458,6 +469,26 @@ object QSampling {
                   least((seq + 1) * 256, bef + n_tok)
                     - greatest(seq * 256, bef) AS len
            FROM sp""",
+      "x23_chunk_windows" ->
+        """WITH tk AS (
+             SELECT doc_id,
+                    list_filter(list_transform(string_split_regex(regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'), '[^\p{L}\p{N}]+'), x -> lower(x)),
+                      x -> x != '') AS tl
+             FROM documents),
+               n AS (
+             SELECT doc_id, tl, CAST(len(tl) AS INT) AS n
+             FROM tk WHERE len(tl) > 0),
+               w AS (
+             SELECT doc_id, tl, n,
+                    CAST(unnest(range(0, (n + 3) // 4)) AS INT) AS win_ix
+             FROM n)
+           SELECT doc_id, win_ix,
+                  least(8, n - win_ix * 4) AS n_tok,
+                  array_to_string(
+                    list_slice(tl, win_ix * 4 + 1,
+                               least(win_ix * 4 + 8, n)), ' ')
+                    AS window_text
+           FROM w""",
       "x17_shard_manifest" ->
         """WITH tk AS (
              SELECT doc_id, lang,

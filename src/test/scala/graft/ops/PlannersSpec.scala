@@ -8,6 +8,31 @@ class PlannersSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("chunkWindows: stride tiling, overlap, tail n_tok, CJK char-unit tokens, tokenless docs emit nothing") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 toks: windows at 0/4/8
+      (2L, "one two three"),       // 3 toks: one short window
+      (3L, "漢字デー"),             // 4 char-unit tokens, one window
+      (4L, "!!! ???")              // tokenless
+    ).toDF("doc_id", "text")
+    val got = Planners.chunkWindows(docs, col("doc_id"), col("text"),
+        window = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    assert(got.keySet === Set((1L, 0), (1L, 1), (1L, 2), (2L, 0), (3L, 0)))
+    assert(got((1L, 0)) === ((8, "a b c d e f g h")))
+    assert(got((1L, 1)) === ((6, "e f g h i j"))) // overlap of 4
+    assert(got((1L, 2)) === ((2, "i j")))         // tail keeps true n_tok
+    assert(got((2L, 0)) === ((3, "one two three")))
+    assert(got((3L, 0)) === ((4, "漢 字 デ ー")))
+    // stride == window: disjoint tiling, no overlap
+    val tiled = Planners.chunkWindows(docs.filter(col("doc_id") === 1),
+        col("doc_id"), col("text"), window = 4, stride = 4)
+      .collect().map(r => r.getInt(1) -> r.getString(3)).toMap
+    assert(tiled === Map(0 -> "a b c d", 1 -> "e f g h", 2 -> "i j"))
+  }
+
   test("temperatureMixture: probabilities sum to ~1, alloc bounded by budget, alpha<1 compresses") {
     val per = Seq(("en", 8100L), ("de", 900L), ("fr", 100L)).toDF("lang", "n")
     val plan = Planners.temperatureMixture(per, "lang", "n", 0.5, 10000L)
