@@ -253,6 +253,9 @@ object Wet {
               require(c >= 0,
                 s"readWarc: unterminated header block at offset $recOff " +
                   s"in $path")
+              require(hdr.size < (1 << 20),
+                s"readWarc: header block at offset $recOff in $path " +
+                  "exceeds 1 MiB without a blank line - not a WARC")
               hdr.write(c)
               state =
                 if (c == '\r') { if (state == 2) 3 else 1 }
@@ -275,6 +278,9 @@ object Wet {
               throw new IllegalArgumentException(
                 s"readWarc: record at offset $recOff in $path has no " +
                   "Content-Length — cannot find the record boundary")).toLong
+            require(len >= 0,
+              s"readWarc: negative Content-Length $len at offset " +
+                s"$recOff in $path")
             if (wanted(fields)) {
               require(len <= Int.MaxValue - 16,
                 s"readWarc: record payload of $len bytes at offset " +

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * far more rows than the dedup sections to rise above noise).
   *
   * Usage: runMain graft.tools.MaintProbe [sfDir] [sections]
-  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,langid176,stringid,warc,warcbig,docext}
+  * where sections is a comma list of {x8,v15,refresh,feed,compact,decont,stream,pack,clusters,linescrub,budget,budgetdiag,dsir,bpe,lm,verify,exactdedup,langid,langid176,stringid,warc,warcbig,docext,chunk}
   * (default: {x8,v15,compact,decont} — the original three claims; every
   * other section must be named explicitly, so a scale-evidence run names
   * the section it is collecting for).
@@ -529,6 +529,26 @@ object MaintProbe {
         }
         println(f"[probe] docext x$mult: ${n / s / 1000}%.1f kdocs/s, " +
           f"${mb / s}%.1f MB/s, $chars chars out")
+        spark.catalog.clearCache()
+      }
+    }
+    // ---- chunk: within-doc sliding-window prep (x23) at corpus scale.
+    // Stateless map + explode — the claim is work ∝ docs + windows with
+    // no shuffle; a decade shows the per-window cost flat.
+    if (sections("chunk")) locally {
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      for (mult <- Seq(20, 200)) {
+        val docs = amplify(docs0, "doc_id", mult, 10000000L)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val n = docs.count()
+        val (wins, s) = time(s"chunk/windows w=64 s=32, $n docs") {
+          graft.ops.Planners.chunkWindows(docs, col("doc_id"),
+              col("text"), window = 64, stride = 32)
+            .agg(count(lit(1)), sum(length(col("window_text"))))
+            .head().getLong(0)
+        }
+        println(f"[probe] chunk x$mult: $wins windows, " +
+          f"${wins / s / 1000}%.0f kwin/s")
         spark.catalog.clearCache()
       }
     }

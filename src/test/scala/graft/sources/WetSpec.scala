@@ -359,5 +359,18 @@ class WetSpec extends SparkSpec {
       Wet.parseWetBytes("trunc.wet", truncated)
     }
     assert(e2.getMessage.contains("truncated"), e2.getMessage)
+    // hostile lengths and unterminated headers fail as PARSE errors with
+    // file context, never as bare allocation faults (r17 hardening)
+    val negLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: -5\r\n\r\n").getBytes("UTF-8")
+    val e3 = intercept[IllegalArgumentException] {
+      Wet.parseWetBytes("neg.wet", negLen)
+    }
+    assert(e3.getMessage.contains("negative Content-Length"), e3.getMessage)
+    val runaway = ("WARC/1.0\r\n" + "x" * (1 << 21)).getBytes("UTF-8")
+    val e4 = intercept[IllegalArgumentException] {
+      Wet.parseWetBytes("runaway.wet", runaway)
+    }
+    assert(e4.getMessage.contains("1 MiB"), e4.getMessage)
   }
 }
