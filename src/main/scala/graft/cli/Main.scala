@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main curriculum --manifest <parquet> --output <dir>
   *   runMain graft.cli.Main evaluate   --test <parquet> --scores <parquet> --output <dir>
   *   runMain graft.cli.Main sync       --remote <parquet> --local <parquet> --src <dir> --dst <dir>
-  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir> | --warc <warcdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--no-nfc] [--no-verify-ids] [--no-block-filter (--warc: keep tag-level extraction instead of DOM-block boilerplate removal)] [--warc-docs (--warc: also pull text from pdf/zip/rtf document payloads in-engine)] [--audit]
+  *   runMain graft.cli.Main dedup      {--docs <parquet> | --wet <wetdir> | --warc <warcdir>} --output <dir> [--line-scrub-df K] [--min-quality 0.5] [--gopher-gate] [--min-jaccard 0.3] [--substr-n 5] [--min-containment 0.6] [--max-per-source 1000] [--source-col source] [--pre-clean] [--decontaminate <evalparquet>] [--decont-ngram 5] [--decont-min-shared 1] [--image-col content] [--audio-col content] [--video-col content] [--embedding-col emb] [--min-cosine 0.99] [--url-col url] [--domain-gate <denyparquet>] [--psl <pslfile>] [--url-dedup] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--lang-seed <parquet(text,lang)> --lang-keep en,fr [--lang-k 12] [--lang-min-prob 0.5]] [--keep-by length|<col>] [--proto-prune 0.2] [--no-nfc] [--no-verify-ids] [--no-block-filter (--warc: keep tag-level extraction instead of DOM-block boilerplate removal)] [--warc-docs (--warc: also pull text from pdf/zip/rtf(.gz) document payloads in-engine)] [--audit]
   *   runMain graft.cli.Main mixture    --docs <parquet> [--group lang] [--alpha 0.5] [--budget 10000] [--output <dir>]
   *   runMain graft.cli.Main pack       --docs <parquet> [--group lang] [--budget 4096] [--output <dir>]
   *   runMain graft.cli.Main feed       --docs <parquet> --out-shards <dir> [--weights <parquet(source,w)>] [--source-col source] [--budget 4096] [--windows-per-shard 1024] [--dedup [--min-quality 0.5] [--min-jaccard 0.3]] [--epoch N] [--output <manifestdir>]  (mixture-applied packed feed; --epoch repacks under that epoch's permutation)
@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.cli.Main ingest-daily {--docs <shardparquet> | --wet <wetdir> | --warc <warcdir>} [--warc-docs] --band-table <tbl> [--corpus <parquet>] [--min-quality 0.5] [--no-nfc] [--no-block-filter] [--minhash-k 8] [--band-size 4] [--buckets 64] [--ngram 3] [--min-jaccard 0.3] [--vectors <vecparquet> --vec-table <tbl> --cents <parquet> --books <parquet> --m 8 --baseline-mse X --vec-buckets 64] [--fp-parquet <parquet> --fp-table <tbl> --fp-col fp --fp-bits 16 --fp-band-bits 8 --max-hamming 2 --fp-corpus <parquet> --fp-output <dir>] [--sem-vectors <parquet> --sem-table <tbl> --sem-cents <parquet> --sem-col embedding --min-cosine 0.99 --sem-eval <evalvecs> --sem-decont-cosine 0.99 --sem-output <dir>] [--line-freq-table <tbl> --line-scrub-df K] [--lm-target <parquet> --lm-min-logp X [--lm-order 5]] [--cluster-table <tbl>] [--pair-log <tbl>] [--compact-every K] [--pre-capped] [--max-bucket 64] [--output <dir>] [--audit]
   *   runMain graft.cli.Main refresh    --vectors <parquet> [--vec-table <tbl> --k 64 --m 8 --codes 256 --out-cents <dir> --out-books <dir>] [--sem-table <tbl> --sem-cells 64 --out-sem-cents <dir>] [--iters 3] [--sample 1.0]  (quantizer refresh: retrain + re-encode + epoch-swap)
   *   runMain graft.cli.Main report     --docs <parquet> [--eval <parquet>] [--minhash-k 8] [--band-size 4] [--ngram 3] [--min-jaccard 0.3] [--source-col source] [--decont-ngram 5] [--output <dir>]  (cluster-size histogram + cross-source matrix + contamination)
-  *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16]  (WebDataset-style tar shards)
+  *   runMain graft.cli.Main export     --docs <parquet> --output <dir> [--name-col doc_id] [--content-col text] [--shards 16] [--chunk W,S (export sliding token windows instead of whole docs)]  (WebDataset-style tar shards)
   *   runMain graft.cli.Main decode     --files <dir glob> [--resize WxH] [--output <dir>]
   *   runMain graft.cli.Main scrub      --docs <parquet> [--ngram 5] [--output <dir>]  (cross-doc exact substring dedup)
   *   runMain graft.cli.Main pq         --vectors <parquet> [--m 8] [--k 256] [--sample 1.0] --output <dir>  (PQ books + codes)
@@ -116,7 +116,9 @@ object Main {
         // --warc-docs (r17): a raw crawl also serves DOCUMENT payloads
         // (PDF, office containers) the prose filter above routes away.
         // With the flag, the binary response walk re-reads the crawl,
-        // keeps 200s whose MAGIC HEADER is pdf/zip/rtf (served types lie;
+        // keeps 200s whose MAGIC HEADER is pdf/zip/rtf/gzip (served
+        // types lie; gzip because crawls serve report.pdf.gz — the
+        // extractor unwraps one layer and re-dispatches;
         // DocFormats.docFormat reads bytes), pulls text with the
         // in-engine extractors (documentText — magic-dispatched
         // pdfText/docxText), and unions the non-empty results into the
@@ -133,7 +135,7 @@ object Main {
           val docs = graft.sources.Wet.readWarcBinary(spark, w)
             .filter(col("http_status") === 200 &&
               graft.multimodal.DocFormats.docFormat(col("content"))
-                .isin("pdf", "zip", "rtf"))
+                .isin("pdf", "zip", "rtf", "gzip"))
             .select(binId.as("doc_id"), col("url"), col("record_ts"),
               col("content"))
             .as[(String, String, java.sql.Timestamp, Array[Byte])]
@@ -1015,9 +1017,28 @@ object Main {
         // defaults to doc_id (".txt" appended when no extension present);
         // --content-col defaults to the text column's bytes.
         import graft.multimodal.TarShards
-        val docs = spark.read.parquet(opt(args, "--docs").get)
-        val nameCol = opt(args, "--name-col").getOrElse("doc_id")
-        val contentCol = opt(args, "--content-col").getOrElse("text")
+        val docs0 = spark.read.parquet(opt(args, "--docs").get)
+        // --chunk W,S (r17): export WITHIN-doc sliding token windows
+        // instead of whole documents — the context-window / embedding
+        // prep handoff (Planners.chunkWindows); member names carry the
+        // window index so shard contents stay addressable per doc.
+        val docs = opt(args, "--chunk") match {
+          case None => docs0
+          case Some(ws) =>
+            val Array(w, st) = ws.split(",").map(_.trim.toInt)
+            graft.ops.Planners.chunkWindows(docs0,
+                col(opt(args, "--name-col").getOrElse("doc_id")),
+                col(opt(args, "--content-col").getOrElse("text")), w, st)
+              .select(concat(col("doc_id").cast("string"), lit("_w"),
+                col("win_ix").cast("string")).as("doc_id"),
+                col("window_text").as("text"))
+        }
+        val nameCol =
+          if (opt(args, "--chunk").isDefined) "doc_id"
+          else opt(args, "--name-col").getOrElse("doc_id")
+        val contentCol =
+          if (opt(args, "--chunk").isDefined) "text"
+          else opt(args, "--content-col").getOrElse("text")
         val shards = opt(args, "--shards").map(_.toInt).getOrElse(16)
         val outDir = opt(args, "--output").get
         val named = docs.select(

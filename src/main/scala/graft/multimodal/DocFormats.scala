@@ -411,7 +411,10 @@ object DocFormats {
     * route-out-of-engine signal (the U3 boundary); nothing here throws
     * on hostile bytes.
     */
-  def documentText(bytes: Array[Byte]): String = {
+  def documentText(bytes: Array[Byte]): String =
+    documentText(bytes, unwrapGzip = true)
+
+  private def documentText(bytes: Array[Byte], unwrapGzip: Boolean): String = {
     def at(i: Int, b: Int): Boolean =
       i < bytes.length && (bytes(i) & 0xff) == b
     if (at(0, '%') && at(1, 'P') && at(2, 'D') && at(3, 'F') && at(4, '-'))
@@ -421,6 +424,29 @@ object DocFormats {
     else if (at(0, '{') && at(1, '\\') && at(2, 'r') && at(3, 't') &&
         at(4, 'f'))
       rtfText(bytes)
+    else if (unwrapGzip && at(0, 0x1f) && at(1, 0x8b))
+      // crawls serve `report.pdf.gz` and friends: unwrap ONE gzip layer
+      // (bounded — a record is already single-record resident; the
+      // 256 MiB cap routes decompression bombs out as '', the P7
+      // never-throw convention) and re-dispatch on the inner magic.
+      // ONE layer only: gzip-in-gzip is not a document.
+      try {
+        val gin = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(bytes.length.toLong * 4, 1 << 20).toInt)
+        val buf = new Array[Byte](65536)
+        var r = gin.read(buf)
+        while (r >= 0) {
+          out.write(buf, 0, r)
+          require(out.size <= (1 << 28),
+            "documentText: gzip payload exceeds the 256 MiB " +
+              "single-document bound")
+          r = gin.read(buf)
+        }
+        gin.close()
+        documentText(out.toByteArray, unwrapGzip = false)
+      } catch { case _: Exception => "" }
     else ""
   }
 
@@ -580,7 +606,9 @@ object DocFormats {
       val zin = new java.util.zip.ZipInputStream(
         new java.io.ByteArrayInputStream(bytes))
       var isEpub = false
-      val parts = Seq.newBuilder[String]
+      var containerXml: String = null
+      val opfs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val htmls = scala.collection.mutable.LinkedHashMap.empty[String, String]
       def readAll(): Array[Byte] = {
         val out = new java.io.ByteArrayOutputStream(8192)
         val buf = new Array[Byte](8192)
@@ -588,6 +616,8 @@ object DocFormats {
         while (r >= 0) { out.write(buf, 0, r); r = zin.read(buf) }
         out.toByteArray
       }
+      def utf8(b: Array[Byte]): String =
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
       var e = zin.getNextEntry
       while (e != null) {
         val n = e.getName
@@ -595,14 +625,42 @@ object DocFormats {
           isEpub = new String(readAll(),
             java.nio.charset.StandardCharsets.US_ASCII).trim ==
             "application/epub+zip"
+        else if (n == "META-INF/container.xml") containerXml = utf8(readAll())
+        else if (n.endsWith(".opf")) opfs += n -> utf8(readAll())
         else if (!e.isDirectory && (n.endsWith(".xhtml") ||
             n.endsWith(".html") || n.endsWith(".htm")))
-          parts += new String(readAll(),
-            java.nio.charset.StandardCharsets.UTF_8)
+          htmls += n -> utf8(readAll())
         e = zin.getNextEntry
       }
       zin.close()
-      if (isEpub) parts.result().mkString(" ") else ""
+      if (!isEpub) return ""
+      // SPINE order, not container order: the OCF container.xml names
+      // the OPF, whose manifest maps ids to hrefs and whose spine lists
+      // the reading order — real books interleave front/back matter and
+      // ship members in arbitrary zip order. Absent/corrupt packaging
+      // degrades to container order (every chapter still read, order
+      // best-effort — the P7 never-throw discipline).
+      def attrOf(tag: String, name: String): Option[String] =
+        ("(?s)" + name + "=\"([^\"]*)\"").r
+          .findFirstMatchIn(tag).map(_.group(1))
+      val opf = Option(containerXml)
+        .flatMap("(?s)<rootfile\\s[^>]*>".r.findFirstIn(_))
+        .flatMap(attrOf(_, "full-path")).flatMap(opfs.get)
+        .orElse(opfs.values.headOption)
+      val ordered = opf.map { o =>
+        val opfDir = opfs.collectFirst {
+          case (p, c) if c eq o => p.take(p.lastIndexOf('/') + 1)
+        }.getOrElse("")
+        val hrefById = "(?s)<item\\s[^>]*>".r.findAllIn(o).flatMap { it =>
+          for (i <- attrOf(it, "id"); h <- attrOf(it, "href"))
+            yield i -> (opfDir + h)
+        }.toMap
+        val spine = "(?s)<itemref\\s[^>]*>".r.findAllIn(o).toList
+          .flatMap(attrOf(_, "idref")).flatMap(hrefById.get)
+          .flatMap(htmls.get)
+        if (spine.nonEmpty) spine else htmls.values.toList
+      }.getOrElse(htmls.values.toList)
+      ordered.mkString(" ")
     } catch { case _: Exception => "" }
 
   /** (doc_id, text) from an EPUB binary column: [[epubHtml]] spine

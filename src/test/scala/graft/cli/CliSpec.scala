@@ -1391,6 +1391,28 @@ class CliSpec extends SparkSpec {
     assert(nShards >= 1 && nShards <= 3)
   }
 
+  test("export --chunk: sliding token windows land as addressable tar members") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 toks -> windows at 0/4/8
+      (2L, "short doc"),
+      (3L, "!!!")                  // tokenless: exports nothing
+    ).toDF("doc_id", "text")
+    val docsDir = tmpDir("cli_exportchunk_docs")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val outDir = tmpDir("cli_exportchunk_out") + "/shards"
+    Main.run(spark, Array("export", "--docs", docsDir, "--chunk", "8,4",
+      "--output", outDir, "--shards", "2"))
+    val back = graft.multimodal.TarShards.readTarShards(spark, outDir)
+      .selectExpr("name", "CAST(content AS STRING) AS text")
+      .as[(String, String)].collect().toMap
+    assert(back.keySet ===
+      Set("1_w0.txt", "1_w1.txt", "1_w2.txt", "2_w0.txt"))
+    assert(back("1_w0.txt") === "a b c d e f g h")
+    assert(back("1_w1.txt") === "e f g h i j")
+    assert(back("1_w2.txt") === "i j")
+    assert(back("2_w0.txt") === "short doc")
+  }
+
   test("END-TO-END: dedup → pack → export composes raw docs into training tar shards") {
     // the full curation→training handoff through the real CLI surface:
     // near-dups collapse, the kept corpus packs into token windows, and

@@ -280,6 +280,55 @@ class MultimodalSpec extends SparkSpec {
     assert(DocFormats.officeText("PKjunk".getBytes("ISO-8859-1")) === "")
   }
 
+  test("epub spine order wins over zip member order; gzip-wrapped documents unwrap and re-dispatch") {
+    import graft.multimodal.DocFormats
+    // hand-built epub: chapters stored REVERSED in the zip, OPF spine
+    // says ch1 then ch2 — extraction must follow the spine
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    val mt = "application/epub+zip".getBytes("US-ASCII")
+    val mte = new java.util.zip.ZipEntry("mimetype")
+    mte.setMethod(java.util.zip.ZipOutputStream.STORED)
+    mte.setSize(mt.length.toLong)
+    val crc = new java.util.zip.CRC32; crc.update(mt); mte.setCrc(crc.getValue)
+    zo.putNextEntry(mte); zo.write(mt); zo.closeEntry()
+    def put(n: String, b: String): Unit = {
+      zo.putNextEntry(new java.util.zip.ZipEntry(n))
+      zo.write(b.getBytes("UTF-8")); zo.closeEntry()
+    }
+    put("OEBPS/zz_later.xhtml", "<html><body><p>second part</p></body></html>")
+    put("OEBPS/aa_first.xhtml", "<html><body><p>first part</p></body></html>")
+    put("META-INF/container.xml",
+      "<container><rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
+        "media-type=\"application/oebps-package+xml\"/></rootfiles></container>")
+    put("OEBPS/content.opf",
+      "<package><manifest>" +
+        "<item id=\"c1\" href=\"aa_first.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+        "<item id=\"c2\" href=\"zz_later.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+        "</manifest><spine><itemref idref=\"c1\"/><itemref idref=\"c2\"/></spine></package>")
+    zo.close()
+    val html = DocFormats.epubHtml(bos.toByteArray)
+    assert(html.indexOf("first part") < html.indexOf("second part"), html)
+    // the standard fixture (packaged in order) still round-trips
+    val t = "chapters read in the order the spine declares them"
+    assert(DocFormats.epubHtml(DocFormats.epubFixture(t)).contains("<p>"))
+    // gzip-wrapped pdf/docx unwrap one layer and re-dispatch
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(b); g.close(); o.toByteArray
+    }
+    val txt = "compressed report body for the gzip path"
+    assert(DocFormats.documentText(
+      gz(DocFormats.pdfFixture(txt, flate = true))) === txt)
+    assert(DocFormats.documentText(gz(DocFormats.docxFixture(txt))) === txt)
+    // gzip-of-gzip and gzip-of-noise route out, never throw
+    assert(DocFormats.documentText(gz(gz(DocFormats.docxFixture(txt)))) === "")
+    assert(DocFormats.documentText(gz("just text".getBytes("UTF-8"))) === "")
+    assert(DocFormats.documentText(
+      Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)) === "")
+  }
+
   test("container fixtures round-trip arbitrary text through documentText (ScalaCheck, docx/xlsx/pptx/rtf + Latin-1 pdf)") {
     import graft.multimodal.DocFormats
     import org.scalacheck.{Gen, Prop, Test => SCTest}
