@@ -424,30 +424,39 @@ object DocFormats {
     else if (at(0, '{') && at(1, '\\') && at(2, 'r') && at(3, 't') &&
         at(4, 'f'))
       rtfText(bytes)
-    else if (unwrapGzip && at(0, 0x1f) && at(1, 0x8b))
+    else if (unwrapGzip && at(0, 0x1f) && at(1, 0x8b)) {
       // crawls serve `report.pdf.gz` and friends: unwrap ONE gzip layer
-      // (bounded — a record is already single-record resident; the
-      // 256 MiB cap routes decompression bombs out as '', the P7
-      // never-throw convention) and re-dispatch on the inner magic.
-      // ONE layer only: gzip-in-gzip is not a document.
-      try {
-        val gin = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val out = new java.io.ByteArrayOutputStream(
-          math.min(bytes.length.toLong * 4, 1 << 20).toInt)
-        val buf = new Array[Byte](65536)
-        var r = gin.read(buf)
-        while (r >= 0) {
-          out.write(buf, 0, r)
-          require(out.size <= (1 << 28),
-            "documentText: gzip payload exceeds the 256 MiB " +
-              "single-document bound")
-          r = gin.read(buf)
-        }
-        gin.close()
-        documentText(out.toByteArray, unwrapGzip = false)
-      } catch { case _: Exception => "" }
-    else ""
+      // and re-dispatch on the inner magic. ONE layer only: gzip-in-
+      // gzip is not a document.
+      val inner = gunzipOnce(bytes)
+      if (inner == null) "" else documentText(inner, unwrapGzip = false)
+    } else ""
+  }
+
+  /** One bounded gzip unwrap, or null for non-gzip/corrupt input and
+    * for payloads past the 256 MiB single-document bound (decompression
+    * bombs route out — the P7 never-throw convention; a record is
+    * already single-record resident upstream, so the bound is the
+    * document policy, not a memory ceiling).
+    */
+  private def gunzipOnce(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
+        (bytes(1) & 0xff) != 0x8b) return null
+    try {
+      val gin = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4, 1 << 20).toInt)
+      val buf = new Array[Byte](65536)
+      var r = gin.read(buf)
+      while (r >= 0) {
+        out.write(buf, 0, r)
+        if (out.size > (1 << 28)) return null
+        r = gin.read(buf)
+      }
+      gin.close()
+      out.toByteArray
+    } catch { case _: Exception => null }
   }
 
   /** Destination groups whose content is formatting metadata, never
@@ -603,8 +612,15 @@ object DocFormats {
     */
   def epubHtml(bytes: Array[Byte]): String =
     try {
+      // books travel gzipped too (book.epub.gz): one bounded unwrap,
+      // then the container walk proper
+      val b0 =
+        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+            (bytes(1) & 0xff) == 0x8b) gunzipOnce(bytes)
+        else bytes
+      if (b0 == null) return ""
       val zin = new java.util.zip.ZipInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+        new java.io.ByteArrayInputStream(b0))
       var isEpub = false
       var containerXml: String = null
       val opfs = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -322,6 +322,9 @@ class MultimodalSpec extends SparkSpec {
     assert(DocFormats.documentText(
       gz(DocFormats.pdfFixture(txt, flate = true))) === txt)
     assert(DocFormats.documentText(gz(DocFormats.docxFixture(txt))) === txt)
+    // a gzipped BOOK unwraps too: epubHtml sees through one layer
+    assert(DocFormats.epubHtml(gz(DocFormats.epubFixture(txt)))
+      .contains("<p>"))
     // gzip-of-gzip and gzip-of-noise route out, never throw
     assert(DocFormats.documentText(gz(gz(DocFormats.docxFixture(txt)))) === "")
     assert(DocFormats.documentText(gz("just text".getBytes("UTF-8"))) === "")
