@@ -33,6 +33,40 @@ class PlannersSpec extends SparkSpec {
     assert(tiled === Map(0 -> "a b c d", 1 -> "e f g h", 2 -> "i j"))
   }
 
+  test("chunkWindows matches a local reference for arbitrary docs and strides (ScalaCheck)") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val piece = Gen.oneOf("alpha", "b2", "Gamma", "漢", "δελτα", "x",
+      " ", ", ", "--")
+    val docGen = Gen.listOf(piece).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(5, docGen),
+        Gen.choose(1, 6), Gen.choose(1, 6)) { (texts, a, b) =>
+      val w = math.max(a, b)
+      val st = math.min(a, b)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Planners.chunkWindows(docs, col("doc_id"), col("text"),
+          w, st)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getInt(2), r.getString(3)))).toMap
+      // local reference over the engine's own token normal form
+      val toks = docs
+        .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")))
+        .as[(Long, Seq[String])].collect().toMap
+      val want = toks.flatMap { case (id, tl) =>
+        if (tl.isEmpty) Nil
+        else (0 until ((tl.size + st - 1) / st)).map { k =>
+          val sl = tl.slice(k * st, math.min(k * st + w, tl.size))
+          (id, k) -> ((sl.size, sl.mkString(" ")))
+        }
+      }
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("temperatureMixture: probabilities sum to ~1, alloc bounded by budget, alpha<1 compresses") {
     val per = Seq(("en", 8100L), ("de", 900L), ("fr", 100L)).toDF("lang", "n")
     val plan = Planners.temperatureMixture(per, "lang", "n", 0.5, 10000L)
