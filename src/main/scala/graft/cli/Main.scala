@@ -975,9 +975,8 @@ object Main {
         val minJ = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3)
         val srcCol = opt(args, "--source-col").getOrElse("source")
         val verified = Dedup.verifyCandidates(docs,
-          Dedup.lshCandidatePairs(
-            Dedup.minhashSignatures(docs, col("doc_id"), col("text"), k),
-            bandSize),
+          Dedup.lshCandidatePairsProjected(docs, col("doc_id"), col("text"),
+            k, bandSize),
           col("doc_id"), col("text"), ngram, minJ).localCheckpoint()
         val sizes = Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")
           .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))

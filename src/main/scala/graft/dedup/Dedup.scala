@@ -243,8 +243,31 @@ object Dedup {
     * (e.g. boilerplate-heavy corpora). Pairs are (a < b), distinct.
     */
   def lshCandidatePairs(signatures: DataFrame, bandSize: Int,
-                        maxBucket: Int = 64): DataFrame = {
-    val banded = bandedSignatures(signatures, bandSize)
+                        maxBucket: Int = 64): DataFrame =
+    pairsFromBanded(bandedSignatures(signatures, bandSize), maxBucket)
+
+  /** [[lshCandidatePairs]] straight from documents via the SHUFFLE-FREE
+    * banded projection ([[bandedSignaturesProjected]] — the native
+    * minhash kernel computes all k minima inside the scan, so band
+    * signatures are a pure projection). Row-identical to
+    * `lshCandidatePairs(minhashSignatures(docs, id, text, k), bandSize)`
+    * (the banded forms' row-identity is asserted in DedupSpec), but the
+    * signature stage pays NO exchange at all, where the long-format
+    * composition shuffles corpus × k signature rows into the
+    * (doc_id, band) aggregate first (guide §2.4 — at 100 TB that
+    * exchange is the largest intermediate of the whole candidate
+    * chain). r17 optimization round: every in-engine chain consumer
+    * (d5/d7 family, dedupCorpus, the CLI report) now rides this form;
+    * the long-format composition stays as the d2-family oracle surface.
+    */
+  def lshCandidatePairsProjected(docs: DataFrame, id: Column, text: Column,
+                                 k: Int, bandSize: Int,
+                                 maxBucket: Int = 64): DataFrame =
+    pairsFromBanded(bandedSignaturesProjected(docs, id, text, k, bandSize),
+      maxBucket)
+
+  private def pairsFromBanded(banded: DataFrame,
+                              maxBucket: Int): DataFrame = {
     // `small` feeds BOTH sides of the self-join — unshared, the entire
     // upstream MinHash chain (explode × seeds × md5) is recomputed per
     // branch (observed 3× cost at a 500k-doc probe). COLUMNAR scratch,
@@ -408,12 +431,20 @@ object Dedup {
         explode(array_distinct(wordNgramsFromTokens(col("toks"), n))).as("g0"))
       .select(col("doc_id"),
         (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("g"))
-    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-    grams.join(first, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    // r17: no instance-scale join-back. A doc's novel-gram count is the
+    // number of grams it is the min-owner OF — countable on the gram-TYPE
+    // relation (each doc's grams are distinct, so per (g, first_doc) there
+    // is exactly one contributing row) — and its gram total is a per-doc
+    // aggregate. The corpus-gram ⋈ gram-type exchange the old join-back
+    // paid (the one big shuffle here) becomes two map-side-combining
+    // aggregates plus a doc-sized join. Row-identical by construction;
+    // the d-family oracle hash pins it.
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+    val novel = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty", round(col("n_novel") / col("n_ngrams"), roundTo))
   }
 
@@ -434,7 +465,10 @@ object Dedup {
                      k: Int = 8, bandSize: Int = 4, ngram: Int = 3,
                      roundTo: Int = 6): DataFrame = {
     val sigs = minhashSignatures(docs, id, text, k)
-    val cands = lshCandidatePairs(sigs, bandSize)
+    // candidate generation via the shuffle-free banded projection (r17;
+    // row-identical, DedupSpec) — the long-format sigs above still feed
+    // the per-seed agreement joins
+    val cands = lshCandidatePairsProjected(docs, id, text, k, bandSize)
     val est = cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("seed"),
         col("minhash").as("mh_a")), Seq("doc_a"))
@@ -533,9 +567,11 @@ object Dedup {
     val cands = candidates.dropDuplicates("doc_a", "doc_b").localCheckpoint()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val gramSets = docs.select(id.as("doc_id"),
-        array_distinct(charNgrams(text, n)).as("gs"))
+    // semi-join BEFORE the gram-set projection (r17) — the
+    // verifyCandidates rationale: shingle candidate docs only
+    val gramSets = docs.select(id.as("doc_id"), text.as("__vtext"))
       .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), distinctCharNgrams(col("__vtext"), n).as("gs"))
     val joined = guardedBroadcast(cands, maxBroadcastPairs)
       .join(gramSets.select(col("doc_id").as("doc_a"), col("gs").as("ga")), "doc_a")
       .join(gramSets.select(col("doc_id").as("doc_b"), col("gs").as("gb")), "doc_b")
@@ -598,10 +634,18 @@ object Dedup {
     // eager write, the three consumers (sizes + both join sides) read at
     // scan speed with zero executor storage pinned. cands stays on
     // localCheckpoint — it is pair-scale (bounded by the LSH caps).
+    // semi-join BEFORE the gram explode (r17): Catalyst does not push a
+    // join below a Generate, so the explode would otherwise shingle the
+    // WHOLE corpus only to drop non-candidate docs afterwards; candDocs
+    // is pair-bounded → broadcast semi → the explode runs on candidate
+    // docs only (same rows by construction — the semi-join key is
+    // doc_id either way)
     val grams = graft.core.Scratch.materialize(
-      docs.select(id.as("doc_id"),
-          explode(array_distinct(charNgrams(text, n))).as("g"))
-        .join(candDocs, Seq("doc_id"), "left_semi"), "verifygrams")
+      docs.select(id.as("doc_id"), text.as("__vtext"))
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(distinctCharNgrams(col("__vtext"), n)).as("g")),
+      "verifygrams")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = guardedBroadcast(cands, maxBroadcastPairs)
       .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
@@ -646,7 +690,7 @@ object Dedup {
   private def ngramPairStats(docs: DataFrame, id: Column, text: Column,
                              n: Int, maxDocFreq: Int): DataFrame = {
     val allGrams = docs.select(id.as("doc_id"),
-        explode(array_distinct(charNgrams(text, n))).as("g"))
+        explode(distinctCharNgrams(text, n)).as("g"))
     val rareGrams = allGrams.groupBy("g")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)

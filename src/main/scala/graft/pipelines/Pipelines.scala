@@ -822,8 +822,11 @@ object Pipelines {
     val exact = graft.core.Scratch.materialize(
       Dedup.exactDedupThin(capped, cid, cleanText), "dedup_exact")
     emit("exact_dedup", exact)
-    val cands = Dedup.lshCandidatePairs(
-      Dedup.minhashSignatures(exact, cid, cleanText, minhashK), bandSize)
+    // projected banding: the minhash kernel computes band signatures
+    // inside the scan — no signature-stage exchange (r17; row-identical
+    // to the long-format composition, DedupSpec)
+    val cands = Dedup.lshCandidatePairsProjected(
+      exact, cid, cleanText, minhashK, bandSize)
     val verified = Dedup.verifyCandidates(exact, cands, cid, cleanText, ngram,
         minJaccard)
       .select(col("doc_a"), col("doc_b"))

@@ -1215,8 +1215,8 @@ object QText {
     // cap), exact n-gram Jaccard verifies ONLY those candidates.
     "d5_lsh_verify" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val cands = Dedup.lshCandidatePairsProjected(
+        docs, col("doc_id"), col("text"), 8, 4)
       Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
     }),
 
@@ -1373,8 +1373,8 @@ object QText {
     // same d5 pair set.
     "d7_dup_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val cands = Dedup.lshCandidatePairsProjected(
+        docs, col("doc_id"), col("text"), 8, 4)
       val verified =
         Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
       Dedup.connectedComponents(verified, "doc_a", "doc_b")
@@ -1386,8 +1386,8 @@ object QText {
     // reproduce the identical transitive closure).
     "d7b_dup_clusters_star" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val cands = Dedup.lshCandidatePairsProjected(
+        docs, col("doc_id"), col("text"), 8, 4)
       val verified =
         Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
       Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")
@@ -1400,8 +1400,8 @@ object QText {
     // aggregates over the d7 output; cluster relation is pair-bounded.
     "d7c_cluster_sizes" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val cands = Dedup.lshCandidatePairsProjected(
+        docs, col("doc_id"), col("text"), 8, 4)
       val verified =
         Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
       Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")
@@ -1418,8 +1418,8 @@ object QText {
     // reproduce batch exactly — labels, membership, everything.
     "d20_incremental_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val cands = Dedup.lshCandidatePairsProjected(
+        docs, col("doc_id"), col("text"), 8, 4)
       val verified =
         Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
           .localCheckpoint(false)
@@ -1439,8 +1439,8 @@ object QText {
     // as-of filter, and LWW resolve are ALL on the hook for exactness.
     "d21_cluster_churn" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val cands = Dedup.lshCandidatePairsProjected(
+        docs, col("doc_id"), col("text"), 8, 4)
       val verified =
         Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
           .localCheckpoint(false)
@@ -1641,8 +1641,8 @@ object QText {
     // cluster = wrong key) and the assignment arithmetic.
     "d25_cluster_split" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val cands = Dedup.lshCandidatePairsProjected(
+        docs, col("doc_id"), col("text"), 8, 4)
       val verified =
         Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
       graft.pipelines.Pipelines.clusterSplit(docs, col("doc_id"),
@@ -1659,8 +1659,8 @@ object QText {
     // (any score column — quality, length, recency).
     "d17_keep_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val cands = Dedup.lshCandidatePairsProjected(
+        docs, col("doc_id"), col("text"), 8, 4)
       val verified =
         Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
       Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")
@@ -1680,8 +1680,8 @@ object QText {
     // the source lookup is a doc_id equi-join per side.
     "d16_cross_source_dup" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 4)
+      val cands = Dedup.lshCandidatePairsProjected(
+        docs, col("doc_id"), col("text"), 8, 4)
       val verified =
         Dedup.verifyCandidates(docs, cands, col("doc_id"), col("text"), 3, 0.3)
       val src = docs.select(col("doc_id"), col("source"))

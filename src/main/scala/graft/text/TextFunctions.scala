@@ -46,7 +46,21 @@ object TextFunctions {
     * entry default, [[graft.functions.NfcNormalizeExpr]]) so "café" is
     * one codepoint, not e + U+0301.
     */
-  def tokens(text: Column): Column =
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      graft.functions.TokenizeExpr(ColumnShim.expression(text)))
+  }
+
+  /** The HOF/regex executable SPECIFICATION of [[tokens]] — what the
+    * kernel must reproduce bit-for-bit (ScalaCheck'd in
+    * TextFunctionsSpec) and what the DuckDB oracle twin restates in RE2.
+    * Not the production path: two Unicode-class regex passes plus two
+    * interpreted (CodegenFallback) lambdas per document (r17
+    * optimization round, guide §4.1 — the kernel walks the bytes once
+    * inside whole-stage codegen).
+    */
+  private[text] def tokensHof(text: Column): Column =
     filter(transform(split(regexp_replace(text, cjkSoloRe, " $1 "),
         "[^\\p{L}\\p{N}]+"), t => lower(t)), t => t =!= "")
 
@@ -59,10 +73,37 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+  /** `array_distinct(tokens(text))`, fused into the tokenize kernel
+    * (first-occurrence order — ArrayDistinct's contract).
+    */
+  def distinctTokens(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.TokenizeExpr(
+      ColumnShim.expression(text), distinct = true))
+  }
 
   /** Character n-grams of the raw text (positions 1..len-n+1). */
-  def charNgrams(text: Column, n: Int): Column =
+  def charNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.CharNgramsExpr(
+      ColumnShim.expression(text), n))
+  }
+
+  /** `array_distinct(charNgrams(text, n))` fused into the kernel — the
+    * shape every Jaccard verify/sketch consumer uses (gram SETS).
+    */
+  def distinctCharNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.CharNgramsExpr(
+      ColumnShim.expression(text), n, distinct = true))
+  }
+
+  /** The HOF executable SPECIFICATION of [[charNgrams]] (kernel parity
+    * ScalaCheck'd in TextFunctionsSpec; the interpreted lambda's
+    * per-position `substring` is O(len²) per document — not the
+    * production path).
+    */
+  private[text] def charNgramsHof(text: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => substring(text, i, lit(n)))
 
@@ -74,7 +115,18 @@ object TextFunctions {
     * every gram position — O(tokens²) regex work per document. Callers
     * project `tokens(text)` once and pass the bound attribute.
     */
-  def wordNgramsFromTokens(toks: Column, n: Int): Column =
+  def wordNgramsFromTokens(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.WordNgramsExpr(
+      ColumnShim.expression(toks), n))
+  }
+
+  /** The HOF executable SPECIFICATION of [[wordNgramsFromTokens]]
+    * (kernel parity ScalaCheck'd in TextFunctionsSpec over arrays with
+    * `size >= n` — the callers' standing precondition; the interpreted
+    * per-gram lambda with n `element_at`s is not the production path).
+    */
+  private[text] def wordNgramsFromTokensHof(toks: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j)): _*))
 
@@ -94,7 +146,17 @@ object TextFunctions {
     * caller must guarantee a non-empty array — on size 0 the window
     * count expression would walk `sequence` backwards.
     */
-  def tokenWindows(toks: Column, w: Int): Column =
+  def tokenWindows(toks: Column, w: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.TokenWindowsExpr(
+      ColumnShim.expression(toks), w))
+  }
+
+  /** The HOF executable SPECIFICATION of [[tokenWindows]] (kernel parity
+    * ScalaCheck'd in TextFunctionsSpec over non-empty arrays — the
+    * standing caller precondition).
+    */
+  private[text] def tokenWindowsHof(toks: Column, w: Int): Column =
     transform(
       sequence(lit(0), ceil(size(toks) / lit(w.toDouble)).cast("int") - 1),
       i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))
@@ -751,14 +813,19 @@ object TextFunctions {
     * no second instance aggregate).
     */
   def fitTrigramKn(train: DataFrame, trainText: Column): TrigramKnModel = {
-    val ti = graft.core.Scratch.materialize(
-      train.select(tokens(trainText).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(explode(wordNgramsFromTokens(col("toks"), 3)).as("trigram"))
-        .select(split(col("trigram"), "_")(0).as("w1"),
-          split(col("trigram"), "_")(1).as("w2"),
-          split(col("trigram"), "_")(2).as("w3")),
-      "lmkn3_ti")
+    // instance relation: ONE consumer (knTablesFromInstances' t3
+    // aggregate) — no scratch write (r17 optimization round; the
+    // aggregate's map-side partial combine collapses the instances
+    // in-flight, so materializing them first was a full extra disk
+    // round-trip of the largest relation in the trainer). Contrast
+    // trigramLmScoresKn (self-trained), where the instance relation ALSO
+    // feeds the scoring join and stays materialized.
+    val ti = train.select(tokens(trainText).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(wordNgramsFromTokens(col("toks"), 3)).as("trigram"))
+      .select(split(col("trigram"), "_")(0).as("w1"),
+        split(col("trigram"), "_")(1).as("w2"),
+        split(col("trigram"), "_")(2).as("w3"))
     val model = knTablesFromInstances(ti, "lmkn3_t")
     // an empty/all-short target yields tt = 0, and 0.5/0 = Infinity
     // would give EVERY scored doc a garbage positive avg_logp that
@@ -959,13 +1026,19 @@ object TextFunctions {
   def fitKn(train: DataFrame, trainText: Column, order: Int): KnModel = {
     require(order >= 2 && order <= 8,
       s"fitKn: order must be in [2, 8], got $order")
-    val ti = graft.core.Scratch.materialize(
-      train.select(tokens(trainText).as("toks"))
-        .filter(size(col("toks")) >= order)
-        .select(explode(wordNgramsFromTokens(col("toks"), order)).as("g"))
-        .select((1 to order).map(i =>
-          split(col("g"), "_")(i - 1).as(s"w$i")): _*),
-      s"lmkn${order}_ti")
+    // the instance relation has exactly ONE consumer — the n-gram-type
+    // aggregate below — so it is NOT materialized (r17 optimization
+    // round; the scratch write was pure overhead: at a Wikipedia-scale
+    // target it wrote the full instance n-gram relation to disk only to
+    // re-read it once, where the aggregate's map-side partial combine
+    // collapses it in-flight). Only the TYPE relation (multi-consumer:
+    // the isEmpty guard, pfx, the mids chain, the scoring join) goes to
+    // columnar scratch.
+    val ti = train.select(tokens(trainText).as("toks"))
+      .filter(size(col("toks")) >= order)
+      .select(explode(wordNgramsFromTokens(col("toks"), order)).as("g"))
+      .select((1 to order).map(i =>
+        split(col("g"), "_")(i - 1).as(s"w$i")): _*)
     val n = order
     val top = graft.core.Scratch.materialize(
       ti.groupBy((1 to n).map(i => col(s"w$i")): _*)

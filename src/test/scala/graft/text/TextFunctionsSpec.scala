@@ -607,4 +607,84 @@ class TextFunctionsSpec extends SparkSpec {
       .toDF("doc_id", "n_bigrams", "avg_logp")
     assert(TextFunctions.ccnetCutoffs(tiny).count() === 0L)
   }
+
+  // r17 optimization round: the tokenize / n-gram KERNELS replace the
+  // interpreted HOF forms in every hot path — these properties pin
+  // kernel ≡ HOF bit-identity on adversarial Unicode (CJK solo chars,
+  // Thai marks, combining accents, case anomalies İ/Σ, astral plane,
+  // digits of other scripts, underscores, empties).
+  private val unicodePieces = Gen.oneOf(
+    "the", "Cat9", "UND_er", "日本語", "漢字", "カタカナー", "ひらがな",
+    "ภาษาไทย", "กิิ", "é!", "Ü-ü", "Привет", "ΣΟΦΟΣ", "İstanbul",
+    "café", "𝔘𝔫𝔦", "🙂", "٣٤٥", "é", " ", ".", ",,", "", "x")
+  private val unicodeTextGen: Gen[String] =
+    Gen.listOfN(12, unicodePieces).map(_.mkString(""))
+  private val unicodeSpacedGen: Gen[String] =
+    Gen.listOfN(10, unicodePieces).map(_.mkString(" "))
+
+  test("tokenize kernel is bit-identical to the HOF tokens()/distinctTokens (ScalaCheck)") {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30),
+      Prop.forAll(Gen.listOfN(8, Gen.oneOf(unicodeTextGen, unicodeSpacedGen,
+          Gen.asciiPrintableStr))) { ss =>
+        val rows = (ss :+ "" :+ "  " :+ "The Cat AND the cat")
+          .toDF("t").select(
+            TextFunctions.tokens(col("t")).as("k"),
+            TextFunctions.tokensHof(col("t")).as("h"),
+            TextFunctions.distinctTokens(col("t")).as("kd"),
+            array_distinct(TextFunctions.tokensHof(col("t"))).as("hd"))
+          .as[(Seq[String], Seq[String], Seq[String], Seq[String])].collect()
+        rows.forall { case (k, h, kd, hd) => k == h && kd == hd }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("char-ngram kernel is bit-identical to the HOF charNgrams incl. distinct (ScalaCheck)") {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30),
+      Prop.forAll(Gen.listOfN(8, Gen.oneOf(unicodeTextGen,
+          Gen.asciiPrintableStr)), Gen.choose(1, 6)) { (ss, n) =>
+        val rows = (ss :+ "" :+ "ab")
+          .toDF("t").select(
+            TextFunctions.charNgrams(col("t"), n).as("k"),
+            TextFunctions.charNgramsHof(col("t"), n).as("h"),
+            TextFunctions.distinctCharNgrams(col("t"), n).as("kd"),
+            array_distinct(TextFunctions.charNgramsHof(col("t"), n)).as("hd"))
+          .as[(Seq[String], Seq[String], Seq[String], Seq[String])].collect()
+        rows.forall { case (k, h, kd, hd) => k == h && kd == hd }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("token-window kernel is bit-identical to the HOF tokenWindows on non-empty arrays (ScalaCheck)") {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30),
+      Prop.forAll(Gen.choose(1, 7), Gen.listOfN(6, unicodeSpacedGen)) { (w, ss) =>
+        val rows = ss.toDF("t")
+          .select(TextFunctions.tokens(col("t")).as("toks"))
+          .filter(size(col("toks")) >= 1)
+          .select(
+            TextFunctions.tokenWindows(col("toks"), w).as("k"),
+            TextFunctions.tokenWindowsHof(col("toks"), w).as("h"))
+          .as[(Seq[String], Seq[String])].collect()
+        rows.forall { case (k, h) => k == h }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("word-ngram kernel is bit-identical to the HOF wordNgramsFromTokens at size >= n (ScalaCheck)") {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30),
+      Prop.forAll(Gen.choose(1, 5), Gen.listOfN(6, unicodeSpacedGen)) { (n, ss) =>
+        val rows = ss.toDF("t")
+          .select(TextFunctions.tokens(col("t")).as("toks"))
+          .filter(size(col("toks")) >= n)
+          .select(
+            TextFunctions.wordNgramsFromTokens(col("toks"), n).as("k"),
+            TextFunctions.wordNgramsFromTokensHof(col("toks"), n).as("h"))
+          .as[(Seq[String], Seq[String])].collect()
+        rows.forall { case (k, h) => k == h }
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
