@@ -185,18 +185,18 @@ object Dedup {
         "seeds would form a partial band in the aggregate form but be " +
         "dropped by the projected form, breaking row-identity")
     import org.apache.spark.sql.graftshim.ColumnShim
-    val sig = ColumnShim.column(
-      graft.functions.MinhashExpr(ColumnShim.expression(text), k))
-    val nBands = k / bandSize
-    val bands = array((0 until nBands).map { b =>
-      struct(lit(b.toLong).as("band"),
-        md5(array_join(slice(col("__sig"), b * bandSize + 1, bandSize), "|"))
-          .as("band_sig"))
-    }: _*)
-    docs.select(id.as("doc_id"), sig.as("__sig"))
-      .filter(col("__sig").isNotNull)
-      .select(col("doc_id"), explode(bands).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    // FUSED band kernel + one posexplode (r17): the previous shape
+    // (sig array column → null filter → per-band md5 branches) had the
+    // whole MinHash walk inlined into the filter AND every band branch
+    // by CollapseProject — the kernel ran 3× per doc. The fused form
+    // evaluates once per row inside the Generate; a null (token-less
+    // doc) explodes to no rows, preserving the aggregate form's
+    // row-identity.
+    val bands = ColumnShim.column(graft.functions.MinhashBandsExpr(
+      ColumnShim.expression(text), k, bandSize))
+    docs.select(id.as("doc_id"), posexplode(bands))
+      .select(col("doc_id"), col("pos").cast("long").as("band"),
+        col("col").as("band_sig"))
   }
 
   /** LSH buckets: band the signature (bandSize seeds per band), hash each

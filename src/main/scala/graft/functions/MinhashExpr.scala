@@ -153,6 +153,75 @@ object MinhashKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** BAND signatures straight off the k minima — exactly
+    * `md5(array_join(slice(sig, b·bandSize+1, bandSize), "|"))` per band
+    * b = 0..k/bandSize−1 over [[signatures]]' hex minima, or null for a
+    * token-less document. One kernel evaluation per document emitting
+    * every band (r17 optimization round): the projection form built on
+    * [[signatures]] re-evaluated the whole MinHash walk per band branch
+    * (CollapseProject inlines the sig expression into the null filter
+    * AND each band's md5 — measured as the d7-family regression), while
+    * this feeds a single posexplode. Parity with the aggregate
+    * [[graft.dedup.Dedup.bandedSignatures]] form is asserted in
+    * DedupSpec via the row-identity of the candidate sets.
+    */
+  def bandSignatures(s: UTF8String, k: Int, bandSize: Int): ArrayData = {
+    val sig = signatures(s, k)
+    if (sig == null) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nBands = k / bandSize
+    val pipe = "|".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      md.reset()
+      var j = 0
+      while (j < bandSize) {
+        if (j > 0) md.update(pipe)
+        md.update(sig.getUTF8String(b * bandSize + j).getBytes)
+        j += 1
+      }
+      out(b) = UTF8String.fromString(toHex(md.digest()))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native banded-signature expression — see
+  * [[MinhashKernel.bandSignatures]]. Output: array of k/bandSize band
+  * signatures (band index = array position), null for token-less docs.
+  */
+case class MinhashBandsExpr(child: Expression, k: Int, bandSize: Int)
+    extends UnaryExpression {
+  require(k >= 1 && bandSize >= 1 && k % bandSize == 0,
+    s"graft_minhash_bands: bandSize=$bandSize must divide k=$k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_bands requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashKernel.bandSignatures(input.asInstanceOf[UTF8String], k, bandSize)
+
+  // token-less docs yield null FROM NON-NULL INPUT (the explode-to-zero-
+  // rows contract), so the generated code must re-derive isNull from the
+  // kernel's result — defineCodeGen would propagate only the child's
+  // nullability (the MinhashExpr discipline)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashKernel.bandSignatures($c, $k, $bandSize);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandsExpr =
+    copy(child = newChild)
 }
 
 /** Whole-document SimHash kernel: md5 each distinct token once, vote all

@@ -61,13 +61,27 @@ object Dsir {
     */
   def featureBuckets(toks: Column, buckets: Int,
                      xxh: Boolean = false): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.DsirBucketsExpr(
+      ColumnShim.expression(toks), buckets, xxh))
+  }
+
+  /** The HOF executable SPECIFICATION of [[featureBuckets]] (kernel
+    * parity ScalaCheck'd in DsirSpec): the md5/conv chain ran through an
+    * interpreted lambda per token plus a second interpreted bigram pass
+    * — not the production path (r17 optimization round; DSIR scores
+    * every raw-corpus document, so this is a per-doc hot path).
+    */
+  private[ops] def featureBucketsHof(toks: Column, buckets: Int,
+                                     xxh: Boolean = false): Column = {
     def b(g: Column): Column =
       if (xxh) pmod(xxhash64(g), lit(buckets.toLong))
       else conv(substring(md5(g), 1, 15), 16, 10).cast("long") % buckets
     concat(
       transform(toks, b _),
       when(size(toks) >= 2,
-        transform(wordNgramsFromTokens(toks, 2), b _))
+        transform(graft.text.TextFunctions.wordNgramsFromTokensHof(toks, 2),
+          b _))
         .otherwise(array().cast("array<long>")))
   }
 

@@ -60,7 +60,7 @@ object TextFunctions {
     * optimization round, guide §4.1 — the kernel walks the bytes once
     * inside whole-stage codegen).
     */
-  private[text] def tokensHof(text: Column): Column =
+  private[graft] def tokensHof(text: Column): Column =
     filter(transform(split(regexp_replace(text, cjkSoloRe, " $1 "),
         "[^\\p{L}\\p{N}]+"), t => lower(t)), t => t =!= "")
 
@@ -103,7 +103,7 @@ object TextFunctions {
     * per-position `substring` is O(len²) per document — not the
     * production path).
     */
-  private[text] def charNgramsHof(text: Column, n: Int): Column =
+  private[graft] def charNgramsHof(text: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => substring(text, i, lit(n)))
 
@@ -126,7 +126,7 @@ object TextFunctions {
     * `size >= n` — the callers' standing precondition; the interpreted
     * per-gram lambda with n `element_at`s is not the production path).
     */
-  private[text] def wordNgramsFromTokensHof(toks: Column, n: Int): Column =
+  private[graft] def wordNgramsFromTokensHof(toks: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j)): _*))
 
@@ -156,7 +156,7 @@ object TextFunctions {
     * ScalaCheck'd in TextFunctionsSpec over non-empty arrays — the
     * standing caller precondition).
     */
-  private[text] def tokenWindowsHof(toks: Column, w: Int): Column =
+  private[graft] def tokenWindowsHof(toks: Column, w: Int): Column =
     transform(
       sequence(lit(0), ceil(size(toks) / lit(w.toDouble)).cast("int") - 1),
       i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))

@@ -173,4 +173,27 @@ class DsirSpec extends SparkSpec {
       Dsir.importanceResample(docs.limit(0), col("doc_id"), 0, 1L)
     }
   }
+
+  test("featureBuckets kernel is bit-identical to the HOF md5/xxh forms (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pieces = Gen.oneOf("the", "cat9", "日本語", "é", "Привет", "x", "", " ",
+      "ภาษาไทย", "und_er", ".")
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(Gen.listOfN(8,
+          Gen.listOfN(6, pieces).map(_.mkString(" "))), Gen.choose(1, 4096)) {
+        (ss, b) =>
+        val rows = (ss :+ "" :+ "one" :+ "two words")
+          .toDF("t")
+          .select(graft.text.TextFunctions.tokens(col("t")).as("toks"))
+          .select(
+            Dsir.featureBuckets(col("toks"), b).as("k"),
+            Dsir.featureBucketsHof(col("toks"), b).as("h"),
+            Dsir.featureBuckets(col("toks"), b, xxh = true).as("kx"),
+            Dsir.featureBucketsHof(col("toks"), b, xxh = true).as("hx"))
+          .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].collect()
+        rows.forall { case (k, h, kx, hx) => k == h && kx == hx }
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
