@@ -129,22 +129,23 @@ object LangIdClassifier {
   def train(docs: DataFrame, text: Column, lang: Column,
             langs: Seq[String], k: Int = 12, iters: Int = 8,
             lr: Double = 8.0,
-            wideGradMaxCols: Int = 512): Seq[(String, Array[Double])] = {
+            wideGradMaxCols: Int = 0): Seq[(String, Array[Double])] = {
     require(langs.nonEmpty && langs.distinct == langs,
       s"train: langs must be non-empty and distinct, got $langs")
     graft.extensions.GraftExtensions.register(docs.sparkSession)
     // Two trainer shapes, IDENTICAL trajectories (bit-exact, asserted
-    // in LangIdClassifierSpec): below `wideGradMaxCols` total gradient
-    // columns, the lockstep WIDE aggregate below — the oracle-pinned
-    // form (tx_langid_trained). Above it, the wide form's generated
-    // code goes QUADRATIC in k (each of the langs×(k+1) sum columns
-    // re-expands its head's whole σ dot product — measured 87 MB task
-    // binaries and 254 s/pass at 20 heads × k=64 × 1M docs, MaintProbe
-    // langid r15; and any (k+1)-wide feature projection additionally
-    // falls out of whole-stage codegen past spark.sql.codegen.maxFields
-    // at k≈100+, going interpreted-row-bound), so the capacity path is
-    // the FUSED native kernel ([[trainKernel]]): a two-column scan and
-    // one O(heads×k)-per-row aggregate.
+    // in LangIdClassifierSpec): the FUSED native kernel
+    // ([[trainKernel]] — a two-column scan and one O(heads×k)-per-row
+    // aggregate) and the lockstep WIDE aggregate ([[trainWide]] — the
+    // executable specification the oracle CTEs restate). The kernel is
+    // the default at EVERY size (r17 optimization round: even at 5
+    // heads × k=12 the wide form pays per-iteration analysis + codegen
+    // of langs×(k+1) sum columns each re-expanding its head's whole σ
+    // dot product — tx_langid_trained measured 5.0 → 2.9 s standalone
+    // on the kernel path; at capacity the wide form is catastrophically
+    // worse — 87 MB task binaries, 254 s/pass at 20 heads × k=64 × 1M
+    // docs, MaintProbe langid r15). Pass `wideGradMaxCols` above
+    // langs×(k+1) to force the wide spec form (the parity tests do).
     if (langs.size * (k + 1) > wideGradMaxCols)
       trainKernel(docs, text, lang, langs, k, iters, lr)
     else trainWide(docs, text, lang, langs, k, iters, lr)
@@ -290,7 +291,7 @@ object LangIdClassifier {
   def langGate(docs: DataFrame, id: Column, text: Column,
                models: Seq[(String, Array[Double])], keep: Set[String],
                k: Int = 12, minProb: Double = 0.0,
-               wideScoreMaxCols: Int = 512): DataFrame = {
+               wideScoreMaxCols: Int = 0): DataFrame = {
     require(models.nonEmpty, "langGate: no trained heads")
     require(keep.nonEmpty,
       "langGate: empty keep set would silently drop the whole corpus — " +
@@ -339,15 +340,16 @@ object LangIdClassifier {
   def predict(docs: DataFrame, text: Column,
               models: Seq[(String, Array[Double])],
               k: Int = 12,
-              wideScoreMaxCols: Int = 512): DataFrame = {
+              wideScoreMaxCols: Int = 0): DataFrame = {
     graft.extensions.GraftExtensions.register(docs.sparkSession)
-    // capacity switch (the train() rationale on the inference side): per-
-    // head σ columns over (k+1) element_at terms fall out of whole-stage
-    // codegen past maxFields at large heads×k — above the threshold the
-    // scratch row stores the fused kernel's σ ARRAY instead of the
-    // counts, and every output column is a stored-array element_at.
-    // Identical values (the kernel's rounding contract; parity asserted
-    // in LangIdClassifierSpec incl. null text).
+    // the fused σ kernel is the default at every size (the train()
+    // rationale on the inference side — r17): the scratch row stores
+    // the kernel's σ ARRAY instead of the counts, and every output
+    // column is a stored-array element_at; the per-head σ-column form
+    // stays as the executable spec (pass wideScoreMaxCols above
+    // heads×(k+1) to force it — the parity tests do). Identical values
+    // (the kernel's rounding contract; parity asserted in
+    // LangIdClassifierSpec incl. null text).
     val useKernel = models.size * (k + 1) > wideScoreMaxCols
     val fr = graft.core.Scratch.materialize(
       if (useKernel)
