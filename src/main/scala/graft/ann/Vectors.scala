@@ -437,11 +437,18 @@ object Vectors {
                           books: DataFrame, m: Int,
                           roundTo: Int = 6): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val sv = subVectors(c, "vec_id", m)
-    val errs = pqAssign(corpus, idCol, vecCol, books, m)
-      .join(sv, Seq("vec_id", "sub"))
-      .join(broadcast(books.withColumnRenamed("cent_id", "cell")), Seq("sub", "cell"))
-      .withColumn("__e", l2sq(col("sv"), col("cv")))
+    // r17: carry the winning distance OUT of the assignment aggregate —
+    // the previous shape re-derived it by joining the assignment back to
+    // a fresh sub-vector explode and the codebooks (two joins + a second
+    // explode) to recompute l2sq of the already-chosen cell. min(struct)
+    // picks the same (distance, cent_id) pair pqAssign's min_by picks,
+    // and l2sq ≥ +0.0 always (a sum of squares), so the carried double
+    // is bit-identical to the recomputed one.
+    val errs = subVectors(c, "vec_id", m)
+      .join(broadcast(books), "sub")
+      .withColumn("__d", l2sq(col("sv"), col("cv")) + 0.0)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("__d"), col("cent_id"))).getField("__d").as("__e"))
       .groupBy(col("vec_id"))
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("sub"), col("__e")))),
