@@ -268,26 +268,39 @@ object Dedup {
 
   private def pairsFromBanded(banded: DataFrame,
                               maxBucket: Int): DataFrame = {
-    // `small` feeds BOTH sides of the self-join — unshared, the entire
-    // upstream MinHash chain (explode × seeds × md5) is recomputed per
-    // branch (observed 3× cost at a 500k-doc probe). COLUMNAR scratch,
-    // not localCheckpoint: this relation is corpus-rows × bands — object
-    // blocks cross the Scratch.objectBlockSafeRows spill cliff at ~10M
-    // docs (the 15×-superlinear regime MaintProbe `lm` measured for the
-    // same pattern, SURVEY §6.3), while a single-shot multi-consumer
-    // share is exactly Scratch.materialize's case: one eager columnar
-    // write, both self-join branches read at scan speed, zero executor
-    // storage pinned. (100 TB deployments still prefer dedupCorpus /
-    // ingest-daily, whose band indexes live in bucketed tables — but
-    // this one-shot form no longer cliffs if used directly.)
-    val small = graft.core.Scratch.materialize(banded
+    // ONE shuffle on (band, band_sig), then pairs by pure projection
+    // (r18 optimization round; guide §2.4). The cap window establishes
+    // hashpartitioning(band, band_sig) and the bucket-member aggregate
+    // REUSES it (same keys ⇒ EnsureRequirements inserts no second
+    // exchange), so the whole candidate stage is:
+    // scan → minhash kernel → Exchange(band, band_sig) → cap window →
+    // collect members → explode pairs → distinct. The previous form
+    // wrote the capped relation to columnar scratch and self-joined it
+    // on the bucket key — one scratch write + two scratch scans + a
+    // join, all of them corpus×bands-sized, for information the single
+    // partitioned pass already holds. Degenerate buckets stay safe: the
+    // WINDOW (streaming, spillable) sees the over-cap bucket and drops
+    // it BEFORE the aggregate, so collected member arrays are
+    // ≤ maxBucket elements — never boilerplate-bucket-sized.
+    //
+    // Pair semantics are the join's, exactly: members sort ascending
+    // (sort_array and the old join's `<` use the same type ordering —
+    // long or UTF8String binary), pairs are (ds[i], ds[j]) with i < j,
+    // and the `<` filter excludes the doc_a = doc_b rows a duplicate id
+    // inside one bucket would produce (the join's a.doc_id < b.doc_id
+    // excluded them too). Row-identity with the aggregate composition
+    // is asserted in DedupSpec, as before.
+    banded
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
-      .filter(col("bn") <= maxBucket), "lshpairs")
-    small.as("a").join(small.as("b"),
-        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("bn") <= maxBucket)
+      .groupBy(col("band"), col("band_sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("__ds"))
+      .select(col("__ds"), posexplode(col("__ds")).as(Seq("__i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("__ds"), col("__i") + lit(2), size(col("__ds"))))
+          .as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
   }
 
@@ -627,11 +640,11 @@ object Dedup {
     val cands = candidates.dropDuplicates("doc_a", "doc_b").localCheckpoint()
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    // grams is candidate-DOC-TOKEN scale, and on the corpora dedup exists
-    // for (heavy duplication ⇒ candidates ≈ corpus) that is corpus-token
-    // scale — the object-block cliff the r12 sweep removed elsewhere
-    // (15× superlinear at 1M→10M, SURVEY §6.3). COLUMNAR scratch: one
-    // eager write, the three consumers (sizes + both join sides) read at
+    // the gram-set relation is candidate-DOC-TOKEN scale, and on the
+    // corpora dedup exists for (heavy duplication ⇒ candidates ≈ corpus)
+    // that is corpus-token scale — the object-block cliff the r12 sweep
+    // removed elsewhere (15× superlinear at 1M→10M, SURVEY §6.3).
+    // COLUMNAR scratch: one eager write, both join-side consumers read at
     // scan speed with zero executor storage pinned. cands stays on
     // localCheckpoint — it is pair-scale (bounded by the LSH caps).
     // semi-join BEFORE the gram explode (r17): Catalyst does not push a
@@ -640,21 +653,32 @@ object Dedup {
     // is pair-bounded → broadcast semi → the explode runs on candidate
     // docs only (same rows by construction — the semi-join key is
     // doc_id either way)
-    val grams = graft.core.Scratch.materialize(
+    // The scratch holds ONE ARRAY ROW PER DOC (r18), not exploded gram
+    // rows: the gram-row views below derive by map-side explode at scan
+    // time, each doc's set size is `size(gs)` read off the same row (the
+    // kernel runs once, at write time), and the per-doc sizes RIDE THE
+    // GRAM ROWS through the pair joins — the previous shape aggregated
+    // the exploded relation back to doc level and joined sz_a/sz_b on
+    // twice (two more joins of the pair relation + one corpus-token
+    // aggregate, guide §2.4's "aggregate + join-back is a carry in
+    // disguise"). Within a (doc_a, doc_b) group every row carries the
+    // same sz_a/sz_b (per-doc constants), so max() lifts them exactly.
+    val gsets = graft.core.Scratch.materialize(
       docs.select(id.as("doc_id"), text.as("__vtext"))
         .join(candDocs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
-          explode(distinctCharNgrams(col("__vtext"), n)).as("g")),
+          distinctCharNgrams(col("__vtext"), n).as("gs")),
       "verifygrams")
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = guardedBroadcast(cands, maxBroadcastPairs)
-      .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+    val grams = gsets.select(col("doc_id"), size(col("gs")).as("sz"),
+      explode(col("gs")).as("g"))
+    guardedBroadcast(cands, maxBroadcastPairs)
+      .join(grams.select(col("doc_id").as("doc_a"), col("sz").as("__sza"),
+        col("g")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("sz").as("__szb"),
+        col("g")), Seq("doc_b", "g"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        max(col("__sza")).as("sz_a"), max(col("__szb")).as("sz_b"))
       .withColumn("jaccard", round(col("inter") /
         (col("sz_a") + col("sz_b") - col("inter")), roundTo))
       .filter(col("jaccard") >= minJaccard)
@@ -1470,31 +1494,42 @@ object Dedup {
     */
   def tfidfUnitWeights(docs: DataFrame, id: Column, terms: Column,
                        maxDf: Int = Int.MaxValue): DataFrame = {
-    // one explode pass: df, N, weights, and norms all re-read this
-    // relation — without the materialization each derivation re-explodes
-    // and re-aggregates the corpus. COLUMNAR scratch, not localCheckpoint:
-    // one thin row per (doc, term) type is corpus-token scale, the tier
-    // where object blocks hit the measured 40M-row cliff (§6.3 budgetdiag)
-    val tf0 = graft.core.Scratch.materialize(
+    // FUSED weight pipeline (r18 optimization round; guide §2.3/§2.4).
+    // Previous shape: materialize (doc, term, tf), aggregate df per term,
+    // SEMI-join terms back, join df back AGAIN, aggregate the norm per
+    // doc, join THAT back — three joins and two aggregates re-reading the
+    // same relation. Each "aggregate + join-back" pair is a window in
+    // disguise: df rides a count window over the ONE term-keyed exchange
+    // the df aggregate needed anyway (at scale the join-back was a second
+    // shuffle of the whole (doc, term) relation — vocabulary-sized df
+    // tables don't broadcast), and the norm rides a sum window over one
+    // doc-keyed exchange. The maxDf stop-term filter sits between them,
+    // unchanged in semantics (df counted over the raw vocabulary, norms
+    // over the surviving terms).
+    //
+    // Still ONE columnar scratch: df/norm are now computed in-line, but
+    // the relation keeps multiple consumers (the N aggregate below plus
+    // whatever the caller fans out to — d23 reads it four ways), and one
+    // thin row per (doc, term) type is corpus-token scale, the tier
+    // where object blocks hit the measured 40M-row cliff (§6.3
+    // budgetdiag).
+    val winT = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val winD = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val tfdf = graft.core.Scratch.materialize(
       docs.select(id.as("doc_id"), explode(terms).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("df", count(lit(1)).over(winT))
+        .filter(col("df") <= maxDf),
       "tfidf_w")
-    val dfr = tf0.groupBy("term").agg(count(lit(1)).as("df"))
-      // stop-TERM removal at the vocabulary level (maxDf): ubiquitous
-      // terms carry ~zero idf signal but quadratic join cost; dropping
-      // them BEFORE weighting keeps every later stage (norms, prefix
-      // bound, dots) in one consistent vector space — and any consumer's
-      // oracle can mirror it as a plain df filter
-      .filter(col("df") <= maxDf)
-    val tf = tf0.join(dfr.select("term"), "term")
-    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
-    val w = tf.join(dfr, "term").join(broadcast(n))
+    // N = docs with ≥1 surviving term — the denominator the previous
+    // form computed over the post-filter relation; identical here
+    val n = tfdf.agg(countDistinct(col("doc_id")).as("n"))
+    tfdf.join(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("w"))
-    val q = w.groupBy("doc_id")
-      .agg(sum(round(col("w") * col("w") * 1e12).cast("long")).as("q12"))
+      .withColumn("q12",
+        sum(round(col("w") * col("w") * 1e12).cast("long")).over(winD))
       .filter(col("q12") > 0L)
-    w.join(q, "doc_id")
       .select(col("doc_id"), col("term"),
         round(col("w") / sqrt(col("q12") / 1e12), 6).as("u"))
   }
@@ -1530,9 +1565,14 @@ object Dedup {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
       else {
-        val stats = weights.groupBy("term")
-          .agg(count(lit(1)).as("tdf"), max(col("u")).as("maxu"))
-        val ordered = weights.join(stats, "term")
+        // tdf/maxu as windows over ONE term-keyed exchange (r18) — the
+        // tfidfUnitWeights rationale: the previous aggregate + join-back
+        // re-scanned the weight relation and re-shuffled it at scale
+        // (term-stat tables are vocabulary-sized, no broadcast)
+        val winT = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        val ordered = weights
+          .withColumn("tdf", count(lit(1)).over(winT))
+          .withColumn("maxu", max(col("u")).over(winT))
         // tail-sum from this term onward in the (df asc, term asc) order;
         // rows whose whole tail stays under minCos are suffix — skipped
         // by the index. Per-doc window: bounded.
@@ -1868,7 +1908,11 @@ object Dedup {
     * for the df, one equi-join back on the segment key, one doc-keyed
     * reassembly aggregate whose per-group state is bounded by the
     * document's own segment count (the a3 grouped-collect discipline) —
-    * no window over an unbounded partition, no all-pairs anything. With
+    * no window over an unbounded partition, no all-pairs anything. (A
+    * count window over the segment key would be one pass, but a
+    * boilerplate line's window partition is its entire corpus df —
+    * exactly the skew this scrub removes — while the aggregate
+    * partial-combines it map-side; r18 review.) With
     * `hashed = true` the df aggregate and join-back carry an 8-byte
     * xxhash64 key instead of the segment text (CCNet itself dedups line
     * HASHES) — the shuffle shrinks by the mean segment length; a 64-bit
@@ -1891,6 +1935,11 @@ object Dedup {
       posexplode(segments).as(Seq("pos", "seg")))
     val key: Column => Column =
       if (hashed) c => xxhash64(c) else identity
+    // Deliberately an AGGREGATE + join-back, not a count window (r18
+    // review): a boilerplate line's window partition is its entire
+    // corpus df — exactly the skew this scrub exists to remove — while
+    // the aggregate partial-combines it map-side and the join-back is
+    // AQE-skew-splittable (guide §2.5).
     val dfr = seg.groupBy(key(col("seg")).as("__k"))
       .agg(count(lit(1)).as("__df"))
     reassembleSegments(
