@@ -510,14 +510,16 @@ object TextFunctions {
     *
     * The instance relation (one row per bigram OCCURRENCE — corpus-token
     * scale; the LM trains on the corpus it scores, so at 10M docs this
-    * is ~10⁹ rows) feeds the two count aggregates AND the scoring join:
-    * it is materialized ONCE, to COLUMNAR scratch — localCheckpoint here
+    * is ~10⁹ rows) feeds the type aggregate AND the scoring join: it is
+    * materialized ONCE, to COLUMNAR scratch — localCheckpoint here
     * would pin the whole tokenized corpus as deserialized object blocks,
     * the engine's own measured 40M-row cliff (SURVEY §6.3 budgetdiag,
     * 88.6→17.4 s when moved to scratch). The vocabulary is counted off
     * the SAME materialization: every token of a ≥2-token doc appears as
     * some bigram's w1 or w2, so distinct(w1 ∪ w2) ≡ distinct tokens of
-    * the gated docs — no second corpus scan, identical value.
+    * the gated docs — no second corpus scan, identical value. Scoring
+    * joins the per-TYPE log-prob once (r18) rather than attaching each
+    * count to every instance.
     *
     * Output: (doc_id, n_bigrams, avg_logp).
     */
@@ -537,10 +539,25 @@ object TextFunctions {
     val v = inst.select(col("w1").as("tok"))
       .union(inst.select(split(col("bigram"), "_")(1).as("tok")))
       .agg(countDistinct(col("tok")).as("v"))
-    inst.join(c12, "bigram").join(c1, "w1").crossJoin(broadcast(v))
+    // per-TYPE log-prob, instance joins the finished lp6 ONCE (r18) —
+    // the trigramLmScoresKn discipline: lp6 is a function of the bigram
+    // TYPE's counts alone, so the c1 attach runs at type scale and the
+    // instance relation pays a single exchange for scoring instead of
+    // two (self-trained count tables are corpus-derived — past
+    // broadcast size at the 10M-doc tier, where each extra instance
+    // join is a full shuffle). A second A/B kept c1/v as
+    // instance-side aggregates: deriving them from a materialized type
+    // relation added a scratch-write job that cost more at bench scale
+    // than the saved reads, and at cluster scale both forms are one
+    // map-side-combined pass.
+    val typed = c12
+      .withColumn("w1", split(col("bigram"), "_")(0))
+      .join(c1, "w1").crossJoin(broadcast(v))
       .withColumn("lp6", round(
         log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))),
         6))
+      .select("bigram", "lp6")
+    inst.join(typed, "bigram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(round(col("lp6") * 1e6).cast("long")).as("__s6"))
@@ -576,35 +593,50 @@ object TextFunctions {
     // count aggregates AND the scoring join: one COLUMNAR scratch
     // materialization, never object blocks (the [[bigramLmScores]]
     // rationale — §6.3's measured 40M-row localCheckpoint cliff)
+    // (doc_id, bigram) ONLY — the w1/w2 splits live on the TYPE relation
+    // since r18 (c1 derives there and scoring joins the finished lp6),
+    // so carrying them per-instance was pure scratch width
     val inst = graft.core.Scratch.materialize(
       docs.select(id.as("doc_id"), tokens(text).as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"),
-          explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
-        .withColumn("w1", split(col("bigram"), "_")(0))
-        .withColumn("w2", split(col("bigram"), "_")(1)),
+          explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram")),
       "lmkn_inst")
-    // the bigram-TYPE relation feeds four readers (the c12 join, both
-    // N1+ aggregates, and the type total) — materialize it once too:
-    // types ≪ occurrences but still corpus-vocabulary² scale, well past
-    // the object-block-safe tier at 10M docs
+    // the bigram-TYPE relation feeds five readers (c1, both N1+
+    // aggregates, the type total, and the typed-lp6 join) — materialize
+    // it once too: types ≪ occurrences but still corpus-vocabulary²
+    // scale, well past the object-block-safe tier at 10M docs
     val c12 = graft.core.Scratch.materialize(
       inst.groupBy("bigram").agg(count(lit(1)).as("c12"))
         .withColumn("w1", split(col("bigram"), "_")(0))
         .withColumn("w2", split(col("bigram"), "_")(1)),
       "lmkn_c12")
-    val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c(w1·) = Σ_w2 c(w1w2) off the TYPE relation (r18) — an exact
+    // integer identity; the previous instance-scale count aggregate
+    // re-read the corpus-token scratch for a number the vocabulary²
+    // relation already holds
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val fwd = c12.groupBy("w1").agg(count(lit(1)).as("n1p_fwd"))
     val rev = c12.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
     val tt = c12.agg(count(lit(1)).as("tt"))
     val d = lit(discount)
-    inst.join(c12.select("bigram", "c12"), "bigram")
+    // per-TYPE log-prob, instance joins the finished lp6 ONCE — the
+    // trigramLmScoresKn discipline applied one order down (r18): every
+    // term of the formula is a function of the bigram TYPE's counts, so
+    // the four count joins run at type scale and the instance relation
+    // pays a single exchange for scoring instead of four (self-trained
+    // model tables are corpus-derived — past broadcast size at the
+    // 10M-doc tier, where each extra instance join was a full shuffle;
+    // §6.3 lm r13 A/B measured 294.2 → 207.9 s for the trigram form)
+    val typed = c12
       .join(c1, "w1").join(fwd, "w1").join(rev, "w2")
       .crossJoin(broadcast(tt))
       .withColumn("lp6", round(log(
         greatest(col("c12").cast("double") - d, lit(0.0)) / col("c1") +
           (d * col("n1p_fwd") / col("c1")) * (col("n1p_rev") / col("tt"))),
         6))
+      .select("bigram", "lp6")
+    inst.join(typed, "bigram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(round(col("lp6") * 1e6).cast("long")).as("__s6"))
@@ -709,25 +741,25 @@ object TextFunctions {
   def bigramLmScoresKnAgainst(docs: DataFrame, id: Column, text: Column,
                               train: DataFrame, trainText: Column,
                               discount: Double = 0.75): DataFrame = {
-    // train-side relations are "target-slice-sized" ONLY when the target
-    // is a small reference set; CCNet's actual target is Wikipedia-scale,
-    // and the lm MaintProbe measured the object-block pin going 15×
-    // superlinear at a 2M-doc train slice (the §6.3 cliff, caught live).
-    // COLUMNAR scratch for the instance relation, and the count tables
-    // derive from it; the token-array relation is folded away entirely
-    // (bigram instances are the only consumer).
-    val ti = graft.core.Scratch.materialize(
-      train.select(tokens(trainText).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
-        .withColumn("w1", split(col("bigram"), "_")(0)),
-      "lmkn_ti")
+    // the train-side INSTANCE relation has exactly one consumer — the
+    // bigram-type aggregate (r18; the fitKn r17 rationale): its map-side
+    // partial combine collapses instances in-flight, so the previous
+    // instance-scale scratch write (Wikipedia-scale at the CCNet target)
+    // was a full extra disk round-trip. c1 (the prefix instance count)
+    // derives from the TYPE relation instead — c(w1·) = Σ_w2 c(w1w2), an
+    // exact integer identity — so nothing else needed the instances.
+    // The type relation stays on COLUMNAR scratch: five consumers (c1,
+    // fwd, rev, tt, the scoring join), vocabulary²-scale at a real
+    // target (the §6.3 cliff tier for object blocks).
+    val ti = train.select(tokens(trainText).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
     val c12 = graft.core.Scratch.materialize(
       ti.groupBy("bigram").agg(count(lit(1)).as("c12"))
         .withColumn("w1", split(col("bigram"), "_")(0))
         .withColumn("w2", split(col("bigram"), "_")(1)),
       "lmkn_tc12")
-    val c1 = ti.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val fwd = c12.groupBy("w1").agg(count(lit(1)).as("n1p_fwd"))
     val rev = c12.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
     val tt = c12.agg(count(lit(1)).as("tt"))
