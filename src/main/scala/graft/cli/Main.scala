@@ -974,8 +974,12 @@ object Main {
         val ngram = opt(args, "--ngram").map(_.toInt).getOrElse(3)
         val minJ = opt(args, "--min-jaccard").map(_.toDouble).getOrElse(0.3)
         val srcCol = opt(args, "--source-col").getOrElse("source")
+        // auto form (r18): user-supplied --band-size that does not divide
+        // --minhash-k falls back to the aggregate composition (trailing
+        // partial band) instead of failing the projected-form require
+        // (r17 ADVICE)
         val verified = Dedup.verifyCandidates(docs,
-          Dedup.lshCandidatePairsProjected(docs, col("doc_id"), col("text"),
+          Dedup.lshCandidatePairsAuto(docs, col("doc_id"), col("text"),
             k, bandSize),
           col("doc_id"), col("text"), ngram, minJ).localCheckpoint()
         val sizes = Dedup.connectedComponentsStar(verified, "doc_a", "doc_b")

@@ -266,6 +266,23 @@ object Dedup {
     pairsFromBanded(bandedSignaturesProjected(docs, id, text, k, bandSize),
       maxBucket)
 
+  /** [[lshCandidatePairsProjected]] when `bandSize` divides `k`, else the
+    * aggregate-banded composition (which groups the remainder seeds into
+    * a trailing partial band instead of dropping them). The dispatch
+    * point for USER-SUPPLIED (k, bandSize) — the CLI and pipeline entry
+    * points route here (r17 ADVICE: routing them through the projected
+    * form alone turned a previously-working trailing-partial-band
+    * configuration into a hard `require` failure at plan build).
+    */
+  def lshCandidatePairsAuto(docs: DataFrame, id: Column, text: Column,
+                            k: Int, bandSize: Int,
+                            maxBucket: Int = 64): DataFrame =
+    if (k % bandSize == 0)
+      lshCandidatePairsProjected(docs, id, text, k, bandSize, maxBucket)
+    else
+      lshCandidatePairs(minhashSignatures(docs, id, text, k), bandSize,
+        maxBucket)
+
   private def pairsFromBanded(banded: DataFrame,
                               maxBucket: Int): DataFrame = {
     // ONE shuffle on (band, band_sig), then pairs by pure projection
@@ -991,10 +1008,19 @@ object Dedup {
     val (edges, _) = persistRound(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().repartition(parts, col("dst")), nEdges)
-    // labels are vertex-sized; nEdges is its (conservative) upper bound
+    // labels are vertex-sized; nEdges is its (conservative) upper bound.
+    // SEEDED round 0 (r18): start each vertex at least(v, min neighbor) —
+    // exactly what the first propagation round would compute from
+    // identity labels, for one groupBy over the already-materialized
+    // edges instead of a full round's join + groupBy + join + convergence
+    // aggregate. The label trajectory from here on is the identity-seeded
+    // trajectory shifted one round earlier; convergence detection is
+    // unchanged (labels only ever decrease).
     var (labels, dropLabels) = persistRound(
-      edges.select(col("src").as("v")).distinct()
-        .select(col("v"), col("v").as("lbl"))
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("__mn"))
+        .select(col("src").as("v"),
+          least(col("__mn"), col("src")).as("lbl"))
         .repartition(parts, col("v")), nEdges)
     // edges + round-0 labels are materialized; the half orientation is dead
     dropHalf()
@@ -1082,20 +1108,27 @@ object Dedup {
     var converged = sig._1 == 0L
     while (!converged && iter < maxIter) {
       // LARGE-STAR over the bidirectional view: x's min neighbor m (incl.
-      // itself); every strictly-larger neighbor y re-attaches to m
+      // itself); every strictly-larger neighbor y re-attaches to m.
+      // The per-node minimum is a WINDOW over the one x-keyed exchange
+      // (r18; previously a groupBy + join-back onto the same key — two
+      // joins and two exchanges per alternation more than this form).
+      // Window partitions are NODE DEGREES, bounded by the upstream
+      // bucket caps (≤ bands × maxBucket candidates per doc), never
+      // corpus-sized — the guide §2.5 skew concern does not apply.
       val bi = edges.select(col("hi").as("x"), col("lo").as("y"))
         .union(edges.select(col("lo").as("x"), col("hi").as("y")))
-      val minsL = bi.groupBy("x").agg(min(col("y")).as("mn"))
-        .select(col("x"), least(col("x"), col("mn")).as("m"))
-      val ls = bi.join(minsL, "x")
-        .filter(col("y") > col("x"))
+      val withM = bi
+        .withColumn("mn", min(col("y")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("x")))
+        .withColumn("m", least(col("x"), col("mn")))
+      val ls = withM.filter(col("y") > col("x"))
         .select(col("y").as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct()
       // SMALL-STAR on the hi→lo orientation: hi's minimum smaller neighbor
       // m; hi and every other smaller neighbor re-attach to m
-      val minsS = ls.groupBy("hi").agg(min(col("lo")).as("m"))
-      val joined = ls.join(minsS, "hi")
+      val joined = ls.withColumn("m", min(col("lo")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("hi")))
       val ss = joined.filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(joined.select(col("hi"), col("m").as("lo")))

@@ -73,7 +73,21 @@ object DsirBucketsKernel {
     val toks = new Array[Array[Byte]](sz)
     var i = 0
     while (i < sz) {
-      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      // NULL elements are a contract violation surfaced loudly (r17
+      // ADVICE): the HOF specification yields null buckets for null
+      // tokens (md5(null)/xxhash64(null) are null), but this kernel's
+      // declared output is ArrayType(LongType, containsNull = false) —
+      // silently hashing null as empty bytes would rewrite the value.
+      // No in-engine caller can reach this (tokens() output never holds
+      // nulls); an external caller with a null-holding array must
+      // pre-filter.
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          "graft_dsir_buckets: token array contains a NULL element " +
+            s"(index $i) — the DSIR feature contract requires non-null " +
+            "tokens (the HOF spec would yield a null bucket, which this " +
+            "kernel's non-null output type cannot represent)")
+      toks(i) = arr.getUTF8String(i).getBytes
       i += 1
     }
     val nBi = if (sz >= 2) sz - 1 else 0
@@ -85,7 +99,7 @@ object DsirBucketsKernel {
     val b = nBuckets.toLong
     i = 0
     while (i < sz) {
-      one(0) = if (toks(i) == null) Array.emptyByteArray else toks(i)
+      one(0) = toks(i)
       out(i) =
         if (xxh) xxh64(one, b)
         else md5Prefix60(md, one) % b
@@ -93,9 +107,9 @@ object DsirBucketsKernel {
     }
     i = 0
     while (i < nBi) {
-      three(0) = if (toks(i) == null) Array.emptyByteArray else toks(i)
+      three(0) = toks(i)
       three(1) = underscore
-      three(2) = if (toks(i + 1) == null) Array.emptyByteArray else toks(i + 1)
+      three(2) = toks(i + 1)
       out(sz + i) =
         if (xxh) xxh64(three, b)
         else md5Prefix60(md, three) % b

@@ -47,8 +47,13 @@ object TokenizeKernel {
     val bytes = s.getBytes
     val n = bytes.length
     val out = new java.util.ArrayList[Any](16)
-    val seen: java.util.HashSet[String] =
-      if (distinct) new java.util.HashSet[String]() else null
+    // seen-set keyed on UTF8String (BINARY equality, as CharNgramsKernel)
+    // — keying on tok.toString (r17 ADVICE) decoded through U+FFFD
+    // replacement, which would merge byte-distinct tokens that
+    // array_distinct (byte equality) keeps, on any invalid UTF-8 that
+    // slips past the decode contract
+    val seen: java.util.HashSet[UTF8String] =
+      if (distinct) new java.util.HashSet[UTF8String]() else null
     var runStart = -1
     var runAscii = true
     def emit(endExclusive: Int): Unit = {
@@ -69,7 +74,7 @@ object TokenizeKernel {
           tok = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
             .exec(UTF8String.fromBytes(t), collationId, useICU)
         }
-        if (seen == null || seen.add(tok.toString)) out.add(tok)
+        if (seen == null || seen.add(tok)) out.add(tok)
         runStart = -1
         runAscii = true
       }
@@ -129,7 +134,12 @@ case class TokenizeExpr(child: Expression, distinct: Boolean = false)
     case s: StringType => s.collationId
     case _ => 0
   }
-  private lazy val useICU: Boolean =
+  // EAGER val, not lazy (r17 ADVICE): resolved from the session conf when
+  // the expression node is constructed ON THE DRIVER (Column building /
+  // analysis) and serialized with the node, so an interpreted-eval path
+  // whose first access lands on an executor sees the same value the
+  // driver's codegen bakes in — never the executor's default conf
+  private val useICU: Boolean =
     org.apache.spark.sql.internal.SQLConf.get.getConf(
       org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
 

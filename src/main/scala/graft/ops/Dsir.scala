@@ -49,7 +49,10 @@ object Dsir {
     * token ARRAY (the [[graft.text.TextFunctions.wordNgramsFromTokens]]
     * CodegenFallback caveat — project `tokens(text)` once first).
     * Singleton docs contribute their unigram only (no degenerate
-    * 1-token "bigram").
+    * 1-token "bigram"). INPUT CONTRACT: array elements must be non-null
+    * (every tokenizer here guarantees it); a null element is rejected
+    * loudly at eval — the HOF spec would yield a null bucket, which the
+    * kernel's non-null output type cannot represent (r17 ADVICE).
     *
     * `xxh = true` swaps the md5-prefix bucket hash for `xxhash64 mod B`
     * — the 100 TB fast path (the d10 hashGrams precedent): DSIR's

@@ -824,8 +824,11 @@ object Pipelines {
     emit("exact_dedup", exact)
     // projected banding: the minhash kernel computes band signatures
     // inside the scan — no signature-stage exchange (r17; row-identical
-    // to the long-format composition, DedupSpec)
-    val cands = Dedup.lshCandidatePairsProjected(
+    // to the long-format composition, DedupSpec). Auto form (r18): a
+    // user-supplied bandSize that does not divide minhashK falls back to
+    // the aggregate composition (trailing partial band) instead of
+    // failing the projected form's divisibility require (r17 ADVICE).
+    val cands = Dedup.lshCandidatePairsAuto(
       exact, cid, cleanText, minhashK, bandSize)
     val verified = Dedup.verifyCandidates(exact, cands, cid, cleanText, ngram,
         minJaccard)

@@ -80,10 +80,13 @@ object QualityClassifier {
   private[text] def logisticTrainOn(f: DataFrame, k: Int, iters: Int,
                       lr: Double): Array[Double] = {
     val xs = (0 until k).map(i => col(s"__x$i"))
-    val n = f.count().toDouble
-    require(n > 0, "logisticTrain: empty training set")
+    // n rides the FIRST gradient aggregate's count(1) column (r18) — the
+    // standalone f.count() was a whole extra pass over the corpus-row
+    // features relation per training call, for a number every iteration's
+    // aggregate already computes
+    var n = 0.0
     var w = Array.fill(k)(0.0)
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       // fixed-point per-row gradient contributions → exact long sums
       val p = prob(xs, w)
       val sums = f.agg(
@@ -91,6 +94,10 @@ object QualityClassifier {
         (0 until k).map(i =>
           sum(round((p - col("__y")) * col(s"__x$i") * 1e6)
             .cast("long")).as(s"__g$i")): _*).head()
+      if (it == 0) {
+        n = sums.getLong(0).toDouble
+        require(n > 0, "logisticTrain: empty training set")
+      }
       w = Array.tabulate(k) { i =>
         val g = if (sums.isNullAt(i + 1)) 0L else sums.getLong(i + 1)
         BigDecimal(w(i) - lr * g / n / 1e6)

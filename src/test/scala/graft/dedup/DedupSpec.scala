@@ -275,6 +275,30 @@ class DedupSpec extends SparkSpec {
     assert(proj.map(_._1) === Set(1L, 2L, 3L)) // token-less docs absent
   }
 
+  test("lshCandidatePairsAuto: non-dividing bandSize falls back to the " +
+      "aggregate form (trailing partial band) instead of failing") {
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(1L -> txt, 2L -> txt,
+      3L -> "pack my box with five dozen liquor jugs").toDF("doc_id", "text")
+    // k = 8, bandSize = 3: the projected form's divisibility require
+    // rejects this (r17 ADVICE — CLI/pipeline user args hit it); auto
+    // must route to the aggregate composition and still propose the
+    // exact-dup pair
+    val auto = Dedup.lshCandidatePairsAuto(docs, col("doc_id"), col("text"),
+      8, 3).as[(Long, Long)].collect().toSet
+    val agg = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8), 3)
+      .as[(Long, Long)].collect().toSet
+    assert(auto === agg)
+    assert(auto.contains((1L, 2L)))
+    // and the dividing case still rides the projected form's pair set
+    val auto4 = Dedup.lshCandidatePairsAuto(docs, col("doc_id"), col("text"),
+      8, 4).as[(Long, Long)].collect().toSet
+    val proj4 = Dedup.lshCandidatePairsProjected(docs, col("doc_id"),
+      col("text"), 8, 4).as[(Long, Long)].collect().toSet
+    assert(auto4 === proj4)
+  }
+
   test("incrementalCandidatePairs: new×index and new×new, never old×old") {
     // docs 1,2 are exact dups (old corpus); 10 dups 1 (new vs index);
     // 11,12 are new exact dups of each other; 20 is unique
