@@ -284,7 +284,11 @@ object Dedup {
         maxBucket)
 
   private def pairsFromBanded(banded: DataFrame,
-                              maxBucket: Int): DataFrame = {
+                              maxBucket: Int): DataFrame =
+    pairsFromCappedBuckets(banded, "band_sig", maxBucket)
+
+  private def pairsFromCappedBuckets(banded: DataFrame, sigCol: String,
+                                     maxBucket: Int): DataFrame = {
     // ONE shuffle on (band, band_sig), then pairs by pure projection
     // (r18 optimization round; guide §2.4). The cap window establishes
     // hashpartitioning(band, band_sig) and the bucket-member aggregate
@@ -309,9 +313,9 @@ object Dedup {
     // is asserted in DedupSpec, as before.
     banded
       .withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")))
+        org.apache.spark.sql.expressions.Window.partitionBy("band", sigCol)))
       .filter(col("bn") <= maxBucket)
-      .groupBy(col("band"), col("band_sig"))
+      .groupBy(col("band"), col(sigCol))
       .agg(sort_array(collect_list(col("doc_id"))).as("__ds"))
       .select(col("__ds"), posexplode(col("__ds")).as(Seq("__i", "doc_a")))
       .select(col("doc_a"),
@@ -1731,16 +1735,14 @@ object Dedup {
     // equi-join) — raw, so the 128-bit string surrogate rides unharmed
     val fps = hashes.select(id.as("doc_id"),
       fp.cast("long").as("__fp"))
-    val banded = fingerprintBands(fps, col("doc_id"), col("__fp"),
-        bits, bandBits)
-      .withColumn("bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_val")))
-      .filter(col("bn") <= maxBucket)
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // cap window → member collect → pair explode on ONE (band, band_val)
+    // exchange (r18) — the pairsFromBanded rewrite applied to the
+    // Hamming bands: the previous self-join re-derived the banding per
+    // side and paid two more exchanges for pairs the partitioned pass
+    // already holds
+    val cands = pairsFromCappedBuckets(
+      fingerprintBands(fps, col("doc_id"), col("__fp"), bits, bandBits),
+      "band_val", maxBucket)
     verifyHammingPairs(fps, col("doc_id"), col("__fp"), cands, maxHamming)
   }
 
